@@ -1,0 +1,147 @@
+package graft.cluster
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.VectorOps
+
+/** Spark-native Lloyd's K-Means with explicit initial centers —
+  * the reference program's semantics (Flink batch KMeans example:
+  * `SelectNearestCenter` / `CentroidAccumulator` / `CentroidAverager`
+  * inside a bulk iteration; SURVEY.md §2.1 rows 4–10 [R]) re-expressed
+  * Spark-first:
+  *
+  *  - assignment is a pure Catalyst expression (broadcast-free literal
+  *    argmin for small k): `array_min` over `struct(dist, cid)` gives
+  *    the min-distance centroid with the reference's lowest-id
+  *    tie-break, entirely inside whole-stage codegen — no UDF, no
+  *    shuffle of points, embarrassingly parallel at any scale;
+  *  - the per-iteration aggregate shuffles only k×numPartitions partial
+  *    rows (Catalyst plans partial+final HashAggregate = Flink's
+  *    combiner);
+  *  - like MLlib, the k·d centers (a few KB) are the only data that
+  *    ever crosses back to the driver, so the loop scales to 100 TB
+  *    inputs unchanged.
+  */
+object KMeansNative {
+
+  /** Argmin over literal centers. Returns (cluster_id, sqdist) columns.
+    *
+    * Centers become literal arrays in the plan: for k·d up to ~10⁵
+    * scalars this stays codegen-friendly; beyond that prefer
+    * [[assignedTyped]]. Tie-break: struct comparison orders by (dist,
+    * cid), so the lowest id wins ties — the reference's iteration-order
+    * semantics.
+    */
+  def argminColumns(vec: Column, centers: Array[Array[Double]]): (Column, Column) = {
+    require(centers.nonEmpty, "need at least one center")
+    val candidates = centers.zipWithIndex.map { case (c, cid) =>
+      val cvec = array(c.map(lit).toIndexedSeq: _*)
+      struct(VectorOps.sqdist(vec, cvec).as("dist"), lit(cid).as("cid"))
+    }
+    val best = array_min(array(candidates.toIndexedSeq: _*))
+    (best.getField("cid"), best.getField("dist"))
+  }
+
+  /** Points → (original columns + cluster_id + sqdist). `vec` must be
+    * array<double>. */
+  def assigned(points: DataFrame, vec: Column, centers: Array[Array[Double]]): DataFrame = {
+    val (cid, d2) = argminColumns(vec, centers)
+    points.withColumn("cluster_id", cid).withColumn("sqdist", d2)
+  }
+
+  /** Deterministic reference-style init: centroids are the k rows with
+    * the lowest ids, cluster ids 0..k-1 in id order (SQL-expressible, so
+    * oracle-checkable). Collects only k·d scalars. */
+  def firstKCenters(points: DataFrame, idCol: String, vecCol: String, k: Int): Array[Array[Double]] =
+    points
+      .orderBy(col(idCol))
+      .limit(k)
+      .select(VectorOps.toDouble(col(vecCol)))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+
+  /** One Lloyd's round: per-cluster component sums + counts + partial
+    * WCSS, computed via posexplode + hash aggregate. Shuffle volume is
+    * k × dim × numPartitions after map-side partial agg — independent
+    * of input size.
+    *
+    * Sums go through DECIMAL(38,12) so cross-partition summation order
+    * cannot perturb the result (decimal addition is exact/associative),
+    * making the output hash-deterministic (SURVEY.md §5.2).
+    */
+  def accumulate(assignedDf: DataFrame, vec: Column): DataFrame =
+    assignedDf
+      .select(col("cluster_id"), posexplode(vec).as(Seq("dim", "coord")))
+      .groupBy(col("cluster_id"), col("dim"))
+      .agg(
+        sum(col("coord").cast("decimal(38,12)")).cast("double").as("coord_sum"),
+        count(lit(1)).as("n"))
+
+  /** Centroid update from [[accumulate]] output: component mean. */
+  def average(accumulated: DataFrame): DataFrame =
+    accumulated.select(
+      col("cluster_id"), col("dim"),
+      (col("coord_sum") / col("n")).as("coord"), col("n"))
+
+  final case class FitResult(
+      centers: Array[Array[Double]],
+      wcssHistory: Seq[Double],
+      iterations: Int)
+
+  /** Full Lloyd's loop, driver-held centers (MLlib's own structure:
+    * one Spark job per iteration, k·d doubles collected per round).
+    * Empty clusters keep their previous center (reference behavior: a
+    * centroid nobody selects receives no update). */
+  def fit(
+      points: DataFrame,
+      vecCol: String,
+      init: Array[Array[Double]],
+      maxIter: Int = 10,
+      tol: Double = 1e-6): FitResult = {
+    val k = init.length
+    val pts = points
+      .select(VectorOps.toDouble(col(vecCol)).as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dim = init(0).length
+      var centers = init.map(_.clone())
+      val history = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var iter = 0
+      var moved = Double.MaxValue
+      while (iter < maxIter && moved > tol) {
+        val a = assigned(pts, col("v"), centers)
+        // Single job per iteration: k×dim rows of (cid, dim, sum, n,
+        // cluster-wcss) after partial+final hash agg.
+        val rows = a
+          .select(col("cluster_id"), col("sqdist"), posexplode(col("v")).as(Seq("dim", "coord")))
+          .groupBy("cluster_id", "dim")
+          .agg(sum("coord").as("s"), count(lit(1)).as("n"), sum("sqdist").as("w"))
+          .collect()
+        // each row of a cluster contributes its sqdist once per dim,
+        // so w at any fixed dim is that cluster's WCSS.
+        history += rows.filter(_.getInt(1) == 0).map(_.getDouble(4)).sum
+        val next = centers.map(_.clone())
+        rows.groupBy(_.getInt(0)).foreach { case (cid, rs) =>
+          val c = new Array[Double](dim)
+          rs.foreach(r => c(r.getInt(1)) = r.getDouble(2) / r.getLong(3).toDouble)
+          next(cid) = c
+        }
+        moved = centers.zip(next).map { case (o, nw) =>
+          math.sqrt(o.zip(nw).map { case (a0, b0) => (a0 - b0) * (a0 - b0) }.sum)
+        }.max
+        centers = next
+        iter += 1
+      }
+      FitResult(centers, history.toSeq, iter)
+    } finally pts.unpersist()
+  }
+
+  /** Total within-cluster sum of squares for fixed centers
+    * (deterministic via the decimal bridge). */
+  def wcss(points: DataFrame, vecCol: String, centers: Array[Array[Double]]): Double =
+    assigned(points.select(VectorOps.toDouble(col(vecCol)).as("v")), col("v"), centers)
+      .agg(sum(col("sqdist").cast("decimal(38,12)")).cast("double"))
+      .collect()(0).getDouble(0)
+}

@@ -1,0 +1,36 @@
+package graft.cluster
+
+import org.apache.spark.ml.clustering.{KMeans => MlKMeans, KMeansModel => MlKMeansModel}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MLlib parity path (SURVEY.md §2.2 "ML surface"): the reference's
+  * whole program — Lloyd's K-Means over a batch collection — is what
+  * `org.apache.spark.ml.clustering.KMeans` implements natively
+  * (driver-held centers, one job per iteration, k-means|| init).
+  * [[KMeansNative]] owns explicit-initial-centers reference semantics;
+  * this path owns performance/scale and the standard ML API.
+  */
+object KMeansMl {
+
+  def fit(df: DataFrame, vecCol: String, k: Int, seed: Long = 42L,
+          maxIter: Int = 20, tol: Double = 1e-4): MlKMeansModel = {
+    val feat = df.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    new MlKMeans()
+      .setK(k).setSeed(seed).setMaxIter(maxIter).setTol(tol)
+      .setFeaturesCol("features").setPredictionCol("prediction")
+      .fit(feat)
+  }
+
+  /** fit + transform: original columns + integer `prediction`. */
+  def fitPredict(df: DataFrame, vecCol: String, k: Int, seed: Long = 42L,
+                 maxIter: Int = 20): DataFrame = {
+    val feat = df.withColumn("features", array_to_vector(col(vecCol).cast("array<double>")))
+    val model = new MlKMeans()
+      .setK(k).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("features").setPredictionCol("prediction")
+      .fit(feat)
+    model.transform(feat).drop("features")
+  }
+}

@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cluster.{KMeansMl, KMeansNative}
+import graft.functions.VectorOps
+import graft.io.Tables
+
+/** Declared K-Means queries (SparkEntry contract). Each oracle-checked
+  * query mirrors one reference operator (SURVEY.md §2.1): assignment
+  * (rows 4, 9, 10), accumulate (rows 5–6), average (row 7), plus WCSS
+  * as the convergence metric. The full iterative fits (bulk iteration,
+  * row 8) are not single-SQL-expressible → rows-only checks + ScalaTest
+  * invariants (SURVEY.md §5.2).
+  */
+object KMeansQueries {
+  val K = 10
+  val Dim = 64
+
+  private def pts(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+
+  private def firstK(s: SparkSession, dir: String): Array[Array[Double]] =
+    KMeansNative.firstKCenters(pts(s, dir), "vec_id", "v", K)
+
+  private def assignedDf(s: SparkSession, dir: String): DataFrame =
+    KMeansNative.assigned(pts(s, dir), col("v"), firstK(s, dir))
+
+  def assign(s: SparkSession, dir: String): DataFrame =
+    assignedDf(s, dir)
+      .select(col("vec_id"), col("cluster_id"),
+        round(sqrt(col("sqdist")), 6).as("dist"))
+      .orderBy("vec_id")
+
+  def accumulate(s: SparkSession, dir: String): DataFrame =
+    KMeansNative.accumulate(assignedDf(s, dir), col("v"))
+      .select(col("cluster_id"), col("dim"),
+        round(col("coord_sum"), 6).as("coord_sum"), col("n"))
+      .orderBy("cluster_id", "dim")
+
+  def average(s: SparkSession, dir: String): DataFrame =
+    KMeansNative.average(KMeansNative.accumulate(assignedDf(s, dir), col("v")))
+      .select(col("cluster_id"), col("dim"), round(col("coord"), 6).as("coord"))
+      .orderBy("cluster_id", "dim")
+
+  def wcss(s: SparkSession, dir: String): DataFrame =
+    assignedDf(s, dir)
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("sqdist").cast("decimal(38,12)")).cast("double"), 6).as("wcss"))
+
+  /** Full native Lloyd's fit (10 iterations, firstK init) → final
+    * centroids exploded to (cluster_id, dim, coord). Iterative —
+    * no single-SQL oracle; validated by ScalaTest invariants. */
+  def fitNative(s: SparkSession, dir: String): DataFrame = {
+    val r = KMeansNative.fit(pts(s, dir), "v", firstK(s, dir), maxIter = 10, tol = 0.0)
+    val rows = r.centers.zipWithIndex.flatMap { case (c, cid) =>
+      c.zipWithIndex.map { case (x, d) =>
+        (cid, d, BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    import s.implicits._
+    rows.toSeq.toDF("cluster_id", "dim", "coord").orderBy("cluster_id", "dim")
+  }
+
+  /** MLlib k-means (seeded) → cluster sizes. Cluster ids are
+    * init-dependent, so expose size distribution only. */
+  def fitMl(s: SparkSession, dir: String): DataFrame =
+    KMeansMl.fitPredict(pts(s, dir), "v", K)
+      .groupBy(col("prediction")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("prediction"))
+
+  // --- oracle SQL (DuckDB) ------------------------------------------
+  private val baseCte =
+    s"""WITH pts AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), cent AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v
+       |  FROM pts ORDER BY vec_id LIMIT $K
+       |), d AS (
+       |  SELECT p.vec_id, p.v, c.cid,
+       |         list_sum(list_transform(generate_series(1, $Dim),
+       |                  i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i]))) AS d2
+       |  FROM pts p CROSS JOIN cent c
+       |), a AS (
+       |  SELECT vec_id, v, cid, d2,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |  FROM d
+       |), e AS (
+       |  SELECT cid, CAST(t.i - 1 AS INTEGER) AS dim, v[t.i] AS coord
+       |  FROM a, (SELECT unnest(generate_series(1, $Dim)) AS i) t
+       |  WHERE rn = 1
+       |)
+       |""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kmeans_assign" -> (assign _),
+    "kmeans_accumulate" -> (accumulate _),
+    "kmeans_average" -> (average _),
+    "kmeans_wcss" -> (wcss _),
+    "kmeans_fit_native" -> (fitNative _),
+    "kmeans_fit_ml" -> (fitMl _))
+
+  val oracles: Map[String, String] = Map(
+    "kmeans_assign" -> (baseCte +
+      "SELECT vec_id, cid AS cluster_id, round(sqrt(d2), 6) AS dist FROM a WHERE rn = 1 ORDER BY vec_id"),
+    "kmeans_accumulate" -> (baseCte +
+      """SELECT cid AS cluster_id, dim,
+        |  round(CAST(SUM(CAST(coord AS DECIMAL(38,12))) AS DOUBLE), 6) AS coord_sum,
+        |  COUNT(*) AS n
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    "kmeans_average" -> (baseCte +
+      """SELECT cid AS cluster_id, dim,
+        |  round(CAST(SUM(CAST(coord AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS coord
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    "kmeans_wcss" -> (baseCte +
+      "SELECT COUNT(*) AS n, round(CAST(SUM(CAST(d2 AS DECIMAL(38,12))) AS DOUBLE), 6) AS wcss FROM a WHERE rn = 1"))
+}
