@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.KMeansCsv
+
+class KMeansAppSpec extends SparkSpec {
+
+  test("demo data end-to-end: 3 clusters recovered with original centroid ids") {
+    val (clustered, centers) =
+      KMeansApp.run(KMeansCsv.demoPoints(spark), KMeansCsv.demoCentroids(spark), 10)
+    val rows = clustered.collect()
+    assert(rows.length === 30)
+    assert(centers.map(_._1).sorted === Array(0, 1, 2))
+    // each demo point sits near one base center; the init centroids are
+    // adjacent to those bases, so cluster sizes must be 10/10/10.
+    val sizes = rows.groupBy(_.getInt(0)).view.mapValues(_.length).toMap
+    assert(sizes === Map(0 -> 10, 1 -> 10, 2 -> 10))
+  }
+
+  test("csv round-trip: write points, read back, cluster, write output") {
+    val dir = Files.createTempDirectory("kmeans-csv").toString
+    val pts = KMeansCsv.generatePoints(spark, 300, 3, stddev = 0.5,
+      range = 10, seed = 7, numPartitions = 2)
+    KMeansCsv.writeCsv(pts, s"$dir/points")
+    val read = KMeansCsv.readPoints(spark, s"$dir/points")
+    assert(read.count() === 300)
+    assert(read.schema.map(_.name) === Seq("x", "y"))
+
+    import spark.implicits._
+    val cents = Seq((0, -5.0, -5.0), (1, 0.0, 0.0), (2, 5.0, 5.0)).toDF("id", "x", "y")
+    KMeansCsv.writeCsv(cents.select(concat_ws(" ", $"id", $"x", $"y").as("line")), s"$dir/ignore")
+    val (clustered, _) = KMeansApp.run(read, cents, 10)
+    KMeansCsv.writeCsv(clustered, s"$dir/out")
+    val back = KMeansCsv.readCentroids(spark, s"$dir/out")
+    assert(back.count() === 300)
+    assert(back.select("id").distinct().count() <= 3)
+  }
+
+  test("generator is deterministic for fixed seed and partitioning") {
+    val a = KMeansCsv.generatePoints(spark, 100, 3, 0.5, 10, seed = 7, numPartitions = 2).collect()
+    val b = KMeansCsv.generatePoints(spark, 100, 3, 0.5, 10, seed = 7, numPartitions = 2).collect()
+    assert(a.map(r => (r.getDouble(0), r.getDouble(1))).toSeq ===
+      b.map(r => (r.getDouble(0), r.getDouble(1))).toSeq)
+  }
+
+  test("arg parsing matches the reference CLI shape") {
+    val p = KMeansApp.parseArgs(Array("--points", "/p", "--iterations", "5"))
+    assert(p === Map("points" -> "/p", "iterations" -> "5"))
+  }
+}
