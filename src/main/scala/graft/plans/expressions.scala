@@ -1,0 +1,75 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for kernels where the built-in
+  * higher-order functions are semantically sufficient but too slow:
+  * HOF lambdas are evaluated by interpretation per element, and
+  * Catalyst inlines used-once projections into downstream lambdas,
+  * multiplying that cost. A compiled per-row loop keeps the operator
+  * shuffle-free AND cheap — the property that matters at 100 TB, where
+  * the alternative (window/explode formulations) costs an extra full
+  * shuffle of the token stream.
+  */
+object expressions {
+
+  /** Distinct word n-gram shingles of a space-separated string.
+    * Equivalent to (but ~10× faster than) the HOF formulation
+    * `array_distinct(transform(sequence(0, size(w)-n), i ->
+    * concat_ws(' ', w[i], …, w[i+n-1])))`; first-occurrence order,
+    * empty array for texts shorter than n words. */
+  case class WordShingles(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(n >= 1, "shingle size must be >= 1")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "word_shingles"
+
+    override def nullSafeEval(input: Any): Any = {
+      // limit -1 matches Spark's split(text, " ") (trailing empties kept)
+      val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+      if (words.length < n) return new GenericArrayData(Array.empty[Any])
+      val seen = new java.util.LinkedHashSet[String](words.length * 2)
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i <= words.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): WordShingles =
+      copy(child = newChild)
+  }
+
+  /** Column wrapper. */
+  def word_shingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftShims.column(
+      WordShingles(org.apache.spark.sql.GraftShims.expression(text), n))
+
+  /** Register SQL-callable names on a session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles",
+      exprs => WordShingles(exprs.head, exprs(1).eval(InternalRow.empty).asInstanceOf[Int]),
+      "built-in")
+  }
+}

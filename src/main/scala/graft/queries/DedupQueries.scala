@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.operators.Dedup
+
+/** Declared dedup queries over the `documents` / `embeddings` fixture
+  * tables (north-star extension surface; SURVEY.md §2.2). Exact,
+  * n-gram-Jaccard and embedding-cosine are oracle-checked; MinHash-LSH
+  * and SimHash use engine-specific hash functions (murmur3 / xxhash64)
+  * with no DuckDB equivalent → rows-only checks + ScalaTest recall
+  * properties against the exact Jaccard ground truth.
+  */
+object DedupQueries {
+  val JaccardThreshold = 0.8
+  val CosineThreshold = 0.35
+
+  def exact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+
+  def minhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, numHashes = 32, bands = 8, threshold = JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+      .orderBy("doc_a", "doc_b")
+
+  def embedding(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosine(Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = CosineThreshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("id_a", "id_b")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (exact _),
+    "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_minhash" -> (minhash _),
+    "dedup_simhash" -> (simhash _),
+    "dedup_embedding" -> (embedding _))
+
+  private val shingleCte =
+    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, s FROM (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM docs)),
+      |cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      "SELECT min(doc_id) AS doc_id, COUNT(*) AS n_dups FROM documents GROUP BY text ORDER BY doc_id",
+    "dedup_ngram_jaccard" -> (shingleCte +
+      s"""SELECT doc_a, doc_b,
+         |  round(CAST(inter AS DOUBLE) / (ca.c + cb.c - inter), 6) AS jaccard
+         |FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= $JaccardThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin),
+    "dedup_embedding" ->
+      s"""WITH p AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |c AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])) /
+         |  (sqrt(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * a.v[i]))) *
+         |   sqrt(list_sum(list_transform(generate_series(1, 64), i -> b.v[i] * b.v[i])))) AS cosine
+         |  FROM p a JOIN p b ON a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, round(cosine, 6) AS cosine FROM c
+         |WHERE cosine >= $CosineThreshold ORDER BY id_a, id_b""".stripMargin)
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+import graft.io.Tables
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf001).cache()
+
+  test("exact dedup partitions the corpus: survivors' group sizes sum to total") {
+    val d = Dedup.exact(docs, "doc_id", "text")
+    assert(d.agg(sum("n_dups")).collect()(0).getLong(0) === docs.count())
+    assert(d.select("doc_id").distinct().count() === d.count())
+  }
+
+  test("exact dedup collapses planted duplicates") {
+    val planted = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w q"))
+      .toDF("doc_id", "text")
+    val d = Dedup.exact(planted, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d === Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("shingles produce distinct word n-grams; short docs yield empty") {
+    val df = Seq("a b c d", "a a a a", "x y").toDF("text")
+      .select(TextOps.shingles(col("text"), 3).as("sh"))
+    val got = df.collect().map(_.getSeq[String](0))
+    assert(got(0) === Seq("a b c", "b c d"))
+    assert(got(1) === Seq("a a a"))
+    assert(got(2) === Seq.empty)
+  }
+
+  test("minhash-LSH achieves >=90% recall and exact precision vs true Jaccard pairs") {
+    val exact = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text", 3, 32, 8, 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(lsh.subsetOf(exact), "verification step must make precision exact")
+    assert(lsh.size >= exact.size * 0.9, s"recall ${lsh.size}/${exact.size}")
+  }
+
+  test("exact duplicates always share every minhash band") {
+    val planted = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content with nothing shared at all here now"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(planted, "doc_id", "text", 3, 32, 8, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
+  test("simhash: identical text -> hamming 0; near-identical -> small hamming") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"))
+      .toDF("doc_id", "text")
+    val fp = df.select(col("doc_id"), TextOps.simhash64(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) === fp(2L))
+    val hamming = java.lang.Long.bitCount(fp(1L) ^ fp(3L))
+    assert(hamming > 0 && hamming <= 16, s"hamming $hamming")
+    val pairs = Dedup.simhash(df, "doc_id", "text", maxHamming = 16)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("rolling fingerprint is deterministic and order-sensitive") {
+    val df = Seq("a b c", "a b c", "c b a").toDF("text")
+      .select(TextOps.rollingFingerprint(col("text")).as("f"))
+    val f = df.collect().map(_.getLong(0))
+    assert(f(0) === f(1))
+    assert(f(0) !== f(2))
+  }
+
+  test("embedding cosine pairs are symmetric-free and above threshold") {
+    val e = Tables.embeddings(spark, sf001)
+    val pairs = Dedup.embeddingCosine(e, "vec_id", "embedding", 0.35).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.35)
+    }
+  }
+}
