@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Scale design (SURVEY.md §2.2 / north-star):
+  *  - [[bruteForceTopK]] — exact baseline. Query vectors (small: Q·d
+  *    doubles) are broadcast; each partition keeps a bounded per-query
+  *    heap, so only Q × k × numPartitions candidate rows are shuffled
+  *    for the final global rank — input row count never shuffles.
+  *  - [[lshTopK]] — the scale path: L random-hyperplane sign-bucket
+  *    tables; candidates come from bucket equality joins (shuffle on
+  *    (table, bucket)), ranked by exact cosine. Candidate probability
+  *    for angle θ: 1 − (1 − (1 − θ/π)^bits)^L.
+  *
+  * All cosines are computed with the same left-to-right fold order as
+  * the DuckDB oracle (dot / (‖a‖·‖b‖)), so results hash-match.
+  */
+object Similarity {
+
+  private[operators] def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * Output: (query_id, neighbor_id, rank, cosine). Self-matches are
+    * excluded; ties break toward the lower neighbor id. */
+  def bruteForceTopK(embs: DataFrame, idCol: String, vecCol: String,
+                     queries: Array[(Long, Array[Double])], k: Int): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val qb = spark.sparkContext.broadcast(
+      queries.map { case (qid, v) => (qid, v, math.sqrt(dotSeq(v, v))) })
+    val p = embs.select(col(idCol).cast("long").as("id"),
+      VectorOps.toDouble(col(vecCol)).as("v")).as[(Long, Array[Double])]
+    // Partition-local bounded top-k per query: emit ≤ Q·k rows per
+    // partition; global rank then runs over Q·k·numPartitions rows.
+    val partial = p.mapPartitions { iter =>
+      val qs = qb.value
+      // per query: sorted buffer of (cosine, id), worst last
+      val heaps = qs.map(_ => scala.collection.mutable.ArrayBuffer.empty[(Double, Long)])
+      val ord = Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long])
+      iter.foreach { case (id, v) =>
+        val n = math.sqrt(dotSeq(v, v))
+        var qi = 0
+        while (qi < qs.length) {
+          val (qid, qv, qn) = qs(qi)
+          if (id != qid) {
+            val c = dotSeq(qv, v) / (qn * n)
+            val h = heaps(qi)
+            if (h.length < k || ord.lt((c, id), h.last)) {
+              h += ((c, id))
+              val sorted = h.sorted(ord)
+              h.clear()
+              h ++= sorted.take(k)
+            }
+          }
+          qi += 1
+        }
+      }
+      qs.iterator.zipWithIndex.flatMap { case ((qid, _, _), qi) =>
+        heaps(qi).iterator.map { case (c, id) => (qid, id, c) }
+      }
+    }.toDF("query_id", "neighbor_id", "cosine")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    partial
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** Deterministic random hyperplanes: L tables × bits planes, from a
+    * seeded PRNG on the driver (Q·L·bits·d doubles — trivially small). */
+  def hyperplanes(nTables: Int, bits: Int, dim: Int, seed: Long): Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nTables, bits, dim)(rnd.nextGaussian())
+  }
+
+  /** LSH bucket id of a vector for one table: sign bits packed to int. */
+  private def bucketOf(v: Array[Double], planes: Array[Array[Double]]): Int = {
+    var b = 0; var i = 0
+    while (i < planes.length) {
+      if (dotSeq(v, planes(i)) >= 0) b |= (1 << i)
+      i += 1
+    }
+    b
+  }
+
+  /** Approximate top-k via multi-table sign-LSH; same output shape as
+    * [[bruteForceTopK]]. Candidates = vectors sharing any (table,
+    * bucket) with the query; exact cosine rank on candidates only. */
+  def lshTopK(embs: DataFrame, idCol: String, vecCol: String,
+              queries: Array[(Long, Array[Double])], k: Int,
+              nTables: Int = 8, bits: Int = 4, seed: Long = 42L): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val dim = queries.head._2.length
+    val planes = hyperplanes(nTables, bits, dim, seed)
+    val pb = spark.sparkContext.broadcast(planes)
+    val p = embs.select(col(idCol).cast("long").as("id"),
+      VectorOps.toDouble(col(vecCol)).as("v")).as[(Long, Array[Double])]
+    val buckets = p.mapPartitions { iter =>
+      val pl = pb.value
+      iter.flatMap { case (id, v) =>
+        pl.iterator.zipWithIndex.map { case (tp, t) => (id, v, t, bucketOf(v, tp)) }
+      }
+    }.toDF("id", "v", "table", "bucket")
+    val qRows = queries.flatMap { case (qid, qv) =>
+      planes.zipWithIndex.map { case (tp, t) =>
+        (qid, qv, math.sqrt(dotSeq(qv, qv)), t, bucketOf(qv, tp))
+      }
+    }.toSeq
+    val qdf = qRows.toDF("query_id", "qv", "qn", "table", "bucket")
+    val cand = buckets.join(broadcast(qdf), Seq("table", "bucket"))
+      .filter(col("id") =!= col("query_id"))
+      .dropDuplicates("query_id", "id")
+      .as[(Int, Int, Long, Array[Double], Long, Array[Double], Double)]
+    val scored = cand.map { case (_, _, id, v, qid, qv, qn) =>
+      val c = dotSeq(qv, v) / (qn * math.sqrt(dotSeq(v, v)))
+      (qid, id, c)
+    }.toDF("query_id", "neighbor_id", "cosine")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+import graft.io.Tables
+import graft.operators.Similarity
+
+/** Declared similarity-search queries: exact brute-force cosine top-k
+  * (oracle-checked) and the multi-table sign-LSH approximate variant
+  * (engine-specific bucketing → rows-only check + recall ScalaTest).
+  * Query set: the 10 lowest-vec_id embeddings; k=5.
+  */
+object SimilarityQueries {
+  val Q = 10
+  val K = 5
+  val Dim = 64
+
+  private def queryVecs(s: SparkSession, dir: String): Array[(Long, Array[Double])] =
+    Tables.embeddings(s, dir)
+      .orderBy("vec_id").limit(Q)
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+  def bruteForce(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryVecs(s, dir), K)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("query_id", "rank")
+
+  def lsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryVecs(s, dir), K)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("query_id", "rank")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_bruteforce_topk" -> (bruteForce _),
+    "ann_lsh_topk" -> (lsh _))
+
+  val oracles: Map[String, String] = Map(
+    "ann_bruteforce_topk" ->
+      s"""WITH p AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM p ORDER BY vec_id LIMIT $Q),
+         |d AS (SELECT q.query_id, p.vec_id AS neighbor_id,
+         |  list_sum(list_transform(generate_series(1, $Dim), i -> q.qv[i] * p.v[i])) /
+         |  (sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> q.qv[i] * q.qv[i]))) *
+         |   sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> p.v[i] * p.v[i])))) AS cosine
+         |  FROM q CROSS JOIN p WHERE p.vec_id <> q.query_id),
+         |r AS (SELECT query_id, neighbor_id, cosine,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM d)
+         |SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+         |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin)
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+import graft.io.Tables
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sf001).cache()
+  private lazy val queries = emb.orderBy("vec_id").limit(5)
+    .select(col("vec_id"), VectorOps.toDouble(col("embedding")))
+    .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+  private def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+  test("brute-force top-k: correct count, no self matches, ranks contiguous") {
+    val r = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, 5).collect()
+    assert(r.length === queries.length * 5)
+    r.foreach(row => assert(row.getLong(1) !== row.getLong(0)))
+    val ranks = r.groupBy(_.getLong(0)).values.map(_.map(_.getInt(2)).sorted.toSeq)
+    ranks.foreach(rs => assert(rs === Seq(1, 2, 3, 4, 5)))
+  }
+
+  test("brute-force top-k matches a driver-side exhaustive computation") {
+    val all = emb.select(col("vec_id"), VectorOps.toDouble(col("embedding")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = queries.map { case (qid, qv) =>
+      qid -> all.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+    }.toMap
+    val got = topSets(Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, 5))
+    assert(got === expected)
+  }
+
+  test("LSH top-k recall vs brute force is >= 0.5 and precision-only candidates") {
+    val exact = topSets(Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, 5))
+    val approx = topSets(Similarity.lshTopK(emb, "vec_id", "embedding", queries, 5))
+    val hits = exact.map { case (q, s) => (approx.getOrElse(q, Set.empty) & s).size }.sum
+    val total = exact.values.map(_.size).sum
+    assert(hits.toDouble / total >= 0.5, s"recall $hits/$total")
+  }
+
+  test("LSH is deterministic for a fixed seed") {
+    val a = Similarity.lshTopK(emb, "vec_id", "embedding", queries, 5).collect()
+    val b = Similarity.lshTopK(emb, "vec_id", "embedding", queries, 5).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+
+  test("identical vector is always rank 1 with cosine ~ 1") {
+    import spark.implicits._
+    val dup = Seq(
+      (100L, Array(1.0, 2.0, 3.0)), (200L, Array(1.0, 2.0, 3.0)),
+      (300L, Array(-3.0, 1.0, 0.5)), (400L, Array(0.0, 5.0, -1.0)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.bruteForceTopK(dup, "vec_id", "embedding",
+      Array((100L, Array(1.0, 2.0, 3.0))), 2).collect()
+    assert(r.head.getLong(1) === 200L)
+    assert(math.abs(r.head.getDouble(3) - 1.0) < 1e-12)
+  }
+}
