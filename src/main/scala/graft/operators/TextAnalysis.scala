@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+
+/** Text-analysis operators for a training-data pipeline: token stats,
+  * quality scoring, heuristic language ID, and document fingerprinting.
+  * Everything is per-row expression work (codegen or compiled custom
+  * expressions) — zero shuffles; aggregation is left to callers.
+  */
+object TextAnalysis {
+
+  /** Function-word profiles for the language-ID heuristic (ASCII-only
+    * so oracle SQL round-trips byte-identically). */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "auf", "ein", "nicht"),
+    "en" -> Seq("the", "of", "and", "to", "a", "in", "is", "it", "for", "on"),
+    "es" -> Seq("el", "la", "los", "que", "en", "un", "por", "con", "una", "para"),
+    "fr" -> Seq("le", "les", "des", "est", "dans", "pour", "une", "sur", "avec", "au"))
+
+  val EnStopwords: Seq[String] = LangProfiles.toMap.apply("en")
+
+  /** Per-document token statistics:
+    * (id, n_tokens, n_distinct, n_chars, avg_word_len). */
+  def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = TextOps.words(col(textCol))
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(w).as("n_tokens"),
+      size(array_distinct(w)).as("n_distinct"),
+      length(col(textCol)).as("n_chars"),
+      // chars minus separators over tokens — exact, avoids per-token
+      // length summation so the oracle formula is identical.
+      ((length(col(textCol)) - (size(w) - 1)).cast("double") / size(w))
+        .as("avg_word_len"))
+  }
+
+  /** Quality features + a composite score in [0, 1]:
+    * 0.3·stopword_ratio + 0.4·(1 − punct_ratio) + 0.3·min(avg_len/10, 1).
+    * The exact arithmetic shape is mirrored in the DuckDB oracle. */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = TextOps.words(col(textCol))
+    val nTok = size(w)
+    val stopRatio = size(filter(w, t => t.isin(EnStopwords: _*))).cast("double") / nTok
+    val punctRatio = length(regexp_replace(col(textCol), "[a-z0-9 ]", ""))
+      .cast("double") / length(col(textCol))
+    val avgLen = (length(col(textCol)) - (nTok - 1)).cast("double") / nTok
+    docs.select(
+      col(idCol).as("doc_id"),
+      nTok.as("n_tokens"),
+      stopRatio.as("stop_ratio"),
+      punctRatio.as("punct_ratio"),
+      (stopRatio * 0.3 + (lit(1.0) - punctRatio) * 0.4 +
+        least(avgLen / 10.0, lit(1.0)) * 0.3).as("score"))
+  }
+
+  /** Heuristic language ID: fraction of tokens in each language's
+    * function-word profile; argmax with (score desc, lang asc)
+    * tie-break. Output (id, predicted_lang, score). */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = TextOps.words(col(textCol))
+    val scored = LangProfiles.map { case (lang, stop) =>
+      val s = size(filter(w, t => t.isin(stop: _*))).cast("double") / size(w)
+      struct((s * -1).as("neg"), lit(lang).as("lang"), s.as("score"))
+    }
+    val best = array_min(array(scored: _*))
+    docs.select(
+      col(idCol).as("doc_id"),
+      best.getField("lang").as("predicted_lang"),
+      best.getField("score").as("score"))
+  }
+
+  /** Rolling-hash fingerprint (order-sensitive, mod 1e9+7): one BIGINT
+    * per document. */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      TextOps.rollingFingerprint(col(textCol)).as("fingerprint"))
+
+  /** Corpus-level aggregate: per (lang, source) doc counts + token
+    * totals — the group-by surface over the text stats. */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), col("source"),
+        size(TextOps.words(col("text"))).as("n_tokens"),
+        col("n_chars"))
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+}

@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.operators.TextAnalysis
+
+/** Declared text-analysis queries over `documents`. All five are
+  * DuckDB-oracle-checked — including the rolling-hash fingerprint,
+  * whose fold is reproduced with list_reduce (identical chain: the
+  * zero seed is absorbed by the first element in both engines).
+  */
+object TextQueries {
+
+  def tokens(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenStats(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("n_chars"),
+        round(col("avg_word_len"), 6).as("avg_word_len"))
+      .orderBy("doc_id")
+
+  def quality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("stop_ratio"), 6).as("stop_ratio"),
+        round(col("punct_ratio"), 6).as("punct_ratio"),
+        round(col("score"), 6).as("score"))
+      .orderBy("doc_id")
+
+  def langid(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("predicted_lang"), round(col("score"), 6).as("score"))
+      .orderBy("doc_id")
+
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  def corpus(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.corpusStats(Tables.documents(s, dir))
+      .orderBy("lang", "source")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> (tokens _),
+    "text_quality" -> (quality _),
+    "text_langid" -> (langid _),
+    "text_fingerprint" -> (fingerprint _),
+    "text_corpus_stats" -> (corpus _))
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private val langScoresSql: String =
+    TextAnalysis.LangProfiles.map { case (lang, stop) =>
+      s"""SELECT doc_id, '$lang' AS lang,
+         |  CAST(len(list_filter(w, x -> x IN ${inList(stop)})) AS DOUBLE) / len(w) AS score
+         |FROM t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(w) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_distinct(w)) AS INTEGER) AS n_distinct,
+        |  CAST(length(text) AS INTEGER) AS n_chars,
+        |  round(CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w), 6) AS avg_word_len
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+         |f AS (SELECT doc_id,
+         |  CAST(len(w) AS INTEGER) AS n_tokens,
+         |  CAST(len(list_filter(w, x -> x IN ${inList(TextAnalysis.EnStopwords)})) AS DOUBLE) / len(w) AS stop_ratio,
+         |  CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+         |  CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) AS avg_len
+         |FROM t)
+         |SELECT doc_id, n_tokens, round(stop_ratio, 6) AS stop_ratio,
+         |  round(punct_ratio, 6) AS punct_ratio,
+         |  round(stop_ratio * 0.3 + (1.0 - punct_ratio) * 0.4 + least(avg_len / 10.0, 1.0) * 0.3, 6) AS score
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |s AS ($langScoresSql),
+         |r AS (SELECT doc_id, lang, score,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn FROM s)
+         |SELECT doc_id, lang AS predicted_lang, round(score, 6) AS score
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN length(text) = 0 THEN 0
+         |       ELSE list_reduce(
+         |         list_transform(generate_series(1, length(text)),
+         |                        i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+         |         (a, b) -> (a * 31 + b) % ${graft.functions.TextOps.FingerprintMod})
+         |  END AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_corpus_stats" ->
+      """SELECT lang, source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf001).cache()
+
+  test("token stats: n_chars equals fixture n_chars; avg word len consistent") {
+    val joined = TextAnalysis.tokenStats(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("n_chars").as("expected")), "doc_id")
+    assert(joined.filter(col("n_chars") =!= col("expected")).count() === 0)
+    val r = joined.filter(
+      abs(col("avg_word_len") * col("n_tokens") -
+        (col("n_chars") - col("n_tokens") + 1).cast("double")) > lit(1e-9))
+    assert(r.count() === 0)
+  }
+
+  test("quality score is within [0, 1] and rewards stopword-rich clean text") {
+    val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
+    assert(q.filter(col("score") < 0 || col("score") > 1).count() === 0)
+    val synthetic = Seq(
+      (1L, "the cat sat on the mat and the dog is in it for now"),
+      (2L, "zzzz qqqq xxxx wwww kkkk jjjj")).toDF("doc_id", "text")
+    val s = TextAnalysis.qualityScore(synthetic, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(s(1L) > s(2L))
+  }
+
+  test("langId picks the profile language for obvious inputs, ties break alphabetically") {
+    val synthetic = Seq(
+      (1L, "der hund ist auf das sofa und nicht mit der katze"),
+      (2L, "el perro en la casa con los gatos por una puerta"),
+      (3L, "nothing matches any profile whatsoever zzz")).toDF("doc_id", "text")
+    val got = TextAnalysis.langId(synthetic, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(got(1L)._1 === "de")
+    assert(got(2L)._1 === "es")
+    assert(got(3L) === ("de", 0.0)) // all-zero tie -> first lang alphabetically
+  }
+
+  test("fingerprint distinguishes different docs and is stable") {
+    val fp = TextAnalysis.fingerprint(docs, "doc_id", "text")
+    assert(fp.select("fingerprint").distinct().count() >= docs.count() - 5)
+    assert(fp.filter(col("fingerprint") < 0).count() === 0)
+  }
+
+  test("corpus stats totals reconcile with the whole table") {
+    val c = TextAnalysis.corpusStats(docs)
+    val total = c.agg(sum("n_docs"), sum("total_chars")).collect()(0)
+    assert(total.getLong(0) === docs.count())
+    assert(total.getLong(1) ===
+      docs.agg(sum("n_chars")).collect()(0).getLong(0))
+  }
+}
