@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-window / sessionization / JSON operators over the
+  * stream-shaped `events` table (event_id, ts, user_id, event_type,
+  * value, props). Batch formulations here; the Structured Streaming
+  * equivalents (readStream + watermark + the same window exprs) live
+  * in [[graft.streaming.StreamOps]].
+  *
+  * Scale notes: tumbling/sliding aggregation is a single partial+final
+  * hash aggregate (shuffle = |groups|); sessionization shuffles once on
+  * user_id (the window partition key) — the canonical layout for a
+  * sessionized store. Money-grade sums go through DECIMAL(38,12) so
+  * partition order cannot perturb results (SURVEY.md §5.2).
+  */
+object Events {
+
+  /** Tumbling-window aggregate per event_type using the streaming
+    * `window()` operator. Output: (window_start, event_type, n,
+    * sum_value). */
+  def tumbling(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(38,12)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding-window aggregate (each event lands in len/slide windows).
+    * Output: (window_start, event_type, n, sum_value). */
+  def sliding(events: DataFrame, windowLen: String = "1 hour",
+              slide: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(38,12)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Gap-based sessionization: a new session starts when the gap to
+    * the previous event of the same user exceeds `gapSeconds`.
+    * Output: (user_id, session_id, session_start, session_end,
+    * n_events, sum_value). Deterministic ordering on (ts, event_id). */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = gapSeconds * 1000000L
+    val withNew = events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+    withNew
+      .withColumn("session_id",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(38,12)")).cast("double").as("sum_value"))
+  }
+
+  /** JSON property extraction + aggregate: parse `props` (e.g.
+    * {"k": 87}) and aggregate k per event_type. Output: (event_type,
+    * n, sum_k, avg_k). */
+  def jsonAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .filter(col("k").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        (sum(col("k")).cast("double") / count(lit(1))).as("avg_k"))
+
+  /** Top-k users by total value (order/limit surface). */
+  def topUsers(events: DataFrame, k: Int = 10): DataFrame =
+    events
+      .groupBy("user_id")
+      .agg(sum(col("value").cast("decimal(38,12)")).cast("double").as("total_value"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("total_value").desc, col("user_id"))
+      .limit(k)
+}

@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.operators.Events
+
+/** Declared event-stream queries (batch formulations of the streaming
+  * surface). Window starts are emitted as formatted strings so the
+  * hash compare is immune to timestamp-precision differences (fixture
+  * ns vs Spark µs). All five are DuckDB-oracle-checked.
+  */
+object EventsQueries {
+  private val Fmt = "yyyy-MM-dd HH:mm:ss"
+  private val DuckFmt = "%Y-%m-%d %H:%M:%S"
+
+  def window(s: SparkSession, dir: String): DataFrame =
+    Events.tumbling(Tables.events(s, dir))
+      .select(date_format(col("window_start"), Fmt).as("window_start"),
+        col("event_type"), col("n"), round(col("sum_value"), 6).as("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  def windowSliding(s: SparkSession, dir: String): DataFrame =
+    Events.sliding(Tables.events(s, dir))
+      .select(date_format(col("window_start"), Fmt).as("window_start"),
+        col("event_type"), col("n"), round(col("sum_value"), 6).as("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  def session(s: SparkSession, dir: String): DataFrame =
+    Events.sessionize(Tables.events(s, dir))
+      .select(col("user_id"), col("session_id"),
+        date_format(col("session_start"), Fmt).as("session_start"),
+        date_format(col("session_end"), Fmt).as("session_end"),
+        col("n_events"), round(col("sum_value"), 6).as("sum_value"))
+      .orderBy("user_id", "session_id")
+
+  def json(s: SparkSession, dir: String): DataFrame =
+    Events.jsonAgg(Tables.events(s, dir))
+      .select(col("event_type"), col("n"), col("sum_k"),
+        round(col("avg_k"), 6).as("avg_k"))
+      .orderBy("event_type")
+
+  def topUsers(s: SparkSession, dir: String): DataFrame =
+    Events.topUsers(Tables.events(s, dir))
+      .select(col("user_id"), round(col("total_value"), 6).as("total_value"),
+        col("n_events"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_window" -> (window _),
+    "events_window_sliding" -> (windowSliding _),
+    "events_session" -> (session _),
+    "events_json" -> (json _),
+    "events_topk_users" -> (topUsers _))
+
+  val oracles: Map[String, String] = Map(
+    "events_window" ->
+      s"""SELECT strftime(date_trunc('hour', ts), '$DuckFmt') AS window_start,
+         |  event_type, COUNT(*) AS n,
+         |  round(CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE), 6) AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_window_sliding" ->
+      s"""WITH starts AS (
+         |  SELECT *, make_timestamp((epoch_us(ts) // 1800000000) * 1800000000) AS ws FROM events
+         |  UNION ALL
+         |  SELECT *, make_timestamp((epoch_us(ts) // 1800000000) * 1800000000 - 1800000000) AS ws FROM events)
+         |SELECT strftime(ws, '$DuckFmt') AS window_start, event_type, COUNT(*) AS n,
+         |  round(CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE), 6) AS sum_value
+         |FROM starts GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_session" ->
+      s"""WITH e AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS us FROM events),
+         |w AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM e),
+         |n AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new FROM w),
+         |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                                  ROWS UNBOUNDED PRECEDING) AS session_id FROM n)
+         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         |  strftime(min(ts), '$DuckFmt') AS session_start,
+         |  strftime(max(ts), '$DuckFmt') AS session_end,
+         |  COUNT(*) AS n_events,
+         |  round(CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE), 6) AS sum_value
+         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_json" ->
+      """WITH k AS (SELECT event_type, CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events)
+        |SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  round(CAST(SUM(k) AS DOUBLE) / COUNT(*), 6) AS avg_k
+        |FROM k WHERE k IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_topk_users" ->
+      """WITH t AS (SELECT user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS total_value,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY 1)
+        |SELECT user_id, round(total_value, 6) AS total_value, n_events
+        |FROM t ORDER BY total_value DESC, user_id LIMIT 10""".stripMargin)
+}

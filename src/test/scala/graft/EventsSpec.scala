@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.operators.Events
+
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val events = Tables.events(spark, sf001).cache()
+
+  test("tumbling windows cover every event exactly once") {
+    val t = Events.tumbling(events)
+    assert(t.agg(sum("n")).collect()(0).getLong(0) === events.count())
+  }
+
+  test("sliding 1h/30m windows cover every event exactly twice") {
+    val sl = Events.sliding(events)
+    assert(sl.agg(sum("n")).collect()(0).getLong(0) === events.count() * 2)
+  }
+
+  test("sessionization: session count and boundaries on a synthetic user") {
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val df = Seq(
+      (1L, ts(0), 7L, "a", 1.0, "{}"),
+      (2L, ts(10), 7L, "a", 2.0, "{}"),
+      (3L, ts(55), 7L, "a", 3.0, "{}"),   // 45 min gap -> new session
+      (4L, ts(60), 7L, "a", 4.0, "{}"),
+      (5L, ts(200), 7L, "a", 5.0, "{}"),  // new session
+      (6L, ts(0), 8L, "b", 9.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val s = Events.sessionize(df).orderBy("user_id", "session_id").collect()
+    assert(s.map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSeq ===
+      Seq((7L, 1L, 2L), (7L, 2L, 2L), (7L, 3L, 1L), (8L, 1L, 1L)))
+  }
+
+  test("sessions partition all events; session_end >= session_start") {
+    val s = Events.sessionize(events)
+    assert(s.agg(sum("n_events")).collect()(0).getLong(0) === events.count())
+    assert(s.filter(col("session_end") < col("session_start")).count() === 0)
+  }
+
+  test("json extraction parses every fixture props row") {
+    val k = events.withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+    assert(k.filter(col("k").isNull).count() === 0)
+  }
+
+  test("top users returns k rows in strictly non-increasing order") {
+    val t = Events.topUsers(events, 10).collect()
+    assert(t.length === 10)
+    val vals = t.map(_.getDouble(1))
+    assert(vals.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+  }
+}
