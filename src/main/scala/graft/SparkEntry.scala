@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{DedupQueries, EventsQueries, KMeansQueries, SimilarityQueries, TextQueries}
+import graft.queries.{DedupQueries, EventsQueries, KMeansQueries, RelationalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Queries live in per-domain modules under `graft.queries`; this
@@ -15,11 +15,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     KMeansQueries.queries ++ DedupQueries.queries ++
-      SimilarityQueries.queries ++ TextQueries.queries ++ EventsQueries.queries
+      SimilarityQueries.queries ++ TextQueries.queries ++ EventsQueries.queries ++
+      RelationalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     KMeansQueries.oracles ++ DedupQueries.oracles ++
-      SimilarityQueries.oracles ++ TextQueries.oracles ++ EventsQueries.oracles
+      SimilarityQueries.oracles ++ TextQueries.oracles ++ EventsQueries.oracles ++
+      RelationalQueries.oracles
 }

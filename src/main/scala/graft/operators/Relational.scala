@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Relational analytics over the TPC-H-ish star schema — the standard
+  * scan/filter/join/aggregate/window/set-op surface, written so
+  * Catalyst produces the plan you'd want at 100 TB:
+  *
+  *  - filters sit directly on the scans (parquet pushdown + column
+  *    pruning — verified via .explain in the bench audit);
+  *  - dimension tables (region/nation/customer/supplier/part) join via
+  *    explicit broadcast() hints — no shuffle of the fact table for
+  *    dim joins; lineitem⋈orders is the only shuffle exchange, on the
+  *    join key both sides;
+  *  - money sums go through DECIMAL(38,12) (exact, associative) so
+  *    results are partition-order-independent (SURVEY.md §5.2).
+  */
+object Relational {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(38,12)")).cast("double")
+
+  /** TPC-H Q1-style pricing summary: filter + 2-key aggregate. */
+  def pricingSummary(s: SparkSession, dir: String, cutoff: String = "1999-01-01"): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") < lit(cutoff).cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3-style: segment customers' open orders ranked by revenue.
+    * customer is broadcast; orders⋈lineitem shuffles on the order key. */
+  def shippingPriority(s: SparkSession, dir: String,
+                       segment: String = "BUILDING",
+                       cutoff: String = "1998-01-01"): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === segment)
+      .select("c_custkey")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: revenue by nation for one region, with the local
+    * supplier condition (c_nationkey = s_nationkey). All dims
+    * broadcast; facts shuffle once per equi-join key. */
+  def localSupplierVolume(s: SparkSession, dir: String,
+                          regionName: String = "ASIA"): DataFrame = {
+    val nations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+  }
+
+  /** Semi/anti join surface: customers with vs without orders, by
+    * segment. */
+  def customerOrderPresence(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+    val ordKeys = Tables.orders(s, dir).select("o_custkey")
+    val withO = cust.join(ordKeys, cust("c_custkey") === ordKeys("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .withColumn("kind", lit("with_orders"))
+    val withoutO = cust.join(ordKeys, cust("c_custkey") === ordKeys("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .withColumn("kind", lit("without_orders"))
+    withO.unionByName(withoutO).select("c_mktsegment", "kind", "n")
+  }
+
+  /** Window-over-join: top 3 orders by totalprice within each market
+    * segment. */
+  def topOrdersPerSegment(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("c_mktsegment", "rank", "o_orderkey", "o_totalprice")
+  }
+
+  /** Set-operation surface: nation keys segmented by whether they have
+    * customers, suppliers, or both (INTERSECT / EXCEPT). */
+  def nationPresence(s: SparkSession, dir: String): DataFrame = {
+    val custN = Tables.customer(s, dir).select(col("c_nationkey").as("nk")).distinct()
+    val suppN = Tables.supplier(s, dir).select(col("s_nationkey").as("nk")).distinct()
+    custN.intersect(suppN).withColumn("kind", lit("both"))
+      .unionByName(custN.except(suppN).withColumn("kind", lit("customers_only")))
+      .unionByName(suppN.except(custN).withColumn("kind", lit("suppliers_only")))
+  }
+}

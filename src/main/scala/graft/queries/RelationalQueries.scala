@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+/** Declared relational queries (scan/filter/join/agg/window/set-op
+  * surface over the TPC-H-ish tables). All six oracle-checked; money
+  * aggregates use the DECIMAL(38,12) bridge on both sides so floats
+  * hash-match bit-exactly.
+  */
+object RelationalQueries {
+  private val Fmt = "yyyy-MM-dd HH:mm:ss"
+
+  def q1(s: SparkSession, dir: String): DataFrame =
+    Relational.pricingSummary(s, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("sum_qty"), 6).as("sum_qty"),
+        round(col("sum_base_price"), 6).as("sum_base_price"),
+        round(col("sum_disc_price"), 6).as("sum_disc_price"),
+        round(col("avg_qty"), 6).as("avg_qty"),
+        col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  def q3(s: SparkSession, dir: String): DataFrame =
+    Relational.shippingPriority(s, dir)
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), Fmt).as("o_orderdate"),
+        round(col("revenue"), 6).as("revenue"))
+
+  def q5(s: SparkSession, dir: String): DataFrame =
+    Relational.localSupplierVolume(s, dir)
+      .select(col("n_name"), round(col("revenue"), 6).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  def semiAnti(s: SparkSession, dir: String): DataFrame =
+    Relational.customerOrderPresence(s, dir)
+      .orderBy("c_mktsegment", "kind")
+
+  def windowRank(s: SparkSession, dir: String): DataFrame =
+    Relational.topOrdersPerSegment(s, dir)
+      .orderBy("c_mktsegment", "rank")
+
+  def setOps(s: SparkSession, dir: String): DataFrame =
+    Relational.nationPresence(s, dir)
+      .orderBy("kind", "nk")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_q1_pricing" -> (q1 _),
+    "rel_q3_top_revenue" -> (q3 _),
+    "rel_q5_region_volume" -> (q5 _),
+    "rel_semi_anti_join" -> (semiAnti _),
+    "rel_window_rank" -> (windowRank _),
+    "rel_set_ops" -> (setOps _))
+
+  val oracles: Map[String, String] = Map(
+    "rel_q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE), 6) AS sum_qty,
+        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE), 6) AS sum_base_price,
+        |  round(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,12))) AS DOUBLE), 6) AS sum_disc_price,
+        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "rel_q3_top_revenue" ->
+      """WITH r AS (
+        |  SELECT l_orderkey, o_orderdate,
+        |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,12))) AS DOUBLE) AS revenue
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |       JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY 1, 2)
+        |SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+        |  round(revenue, 6) AS revenue
+        |FROM r ORDER BY r.revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "rel_q5_region_volume" ->
+      """SELECT n_name,
+        |  round(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,12))) AS DOUBLE), 6) AS revenue
+        |FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY 2 DESC, 1""".stripMargin,
+    "rel_semi_anti_join" ->
+      """SELECT c_mktsegment, 'with_orders' AS kind, COUNT(*) AS n
+        |FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1
+        |UNION ALL
+        |SELECT c_mktsegment, 'without_orders' AS kind, COUNT(*) AS n
+        |FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1
+        |ORDER BY 1, 2""".stripMargin,
+    "rel_window_rank" ->
+      """WITH r AS (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |         ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT c_mktsegment, rank, o_orderkey, o_totalprice
+        |FROM r WHERE rank <= 3 ORDER BY 1, 2""".stripMargin,
+    "rel_set_ops" ->
+      """WITH c AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+        |s AS (SELECT DISTINCT s_nationkey AS nk FROM supplier),
+        |u AS (
+        |  SELECT nk, 'both' AS kind FROM (SELECT nk FROM c INTERSECT SELECT nk FROM s)
+        |  UNION ALL
+        |  SELECT nk, 'customers_only' FROM (SELECT nk FROM c EXCEPT SELECT nk FROM s)
+        |  UNION ALL
+        |  SELECT nk, 'suppliers_only' FROM (SELECT nk FROM s EXCEPT SELECT nk FROM c))
+        |SELECT nk, kind FROM u ORDER BY kind, nk""".stripMargin)
+}
