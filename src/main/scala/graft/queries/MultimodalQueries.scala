@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.multimodal.Multimodal
+import graft.streaming.StreamOps
+
+/** Declared multimodal + streaming-parity queries.
+  *
+  * The multimodal payloads are UTF-8 bytes of `documents.text` (ASCII
+  * fixture ⇒ byte == codepoint), so even the binary-kernel outputs are
+  * DuckDB-oracle-checkable: the oracle recomputes histograms / frame
+  * fingerprints from the text characters.
+  *
+  * `stream_window_parity` runs the REAL Structured Streaming path
+  * (file-source readStream → watermark window agg → memory sink) and
+  * is checked against the same SQL oracle as the batch window query —
+  * streaming and batch must agree with DuckDB.
+  */
+object MultimodalQueries {
+  private val Fmt = "yyyy-MM-dd HH:mm:ss"
+  private val M = graft.functions.TextOps.FingerprintMod
+
+  private def blobs(s: SparkSession, dir: String): DataFrame =
+    Multimodal.packBlobs(Tables.documents(s, dir), "doc_id", "text")
+
+  def histogram(s: SparkSession, dir: String): DataFrame =
+    Multimodal.byteHistogram(blobs(s, dir))
+      .select(col("id").as("doc_id"), col("bin"), col("n"),
+        round(col("ratio"), 6).as("ratio"))
+      .orderBy("doc_id", "bin")
+
+  def frames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(blobs(s, dir))
+      .select(col("id").as("doc_id"), col("frame_idx"), col("frame_fp"))
+      .orderBy("doc_id", "frame_idx")
+
+  def streamWindowParity(s: SparkSession, dir: String): DataFrame = {
+    val qname = "stream_window_parity_sink"
+    s.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
+    // The file source requires a directory; expose the single fixture
+    // file through a temp dir symlink (falling back to a copy).
+    val src = java.nio.file.Paths.get(dir, "events.parquet")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream")
+    val link = streamDir.resolve("events.parquet")
+    try java.nio.file.Files.createSymbolicLink(link, src)
+    catch { case _: Exception => java.nio.file.Files.copy(src, link) }
+    val agg = StreamOps.windowedAgg(
+      StreamOps.readEventsStream(s, streamDir.toString))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(qname).start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(qname)
+      .select(date_format(col("window_start"), Fmt).as("window_start"),
+        col("event_type"), col("n"), round(col("sum_value"), 6).as("sum_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_byte_histogram" -> (histogram _),
+    "mm_frame_fingerprints" -> (frames _),
+    "stream_window_parity" -> (streamWindowParity _))
+
+  val oracles: Map[String, String] = Map(
+    "mm_byte_histogram" ->
+      s"""WITH px AS (
+         |  SELECT doc_id, length(text) AS len,
+         |    unnest(list_transform(generate_series(1, length(text)),
+         |           i -> ascii(substr(text, i, 1)) % ${Multimodal.HistogramBins})) AS bin
+         |  FROM documents)
+         |SELECT doc_id, bin, COUNT(*) AS n,
+         |  round(CAST(COUNT(*) AS DOUBLE) / max(len), 6) AS ratio
+         |FROM px GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "mm_frame_fingerprints" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, CAST(t.k AS INTEGER) AS frame_idx,
+         |    substr(text, CAST(t.k AS INTEGER) * 64 + 1, 16) AS frame
+         |  FROM documents,
+         |    (SELECT unnest(generate_series(0, 1000)) AS k) t
+         |  WHERE t.k * 64 < length(text))
+         |SELECT doc_id, frame_idx,
+         |  CASE WHEN length(frame) = 0 THEN 0
+         |       ELSE list_reduce(list_transform(generate_series(1, length(frame)),
+         |              i -> CAST(ascii(substr(frame, i, 1)) AS BIGINT)),
+         |              (a, b) -> (a * 31 + b) % $M)
+         |  END AS frame_fp
+         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "stream_window_parity" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, COUNT(*) AS n,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE), 6) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface: the same window/session/stat
+  * semantics as the batch [[graft.operators.Events]] operators,
+  * expressed over `readStream` with watermarks and keyed state.
+  *
+  * Scale notes: windowed aggregation is incremental state keyed by
+  * (window, type); sessionization state is per-user and bounded by the
+  * gap timeout (state is dropped on session emission); no operator
+  * buffers unbounded history.
+  */
+object StreamOps {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+                              session_end: Timestamp, n_events: Long, sum_value: Double)
+
+  final case class SessionState(start: Long, end: Long, n: Long, total: Double)
+
+  /** File-source stream over an events parquet directory (ns-as-long
+    * + µs truncation, mirroring [[graft.io.Tables.events]]). */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = "event_id bigint, ts bigint, user_id bigint, " +
+      "event_type string, value double, props string"
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Tumbling-window counts + value sums with a watermark; identical
+    * aggregation expressions to the batch `Events.tumbling`. */
+  def windowedAgg(events: DataFrame, windowLen: String = "1 hour",
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(38,12)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Keyed running totals per user via mapGroupsWithState (update
+    * mode): the minimal custom-state operator. */
+  def runningUserStats(events: Dataset[Event]): Dataset[(Long, Long, Double)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        GroupStateTimeout.NoTimeout) {
+        case (user, evs, state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var s = s0
+          evs.foreach { e => n += 1; s += e.value }
+          state.update((n, s))
+          (user, n, s)
+      }
+  }
+
+  /** Gap-based streaming sessionization via flatMapGroupsWithState +
+    * event-time timeout: a session is emitted once the watermark
+    * passes its end + gap. Batch-equivalent of `Events.sessionize`. */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800L): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapSeconds * 1000L
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, evs, state: GroupState[SessionState]) =>
+          if (evs.isEmpty && state.hasTimedOut) {
+            // watermark passed session end + gap: emit and clear
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, new Timestamp(s.start),
+              new Timestamp(s.end), s.n, s.total))
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var emitted = List.empty[SessionOut]
+            var cur = state.getOption.orNull
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur = cur match {
+                case null => SessionState(t, t, 1L, e.value)
+                case c if t - c.end > gapMs =>
+                  emitted ::= SessionOut(user, new Timestamp(c.start),
+                    new Timestamp(c.end), c.n, c.total)
+                  SessionState(t, t, 1L, e.value)
+                case c =>
+                  SessionState(c.start, math.max(c.end, t), c.n + 1, c.total + e.value)
+              }
+            }
+            if (cur != null) {
+              state.update(cur)
+              state.setTimeoutTimestamp(cur.end + gapMs)
+            }
+            emitted.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Events
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Event
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming windowed agg equals batch tumbling agg on the fixture") {
+    val batch = Events.tumbling(graft.io.Tables.events(spark, sf001))
+      .select(col("window_start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val q = graft.queries.MultimodalQueries.streamWindowParity(spark, sf001)
+    // parity query formats timestamps; reformat batch the same way
+    val batchFmt = Events.tumbling(graft.io.Tables.events(spark, sf001))
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+        col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val streamed = q.select("window_start", "event_type", "n")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batchFmt)
+    assert(batch.size === batchFmt.size)
+  }
+
+  test("mapGroupsWithState running totals accumulate across batches") {
+    val input = MemoryStream[Event](spark)
+    val q = StreamOps.runningUserStats(input.toDS())
+      .toDF("user_id", "n", "total")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("running_stats").start()
+    def ev(id: Long, min: Int, u: Long, v: Double) =
+      Event(id, new Timestamp(1700000000000L + min * 60000L), u, "a", v)
+    input.addData(ev(1, 0, 7, 1.0), ev(2, 1, 7, 2.0), ev(3, 0, 8, 5.0))
+    q.processAllAvailable()
+    input.addData(ev(4, 2, 7, 3.0))
+    q.processAllAvailable()
+    val last = spark.table("running_stats")
+      .groupBy("user_id").agg(max("n").as("n"), max("total").as("total"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    q.stop()
+    assert(last(7L) === ((3L, 6.0)))
+    assert(last(8L) === ((1L, 5.0)))
+  }
+
+  test("flatMapGroupsWithState sessionization emits gap-separated sessions") {
+    val input = MemoryStream[Event](spark)
+    val q = StreamOps.sessionize(input.toDS(), gapSeconds = 1800L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions").start()
+    def ev(id: Long, min: Int, u: Long) =
+      Event(id, new Timestamp(1700000000000L + min * 60000L), u, "a", 1.0)
+    input.addData(ev(1, 0, 7), ev(2, 10, 7))      // session 1: 2 events
+    q.processAllAvailable()
+    input.addData(ev(3, 120, 7))                   // gap 110min -> session 2
+    q.processAllAvailable()
+    input.addData(ev(4, 600, 9))                   // advances watermark far
+    q.processAllAvailable()
+    input.addData(ev(5, 1200, 9))                  // extra batch to fire timeouts
+    q.processAllAvailable()
+    val out = spark.table("sessions")
+      .select("user_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    q.stop()
+    assert(out.contains((7L, 2L)), s"first session emitted: ${out.toSeq}")
+    assert(out.contains((7L, 1L)), s"second session emitted on timeout: ${out.toSeq}")
+  }
+}
