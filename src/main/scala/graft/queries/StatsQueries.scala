@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.operators.AsOf
+
+/** Declared queries for the remaining analytic surfaces: rollup
+  * hierarchies, exact quantiles, distinct counting (exact + HLL
+  * sketch), the as-of join, and a pure-SQL entry path (temp views +
+  * spark.sql) proving the SQL API surface end-to-end.
+  */
+object StatsQueries {
+  private val Fmt = "yyyy-MM-dd HH:mm:ss"
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(38,12)")).cast("double")
+
+  /** ROLLUP (returnflag, linestatus): subtotal hierarchy. */
+  def rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(dsum(col("l_quantity")), 6).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Exact linear-interpolation quantiles per group (Spark
+    * `percentile` ≡ DuckDB `quantile_cont`). */
+  def quantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95"),
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("qty_p50"))
+      .orderBy("l_returnflag")
+
+  /** Exact distinct counts (oracle-checked). */
+  def countDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(count_distinct(col("l_partkey")).as("nd_parts"),
+        count_distinct(col("l_suppkey")).as("nd_supps"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** HLL sketch distinct counts (engine-specific estimate → rows-only
+    * check; accuracy asserted in ScalaTest against the exact counts). */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** As-of join: each event joined to the user's most recent purchase
+    * event at or before it. */
+  def asofLastPurchase(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(s, dir)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("event_id").as("p_event_id"))
+    val joined = AsOf.joinLatestBefore(
+      events.select("event_id", "user_id", "ts"),
+      purchases, key = "user_id", ts = "ts", rightCols = Seq("p_event_id"))
+    joined.select(
+        col("event_id"), col("user_id"),
+        date_format(col("ts"), Fmt).as("ts"),
+        col("_r_p_event_id").as("p_event_id"),
+        expr("(unix_micros(ts) - unix_micros(_r_ts)) DIV 1000000").as("secs_since"))
+      .orderBy("event_id")
+  }
+
+  /** The SQL entry path: temp views + spark.sql. Same result as
+    * rel_q1_pricing, proving the declarative SQL surface end-to-end. */
+  def sqlPricing(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE), 6) AS sum_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem_v
+        |WHERE l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_rollup" -> (rollup _),
+    "rel_quantiles" -> (quantiles _),
+    "rel_count_distinct" -> (countDistinct _),
+    "rel_approx_distinct" -> (approxDistinct _),
+    "asof_last_purchase" -> (asofLastPurchase _),
+    "sql_q1_pricing" -> (sqlPricing _))
+
+  val oracles: Map[String, String] = Map(
+    "rel_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE), 6) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY 1 ASC NULLS FIRST, 2 ASC NULLS FIRST""".stripMargin,
+    "rel_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rel_count_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS nd_parts,
+        |  COUNT(DISTINCT l_suppkey) AS nd_supps,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "asof_last_purchase" ->
+      """WITH p AS (SELECT user_id, ts, max(event_id) AS p_event_id
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |l AS (SELECT event_id, user_id, ts FROM events)
+        |SELECT l.event_id, l.user_id,
+        |  strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |  p.p_event_id,
+        |  (epoch_us(l.ts) - epoch_us(p.ts)) // 1000000 AS secs_since
+        |FROM l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts
+        |ORDER BY l.event_id""".stripMargin,
+    "sql_q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE), 6) AS sum_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}

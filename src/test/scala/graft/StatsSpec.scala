@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOf
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asof join attaches the latest right row at or before each left ts") {
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val left = Seq((1L, 7L, ts(5)), (2L, 7L, ts(15)), (3L, 7L, ts(25)), (4L, 8L, ts(10)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((7L, ts(0), 100L), (7L, ts(15), 200L), (7L, ts(30), 300L))
+      .toDF("user_id", "ts", "p_event_id")
+    val got = AsOf.joinLatestBefore(left, right, "user_id", "ts", Seq("p_event_id"))
+      .select("event_id", "_r_p_event_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got === Map(1L -> 100L, 2L -> 200L, 3L -> 200L, 4L -> -1L))
+  }
+
+  test("asof join preserves left row count (left-join semantics)") {
+    val events = graft.io.Tables.events(spark, sf001)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("event_id").as("p_event_id"))
+    val j = AsOf.joinLatestBefore(events.select("event_id", "user_id", "ts"),
+      purchases, "user_id", "ts", Seq("p_event_id"))
+    assert(j.count() === events.count())
+  }
+
+  test("approx_count_distinct is within 5% of exact at rsd=0.02") {
+    val exact = graft.queries.StatsQueries.countDistinct(spark, sf001)
+      .select("l_returnflag", "nd_parts").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = graft.queries.StatsQueries.approxDistinct(spark, sf001)
+      .select("l_returnflag", "approx_parts").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e) <= math.max(1, e * 0.05), s"$k: $e vs ${approx(k)}")
+    }
+  }
+
+  test("rollup grand total equals table count") {
+    val r = graft.queries.StatsQueries.rollup(spark, sf001).collect()
+    val grand = r.filter(row => row.isNullAt(0) && row.isNullAt(1))
+    assert(grand.length === 1)
+    assert(grand.head.getLong(3) === graft.io.Tables.lineitem(spark, sf001).count())
+  }
+
+  test("quantiles are ordered: p50 <= p95") {
+    graft.queries.StatsQueries.quantiles(spark, sf001).collect().foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(2))
+    }
+  }
+}

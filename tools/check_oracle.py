@@ -38,9 +38,15 @@ for name in sorted(os.listdir(out)):
     if len(got) != len(exp):
         print(f"{name}: FAIL rows spark={len(got)} duck={len(exp)}")
         fails += 1; continue
-    neq = (got.values != exp.values)
+    import numpy as np
+    import pandas as pd
+    neq = np.zeros(got.shape, dtype=bool)
+    for ci, c in enumerate(got.columns):
+        a, b = got[c], exp[c]
+        both_na = a.isna() & b.isna()
+        eq = (a == b) | both_na
+        neq[:, ci] = ~eq.values
     if neq.any():
-        import numpy as np
         idx = list(zip(*np.where(neq)))[:5]
         print(f"{name}: FAIL {neq.sum()} cell diffs; first at {idx}")
         for r, c in idx[:3]:
