@@ -1,0 +1,36 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions entry point: start a session with
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions` and the
+  * engine's custom Catalyst expressions are SQL-callable in every new
+  * session (`SELECT word_shingles(text, 3) ...`). The programmatic
+  * equivalent for an existing session is
+  * [[graft.plans.expressions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftExtensions.wordShinglesDescriptor)
+  }
+}
+
+object GraftExtensions {
+  private def buildWordShingles(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "word_shingles(text, n)")
+    val n = exprs(1) match {
+      case Literal(v: Int, _) => v
+      case other => other.eval(null).asInstanceOf[Int]
+    }
+    expressions.WordShingles(exprs.head, n)
+  }
+
+  val wordShinglesDescriptor
+      : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier("word_shingles"),
+    new ExpressionInfo(classOf[expressions.WordShingles].getName, "word_shingles"),
+    (exprs: Seq[Expression]) => buildWordShingles(exprs))
+}

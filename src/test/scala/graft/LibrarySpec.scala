@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorSumAgg.vec_sum
+import graft.io.{Sinks, Tables}
+import graft.operators.Skew
+
+/** Library-depth surfaces: UDAF aggregator, salting, partitioned
+  * sinks, extensions registration. */
+class LibrarySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("VectorSumAgg equals the posexplode formulation on the fixture") {
+    val pts = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        (col("vec_id") % 7).as("g"))
+    val viaUdaf = pts.groupBy("g").agg(vec_sum(64)(col("v")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val viaExplode = pts.select(col("g"), posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("g", "d").agg(sum("x").as("s"))
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq).toMap
+    viaUdaf.foreach { case (g, s) =>
+      s.zip(viaExplode(g)).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    }
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val li = Tables.lineitem(spark, sf001)
+    val direct = li.groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val salted = Skew.saltedSumCount(li, Seq("l_returnflag"), col("l_quantity"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    direct.foreach { case (k, (s, n)) =>
+      assert(math.abs(salted(k)._1 - s) < 1e-6 && salted(k)._2 === n)
+    }
+  }
+
+  test("partitioned sink round-trips and prunes partitions at the scan") {
+    val dir = Files.createTempDirectory("graft-sink").toString
+    val docs = Tables.documents(spark, sf001)
+    Sinks.writePartitioned(docs, s"$dir/docs", Seq("lang"))
+    val back = Sinks.readPartitioned(spark, s"$dir/docs")
+    assert(back.count() === docs.count())
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0))
+    val one = back.filter(col("lang") === langs.head)
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains(s"lang"), "partition filter should reach the scan")
+    assert(one.count() === docs.filter(col("lang") === langs.head).count())
+  }
+
+  test("GraftExtensions class applies cleanly (injectFunction wiring)") {
+    val e = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(e)
+  }
+}

@@ -48,6 +48,25 @@ class StreamingSpec extends SparkSpec {
     assert(last(8L) === ((1L, 5.0)))
   }
 
+  test("streaming dedup with watermark drops late duplicate ids") {
+    val input = MemoryStream[Event](spark)
+    val deduped = input.toDS().toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("stream_dedup").start()
+    def ev(id: Long, min: Int) =
+      Event(id, new Timestamp(1700000000000L + min * 60000L), 7L, "a", 1.0)
+    input.addData(ev(1, 0), ev(2, 5), ev(1, 0))   // in-batch duplicate
+    q.processAllAvailable()
+    input.addData(ev(2, 5), ev(3, 10))             // cross-batch duplicate
+    q.processAllAvailable()
+    val ids = spark.table("stream_dedup").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(ids.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("flatMapGroupsWithState sessionization emits gap-separated sessions") {
     val input = MemoryStream[Event](spark)
     val q = StreamOps.sessionize(input.toDS(), gapSeconds = 1800L)
