@@ -112,21 +112,19 @@ object KMeansNative {
       var moved = Double.MaxValue
       while (iter < maxIter && moved > tol) {
         val a = assigned(pts, col("v"), centers)
-        // Single job per iteration: k×dim rows of (cid, dim, sum, n,
-        // cluster-wcss) after partial+final hash agg.
+        // Single job per iteration: k rows of (cid, n, wcss, sum-vec)
+        // via the typed vector-sum Aggregator — partial+final
+        // ObjectHashAggregate, shuffle = k × numPartitions buffers.
         val rows = a
-          .select(col("cluster_id"), col("sqdist"), posexplode(col("v")).as(Seq("dim", "coord")))
-          .groupBy("cluster_id", "dim")
-          .agg(sum("coord").as("s"), count(lit(1)).as("n"), sum("sqdist").as("w"))
+          .groupBy("cluster_id")
+          .agg(count(lit(1)).as("n"), sum("sqdist").as("w"),
+            graft.functions.VectorSumAgg.vec_sum(dim)(col("v")).as("s"))
           .collect()
-        // each row of a cluster contributes its sqdist once per dim,
-        // so w at any fixed dim is that cluster's WCSS.
-        history += rows.filter(_.getInt(1) == 0).map(_.getDouble(4)).sum
+        history += rows.map(_.getDouble(2)).sum
         val next = centers.map(_.clone())
-        rows.groupBy(_.getInt(0)).foreach { case (cid, rs) =>
-          val c = new Array[Double](dim)
-          rs.foreach(r => c(r.getInt(1)) = r.getDouble(2) / r.getLong(3).toDouble)
-          next(cid) = c
+        rows.foreach { r =>
+          val n = r.getLong(1).toDouble
+          next(r.getInt(0)) = r.getSeq[Double](3).map(_ / n).toArray
         }
         moved = centers.zip(next).map { case (o, nw) =>
           math.sqrt(o.zip(nw).map { case (a0, b0) => (a0 - b0) * (a0 - b0) }.sum)

@@ -25,7 +25,7 @@ object Events {
     events
       .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(38,12)")).cast("double").as("sum_value"))
+        sum(col("value").cast("decimal(38,2)")).cast("double").as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
@@ -36,7 +36,7 @@ object Events {
     events
       .groupBy(window(col("ts"), windowLen, slide).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(38,12)")).cast("double").as("sum_value"))
+        sum(col("value").cast("decimal(38,2)")).cast("double").as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
@@ -60,7 +60,7 @@ object Events {
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(38,12)")).cast("double").as("sum_value"))
+        sum(col("value").cast("decimal(38,2)")).cast("double").as("sum_value"))
   }
 
   /** JSON property extraction + aggregate: parse `props` (e.g.
@@ -78,7 +78,7 @@ object Events {
   def topUsers(events: DataFrame, k: Int = 10): DataFrame =
     events
       .groupBy("user_id")
-      .agg(sum(col("value").cast("decimal(38,12)")).cast("double").as("total_value"),
+      .agg(sum(col("value").cast("decimal(38,2)")).cast("double").as("total_value"),
         count(lit(1)).as("n_events"))
       .orderBy(col("total_value").desc, col("user_id"))
       .limit(k)

@@ -20,8 +20,20 @@ import graft.io.Tables
   */
 object Relational {
 
-  private def dsum(c: org.apache.spark.sql.Column) =
-    sum(c.cast("decimal(38,12)")).cast("double")
+  /** Exact decimal sums, cast at the scale where the DATA is exact.
+    * Two observed cross-engine traps (both hit at sf0.1):
+    *  - rounding a double at magnitude ≥ ~10⁹ to 6 dp is ULP-ambiguous;
+    *  - casting a double to a high-scale decimal diverges between
+    *    engines once integer digits + scale exceed ~15 significant
+    *    digits (DuckDB's cast multiplies by 10^scale in floating
+    *    point).
+    * The fixture money columns are clean 2-dp values (verified), so
+    * scale 2 — and 4 for a 2dp×2dp product — is exact in both engines;
+    * sums of exact decimals are exact and associative. */
+  private def dsum2(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(38,2)"))
+  private def dsum4(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(38,4)"))
 
   /** TPC-H Q1-style pricing summary: filter + 2-key aggregate. */
   def pricingSummary(s: SparkSession, dir: String, cutoff: String = "1999-01-01"): DataFrame =
@@ -29,10 +41,10 @@ object Relational {
       .filter(col("l_shipdate") < lit(cutoff).cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        dsum(col("l_quantity")).as("sum_qty"),
-        dsum(col("l_extendedprice")).as("sum_base_price"),
-        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
-        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        dsum2(col("l_quantity")).as("sum_qty"),
+        dsum2(col("l_extendedprice")).as("sum_base_price"),
+        dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        (dsum2(col("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
 
   /** TPC-H Q3-style: segment customers' open orders ranked by revenue.
@@ -52,7 +64,7 @@ object Relational {
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
       .groupBy("l_orderkey", "o_orderdate")
-      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .agg(dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -77,7 +89,7 @@ object Relational {
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
-      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .agg(dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
   }
 
   /** Semi/anti join surface: customers with vs without orders, by

@@ -57,7 +57,7 @@ object EventsQueries {
     "events_window" ->
       s"""SELECT strftime(date_trunc('hour', ts), '$DuckFmt') AS window_start,
          |  event_type, COUNT(*) AS n,
-         |  round(CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE), 6) AS sum_value
+         |  round(CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE), 6) AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "events_window_sliding" ->
       s"""WITH starts AS (
@@ -65,7 +65,7 @@ object EventsQueries {
          |  UNION ALL
          |  SELECT *, make_timestamp((epoch_us(ts) // 1800000000) * 1800000000 - 1800000000) AS ws FROM events)
          |SELECT strftime(ws, '$DuckFmt') AS window_start, event_type, COUNT(*) AS n,
-         |  round(CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE), 6) AS sum_value
+         |  round(CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE), 6) AS sum_value
          |FROM starts GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "events_session" ->
       s"""WITH e AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS us FROM events),
@@ -77,7 +77,7 @@ object EventsQueries {
          |  strftime(min(ts), '$DuckFmt') AS session_start,
          |  strftime(max(ts), '$DuckFmt') AS session_end,
          |  COUNT(*) AS n_events,
-         |  round(CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE), 6) AS sum_value
+         |  round(CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE), 6) AS sum_value
          |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "events_json" ->
       """WITH k AS (SELECT event_type, CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events)
@@ -86,7 +86,7 @@ object EventsQueries {
         |FROM k WHERE k IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_topk_users" ->
       """WITH t AS (SELECT user_id,
-        |  CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS total_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS total_value,
         |  COUNT(*) AS n_events
         |FROM events GROUP BY 1)
         |SELECT user_id, round(total_value, 6) AS total_value, n_events

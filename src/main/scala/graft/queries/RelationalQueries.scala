@@ -7,8 +7,9 @@ import graft.operators.Relational
 
 /** Declared relational queries (scan/filter/join/agg/window/set-op
   * surface over the TPC-H-ish tables). All six oracle-checked; money
-  * aggregates use the DECIMAL(38,12) bridge on both sides so floats
-  * hash-match bit-exactly.
+  * aggregates are exact decimals cast at the data's true scale (see
+  * [[graft.operators.Relational]] for the two cross-engine float traps
+  * this avoids) and emitted as DECIMAL(38,6).
   */
 object RelationalQueries {
   private val Fmt = "yyyy-MM-dd HH:mm:ss"
@@ -16,9 +17,9 @@ object RelationalQueries {
   def q1(s: SparkSession, dir: String): DataFrame =
     Relational.pricingSummary(s, dir)
       .select(col("l_returnflag"), col("l_linestatus"),
-        round(col("sum_qty"), 6).as("sum_qty"),
-        round(col("sum_base_price"), 6).as("sum_base_price"),
-        round(col("sum_disc_price"), 6).as("sum_disc_price"),
+        col("sum_qty").cast("decimal(38,6)").as("sum_qty"),
+        col("sum_base_price").cast("decimal(38,6)").as("sum_base_price"),
+        col("sum_disc_price").cast("decimal(38,6)").as("sum_disc_price"),
         round(col("avg_qty"), 6).as("avg_qty"),
         col("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
@@ -27,11 +28,11 @@ object RelationalQueries {
     Relational.shippingPriority(s, dir)
       .select(col("l_orderkey"),
         date_format(col("o_orderdate"), Fmt).as("o_orderdate"),
-        round(col("revenue"), 6).as("revenue"))
+        col("revenue").cast("decimal(38,6)").as("revenue"))
 
   def q5(s: SparkSession, dir: String): DataFrame =
     Relational.localSupplierVolume(s, dir)
-      .select(col("n_name"), round(col("revenue"), 6).as("revenue"))
+      .select(col("n_name"), col("revenue").cast("decimal(38,6)").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
 
   def semiAnti(s: SparkSession, dir: String): DataFrame =
@@ -57,10 +58,10 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     "rel_q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE), 6) AS sum_qty,
-        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE), 6) AS sum_base_price,
-        |  round(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,12))) AS DOUBLE), 6) AS sum_disc_price,
-        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DECIMAL(38,6)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DECIMAL(38,6)) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))) AS DECIMAL(38,6)) AS sum_disc_price,
+        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
@@ -68,7 +69,7 @@ object RelationalQueries {
     "rel_q3_top_revenue" ->
       """WITH r AS (
         |  SELECT l_orderkey, o_orderdate,
-        |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,12))) AS DOUBLE) AS revenue
+        |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))) AS revenue
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |       JOIN customer ON o_custkey = c_custkey
         |  WHERE c_mktsegment = 'BUILDING'
@@ -76,11 +77,11 @@ object RelationalQueries {
         |    AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
         |  GROUP BY 1, 2)
         |SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
-        |  round(revenue, 6) AS revenue
+        |  CAST(revenue AS DECIMAL(38,6)) AS revenue
         |FROM r ORDER BY r.revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "rel_q5_region_volume" ->
       """SELECT n_name,
-        |  round(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,12))) AS DOUBLE), 6) AS revenue
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))) AS DECIMAL(38,6)) AS revenue
         |FROM lineitem
         |  JOIN orders ON l_orderkey = o_orderkey
         |  JOIN customer ON o_custkey = c_custkey

@@ -15,13 +15,13 @@ object StatsQueries {
   private val Fmt = "yyyy-MM-dd HH:mm:ss"
 
   private def dsum(c: org.apache.spark.sql.Column) =
-    sum(c.cast("decimal(38,12)")).cast("double")
+    sum(c.cast("decimal(38,2)")).cast("decimal(38,6)")
 
   /** ROLLUP (returnflag, linestatus): subtotal hierarchy. */
   def rollup(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .rollup("l_returnflag", "l_linestatus")
-      .agg(round(dsum(col("l_quantity")), 6).as("sum_qty"),
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
@@ -78,7 +78,7 @@ object StatsQueries {
     Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
     s.sql(
       """SELECT l_returnflag, l_linestatus,
-        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE), 6) AS sum_qty,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DECIMAL(38,6)) AS sum_qty,
         |  COUNT(*) AS count_order
         |FROM lineitem_v
         |WHERE l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
@@ -96,7 +96,7 @@ object StatsQueries {
   val oracles: Map[String, String] = Map(
     "rel_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE), 6) AS sum_qty,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DECIMAL(38,6)) AS sum_qty,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY 1 ASC NULLS FIRST, 2 ASC NULLS FIRST""".stripMargin,
@@ -124,7 +124,7 @@ object StatsQueries {
         |ORDER BY l.event_id""".stripMargin,
     "sql_q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE), 6) AS sum_qty,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DECIMAL(38,6)) AS sum_qty,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate < TIMESTAMP '1999-01-01 00:00:00'

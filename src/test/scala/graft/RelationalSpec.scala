@@ -18,7 +18,7 @@ class RelationalSpec extends SparkSpec {
   test("q3 returns at most 10 rows in non-increasing revenue order") {
     val r = Relational.shippingPriority(spark, sf001).collect()
     assert(r.length <= 10 && r.nonEmpty)
-    val rev = r.map(_.getDouble(2))
+    val rev = r.map(_.getDecimal(2).doubleValue)
     assert(rev.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
   }
 
