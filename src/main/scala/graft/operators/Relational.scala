@@ -92,6 +92,22 @@ object Relational {
       .agg(dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
   }
 
+  /** Part-dimension join: revenue and volume by brand for a size
+    * band. part is broadcast; the p_size filter is pushed to its
+    * scan. */
+  def brandVolume(s: SparkSession, dir: String, minSize: Int = 20): DataFrame =
+    Tables.lineitem(s, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(broadcast(Tables.part(s, dir)
+        .filter(col("p_size") >= minSize)
+        .select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        dsum2(col("l_quantity")).as("sum_qty"),
+        dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n"))
+
   /** Semi/anti join surface: customers with vs without orders, by
     * segment. */
   def customerOrderPresence(s: SparkSession, dir: String): DataFrame = {

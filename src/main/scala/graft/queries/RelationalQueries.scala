@@ -35,6 +35,14 @@ object RelationalQueries {
       .select(col("n_name"), col("revenue").cast("decimal(38,6)").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
 
+  def brands(s: SparkSession, dir: String): DataFrame =
+    Relational.brandVolume(s, dir)
+      .select(col("p_brand"),
+        col("sum_qty").cast("decimal(38,6)").as("sum_qty"),
+        col("revenue").cast("decimal(38,6)").as("revenue"),
+        col("n"))
+      .orderBy("p_brand")
+
   def semiAnti(s: SparkSession, dir: String): DataFrame =
     Relational.customerOrderPresence(s, dir)
       .orderBy("c_mktsegment", "kind")
@@ -51,6 +59,7 @@ object RelationalQueries {
     "rel_q1_pricing" -> (q1 _),
     "rel_q3_top_revenue" -> (q3 _),
     "rel_q5_region_volume" -> (q5 _),
+    "rel_brand_volume" -> (brands _),
     "rel_semi_anti_join" -> (semiAnti _),
     "rel_window_rank" -> (windowRank _),
     "rel_set_ops" -> (setOps _))
@@ -90,6 +99,14 @@ object RelationalQueries {
         |  JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY 1 ORDER BY 2 DESC, 1""".stripMargin,
+    "rel_brand_volume" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DECIMAL(38,6)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))) AS DECIMAL(38,6)) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size >= 20
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "rel_semi_anti_join" ->
       """SELECT c_mktsegment, 'with_orders' AS kind, COUNT(*) AS n
         |FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
