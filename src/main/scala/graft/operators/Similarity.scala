@@ -94,6 +94,51 @@ object Similarity {
     b
   }
 
+  /** IVF (inverted-file) approximate top-k: a coarse K-Means quantizer
+    * (trained with [[graft.cluster.KMeansNative]], deterministic firstK
+    * init) partitions vectors into cells; each query probes its
+    * `nProbe` nearest cells and ranks only those candidates by exact
+    * cosine. The at-scale layout: cell id is the partition/cluster
+    * key, so a probe reads `nProbe / nCells` of the corpus. */
+  def ivfTopK(embs: DataFrame, idCol: String, vecCol: String,
+              queries: Array[(Long, Array[Double])], k: Int,
+              nCells: Int = 16, nProbe: Int = 4, trainIters: Int = 5): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val pts = embs.select(col(idCol).cast("long").as("id"),
+      VectorOps.toDouble(col(vecCol)).as("v"))
+    val init = graft.cluster.KMeansNative.firstKCenters(pts, "id", "v", nCells)
+    val centers = graft.cluster.KMeansNative.fit(pts, "v", init, maxIter = trainIters).centers
+    val cells = graft.cluster.KMeansNative.assigned(pts, col("v"), centers)
+      .select(col("id"), col("v"), col("cluster_id").as("cell"))
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val probes = queries.flatMap { case (qid, qv) =>
+      centers.zipWithIndex
+        .map { case (c, cid) => (sq(qv, c), cid) }
+        .sortBy { case (d, cid) => (d, cid) }
+        .take(nProbe)
+        .map { case (_, cid) => (qid, qv, math.sqrt(dotSeq(qv, qv)), cid) }
+    }.toSeq
+    val qdf = probes.toDF("query_id", "qv", "qn", "cell")
+    val scored = cells.join(broadcast(qdf), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("qn"), col("id"), col("v"))
+      .as[(Long, Array[Double], Double, Long, Array[Double])]
+      .map { case (qid, qv, qn, id, v) =>
+        (qid, id, dotSeq(qv, v) / (qn * math.sqrt(dotSeq(v, v))))
+      }.toDF("query_id", "neighbor_id", "cosine")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
   /** Approximate top-k via multi-table sign-LSH; same output shape as
     * [[bruteForceTopK]]. Candidates = vectors sharing any (table,
     * bucket) with the query; exact cosine rank on candidates only. */

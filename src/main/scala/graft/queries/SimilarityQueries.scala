@@ -31,6 +31,13 @@ object SimilarityQueries {
         round(col("cosine"), 6).as("cosine"))
       .orderBy("query_id", "rank")
 
+  def ivf(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryVecs(s, dir), K)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("query_id", "rank")
+
   def lsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         queryVecs(s, dir), K)
@@ -40,7 +47,8 @@ object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce_topk" -> (bruteForce _),
-    "ann_lsh_topk" -> (lsh _))
+    "ann_lsh_topk" -> (lsh _),
+    "ann_ivf_topk" -> (ivf _))
 
   val oracles: Map[String, String] = Map(
     "ann_bruteforce_topk" ->

@@ -26,6 +26,15 @@ object StatsQueries {
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** CUBE (returnflag, linestatus): all 2^2 grouping sets. */
+  def cube(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   /** Exact linear-interpolation quantiles per group (Spark
     * `percentile` ≡ DuckDB `quantile_cont`). */
   def quantiles(s: SparkSession, dir: String): DataFrame =
@@ -87,6 +96,7 @@ object StatsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_rollup" -> (rollup _),
+    "rel_cube" -> (cube _),
     "rel_quantiles" -> (quantiles _),
     "rel_count_distinct" -> (countDistinct _),
     "rel_approx_distinct" -> (approxDistinct _),
@@ -99,6 +109,12 @@ object StatsQueries {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DECIMAL(38,6)) AS sum_qty,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY 1 ASC NULLS FIRST, 2 ASC NULLS FIRST""".stripMargin,
+    "rel_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DECIMAL(38,6)) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY 1 ASC NULLS FIRST, 2 ASC NULLS FIRST""".stripMargin,
     "rel_quantiles" ->
       """SELECT l_returnflag,

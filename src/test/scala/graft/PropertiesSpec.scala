@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.{TextOps, VectorOps}
+
+/** ScalaCheck-generated algebraic laws, evaluated in single batched
+  * Spark jobs (one DataFrame of generated cases per law). */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val vecPair: Gen[(Seq[Double], Seq[Double])] = for {
+    d <- Gen.choose(1, 16)
+    a <- Gen.listOfN(d, Gen.choose(-100.0, 100.0))
+    b <- Gen.listOfN(d, Gen.choose(-100.0, 100.0))
+  } yield (a, b)
+
+  test("law: sqdist(a,b) == dot(a,a) + dot(b,b) - 2*dot(a,b)") {
+    val df = sample(vecPair, 100).toDF("a", "b")
+    val bad = df.select(
+        VectorOps.sqdist(col("a"), col("b")).as("lhs"),
+        (VectorOps.dot(col("a"), col("a")) + VectorOps.dot(col("b"), col("b"))
+          - lit(2.0) * VectorOps.dot(col("a"), col("b"))).as("rhs"))
+      .filter(abs(col("lhs") - col("rhs")) > lit(1e-6))
+    assert(bad.count() === 0)
+  }
+
+  test("law: vecAdd is commutative; vecDiv inverts vecScale") {
+    val df = sample(vecPair, 100).toDF("a", "b")
+    val bad = df.filter(
+      VectorOps.vecAdd(col("a"), col("b")) =!= VectorOps.vecAdd(col("b"), col("a")))
+    assert(bad.count() === 0)
+    val bad2 = df.select(col("a"),
+        VectorOps.vecDiv(VectorOps.vecScale(col("a"), lit(3.0)), lit(3.0)).as("r"))
+      .select(explode(zip_with(col("a"), col("r"), (x, y) => abs(x - y))).as("d"))
+      .filter(col("d") > 1e-9)
+    assert(bad2.count() === 0)
+  }
+
+  private val words: Gen[String] = for {
+    n <- Gen.choose(0, 30)
+    ws <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+  } yield ws.mkString(" ")
+
+  test("law: distinct-word texts yield exactly max(0, n-k+1) k-shingles") {
+    val texts = sample(Gen.choose(0, 20), 60).map { n =>
+      (0 until n).map(i => s"w$i").mkString(" ")
+    }
+    val got = texts.toDF("text")
+      .select(length(col("text")).as("len"),
+        size(split(col("text"), " ")).as("nw"),
+        size(TextOps.shingles(col("text"), 3)).as("ns"))
+      .collect()
+    got.foreach { r =>
+      val nw = if (r.getInt(0) == 0) 0 else r.getInt(1)
+      assert(r.getInt(2) === math.max(0, nw - 2))
+    }
+  }
+
+  test("law: shingle counts bounded and fingerprints in range on random word soup") {
+    val df = sample(words, 100).toDF("text")
+    val r = df.select(
+        size(TextOps.shingles(col("text"), 3)).as("ns"),
+        size(split(col("text"), " ")).as("nw"),
+        TextOps.rollingFingerprint(col("text")).as("fp"))
+      .collect()
+    r.foreach { row =>
+      assert(row.getInt(0) <= math.max(0, row.getInt(1) - 2))
+      assert(row.getLong(2) >= 0L && row.getLong(2) < TextOps.FingerprintMod)
+    }
+  }
+
+  test("law: simhash of permuted token order is identical (bag-of-words property)") {
+    val perms = sample(Gen.listOfN(8, Gen.oneOf("aa", "bb", "cc", "dd", "ee")), 40)
+      .map(_.mkString(" "))
+    val df = perms.toDF("text")
+      .withColumn("sorted_text", concat_ws(" ", sort_array(split(col("text"), " "))))
+    val bad = df.select(
+        TextOps.simhash64(col("text")).as("f1"),
+        TextOps.simhash64(col("sorted_text")).as("f2"))
+      .filter(col("f1") =!= col("f2"))
+    assert(bad.count() === 0)
+  }
+}

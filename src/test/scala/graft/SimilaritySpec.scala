@@ -50,6 +50,14 @@ class SimilaritySpec extends SparkSpec {
     assert(hits.toDouble / total >= 0.5, s"recall $hits/$total")
   }
 
+  test("IVF top-k recall vs brute force is >= 0.5 with 4/16 probes") {
+    val exact = topSets(Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, 5))
+    val approx = topSets(Similarity.ivfTopK(emb, "vec_id", "embedding", queries, 5))
+    val hits = exact.map { case (q, s) => (approx.getOrElse(q, Set.empty) & s).size }.sum
+    val total = exact.values.map(_.size).sum
+    assert(hits.toDouble / total >= 0.5, s"recall $hits/$total")
+  }
+
   test("LSH is deterministic for a fixed seed") {
     val a = Similarity.lshTopK(emb, "vec_id", "embedding", queries, 5).collect()
     val b = Similarity.lshTopK(emb, "vec_id", "embedding", queries, 5).collect()
