@@ -48,6 +48,27 @@ class StreamingSpec extends SparkSpec {
     assert(last(8L) === ((1L, 5.0)))
   }
 
+  test("streaming K-Means converges to cluster means across micro-batches") {
+    val input = MemoryStream[(Long, Array[Double])](spark)
+    val init = Array(Array(-1.0, 0.0), Array(1.0, 0.0))
+    val (q, model) = graft.streaming.StreamingKMeans.fitStream(
+      input.toDS().toDF("id", "v"), "v", init, decay = 1.0, queryName = "skm_test")
+    input.addData((1L, Array(-10.0, -10.0)), (2L, Array(-10.2, -9.8)),
+      (3L, Array(10.0, 10.0)), (4L, Array(9.8, 10.2)))
+    q.processAllAvailable()
+    val c1 = model.centers
+    assert(math.abs(c1(0)(0) - (-10.1)) < 0.2, c1(0).toSeq)
+    assert(math.abs(c1(1)(0) - 9.9) < 0.2, c1(1).toSeq)
+    // second batch pulls centers toward new points (equal-weight history)
+    input.addData((5L, Array(-12.0, -12.0)), (6L, Array(12.0, 12.0)))
+    q.processAllAvailable()
+    val c2 = model.centers
+    q.stop()
+    assert(c2(0)(0) < c1(0)(0), "left center must move further left")
+    assert(c2(1)(0) > c1(1)(0), "right center must move further right")
+    assert(model.weights.forall(_ > 0))
+  }
+
   test("streaming dedup with watermark drops late duplicate ids") {
     val input = MemoryStream[Event](spark)
     val deduped = input.toDS().toDF()
