@@ -22,8 +22,13 @@ object KMeansQueries {
     Tables.embeddings(s, dir)
       .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
 
+  // Six declared queries share the same deterministic init: collect it
+  // once per sfDir (k·d doubles) instead of one extra Spark job each.
+  private val firstKCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
   private def firstK(s: SparkSession, dir: String): Array[Array[Double]] =
-    KMeansNative.firstKCenters(pts(s, dir), "vec_id", "v", K)
+    firstKCache.getOrElseUpdate(dir,
+      KMeansNative.firstKCenters(pts(s, dir), "vec_id", "v", K))
 
   private def assignedDf(s: SparkSession, dir: String): DataFrame =
     KMeansNative.assigned(pts(s, dir), col("v"), firstK(s, dir))
