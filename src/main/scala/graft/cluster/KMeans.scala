@@ -38,7 +38,9 @@ object KMeansNative {
     require(centers.nonEmpty, "need at least one center")
     val candidates = centers.zipWithIndex.map { case (c, cid) =>
       val cvec = array(c.map(lit).toIndexedSeq: _*)
-      struct(VectorOps.sqdist(vec, cvec).as("dist"), lit(cid).as("cid"))
+      // compiled SqDist expression (doGenCode): bit-identical to the
+      // HOF formulation, but the k×dim inner loop is generated Java.
+      struct(graft.plans.expressions.vec_sqdist(vec, cvec).as("dist"), lit(cid).as("cid"))
     }
     val best = array_min(array(candidates.toIndexedSeq: _*))
     (best.getField("cid"), best.getField("dist"))

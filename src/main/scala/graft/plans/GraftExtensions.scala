@@ -15,6 +15,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.wordShinglesDescriptor)
+    e.injectFunction(GraftExtensions.sqdistDescriptor)
+    e.injectFunction(GraftExtensions.dotDescriptor)
+    e.injectOptimizerRule(_ => rules.CollapseShingleDistinct)
   }
 }
 
@@ -33,4 +36,16 @@ object GraftExtensions {
     FunctionIdentifier("word_shingles"),
     new ExpressionInfo(classOf[expressions.WordShingles].getName, "word_shingles"),
     (exprs: Seq[Expression]) => buildWordShingles(exprs))
+
+  val sqdistDescriptor
+      : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier("vec_sqdist"),
+    new ExpressionInfo(classOf[expressions.SqDist].getName, "vec_sqdist"),
+    (exprs: Seq[Expression]) => expressions.SqDist(exprs(0), exprs(1)))
+
+  val dotDescriptor
+      : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier("vec_dot"),
+    new ExpressionInfo(classOf[expressions.DotProduct].getName, "vec_dot"),
+    (exprs: Seq[Expression]) => expressions.DotProduct(exprs(0), exprs(1)))
 }

@@ -2,10 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -60,6 +60,84 @@ object expressions {
       copy(child = newChild)
   }
 
+  /** Squared Euclidean distance between two array<double> columns,
+    * with real whole-stage codegen (`doGenCode` emits the primitive
+    * loop). Bit-identical to the HOF formulation in
+    * [[graft.functions.VectorOps.sqdist]] — same (x−y)² terms summed
+    * left-to-right — but evaluated as compiled Java instead of
+    * per-element interpreted lambdas: the arithmetic the per-row argmin
+    * runs k times per input row at 100 TB. */
+  case class SqDist(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_sqdist"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) { val d = x.getDouble(i) - y.getDouble(i); s += d * d; i += 1 }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"""
+           |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double acc = 0.0;
+           |for (int i = 0; i < n; i++) {
+           |  double d = $a.getDouble(i) - $b.getDouble(i);
+           |  acc += d * d;
+           |}
+           |${ev.value} = acc;
+         """.stripMargin)
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SqDist =
+      copy(left = l, right = r)
+  }
+
+  /** Dot product with codegen — same contract as [[SqDist]]. */
+  case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_dot"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"""
+           |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double acc = 0.0;
+           |for (int i = 0; i < n; i++) {
+           |  acc += $a.getDouble(i) * $b.getDouble(i);
+           |}
+           |${ev.value} = acc;
+         """.stripMargin)
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+      copy(left = l, right = r)
+  }
+
+  /** Column wrappers for the compiled kernels. */
+  def vec_sqdist(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftShims.column(SqDist(
+      org.apache.spark.sql.GraftShims.expression(a),
+      org.apache.spark.sql.GraftShims.expression(b)))
+
+  def vec_dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftShims.column(DotProduct(
+      org.apache.spark.sql.GraftShims.expression(a),
+      org.apache.spark.sql.GraftShims.expression(b)))
+
   /** Column wrapper. */
   def word_shingles(text: Column, n: Int): Column =
     org.apache.spark.sql.GraftShims.column(
@@ -71,5 +149,9 @@ object expressions {
       "word_shingles",
       exprs => WordShingles(exprs.head, exprs(1).eval(InternalRow.empty).asInstanceOf[Int]),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_sqdist", exprs => SqDist(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -37,6 +37,43 @@ class ExpressionsSpec extends SparkSpec {
     assert(got(0).isNullAt(0))
   }
 
+  test("compiled SqDist/DotProduct are bit-identical to the HOF kernels") {
+    val emb = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val other = TextOps // keep imports used
+    val paired = emb.as("a").join(emb.as("b"),
+        col("a.vec_id") === col("b.vec_id") - 1)
+      .select(col("a.v").as("x"), col("b.v").as("y"))
+    val bad = paired.filter(
+      expressions.vec_sqdist(col("x"), col("y")) =!=
+        graft.functions.VectorOps.sqdist(col("x"), col("y")) ||
+      expressions.vec_dot(col("x"), col("y")) =!=
+        graft.functions.VectorOps.dot(col("x"), col("y")))
+    assert(bad.count() === 0)
+  }
+
+  test("CollapseShingleDistinct removes redundant array_distinct") {
+    val df = Seq("a b c d").toDF("text")
+      .select(array_distinct(expressions.word_shingles(col("text"), 2)).as("s"))
+    val before = df.queryExecution.analyzed
+    val after = graft.plans.rules.CollapseShingleDistinct(before)
+    assert(before.toString.contains("array_distinct"))
+    assert(!after.toString.contains("array_distinct"))
+    // semantics preserved
+    val direct = Seq("a b c d").toDF("text")
+      .select(expressions.word_shingles(col("text"), 2).as("s"))
+    assert(df.collect()(0).getSeq[String](0) === direct.collect()(0).getSeq[String](0))
+  }
+
+  test("vec_sqdist / vec_dot are SQL-callable after registration") {
+    expressions.register(spark)
+    val r = spark.sql(
+      "SELECT vec_sqdist(array(1.0d, 2.0d), array(4.0d, 6.0d)) AS d, " +
+      "vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS p").collect()(0)
+    assert(r.getDouble(0) === 25.0)
+    assert(r.getDouble(1) === 11.0)
+  }
+
   test("word_shingles is SQL-callable after registration") {
     expressions.register(spark)
     val got = spark.sql("SELECT word_shingles('a b c', 2) AS s")
