@@ -54,6 +54,35 @@ class LibrarySpec extends SparkSpec {
     assert(one.count() === docs.filter(col("lang") === langs.head).count())
   }
 
+  test("MLlib KMeans model save/load round-trip preserves centers") {
+    val dir = Files.createTempDirectory("graft-model").toString
+    val pts = Tables.embeddings(spark, sf001)
+      .select(col("embedding").cast("array<double>").as("v"))
+    val model = graft.cluster.KMeansMl.fit(pts, "v", 5, seed = 42, maxIter = 5)
+    model.write.overwrite().save(s"$dir/km")
+    val back = org.apache.spark.ml.clustering.KMeansModel.load(s"$dir/km")
+    val a = model.clusterCenters.map(_.toArray.toSeq)
+    val b = back.clusterCenters.map(_.toArray.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("bucketed tables join without a shuffle exchange on the join key") {
+    val li = Tables.lineitem(spark, sf001).select("l_orderkey", "l_quantity")
+    val ord = Tables.orders(spark, sf001).select("o_orderkey", "o_totalprice")
+    li.write.mode("overwrite").bucketBy(4, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("li_bucketed")
+    ord.write.mode("overwrite").bucketBy(4, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("ord_bucketed")
+    val j = spark.table("li_bucketed").join(spark.table("ord_bucketed"),
+      col("l_orderkey") === col("o_orderkey"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n${plan.take(800)}")
+    assert(j.count() === li.count())
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+  }
+
   test("GraftExtensions class applies cleanly (injectFunction wiring)") {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new graft.plans.GraftExtensions().apply(e)
