@@ -83,6 +83,20 @@ class LibrarySpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS ord_bucketed")
   }
 
+  test("ORC and JSON sinks round-trip the documents table") {
+    val dir = Files.createTempDirectory("graft-fmt").toString
+    val docs = Tables.documents(spark, sf001)
+    docs.write.mode("overwrite").orc(s"$dir/docs_orc")
+    docs.write.mode("overwrite").json(s"$dir/docs_json")
+    val orc = spark.read.orc(s"$dir/docs_orc")
+    val json = spark.read.schema(docs.schema).json(s"$dir/docs_json")
+    assert(orc.count() === docs.count())
+    assert(json.count() === docs.count())
+    val origSum = docs.agg(sum("n_chars")).collect()(0).getLong(0)
+    assert(orc.agg(sum("n_chars")).collect()(0).getLong(0) === origSum)
+    assert(json.agg(sum("n_chars")).collect()(0).getLong(0) === origSum)
+  }
+
   test("GraftExtensions class applies cleanly (injectFunction wiring)") {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new graft.plans.GraftExtensions().apply(e)
