@@ -64,6 +64,18 @@ object KMeansNative {
       .collect()
       .map(_.getSeq[Double](0).toArray)
 
+  /** Seeded-random init: k rows chosen by a deterministic hash-rank of
+    * the id column (stable across runs and partitionings, unlike
+    * `sample`). */
+  def randomCenters(points: DataFrame, idCol: String, vecCol: String,
+                    k: Int, seed: Long): Array[Array[Double]] =
+    points
+      .orderBy(xxhash64(lit(seed), col(idCol)), col(idCol))
+      .limit(k)
+      .select(VectorOps.toDouble(col(vecCol)))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+
   /** One Lloyd's round: per-cluster component sums + counts + partial
     * WCSS, computed via posexplode + hash aggregate. Shuffle volume is
     * k × dim × numPartitions after map-side partial agg — independent

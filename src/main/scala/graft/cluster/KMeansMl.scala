@@ -14,11 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object KMeansMl {
 
+  /** @param initMode "k-means||" (default) or "random" — the two MLlib
+    *                  init modes; explicit initial centers are the
+    *                  native path's job ([[KMeansNative]]). */
   def fit(df: DataFrame, vecCol: String, k: Int, seed: Long = 42L,
-          maxIter: Int = 20, tol: Double = 1e-4): MlKMeansModel = {
+          maxIter: Int = 20, tol: Double = 1e-4,
+          initMode: String = "k-means||"): MlKMeansModel = {
     val feat = df.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
     new MlKMeans()
-      .setK(k).setSeed(seed).setMaxIter(maxIter).setTol(tol)
+      .setK(k).setSeed(seed).setMaxIter(maxIter).setTol(tol).setInitMode(initMode)
       .setFeaturesCol("features").setPredictionCol("prediction")
       .fit(feat)
   }

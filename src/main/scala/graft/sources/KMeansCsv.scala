@@ -49,6 +49,26 @@ object KMeansCsv {
     Seq((0, -7.0, -7.0), (1, 1.0, 7.0), (2, 7.0, -1.0)).toDF("id", "x", "y")
   }
 
+  /** Reference-generator parity: write both `points` and `centers`
+    * space-delimited files under `outDir` (the reference's
+    * `KMeansDataGenerator` emits the same pair). */
+  def generateAndWrite(spark: SparkSession, outDir: String, n: Long, k: Int,
+                       stddev: Double, range: Double, seed: Long): Unit = {
+    import spark.implicits._
+    writeCsv(generatePoints(spark, n, k, stddev, range, seed), s"$outDir/points")
+    val centers = generateCenters(spark, k, range, seed)
+      .zipWithIndex.map { case ((x, y), i) => (i, x, y) }
+    writeCsv(centers.toSeq.toDF("id", "x", "y"), s"$outDir/centers")
+  }
+
+  private[sources] def generateCenters(spark: SparkSession, k: Int, range: Double,
+                                       seed: Long): Array[(Double, Double)] =
+    spark.range(0, k, 1, 1)
+      .select(
+        (org.apache.spark.sql.functions.rand(seed) * 2 * range - range).as("cx"),
+        (org.apache.spark.sql.functions.rand(seed + 1) * 2 * range - range).as("cy"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+
   /** Seeded synthetic generator: k Gaussian clusters in [-range,
     * range]², stddev spread — distributed, deterministic for a fixed
     * (seed, numPartitions). Mirrors the reference generator's
@@ -56,11 +76,7 @@ object KMeansCsv {
   def generatePoints(spark: SparkSession, n: Long, k: Int, stddev: Double,
                      range: Double, seed: Long, numPartitions: Int = 4): DataFrame = {
     // k deterministic centers derived from the seed via uniform rand.
-    val centers = spark.range(0, k, 1, 1)
-      .select(
-        (rand(seed) * 2 * range - range).as("cx"),
-        (rand(seed + 1) * 2 * range - range).as("cy"))
-      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val centers = generateCenters(spark, k, range, seed)
     val centerX = array(centers.map(c => lit(c._1)).toIndexedSeq: _*)
     val centerY = array(centers.map(c => lit(c._2)).toIndexedSeq: _*)
     spark.range(0, n, 1, numPartitions)

@@ -46,6 +46,28 @@ class KMeansAppSpec extends SparkSpec {
       b.map(r => (r.getDouble(0), r.getDouble(1))).toSeq)
   }
 
+  test("generateAndWrite emits reference-parity points and centers files") {
+    val dir = Files.createTempDirectory("kmeans-gen").toString
+    KMeansCsv.generateAndWrite(spark, dir, 200, 3, 0.5, 10, seed = 7)
+    val pts = KMeansCsv.readPoints(spark, s"$dir/points")
+    val cents = KMeansCsv.readCentroids(spark, s"$dir/centers")
+    assert(pts.count() === 200)
+    assert(cents.count() === 3)
+    assert(cents.select("id").collect().map(_.getInt(0)).sorted === Array(0, 1, 2))
+  }
+
+  test("random init differs from firstK but yields k valid centers") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val r = graft.cluster.KMeansNative.randomCenters(emb, "vec_id", "v", 10, seed = 7)
+    val f = graft.cluster.KMeansNative.firstKCenters(emb, "vec_id", "v", 10)
+    assert(r.length === 10 && r.forall(_.length === 64))
+    assert(r.map(_.toSeq).toSet !== f.map(_.toSeq).toSet)
+    val r2 = graft.cluster.KMeansNative.randomCenters(emb, "vec_id", "v", 10, seed = 7)
+    assert(r.map(_.toSeq).toSeq === r2.map(_.toSeq).toSeq)
+  }
+
   test("arg parsing matches the reference CLI shape") {
     val p = KMeansApp.parseArgs(Array("--points", "/p", "--iterations", "5"))
     assert(p === Map("points" -> "/p", "iterations" -> "5"))
