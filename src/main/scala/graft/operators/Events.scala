@@ -63,6 +63,36 @@ object Events {
         sum(col("value").cast("decimal(38,2)")).cast("double").as("sum_value"))
   }
 
+  /** Gap sessionization via Spark's native `session_window` operator —
+    * same semantics as [[sessionize]] (which uses explicit window
+    * functions); both are declared queries checked against the SAME
+    * DuckDB oracle. Output: (user_id, session_start, n_events). */
+  def sessionWindow(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+
+  /** Funnel conversion: per user, signup events followed by a purchase
+    * within `horizonHours`. One pass with a window function — for each
+    * signup, the time of the next purchase by the same user. */
+  def funnel(events: DataFrame, horizonHours: Int = 24): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val nextPurchaseUs = min(when(col("event_type") === "purchase",
+        unix_micros(col("ts")))).over(
+      byUser.rowsBetween(1, Window.unboundedFollowing))
+    val horizonUs = horizonHours.toLong * 3600L * 1000000L
+    events
+      .withColumn("next_purchase_us", nextPurchaseUs)
+      .filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_signups"),
+        sum(when(col("next_purchase_us").isNotNull &&
+          col("next_purchase_us") - unix_micros(col("ts")) <= horizonUs, 1)
+          .otherwise(0)).as("n_converted"))
+  }
+
   /** JSON property extraction + aggregate: parse `props` (e.g.
     * {"k": 87}) and aggregate k per event_type. Output: (event_type,
     * n, sum_k, avg_k). */

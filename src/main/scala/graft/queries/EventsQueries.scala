@@ -35,6 +35,18 @@ object EventsQueries {
         col("n_events"), round(col("sum_value"), 6).as("sum_value"))
       .orderBy("user_id", "session_id")
 
+  def sessionWindowQ(s: SparkSession, dir: String): DataFrame =
+    Events.sessionWindow(Tables.events(s, dir))
+      .select(col("user_id"),
+        date_format(col("session_start"), Fmt).as("session_start"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  def funnelQ(s: SparkSession, dir: String): DataFrame =
+    Events.funnel(Tables.events(s, dir))
+      .select(col("user_id"), col("n_signups"), col("n_converted"))
+      .orderBy("user_id")
+
   def json(s: SparkSession, dir: String): DataFrame =
     Events.jsonAgg(Tables.events(s, dir))
       .select(col("event_type"), col("n"), col("sum_k"),
@@ -50,6 +62,8 @@ object EventsQueries {
     "events_window" -> (window _),
     "events_window_sliding" -> (windowSliding _),
     "events_session" -> (session _),
+    "events_session_window" -> (sessionWindowQ _),
+    "events_funnel" -> (funnelQ _),
     "events_json" -> (json _),
     "events_topk_users" -> (topUsers _))
 
@@ -79,6 +93,25 @@ object EventsQueries {
          |  COUNT(*) AS n_events,
          |  round(CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE), 6) AS sum_value
          |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_session_window" ->
+      s"""WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+         |w AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM e),
+         |n AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new FROM w),
+         |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                                  ROWS UNBOUNDED PRECEDING) AS session_id FROM n)
+         |SELECT user_id, strftime(min(ts), '$DuckFmt') AS session_start, COUNT(*) AS n_events
+         |FROM s GROUP BY user_id, session_id ORDER BY 1, 2""".stripMargin,
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS us FROM events),
+        |n AS (SELECT *, min(CASE WHEN event_type = 'purchase' THEN us END)
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_purchase_us
+        |      FROM e)
+        |SELECT user_id, COUNT(*) AS n_signups,
+        |  CAST(SUM(CASE WHEN next_purchase_us IS NOT NULL
+        |       AND next_purchase_us - us <= 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+        |FROM n WHERE event_type = 'signup'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_json" ->
       """WITH k AS (SELECT event_type, CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events)
         |SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,

@@ -69,6 +69,31 @@ class StreamingSpec extends SparkSpec {
     assert(model.weights.forall(_ > 0))
   }
 
+  test("stream-stream interval join pairs purchases with errors within the hour") {
+    val purchases = MemoryStream[Event](spark)
+    val errors = MemoryStream[Event](spark)
+    val p = purchases.toDS().toDF("p_id", "p_ts", "p_user", "p_type", "p_value")
+      .withWatermark("p_ts", "2 hours")
+    val e = errors.toDS().toDF("e_id", "e_ts", "e_user", "e_type", "e_value")
+      .withWatermark("e_ts", "2 hours")
+    val joined = p.join(e,
+      expr("p_user = e_user AND e_ts BETWEEN p_ts AND p_ts + INTERVAL 1 HOUR"))
+    val q = joined.select("p_id", "e_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ss_join").start()
+    def ev(id: Long, min: Int, u: Long, t: String) =
+      Event(id, new Timestamp(1700000000000L + min * 60000L), u, t, 1.0)
+    purchases.addData(ev(1, 0, 7, "purchase"), ev(2, 300, 8, "purchase"))
+    errors.addData(ev(10, 30, 7, "error"),   // within 1h of purchase 1
+      ev(11, 90, 7, "error"),                // outside window
+      ev(12, 290, 8, "error"))               // before purchase 2
+    q.processAllAvailable()
+    val pairs = spark.table("ss_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(pairs === Set((1L, 10L)))
+  }
+
   test("streaming dedup with watermark drops late duplicate ids") {
     val input = MemoryStream[Event](spark)
     val deduped = input.toDS().toDF()
