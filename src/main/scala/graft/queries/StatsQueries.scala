@@ -35,6 +35,18 @@ object StatsQueries {
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** Pivot: linestatus values become columns (explicit value list, so
+    * the plan needs no extra distinct-values job). */
+  def pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(col("l_quantity").cast("decimal(38,2)")))
+      .select(col("l_returnflag"),
+        col("F").cast("decimal(38,6)").as("f_qty"),
+        col("O").cast("decimal(38,6)").as("o_qty"))
+      .orderBy("l_returnflag")
+
   /** Exact linear-interpolation quantiles per group (Spark
     * `percentile` ≡ DuckDB `quantile_cont`). */
   def quantiles(s: SparkSession, dir: String): DataFrame =
@@ -97,6 +109,7 @@ object StatsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_rollup" -> (rollup _),
     "rel_cube" -> (cube _),
+    "rel_pivot" -> (pivot _),
     "rel_quantiles" -> (quantiles _),
     "rel_count_distinct" -> (countDistinct _),
     "rel_approx_distinct" -> (approxDistinct _),
@@ -116,6 +129,11 @@ object StatsQueries {
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY 1 ASC NULLS FIRST, 2 ASC NULLS FIRST""".stripMargin,
+    "rel_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(38,2)) END) AS DECIMAL(38,6)) AS f_qty,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(38,2)) END) AS DECIMAL(38,6)) AS o_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "rel_quantiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
