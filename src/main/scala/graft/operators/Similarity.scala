@@ -102,13 +102,19 @@ object Similarity {
     * key, so a probe reads `nProbe / nCells` of the corpus. */
   def ivfTopK(embs: DataFrame, idCol: String, vecCol: String,
               queries: Array[(Long, Array[Double])], k: Int,
-              nCells: Int = 16, nProbe: Int = 4, trainIters: Int = 5): DataFrame = {
+              nCells: Int = 16, nProbe: Int = 4, trainIters: Int = 5,
+              trainSample: Int = 10000): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
     val pts = embs.select(col(idCol).cast("long").as("id"),
       VectorOps.toDouble(col(vecCol)).as("v"))
-    val init = graft.cluster.KMeansNative.firstKCenters(pts, "id", "v", nCells)
-    val centers = graft.cluster.KMeansNative.fit(pts, "v", init, maxIter = trainIters).centers
+    // Train the coarse quantizer on a bounded deterministic
+    // (hash-ranked) sample: index build stays O(sample · iters)
+    // however large the corpus — the scale-up run showed full-corpus
+    // training dominating query cost otherwise.
+    val train = pts.orderBy(xxhash64(col("id")), col("id")).limit(trainSample)
+    val init = graft.cluster.KMeansNative.firstKCenters(train, "id", "v", nCells)
+    val centers = graft.cluster.KMeansNative.fit(train, "v", init, maxIter = trainIters).centers
     val cells = graft.cluster.KMeansNative.assigned(pts, col("v"), centers)
       .select(col("id"), col("v"), col("cluster_id").as("cell"))
     def sq(a: Array[Double], b: Array[Double]): Double = {
