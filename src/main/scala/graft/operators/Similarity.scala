@@ -103,16 +103,23 @@ object Similarity {
   def ivfTopK(embs: DataFrame, idCol: String, vecCol: String,
               queries: Array[(Long, Array[Double])], k: Int,
               nCells: Int = 16, nProbe: Int = 4, trainIters: Int = 5,
-              trainSample: Int = 10000): DataFrame = {
+              trainSample: Int = 10000, seed: Long = 42L): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
     val pts = embs.select(col(idCol).cast("long").as("id"),
       VectorOps.toDouble(col(vecCol)).as("v"))
-    // Train the coarse quantizer on a bounded deterministic
-    // (hash-ranked) sample: index build stays O(sample · iters)
-    // however large the corpus — the scale-up run showed full-corpus
-    // training dominating query cost otherwise.
-    val train = pts.orderBy(xxhash64(col("id")), col("id")).limit(trainSample)
+    // Train the coarse quantizer on a bounded deterministic sample
+    // (seeded hash rank — same idiom as KMeansNative.randomCenters):
+    // ONE corpus scan collects ≤ trainSample·dim doubles, then all
+    // training iterations run on the local dataset, so index build is
+    // O(corpus) + O(sample · iters) however large the corpus — the
+    // scale-up run showed full-corpus training dominating otherwise.
+    val sampleRows = pts
+      .orderBy(xxhash64(lit(seed), col("id")), col("id"))
+      .limit(trainSample)
+      .as[(Long, Array[Double])]
+      .collect()
+    val train = spark.createDataset(sampleRows.toIndexedSeq).toDF("id", "v")
     val init = graft.cluster.KMeansNative.firstKCenters(train, "id", "v", nCells)
     val centers = graft.cluster.KMeansNative.fit(train, "v", init, maxIter = trainIters).centers
     val cells = graft.cluster.KMeansNative.assigned(pts, col("v"), centers)
