@@ -56,4 +56,24 @@ object VectorOps {
 
   /** Zero vector of dimension d (reference `Point.clear`). */
   def vecZero(d: Int): Column = array_repeat(lit(0.0d), d)
+
+  // ---- driver/executor-side primitive kernels -----------------------
+  // The ONLY implementations of these folds: their left-to-right
+  // summation order is load-bearing for bit-exact oracle parity, so
+  // every mapPartitions kernel must use these, never a local copy.
+
+  /** Left-to-right dot product (matches the HOF `aggregate` fold and
+    * DuckDB `list_sum`). */
+  def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Left-to-right squared Euclidean distance. */
+  def sqdistSeq(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
 }

@@ -23,29 +23,39 @@ object AsOf {
 
   /** @param rightCols right-side value columns to attach (left-null
     *                   when no match exists — left-join semantics,
-    *                   DuckDB `ASOF LEFT JOIN` equivalent). */
+    *                   DuckDB `ASOF LEFT JOIN` equivalent).
+    *
+    * The right row travels as ONE struct through the window fill, so a
+    * NULL inside one of its value columns can never cause values from
+    * different right rows to be mixed (`last(ignoreNulls)` skips only
+    * whole missing rows, never individual fields). */
   def joinLatestBefore(left: DataFrame, right: DataFrame, key: String,
                        ts: String, rightCols: Seq[String]): DataFrame = {
-    val attached = rightCols.map(c => s"_r_$c")
     val leftCols = left.columns.toSeq
+    val rowStruct = struct((rightCols.map(col) :+ col(ts).as("_r_ts_field")): _*)
+    val nullRow = lit(null).cast(
+      org.apache.spark.sql.types.StructType(
+        rightCols.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)) :+
+          org.apache.spark.sql.types.StructField("_r_ts_field", right.schema(ts).dataType)))
     val l = left
       .withColumn("_tag", lit(1))
       .select(Seq(col(key), col(ts), col("_tag")) ++
         leftCols.filterNot(Seq(key, ts).contains).map(col) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c"))
-        ++ Seq(lit(null).cast(right.schema(ts).dataType).as("_r_ts")): _*)
+        Seq(nullRow.as("_r_row")): _*)
     val r = right
       .withColumn("_tag", lit(0))
       .select(Seq(col(key), col(ts), col("_tag")) ++
         leftCols.filterNot(Seq(key, ts).contains)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightCols.map(c => col(c).as(s"_r_$c")) ++ Seq(col(ts).as("_r_ts")): _*)
+        Seq(rowStruct.as("_r_row")): _*)
     val w = Window.partitionBy(key).orderBy(col(ts), col("_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = l.unionByName(r)
-      .select((Seq(col(key), col(ts), col("_tag")) ++
+      .withColumn("_r_filled", last(col("_r_row"), ignoreNulls = true).over(w))
+    filled.filter(col("_tag") === 1)
+      .select((Seq(col(key), col(ts)) ++
         leftCols.filterNot(Seq(key, ts).contains).map(col) ++
-        (attached :+ "_r_ts").map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
-    filled.filter(col("_tag") === 1).drop("_tag")
+        rightCols.map(c => col(s"_r_filled.$c").as(s"_r_$c")) ++
+        Seq(col("_r_filled._r_ts_field").as("_r_ts"))): _*)
   }
 }

@@ -45,12 +45,15 @@ object Dedup {
                    n: Int = 3, threshold: Double = 0.8,
                    maxShingleFreq: Option[Int] = None): DataFrame = {
     val sh0 = docShingles(docs, idCol, textCol, n)
-    val sh = maxShingleFreq match {
+    // The inverted index feeds three consumers (sizes + both self-join
+    // sides); persist it so the corpus is shingled once, not thrice.
+    // (Unreferenced cached data is reclaimed by Spark's ContextCleaner.)
+    val sh = (maxShingleFreq match {
       case Some(cap) =>
         val hot = sh0.groupBy("s").count().filter(col("count") > cap).select("s")
         sh0.join(hot, Seq("s"), "left_anti")
       case None => sh0
-    }
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("x").join(sh.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
@@ -75,9 +78,11 @@ object Dedup {
                  threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // Re-used by both verification joins — persist to shingle once.
     val withSh = docs.select(col(idCol).as("doc_id"),
         TextOps.shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Signature via explode + ONE codegen'd hash aggregate (32 min
     // columns), not per-row HOFs: Catalyst inlines used-once HOF
     // projections into downstream lambdas, re-evaluating the signature
@@ -181,11 +186,11 @@ object Dedup {
     val out = p.mapPartitions { iter =>
       val b = all.value
       iter.flatMap { case (ida, va) =>
-        val na = math.sqrt(dotSeq(va, va))
+        val na = math.sqrt(VectorOps.dotSeq(va, va))
         b.iterator
           .filter(_._1 > ida)
           .map { case (idb, vb) =>
-            val c = dotSeq(va, vb) / (na * math.sqrt(dotSeq(vb, vb)))
+            val c = VectorOps.dotSeq(va, vb) / (na * math.sqrt(VectorOps.dotSeq(vb, vb)))
             (ida, idb, c)
           }
           .filter(_._3 >= threshold)
@@ -194,12 +199,4 @@ object Dedup {
     out
   }
 
-  /** Left-to-right dot product — same summation order as the HOF
-    * `aggregate` fold and DuckDB's `list_sum`, for bit-identical
-    * results across engines. */
-  private def dotSeq(a: Array[Double], b: Array[Double]): Double = {
-    var s = 0.0; var i = 0
-    while (i < a.length) { s += a(i) * b(i); i += 1 }
-    s
-  }
 }

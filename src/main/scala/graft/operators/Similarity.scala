@@ -23,12 +23,6 @@ import graft.functions.VectorOps
   */
 object Similarity {
 
-  private[operators] def dotSeq(a: Array[Double], b: Array[Double]): Double = {
-    var s = 0.0; var i = 0
-    while (i < a.length) { s += a(i) * b(i); i += 1 }
-    s
-  }
-
   /** Exact top-k cosine neighbors for each query vector.
     * Output: (query_id, neighbor_id, rank, cosine). Self-matches are
     * excluded; ties break toward the lower neighbor id. */
@@ -37,7 +31,7 @@ object Similarity {
     val spark = embs.sparkSession
     import spark.implicits._
     val qb = spark.sparkContext.broadcast(
-      queries.map { case (qid, v) => (qid, v, math.sqrt(dotSeq(v, v))) })
+      queries.map { case (qid, v) => (qid, v, math.sqrt(VectorOps.dotSeq(v, v))) })
     val p = embs.select(col(idCol).cast("long").as("id"),
       VectorOps.toDouble(col(vecCol)).as("v")).as[(Long, Array[Double])]
     // Partition-local bounded top-k per query: emit ≤ Q·k rows per
@@ -48,12 +42,12 @@ object Similarity {
       val heaps = qs.map(_ => scala.collection.mutable.ArrayBuffer.empty[(Double, Long)])
       val ord = Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long])
       iter.foreach { case (id, v) =>
-        val n = math.sqrt(dotSeq(v, v))
+        val n = math.sqrt(VectorOps.dotSeq(v, v))
         var qi = 0
         while (qi < qs.length) {
           val (qid, qv, qn) = qs(qi)
           if (id != qid) {
-            val c = dotSeq(qv, v) / (qn * n)
+            val c = VectorOps.dotSeq(qv, v) / (qn * n)
             val h = heaps(qi)
             if (h.length < k || ord.lt((c, id), h.last)) {
               h += ((c, id))
@@ -88,7 +82,7 @@ object Similarity {
   private def bucketOf(v: Array[Double], planes: Array[Array[Double]]): Int = {
     var b = 0; var i = 0
     while (i < planes.length) {
-      if (dotSeq(v, planes(i)) >= 0) b |= (1 << i)
+      if (VectorOps.dotSeq(v, planes(i)) >= 0) b |= (1 << i)
       i += 1
     }
     b
@@ -124,17 +118,12 @@ object Similarity {
     val centers = graft.cluster.KMeansNative.fit(train, "v", init, maxIter = trainIters).centers
     val cells = graft.cluster.KMeansNative.assigned(pts, col("v"), centers)
       .select(col("id"), col("v"), col("cluster_id").as("cell"))
-    def sq(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
-      s
-    }
     val probes = queries.flatMap { case (qid, qv) =>
       centers.zipWithIndex
-        .map { case (c, cid) => (sq(qv, c), cid) }
+        .map { case (c, cid) => (VectorOps.sqdistSeq(qv, c), cid) }
         .sortBy { case (d, cid) => (d, cid) }
         .take(nProbe)
-        .map { case (_, cid) => (qid, qv, math.sqrt(dotSeq(qv, qv)), cid) }
+        .map { case (_, cid) => (qid, qv, math.sqrt(VectorOps.dotSeq(qv, qv)), cid) }
     }.toSeq
     val qdf = probes.toDF("query_id", "qv", "qn", "cell")
     val scored = cells.join(broadcast(qdf), Seq("cell"))
@@ -142,7 +131,7 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("qn"), col("id"), col("v"))
       .as[(Long, Array[Double], Double, Long, Array[Double])]
       .map { case (qid, qv, qn, id, v) =>
-        (qid, id, dotSeq(qv, v) / (qn * math.sqrt(dotSeq(v, v))))
+        (qid, id, VectorOps.dotSeq(qv, v) / (qn * math.sqrt(VectorOps.dotSeq(v, v))))
       }.toDF("query_id", "neighbor_id", "cosine")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -173,7 +162,7 @@ object Similarity {
     }.toDF("id", "v", "table", "bucket")
     val qRows = queries.flatMap { case (qid, qv) =>
       planes.zipWithIndex.map { case (tp, t) =>
-        (qid, qv, math.sqrt(dotSeq(qv, qv)), t, bucketOf(qv, tp))
+        (qid, qv, math.sqrt(VectorOps.dotSeq(qv, qv)), t, bucketOf(qv, tp))
       }
     }.toSeq
     val qdf = qRows.toDF("query_id", "qv", "qn", "table", "bucket")
@@ -182,7 +171,7 @@ object Similarity {
       .dropDuplicates("query_id", "id")
       .as[(Int, Int, Long, Array[Double], Long, Array[Double], Double)]
     val scored = cand.map { case (_, _, id, v, qid, qv, qn) =>
-      val c = dotSeq(qv, v) / (qn * math.sqrt(dotSeq(v, v)))
+      val c = VectorOps.dotSeq(qv, v) / (qn * math.sqrt(VectorOps.dotSeq(v, v)))
       (qid, id, c)
     }.toDF("query_id", "neighbor_id", "cosine")
     val w = Window.partitionBy("query_id")

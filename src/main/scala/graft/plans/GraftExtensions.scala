@@ -24,11 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   private def buildWordShingles(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2, "word_shingles(text, n)")
-    val n = exprs(1) match {
-      case Literal(v: Int, _) => v
-      case other => other.eval(null).asInstanceOf[Int]
-    }
-    expressions.WordShingles(exprs.head, n)
+    expressions.WordShingles(exprs.head, expressions.foldToInt(exprs(1)))
   }
 
   val wordShinglesDescriptor

@@ -69,29 +69,46 @@ object expressions {
     * runs k times per input row at 100 TB. */
   case class SqDist(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def prettyName: String = "vec_sqdist"
 
+    /** Dimension mismatch → null, matching the HOF formulation
+      * (`zip_with` pads with null, poisoning the fold). */
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      if (x.numElements() != y.numElements()) return null
+      val n = x.numElements()
       var s = 0.0
       var i = 0
       while (i < n) { val d = x.getDouble(i) - y.getDouble(i); s += d * d; i += 1 }
       s
     }
 
+    // Fresh local names: two instances of this expression routinely
+    // share one codegen scope (the k-way argmin projection), and fixed
+    // names would collide, failing janino compilation and silently
+    // disabling whole-stage codegen.
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, (a, b) =>
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        val i = ctx.freshName("i")
+        val d = ctx.freshName("d")
         s"""
-           |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double acc = 0.0;
-           |for (int i = 0; i < n; i++) {
-           |  double d = $a.getDouble(i) - $b.getDouble(i);
-           |  acc += d * d;
+           |if ($a.numElements() != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  int $n = $a.numElements();
+           |  double $acc = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    double $d = $a.getDouble($i) - $b.getDouble($i);
+           |    $acc += $d * $d;
+           |  }
+           |  ${ev.value} = $acc;
            |}
-           |${ev.value} = acc;
-         """.stripMargin)
+         """.stripMargin
+      })
 
     override protected def withNewChildrenInternal(l: Expression, r: Expression): SqDist =
       copy(left = l, right = r)
@@ -100,12 +117,14 @@ object expressions {
   /** Dot product with codegen — same contract as [[SqDist]]. */
   case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def prettyName: String = "vec_dot"
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      if (x.numElements() != y.numElements()) return null
+      val n = x.numElements()
       var s = 0.0
       var i = 0
       while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -113,15 +132,23 @@ object expressions {
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, (a, b) =>
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        val i = ctx.freshName("i")
         s"""
-           |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double acc = 0.0;
-           |for (int i = 0; i < n; i++) {
-           |  acc += $a.getDouble(i) * $b.getDouble(i);
+           |if ($a.numElements() != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  int $n = $a.numElements();
+           |  double $acc = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $acc += $a.getDouble($i) * $b.getDouble($i);
+           |  }
+           |  ${ev.value} = $acc;
            |}
-           |${ev.value} = acc;
-         """.stripMargin)
+         """.stripMargin
+      })
 
     override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
       copy(left = l, right = r)
@@ -147,11 +174,19 @@ object expressions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles",
-      exprs => WordShingles(exprs.head, exprs(1).eval(InternalRow.empty).asInstanceOf[Int]),
+      exprs => WordShingles(exprs.head, foldToInt(exprs(1))),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_sqdist", exprs => SqDist(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+  }
+
+  /** Fold a constant integral expression to Int with a clear error
+    * (any integral literal type; rejects null/non-integral). */
+  def foldToInt(e: Expression): Int = e.eval(InternalRow.empty) match {
+    case n: java.lang.Number => n.intValue()
+    case other => throw new IllegalArgumentException(
+      s"expected a constant integer argument, got: $other")
   }
 }

@@ -47,6 +47,8 @@ object MultimodalQueries {
     val link = streamDir.resolve("events.parquet")
     try java.nio.file.Files.createSymbolicLink(link, src)
     catch { case _: Exception => java.nio.file.Files.copy(src, link) }
+    link.toFile.deleteOnExit()
+    streamDir.toFile.deleteOnExit()
     val agg = StreamOps.windowedAgg(
       StreamOps.readEventsStream(s, streamDir.toString))
     val q = agg.writeStream.outputMode("complete")

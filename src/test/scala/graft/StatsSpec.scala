@@ -21,6 +21,19 @@ class StatsSpec extends SparkSpec {
     assert(got === Map(1L -> 100L, 2L -> 200L, 3L -> 200L, 4L -> -1L))
   }
 
+  test("asof join attaches the whole right row atomically when values are null") {
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val left = Seq((1L, 7L, ts(90))).toDF("event_id", "user_id", "ts")
+    val right = Seq((7L, ts(0), Some(5L)), (7L, ts(60), None))
+      .toDF("user_id", "ts", "p_event_id")
+    val got = AsOf.joinLatestBefore(left, right, "user_id", "ts", Seq("p_event_id"))
+      .select("_r_p_event_id", "_r_ts").collect()(0)
+    // most recent right row (ts=60) has a NULL value: the output must
+    // carry that NULL, not borrow 5 from the older row
+    assert(got.isNullAt(0), s"expected null p_event_id, got $got")
+    assert(got.getTimestamp(1) === ts(60))
+  }
+
   test("asof join preserves left row count (left-join semantics)") {
     val events = graft.io.Tables.events(spark, sf001)
     val purchases = events.filter(col("event_type") === "purchase")
