@@ -107,7 +107,14 @@ object KMeansNative {
   /** Full Lloyd's loop, driver-held centers (MLlib's own structure:
     * one Spark job per iteration, k·d doubles collected per round).
     * Empty clusters keep their previous center (reference behavior: a
-    * centroid nobody selects receives no update). */
+    * centroid nobody selects receives no update).
+    *
+    * Determinism note: per-cluster sums use double partial aggregation,
+    * so center coordinates are stable only up to partial-merge order
+    * (low-ULP variation across runs) — which is why the full fit is a
+    * rows-only declared query, while the single-round operators
+    * ([[accumulate]]/[[average]]) use the exact decimal bridge and are
+    * hash-checked. */
   def fit(
       points: DataFrame,
       vecCol: String,

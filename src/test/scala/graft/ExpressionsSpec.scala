@@ -30,6 +30,14 @@ class ExpressionsSpec extends SparkSpec {
     assert(got(4) === Seq.empty)
   }
 
+  test("WordShingles whitespace handling matches the HOF split semantics") {
+    val weird = Seq("a  b c", " a b c", "a b c ", "", " ")
+    val df = weird.toDF("text").select(
+      TextOps.shingles(col("text"), 2).as("fast"),
+      TextOps.shinglesHof(col("text"), 2).as("ref"))
+    assert(df.filter(col("fast") =!= col("ref")).count() === 0)
+  }
+
   test("WordShingles null propagates") {
     val got = Seq[Option[String]](None).toDF("text")
       .select(expressions.word_shingles(col("text"), 2).as("s"))

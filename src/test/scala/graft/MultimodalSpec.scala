@@ -42,6 +42,16 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("empty payloads produce no histogram bins or frames, and embed to zeros") {
+    import spark.implicits._
+    val empty = Seq((1L, "")).toDF("doc_id", "text")
+    val blobs = Multimodal.packBlobs(empty, "doc_id", "text")
+    assert(Multimodal.byteHistogram(blobs).count() === 0)
+    assert(Multimodal.frameSample(blobs).count() === 0)
+    val e = Multimodal.embed(blobs).collect()(0)._2
+    assert(e.forall(_ === 0f))
+  }
+
   test("resize truncates payloads and updates metadata") {
     val r = Multimodal.resize(blobs, 32)
     assert(r.filter(col("meta.n_bytes") > 32).count() === 0)
