@@ -37,6 +37,22 @@ object TextAnalysis {
         .as("avg_word_len"))
   }
 
+  /** BPE-style regex token count alongside the whitespace count: runs
+    * of letters, runs of digits, and single other non-space characters
+    * — the pre-merge segmentation a byte-pair tokenizer starts from.
+    * An approximate compression proxy (ws_tokens / bpe_tokens) comes
+    * free. */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  def bpeTokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = TextOps.words(col(textCol))
+    val bpe = size(regexp_extract_all(col(textCol), lit(BpePattern), lit(0)))
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(w).as("n_ws_tokens"),
+      bpe.as("n_bpe_tokens"),
+      (size(w).cast("double") / bpe).as("ws_per_bpe"))
+  }
+
   /** Quality features + a composite score in [0, 1]:
     * 0.3·stopword_ratio + 0.4·(1 − punct_ratio) + 0.3·min(avg_len/10, 1).
     * The exact arithmetic shape is mirrored in the DuckDB oracle. */

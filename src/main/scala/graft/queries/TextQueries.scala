@@ -19,6 +19,12 @@ object TextQueries {
         round(col("avg_word_len"), 6).as("avg_word_len"))
       .orderBy("doc_id")
 
+  def bpeTokens(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeTokenStats(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"),
+        round(col("ws_per_bpe"), 6).as("ws_per_bpe"))
+      .orderBy("doc_id")
+
   def quality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(Tables.documents(s, dir), "doc_id", "text")
       .select(col("doc_id"), col("n_tokens"),
@@ -42,6 +48,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> (tokens _),
+    "text_tokens_bpe" -> (bpeTokens _),
     "text_quality" -> (quality _),
     "text_langid" -> (langid _),
     "text_fingerprint" -> (fingerprint _),
@@ -66,6 +73,14 @@ object TextQueries {
         |  CAST(length(text) AS INTEGER) AS n_chars,
         |  round(CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w), 6) AS avg_word_len
         |FROM t ORDER BY doc_id""".stripMargin,
+    "text_tokens_bpe" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(w) AS INTEGER) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.BpePattern}')) AS INTEGER) AS n_bpe_tokens,
+         |  round(CAST(len(w) AS DOUBLE) /
+         |        len(regexp_extract_all(text, '${TextAnalysis.BpePattern}')), 6) AS ws_per_bpe
+         |FROM t ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
          |f AS (SELECT doc_id,

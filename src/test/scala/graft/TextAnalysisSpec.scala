@@ -43,6 +43,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L) === ("de", 0.0)) // all-zero tie -> first lang alphabetically
   }
 
+  test("BPE-ish segmentation splits punctuation and digit runs") {
+    val messy = Seq((1L, "hello world42 it's x-1 done")).toDF("doc_id", "text")
+    val r = TextAnalysis.bpeTokenStats(messy, "doc_id", "text").collect()(0)
+    assert(r.getInt(1) === 5) // whitespace tokens
+    // hello | world | 42 | it | ' | s | x | - | 1 | done
+    assert(r.getInt(2) === 10)
+  }
+
   test("fingerprint distinguishes different docs and is stable") {
     val fp = TextAnalysis.fingerprint(docs, "doc_id", "text")
     assert(fp.select("fingerprint").distinct().count() >= docs.count() - 5)
