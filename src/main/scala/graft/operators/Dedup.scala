@@ -17,8 +17,9 @@ import graft.functions.{TextOps, VectorOps}
   *    (stopword runs) can be frequency-capped before the join; the
   *    fixture corpus has max shingle frequency 25, so no cap is applied
   *    by default (`maxShingleFreq`).
-  *  - simhash: fingerprint is computed fully per-row (nested HOFs, no
-  *    shuffle); candidate pairs come from 16-bit band equality.
+  *  - simhash: fingerprints come from one codegen'd 64-column hash
+  *    aggregate over exploded token hashes (shuffle = |docs|×64 ints
+  *    after partial agg); candidate pairs from 16-bit band equality.
   *  - embeddingCosine: exact quadratic verifier — the scale path is the
   *    LSH/banded variants in [[Similarity]]; keep this for small/medium
   *    n and as the oracle-checkable ground truth.

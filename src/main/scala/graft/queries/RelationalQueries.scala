@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.operators.Relational
 
 /** Declared relational queries (scan/filter/join/agg/window/set-op
-  * surface over the TPC-H-ish tables). All six oracle-checked; money
+  * surface over the TPC-H-ish tables). All seven oracle-checked; money
   * aggregates are exact decimals cast at the data's true scale (see
   * [[graft.operators.Relational]] for the two cross-engine float traps
   * this avoids) and emitted as DECIMAL(38,6).
