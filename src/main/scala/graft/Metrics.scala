@@ -45,15 +45,23 @@ object Metrics {
         // noop sink materializes EVERY column — count() would let
         // Catalyst prune the query's actual compute (observed: the
         // as-of window vanishing entirely under count()).
-        val rows = try {
-          val df = fn(spark, sfDir)
-          df.write.mode("overwrite").format("noop").save()
-          df.count()
-        } catch { case _: Throwable => -1L }
-        // listener events are async; give the bus a moment to drain
-        Thread.sleep(300)
+        val err = try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          None
+        } catch { case scala.util.control.NonFatal(e) => Some(e) }
         val sec = (System.nanoTime() - t0) / 1e9
-        println(f"$name%-26s $sec%8.2f ${written.sum() / 1e6}%10.2f ${records.sum()}%12d $rows%10d")
+        // deterministic drain, then snapshot BEFORE the (unmetered,
+        // separately-optimized) row count re-executes the query
+        org.apache.spark.GraftSparkShims.drainListenerBus(spark.sparkContext)
+        val mb = written.sum() / 1e6
+        val recs = records.sum()
+        val rows = err match {
+          case Some(e) => println(s"$name FAILED: ${e.toString.take(120)}"); -1L
+          case None =>
+            try fn(spark, sfDir).count()
+            catch { case scala.util.control.NonFatal(_) => -1L }
+        }
+        println(f"$name%-26s $sec%8.2f $mb%10.2f $recs%12d $rows%10d")
       }
     }
     spark.stop()
