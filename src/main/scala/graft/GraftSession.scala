@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place to construct the engine's SparkSession so every entry
+  * point (Verify, Bench, Metrics, tests) agrees on session-level
+  * semantics. Readers must NOT mutate session conf (a per-table
+  * accessor with a global side effect breaks concurrent use); any
+  * conf a source needs lives here instead.
+  *
+  *  - `spark.sql.legacy.parquet.nanosAsLong`: the events fixture is
+  *    TIMESTAMP(NANOS) parquet, which Spark 4 otherwise refuses; we
+  *    read nanos as long and truncate to µs (DuckDB epoch_us parity).
+  *  - UTC session time zone: all timestamp formatting is engine-
+  *    independent.
+  *  - shuffle partitions are capped at 8 for local runs: at the test
+  *    scale (≤600k rows) per-task fixed overhead dominates past ~8
+  *    partitions (round-1 driver bench at 32 was 2.4× slower than 4).
+  *    On a real cluster this would be set to ~2-3× total cores; AQE
+  *    (on by default in Spark 4) coalesces small shuffles either way.
+  */
+object GraftSession {
+  def localPartitions(cpus: Int): Int = math.max(1, math.min(cpus, 8))
+
+  def builder(cpus: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", localPartitions(cpus).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** cpus from the driver's env, defaulting to 4. */
+  def envCpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+}

@@ -31,9 +31,13 @@ object Tables {
   def lineitem(spark: SparkSession, d: String): DataFrame  = load(spark, d, "lineitem")
   /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
     * read as a timestamp; read nanos as long and truncate to µs —
-    * exactly DuckDB's epoch_us() semantics, so oracles agree. */
+    * exactly DuckDB's epoch_us() semantics, so oracles agree.
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set at
+    * session construction ([[graft.GraftSession]]) — readers must not
+    * mutate session conf. */
   def events(spark: SparkSession, d: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "session must be built with spark.sql.legacy.parquet.nanosAsLong=true (see GraftSession)")
     load(spark, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts DIV 1000")))

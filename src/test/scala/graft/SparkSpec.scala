@@ -14,11 +14,8 @@ object SparkSpec {
   lazy val session: SparkSession = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-spark").toString
     System.setProperty("derby.system.home", tmp)
-    val s = SparkSession.builder()
-      .master("local[4]")
+    val s = GraftSession.builder(4)
       .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", s"$tmp/warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
