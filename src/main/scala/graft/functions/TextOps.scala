@@ -71,9 +71,18 @@ object TextOps {
     * The modulus keeps every intermediate < 2^36, so the fold is safe
     * under ANSI-mode overflow checking (Spark 4 default) and is
     * reproducible in any engine with 64-bit integer arithmetic.
-    * Deterministic, order-sensitive, per-row. */
-  val FingerprintMod = 1000000007L
+    * Deterministic, order-sensitive, per-row. Backed by the compiled
+    * [[graft.plans.expressions.RollingFingerprint]] (the HOF twin
+    * below builds an O(len) array + two interpreted lambda calls per
+    * character). */
+  val FingerprintMod: Long = graft.plans.expressions.FingerprintMod
   def rollingFingerprint(text: Column): Column =
+    graft.plans.expressions.rolling_fingerprint(text)
+
+  /** The pure-HOF fingerprint formulation — semantically identical to
+    * [[rollingFingerprint]]; kept as the built-ins-only reference for
+    * equivalence tests. */
+  def rollingFingerprintHof(text: Column): Column =
     aggregate(
       transform(sequence(lit(1), length(text)),
         i => call_function("ascii", call_function("substr", text, i, lit(1)))),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextOps, VectorOps}
@@ -9,27 +9,30 @@ import graft.functions.{TextOps, VectorOps}
   * over a corpus DataFrame with (idCol: bigint, textCol: string).
   *
   * Scale design (100 TB corpus):
-  *  - exact: one hash-partition shuffle on the text (group key could be
-  *    sha2(text) to shrink shuffle bytes; kept as raw text here for
-  *    oracle parity — swap via `keyExpr`);
+  *  - exact: one hash-partition shuffle on a 32-byte sha2 digest of the
+  *    text (default) — never on the raw body; grouping by digest and by
+  *    text produce identical groups absent a 256-bit collision;
   *  - ngramJaccard / minhash: inverted-index self-join — shuffle on
-  *    shingle / band-bucket, never an O(n²) cross join. Hot shingles
-  *    (stopword runs) can be frequency-capped before the join; the
-  *    fixture corpus has max shingle frequency 25, so no cap is applied
-  *    by default (`maxShingleFreq`).
+  *    shingle / band-bucket, never an O(n²) cross join. Shingles hot
+  *    enough to carry no dedup signal (corpus boilerplate) are
+  *    frequency-capped by default — one uncapped stopword run makes the
+  *    self-join quadratic in its posting list;
   *  - simhash: fingerprints come from one codegen'd 64-column hash
   *    aggregate over exploded token hashes (shuffle = |docs|×64 ints
   *    after partial agg); candidate pairs from 16-bit band equality.
-  *  - embeddingCosine: exact quadratic verifier — the scale path is the
-  *    LSH/banded variants in [[Similarity]]; keep this for small/medium
-  *    n and as the oracle-checkable ground truth.
+  *  - embeddingCosine: exact quadratic verifier, tiled so no executor
+  *    or the driver ever holds the whole table — the sub-quadratic
+  *    scale path is the LSH/IVF variants in [[Similarity]].
   */
 object Dedup {
 
   /** Exact dedup: one row per distinct text — the survivor (min id) and
-    * the group size. */
-  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.groupBy(col(textCol))
+    * the group size. The group key defaults to sha2-256 of the text so
+    * the shuffle carries 32-byte digests instead of document bodies;
+    * pass `keyExpr = identity` to group on the raw value. */
+  def exact(docs: DataFrame, idCol: String, textCol: String,
+            keyExpr: Column => Column = c => sha2(c, 256)): DataFrame =
+    docs.groupBy(keyExpr(col(textCol)).as("k"))
       .agg(min(col(idCol)).as("doc_id"), count(lit(1)).as("n_dups"))
       .select("doc_id", "n_dups")
 
@@ -42,9 +45,19 @@ object Dedup {
   /** Exact n-gram Jaccard near-dup pairs via shared-shingle co-counts:
     * |A∩B| from the inverted-index self-join, |A∪B| = |A|+|B|−|A∩B|.
     * No cross join; shuffles on shingle then on (doc_a, doc_b). */
+  /** A shingle shared by more than this many documents is corpus
+    * boilerplate: it contributes ~zero Jaccard signal but makes the
+    * inverted-index self-join quadratic in its posting list. Dropping
+    * such shingles bounds every posting list, so the join's worst case
+    * is capped·|shingles| pairs. The fixtures' max shingle frequency
+    * is 25 (verified at sf0.1), so the default cap never fires there —
+    * it exists for the corpus where one hot shingle would otherwise
+    * melt the job. */
+  val DefaultMaxShingleFreq = 10000
+
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.8,
-                   maxShingleFreq: Option[Int] = None): DataFrame = {
+                   maxShingleFreq: Option[Int] = Some(DefaultMaxShingleFreq)): DataFrame = {
     val sh0 = docShingles(docs, idCol, textCol, n)
     // The inverted index feeds three consumers (sizes + both self-join
     // sides). Deliberately NOT persisted: with the compiled
@@ -148,16 +161,26 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: 64-bit fingerprints, banded candidate
-    * generation (4×16-bit bands — exhaustive for hamming ≤ 3), hamming
-    * verification. */
+    * generation, hamming verification. The band count is DERIVED from
+    * `maxHamming`: by pigeonhole, a pair differing in ≤ h bits must
+    * agree exactly on ≥ 1 of h+1 disjoint bands, so h+1 bands make the
+    * candidate generation exhaustive for any h (the default h=3 gives
+    * the classic 4×16-bit layout). More bands = smaller buckets = more
+    * spurious candidates, so keep h small at corpus scale. */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
               maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming=$maxHamming must be in [0, 63]")
+    val nb = maxHamming + 1
+    val widths = Array.tabulate(nb)(i => 64 / nb + (if (i < 64 % nb) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val parts = (0 until nb).map { i =>
+      val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1
+      s"$i, shiftright(sh, ${offsets(i)}) & ${mask}L"
+    }.mkString(", ")
     val fp = simhashFingerprints(docs, idCol, textCol)
     val bands = fp.select(col("doc_id"), col("sh"),
-      expr("stack(4, 0, shiftright(sh, 0)  & 65535," +
-           "         1, shiftright(sh, 16) & 65535," +
-           "         2, shiftright(sh, 32) & 65535," +
-           "         3, shiftright(sh, 48) & 65535) AS (band, bucket)"))
+      expr(s"stack($nb, $parts) AS (band, bucket)"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -169,38 +192,69 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
-  /** Exact embedding-cosine near-dup pairs. All O(n²) work happens in a
-    * primitive-array kernel inside `mapPartitions` against a broadcast
-    * copy of the table (per-pair higher-order-function evaluation is
-    * interpreted, ~80 s at sf0.1; this kernel is < 1 s). The dot/norm
-    * folds run left-to-right, exactly matching the sequential DuckDB
-    * oracle evaluation, so results stay hash-identical.
+  /** Exact embedding-cosine near-dup pairs, tiled: rows are hashed
+    * into `numBlocks` blocks and each of the B(B+1)/2 unordered block
+    * pairs becomes one independent tile task, so NO full-table
+    * collect/broadcast exists anywhere — peak memory per task is two
+    * blocks (2n/B vectors) and the shuffle is the B-fold row
+    * replication the exact O(n²) semantics forces. Pick numBlocks so
+    * one block fits an executor (n·d·8/B bytes); the sub-quadratic
+    * scale path remains LSH/IVF in [[Similarity]].
     *
-    * Scale: broadcasting one side caps at ~10⁶×dim doubles; beyond
-    * that, block the broadcast side or use the LSH bucketed path in
-    * [[Similarity]] — this operator is the oracle-checkable exact
-    * verifier. */
+    * All O(n²) work happens in a primitive-array kernel (per-pair
+    * higher-order-function evaluation is interpreted, ~80 s at sf0.1;
+    * this kernel is < 1 s). The dot/norm folds run left-to-right over
+    * the lower-id vector first — IEEE multiplication is commutative,
+    * so orientation doesn't change bits — exactly matching the
+    * sequential DuckDB oracle, so results stay hash-identical. */
   def embeddingCosine(embs: DataFrame, idCol: String, vecCol: String,
-                      threshold: Double): DataFrame = {
+                      threshold: Double, numBlocks: Int = 8): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
+    require(numBlocks >= 1, "numBlocks must be >= 1")
+    val B = numBlocks
     val p = embs.select(col(idCol).cast("long").as("id"),
       VectorOps.toDouble(col(vecCol)).as("v")).as[(Long, Array[Double])]
-    val all = spark.sparkContext.broadcast(p.collect().sortBy(_._1))
-    val out = p.mapPartitions { iter =>
-      val b = all.value
-      iter.flatMap { case (ida, va) =>
-        val na = math.sqrt(VectorOps.dotSeq(va, va))
-        b.iterator
-          .filter(_._1 > ida)
-          .map { case (idb, vb) =>
-            val c = VectorOps.dotSeq(va, vb) / (na * math.sqrt(VectorOps.dotSeq(vb, vb)))
-            (ida, idb, c)
-          }
-          .filter(_._3 >= threshold)
+    // Each row belongs to one block; tile (lo, hi) pairs block lo
+    // against block hi, so a row of block b is replicated into the B
+    // tiles {(min(b,j), max(b,j)) : j < B} — every unordered row pair
+    // meets in exactly one tile.
+    val tagged = p.flatMap { case (id, v) =>
+      val b = java.lang.Math.floorMod(id, B.toLong).toInt
+      (0 until B).map { j =>
+        val lo = math.min(b, j); val hi = math.max(b, j)
+        (lo * B + hi, b, id, v)
       }
+    }
+    tagged.groupByKey(_._1).flatMapGroups { (tile, iter) =>
+      val lo = tile / B; val hi = tile % B
+      val rows = iter.map { case (_, b, id, v) => (b, id, v) }.toArray
+      val left = rows.filter(_._1 == lo).sortBy(_._2)
+      val right = if (lo == hi) left else rows.filter(_._1 == hi).sortBy(_._2)
+      val leftNorm = left.map { case (_, _, v) => math.sqrt(VectorOps.dotSeq(v, v)) }
+      val rightNorm =
+        if (lo == hi) leftNorm
+        else right.map { case (_, _, v) => math.sqrt(VectorOps.dotSeq(v, v)) }
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var i = 0
+      while (i < left.length) {
+        val ida = left(i)._2; val va = left(i)._3
+        var j = if (lo == hi) i + 1 else 0
+        while (j < right.length) {
+          val idb = right(j)._2; val vb = right(j)._3
+          // orient by id so the fold order matches the oracle's a<b
+          val c =
+            if (ida < idb) VectorOps.dotSeq(va, vb) / (leftNorm(i) * rightNorm(j))
+            else VectorOps.dotSeq(vb, va) / (rightNorm(j) * leftNorm(i))
+          if (c >= threshold && ida != idb) {
+            if (ida < idb) buf += ((ida, idb, c)) else buf += ((idb, ida, c))
+          }
+          j += 1
+        }
+        i += 1
+      }
+      buf.iterator
     }.toDF("id_a", "id_b", "cosine")
-    out
   }
 
 }

@@ -41,7 +41,11 @@ object Events {
         col("n"), col("sum_value"))
 
   /** Gap-based sessionization: a new session starts when the gap to
-    * the previous event of the same user exceeds `gapSeconds`.
+    * the previous event of the same user reaches `gapSeconds` — the
+    * STRICT boundary (`>=`), matching Spark's native `session_window`
+    * (whose windows are [start, last+gap), so an event exactly gap
+    * after the last one falls outside) — [[sessionWindow]] and this
+    * operator share one oracle and must agree at the boundary.
     * Output: (user_id, session_id, session_start, session_end,
     * n_events, sum_value). Deterministic ordering on (ts, event_id). */
   def sessionize(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
@@ -51,7 +55,7 @@ object Events {
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
       .withColumn("is_new",
         when(col("prev_us").isNull ||
-          unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+          unix_micros(col("ts")) - col("prev_us") >= gapUs, 1).otherwise(0))
     withNew
       .withColumn("session_id",
         sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
@@ -64,8 +68,9 @@ object Events {
   }
 
   /** Gap sessionization via Spark's native `session_window` operator —
-    * same semantics as [[sessionize]] (which uses explicit window
-    * functions); both are declared queries checked against the SAME
+    * same semantics as [[sessionize]], including the strict gap
+    * boundary (an event exactly `gap` after the previous one starts a
+    * new session); both are declared queries checked against the SAME
     * DuckDB oracle. Output: (user_id, session_start, n_events). */
   def sessionWindow(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events

@@ -122,17 +122,43 @@ object Relational {
     withO.unionByName(withoutO).select("c_mktsegment", "kind", "n")
   }
 
-  /** Window-over-join: top 3 orders by totalprice within each market
-    * segment. */
+  /** Window-over-join: top k orders by totalprice within each market
+    * segment. The naive plan — `row_number()` over a 5-value partition
+    * key — funnels the whole fact table into 5 window tasks (one sorts
+    * tens of millions of rows at 100×). Instead each input partition
+    * keeps a bounded per-segment top-k (no shuffle, O(k·segments)
+    * memory), so the final exact rank runs over ≤ k·segments·partitions
+    * rows — the same partial-top-k shape as
+    * [[Similarity.bruteForceTopK]]. */
   def topOrdersPerSegment(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import s.implicits._
     val joined = Tables.orders(s, dir)
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+      .as[(String, Long, Double)]
+    // (price desc, orderkey asc) — identical tie-break to the window
+    val ord = Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long])
+    val partial = joined.mapPartitions { iter =>
+      val best = scala.collection.mutable.HashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[(Double, Long)]]
+      iter.foreach { case (seg, okey, price) =>
+        val h = best.getOrElseUpdate(seg, scala.collection.mutable.ArrayBuffer.empty)
+        if (h.length < k || ord.lt((price, okey), h.last)) {
+          h += ((price, okey))
+          val top = h.sorted(ord).take(k)
+          h.clear(); h ++= top
+        }
+      }
+      best.iterator.flatMap { case (seg, h) =>
+        h.iterator.map { case (price, okey) => (seg, okey, price) }
+      }
+    }.toDF("c_mktsegment", "o_orderkey", "o_totalprice")
     val w = Window.partitionBy("c_mktsegment")
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    joined
+    partial
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("c_mktsegment", "rank", "o_orderkey", "o_totalprice")

@@ -88,26 +88,30 @@ object Similarity {
     b
   }
 
-  /** IVF (inverted-file) approximate top-k: a coarse K-Means quantizer
-    * (trained with [[graft.cluster.KMeansNative]], deterministic firstK
-    * init) partitions vectors into cells; each query probes its
-    * `nProbe` nearest cells and ranks only those candidates by exact
-    * cosine. The at-scale layout: cell id is the partition/cluster
-    * key, so a probe reads `nProbe / nCells` of the corpus. */
-  def ivfTopK(embs: DataFrame, idCol: String, vecCol: String,
-              queries: Array[(Long, Array[Double])], k: Int,
-              nCells: Int = 16, nProbe: Int = 4, trainIters: Int = 5,
-              trainSample: Int = 10000, seed: Long = 42L): DataFrame = {
+  /** A built IVF index: the trained coarse-quantizer centers plus the
+    * cell-assigned corpus (persisted). Build once with [[buildIndex]],
+    * probe many times with [[probe]] — at scale the cell assignment is
+    * the expensive corpus pass and must amortize across queries. On a
+    * cluster `cells` would live partitioned/bucketed by `cell` in
+    * storage; here persist() plays that role. */
+  final case class IvfIndex(centers: Array[Array[Double]], cells: DataFrame) {
+    def unpersist(): Unit = { cells.unpersist(); () }
+  }
+
+  /** Train the coarse quantizer and assign every vector to its cell.
+    * Training: a bounded deterministic sample (seeded hash rank — same
+    * idiom as KMeansNative.randomCenters): ONE corpus scan collects
+    * ≤ trainSample·dim doubles, then all K-Means iterations run on the
+    * local sample, so index build is O(corpus) + O(sample · iters)
+    * however large the corpus — the scale-up run showed full-corpus
+    * training dominating otherwise. */
+  def buildIndex(embs: DataFrame, idCol: String, vecCol: String,
+                 nCells: Int = 16, trainIters: Int = 5,
+                 trainSample: Int = 10000, seed: Long = 42L): IvfIndex = {
     val spark = embs.sparkSession
     import spark.implicits._
     val pts = embs.select(col(idCol).cast("long").as("id"),
       VectorOps.toDouble(col(vecCol)).as("v"))
-    // Train the coarse quantizer on a bounded deterministic sample
-    // (seeded hash rank — same idiom as KMeansNative.randomCenters):
-    // ONE corpus scan collects ≤ trainSample·dim doubles, then all
-    // training iterations run on the local dataset, so index build is
-    // O(corpus) + O(sample · iters) however large the corpus — the
-    // scale-up run showed full-corpus training dominating otherwise.
     val sampleRows = pts
       .orderBy(xxhash64(lit(seed), col("id")), col("id"))
       .limit(trainSample)
@@ -118,15 +122,26 @@ object Similarity {
     val centers = graft.cluster.KMeansNative.fit(train, "v", init, maxIter = trainIters).centers
     val cells = graft.cluster.KMeansNative.assigned(pts, col("v"), centers)
       .select(col("id"), col("v"), col("cluster_id").as("cell"))
+      .persist()
+    IvfIndex(centers, cells)
+  }
+
+  /** Probe a built index: each query ranks only the candidates in its
+    * `nProbe` nearest cells by exact cosine — a probe touches
+    * ~nProbe/nCells of the corpus and never retrains. */
+  def probe(index: IvfIndex, queries: Array[(Long, Array[Double])],
+            k: Int, nProbe: Int = 4): DataFrame = {
+    val spark = index.cells.sparkSession
+    import spark.implicits._
     val probes = queries.flatMap { case (qid, qv) =>
-      centers.zipWithIndex
+      index.centers.zipWithIndex
         .map { case (c, cid) => (VectorOps.sqdistSeq(qv, c), cid) }
         .sortBy { case (d, cid) => (d, cid) }
         .take(nProbe)
         .map { case (_, cid) => (qid, qv, math.sqrt(VectorOps.dotSeq(qv, qv)), cid) }
     }.toSeq
     val qdf = probes.toDF("query_id", "qv", "qn", "cell")
-    val scored = cells.join(broadcast(qdf), Seq("cell"))
+    val scored = index.cells.join(broadcast(qdf), Seq("cell"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("qv"), col("qn"), col("id"), col("v"))
       .as[(Long, Array[Double], Double, Long, Array[Double])]
@@ -140,6 +155,16 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
+
+  /** IVF (inverted-file) approximate top-k: one-shot convenience over
+    * [[buildIndex]] + [[probe]]. Callers issuing repeated query
+    * batches should hold the [[IvfIndex]] instead. */
+  def ivfTopK(embs: DataFrame, idCol: String, vecCol: String,
+              queries: Array[(Long, Array[Double])], k: Int,
+              nCells: Int = 16, nProbe: Int = 4, trainIters: Int = 5,
+              trainSample: Int = 10000, seed: Long = 42L): DataFrame =
+    probe(buildIndex(embs, idCol, vecCol, nCells, trainIters, trainSample, seed),
+      queries, k, nProbe)
 
   /** Approximate top-k via multi-table sign-LSH; same output shape as
     * [[bruteForceTopK]]. Candidates = vectors sharing any (table,

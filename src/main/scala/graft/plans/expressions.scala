@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -154,6 +154,57 @@ object expressions {
       copy(left = l, right = r)
   }
 
+  /** Modulus of the rolling fingerprint: keeps every intermediate
+    * < 2^36, so the fold is overflow-safe in 64-bit arithmetic in any
+    * engine ([[graft.functions.TextOps.FingerprintMod]] aliases it). */
+  val FingerprintMod = 1000000007L
+
+  /** Polynomial rolling-hash fingerprint of a string:
+    * h = (h·31 + codepoint) mod (10⁹+7), folded left-to-right over the
+    * code points — bit-identical to the HOF formulation
+    * ([[graft.functions.TextOps.rollingFingerprintHof]]: substr/ascii
+    * walk the same code points) but compiled: the HOF builds an O(len)
+    * array and evaluates two interpreted lambdas per character. */
+  case class RollingFingerprint(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "rolling_fingerprint"
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      var h = 0L
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        h = (h * 31L + cp) % FingerprintMod
+        i += Character.charCount(cp)
+      }
+      h
+    }
+
+    // Fresh names for every local — see the SqDist note.
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val s = ctx.freshName("s")
+        val h = ctx.freshName("h")
+        val i = ctx.freshName("i")
+        val cp = ctx.freshName("cp")
+        s"""
+           |java.lang.String $s = $a.toString();
+           |long $h = 0L;
+           |int $i = 0;
+           |while ($i < $s.length()) {
+           |  int $cp = $s.codePointAt($i);
+           |  $h = ($h * 31L + $cp) % ${FingerprintMod}L;
+           |  $i += java.lang.Character.charCount($cp);
+           |}
+           |${ev.value} = $h;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): RollingFingerprint =
+      copy(child = newChild)
+  }
+
   /** Column wrappers for the compiled kernels. */
   def vec_sqdist(a: Column, b: Column): Column =
     org.apache.spark.sql.GraftShims.column(SqDist(
@@ -170,6 +221,10 @@ object expressions {
     org.apache.spark.sql.GraftShims.column(
       WordShingles(org.apache.spark.sql.GraftShims.expression(text), n))
 
+  def rolling_fingerprint(text: Column): Column =
+    org.apache.spark.sql.GraftShims.column(
+      RollingFingerprint(org.apache.spark.sql.GraftShims.expression(text)))
+
   /** Register SQL-callable names on a session (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -180,6 +235,8 @@ object expressions {
       "vec_sqdist", exprs => SqDist(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_fingerprint", exprs => RollingFingerprint(exprs.head), "built-in")
   }
 
   /** Fold a constant integral expression to Int with a clear error

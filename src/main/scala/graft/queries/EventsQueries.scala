@@ -84,7 +84,7 @@ object EventsQueries {
     "events_session" ->
       s"""WITH e AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS us FROM events),
          |w AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM e),
-         |n AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new FROM w),
+         |n AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS is_new FROM w),
          |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
          |                                  ROWS UNBOUNDED PRECEDING) AS session_id FROM n)
          |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
@@ -96,7 +96,7 @@ object EventsQueries {
     "events_session_window" ->
       s"""WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
          |w AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM e),
-         |n AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new FROM w),
+         |n AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS is_new FROM w),
          |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
          |                                  ROWS UNBOUNDED PRECEDING) AS session_id FROM n)
          |SELECT user_id, strftime(min(ts), '$DuckFmt') AS session_start, COUNT(*) AS n_events

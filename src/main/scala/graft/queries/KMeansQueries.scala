@@ -23,12 +23,13 @@ object KMeansQueries {
       .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
 
   // Six declared queries share the same deterministic init: collect it
-  // once per sfDir (k·d doubles) instead of one extra Spark job each.
-  private val firstKCache =
-    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+  // once per fixture file (k·d doubles) instead of one extra Spark job
+  // each. Keyed by (path, mtime, size) so regenerated data under the
+  // same path does not serve stale centers.
   private def firstK(s: SparkSession, dir: String): Array[Array[Double]] =
-    firstKCache.getOrElseUpdate(dir,
-      KMeansNative.firstKCenters(pts(s, dir), "vec_id", "v", K))
+    graft.io.FixtureCache.memo("kmeans_firstK", dir, "embeddings") {
+      KMeansNative.firstKCenters(pts(s, dir), "vec_id", "v", K)
+    }
 
   private def assignedDf(s: SparkSession, dir: String): DataFrame =
     KMeansNative.assigned(pts(s, dir), col("v"), firstK(s, dir))

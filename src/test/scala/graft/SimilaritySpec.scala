@@ -58,6 +58,21 @@ class SimilaritySpec extends SparkSpec {
     assert(hits.toDouble / total >= 0.5, s"recall $hits/$total")
   }
 
+  test("IVF index builds once and serves repeated probes") {
+    val idx = Similarity.buildIndex(emb, "vec_id", "embedding")
+    try {
+      assert(idx.cells.storageLevel.useMemory, "cell assignment must be persisted")
+      val a = Similarity.probe(idx, queries, 5).collect().map(_.toSeq).toSeq
+      val b = Similarity.probe(idx, queries, 5).collect().map(_.toSeq).toSeq
+      assert(a === b)
+      assert(a.nonEmpty)
+      // one-shot wrapper agrees with explicit build+probe
+      val oneShot = Similarity.ivfTopK(emb, "vec_id", "embedding", queries, 5)
+        .collect().map(_.toSeq).toSeq
+      assert(oneShot === a)
+    } finally idx.unpersist()
+  }
+
   test("LSH is deterministic for a fixed seed") {
     val a = Similarity.lshTopK(emb, "vec_id", "embedding", queries, 5).collect()
     val b = Similarity.lshTopK(emb, "vec_id", "embedding", queries, 5).collect()

@@ -17,13 +17,17 @@ class StreamingSpec extends SparkSpec {
       .select(col("window_start"), col("event_type"), col("n"))
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
     val q = graft.queries.MultimodalQueries.streamWindowParity(spark, sf001)
-    // parity query formats timestamps; reformat batch the same way
+    // parity query formats timestamps and rounds sums; reshape batch
+    // the same way — sum_value must participate: it is the value whose
+    // batch/stream scale mismatch would otherwise go untested
     val batchFmt = Events.tumbling(graft.io.Tables.events(spark, sf001))
       .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
-        col("event_type"), col("n"))
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
-    val streamed = q.select("window_start", "event_type", "n")
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+        col("event_type"), col("n"), round(col("sum_value"), 6).as("sum_value"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val streamed = q.select("window_start", "event_type", "n", "sum_value")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
     assert(streamed === batchFmt)
     assert(batch.size === batchFmt.size)
   }
