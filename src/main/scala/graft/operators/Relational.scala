@@ -164,6 +164,75 @@ object Relational {
       .select("c_mktsegment", "rank", "o_orderkey", "o_totalprice")
   }
 
+  /** TPC-H Q6-style revenue forecast: tight filter + ungrouped agg —
+    * the canonical predicate-pushdown probe. All three predicates
+    * reach the parquet scan (date range + discount band + quantity);
+    * the plan is scan → partial agg → single-row final agg, zero
+    * shuffle of data rows. */
+  def revenueForecast(s: SparkSession, dir: String,
+                      from: String = "1998-01-01",
+                      until: String = "1999-01-01"): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(dsum4(col("l_extendedprice") * col("l_discount")).as("revenue"))
+
+  /** Non-equi (range/band) join: each event lands in an IRREGULAR
+    * value band. Regular bands would be arithmetic bucketing (a pure
+    * projection, no join); irregular bands are the case that genuinely
+    * needs a range join. The band table is tiny → broadcast
+    * nested-loop join: the fact side streams through unchanged, never
+    * shuffles. */
+  val ValueBands: Seq[(Double, Double)] =
+    Seq((0.0, 10.0), (10.0, 50.0), (50.0, 100.0),
+      (100.0, 200.0), (200.0, 400.0), (400.0, 600.0))
+
+  def eventValueBands(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = ValueBands.toDF("lo", "hi")
+    Tables.events(s, dir).select("value")
+      .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+  }
+
+  /** GROUPING SETS ((region, nation), (region), ()) over the customer
+    * dimension hierarchy — subtotals at nation, region and grand-total
+    * level in one pass (Catalyst expands to a single Expand + hash
+    * agg, not three scans). Dims broadcast. */
+  def customerGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select("c_nationkey", "c_acctbal")
+    val n = Tables.nation(s, dir).select("n_nationkey", "n_name", "n_regionkey")
+    val r = Tables.region(s, dir).select("r_regionkey", "r_name")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupingSets(
+        Seq(Seq(col("r_name"), col("n_name")), Seq(col("r_name")), Seq()),
+        col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), dsum2(col("c_acctbal")).as("sum_acctbal"))
+  }
+
+  /** Correlated-subquery surface: parts priced above their brand's
+    * average retail price, counted per brand. The comparison is kept
+    * in EXACT integer/decimal arithmetic (price·count > total, not
+    * price > total/count) so no engine's division order can flip a
+    * boundary row. Catalyst decorrelates both scalar subqueries into
+    * one aggregate + broadcast join — no per-row re-scan. */
+  def aboveBrandAverage(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir).createOrReplaceTempView("part_v")
+    s.sql(
+      """SELECT p_brand, COUNT(*) AS n_above
+        |FROM part_v p
+        |WHERE CAST(p_retailprice AS DECIMAL(18,2)) *
+        |      (SELECT COUNT(*) FROM part_v p2 WHERE p2.p_brand = p.p_brand)
+        |    > (SELECT SUM(CAST(p_retailprice AS DECIMAL(18,2)))
+        |       FROM part_v p2 WHERE p2.p_brand = p.p_brand)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin)
+  }
+
   /** Set-operation surface: nation keys segmented by whether they have
     * customers, suppliers, or both (INTERSECT / EXCEPT). */
   def nationPresence(s: SparkSession, dir: String): DataFrame = {

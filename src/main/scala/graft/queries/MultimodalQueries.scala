@@ -5,22 +5,17 @@ import org.apache.spark.sql.functions._
 
 import graft.io.Tables
 import graft.multimodal.Multimodal
-import graft.streaming.StreamOps
 
-/** Declared multimodal + streaming-parity queries.
+/** Declared multimodal queries.
   *
   * The multimodal payloads are UTF-8 bytes of `documents.text` (ASCII
   * fixture ⇒ byte == codepoint), so even the binary-kernel outputs are
   * DuckDB-oracle-checkable: the oracle recomputes histograms / frame
   * fingerprints from the text characters.
   *
-  * `stream_window_parity` runs the REAL Structured Streaming path
-  * (file-source readStream → watermark window agg → memory sink) and
-  * is checked against the same SQL oracle as the batch window query —
-  * streaming and batch must agree with DuckDB.
+  * (The streaming parity queries live in [[StreamQueries]].)
   */
 object MultimodalQueries {
-  private val Fmt = "yyyy-MM-dd HH:mm:ss"
   private val M = graft.functions.TextOps.FingerprintMod
 
   private def blobs(s: SparkSession, dir: String): DataFrame =
@@ -37,46 +32,9 @@ object MultimodalQueries {
       .select(col("id").as("doc_id"), col("frame_idx"), col("frame_fp"))
       .orderBy("doc_id", "frame_idx")
 
-  def streamWindowParity(s: SparkSession, dir: String): DataFrame = {
-    val qname = "stream_window_parity_sink"
-    s.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
-    // The file source requires a directory; expose the single fixture
-    // file through a temp dir symlink (falling back to a copy). One
-    // temp dir per fixture file, reused across invocations — repeated
-    // Verify+Bench runs in one JVM must not accumulate dirs and
-    // deleteOnExit hooks.
-    val streamDir = graft.io.FixtureCache.memo("stream_src_dir", dir, "events") {
-      val src = java.nio.file.Paths.get(dir, "events.parquet")
-      val d = java.nio.file.Files.createTempDirectory("graft-stream")
-      val link = d.resolve("events.parquet")
-      try java.nio.file.Files.createSymbolicLink(link, src)
-      catch { case _: Exception => java.nio.file.Files.copy(src, link) }
-      link.toFile.deleteOnExit()
-      d.toFile.deleteOnExit()
-      d.toString
-    }
-    val agg = StreamOps.windowedAgg(
-      StreamOps.readEventsStream(s, streamDir))
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName(qname).start()
-    q.processAllAvailable()
-    q.stop()
-    val result = s.table(qname)
-      .select(date_format(col("window_start"), Fmt).as("window_start"),
-        col("event_type"), col("n"), round(col("sum_value"), 6).as("sum_value"))
-      .orderBy("window_start", "event_type")
-    // Materialize and drop the memory-sink table so the registration
-    // doesn't leak across invocations; the result is |windows × types|
-    // rows (small by construction).
-    val rows = result.collect()
-    s.catalog.dropTempView(qname)
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
-  }
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_byte_histogram" -> (histogram _),
-    "mm_frame_fingerprints" -> (frames _),
-    "stream_window_parity" -> (streamWindowParity _))
+    "mm_frame_fingerprints" -> (frames _))
 
   val oracles: Map[String, String] = Map(
     "mm_byte_histogram" ->
@@ -101,10 +59,5 @@ object MultimodalQueries {
          |              i -> CAST(ascii(substr(frame, i, 1)) AS BIGINT)),
          |              (a, b) -> (a * 31 + b) % $M)
          |  END AS frame_fp
-         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
-    "stream_window_parity" ->
-      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-        |  event_type, COUNT(*) AS n,
-        |  round(CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE), 6) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+         |FROM f ORDER BY doc_id, frame_idx""".stripMargin)
 }

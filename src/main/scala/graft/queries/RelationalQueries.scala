@@ -67,6 +67,29 @@ object RelationalQueries {
     Relational.nationPresence(s, dir)
       .orderBy("kind", "nk")
 
+  def q6(s: SparkSession, dir: String): DataFrame =
+    Relational.revenueForecast(s, dir)
+      .select(asFixedPoint(col("revenue"), 10000).as("revenue"))
+
+  def valueBands(s: SparkSession, dir: String): DataFrame =
+    Relational.eventValueBands(s, dir)
+      .select(col("lo").cast("long").as("band_lo"),
+        col("hi").cast("long").as("band_hi"),
+        col("n"),
+        asFixedPoint(col("sum_value"), 100).as("sum_value_cents"))
+      .orderBy("band_lo")
+
+  def groupingSetsQ(s: SparkSession, dir: String): DataFrame =
+    Relational.customerGroupingSets(s, dir)
+      .select(coalesce(col("r_name"), lit("ALL")).as("r_name"),
+        coalesce(col("n_name"), lit("ALL")).as("n_name"),
+        col("n_cust"),
+        asFixedPoint(col("sum_acctbal"), 100).as("sum_acctbal_cents"))
+      .orderBy("r_name", "n_name")
+
+  def subqueryQ(s: SparkSession, dir: String): DataFrame =
+    Relational.aboveBrandAverage(s, dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_q1_pricing" -> (q1 _),
     "rel_q3_top_revenue" -> (q3 _),
@@ -74,7 +97,11 @@ object RelationalQueries {
     "rel_brand_volume" -> (brands _),
     "rel_semi_anti_join" -> (semiAnti _),
     "rel_window_rank" -> (windowRank _),
-    "rel_set_ops" -> (setOps _))
+    "rel_set_ops" -> (setOps _),
+    "rel_q6_forecast" -> (q6 _),
+    "rel_range_join" -> (valueBands _),
+    "rel_grouping_sets" -> (groupingSetsQ _),
+    "rel_subquery_brand_avg" -> (subqueryQ _))
 
   val oracles: Map[String, String] = Map(
     "rel_q1_pricing" ->
@@ -136,6 +163,39 @@ object RelationalQueries {
         |  FROM orders JOIN customer ON o_custkey = c_custkey)
         |SELECT c_mktsegment, rank, o_orderkey, o_totalprice
         |FROM r WHERE rank <= 3 ORDER BY 1, 2""".stripMargin,
+    "rel_q6_forecast" ->
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,4))) AS DECIMAL(24,4)) * 10000 AS BIGINT) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "rel_range_join" ->
+      """WITH bands(lo, hi) AS (VALUES (0.0, 10.0), (10.0, 50.0), (50.0, 100.0),
+        |                              (100.0, 200.0), (200.0, 400.0), (400.0, 600.0))
+        |SELECT CAST(lo AS BIGINT) AS band_lo, CAST(hi AS BIGINT) AS band_hi,
+        |  COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DECIMAL(24,2)) * 100 AS BIGINT) AS sum_value_cents
+        |FROM events JOIN bands ON value >= lo AND value < hi
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "rel_grouping_sets" ->
+      """SELECT coalesce(r_name, 'ALL') AS r_name, coalesce(n_name, 'ALL') AS n_name,
+        |  COUNT(*) AS n_cust,
+        |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,2))) AS DECIMAL(24,2)) * 100 AS BIGINT) AS sum_acctbal_cents
+        |FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+        |ORDER BY 1, 2""".stripMargin,
+    "rel_subquery_brand_avg" ->
+      """SELECT p_brand, COUNT(*) AS n_above
+        |FROM part p
+        |WHERE CAST(p_retailprice AS DECIMAL(18,2)) *
+        |      (SELECT COUNT(*) FROM part p2 WHERE p2.p_brand = p.p_brand)
+        |    > (SELECT SUM(CAST(p_retailprice AS DECIMAL(18,2)))
+        |       FROM part p2 WHERE p2.p_brand = p.p_brand)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
     "rel_set_ops" ->
       """WITH c AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
         |s AS (SELECT DISTINCT s_nationkey AS nk FROM supplier),

@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.io.FixtureCache
+import graft.streaming.StreamOps
+
+/** Declared Structured Streaming queries, each run as a REAL streaming
+  * job (file-source readStream → stateful transform → memory sink) and
+  * checked against a DuckDB oracle on the same fixture — streaming and
+  * batch must agree.
+  *
+  *  - `stream_window_parity`: watermarked tumbling-window aggregation
+  *    (complete mode), same oracle as the batch window query.
+  *  - `stream_session_parity`: flatMapGroupsWithState sessionization
+  *    with event-time timeout (append mode). The oracle mirrors the
+  *    emission semantics exactly: a session is output either when a
+  *    later in-stream event closes it (gap ≥ 30 min) or when the final
+  *    watermark — max event time, ms resolution — passes its
+  *    end + gap; each user's trailing session emits only via the
+  *    latter.
+  *  - `stream_join_pairs`: stream-stream interval join (signup ⋈
+  *    purchase within 24 h per user) with watermarks on both sides.
+  *  - `stream_dedup_distinct`: streaming dropDuplicates state op. The
+  *    declared query uses the global (unbounded-state) variant so the
+  *    result is batching-independent and oracle-checkable;
+  *    at 100 TB you would bound state with dropDuplicatesWithinWatermark
+  *    (whose output depends on batch boundaries, so it is covered by
+  *    ScalaTest instead of a cross-engine oracle).
+  *
+  * Scale notes: all four stateful operators hold bounded per-key state
+  * (window×type counts, one open session per user, join rows inside
+  * the watermark horizon, one bit per dedup key); the memory-sink
+  * collect is a test-harness artifact — production would writeStream
+  * to files/Kafka.
+  */
+object StreamQueries {
+  private val Fmt = "yyyy-MM-dd HH:mm:ss"
+  private val DuckFmt = "%Y-%m-%d %H:%M:%S"
+  private val GapUs = 1800L * 1000000L
+
+  /** The file source needs a directory; expose the single fixture file
+    * through a cached temp-dir symlink (one per fixture file — repeated
+    * Verify+Bench runs in one JVM must not accumulate dirs). */
+  private[queries] def eventsStreamDir(dir: String): String =
+    FixtureCache.memo("stream_src_dir", dir, "events") {
+      val src = java.nio.file.Paths.get(dir, "events.parquet")
+      val d = java.nio.file.Files.createTempDirectory("graft-stream")
+      val link = d.resolve("events.parquet")
+      try java.nio.file.Files.createSymbolicLink(link, src)
+      catch { case _: Exception => java.nio.file.Files.copy(src, link) }
+      link.toFile.deleteOnExit()
+      d.toFile.deleteOnExit()
+      d.toString
+    }
+
+  /** Start `df` into a memory sink, drain it, and return the sink's
+    * rows as a local DataFrame (dropping the temp view so repeated
+    * invocations don't leak registrations). */
+  private def runToMemory(s: SparkSession, qname: String, df: DataFrame,
+                          mode: String, awaitTimeout: Boolean = false): DataFrame = {
+    s.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(qname).start()
+    q.processAllAvailable()
+    if (awaitTimeout) awaitNoDataBatch(q)
+    q.stop()
+    val t = s.table(qname)
+    val rows = t.collect()
+    val schema = t.schema
+    s.catalog.dropTempView(qname)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /** Event-time timeouts fire in the no-data micro-batch that runs
+    * after the watermark advances past the last data batch;
+    * processAllAvailable only waits for DATA, so queries whose output
+    * depends on timeouts must wait for that batch explicitly. */
+  private def awaitNoDataBatch(q: StreamingQuery, timeoutMs: Long = 60000L): Unit = {
+    val deadline = System.currentTimeMillis + timeoutMs
+    while (System.currentTimeMillis < deadline &&
+           !q.recentProgress.exists(p => p.numInputRows == 0L)) {
+      Thread.sleep(50)
+      q.processAllAvailable()
+    }
+  }
+
+  def windowParity(s: SparkSession, dir: String): DataFrame = {
+    val agg = StreamOps.windowedAgg(
+      StreamOps.readEventsStream(s, eventsStreamDir(dir)))
+    runToMemory(s, "stream_window_parity_sink", agg, "complete")
+      .select(date_format(col("window_start"), Fmt).as("window_start"),
+        col("event_type"), col("n"), round(col("sum_value"), 6).as("sum_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  def sessionParity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = StreamOps.readEventsStream(s, eventsStreamDir(dir))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamOps.Event]
+    val sess = StreamOps.sessionize(ev).toDF()
+    runToMemory(s, "stream_session_sink", sess, "append", awaitTimeout = true)
+      .select(col("user_id"),
+        date_format(col("session_start"), Fmt).as("session_start"),
+        date_format(col("session_end"), Fmt).as("session_end"),
+        col("n_events"),
+        // sum in cents: the fixture values are exact 2-dp, so the
+        // running double sum is within 1e-9 of the true cent count
+        round(col("sum_value") * 100).cast("long").as("sum_value_cents"))
+      .orderBy("user_id", "session_start")
+  }
+
+  def joinPairs(s: SparkSession, dir: String): DataFrame = {
+    val ev = StreamOps.readEventsStream(s, eventsStreamDir(dir))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"),
+        col("event_id").as("s_id"))
+      .withWatermark("s_ts", "25 hours")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "25 hours")
+    val joined = signups.join(purchases,
+      expr("s_user = p_user AND p_ts > s_ts AND p_ts <= s_ts + INTERVAL 24 HOURS"))
+      .select(col("s_user"), col("s_id"), col("p_id"))
+    runToMemory(s, "stream_join_sink", joined, "append")
+      .groupBy(col("s_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
+  def dedupDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = StreamOps.readEventsStream(s, eventsStreamDir(dir))
+      .select("user_id", "event_type")
+      .dropDuplicates("user_id", "event_type")
+    runToMemory(s, "stream_dedup_sink", ev, "append")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_window_parity" -> (windowParity _),
+    "stream_session_parity" -> (sessionParity _),
+    "stream_join_pairs" -> (joinPairs _),
+    "stream_dedup_distinct" -> (dedupDistinct _))
+
+  val oracles: Map[String, String] = Map(
+    "stream_window_parity" ->
+      s"""SELECT strftime(date_trunc('hour', ts), '$DuckFmt') AS window_start,
+         |  event_type, COUNT(*) AS n,
+         |  round(CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE), 6) AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // emission rule mirrored from flatMapGroupsWithState: non-trailing
+    // sessions are closed in-stream by the next event; each user's
+    // trailing session times out only if ceil_ms(end + gap) <
+    // floor_ms(max event ts) (the final watermark, delay 0)
+    "stream_session_parity" ->
+      s"""WITH e AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS us FROM events),
+         |w AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM e),
+         |n AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= $GapUs THEN 1 ELSE 0 END AS is_new FROM w),
+         |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                                  ROWS UNBOUNDED PRECEDING) AS session_id FROM n),
+         |g AS (SELECT user_id, session_id,
+         |        strftime(min(ts), '$DuckFmt') AS session_start,
+         |        strftime(max(ts), '$DuckFmt') AS session_end,
+         |        max(us) AS end_us,
+         |        COUNT(*) AS n_events,
+         |        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+         |      FROM s GROUP BY 1, 2),
+         |r AS (SELECT g.*, row_number() OVER (PARTITION BY user_id ORDER BY session_id DESC) AS rn FROM g),
+         |m AS (SELECT epoch_us(max(ts)) // 1000 AS wm_ms FROM events)
+         |SELECT user_id, session_start, session_end, n_events, sum_value_cents
+         |FROM r, m
+         |WHERE rn > 1 OR (end_us + $GapUs + 999) // 1000 < wm_ms
+         |ORDER BY user_id, session_start""".stripMargin,
+    "stream_join_pairs" ->
+      """SELECT s.user_id AS user_id, COUNT(*) AS n_pairs
+        |FROM events s JOIN events p
+        |  ON s.user_id = p.user_id
+        | AND s.event_type = 'signup' AND p.event_type = 'purchase'
+        | AND epoch_us(p.ts) > epoch_us(s.ts)
+        | AND epoch_us(p.ts) - epoch_us(s.ts) <= 86400000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_dedup_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+}

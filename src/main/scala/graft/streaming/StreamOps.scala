@@ -23,7 +23,24 @@ object StreamOps {
   final case class SessionOut(user_id: Long, session_start: Timestamp,
                               session_end: Timestamp, n_events: Long, sum_value: Double)
 
+  /** start/end are MICROSECONDS since epoch: the fixture timestamps
+    * carry sub-millisecond precision (ns parquet truncated to µs), so
+    * gap comparisons must run in µs to agree with the batch
+    * [[graft.operators.Events.sessionize]] and its DuckDB oracle —
+    * `Timestamp.getTime` (ms) would silently move exact-gap
+    * boundaries by up to 1 ms. */
   final case class SessionState(start: Long, end: Long, n: Long, total: Double)
+
+  /** µs since epoch from a Timestamp (getTime carries ms; the nanos
+    * field carries the full fractional second). */
+  def tsToUs(ts: Timestamp): Long =
+    math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+  def usToTs(us: Long): Timestamp = {
+    val ts = new Timestamp(math.floorDiv(us, 1000L))
+    ts.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    ts
+  }
 
   /** File-source stream over an events parquet directory (ns-as-long
     * + µs truncation, mirroring [[graft.io.Tables.events]]). Requires
@@ -79,7 +96,7 @@ object StreamOps {
   def sessionize(events: Dataset[Event], gapSeconds: Long = 1800L): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val gapMs = gapSeconds * 1000L
+    val gapUs = gapSeconds * 1000000L
     events
       .withWatermark("ts", "0 seconds")
       .groupByKey(_.user_id)
@@ -90,21 +107,21 @@ object StreamOps {
             // watermark passed session end + gap: emit and clear
             val s = state.get
             state.remove()
-            Iterator.single(SessionOut(user, new Timestamp(s.start),
-              new Timestamp(s.end), s.n, s.total))
+            Iterator.single(SessionOut(user, usToTs(s.start),
+              usToTs(s.end), s.n, s.total))
           } else {
-            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = evs.toSeq.sortBy(e => (tsToUs(e.ts), e.event_id))
             var emitted = List.empty[SessionOut]
             var cur = state.getOption.orNull
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = tsToUs(e.ts)
               cur = cur match {
                 case null => SessionState(t, t, 1L, e.value)
                 // strict boundary (>=): matches session_window and the
                 // batch Events.sessionize
-                case c if t - c.end >= gapMs =>
-                  emitted ::= SessionOut(user, new Timestamp(c.start),
-                    new Timestamp(c.end), c.n, c.total)
+                case c if t - c.end >= gapUs =>
+                  emitted ::= SessionOut(user, usToTs(c.start),
+                    usToTs(c.end), c.n, c.total)
                   SessionState(t, t, 1L, e.value)
                 case c =>
                   SessionState(c.start, math.max(c.end, t), c.n + 1, c.total + e.value)
@@ -112,7 +129,9 @@ object StreamOps {
             }
             if (cur != null) {
               state.update(cur)
-              state.setTimeoutTimestamp(cur.end + gapMs)
+              // timeout is ms-resolution: round UP so the state never
+              // times out before the µs-exact end+gap boundary passes
+              state.setTimeoutTimestamp(math.floorDiv(cur.end + gapUs + 999L, 1000L))
             }
             emitted.reverseIterator
           }

@@ -45,6 +45,61 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q6 forecast equals the unaggregated filter-sum") {
+    val r = Relational.revenueForecast(spark, sf001).collect()(0)
+    val manual = Tables.lineitem(spark, sf001)
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1999-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum((col("l_extendedprice") * col("l_discount")).cast("decimal(38,4)")))
+      .collect()(0)
+    assert(r.getDecimal(0) === manual.getDecimal(0))
+  }
+
+  test("range join equals arithmetic bucketing on the regular sub-bands") {
+    // every event with value < 600 falls in exactly one band
+    val bands = Relational.eventValueBands(spark, sf001)
+    val inBands = bands.agg(sum("n")).collect()(0).getLong(0)
+    val expected = Tables.events(spark, sf001)
+      .filter(col("value") >= 0.0 && col("value") < 600.0).count()
+    assert(inBands === expected)
+    // and per-band counts match a direct filter
+    val perBand = bands.collect().map(r => (r.getDouble(0), r.getLong(2))).toMap
+    Relational.ValueBands.foreach { case (lo, hi) =>
+      val n = Tables.events(spark, sf001)
+        .filter(col("value") >= lo && col("value") < hi).count()
+      assert(perBand.getOrElse(lo, 0L) === n, s"band [$lo,$hi)")
+    }
+  }
+
+  test("grouping sets: nation rows + region subtotals + grand total") {
+    val rows = Relational.customerGroupingSets(spark, sf001).collect()
+    val nations = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    val regions = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length === 1)
+    val total = Tables.customer(spark, sf001).count()
+    assert(grand(0).getLong(2) === total)
+    assert(nations.map(_.getLong(2)).sum === total)
+    assert(regions.map(_.getLong(2)).sum === total)
+    // each region subtotal equals the sum of its nations' counts
+    assert(regions.length === Tables.region(spark, sf001).count().toInt)
+  }
+
+  test("correlated subquery agrees with the window-function formulation") {
+    val sq = Relational.aboveBrandAverage(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val win = Tables.part(spark, sf001)
+      .withColumn("cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("p_brand")))
+      .withColumn("tot", sum(col("p_retailprice").cast("decimal(18,2)")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("p_brand")))
+      .filter(col("p_retailprice").cast("decimal(18,2)") * col("cnt") > col("tot"))
+      .groupBy("p_brand").agg(count(lit(1)).as("n_above"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sq === win)
+  }
+
   test("set ops partition the union of nation keys") {
     val p = Relational.nationPresence(spark, sf001).collect()
     val byKind = p.groupBy(_.getString(1)).view.mapValues(_.map(_.getInt(0)).toSet).toMap

@@ -16,7 +16,7 @@ class StreamingSpec extends SparkSpec {
     val batch = Events.tumbling(graft.io.Tables.events(spark, sf001))
       .select(col("window_start"), col("event_type"), col("n"))
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
-    val q = graft.queries.MultimodalQueries.streamWindowParity(spark, sf001)
+    val q = graft.queries.StreamQueries.windowParity(spark, sf001)
     // parity query formats timestamps and rounds sums; reshape batch
     // the same way — sum_value must participate: it is the value whose
     // batch/stream scale mismatch would otherwise go untested
@@ -115,6 +115,43 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted
     q.stop()
     assert(ids.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("declared streaming queries match batch equivalents at sf0.001") {
+    import graft.queries.StreamQueries
+    val ev = graft.io.Tables.events(spark, sf001)
+    // streaming dedup vs batch distinct
+    val sd = StreamQueries.dedupDistinct(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bd = ev.select("user_id", "event_type").distinct()
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sd === bd)
+    // stream-stream interval join vs batch join
+    val sj = StreamQueries.joinPairs(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val su = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("u"), col("ts").as("sts"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    val bj = su.join(pu, col("u") === col("pu") && col("pts") > col("sts") &&
+        col("pts") <= col("sts") + expr("INTERVAL 24 HOURS"))
+      .groupBy("u").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sj === bj)
+    // streamed sessions are a subset of batch sessions (the trailing
+    // session per user may be unemitted if the watermark never passes
+    // its end + gap), and at most one session per user is withheld
+    val streamed = StreamQueries.sessionParity(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    val batch = Events.sessionize(ev)
+      .select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("ss"),
+        col("n_events")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed.subsetOf(batch))
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(streamed.size >= batch.size - nUsers)
   }
 
   test("flatMapGroupsWithState sessionization emits gap-separated sessions") {
