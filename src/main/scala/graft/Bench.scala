@@ -5,14 +5,23 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.builder(GraftSession.envCpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Warm up the JVM (codegen compiler, parquet reader, shuffle path)
+    // on a tiny query before timing: otherwise whichever query runs
+    // first absorbs ~3-4 s of one-time JIT cost and its number is
+    // meaningless (round-1 bench: first-listed query always "slowest").
+    try {
+      val w = spark.read.parquet(s"$sfDir/region.parquet")
+      w.groupBy("r_name").count().count()
+      spark.range(1000).selectExpr("sum(id)").count()
+    } catch { case _: Throwable => () }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // stdout for the driver's line scraper AND a file, so a log-prefix
     // wrapper (sbt's [info]) can't make the JSON unparseable again

@@ -126,9 +126,70 @@ object Similarity {
     IvfIndex(centers, cells)
   }
 
+  /** Persist a built index: centers to a small JSON file (driver-side,
+    * k·d doubles), the cell assignment to parquet PARTITIONED BY cell —
+    * so a probe's cell filter becomes partition pruning and reads only
+    * ~nProbe/nCells of the corpus from storage. Written to a temp dir
+    * and renamed, so a crashed build never half-populates the path.
+    * On a cluster `dir` would be object storage; the layout is the
+    * same. */
+  def writeIndex(index: IvfIndex, dir: String): Unit = {
+    val path = java.nio.file.Paths.get(dir)
+    val tmp = java.nio.file.Paths.get(dir + ".tmp-" + java.util.UUID.randomUUID)
+    index.cells.write.mode("overwrite")
+      .partitionBy("cell").parquet(tmp.resolve("cells").toString)
+    val centersJson = index.centers
+      .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    java.nio.file.Files.writeString(tmp.resolve("centers.json"), centersJson)
+    if (!tmp.toFile.renameTo(path.toFile)) {
+      // another writer won the race: keep theirs, drop ours
+      deleteRecursively(tmp.toFile)
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
+
+  def readIndex(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex = {
+    val centers = ujsonFreeParse(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(dir, "centers.json")))
+    IvfIndex(centers, spark.read.parquet(s"$dir/cells"))
+  }
+
+  /** Minimal parser for the centers.json written above (a rectangular
+    * [[d,d,...],[...]] double matrix — no dependency needed). */
+  private def ujsonFreeParse(s: String): Array[Array[Double]] = {
+    val body = s.trim.stripPrefix("[").stripSuffix("]")
+    if (body.isEmpty) Array.empty
+    else body.split("\\],\\s*\\[").map { row =>
+      row.replaceAll("[\\[\\]]", "").split(",").map(_.trim.toDouble)
+    }
+  }
+
+  /** Load the index for (corpus, params) from `dir` if present, else
+    * build and persist it there — the cross-process form of
+    * build-once/probe-many (a fresh JVM probing the same corpus skips
+    * training and cell assignment entirely). */
+  def loadOrBuildIndex(embs: DataFrame, idCol: String, vecCol: String, dir: String,
+                       nCells: Int = 16, trainIters: Int = 5,
+                       trainSample: Int = 10000, seed: Long = 42L): IvfIndex = {
+    val spark = embs.sparkSession
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "centers.json")))
+      readIndex(spark, dir)
+    else {
+      val built = buildIndex(embs, idCol, vecCol, nCells, trainIters, trainSample, seed)
+      writeIndex(built, dir)
+      built
+    }
+  }
+
   /** Probe a built index: each query ranks only the candidates in its
     * `nProbe` nearest cells by exact cosine — a probe touches
-    * ~nProbe/nCells of the corpus and never retrains. */
+    * ~nProbe/nCells of the corpus and never retrains. The explicit
+    * cell filter prunes partitions when the index is disk-resident
+    * ([[writeIndex]] layout). */
   def probe(index: IvfIndex, queries: Array[(Long, Array[Double])],
             k: Int, nProbe: Int = 4): DataFrame = {
     val spark = index.cells.sparkSession
@@ -141,7 +202,10 @@ object Similarity {
         .map { case (_, cid) => (qid, qv, math.sqrt(VectorOps.dotSeq(qv, qv)), cid) }
     }.toSeq
     val qdf = probes.toDF("query_id", "qv", "qn", "cell")
-    val scored = index.cells.join(broadcast(qdf), Seq("cell"))
+    val neededCells = probes.map(_._4).distinct
+    val scored = index.cells
+      .filter(col("cell").isin(neededCells: _*))
+      .join(broadcast(qdf), Seq("cell"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("qv"), col("qn"), col("id"), col("v"))
       .as[(Long, Array[Double], Double, Long, Array[Double])]

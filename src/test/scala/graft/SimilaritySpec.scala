@@ -73,6 +73,22 @@ class SimilaritySpec extends SparkSpec {
     } finally idx.unpersist()
   }
 
+  test("disk-persisted IVF index: load skips rebuild, probes identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-test")
+      .resolve("idx").toString
+    val built = Similarity.loadOrBuildIndex(emb, "vec_id", "embedding", dir)
+    val marker = new java.io.File(dir, "centers.json")
+    assert(marker.exists, "index must persist to disk")
+    val mtime = marker.lastModified
+    val fromBuild = Similarity.probe(built, queries, 5).collect().map(_.toSeq).toSeq
+    built.unpersist()
+    val loaded = Similarity.loadOrBuildIndex(emb, "vec_id", "embedding", dir)
+    assert(marker.lastModified === mtime, "second call must load, not rebuild")
+    assert(loaded.centers.map(_.toSeq).toSeq === built.centers.map(_.toSeq).toSeq)
+    val fromLoad = Similarity.probe(loaded, queries, 5).collect().map(_.toSeq).toSeq
+    assert(fromLoad === fromBuild)
+  }
+
   test("LSH is deterministic for a fixed seed") {
     val a = Similarity.lshTopK(emb, "vec_id", "embedding", queries, 5).collect()
     val b = Similarity.lshTopK(emb, "vec_id", "embedding", queries, 5).collect()
