@@ -90,6 +90,20 @@ object RelationalQueries {
   def subqueryQ(s: SparkSession, dir: String): DataFrame =
     Relational.aboveBrandAverage(s, dir)
 
+  /** Salted two-phase aggregation over a 3-value hot key — the result
+    * must be indistinguishable from the plain GROUP BY (sums are
+    * exact decimals, so re-aggregation order cannot change them);
+    * the oracle IS the plain GROUP BY. */
+  def skewSalted(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedSumCount(
+      graft.io.Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_quantity").cast("decimal(38,2)").as("q")),
+      Seq("l_returnflag"), col("q"), buckets = 16)
+      .select(col("l_returnflag"),
+        asFixedPoint(col("sum_value"), 100).as("sum_qty_cents"),
+        col("n"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_q1_pricing" -> (q1 _),
     "rel_q3_top_revenue" -> (q3 _),
@@ -101,7 +115,8 @@ object RelationalQueries {
     "rel_q6_forecast" -> (q6 _),
     "rel_range_join" -> (valueBands _),
     "rel_grouping_sets" -> (groupingSetsQ _),
-    "rel_subquery_brand_avg" -> (subqueryQ _))
+    "rel_subquery_brand_avg" -> (subqueryQ _),
+    "rel_skew_salted_agg" -> (skewSalted _))
 
   val oracles: Map[String, String] = Map(
     "rel_q1_pricing" ->
@@ -187,6 +202,11 @@ object RelationalQueries {
         |  JOIN region ON n_regionkey = r_regionkey
         |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
         |ORDER BY 1, 2""".stripMargin,
+    "rel_skew_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DECIMAL(24,2)) * 100 AS BIGINT) AS sum_qty_cents,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "rel_subquery_brand_avg" ->
       """SELECT p_brand, COUNT(*) AS n_above
         |FROM part p
