@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** 10×-bench-scale validation harness: generates a SEEDED synthetic
+  * fixture directory (~10× the sf0.1 row counts, same schemas for the
+  * columns the timed queries touch) and times a subset of the declared
+  * queries against it — the evidence table in BASELINE.md §"Scale-up
+  * validation" comes from this run. Synthetic data is used ONLY here:
+  * declared-query correctness always runs on the driver's fixtures.
+  *
+  * Usage: sbt "runMain graft.ScaleUp [outDir] [sfDirForDims]"
+  */
+object ScaleUp {
+  val Day = 86400L
+
+  def generate(spark: SparkSession, out: String, sfDir: String): Unit = {
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond
+    // events: 1M rows, ns-as-long ts (the fixture's physical type)
+    spark.range(0, 1000000L, 1, 32)
+      .select(
+        col("id").as("event_id"),
+        ((lit(base) + (rand(1) * 30 * Day).cast("long")).cast("long") * 1000000000L +
+          (rand(2) * 1000000L).cast("long") * 1000L).as("ts"),
+        (rand(3) * 7500).cast("long").as("user_id"),
+        element_at(array(lit("click"), lit("error"), lit("purchase"),
+          lit("signup"), lit("view")), (rand(4) * 5).cast("int") + 1).as("event_type"),
+        round(rand(5) * 560, 2).as("value"),
+        concat(lit("{\"k\":"), (rand(6) * 100).cast("int").cast("string"), lit("}"))
+          .as("props"))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    // customer: 150k rows over 25 nations / 5 segments
+    spark.range(1, 150001L, 1, 32)
+      .select(
+        col("id").as("c_custkey"),
+        concat(lit("Customer#"), col("id").cast("string")).as("c_name"),
+        pmod(xxhash64(col("id")), lit(25)).cast("int").as("c_nationkey"),
+        round(rand(7) * 9999.99 - 999.99, 2).as("c_acctbal"),
+        element_at(array(lit("AUTOMOBILE"), lit("BUILDING"), lit("FURNITURE"),
+          lit("HOUSEHOLD"), lit("MACHINERY")), (rand(8) * 5).cast("int") + 1)
+          .as("c_mktsegment"))
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    // part: 200k rows over 25 brands
+    spark.range(1, 200001L, 1, 32)
+      .select(
+        col("id").as("p_partkey"),
+        concat(lit("part "), col("id").cast("string")).as("p_name"),
+        concat(lit("Brand#"), (pmod(xxhash64(col("id"), lit(1)), lit(25)) + 11)
+          .cast("string")).as("p_brand"),
+        lit("STANDARD").as("p_type"),
+        (pmod(xxhash64(col("id"), lit(2)), lit(50)) + 1).cast("int").as("p_size"),
+        round(rand(9) * 1900 + 900, 2).as("p_retailprice"))
+      .write.mode("overwrite").parquet(s"$out/part.parquet")
+    // lineitem: 6M rows, only the columns the timed queries touch
+    val ship0 = java.time.Instant.parse("1995-01-01T00:00:00Z").getEpochSecond
+    spark.range(0, 6000000L, 1, 32)
+      .select(
+        (col("id") / 4).cast("long").as("l_orderkey"),
+        element_at(array(lit("A"), lit("N"), lit("R")),
+          (rand(10) * 3).cast("int") + 1).as("l_returnflag"),
+        element_at(array(lit("F"), lit("O")), (rand(11) * 2).cast("int") + 1)
+          .as("l_linestatus"),
+        ((rand(12) * 50).cast("int") + 1).cast("double").as("l_quantity"),
+        round(rand(13) * 100000 + 900, 2).as("l_extendedprice"),
+        (round(rand(14) * 10, 0) / 100).as("l_discount"),
+        timestamp_seconds(lit(ship0) + (rand(15) * 1825 * Day).cast("long"))
+          .as("l_shipdate"))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    // tiny dims: copy from the real fixture unchanged
+    Seq("nation", "region").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+  }
+
+  val Timed: Seq[String] = Seq(
+    "rel_range_join", "rel_grouping_sets", "rel_skew_salted_agg",
+    "rel_q6_forecast", "rel_subquery_brand_avg",
+    "events_session", "events_window",
+    "stream_window_parity", "stream_session_parity",
+    "stream_join_pairs", "stream_dedup_distinct")
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/graft-scale10")
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = GraftSession.builder(GraftSession.envCpus).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    if (!new java.io.File(s"$out/events.parquet").exists) {
+      println(s"[scaleup] generating synthetic 10x fixture under $out")
+      generate(spark, out, sfDir)
+    }
+    // same JIT warmup rationale as graft.Bench: don't let the first
+    // timed query absorb one-time codegen/reader compilation
+    try {
+      spark.read.parquet(s"$out/nation.parquet").groupBy("n_name").count().count()
+      spark.range(1000).selectExpr("sum(id)").count()
+    } catch { case _: Throwable => () }
+    println(f"${"query"}%-26s ${"sec"}%8s ${"rows"}%10s")
+    Timed.foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        val t0 = System.nanoTime()
+        val rows = try fn(spark, out).count()
+          catch { case e: Throwable => println(s"$name FAILED: $e"); -1L }
+        println(f"$name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f $rows%10d")
+      }
+    }
+    spark.stop()
+  }
+}

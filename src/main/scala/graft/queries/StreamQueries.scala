@@ -41,12 +41,15 @@ object StreamQueries {
   private val DuckFmt = "%Y-%m-%d %H:%M:%S"
   private val GapUs = 1800L * 1000000L
 
-  /** The file source needs a directory; expose the single fixture file
-    * through a cached temp-dir symlink (one per fixture file — repeated
-    * Verify+Bench runs in one JVM must not accumulate dirs). */
-  private[queries] def eventsStreamDir(dir: String): String =
-    FixtureCache.memo("stream_src_dir", dir, "events") {
-      val src = java.nio.file.Paths.get(dir, "events.parquet")
+  /** The file source needs a DIRECTORY of files. A Spark-written table
+    * is already one — stream it directly; the driver fixture is a
+    * single parquet FILE, so expose it through a cached temp-dir
+    * symlink (one per fixture file — repeated Verify+Bench runs in one
+    * JVM must not accumulate dirs). */
+  private[queries] def eventsStreamDir(dir: String): String = {
+    val src = java.nio.file.Paths.get(dir, "events.parquet")
+    if (java.nio.file.Files.isDirectory(src)) src.toString
+    else FixtureCache.memo("stream_src_dir", dir, "events") {
       val d = java.nio.file.Files.createTempDirectory("graft-stream")
       val link = d.resolve("events.parquet")
       try java.nio.file.Files.createSymbolicLink(link, src)
@@ -55,22 +58,24 @@ object StreamQueries {
       d.toFile.deleteOnExit()
       d.toString
     }
+  }
 
-  /** Start `df` into a memory sink, drain it, and return the sink's
-    * rows as a local DataFrame (dropping the temp view so repeated
-    * invocations don't leak registrations). */
+  /** Start `df` into a memory sink, drain it, and return the sink
+    * table itself — NOT a driver-side collect (at 10× scale the
+    * session sink holds ~1M rows; collecting and rebuilding a local
+    * DataFrame was the one superlinear step in the whole streaming
+    * path). The previous registration under the same name is dropped
+    * on the next invocation, so repeated Verify+Bench runs hold at
+    * most one sink table per query. */
   private def runToMemory(s: SparkSession, qname: String, df: DataFrame,
                           mode: String, awaitTimeout: Boolean = false): DataFrame = {
     s.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
+    if (s.catalog.tableExists(qname)) s.catalog.dropTempView(qname)
     val q = df.writeStream.outputMode(mode).format("memory").queryName(qname).start()
     q.processAllAvailable()
     if (awaitTimeout) awaitNoDataBatch(q)
     q.stop()
-    val t = s.table(qname)
-    val rows = t.collect()
-    val schema = t.schema
-    s.catalog.dropTempView(qname)
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    s.table(qname)
   }
 
   /** Event-time timeouts fire in the no-data micro-batch that runs
