@@ -78,7 +78,9 @@ object KMeansQueries {
       .orderBy(desc("n"), col("prediction"))
 
   // --- oracle SQL (DuckDB) ------------------------------------------
-  private val baseCte =
+  // (shared with StreamQueries: stream_kmeans_parity proves one
+  // single-batch streaming update == one exact Lloyd step)
+  private[queries] val baseCte =
     s"""WITH pts AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings

@@ -46,12 +46,12 @@ object StreamQueries {
     * single parquet FILE, so expose it through a cached temp-dir
     * symlink (one per fixture file — repeated Verify+Bench runs in one
     * JVM must not accumulate dirs). */
-  private[queries] def eventsStreamDir(dir: String): String = {
-    val src = java.nio.file.Paths.get(dir, "events.parquet")
+  private[queries] def streamDir(dir: String, table: String): String = {
+    val src = java.nio.file.Paths.get(dir, s"$table.parquet")
     if (java.nio.file.Files.isDirectory(src)) src.toString
-    else FixtureCache.memo("stream_src_dir", dir, "events") {
+    else FixtureCache.memo(s"stream_src_dir:$table", dir, table) {
       val d = java.nio.file.Files.createTempDirectory("graft-stream")
-      val link = d.resolve("events.parquet")
+      val link = d.resolve(s"$table.parquet")
       try java.nio.file.Files.createSymbolicLink(link, src)
       catch { case _: Exception => java.nio.file.Files.copy(src, link) }
       link.toFile.deleteOnExit()
@@ -59,6 +59,8 @@ object StreamQueries {
       d.toString
     }
   }
+
+  private[queries] def eventsStreamDir(dir: String): String = streamDir(dir, "events")
 
   /** Start `df` into a memory sink, drain it, and return the sink
     * table itself — NOT a driver-side collect (at 10× scale the
@@ -136,6 +138,40 @@ object StreamQueries {
       .orderBy("user_id")
   }
 
+  /** Streaming K-Means over the embeddings fixture, ONE micro-batch,
+    * decay-free: the model update is then exactly one Lloyd step from
+    * the shared first-k init, so the emitted centers match the batch
+    * `kmeans_average` oracle cell-for-cell — streaming and batch
+    * clustering must agree. (Multi-batch decayed behavior is covered
+    * by StreamingSpec; it is order-dependent by design and so not
+    * oracle-checkable.) */
+  def kmeansParity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qname = "stream_kmeans_parity_q"
+    s.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
+    val init = FixtureCache.memo("kmeans_firstK", dir, "embeddings") {
+      graft.cluster.KMeansNative.firstKCenters(
+        graft.io.Tables.embeddings(s, dir)
+          .select(col("vec_id"), graft.functions.VectorOps.toDouble(col("embedding")).as("v")),
+        "vec_id", "v", KMeansQueries.K)
+    }
+    val stream = s.readStream.schema("vec_id bigint, embedding array<float>")
+      .parquet(streamDir(dir, "embeddings"))
+      .select(graft.functions.VectorOps.toDouble(col("embedding")).as("v"))
+    val (q, model) = graft.streaming.StreamingKMeans.fitStream(
+      stream, "v", init, decay = 1.0, queryName = qname)
+    q.processAllAvailable()
+    q.stop()
+    val rows = model.centers.zip(model.weights).zipWithIndex.flatMap {
+      case ((c, w), cid) if w > 0 =>
+        c.zipWithIndex.map { case (x, d) =>
+          (cid, d, BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      case _ => Array.empty[(Int, Int, Double)]
+    }
+    rows.toSeq.toDF("cluster_id", "dim", "coord").orderBy("cluster_id", "dim")
+  }
+
   def dedupDistinct(s: SparkSession, dir: String): DataFrame = {
     val ev = StreamOps.readEventsStream(s, eventsStreamDir(dir))
       .select("user_id", "event_type")
@@ -150,7 +186,8 @@ object StreamQueries {
     "stream_window_parity" -> (windowParity _),
     "stream_session_parity" -> (sessionParity _),
     "stream_join_pairs" -> (joinPairs _),
-    "stream_dedup_distinct" -> (dedupDistinct _))
+    "stream_dedup_distinct" -> (dedupDistinct _),
+    "stream_kmeans_parity" -> (kmeansParity _))
 
   val oracles: Map[String, String] = Map(
     "stream_window_parity" ->
@@ -191,5 +228,9 @@ object StreamQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_dedup_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_kmeans_parity" -> (KMeansQueries.baseCte +
+      """SELECT cid AS cluster_id, dim,
+        |  round(CAST(SUM(CAST(coord AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS coord
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 }

@@ -31,29 +31,35 @@ final class StreamingKMeansModel(init: Array[Array[Double]], decay: Double) {
   def weights: Array[Double] = state.get()._2.clone()
 
   /** Fold one batch of points (column `vecCol`: array<double>) into
-    * the model. Safe to call from foreachBatch (serial per query). */
+    * the model. Safe to call from foreachBatch (serial per query).
+    *
+    * Sums go through [[KMeansNative.accumulate]]'s exact-decimal
+    * bridge rather than a double-summing UDAF: partial-buffer merge
+    * order is nondeterministic across partitions, and the streaming
+    * model is oracle-checked (`stream_kmeans_parity`) — per the
+    * engine's determinism rule, cross-partition float sums must be
+    * exact. Cost: the batch explodes ×dim for the aggregate; only
+    * k·d sums ever reach the driver. */
   def update(batch: DataFrame, vecCol: String): Unit = {
     if (batch.isEmpty) return
     val (cs, ws) = state.get()
     val dim = cs(0).length
     val rows = KMeansNative
-      .assigned(batch.select(col(vecCol).cast("array<double>").as("v")), col("v"), cs)
-      .groupBy("cluster_id")
-      .agg(count(lit(1)).as("n"),
-        graft.functions.VectorSumAgg.vec_sum(dim)(col("v")).as("s"))
+      .accumulate(
+        KMeansNative.assigned(
+          batch.select(col(vecCol).cast("array<double>").as("v")), col("v"), cs),
+        col("v"))
       .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+      .sortBy { case (cid, d, _, _) => (cid, d) }
     val nextC = cs.map(_.clone())
     val nextW = ws.map(_ * decay)
-    rows.foreach { r =>
-      val cid = r.getInt(0)
-      val n = r.getLong(1).toDouble
-      val sum = r.getSeq[Double](2)
+    rows.foreach { case (cid, d, coordSum, nL) =>
+      val n = nL.toDouble
       val w0 = ws(cid) * decay
       val wNew = w0 + n
-      var i = 0
-      val c = nextC(cid)
-      while (i < dim) { c(i) = (c(i) * w0 + sum(i)) / wNew; i += 1 }
-      nextW(cid) = wNew
+      nextC(cid)(d) = (cs(cid)(d) * w0 + coordSum) / wNew
+      if (d == dim - 1) nextW(cid) = wNew
     }
     state.set((nextC, nextW))
   }
