@@ -95,6 +95,35 @@ object TextAnalysis {
       col(idCol).as("doc_id"),
       TextOps.rollingFingerprint(col(textCol)).as("fingerprint"))
 
+  /** Vocabulary build: token → (occurrence count, document frequency)
+    * — the canonical explode-then-aggregate pipeline op (the first
+    * step of any tokenizer/TF-IDF build). Scale: both aggregates are
+    * algebraic, so partial aggregation absorbs the stopword skew
+    * before the shuffle; the distinct doc-frequency adds the usual
+    * second exchange, which is semantically forced. */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextOps.words(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("doc_id")).as("n_docs"))
+
+  /** Deterministic every-k-th downsample within each stratum (ordered
+    * by `idCol`) — reproducible train/eval splits. The window is per
+    * stratum: safe when strata are low-cardinality labels (languages,
+    * sources); for unstratified sampling at 100 TB prefer a pure
+    * filter `pmod(hash(id), k) = 0` (no shuffle at all). */
+  def stratifiedSample(docs: DataFrame, strataCol: String, idCol: String,
+                       k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(strataCol)).orderBy(col(idCol))))
+      .filter((col("_rn") - 1) % k === 0)
+      .drop("_rn")
+  }
+
   /** Corpus-level aggregate: per (lang, source) doc counts + token
     * totals — the group-by surface over the text stats. */
   def corpusStats(docs: DataFrame): DataFrame =

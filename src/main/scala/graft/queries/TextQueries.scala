@@ -46,13 +46,26 @@ object TextQueries {
     TextAnalysis.corpusStats(Tables.documents(s, dir))
       .orderBy("lang", "source")
 
+  def vocab(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabulary(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(50)
+
+  def stratified(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.stratifiedSample(
+        Tables.documents(s, dir).select("doc_id", "lang"), "lang", "doc_id", 10)
+      .select("lang", "doc_id")
+      .orderBy("lang", "doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> (tokens _),
     "text_tokens_bpe" -> (bpeTokens _),
     "text_quality" -> (quality _),
     "text_langid" -> (langid _),
     "text_fingerprint" -> (fingerprint _),
-    "text_corpus_stats" -> (corpus _))
+    "text_corpus_stats" -> (corpus _),
+    "text_vocab" -> (vocab _),
+    "text_stratified_sample" -> (stratified _))
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -114,5 +127,16 @@ object TextQueries {
         |  COUNT(*) AS n_docs,
         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
-        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "text_vocab" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+        |FROM w GROUP BY 1
+        |ORDER BY n_occurrences DESC, token LIMIT 50""".stripMargin,
+    "text_stratified_sample" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |           FROM documents)
+        |SELECT lang, doc_id FROM r WHERE (rn - 1) % 10 = 0
+        |ORDER BY lang, doc_id""".stripMargin)
 }

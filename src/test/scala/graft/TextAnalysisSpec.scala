@@ -57,6 +57,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp.filter(col("fingerprint") < 0).count() === 0)
   }
 
+  test("vocabulary counts occurrences and document frequency") {
+    val docs = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
+    val v = TextAnalysis.vocabulary(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(v("a") === ((3L, 2L)))
+    assert(v("b") === ((1L, 1L)))
+    assert(v("c") === ((1L, 1L)))
+  }
+
+  test("stratified sample takes every k-th doc per stratum deterministically") {
+    val sampled = TextAnalysis.stratifiedSample(
+      Tables.documents(spark, sf001).select("doc_id", "lang"), "lang", "doc_id", 10)
+    val perLang = Tables.documents(spark, sf001).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = sampled.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, n) =>
+      assert(got.getOrElse(lang, 0L) === (n + 9) / 10, s"lang=$lang n=$n")
+    }
+    // deterministic: same rows both runs
+    val a = sampled.collect().map(_.toSeq).toSet
+    val b = TextAnalysis.stratifiedSample(
+      Tables.documents(spark, sf001).select("doc_id", "lang"), "lang", "doc_id", 10)
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+
   test("corpus stats totals reconcile with the whole table") {
     val c = TextAnalysis.corpusStats(docs)
     val total = c.agg(sum("n_docs"), sum("total_chars")).collect()(0)
