@@ -27,11 +27,13 @@ import graft.functions.{TextOps, VectorOps}
 object Dedup {
 
   /** Exact dedup: one row per distinct text — the survivor (min id) and
-    * the group size. The group key defaults to sha2-256 of the text so
-    * the shuffle carries 32-byte digests instead of document bodies;
-    * pass `keyExpr = identity` to group on the raw value. */
+    * the group size. The group key defaults to the BINARY sha2-256
+    * digest of the text (unhex of Spark's hex output) so the shuffle
+    * carries true 32-byte keys instead of document bodies — the bare
+    * `sha2()` string would be 64 bytes of hex; pass `keyExpr =
+    * identity` to group on the raw value. */
   def exact(docs: DataFrame, idCol: String, textCol: String,
-            keyExpr: Column => Column = c => sha2(c, 256)): DataFrame =
+            keyExpr: Column => Column = c => unhex(sha2(c, 256))): DataFrame =
     docs.groupBy(keyExpr(col(textCol)).as("k"))
       .agg(min(col(idCol)).as("doc_id"), count(lit(1)).as("n_dups"))
       .select("doc_id", "n_dups")
@@ -44,7 +46,13 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-dup pairs via shared-shingle co-counts:
     * |A∩B| from the inverted-index self-join, |A∪B| = |A|+|B|−|A∩B|.
-    * No cross join; shuffles on shingle then on (doc_a, doc_b). */
+    * No cross join; shuffles on shingle then on (doc_a, doc_b).
+    *
+    * SEMANTICS UNDER THE CAP: when `maxShingleFreq` fires, Jaccard is
+    * computed over the cap-filtered shingle universe consistently —
+    * sizes AND intersections both exclude hot shingles (a coherent,
+    * deterministic definition, mirrored in the declared query's DuckDB
+    * oracle), not raw Jaccard with silently dropped candidates. */
   /** A shingle shared by more than this many documents is corpus
     * boilerplate: it contributes ~zero Jaccard signal but makes the
     * inverted-index self-join quadratic in its posting list. Dropping

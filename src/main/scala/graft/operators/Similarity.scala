@@ -142,8 +142,13 @@ object Similarity {
       .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
     java.nio.file.Files.writeString(tmp.resolve("centers.json"), centersJson)
     if (!tmp.toFile.renameTo(path.toFile)) {
-      // another writer won the race: keep theirs, drop ours
       deleteRecursively(tmp.toFile)
+      // renameTo also fails for missing parents / permissions / cross-
+      // filesystem targets — only a lost race (target now populated) is
+      // benign; anything else must not silently disable persistence.
+      if (!java.nio.file.Files.exists(path.resolve("centers.json")))
+        throw new java.io.IOException(
+          s"could not persist IVF index to $dir (rename failed and no index present)")
     }
   }
 
@@ -166,6 +171,20 @@ object Similarity {
     else body.split("\\],\\s*\\[").map { row =>
       row.replaceAll("[\\[\\]]", "").split(",").map(_.trim.toDouble)
     }
+  }
+
+  /** Content-addressed index directory for (corpus file, build
+    * params): full SHA-256 of the identity string — the key must
+    * change whenever any build parameter or the corpus file changes,
+    * and must not be collidable in a shared tmp namespace. */
+  def indexDirFor(corpusFile: java.io.File, nCells: Int, trainIters: Int,
+                  trainSample: Int, seed: Long): String = {
+    val ident = Seq(corpusFile.getAbsolutePath, corpusFile.lastModified,
+      corpusFile.length, nCells, trainIters, trainSample, seed).mkString("|")
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(ident.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(32)
+    new java.io.File(System.getProperty("java.io.tmpdir"), s"graft-ivf-$digest")
+      .getAbsolutePath
   }
 
   /** Load the index for (corpus, params) from `dir` if present, else

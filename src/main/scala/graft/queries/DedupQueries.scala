@@ -50,11 +50,19 @@ object DedupQueries {
     "dedup_simhash" -> (simhash _),
     "dedup_embedding" -> (embedding _))
 
+  // Mirrors Dedup.ngramJaccard EXACTLY, including the default
+  // hot-shingle cap: Jaccard is computed over the cap-filtered shingle
+  // universe on BOTH sides, so operator and oracle agree even on data
+  // where the cap fires (the fixtures never trigger it — max shingle
+  // frequency 25 — but the semantics must not silently diverge on data
+  // that does).
   private val shingleCte =
-    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, s FROM (
+    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh0 AS (SELECT DISTINCT doc_id, s FROM (
       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM docs)),
+      |sh AS (SELECT * FROM sh0 WHERE s NOT IN (
+      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > ${Dedup.DefaultMaxShingleFreq})),
       |cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY 1),
       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)

@@ -22,12 +22,13 @@ object KMeansQueries {
     Tables.embeddings(s, dir)
       .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
 
-  // Six declared queries share the same deterministic init: collect it
-  // once per fixture file (k·d doubles) instead of one extra Spark job
-  // each. Keyed by (path, mtime, size) so regenerated data under the
-  // same path does not serve stale centers.
-  private def firstK(s: SparkSession, dir: String): Array[Array[Double]] =
-    graft.io.FixtureCache.memo("kmeans_firstK", dir, "embeddings") {
+  // The declared queries (incl. StreamQueries.kmeansParity) share the
+  // same deterministic init: collect it once per fixture file (k·d
+  // doubles) instead of one extra Spark job each. Keyed by (path,
+  // mtime, size) + K so regenerated data or a changed K cannot serve
+  // stale centers.
+  private[queries] def firstK(s: SparkSession, dir: String): Array[Array[Double]] =
+    graft.io.FixtureCache.memo(s"kmeans_firstK:k=$K", dir, "embeddings") {
       KMeansNative.firstKCenters(pts(s, dir), "vec_id", "v", K)
     }
 

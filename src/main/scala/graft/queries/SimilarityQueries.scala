@@ -31,24 +31,39 @@ object SimilarityQueries {
         round(col("cosine"), 6).as("cosine"))
       .orderBy("query_id", "rank")
 
-  /** The IVF index lives on DISK keyed by the fixture file's identity
-    * and the build params — build-once/probe-many across processes
-    * (Verify builds it; Bench in a later JVM only probes). The
-    * in-memory memo (keyed per Spark app) just avoids re-reading
-    * within one session; a regenerated fixture changes the key and
-    * forces a rebuild. */
-  private def ivfIndex(s: SparkSession, dir: String): Similarity.IvfIndex =
-    graft.io.FixtureCache.memo(
-      s"ivf_index:${s.sparkContext.applicationId}", dir, "embeddings") {
-      val f = new java.io.File(Tables.path(dir, "embeddings"))
-      val key = java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(
-          Seq(f.getAbsolutePath, f.lastModified, f.length,
-            "cells=16", "iters=5", "sample=10000", "seed=42").mkString("|")) & 0xffffffffL)
-      val indexDir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), s"graft-ivf-$key").getAbsolutePath
-      Similarity.loadOrBuildIndex(Tables.embeddings(s, dir), "vec_id", "embedding", indexDir)
+  // one explicit set of build params, used for BOTH the build call and
+  // the disk-key derivation — they cannot drift apart
+  val IvfCells = 16
+  val IvfTrainIters = 5
+  val IvfTrainSample = 10000
+  val IvfSeed = 42L
+
+  /** The IVF index lives on DISK, content-addressed by the fixture
+    * file's identity + build params (Similarity.indexDirFor) —
+    * build-once/probe-many across processes (Verify builds it; Bench
+    * in a later JVM only probes). In memory we hold at most ONE entry
+    * per fixture file, replaced when a different Spark app asks — a
+    * per-app memo key would pin DataFrames of stopped sessions for the
+    * JVM's lifetime. */
+  private val ivfCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, Long), (String, Similarity.IvfIndex)]
+
+  private def ivfIndex(s: SparkSession, dir: String): Similarity.IvfIndex = {
+    val f = new java.io.File(Tables.path(dir, "embeddings"))
+    val key = (f.getAbsolutePath, f.lastModified, f.length)
+    val appId = s.sparkContext.applicationId
+    ivfCache.get(key) match {
+      case Some((app, idx)) if app == appId => idx
+      case _ =>
+        val indexDir = Similarity.indexDirFor(
+          f, IvfCells, IvfTrainIters, IvfTrainSample, IvfSeed)
+        val idx = Similarity.loadOrBuildIndex(
+          Tables.embeddings(s, dir), "vec_id", "embedding", indexDir,
+          IvfCells, IvfTrainIters, IvfTrainSample, IvfSeed)
+        ivfCache.put(key, (appId, idx))
+        idx
     }
+  }
 
   def ivf(s: SparkSession, dir: String): DataFrame =
     Similarity.probe(ivfIndex(s, dir), queryVecs(s, dir), K)

@@ -91,6 +91,12 @@ object StreamQueries {
       Thread.sleep(50)
       q.processAllAvailable()
     }
+    // returning silently would emit a result missing every trailing
+    // session and fail the oracle with nothing pointing at the cause
+    if (!q.recentProgress.exists(p => p.numInputRows == 0L))
+      throw new IllegalStateException(
+        s"no-data micro-batch did not fire within ${timeoutMs} ms — event-time " +
+          "timeouts never triggered (is spark.sql.streaming.noDataMicroBatches.enabled off?)")
   }
 
   def windowParity(s: SparkSession, dir: String): DataFrame = {
@@ -149,12 +155,7 @@ object StreamQueries {
     import s.implicits._
     val qname = "stream_kmeans_parity_q"
     s.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
-    val init = FixtureCache.memo("kmeans_firstK", dir, "embeddings") {
-      graft.cluster.KMeansNative.firstKCenters(
-        graft.io.Tables.embeddings(s, dir)
-          .select(col("vec_id"), graft.functions.VectorOps.toDouble(col("embedding")).as("v")),
-        "vec_id", "v", KMeansQueries.K)
-    }
+    val init = KMeansQueries.firstK(s, dir)
     val stream = s.readStream.schema("vec_id bigint, embedding array<float>")
       .parquet(streamDir(dir, "embeddings"))
       .select(graft.functions.VectorOps.toDouble(col("embedding")).as("v"))
