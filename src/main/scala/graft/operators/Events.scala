@@ -110,6 +110,23 @@ object Events {
         (sum(col("k")).cast("double") / count(lit(1))).as("avg_k"))
 
   /** Top-k users by total value (order/limit surface). */
+  /** Explicit window-frame surface: per-user running event count and
+    * running value total in (ts, event_id) order — ROWS UNBOUNDED
+    * PRECEDING. The running sum accumulates exact decimals, so every
+    * prefix is deterministic, not just the final total. Scale: one
+    * user_id exchange; frames evaluate incrementally within each
+    * sorted partition. */
+  def runningTotals(events: DataFrame): DataFrame = {
+    val frame = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.select(
+      col("user_id"), col("event_id"), col("ts"),
+      count(lit(1)).over(frame).as("n_so_far"),
+      sum(col("value").cast("decimal(38,2)")).over(frame).cast("double")
+        .as("value_so_far"))
+  }
+
   def topUsers(events: DataFrame, k: Int = 10): DataFrame =
     events
       .groupBy("user_id")

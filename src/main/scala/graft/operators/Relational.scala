@@ -233,6 +233,22 @@ object Relational {
         |ORDER BY p_brand""".stripMargin)
   }
 
+  /** Full-outer-join surface: per-nation customer and supplier counts,
+    * including nations present on only one side (nulls → 0). Both
+    * inputs are pre-aggregated to ≤ |nations| rows before the join, so
+    * the full outer join itself moves almost nothing — aggregate
+    * before joining whenever the join key is the group key. */
+  def nationCoverage(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_cust"))
+    val p = Tables.supplier(s, dir).groupBy(col("s_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(p, Seq("nk"), "full_outer")
+      .select(col("nk"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+  }
+
   /** Set-operation surface: nation keys segmented by whether they have
     * customers, suppliers, or both (INTERSECT / EXCEPT). */
   def nationPresence(s: SparkSession, dir: String): DataFrame = {

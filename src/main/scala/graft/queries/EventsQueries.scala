@@ -58,7 +58,16 @@ object EventsQueries {
       .select(col("user_id"), round(col("total_value"), 6).as("total_value"),
         col("n_events"))
 
+  def runningTotal(s: SparkSession, dir: String): DataFrame =
+    Events.runningTotals(Tables.events(s, dir))
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), Fmt).as("ts"),
+        col("n_so_far"),
+        round(col("value_so_far") * 100).cast("long").as("value_cents_so_far"))
+      .orderBy("user_id", "event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_running_total" -> (runningTotal _),
     "events_window" -> (window _),
     "events_window_sliding" -> (windowSliding _),
     "events_session" -> (session _),
@@ -68,6 +77,13 @@ object EventsQueries {
     "events_topk_users" -> (topUsers _))
 
   val oracles: Map[String, String] = Map(
+    "events_running_total" ->
+      s"""SELECT user_id, event_id, strftime(ts, '$DuckFmt') AS ts,
+         |  COUNT(*) OVER w AS n_so_far,
+         |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,2))) OVER w AS DECIMAL(24,2)) * 100 AS BIGINT) AS value_cents_so_far
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+         |ORDER BY user_id, event_id""".stripMargin,
     "events_window" ->
       s"""SELECT strftime(date_trunc('hour', ts), '$DuckFmt') AS window_start,
          |  event_type, COUNT(*) AS n,

@@ -104,7 +104,12 @@ object RelationalQueries {
         col("n"))
       .orderBy("l_returnflag")
 
+  def outerJoin(s: SparkSession, dir: String): DataFrame =
+    Relational.nationCoverage(s, dir)
+      .orderBy("nk")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_outer_join" -> (outerJoin _),
     "rel_q1_pricing" -> (q1 _),
     "rel_q3_top_revenue" -> (q3 _),
     "rel_q5_region_volume" -> (q5 _),
@@ -202,6 +207,12 @@ object RelationalQueries {
         |  JOIN region ON n_regionkey = r_regionkey
         |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
         |ORDER BY 1, 2""".stripMargin,
+    "rel_outer_join" ->
+      """WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+        |s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+        |SELECT coalesce(c.nk, s.nk) AS nk,
+        |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN s ON c.nk = s.nk ORDER BY nk""".stripMargin,
     "rel_skew_salted_agg" ->
       """SELECT l_returnflag,
         |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DECIMAL(24,2)) * 100 AS BIGINT) AS sum_qty_cents,

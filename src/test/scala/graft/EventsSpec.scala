@@ -48,6 +48,22 @@ class EventsSpec extends SparkSpec {
     assert(k.filter(col("k").isNull).count() === 0)
   }
 
+  test("running totals: last frame row equals the per-user aggregate") {
+    val rt = Events.runningTotals(events)
+    val last = rt.groupBy("user_id")
+      .agg(max("n_so_far").as("n"),
+        max(struct(col("n_so_far"), col("value_so_far"))).as("m"))
+      .select(col("user_id"), col("n"), col("m.value_so_far").as("v"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val agg = events.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(38,2)")).cast("double").as("v"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(last === agg)
+    // frames are monotone in n
+    assert(rt.count() === events.count())
+  }
+
   test("top users returns k rows in strictly non-increasing order") {
     val t = Events.topUsers(events, 10).collect()
     assert(t.length === 10)

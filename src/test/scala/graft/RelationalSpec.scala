@@ -100,6 +100,22 @@ class RelationalSpec extends SparkSpec {
     assert(sq === win)
   }
 
+  test("full outer join covers every nation present on either side") {
+    val cov = Relational.nationCoverage(spark, sf001).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val custN = Tables.customer(spark, sf001).select("c_nationkey")
+      .distinct().collect().map(_.getInt(0)).toSet
+    val suppN = Tables.supplier(spark, sf001).select("s_nationkey")
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(cov.keySet === (custN ++ suppN))
+    // totals reconcile
+    assert(cov.values.map(_._1).sum === Tables.customer(spark, sf001).count())
+    assert(cov.values.map(_._2).sum === Tables.supplier(spark, sf001).count())
+    // one-sided nations report 0, not null (would have thrown on getLong)
+    (custN diff suppN).foreach(nk => assert(cov(nk)._2 === 0L))
+    (suppN diff custN).foreach(nk => assert(cov(nk)._1 === 0L))
+  }
+
   test("set ops partition the union of nation keys") {
     val p = Relational.nationPresence(spark, sf001).collect()
     val byKind = p.groupBy(_.getString(1)).view.mapValues(_.map(_.getInt(0)).toSet).toMap
