@@ -175,16 +175,24 @@ object Dedup {
     * candidate generation exhaustive for any h (the default h=3 gives
     * the classic 4×16-bit layout). More bands = smaller buckets = more
     * spurious candidates, so keep h small at corpus scale. */
+  /** (bit offset, width) of each of `nBands` disjoint bands covering
+    * all 64 fingerprint bits — the pigeonhole guarantee (a pair within
+    * hamming h agrees exactly on ≥ 1 of h+1 bands) holds iff this is a
+    * disjoint cover, which PropertiesSpec asserts for every nBands. */
+  def bandLayout(nBands: Int): Seq[(Int, Int)] = {
+    val widths = Array.tabulate(nBands)(i => 64 / nBands + (if (i < 64 % nBands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    (0 until nBands).map(i => (offsets(i), widths(i)))
+  }
+
   def simhash(docs: DataFrame, idCol: String, textCol: String,
               maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming=$maxHamming must be in [0, 63]")
     val nb = maxHamming + 1
-    val widths = Array.tabulate(nb)(i => 64 / nb + (if (i < 64 % nb) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _)
-    val parts = (0 until nb).map { i =>
-      val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1
-      s"$i, shiftright(sh, ${offsets(i)}) & ${mask}L"
+    val parts = bandLayout(nb).zipWithIndex.map { case ((off, w), i) =>
+      val mask = if (w == 64) -1L else (1L << w) - 1
+      s"$i, shiftright(sh, $off) & ${mask}L"
     }.mkString(", ")
     val fp = simhashFingerprints(docs, idCol, textCol)
     val bands = fp.select(col("doc_id"), col("sh"),

@@ -75,6 +75,31 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("law: simhash band layout is a disjoint cover of all 64 bits for any band count") {
+    (1 to 64).foreach { nb =>
+      val layout = graft.operators.Dedup.bandLayout(nb)
+      assert(layout.length === nb)
+      assert(layout.forall { case (_, w) => w >= 1 })
+      val bits = layout.flatMap { case (off, w) => off until (off + w) }
+      assert(bits.sorted === (0 until 64).toList, s"nBands=$nb")
+      // pigeonhole follows: h flipped bits cannot touch all h+1 bands
+    }
+  }
+
+  test("law: salted aggregation equals the plain group-by for any bucket count") {
+    val rows = sample(Gen.zip(Gen.choose(0, 4), Gen.choose(-100, 100)), 300)
+    val df = rows.toDF("k", "v")
+    val plain = df.groupBy("k")
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    Seq(1, 3, 16, 64).foreach { buckets =>
+      val salted = graft.operators.Skew.saltedSumCount(
+          df, Seq("k"), col("v"), buckets)
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(salted === plain, s"buckets=$buckets")
+    }
+  }
+
   test("law: simhash of permuted token order is identical (bag-of-words property)") {
     val perms = sample(Gen.listOfN(8, Gen.oneOf("aa", "bb", "cc", "dd", "ee")), 40)
       .map(_.mkString(" "))
