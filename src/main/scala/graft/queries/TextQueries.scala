@@ -51,6 +51,19 @@ object TextQueries {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(50)
 
+  /** The extension-function SQL path end-to-end: the custom compiled
+    * `word_shingles` Catalyst expression invoked FROM SQL (the same
+    * registration `spark.sql.extensions=graft.plans.GraftExtensions`
+    * performs at session build), oracle-checked against DuckDB's
+    * distinct-trigram reconstruction. */
+  def sqlShingles(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.expressions.register(s)
+    Tables.documents(s, dir).createOrReplaceTempView("documents_v")
+    s.sql(
+      """SELECT doc_id, size(word_shingles(text, 3)) AS n_shingles
+        |FROM documents_v ORDER BY doc_id""".stripMargin)
+  }
+
   def stratified(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.stratifiedSample(
         Tables.documents(s, dir).select("doc_id", "lang"), "lang", "doc_id", 10)
@@ -65,7 +78,8 @@ object TextQueries {
     "text_fingerprint" -> (fingerprint _),
     "text_corpus_stats" -> (corpus _),
     "text_vocab" -> (vocab _),
-    "text_stratified_sample" -> (stratified _))
+    "text_stratified_sample" -> (stratified _),
+    "sql_word_shingles" -> (sqlShingles _))
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -138,5 +152,11 @@ object TextQueries {
         |             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
         |           FROM documents)
         |SELECT lang, doc_id FROM r WHERE (rn - 1) % 10 = 0
-        |ORDER BY lang, doc_id""".stripMargin)
+        |ORDER BY lang, doc_id""".stripMargin,
+    "sql_word_shingles" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS INTEGER) AS n_shingles
+        |FROM docs ORDER BY doc_id""".stripMargin)
 }
