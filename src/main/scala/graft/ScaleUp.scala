@@ -67,6 +67,33 @@ object ScaleUp {
         timestamp_seconds(lit(ship0) + (rand(15) * 1825 * Day).cast("long"))
           .as("l_shipdate"))
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    // supplier: 10k rows over 25 nations
+    spark.range(1, 10001L, 1, 8)
+      .select(
+        col("id").as("s_suppkey"),
+        concat(lit("Supplier#"), col("id").cast("string")).as("s_name"),
+        pmod(xxhash64(col("id"), lit(3)), lit(25)).cast("int").as("s_nationkey"))
+      .write.mode("overwrite").parquet(s"$out/supplier.parquet")
+    // documents: 50k docs of 30-199 words from a fixed vocabulary
+    val vocab = Seq("the", "of", "and", "to", "data", "spark", "query", "engine",
+      "stream", "batch", "join", "window", "state", "shuffle", "scan", "filter",
+      "agg", "sort", "hash", "broadcast", "der", "die", "und", "el", "la", "que",
+      "le", "les", "des", "est", "model", "train", "token", "text", "corpus",
+      "dedup", "sample", "vector", "index", "cluster")
+    val vocabArr = array(vocab.map(lit): _*)
+    spark.range(1, 50001L, 1, 32)
+      .select(col("id").as("doc_id"),
+        array_join(transform(
+          sequence(lit(1), (pmod(xxhash64(col("id"), lit(4)), lit(170)) + 30).cast("int")),
+          i => element_at(vocabArr,
+            pmod(xxhash64(col("id"), i.cast("long")), lit(vocab.length)).cast("int") + 1)),
+          " ").as("text"),
+        element_at(array(lit("en"), lit("de"), lit("es"), lit("fr")),
+          pmod(xxhash64(col("id"), lit(5)), lit(4)).cast("int") + 1).as("lang"),
+        element_at(array(lit("web"), lit("books"), lit("code")),
+          pmod(xxhash64(col("id"), lit(6)), lit(3)).cast("int") + 1).as("source"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
     // tiny dims: copy from the real fixture unchanged
     Seq("nation", "region").foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet")
@@ -76,8 +103,9 @@ object ScaleUp {
 
   val Timed: Seq[String] = Seq(
     "rel_range_join", "rel_grouping_sets", "rel_skew_salted_agg",
-    "rel_q6_forecast", "rel_subquery_brand_avg",
-    "events_session", "events_window",
+    "rel_q6_forecast", "rel_subquery_brand_avg", "rel_outer_join",
+    "events_session", "events_window", "events_running_total",
+    "text_vocab", "text_stratified_sample", "sql_word_shingles",
     "stream_window_parity", "stream_session_parity",
     "stream_join_pairs", "stream_dedup_distinct")
 
