@@ -109,6 +109,32 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_occurrences"),
         count_distinct(col("doc_id")).as("n_docs"))
 
+  /** Top-k terms per document by TF-IDF — the raw-ratio variant
+    * `tf · N / df` rather than `tf · ln(N/df)`: the integer inputs
+    * make the score ONE correctly-rounded double division, identical
+    * bits in every IEEE engine, whereas `ln` may differ in the last
+    * ulp between libm implementations and silently flip near-tied
+    * rank orders. Same ranking for any monotone transform of N/df.
+    * Scale: token-level aggregates are partial-agg friendly; the df
+    * side is |vocab| rows (broadcastable); the final per-doc rank
+    * partitions by doc_id (high cardinality — no window skew). */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count()
+    val tokens = docs.select(col(idCol).as("doc_id"),
+      explode(TextOps.words(col(textCol))).as("token"))
+    val tf = tokens.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "token")
+      .withColumn("score", (col("tf") * lit(n)).cast("double") / col("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("score"))
+  }
+
   /** Deterministic every-k-th downsample within each stratum (ordered
     * by `idCol`) — reproducible train/eval splits. The window is per
     * stratum: safe when strata are low-cardinality labels (languages,

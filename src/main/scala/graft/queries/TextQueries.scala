@@ -64,6 +64,12 @@ object TextQueries {
         |FROM documents_v ORDER BY doc_id""".stripMargin)
   }
 
+  def tfidf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfIdfTopTerms(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"),
+        round(col("score"), 6).as("score"))
+      .orderBy("doc_id", "rank")
+
   def stratified(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.stratifiedSample(
         Tables.documents(s, dir).select("doc_id", "lang"), "lang", "doc_id", 10)
@@ -79,6 +85,7 @@ object TextQueries {
     "text_corpus_stats" -> (corpus _),
     "text_vocab" -> (vocab _),
     "text_stratified_sample" -> (stratified _),
+    "text_tfidf_top_terms" -> (tfidf _),
     "sql_word_shingles" -> (sqlShingles _))
 
   private def inList(words: Seq[String]): String =
@@ -153,6 +160,22 @@ object TextQueries {
         |           FROM documents)
         |SELECT lang, doc_id FROM r WHERE (rn - 1) % 10 = 0
         |ORDER BY lang, doc_id""".stripMargin,
+    // tf·N/df (not ln): one correctly-rounded double division from
+    // integer inputs — bit-identical across engines, unlike libm ln
+    "text_tfidf_top_terms" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfx AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |s AS (SELECT tf.doc_id, tf.token, tf.tf,
+        |        CAST(tf.tf * n.n AS DOUBLE) / dfx.df AS score
+        |      FROM tf JOIN dfx ON tf.token = dfx.token CROSS JOIN n),
+        |r AS (SELECT doc_id, token, tf, score,
+        |        CAST(row_number() OVER (PARTITION BY doc_id
+        |             ORDER BY score DESC, token) AS INTEGER) AS rank
+        |      FROM s)
+        |SELECT doc_id, rank, token, tf, round(score, 6) AS score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "sql_word_shingles" ->
       """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
         |SELECT doc_id,

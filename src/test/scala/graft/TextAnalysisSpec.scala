@@ -84,6 +84,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("tf-idf top terms: ranks contiguous, rarer term outranks commoner at equal tf") {
+    val docs = Seq(
+      (1L, "rare common common"),   // tf(rare)=1 df=1; tf(common)=2 df=3
+      (2L, "common other"),
+      (3L, "common else")).toDF("doc_id", "text")
+    val r = TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", k = 3)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getString(2))).toSeq
+    // doc 1: score(rare)=1*3/1=3.0 > score(common)=2*3/3=2.0
+    assert(r.filter(_._1 == 1L).sortBy(_._2).map(_._3) === Seq("rare", "common"))
+    r.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted === (1 to rows.length))
+    }
+  }
+
   test("corpus stats totals reconcile with the whole table") {
     val c = TextAnalysis.corpusStats(docs)
     val total = c.agg(sum("n_docs"), sum("total_chars")).collect()(0)
