@@ -173,6 +173,29 @@ object StreamQueries {
     rows.toSeq.toDF("cluster_id", "dim", "coord").orderBy("cluster_id", "dim")
   }
 
+  /** mapGroupsWithState (update mode) over the fixture stream: per-
+    * user running totals. With the whole fixture in one micro-batch,
+    * each user's final state row equals the batch per-user aggregate —
+    * the oracle. Value sums fold in group-iterator order (arbitrary),
+    * so they are emitted as cents: the ≤1e-9 float wobble of summing
+    * ~exact 2-dp values cannot move a cent boundary. */
+  def runningStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = StreamOps.readEventsStream(s, eventsStreamDir(dir))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamOps.Event]
+    val stats = StreamOps.runningUserStats(ev)
+      .toDF("user_id", "n_events", "total_value")
+    val sink = runToMemory(s, "stream_running_stats_sink", stats, "update")
+    // update mode re-emits a user on every batch; keep the final state
+    // (max n_events — counts are monotone per user)
+    sink.groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("total_value"))).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        round(col("m.total_value") * 100).cast("long").as("total_cents"))
+      .orderBy("user_id")
+  }
+
   def dedupDistinct(s: SparkSession, dir: String): DataFrame = {
     val ev = StreamOps.readEventsStream(s, eventsStreamDir(dir))
       .select("user_id", "event_type")
@@ -188,6 +211,7 @@ object StreamQueries {
     "stream_session_parity" -> (sessionParity _),
     "stream_join_pairs" -> (joinPairs _),
     "stream_dedup_distinct" -> (dedupDistinct _),
+    "stream_running_stats" -> (runningStats _),
     "stream_kmeans_parity" -> (kmeansParity _))
 
   val oracles: Map[String, String] = Map(
@@ -229,6 +253,10 @@ object StreamQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_dedup_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_running_stats" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_kmeans_parity" -> (KMeansQueries.baseCte +
       """SELECT cid AS cluster_id, dim,
