@@ -114,7 +114,9 @@ object ScaleUp {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val spark = GraftSession.builder(GraftSession.envCpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    if (!new java.io.File(s"$out/events.parquet").exists) {
+    // guard on the NEWEST table so a scale dir generated by an older
+    // harness version (missing later tables) is refreshed, not reused
+    if (!new java.io.File(s"$out/documents.parquet").exists) {
       println(s"[scaleup] generating synthetic 10x fixture under $out")
       generate(spark, out, sfDir)
     }

@@ -168,6 +168,18 @@ object Dedup {
     agg.select(col("doc_id"), sh.as("sh"))
   }
 
+  /** (bit offset, width) of each of `nBands` disjoint bands covering
+    * all 64 fingerprint bits — the pigeonhole guarantee (a pair within
+    * hamming h agrees exactly on ≥ 1 of h+1 bands) holds iff this is a
+    * disjoint cover, which PropertiesSpec asserts for every nBands. */
+  def bandLayout(nBands: Int): Seq[(Int, Int)] = {
+    require(nBands >= 1 && nBands <= 64,
+      s"nBands=$nBands must be in [1, 64] (zero-width bands break the cover)")
+    val widths = Array.tabulate(nBands)(i => 64 / nBands + (if (i < 64 % nBands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    (0 until nBands).map(i => (offsets(i), widths(i)))
+  }
+
   /** SimHash near-dup pairs: 64-bit fingerprints, banded candidate
     * generation, hamming verification. The band count is DERIVED from
     * `maxHamming`: by pigeonhole, a pair differing in ≤ h bits must
@@ -175,16 +187,6 @@ object Dedup {
     * candidate generation exhaustive for any h (the default h=3 gives
     * the classic 4×16-bit layout). More bands = smaller buckets = more
     * spurious candidates, so keep h small at corpus scale. */
-  /** (bit offset, width) of each of `nBands` disjoint bands covering
-    * all 64 fingerprint bits — the pigeonhole guarantee (a pair within
-    * hamming h agrees exactly on ≥ 1 of h+1 bands) holds iff this is a
-    * disjoint cover, which PropertiesSpec asserts for every nBands. */
-  def bandLayout(nBands: Int): Seq[(Int, Int)] = {
-    val widths = Array.tabulate(nBands)(i => 64 / nBands + (if (i < 64 % nBands) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _)
-    (0 until nBands).map(i => (offsets(i), widths(i)))
-  }
-
   def simhash(docs: DataFrame, idCol: String, textCol: String,
               maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,

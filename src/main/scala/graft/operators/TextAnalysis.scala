@@ -121,13 +121,18 @@ object TextAnalysis {
   def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = docs.count()
+    // N stays INSIDE the plan (1-row broadcast agg, like the oracle's
+    // CROSS JOIN (SELECT COUNT(*))): a driver-side docs.count() would
+    // run an extra corpus scan at construction time and make a lazy
+    // query builder side-effecting.
+    val n1 = docs.agg(count(lit(1)).as("_n"))
     val tokens = docs.select(col(idCol).as("doc_id"),
       explode(TextOps.words(col(textCol))).as("token"))
     val tf = tokens.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(dfreq), "token")
-      .withColumn("score", (col("tf") * lit(n)).cast("double") / col("df"))
+      .crossJoin(broadcast(n1))
+      .withColumn("score", (col("tf") * col("_n")).cast("double") / col("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("token"))
     scored.withColumn("rank", row_number().over(w))

@@ -29,12 +29,20 @@ import graft.streaming.StreamOps
   *    at 100 TB you would bound state with dropDuplicatesWithinWatermark
   *    (whose output depends on batch boundaries, so it is covered by
   *    ScalaTest instead of a cross-engine oracle).
+  *  - `stream_running_stats`: mapGroupsWithState running per-user
+  *    totals (update mode); one-batch final state == batch aggregate.
+  *  - `stream_kmeans_parity`: one-batch streaming K-Means == one
+  *    exact Lloyd step (same oracle as `kmeans_average`).
   *
-  * Scale notes: all four stateful operators hold bounded per-key state
-  * (window×type counts, one open session per user, join rows inside
-  * the watermark horizon, one bit per dedup key); the memory-sink
-  * collect is a test-harness artifact — production would writeStream
-  * to files/Kafka.
+  * Scale notes: the windowed agg, sessionization, join and streaming
+  * K-Means hold bounded per-key state (window×type counts, one open
+  * session per user, join rows inside the watermark horizon, k·d
+  * driver doubles); the global dedup and running-stats state grows
+  * with key cardinality BY DESIGN (that is what makes them
+  * batching-independent and oracle-checkable — the bounded
+  * alternatives are watermark-scoped and noted above). The
+  * memory-sink table is a test-harness artifact — production would
+  * writeStream to files/Kafka.
   */
 object StreamQueries {
   private val Fmt = "yyyy-MM-dd HH:mm:ss"

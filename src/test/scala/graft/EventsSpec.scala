@@ -60,8 +60,14 @@ class EventsSpec extends SparkSpec {
         sum(col("value").cast("decimal(38,2)")).cast("double").as("v"))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(last === agg)
-    // frames are monotone in n
+    // one output row per event, and n_so_far really is the running
+    // 1..n sequence along each user's (ts, event_id) frame order
     assert(rt.count() === events.count())
+    rt.orderBy("user_id", "ts", "event_id")
+      .select("user_id", "n_so_far").collect()
+      .groupBy(_.getLong(0)).foreach { case (u, rows) =>
+        assert(rows.map(_.getLong(1)).toSeq === (1L to rows.length).toSeq, s"user=$u")
+      }
   }
 
   test("top users returns k rows in strictly non-increasing order") {
