@@ -34,13 +34,69 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  val SampleEvery = 2
+  val TokenBudget = 2500L
+
+  /** Training-set assembly, composing the round-2 operators the way a
+    * real data job would: deterministic stratified sample → near-dup
+    * removal (drop the higher-id side of every n-gram-Jaccard pair,
+    * computed over the FULL corpus so a sampled doc near-duplicating
+    * an unsampled one is still caught) → per-language token budget via
+    * a running-total window (docs admitted in doc_id order until the
+    * budget fills). Exact integer token sums — every prefix is
+    * deterministic. */
+  def trainingSet(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val sampled = TextAnalysis.stratifiedSample(
+      docs.select("doc_id", "lang", "text"), "lang", "doc_id", SampleEvery)
+    val dupHi = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val kept = sampled.join(dupHi, Seq("doc_id"), "left_anti")
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    kept
+      .select(col("doc_id"), col("lang"),
+        size(graft.functions.TextOps.words(col("text"))).as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= TokenBudget)
+      .orderBy("lang", "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipeline_clean_corpus" -> (cleanCorpus _))
+    "pipeline_clean_corpus" -> (cleanCorpus _),
+    "pipeline_training_set" -> (trainingSet _))
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracles: Map[String, String] = Map(
+    "pipeline_training_set" ->
+      s"""WITH docs AS (SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents),
+         |sh0 AS (SELECT DISTINCT doc_id, s FROM (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM docs)),
+         |sh AS (SELECT * FROM sh0 WHERE s NOT IN (
+         |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > ${graft.operators.Dedup.DefaultMaxShingleFreq})),
+         |cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY 1),
+         |dup AS (SELECT DISTINCT p.doc_b AS doc_id FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) p
+         |  JOIN cnt ca ON p.doc_a = ca.doc_id JOIN cnt cb ON p.doc_b = cb.doc_id
+         |  WHERE CAST(p.inter AS DOUBLE) / (ca.c + cb.c - p.inter) >= 0.8),
+         |samp AS (SELECT doc_id, lang, len(w) AS n_tokens,
+         |           row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+         |         FROM docs),
+         |kept AS (SELECT doc_id, lang, n_tokens FROM samp
+         |         WHERE (rn - 1) % $SampleEvery = 0
+         |           AND doc_id NOT IN (SELECT doc_id FROM dup)),
+         |r AS (SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens,
+         |        SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |                            ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |      FROM kept)
+         |SELECT doc_id, lang, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM r WHERE cum_tokens <= $TokenBudget
+         |ORDER BY lang, doc_id""".stripMargin,
     "pipeline_clean_corpus" -> {
       val langScores = TextAnalysis.LangProfiles.map { case (lang, stop) =>
         s"""SELECT doc_id, '$lang' AS lang,
