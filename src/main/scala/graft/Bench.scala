@@ -19,10 +19,15 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Per-query seconds rounded to 3 dp (locale-pinned): at 60+ queries the
+    // full-double line is ~3.4 KB and the driver's ~2 KB tail capture cuts
+    // its HEAD off, so the scraper sees no parseable JSON ("parsed": null).
+    // At 3 dp the whole line is ~1.8 KB and fits the tail window entire.
+    def dp3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + dp3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${dp3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // stdout for the driver's line scraper AND a file, so a log-prefix
     // wrapper (sbt's [info]) can't make the JSON unparseable again
     // (round-1 BENCH had "parsed": null from exactly that).

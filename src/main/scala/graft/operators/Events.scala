@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   * Scale notes: tumbling/sliding aggregation is a single partial+final
   * hash aggregate (shuffle = |groups|); sessionization shuffles once on
   * user_id (the window partition key) — the canonical layout for a
-  * sessionized store. Money-grade sums go through DECIMAL(38,12) so
-  * partition order cannot perturb results (SURVEY.md §5.2).
+  * sessionized store. Money-grade sums are cast to decimal(38,2) —
+  * the scale where the fixture values are EXACT — so partition order
+  * cannot perturb results; higher scales (e.g. (38,12)) on money
+  * magnitudes diverge between engines and are the documented
+  * cross-engine trap (SURVEY.md §5.2).
   */
 object Events {
 

@@ -15,8 +15,12 @@ import graft.io.Tables
   *    explicit broadcast() hints — no shuffle of the fact table for
   *    dim joins; lineitem⋈orders is the only shuffle exchange, on the
   *    join key both sides;
-  *  - money sums go through DECIMAL(38,12) (exact, associative) so
-  *    results are partition-order-independent (SURVEY.md §5.2).
+  *  - money sums are cast to decimal AT THE SCALE WHERE THE DATA IS
+  *    EXACT — (38,2) for 2-dp money columns, (38,4) for
+  *    price×discount products — making them exact and associative,
+  *    so results are partition-order-independent; higher scales like
+  *    (38,12) on money magnitudes are the documented cross-engine
+  *    double→decimal trap (SURVEY.md §5.2 and the docstring below).
   */
 object Relational {
 

@@ -140,20 +140,87 @@ object TextAnalysis {
       .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("score"))
   }
 
-  /** Deterministic every-k-th downsample within each stratum (ordered
-    * by `idCol`) — reproducible train/eval splits. The window is per
-    * stratum: safe when strata are low-cardinality labels (languages,
-    * sources); for unstratified sampling at 100 TB prefer a pure
-    * filter `pmod(hash(id), k) = 0` (no shuffle at all). */
-  def stratifiedSample(docs: DataFrame, strataCol: String, idCol: String,
-                       k: Int): DataFrame = {
+  /** Exact per-stratum rank (1-based, ordered by `idCol`) computed
+    * WITHOUT funneling a stratum into one task. A plain
+    * `row_number() over (partition by stratum)` sends every row of a
+    * stratum through a single task — with low-cardinality strata
+    * (languages, sources) that is a handful of tasks sorting the whole
+    * corpus at 100 TB. Here the rank is split two-level, all lazy
+    * Catalyst, no driver collect:
+    *
+    *   1. bucket ids into `buckets` range buckets (in-plan min/max,
+    *      integer DIV — monotone in id, so bucket order = id order);
+    *   2. count rows per (stratum, bucket) — a partial-agg shuffle
+    *      whose OUTPUT is ≤ strata·buckets rows;
+    *   3. prefix-sum those counts per stratum (window over the tiny
+    *      counts table) → each bucket's starting offset;
+    *   4. broadcast-join offsets back and take `row_number` per
+    *      (stratum, bucket): parallelism is strata·buckets and each
+    *      task sorts ~1/buckets of a stratum.
+    *
+    * Rank = offset + within-bucket row_number, identical to the
+    * single-window formulation for any bucketing (used verbatim by the
+    * DuckDB oracles). Skewed id ranges degrade bucket balance but
+    * never correctness. */
+  def stratumRank(docs: DataFrame, strataCol: String, idCol: String,
+                  buckets: Int = 256,
+                  rankCol: String = "_stratum_rank"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    docs
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(col(strataCol)).orderBy(col(idCol))))
-      .filter((col("_rn") - 1) % k === 0)
-      .drop("_rn")
+    val id = col(idCol).cast("bigint")
+    val bounds = docs.agg(min(id).as("_min_id"), max(id).as("_max_id"))
+    val withB = docs.crossJoin(broadcast(bounds))
+      .withColumn("_width", greatest(
+        ceil((col("_max_id") - col("_min_id") + 1).cast("double") / buckets)
+          .cast("bigint"),
+        lit(1L)))
+      .withColumn("_bucket",
+        expr(s"(CAST($idCol AS BIGINT) - _min_id) DIV _width"))
+      .drop("_min_id", "_max_id", "_width")
+    val counts = withB
+      .groupBy(col(strataCol).as("_s"), col("_bucket").as("_b"))
+      .agg(count(lit(1)).as("_c"))
+    val offs = counts
+      .withColumn("_off", coalesce(
+        sum("_c").over(Window.partitionBy("_s").orderBy("_b")
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("_s"), col("_b"), col("_off"))
+    val wb = Window.partitionBy(col(strataCol), col("_bucket"))
+      .orderBy(col(idCol))
+    withB
+      .join(broadcast(offs),
+        withB(strataCol) <=> offs("_s") && withB("_bucket") <=> offs("_b"))
+      .withColumn(rankCol, col("_off") + row_number().over(wb))
+      .drop("_s", "_b", "_off", "_bucket")
   }
+
+  /** Deterministic every-k-th downsample within each stratum (ordered
+    * by `idCol`) — reproducible train/eval splits. Built on
+    * [[stratumRank]], so no stratum ever funnels into a single task;
+    * semantics (and the oracle SQL) are exactly the naive
+    * `(row_number() over (partition by stratum order by id) - 1) % k = 0`. */
+  def stratifiedSample(docs: DataFrame, strataCol: String, idCol: String,
+                       k: Int, buckets: Int = 256): DataFrame =
+    stratumRank(docs, strataCol, idCol, buckets)
+      .filter(pmod(col("_stratum_rank") - 1, lit(k)) === 0)
+      .drop("_stratum_rank")
+
+  /** Multiplicative-hash admission sampling: keep a row iff
+    * `((id mod P) · A mod P) mod k = 0` with P = 1e9+7 and
+    * A = 2654435761 mod P (Knuth's 2³²·φ⁻¹ multiplier, reduced so the
+    * product stays < 2⁶³ for ANY bigint id). A pure scan filter — zero
+    * shuffle, zero state, the sampler of choice at 100 TB — and being
+    * exact integer arithmetic it is bit-reproducible in any engine, so
+    * unlike murmur3/xxhash it is DuckDB-oracle-checkable. Within each
+    * stratum the multiplicative hash decorrelates admission from id
+    * order, giving ~1/k of every stratum (proportional allocation)
+    * without ever grouping by stratum. */
+  val SampleHashP = 1000000007L
+  val SampleHashA = 2654435761L % SampleHashP
+  def hashModSample(docs: DataFrame, idCol: String, k: Int): DataFrame =
+    docs.filter(
+      pmod(pmod(col(idCol).cast("bigint"), lit(SampleHashP)) * lit(SampleHashA),
+        lit(SampleHashP)) % k === 0)
 
   /** Corpus-level aggregate: per (lang, source) doc counts + token
     * totals — the group-by surface over the text stats. */

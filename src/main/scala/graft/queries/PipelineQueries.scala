@@ -44,7 +44,16 @@ object PipelineQueries {
     * an unsampled one is still caught) → per-language token budget via
     * a running-total window (docs admitted in doc_id order until the
     * budget fills). Exact integer token sums — every prefix is
-    * deterministic. */
+    * deterministic.
+    *
+    * Scale shape: the sample stage uses the two-level
+    * [[TextAnalysis.stratumRank]] (no per-stratum funnel), and the
+    * budget stage pre-filters on that same scale-safe rank before the
+    * exact prefix-sum window: `n_tokens >= 1` for every document, so
+    * `cum_tokens >= rank` and any row with rank > TokenBudget can
+    * never be admitted — the single-task-per-language exact window
+    * therefore runs over at most TokenBudget rows per language, a
+    * bound independent of corpus size. */
   def trainingSet(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
@@ -55,9 +64,12 @@ object PipelineQueries {
     val kept = sampled.join(dupHi, Seq("doc_id"), "left_anti")
     val w = Window.partitionBy("lang").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    kept
-      .select(col("doc_id"), col("lang"),
-        size(graft.functions.TextOps.words(col("text"))).as("n_tokens"))
+    TextAnalysis.stratumRank(
+        kept.select(col("doc_id"), col("lang"),
+          size(graft.functions.TextOps.words(col("text"))).as("n_tokens")),
+        "lang", "doc_id")
+      .filter(col("_stratum_rank") <= TokenBudget)
+      .drop("_stratum_rank")
       .withColumn("cum_tokens", sum("n_tokens").over(w))
       .filter(col("cum_tokens") <= TokenBudget)
       .orderBy("lang", "doc_id")

@@ -71,6 +71,27 @@ object SimilarityQueries {
         round(col("cosine"), 6).as("cosine"))
       .orderBy("query_id", "rank")
 
+  /** A SECOND, disjoint query batch (the next Q vec_ids after the
+    * first batch) against the SAME persisted index: probe-only as a
+    * declared surface — this query never trains or re-assigns cells,
+    * whether the index comes from the in-memory memo, the disk layout
+    * written by an earlier process, or a build triggered by
+    * `ann_ivf_topk` moments before (SimilaritySpec asserts the
+    * reuse). */
+  private def queryVecsNext(s: SparkSession, dir: String): Array[(Long, Array[Double])] =
+    Tables.embeddings(s, dir)
+      .orderBy("vec_id").limit(2 * Q)
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")))
+      .collect()
+      .drop(Q)
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+  def ivfProbeOnly(s: SparkSession, dir: String): DataFrame =
+    Similarity.probe(ivfIndex(s, dir), queryVecsNext(s, dir), K)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("query_id", "rank")
+
   def lsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         queryVecs(s, dir), K)
@@ -81,7 +102,8 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce_topk" -> (bruteForce _),
     "ann_lsh_topk" -> (lsh _),
-    "ann_ivf_topk" -> (ivf _))
+    "ann_ivf_topk" -> (ivf _),
+    "ann_ivf_probe_only" -> (ivfProbeOnly _))
 
   val oracles: Map[String, String] = Map(
     "ann_bruteforce_topk" ->

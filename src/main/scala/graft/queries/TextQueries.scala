@@ -76,6 +76,14 @@ object TextQueries {
       .select("lang", "doc_id")
       .orderBy("lang", "doc_id")
 
+  /** The zero-shuffle admission sampler (the 100 TB path): pure filter,
+    * exact integer hash, oracle-checkable. */
+  def sampleHashMod(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hashModSample(
+        Tables.documents(s, dir).select("doc_id", "lang"), "doc_id", 10)
+      .select("lang", "doc_id")
+      .orderBy("lang", "doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> (tokens _),
     "text_tokens_bpe" -> (bpeTokens _),
@@ -85,6 +93,7 @@ object TextQueries {
     "text_corpus_stats" -> (corpus _),
     "text_vocab" -> (vocab _),
     "text_stratified_sample" -> (stratified _),
+    "text_sample_hashmod" -> (sampleHashMod _),
     "text_tfidf_top_terms" -> (tfidf _),
     "sql_word_shingles" -> (sqlShingles _))
 
@@ -160,6 +169,11 @@ object TextQueries {
         |           FROM documents)
         |SELECT lang, doc_id FROM r WHERE (rn - 1) % 10 = 0
         |ORDER BY lang, doc_id""".stripMargin,
+    "text_sample_hashmod" ->
+      s"""SELECT lang, doc_id FROM documents
+         |WHERE ((doc_id % ${TextAnalysis.SampleHashP}) * ${TextAnalysis.SampleHashA}
+         |       % ${TextAnalysis.SampleHashP}) % 10 = 0
+         |ORDER BY lang, doc_id""".stripMargin,
     // tf·N/df (not ln): one correctly-rounded double division from
     // integer inputs — bit-identical across engines, unlike libm ln
     "text_tfidf_top_terms" ->

@@ -71,6 +71,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("lane-packed simhash aggregate equals the HOF simhash64 on the fixture corpus") {
+    // the aggregate packs 4 bit-counters per bigint lane column; the
+    // HOF twin computes each bit independently — fingerprints must be
+    // bit-identical for every document
+    val viaAgg = Dedup.simhashFingerprints(docs, "doc_id", "text")
+    val viaHof = docs.select(col("doc_id"),
+      TextOps.simhash64(col("text")).as("hof"))
+    assert(viaAgg.count() === docs.count(), "no fixture doc is token-less")
+    val diff = viaAgg.join(viaHof, "doc_id").filter(col("sh") =!= col("hof"))
+    assert(diff.count() === 0)
+  }
+
   test("rolling fingerprint is deterministic and order-sensitive") {
     val df = Seq("a b c", "a b c", "c b a").toDF("text")
       .select(TextOps.rollingFingerprint(col("text")).as("f"))

@@ -38,6 +38,19 @@ class ExpressionsSpec extends SparkSpec {
     assert(df.filter(col("fast") =!= col("ref")).count() === 0)
   }
 
+  test("WordShingles: two instances share one codegen scope cleanly") {
+    // the doGenCode path emits static ShingleKernel calls; two
+    // instances (different n) in ONE projection must not collide in
+    // the generated class (the janino-failure mode that silently
+    // disables whole-stage codegen)
+    val got = Seq(("a b c d", "x y z w")).toDF("t1", "t2")
+      .select(expressions.word_shingles(col("t1"), 2).as("s1"),
+        expressions.word_shingles(col("t2"), 3).as("s2"))
+      .collect()(0)
+    assert(got.getSeq[String](0) === Seq("a b", "b c", "c d"))
+    assert(got.getSeq[String](1) === Seq("x y z", "y z w"))
+  }
+
   test("WordShingles null propagates") {
     val got = Seq[Option[String]](None).toDF("text")
       .select(expressions.word_shingles(col("text"), 2).as("s"))

@@ -75,6 +75,22 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("law: digest-keyed exact dedup == raw-text grouping on unicode-heavy corpora") {
+    // sha2 runs over UTF-8 bytes; the law must hold across multi-byte
+    // code points, surrogate pairs, NULs, and combining marks
+    val pool = Seq("δοκιμαστικό κείμενο", "中文 文本 样例", "🙂🚀 emoji text",
+      "plain ascii", "משפט בעברית", "ё õ ü ß", "a\u0000b nul", "é combining")
+    val texts = sample(Gen.oneOf(pool), 200)
+    val corpus = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val byDigest = graft.operators.Dedup.exact(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val byRaw = graft.operators.Dedup.exact(corpus, "doc_id", "text", keyExpr = c => c)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(byDigest === byRaw)
+    assert(byDigest.map(_._2).sum === 200L)
+  }
+
   test("law: simhash band layout is a disjoint cover of all 64 bits for any band count") {
     (1 to 64).foreach { nb =>
       val layout = graft.operators.Dedup.bandLayout(nb)

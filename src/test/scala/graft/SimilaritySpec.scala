@@ -89,6 +89,28 @@ class SimilaritySpec extends SparkSpec {
     assert(fromLoad === fromBuild)
   }
 
+  test("declared probe-only query reuses the index and serves a disjoint batch") {
+    import graft.queries.SimilarityQueries
+    val first = SimilarityQueries.ivf(spark, sf001)
+      .select("query_id").distinct().collect().map(_.getLong(0)).toSet
+    val marker = new java.io.File(graft.operators.Similarity.indexDirFor(
+      new java.io.File(Tables.path(sf001, "embeddings")),
+      SimilarityQueries.IvfCells, SimilarityQueries.IvfTrainIters,
+      SimilarityQueries.IvfTrainSample, SimilarityQueries.IvfSeed), "centers.json")
+    assert(marker.exists, "ann_ivf_topk must have persisted the index")
+    val mtime = marker.lastModified
+    val probeOnly = SimilarityQueries.ivfProbeOnly(spark, sf001)
+    val second = probeOnly.select("query_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(marker.lastModified === mtime, "probe-only must not rebuild the index")
+    assert(second.nonEmpty && (first & second).isEmpty,
+      s"query batches must be disjoint: $first vs $second")
+    // full output shape: contiguous ranks per query
+    val ranks = probeOnly.collect().groupBy(_.getLong(0))
+      .values.map(_.map(_.getInt(2)).sorted.toSeq)
+    ranks.foreach(rs => assert(rs === (1 to rs.length)))
+  }
+
   test("LSH is deterministic for a fixed seed") {
     val a = Similarity.lshTopK(emb, "vec_id", "embedding", queries, 5).collect()
     val b = Similarity.lshTopK(emb, "vec_id", "embedding", queries, 5).collect()

@@ -84,6 +84,51 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("stratumRank equals the naive per-stratum window rank") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf001).select("doc_id", "lang")
+    val naive = docs.withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy("doc_id")))
+      .collect().map(r => (r.getLong(0), r.getInt(2).toLong)).toMap
+    // several bucket counts, including degenerate ones
+    for (b <- Seq(1, 7, 256)) {
+      val got = TextAnalysis.stratumRank(docs, "lang", "doc_id", buckets = b)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      assert(got === naive, s"buckets=$b")
+    }
+  }
+
+  test("stratified sample is invariant to the bucket count") {
+    val docs = Tables.documents(spark, sf001).select("doc_id", "lang")
+    def run(b: Int) = TextAnalysis.stratifiedSample(docs, "lang", "doc_id", 10, buckets = b)
+      .collect().map(_.toSeq).toSet
+    val one = run(1)
+    assert(one.nonEmpty)
+    assert(run(13) === one)
+    assert(run(256) === one)
+  }
+
+  test("hash-mod sampler: deterministic, zero-shuffle semantics, ~1/k per stratum") {
+    val docs = Tables.documents(spark, sf001).select("doc_id", "lang")
+    val s1 = TextAnalysis.hashModSample(docs, "doc_id", 10)
+    val s2 = TextAnalysis.hashModSample(docs, "doc_id", 10)
+    val a = s1.collect().map(_.toSeq).toSet
+    assert(a === s2.collect().map(_.toSeq).toSet)
+    // admission is a pure filter: no Exchange in the plan
+    val plan = s1.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampler must not shuffle:\n$plan")
+    // proportional-ish allocation per stratum (multiplicative hash
+    // decorrelates from id order); loose 3x bounds at fixture size
+    val perLang = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = s1.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, n) =>
+      val s = got.getOrElse(lang, 0L).toDouble
+      assert(s >= n / 10.0 / 3 - 2 && s <= n / 10.0 * 3 + 2, s"lang=$lang $s of $n")
+    }
+  }
+
   test("tf-idf top terms: ranks contiguous, rarer term outranks commoner at equal tf") {
     val docs = Seq(
       (1L, "rare common common"),   // tf(rare)=1 df=1; tf(common)=2 df=3
