@@ -38,11 +38,15 @@ object Dedup {
       .agg(min(col(idCol)).as("doc_id"), count(lit(1)).as("n_dups"))
       .select("doc_id", "n_dups")
 
-  /** Distinct (id, shingle) pairs — the inverted-index input. */
+  /** Distinct (id, shingle) pairs — the inverted-index input.
+    * Distinctness comes from the shingle EXPRESSION itself
+    * ([[TextOps.shingles]] emits each doc's distinct shingles — both
+    * the compiled WordShingles kernel and the HOF twin do), so no
+    * dropDuplicates shuffle is spent re-proving it; ExpressionsSpec
+    * pins that contract. */
   def docShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        explode(TextOps.shingles(col(textCol), n)).as("s"))
-      .dropDuplicates("doc_id", "s")
+      explode(TextOps.shingles(col(textCol), n)).as("s"))
 
   /** Exact n-gram Jaccard near-dup pairs via shared-shingle co-counts:
     * |A∩B| from the inverted-index self-join, |A∪B| = |A|+|B|−|A∩B|.
@@ -63,10 +67,22 @@ object Dedup {
     * melt the job. */
   val DefaultMaxShingleFreq = 10000
 
+  /** `hashKeys = true` (default) replaces shingle strings with their
+    * xxhash64 before every exchange: the hot-filter, size and
+    * self-join shuffles carry fixed 8-byte keys instead of ~n-word
+    * strings (3-5× fewer shuffle bytes on prose). Identity of shingles
+    * is preserved absent a 64-bit collision; collisions start
+    * appearing (birthday) around 2³² distinct shingles and each merges
+    * ONE shingle identity corpus-wide — a ±1 perturbation of
+    * intersection counts, far below any sane threshold's resolution at
+    * that scale. Pass `hashKeys = false` for exact string identity. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.8,
-                   maxShingleFreq: Option[Int] = Some(DefaultMaxShingleFreq)): DataFrame = {
-    val sh0 = docShingles(docs, idCol, textCol, n)
+                   maxShingleFreq: Option[Int] = Some(DefaultMaxShingleFreq),
+                   hashKeys: Boolean = true): DataFrame = {
+    val raw = docShingles(docs, idCol, textCol, n)
+    val sh0 = if (hashKeys) raw.select(col("doc_id"), xxhash64(col("s")).as("s"))
+              else raw
     // The inverted index feeds three consumers (sizes + both self-join
     // sides). Deliberately NOT persisted: with the compiled
     // WordShingles expression, re-shingling is cheaper than
@@ -233,6 +249,63 @@ object Dedup {
     cand.withColumn("hamming", TextOps.hamming64(col("fa"), col("fb")))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Connected components over an undirected edge list — the step that
+    * turns near-dup PAIRS into dedup GROUPS (keep min-id survivor per
+    * group). Iterated min-label propagation: each round every node
+    * takes the min of its own label and its neighbors' labels, a
+    * join + partial/final min-aggregate per round — the shuffle is the
+    * (bounded) edge list, never a transitive closure. Converges in
+    * O(max component diameter) rounds; near-dup clusters are
+    * small-diameter by construction (similarity is near-transitive),
+    * so the default cap is generous. A non-converged result would be
+    * silently WRONG (labels still flowing), so the loop throws instead
+    * of returning early. Labels/components are min doc ids —
+    * deterministic, engine-reproducible (DuckDB oracle: recursive-CTE
+    * min-label walk over the same pairs).
+    *
+    * Output: (node, component) for every node that appears in an edge;
+    * singletons by definition never appear. At truly adversarial
+    * diameters (chains of thousands of near-identical docs) switch to
+    * a log-round contraction (large-star/small-star); the fixture and
+    * any boilerplate-capped corpus sit far below that. */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val e0 = edges.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().persist()
+    var labels = sym.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .persist()
+    // Σlabels is strictly decreasing until fixpoint (labels only ever
+    // decrease), so one cheap aggregate per round detects convergence
+    // without a self-join; decimal sum cannot overflow at any id range.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0).getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO) // empty edge list → empty result
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val prop = sym.join(labels, sym("u") === labels("node"))
+        .select(sym("v").as("node"), col("label"))
+      val next = labels.unionByName(prop)
+        .groupBy("node").agg(min("label").as("label"))
+        .persist()
+      val s = labelSum(next) // materializes next
+      labels.unpersist()
+      labels = next
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      iter += 1
+    }
+    sym.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — component " +
+          "diameter exceeds the cap; raise maxIter or use a log-round contraction")
+    labels.select(col("node"), col("label").as("component"))
   }
 
   /** Exact embedding-cosine near-dup pairs, tiled: rows are hashed

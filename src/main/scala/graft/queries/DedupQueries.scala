@@ -43,12 +43,26 @@ object DedupQueries {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("id_a", "id_b")
 
+  /** Near-dup pairs → dedup GROUPS: connected components over the
+    * n-gram-Jaccard pair graph (component id = min doc_id in the
+    * group) — what a real pipeline keeps one survivor from. Iterative
+    * on the Spark side (min-label propagation), a recursive CTE on the
+    * DuckDB side — an oracle-checked ITERATIVE operator. */
+  def ccGroups(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, threshold = JaccardThreshold),
+        "doc_a", "doc_b")
+      .select(col("node").as("doc_id"), col("component"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exact _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash" -> (minhash _),
     "dedup_simhash" -> (simhash _),
-    "dedup_embedding" -> (embedding _))
+    "dedup_embedding" -> (embedding _),
+    "dedup_cc_groups" -> (ccGroups _))
 
   // Mirrors Dedup.ngramJaccard EXACTLY, including the default
   // hot-shingle cap: Jaccard is computed over the cap-filtered shingle
@@ -77,6 +91,22 @@ object DedupQueries {
          |FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
          |WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= $JaccardThreshold
          |ORDER BY doc_a, doc_b""".stripMargin),
+    // min-label walk: every node collects the labels of everything
+    // that can reach it (UNION dedups states), min = component id —
+    // the recursive mirror of the iterative propagation in
+    // Dedup.connectedComponents
+    "dedup_cc_groups" -> (shingleCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      s""", jp AS (SELECT doc_a, doc_b
+         |        FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+         |        WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= $JaccardThreshold),
+         |e AS (SELECT doc_a AS cur, doc_b AS nxt FROM jp
+         |      UNION ALL SELECT doc_b, doc_a FROM jp),
+         |walk(node, label) AS (
+         |  SELECT DISTINCT cur, cur FROM e
+         |  UNION
+         |  SELECT e.nxt, w.label FROM walk w JOIN e ON e.cur = w.node)
+         |SELECT node AS doc_id, min(label) AS component
+         |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin),
     "dedup_embedding" ->
       s"""WITH p AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |c AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,

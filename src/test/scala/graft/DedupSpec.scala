@@ -152,6 +152,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connected components: chain, triangle, disjoint pair, direction-blind") {
+    // chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21 with
+    // the edge written high-to-low (undirectedness must not matter)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (21L, 20L)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components: deterministic, empty-safe, loud on iteration cap") {
+    val edges = Seq((5L, 6L), (6L, 7L)).toDF("a", "b")
+    val a = Dedup.connectedComponents(edges, "a", "b").collect().map(_.toSeq).toSet
+    val b = Dedup.connectedComponents(edges, "a", "b").collect().map(_.toSeq).toSet
+    assert(a === b && a.nonEmpty)
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").count() === 0)
+    // a 6-node chain cannot converge in 1 round: must throw, not
+    // return a half-propagated labeling
+    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, "a", "b", maxIter = 1)
+    }
+  }
+
   test("embedding cosine pairs are symmetric-free and above threshold") {
     val e = Tables.embeddings(spark, sf001)
     val pairs = Dedup.embeddingCosine(e, "vec_id", "embedding", 0.35).collect()
