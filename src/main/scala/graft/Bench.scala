@@ -14,10 +14,29 @@ object Bench {
       w.groupBy("r_name").count().count()
       spark.range(1000).selectExpr("sum(id)").count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Each query is timed over REPEATED runs and the MIN is reported:
+    // single-shot timing produced phantom regressions two rounds
+    // running (r02: six batch ghosts, all vanished in r03; r03: three
+    // streaming ghosts on unchanged code) — run-order/load variance on
+    // top of the ~2-3 s streaming machinery floor is indistinguishable
+    // from a real regression with one sample. Two runs always; a third
+    // only when the first two disagree by >30% (both-slow is the one
+    // case min-of-2 can't fix, and it is rare enough that the extra
+    // rep stays cheap). Query builders are rep-idempotent by contract:
+    // memory sinks are dropped and re-created per invocation, stream
+    // source dirs and k-means inits are fixture-cached.
+    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t1 = timeOnce(fn)
+      val t2 = timeOnce(fn)
+      val best =
+        if (math.abs(t1 - t2) > 0.3 * math.min(t1, t2)) math.min(math.min(t1, t2), timeOnce(fn))
+        else math.min(t1, t2)
+      name -> best
     }
     // Per-query seconds rounded to 3 dp (locale-pinned): at 60+ queries the
     // full-double line is ~3.4 KB and the driver's ~2 KB tail capture cuts

@@ -174,11 +174,17 @@ object Dedup {
     * quarters the janino compile time of the generated partial/final
     * aggregate — that compile, not data, dominated the old 64-column
     * plan (8.5 s at sf0.1 on 5 k docs). Majority of bit i needs only
-    * the COUNT of set bits b_i (sign of Σ±1 = [2·b_i > T]), and
-    * b_i ≤ T < 2¹⁶ keeps lanes carry-free — enforced by an in-plan
-    * assert, since a 100 TB corpus will eventually contain the
-    * pathological document that silent lane overflow would mis-hash. */
-  val SimhashMaxTokens = 65536L
+    * the COUNT of set bits b_i (sign of Σ±1 = [2·b_i > T]). The cap
+    * T < 2¹⁵ guarantees BOTH invariants the packing needs: each lane
+    * stays carry-free, and the whole packed bigint sum is bounded by
+    * 32767·0x1000100010001 = 0x7FFF7FFF7FFF7FFF < 2⁶³ — so the
+    * ANSI-mode sum (Spark 4 default) can never hit ARITHMETIC_OVERFLOW
+    * before the in-plan assert fires. (At the previous 2¹⁶ cap, a doc
+    * of 32768–65535 distinct tokens overflowed the signed sum DURING
+    * aggregation, failing the job before the guard ever ran.) Docs at
+    * or over the cap still fail LOUDLY — the assert below, or ANSI
+    * overflow on extreme inputs — never a silent mis-hash. */
+  val SimhashMaxTokens = 32768L
 
   def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val th = docs
@@ -266,34 +272,54 @@ object Dedup {
     * min-label walk over the same pairs).
     *
     * Output: (node, component) for every node that appears in an edge;
-    * singletons by definition never appear. At truly adversarial
-    * diameters (chains of thousands of near-identical docs) switch to
-    * a log-round contraction (large-star/small-star); the fixture and
-    * any boilerplate-capped corpus sit far below that. */
+    * singletons by definition never appear. At adversarial diameters
+    * (chains of thousands of near-identical docs) the propagation cap
+    * trips and the loop FALLS BACK to the log-round
+    * [[connectedComponentsBigStar]] contraction instead of failing —
+    * the fixture and any boilerplate-capped corpus converge here. */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
+    val spark = edges.sparkSession
     val e0 = edges.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    // ITERATIVE LINEAGE CONTROL: every round's result is pinned as a
+    // persisted pair-RDD and the next round's DataFrame is rebuilt on
+    // top of it (one LogicalRDD leaf). A DataFrame-only loop instead
+    // nests the full prior plan inside each round's plan — the tree
+    // grows geometrically with rounds (each round references its
+    // predecessor several times), and listener plan-string generation
+    // OOMs after ~15 rounds REGARDLESS of data size. Persisting the
+    // intermediate DataFrames does not help: persist caches rows, not
+    // plans. Pinning via RDD also fixes the result-cache lifetime: RDD
+    // caches are ContextCleaner-managed, so the final labels' blocks
+    // are freed when the returned DataFrame is garbage-collected —
+    // a returned CacheManager `.persist()` would pin one leaked copy
+    // per call for the whole session.
     val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
-      .distinct().persist()
-    var labels = sym.select(col("u").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
-      .persist()
+      .distinct()
+      .rdd.map(r => (r.getLong(0), r.getLong(1))).persist()
+    val symD = spark.createDataFrame(sym).toDF("u", "v")
+    def pin(df: DataFrame): org.apache.spark.rdd.RDD[(Long, Long)] =
+      df.rdd.map(r => (r.getLong(0), r.getLong(1))).persist()
+    def labelsDf(rdd: org.apache.spark.rdd.RDD[(Long, Long)]): DataFrame =
+      spark.createDataFrame(rdd).toDF("node", "label")
+    var labels = pin(symD.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label")))
     // Σlabels is strictly decreasing until fixpoint (labels only ever
     // decrease), so one cheap aggregate per round detects convergence
     // without a self-join; decimal sum cannot overflow at any id range.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0).getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO) // empty edge list → empty result
-    var prevSum = labelSum(labels)
+    var prevSum = labelSum(labelsDf(labels))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val prop = sym.join(labels, sym("u") === labels("node"))
-        .select(sym("v").as("node"), col("label"))
-      val next = labels.unionByName(prop)
-        .groupBy("node").agg(min("label").as("label"))
-        .persist()
-      val s = labelSum(next) // materializes next
+      val ldf = labelsDf(labels)
+      val prop = symD.join(ldf, symD("u") === ldf("node"))
+        .select(symD("v").as("node"), col("label"))
+      val next = pin(ldf.unionByName(prop)
+        .groupBy("node").agg(min("label").as("label")))
+      val s = labelSum(labelsDf(next)) // materializes next
       labels.unpersist()
       labels = next
       converged = s.compareTo(prevSum) == 0
@@ -301,11 +327,104 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
-    if (!converged)
+    if (!converged) {
+      // O(diameter) propagation lost; the O(log n)-round star
+      // contraction finishes any graph — same labels, more machinery.
+      labels.unpersist()
+      return connectedComponentsBigStar(edges, aCol, bCol)
+    }
+    labelsDf(labels).select(col("node"), col("label").as("component"))
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction — the O(log n)-round MapReduce algorithm of Kiveris
+    * et al. (SoCC 2014, "Connected Components in MapReduce and
+    * Beyond"), for graphs whose DIAMETER defeats plain min-label
+    * propagation (a length-L chain needs L propagation rounds but only
+    * O(log L) star rounds). Each round is two groupBy-min + join
+    * passes over the current edge list; edges keep the canonical
+    * orientation (node, parent) with parent < node throughout, so at
+    * the fixpoint every component is a star rooted at its min node and
+    * the edge list IS the label table. Convergence = edge-set
+    * fingerprint (count + Σu + Σv + Σxxhash64) unchanged — one
+    * 4-scalar aggregate per round, no self-join; equal fingerprints on
+    * different sets would need a 64-bit set-sum collision.
+    *
+    * Equivalence with [[connectedComponents]] on random graphs is
+    * ScalaCheck-pinned (DedupSpec). */
+  def connectedComponentsBigStar(edges: DataFrame, aCol: String, bCol: String,
+                                 maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    // Same per-round RDD pinning as [[connectedComponents]] — each
+    // star round references its input ~16 times, so a DataFrame-only
+    // loop OOMs on plan size within a handful of rounds.
+    def pin(df: DataFrame): org.apache.spark.rdd.RDD[(Long, Long)] =
+      df.rdd.map(r => (r.getLong(0), r.getLong(1))).persist()
+    def edgeDf(rdd: org.apache.spark.rdd.RDD[(Long, Long)]): DataFrame =
+      spark.createDataFrame(rdd).toDF("u", "v")
+    // canonical (u, v): u = larger endpoint, v = smaller (parent)
+    val raw = edges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    var e = pin(raw.select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .distinct())
+
+    // large-star: over the SYMMETRIC view, every node u links each
+    // strictly-larger neighbor to m = min(N(u) ∪ {u}); small-star:
+    // over the max→min orientation, every node links its smaller
+    // neighbors and itself to its min parent. Both preserve
+    // connectivity; alternating them contracts in O(log n) rounds.
+    def largeStar(cur: DataFrame): DataFrame = {
+      val sym = cur.unionByName(cur.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u").as("c"), least(col("u"), col("mn")).as("m"))
+      sym.join(m, sym("u") === col("c"))
+        .filter(col("v") > col("u")) // emit (v, m): m <= u < v keeps orientation
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    def smallStar(cur: DataFrame): DataFrame = {
+      val m = cur.groupBy("u").agg(min("v").as("m"))
+      val withM = cur.join(m, "u")
+      withM.select(col("v").as("u"), col("m").as("v")) // neighbors → m
+        .unionByName(withM.select(col("u"), col("m").as("v"))) // u itself → m
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def fingerprint(df: DataFrame): Seq[Any] =
+      df.agg(count(lit(1)),
+        sum(col("u").cast("decimal(38,0)")),
+        sum(col("v").cast("decimal(38,0)")),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")))
+        .collect()(0).toSeq
+    var prev = fingerprint(edgeDf(e))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val next = pin(smallStar(largeStar(edgeDf(e))))
+      val fp = fingerprint(edgeDf(next)) // materializes next
+      e.unpersist()
+      e = next
+      converged = fp == prev
+      prev = fp
+      iter += 1
+    }
+    if (!converged) {
+      e.unpersist()
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds — component " +
-          "diameter exceeds the cap; raise maxIter or use a log-round contraction")
-    labels.select(col("node"), col("label").as("component"))
+        s"connectedComponentsBigStar did not converge in $maxIter rounds — " +
+          "this exceeds the O(log n) bound and indicates a bug, not a data property")
+    }
+    // fixpoint: e is (node, root) for every non-root node; add roots.
+    // The result RDD cache is ContextCleaner-freed once the returned
+    // DataFrame is no longer referenced (see connectedComponents).
+    val ed = edgeDf(e)
+    val labels = pin(ed.select(col("u").as("node"), col("v").as("label"))
+      .unionByName(ed.select(col("v").as("node"), col("v").as("label")))
+      .distinct())
+    labels.count()
+    e.unpersist()
+    spark.createDataFrame(labels).toDF("node", "component")
   }
 
   /** Exact embedding-cosine near-dup pairs, tiled: rows are hashed

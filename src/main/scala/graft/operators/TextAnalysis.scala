@@ -115,9 +115,14 @@ object TextAnalysis {
     * bits in every IEEE engine, whereas `ln` may differ in the last
     * ulp between libm implementations and silently flip near-tied
     * rank orders. Same ranking for any monotone transform of N/df.
-    * Scale: token-level aggregates are partial-agg friendly; the df
-    * side is |vocab| rows (broadcastable); the final per-doc rank
-    * partitions by doc_id (high cardinality — no window skew). */
+    * Scale: token-level aggregates are partial-agg friendly. The df
+    * side is |vocab| rows — NOT broadcastable at corpus scale (Heaps'
+    * law: a web-scale corpus has 10⁸–10⁹ distinct tokens, multi-GB
+    * over any broadcast limit), so the tf⋈df join carries no broadcast
+    * hint: both sides arrive hash-partitioned on `token` from their
+    * own aggregates, and AQE still picks a broadcast join while the
+    * vocabulary is genuinely small. The final per-doc rank partitions
+    * by doc_id (high cardinality — no window skew). */
   def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -130,7 +135,7 @@ object TextAnalysis {
       explode(TextOps.words(col(textCol))).as("token"))
     val tf = tokens.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(dfreq), "token")
+    val scored = tf.join(dfreq, "token")
       .crossJoin(broadcast(n1))
       .withColumn("score", (col("tf") * col("_n")).cast("double") / col("df"))
     val w = Window.partitionBy("doc_id")
@@ -168,14 +173,18 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val id = col(idCol).cast("bigint")
     val bounds = docs.agg(min(id).as("_min_id"), max(id).as("_max_id"))
+    // The user-supplied id column is only ever referenced through the
+    // Column API; the integer-DIV expr sees the pre-projected `_idb`
+    // alias, so a non-identifier column name (dots, hyphens, reserved
+    // words) can neither mis-parse nor resolve to the wrong column.
     val withB = docs.crossJoin(broadcast(bounds))
+      .withColumn("_idb", id)
       .withColumn("_width", greatest(
         ceil((col("_max_id") - col("_min_id") + 1).cast("double") / buckets)
           .cast("bigint"),
         lit(1L)))
-      .withColumn("_bucket",
-        expr(s"(CAST($idCol AS BIGINT) - _min_id) DIV _width"))
-      .drop("_min_id", "_max_id", "_width")
+      .withColumn("_bucket", expr("(_idb - _min_id) DIV _width"))
+      .drop("_idb", "_min_id", "_max_id", "_width")
     val counts = withB
       .groupBy(col(strataCol).as("_s"), col("_bucket").as("_b"))
       .agg(count(lit(1)).as("_c"))

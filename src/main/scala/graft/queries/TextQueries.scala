@@ -169,9 +169,13 @@ object TextQueries {
         |           FROM documents)
         |SELECT lang, doc_id FROM r WHERE (rn - 1) % 10 = 0
         |ORDER BY lang, doc_id""".stripMargin,
+    // (doc_id % P + P) % P mirrors Spark's pmod for NEGATIVE ids too —
+    // DuckDB's % is sign-preserving, so the naive doc_id % P would
+    // diverge from pmod on any corpus with negative ids.
     "text_sample_hashmod" ->
       s"""SELECT lang, doc_id FROM documents
-         |WHERE ((doc_id % ${TextAnalysis.SampleHashP}) * ${TextAnalysis.SampleHashA}
+         |WHERE (((doc_id % ${TextAnalysis.SampleHashP} + ${TextAnalysis.SampleHashP})
+         |        % ${TextAnalysis.SampleHashP}) * ${TextAnalysis.SampleHashA}
          |       % ${TextAnalysis.SampleHashP}) % 10 = 0
          |ORDER BY lang, doc_id""".stripMargin,
     // tf·N/df (not ln): one correctly-rounded double division from

@@ -163,18 +163,58 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
-  test("connected components: deterministic, empty-safe, loud on iteration cap") {
+  test("connected components: deterministic, empty-safe, cap falls back to star contraction") {
     val edges = Seq((5L, 6L), (6L, 7L)).toDF("a", "b")
     val a = Dedup.connectedComponents(edges, "a", "b").collect().map(_.toSeq).toSet
     val b = Dedup.connectedComponents(edges, "a", "b").collect().map(_.toSeq).toSet
     assert(a === b && a.nonEmpty)
     assert(Dedup.connectedComponents(
       Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").count() === 0)
-    // a 6-node chain cannot converge in 1 round: must throw, not
-    // return a half-propagated labeling
+    // a 6-node chain cannot converge in 1 propagation round: the cap
+    // must NOT return a half-propagated labeling — it falls back to
+    // the log-round star contraction and still yields exact labels
     val chain = (1L to 5L).map(i => (i, i + 1)).toDF("a", "b")
-    intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain, "a", "b", maxIter = 1)
+    val cc = Dedup.connectedComponents(chain, "a", "b", maxIter = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === (1L to 6L).map(_ -> 1L).toMap)
+  }
+
+  test("big-star contraction matches propagation on chain/triangle/pair shapes") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (21L, 20L)).toDF("a", "b")
+    val star = Dedup.connectedComponentsBigStar(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    assert(Dedup.connectedComponentsBigStar(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").count() === 0)
+    // adversarial diameter: a 60-node chain needs 60 propagation
+    // rounds but only O(log 60) star rounds
+    val chain = (1L to 59L).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = Dedup.connectedComponentsBigStar(chain, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === (1L to 60L).map(_ -> 1L).toMap)
+  }
+
+  test("big-star contraction equals min-label propagation on random graphs") {
+    // seeded random graphs across densities — the ScalaCheck-style
+    // equivalence law, run over a fixed generator sweep so the Spark
+    // jobs stay bounded
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 5 + rnd.nextInt(20)
+      val m = 1 + rnd.nextInt(2 * n)
+      val edges = (1 to m).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (x, y) => x != y }
+      if (edges.nonEmpty) {
+        val df = edges.toDF("a", "b")
+        val prop = Dedup.connectedComponents(df, "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val star = Dedup.connectedComponentsBigStar(df, "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(star === prop, s"trial $trial: edges=$edges")
+      }
     }
   }
 
