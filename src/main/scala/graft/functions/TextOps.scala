@@ -30,13 +30,6 @@ object TextOps {
     array_distinct(when(size(w) >= n, grams).otherwise(array()))
   }
 
-  /** MinHash signature of a shingle array: for seed i in 0..numHashes-1,
-    * min over shingles of murmur3(i, shingle). Null for empty input. */
-  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingleArr, s => hash(i, s))))
-
   /** 64-bit SimHash over distinct tokens — the reference-free nested-HOF
     * formulation re-evaluates the token-hash array O(64²) per row after
     * Catalyst inlines used-once projections, so this is deliberately a
@@ -44,11 +37,16 @@ object TextOps {
     * is [[graft.operators.Dedup.simhashFingerprints]] (explode + one
     * codegen'd 64-column hash aggregate). */
   def simhash64(text: Column): Column = {
-    val th = transform(array_distinct(words(text)), t => xxhash64(t))
+    import graft.operators.Dedup
+    val aArr = array(Dedup.SimhashA.map(lit): _*)
+    val bArr = array(Dedup.SimhashB.map(lit): _*)
+    val th = transform(array_distinct(words(text)), t => rollingFingerprintHof(t))
     val bits = transform(
       sequence(lit(0), lit(63)),
       i => aggregate(th, lit(0),
-        (acc, h) => acc + when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1)))
+        (acc, f) => acc + when(
+          pmod(element_at(aArr, i + 1) * f + element_at(bArr, i + 1),
+            lit(Dedup.HashP)).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1)))
     aggregate(
       sequence(lit(0), lit(63)),
       lit(0L),

@@ -108,15 +108,40 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Oracle-expressible hash machinery shared by MinHash and SimHash:
+    * shingles/tokens are first fingerprinted with the same polynomial
+    * rolling hash mod P = 1e9+7 as [[TextOps.rollingFingerprint]],
+    * then pushed through affine universal hashes
+    * h_i(x) = (a_i·x + b_i) mod P whose coefficients come from a
+    * MINSTD Lehmer stream. Exact 64-bit integer arithmetic end to end
+    * (every intermediate < 2⁶¹ — ANSI-safe), bit-reproducible in any
+    * engine — so unlike the engine-specific murmur3/xxhash64 the
+    * signatures themselves are DuckDB-oracle-checkable, not just the
+    * verified pairs. */
+  val HashP: Long = graft.functions.TextOps.FingerprintMod // 1e9+7, prime
+  private def lehmer(seed: Long): Iterator[Long] =
+    Iterator.iterate(seed)(x => x * 48271L % HashP).drop(1)
+  lazy val MinhashA: IndexedSeq[Long] = lehmer(20260801L).take(64).toIndexedSeq
+  lazy val MinhashB: IndexedSeq[Long] = lehmer(987654321L).take(64).toIndexedSeq
+  lazy val SimhashA: IndexedSeq[Long] = lehmer(31337L).take(64).toIndexedSeq
+  lazy val SimhashB: IndexedSeq[Long] = lehmer(123456789L).take(64).toIndexedSeq
+
   /** MinHash + banded LSH near-dup pairs: signature of `numHashes`
-    * murmur3 min-hashes over shingles, `bands` band-buckets, candidate
-    * pairs from bucket equality, then exact Jaccard verification on
-    * the candidates only (array_intersect on the two shingle sets).
-    * Detection probability for similarity s: 1 − (1 − s^r)^b. */
+    * affine min-hashes over polynomial shingle fingerprints (see
+    * [[HashP]] — every hash is exact integer arithmetic, so a DuckDB
+    * oracle reproduces candidacy AND verification bit-for-bit),
+    * `bands` band-buckets via a mod-P fold of each band's signature
+    * slice, candidate pairs from bucket equality, then exact Jaccard
+    * verification on the candidates only (array_intersect on the two
+    * shingle sets). Detection probability for similarity s:
+    * 1 − (1 − s^r)^b. Bucket-fold collisions merely admit spurious
+    * candidates (filtered by the exact verify) and are identical in
+    * every engine. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  n: Int = 3, numHashes: Int = 32, bands: Int = 8,
                  threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(numHashes <= 64, "at most 64 hash functions are pre-seeded")
     val r = numHashes / bands
     // Re-used by both verification joins; recomputed rather than
     // persisted (compiled shingling is cheaper than caching — see
@@ -130,13 +155,19 @@ object Dedup {
     // per band per row (catastrophically interpreted — 220 s at sf0.1);
     // aggregate output attributes are cheap references, so the band
     // hashes below cost nothing to derive. Shuffle = |docs|×numHashes
-    // ints after partial agg.
+    // longs after partial agg. The per-shingle fingerprint is computed
+    // once; the 32 affine hashes are three integer ops each, codegen'd.
     val shPairs = docShingles(docs, idCol, textCol, n)
-    val minCols = (0 until numHashes).map(i => min(hash(lit(i), col("s"))).as(s"m$i"))
+      .select(col("doc_id"),
+        graft.plans.expressions.rolling_fingerprint(col("s")).as("f"))
+    val minCols = (0 until numHashes).map(i =>
+      min((lit(MinhashA(i)) * col("f") + lit(MinhashB(i))) % lit(HashP)).as(s"m$i"))
     val sig = shPairs.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
     val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        hash((b * r until (b + 1) * r).map(j => col(s"m$j")): _*).as("bucket"))
+      val bucket = (b * r until (b + 1) * r)
+        .map(j => col(s"m$j"))
+        .foldLeft(lit(0L): Column)((acc, m) => (acc * lit(31L) + m) % lit(HashP))
+      struct(lit(b).as("band"), bucket.as("bucket"))
     }
     // Buckets carry only (doc_id, band, bucket) — never the shingle
     // arrays — so the self-join shuffles fixed-width rows; the (few)
@@ -161,7 +192,8 @@ object Dedup {
   }
 
   /** 64-bit SimHash fingerprints, computed the Spark-native way for
-    * scale: explode distinct tokens, xxhash64 each, then ONE codegen'd
+    * scale: explode distinct tokens, hash each (see [[HashP]] — exact
+    * arithmetic, oracle-checkable), then ONE codegen'd
     * hash aggregate (bit i of the fingerprint = majority vote over
     * token-hash bit i). Shuffle volume is |docs| × 16 longs after
     * map-side partial aggregation; every expression stays inside
@@ -187,14 +219,22 @@ object Dedup {
   val SimhashMaxTokens = 32768L
 
   def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // Token bit i comes from the i-th affine hash of the token's
+    // polynomial fingerprint, parity-reduced: ((aᵢ·f + bᵢ) mod P) mod 2
+    // with P odd — near-unbiased, exact integer arithmetic, and (unlike
+    // the previous xxhash64 bit extraction) reproducible in DuckDB, so
+    // the whole fingerprint/band/hamming pipeline is oracle-checkable.
     val th = docs
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(TextOps.words(col(textCol)))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .select(col("doc_id"),
+        graft.plans.expressions.rolling_fingerprint(col("tok")).as("f"))
+    def bit(i: Int): Column =
+      (lit(SimhashA(i)) * col("f") + lit(SimhashB(i))) % lit(HashP) % lit(2L)
     // Column c holds bit counters for bits 4c..4c+3 in lanes 0..3.
     val laneCols = (0 until 16).map { c =>
       val packed = (0 until 4).map { l =>
-        shiftleft(shiftright(col("h"), c * 4 + l).bitwiseAND(1L), l * 16)
+        shiftleft(bit(c * 4 + l), l * 16)
       }.reduce(_ + _)
       sum(packed).as(s"c$c")
     }

@@ -7,11 +7,12 @@ import graft.io.{FixtureCache, Tables}
 import graft.operators.Dedup
 
 /** Declared dedup queries over the `documents` / `embeddings` fixture
-  * tables (north-star extension surface; SURVEY.md §2.2). Exact,
-  * n-gram-Jaccard and embedding-cosine are oracle-checked; MinHash-LSH
-  * and SimHash use engine-specific hash functions (murmur3 / xxhash64)
-  * with no DuckDB equivalent → rows-only checks + ScalaTest recall
-  * properties against the exact Jaccard ground truth.
+  * tables (north-star extension surface; SURVEY.md §2.2). ALL six are
+  * oracle-checked: MinHash-LSH and SimHash hash through the exact
+  * integer family of [[Dedup.HashP]] (polynomial fingerprints + affine
+  * universal hashes), so even their signatures, buckets and candidate
+  * sets reproduce bit-for-bit in DuckDB — in addition to the ScalaTest
+  * recall properties against the exact Jaccard ground truth.
   */
 object DedupQueries {
   val JaccardThreshold = 0.8
@@ -97,9 +98,80 @@ object DedupQueries {
       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
       |""".stripMargin
 
+  private val P = Dedup.HashP
+
+  /** SQL twin of the compiled rolling_fingerprint: fold
+    * (h·31 + codepoint) mod P over the characters, 0 for empty. */
+  private def fpSql(c: String): String =
+    s"CASE WHEN length($c) = 0 THEN 0 ELSE list_reduce(" +
+      s"list_transform(generate_series(1, length($c)), i -> CAST(ascii(substr($c, i, 1)) AS BIGINT)), " +
+      s"(a, b) -> (a * 31 + b) % $P) END"
+
+  // 32 affine min-hashes + 8 band buckets, mirroring minhashLsh's
+  // constants exactly (same Lehmer-stream coefficients)
+  private val minhashSigCols = (0 until 32).map(i =>
+    s"min((${Dedup.MinhashA(i)} * f + ${Dedup.MinhashB(i)}) % $P) AS m$i").mkString(", ")
+  private def bucketFold(js: Seq[Int]): String =
+    js.foldLeft("0")((acc, j) => s"(($acc * 31 + m$j) % $P)")
+  private val minhashBuckets = (0 until 8).map { b =>
+    s"SELECT doc_id, $b AS band, ${bucketFold(b * 4 until (b + 1) * 4)} AS bucket FROM sig"
+  }.mkString(" UNION ALL ")
+
+  // the 64 (i, aᵢ, bᵢ) simhash bit-hash coefficients as a VALUES table
+  private val simhashHashRows = (0 until 64).map(i =>
+    s"($i, ${Dedup.SimhashA(i)}, ${Dedup.SimhashB(i)})").mkString(", ")
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, COUNT(*) AS n_dups FROM documents GROUP BY text ORDER BY doc_id",
+    // candidacy AND verification both reproduced exactly: affine
+    // min-hash signatures over polynomial shingle fingerprints, mod-P
+    // band-bucket folds, then exact Jaccard on the candidates — the
+    // same arithmetic minhashLsh runs (bucket-fold collisions, if any,
+    // admit the same spurious candidates in both engines)
+    "dedup_minhash" -> (shingleCte +
+      s""", fps AS (SELECT doc_id, ${fpSql("s")} AS f FROM sh0),
+         |sig AS (SELECT doc_id, $minhashSigCols FROM fps GROUP BY doc_id),
+         |bk AS ($minhashBuckets),
+         |mcand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |          FROM bk x JOIN bk y
+         |          ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |icnt AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+         |         FROM mcand c JOIN sh0 a ON a.doc_id = c.doc_a
+         |           JOIN sh0 b ON b.doc_id = c.doc_b AND b.s = a.s
+         |         GROUP BY 1, 2),
+         |scnt AS (SELECT doc_id, COUNT(*) AS c FROM sh0 GROUP BY 1)
+         |SELECT i.doc_a, i.doc_b,
+         |  round(CAST(i.inter AS DOUBLE) / (ca.c + cb.c - i.inter), 6) AS jaccard
+         |FROM icnt i JOIN scnt ca ON i.doc_a = ca.doc_id JOIN scnt cb ON i.doc_b = cb.doc_id
+         |WHERE CAST(i.inter AS DOUBLE) / (ca.c + cb.c - i.inter) >= $JaccardThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin),
+    // fingerprint bits = parity of the 64 affine hashes of each
+    // token's polynomial fingerprint, majority-voted per doc; 4×16-bit
+    // band buckets; hamming over the per-bit join — the full simhash
+    // pipeline, not just the output shape
+    "dedup_simhash" ->
+      s"""WITH toks AS (SELECT DISTINCT doc_id, tok FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+         |fps AS (SELECT doc_id, ${fpSql("tok")} AS f FROM toks),
+         |h(i, a, b) AS (SELECT * FROM (VALUES $simhashHashRows)),
+         |votes AS (SELECT f.doc_id, h.i,
+         |            SUM(((h.a * f.f + h.b) % $P) % 2) AS ones, COUNT(*) AS n
+         |          FROM fps f CROSS JOIN h GROUP BY 1, 2),
+         |bits AS (SELECT doc_id, i, CASE WHEN 2 * ones > n THEN 1 ELSE 0 END AS bit FROM votes),
+         |bands AS (SELECT doc_id, i // 16 AS band,
+         |            SUM(bit * (CAST(1 AS BIGINT) << (i % 16))) AS bucket
+         |          FROM bits GROUP BY 1, 2),
+         |scand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |          FROM bands x JOIN bands y
+         |          ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |ham AS (SELECT c.doc_a, c.doc_b,
+         |          SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS hamming
+         |        FROM scand c JOIN bits ba ON ba.doc_id = c.doc_a
+         |          JOIN bits bb ON bb.doc_id = c.doc_b AND bb.i = ba.i
+         |        GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming
+         |FROM ham WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_ngram_jaccard" -> (shingleCte +
       s"""SELECT doc_a, doc_b,
          |  round(CAST(inter AS DOUBLE) / (ca.c + cb.c - inter), 6) AS jaccard
