@@ -157,6 +157,42 @@ object KMeansNative {
     } finally pts.unpersist()
   }
 
+  /** Lloyd's loop with EXACT per-round arithmetic: every cross-
+    * partition sum goes through the decimal bridge of [[accumulate]]
+    * (decimal addition is exact and associative), and the per-round
+    * center update is one correctly-rounded double division — so the
+    * whole center TRAJECTORY is bit-deterministic across runs,
+    * partitionings and engines. That makes the full iterative fit
+    * hash-checkable: the declared `kmeans_fit_native` query is
+    * compared against a fixed-depth UNROLLED DuckDB oracle (one
+    * assign→accumulate→average CTE stage per round) cell-exactly.
+    * Runs exactly `iters` rounds — an extra round from a fixpoint is
+    * the identity, so early stopping is unnecessary for parity and
+    * would make the oracle depth data-dependent. Empty clusters keep
+    * their previous center (reference semantics). One job per round;
+    * only k·d doubles ever cross to the driver, so the loop scales to
+    * 100 TB inputs unchanged ([[fit]] remains the single-aggregate
+    * performance path; its double partial sums are run-to-run stable
+    * only up to ULPs, which is why it is not the declared query). */
+  def fitExact(points: DataFrame, vecCol: String, init: Array[Array[Double]],
+               iters: Int): Array[Array[Double]] = {
+    val pts = points.select(VectorOps.toDouble(col(vecCol)).as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centers = init.map(_.clone())
+      var it = 0
+      while (it < iters) {
+        val rows = average(accumulate(assigned(pts, col("v"), centers), col("v")))
+          .select("cluster_id", "dim", "coord").collect()
+        val next = centers.map(_.clone())
+        rows.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+        centers = next
+        it += 1
+      }
+      centers
+    } finally pts.unpersist()
+  }
+
   /** Total within-cluster sum of squares for fixed centers
     * (deterministic via the decimal bridge). */
   def wcss(points: DataFrame, vecCol: String, centers: Array[Array[Double]]): Double =

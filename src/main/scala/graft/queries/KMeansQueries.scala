@@ -10,13 +10,18 @@ import graft.io.Tables
 /** Declared K-Means queries (SparkEntry contract). Each oracle-checked
   * query mirrors one reference operator (SURVEY.md §2.1): assignment
   * (rows 4, 9, 10), accumulate (rows 5–6), average (row 7), plus WCSS
-  * as the convergence metric. The full iterative fits (bulk iteration,
-  * row 8) are not single-SQL-expressible → rows-only checks + ScalaTest
-  * invariants (SURVEY.md §5.2).
+  * as the convergence metric. The full native iterative fit (bulk
+  * iteration, row 8) is hash-checked too: [[KMeansNative.fitExact]]'s
+  * decimal-bridge rounds are bit-deterministic, so a fixed-depth
+  * UNROLLED recursive oracle (one assign→accumulate→average CTE stage
+  * per round) reproduces the final centroids cell-exactly. Only the
+  * MLlib fit stays rows-only (its internal double summation order is
+  * engine-private; parity is pinned by ScalaTest WCSS tests instead).
   */
 object KMeansQueries {
   val K = 10
   val Dim = 64
+  val FitIters = 10
 
   private def pts(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
@@ -57,18 +62,20 @@ object KMeansQueries {
       .agg(count(lit(1)).as("n"),
         round(sum(col("sqdist").cast("decimal(38,12)")).cast("double"), 6).as("wcss"))
 
-  /** Full native Lloyd's fit (10 iterations, firstK init) → final
-    * centroids exploded to (cluster_id, dim, coord). Iterative —
-    * no single-SQL oracle; validated by ScalaTest invariants. */
+  /** Full native Lloyd's fit (FitIters rounds, firstK init) → final
+    * centroids exploded to (cluster_id, dim, coord). Runs the exact-
+    * decimal [[KMeansNative.fitExact]] loop, so the result is
+    * hash-checked against the unrolled fixed-depth DuckDB oracle —
+    * the flagship ITERATIVE operator, oracle-exact end to end. */
   def fitNative(s: SparkSession, dir: String): DataFrame = {
-    val r = KMeansNative.fit(pts(s, dir), "v", firstK(s, dir), maxIter = 10, tol = 0.0)
-    val rows = r.centers.zipWithIndex.flatMap { case (c, cid) =>
-      c.zipWithIndex.map { case (x, d) =>
-        (cid, d, BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      }
+    val centers = KMeansNative.fitExact(pts(s, dir), "v", firstK(s, dir), FitIters)
+    val rows = centers.zipWithIndex.flatMap { case (c, cid) =>
+      c.zipWithIndex.map { case (x, d) => (cid, d, x) }
     }
     import s.implicits._
-    rows.toSeq.toDF("cluster_id", "dim", "coord").orderBy("cluster_id", "dim")
+    rows.toSeq.toDF("cluster_id", "dim", "coord")
+      .select(col("cluster_id"), col("dim"), round(col("coord"), 6).as("coord"))
+      .orderBy("cluster_id", "dim")
   }
 
   /** MLlib k-means (seeded) → cluster sizes. Cluster ids are
@@ -104,6 +111,56 @@ object KMeansQueries {
        |)
        |""".stripMargin
 
+  /** Fixed-depth unrolled Lloyd oracle: round r assigns points to
+    * cent{r} (argmin with (d2, cid) tie-break), sums coordinates
+    * through DECIMAL(38,12) (exact — mirrors the accumulate bridge),
+    * divides once in double, and rebuilds cent{r+1} as ordered lists
+    * with empty clusters inheriting cent{r} via the left-join
+    * coalesce. Every per-round quantity is bit-identical to the Spark
+    * loop by induction (assign/accumulate/average are individually
+    * oracle-proven), so after `iters` rounds the centroids match
+    * cell-exactly. */
+  private def unrolledFitSql(iters: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH pts AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), cent0 AS MATERIALIZED (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v
+         |  FROM pts ORDER BY vec_id LIMIT $K
+         |)""".stripMargin)
+    for (r <- 0 until iters) {
+      sb.append(
+        s""", d$r AS (
+           |  SELECT p.vec_id, p.v, c.cid,
+           |         list_sum(list_transform(generate_series(1, $Dim),
+           |                  i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i]))) AS d2
+           |  FROM pts p CROSS JOIN cent$r c
+           |), a$r AS (
+           |  SELECT vec_id, v, cid,
+           |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+           |  FROM d$r
+           |), m$r AS (
+           |  SELECT cid, t.i AS di,
+           |         CAST(SUM(CAST(v[t.i] AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS coord
+           |  FROM a$r, (SELECT unnest(generate_series(1, $Dim)) AS i) t
+           |  WHERE rn = 1 GROUP BY 1, 2
+           |), cent${r + 1} AS MATERIALIZED (
+           |  SELECT c.cid, coalesce(mm.v, c.v) AS v
+           |  FROM cent$r c LEFT JOIN (
+           |    SELECT cid, list(coord ORDER BY di) AS v FROM m$r GROUP BY cid) mm
+           |  ON mm.cid = c.cid
+           |)""".stripMargin)
+    }
+    sb.append(
+      s"""
+         |SELECT cid AS cluster_id, CAST(t.i - 1 AS INTEGER) AS dim,
+         |       round(v[t.i], 6) AS coord
+         |FROM cent$iters, (SELECT unnest(generate_series(1, $Dim)) AS i) t
+         |ORDER BY 1, 2""".stripMargin)
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kmeans_assign" -> (assign _),
     "kmeans_accumulate" -> (accumulate _),
@@ -125,5 +182,6 @@ object KMeansQueries {
         |  round(CAST(SUM(CAST(coord AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS coord
         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     "kmeans_wcss" -> (baseCte +
-      "SELECT COUNT(*) AS n, round(CAST(SUM(CAST(d2 AS DECIMAL(38,12))) AS DOUBLE), 6) AS wcss FROM a WHERE rn = 1"))
+      "SELECT COUNT(*) AS n, round(CAST(SUM(CAST(d2 AS DECIMAL(38,12))) AS DOUBLE), 6) AS wcss FROM a WHERE rn = 1"),
+    "kmeans_fit_native" -> unrolledFitSql(FitIters))
 }

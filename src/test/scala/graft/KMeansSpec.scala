@@ -78,6 +78,19 @@ class KMeansSpec extends SparkSpec {
     assert(finalW < initW * 0.9, s"init=$initW final=$finalW")
   }
 
+  test("fitExact is bit-deterministic across partitionings and tracks fit") {
+    val a = KMeansNative.fitExact(pts, "v", init, iters = 5)
+    val b = KMeansNative.fitExact(pts.repartition(7), "v", init, iters = 5)
+    // the decimal bridge makes the trajectory partition-invariant to
+    // the BIT — this is what licenses the unrolled DuckDB oracle
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    // the double-summing fast path agrees to float tolerance
+    val fast = KMeansNative.fit(pts, "v", init, maxIter = 5, tol = 0.0)
+    a.zip(fast.centers).foreach { case (ce, cf) =>
+      ce.zip(cf).foreach { case (x, y) => assert(math.abs(x - y) < 1e-8) }
+    }
+  }
+
   test("declared kmeans queries return deterministic, non-empty output") {
     KMeansQueries.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf001)
