@@ -116,6 +116,27 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("law: hashModSample retains ~1/k of every stratum, any sign of id") {
+    // random bigint ids of both signs, strata interleaved by position:
+    // the multiplicative hash must admit ~1/k of EACH stratum without
+    // ever grouping by stratum (proportional allocation)
+    val ids = sample(Gen.choose(Long.MinValue / 4, Long.MaxValue / 4), 10000).distinct
+    val df = ids.zipWithIndex
+      .map { case (id, i) => (id, i % 5) }
+      .toDF("doc_id", "stratum")
+    Seq(2, 5, 10).foreach { k =>
+      val counts = graft.operators.TextAnalysis.hashModSample(df, "doc_id", k)
+        .groupBy("stratum").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val exp = ids.length / 5.0 / k
+      (0 until 5).foreach { s =>
+        val c = counts.getOrElse(s, 0L).toDouble
+        assert(c > exp * 0.6 && c < exp * 1.4,
+          s"k=$k stratum=$s kept=$c expected~$exp")
+      }
+    }
+  }
+
   test("law: simhash of permuted token order is identical (bag-of-words property)") {
     val perms = sample(Gen.listOfN(8, Gen.oneOf("aa", "bb", "cc", "dd", "ee")), 40)
       .map(_.mkString(" "))

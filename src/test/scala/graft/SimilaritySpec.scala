@@ -111,6 +111,23 @@ class SimilaritySpec extends SparkSpec {
     ranks.foreach(rs => assert(rs === (1 to rs.length)))
   }
 
+  test("probe-only second batch recall vs brute force is >= 0.5") {
+    import graft.queries.SimilarityQueries
+    val batch2 = Tables.embeddings(spark, sf001).orderBy("vec_id")
+      .limit(2 * SimilarityQueries.Q)
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")))
+      .collect().drop(SimilarityQueries.Q)
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val exact = topSets(Similarity.bruteForceTopK(
+      Tables.embeddings(spark, sf001), "vec_id", "embedding",
+      batch2, SimilarityQueries.K))
+    val approx = topSets(SimilarityQueries.ivfProbeOnly(spark, sf001))
+    val total = exact.values.map(_.size).sum
+    val hits = exact.map { case (q, s) =>
+      (s & approx.getOrElse(q, Set.empty)).size }.sum
+    assert(hits.toDouble / total >= 0.5, s"batch-2 recall $hits/$total")
+  }
+
   test("LSH is deterministic for a fixed seed") {
     val a = Similarity.lshTopK(emb, "vec_id", "embedding", queries, 5).collect()
     val b = Similarity.lshTopK(emb, "vec_id", "embedding", queries, 5).collect()

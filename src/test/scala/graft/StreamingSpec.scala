@@ -73,6 +73,40 @@ class StreamingSpec extends SparkSpec {
     assert(model.weights.forall(_ > 0))
   }
 
+  test("streaming K-Means over two micro-batches equals sequential mini-batch updates") {
+    // multi-batch parity: feeding the fixture through the streaming
+    // machinery in TWO micro-batches must give bit-identical centers
+    // to calling the model's mini-batch update twice on the same
+    // splits — the foreachBatch path adds nothing nondeterministic.
+    // (Exact equality is legitimate: per-batch sums go through the
+    // exact-decimal bridge, so each update is bit-deterministic.)
+    import graft.streaming.{StreamingKMeans, StreamingKMeansModel}
+    val emb = graft.io.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"),
+        graft.functions.VectorOps.toDouble(col("embedding")).as("v"))
+    val init = graft.cluster.KMeansNative.firstKCenters(emb, "vec_id", "v", 10)
+    val halves = Seq(
+      emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+      emb.filter(pmod(col("vec_id"), lit(2)) === 1))
+
+    val ref = new StreamingKMeansModel(init, decay = 1.0)
+    halves.foreach(h => ref.update(h, "v"))
+
+    val input = MemoryStream[(Long, Seq[Double])](spark)
+    val (q, streamed) = StreamingKMeans.fitStream(
+      input.toDS().toDF("vec_id", "v"), "v", init, decay = 1.0,
+      queryName = "skm_multibatch")
+    halves.foreach { h =>
+      input.addData(h.collect().map(r =>
+        (r.getLong(0), r.getSeq[Double](1))).toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(streamed.centers.map(_.toSeq).toSeq === ref.centers.map(_.toSeq).toSeq)
+    assert(streamed.weights.toSeq === ref.weights.toSeq)
+    assert(streamed.weights.sum === emb.count().toDouble)
+  }
+
   test("stream-stream interval join pairs purchases with errors within the hour") {
     val purchases = MemoryStream[Event](spark)
     val errors = MemoryStream[Event](spark)
