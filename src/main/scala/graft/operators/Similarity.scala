@@ -71,18 +71,37 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
-  /** Deterministic random hyperplanes: L tables × bits planes, from a
-    * seeded PRNG on the driver (Q·L·bits·d doubles — trivially small). */
-  def hyperplanes(nTables: Int, bits: Int, dim: Int, seed: Long): Array[Array[Array[Double]]] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(nTables, bits, dim)(rnd.nextGaussian())
+  /** Deterministic INTEGER hyperplanes: L tables × bits planes with
+    * components in [-[[PlaneRange]], +PlaneRange], drawn from a MINSTD
+    * Lehmer stream (the repo's oracle-expressible hash family — same
+    * idiom as Dedup.MinhashA). Integer planes + quantized vectors make
+    * the sign decision EXACT 64-bit arithmetic, so bucket membership
+    * reproduces bit-for-bit in any engine (a float dot's sign near 0
+    * would not) — that is what turns `ann_lsh_topk` from rows-only
+    * into a fully hash-checked query. */
+  val PlaneRange = 512
+  val QuantScale = 1024
+  def intPlanes(nTables: Int, bits: Int, dim: Int, seed: Long): Array[Array[Array[Long]]] = {
+    val stream = Iterator.iterate(seed)(x => x * 48271L % 1000000007L).drop(1)
+    Array.fill(nTables, bits, dim)(stream.next() % (2 * PlaneRange + 1) - PlaneRange)
   }
 
-  /** LSH bucket id of a vector for one table: sign bits packed to int. */
-  private def bucketOf(v: Array[Double], planes: Array[Array[Double]]): Int = {
+  /** Fixed-point quantization of a double vector: floor(x · 2¹⁰).
+    * x·1024 is an exponent shift (exact for any non-overflowing
+    * double), and floor of an exact double is engine-independent —
+    * the quantized vector is bit-identical everywhere. */
+  def quantize(v: Array[Double]): Array[Long] =
+    v.map(x => math.floor(x * QuantScale).toLong)
+
+  /** LSH bucket id of a quantized vector for one table: sign bits of
+    * the exact integer dot products, packed to int. */
+  private def bucketOf(qv: Array[Long], planes: Array[Array[Long]]): Int = {
     var b = 0; var i = 0
     while (i < planes.length) {
-      if (VectorOps.dotSeq(v, planes(i)) >= 0) b |= (1 << i)
+      val p = planes(i)
+      var dot = 0L; var j = 0
+      while (j < p.length) { dot += qv(j) * p(j); j += 1 }
+      if (dot >= 0) b |= (1 << i)
       i += 1
     }
     b
@@ -251,26 +270,30 @@ object Similarity {
 
   /** Approximate top-k via multi-table sign-LSH; same output shape as
     * [[bruteForceTopK]]. Candidates = vectors sharing any (table,
-    * bucket) with the query; exact cosine rank on candidates only. */
+    * bucket) with the query; exact cosine rank on candidates only.
+    * Buckets come from [[intPlanes]] × [[quantize]]d vectors — exact
+    * integer arithmetic — so candidacy, and hence the whole output,
+    * is engine-reproducible (full DuckDB oracle). */
   def lshTopK(embs: DataFrame, idCol: String, vecCol: String,
               queries: Array[(Long, Array[Double])], k: Int,
               nTables: Int = 8, bits: Int = 4, seed: Long = 42L): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
     val dim = queries.head._2.length
-    val planes = hyperplanes(nTables, bits, dim, seed)
+    val planes = intPlanes(nTables, bits, dim, seed)
     val pb = spark.sparkContext.broadcast(planes)
     val p = embs.select(col(idCol).cast("long").as("id"),
       VectorOps.toDouble(col(vecCol)).as("v")).as[(Long, Array[Double])]
     val buckets = p.mapPartitions { iter =>
       val pl = pb.value
       iter.flatMap { case (id, v) =>
-        pl.iterator.zipWithIndex.map { case (tp, t) => (id, v, t, bucketOf(v, tp)) }
+        val qv = quantize(v)
+        pl.iterator.zipWithIndex.map { case (tp, t) => (id, v, t, bucketOf(qv, tp)) }
       }
     }.toDF("id", "v", "table", "bucket")
     val qRows = queries.flatMap { case (qid, qv) =>
       planes.zipWithIndex.map { case (tp, t) =>
-        (qid, qv, math.sqrt(VectorOps.dotSeq(qv, qv)), t, bucketOf(qv, tp))
+        (qid, qv, math.sqrt(VectorOps.dotSeq(qv, qv)), t, bucketOf(quantize(qv), tp))
       }
     }.toSeq
     val qdf = qRows.toDF("query_id", "qv", "qn", "table", "bucket")

@@ -105,7 +105,47 @@ object SimilarityQueries {
     "ann_ivf_topk" -> (ivf _),
     "ann_ivf_probe_only" -> (ivfProbeOnly _))
 
+  // ---- LSH oracle: the integer planes inlined as a VALUES table ----
+  // (Similarity.intPlanes is the single source of truth; the oracle
+  // re-embeds the same constants, so operator and oracle cannot drift)
+  private val LshTables = 8
+  private val LshBits = 4
+  private val LshSeed = 42L
+  private def planeRows: String =
+    Similarity.intPlanes(LshTables, LshBits, Dim, LshSeed).zipWithIndex.flatMap {
+      case (tbl, t) => tbl.zipWithIndex.map { case (plane, b) =>
+        s"($t, $b, ${plane.mkString("[", ",", "]")})"
+      }
+    }.mkString(", ")
+
+  private def cosineRankSql(candCte: String): String =
+    s"""d AS (SELECT c.query_id, c.neighbor_id,
+       |  list_sum(list_transform(generate_series(1, $Dim), i -> qa.v[i] * nb.v[i])) /
+       |  (sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> qa.v[i] * qa.v[i]))) *
+       |   sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> nb.v[i] * nb.v[i])))) AS cosine
+       |  FROM $candCte c JOIN p qa ON qa.vec_id = c.query_id
+       |    JOIN p nb ON nb.vec_id = c.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, cosine,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM d)
+       |SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+       |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "ann_lsh_topk" ->
+      (s"""WITH planes(t, b, w) AS (SELECT * FROM (VALUES $planeRows)),
+         |p AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |qz AS (SELECT vec_id, list_transform(v, x -> CAST(floor(x * ${Similarity.QuantScale}) AS BIGINT)) AS qv FROM p),
+         |dots AS (SELECT z.vec_id, pl.t, pl.b,
+         |  list_sum(list_transform(generate_series(1, $Dim), i -> z.qv[i] * pl.w[i])) AS dot
+         |  FROM qz z CROSS JOIN planes pl),
+         |bk AS (SELECT vec_id, t, SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS bucket
+         |  FROM dots GROUP BY 1, 2),
+         |qids AS (SELECT vec_id AS query_id FROM p ORDER BY vec_id LIMIT $Q),
+         |cand AS (SELECT DISTINCT q.query_id, x.vec_id AS neighbor_id
+         |  FROM qids q JOIN bk qb ON qb.vec_id = q.query_id
+         |  JOIN bk x ON x.t = qb.t AND x.bucket = qb.bucket AND x.vec_id <> q.query_id),
+         |""".stripMargin + cosineRankSql("cand")),
     "ann_bruteforce_topk" ->
       s"""WITH p AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM p ORDER BY vec_id LIMIT $Q),
