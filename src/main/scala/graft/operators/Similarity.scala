@@ -13,10 +13,11 @@ import graft.functions.VectorOps
   *    doubles) are broadcast; each partition keeps a bounded per-query
   *    heap, so only Q × k × numPartitions candidate rows are shuffled
   *    for the final global rank — input row count never shuffles.
-  *  - [[lshTopK]] — the scale path: L random-hyperplane sign-bucket
-  *    tables; candidates come from bucket equality joins (shuffle on
-  *    (table, bucket)), ranked by exact cosine. Candidate probability
-  *    for angle θ: 1 − (1 − (1 − θ/π)^bits)^L.
+  *  - [[lshTopK]] — the scale path: L sign-bucket tables over
+  *    deterministic integer hyperplanes; candidates come from bucket
+  *    equality joins (shuffle on (table, bucket)), ranked by exact
+  *    cosine. Candidate probability for angle θ:
+  *    1 − (1 − (1 − θ/π)^bits)^L.
   *
   * All cosines are computed with the same left-to-right fold order as
   * the DuckDB oracle (dot / (‖a‖·‖b‖)), so results hash-match.
@@ -117,13 +118,29 @@ object Similarity {
     def unpersist(): Unit = { cells.unpersist(); () }
   }
 
+  /** Affine sample-rank coefficients (aₛ, bₛ) for [[buildIndex]]'s
+    * training sample, drawn from the MINSTD Lehmer stream mod P=1e9+7
+    * — exact integer arithmetic, so the sample SELECTION itself is
+    * reproducible in DuckDB SQL (xxhash64 rank, the previous choice,
+    * was engine-private and kept the IVF queries rows-only). */
+  val SampleRankP = 1000000007L
+  def sampleRankCoeffs(seed: Long): (Long, Long) = {
+    val s0 = math.floorMod(seed, SampleRankP - 1) + 1
+    val it = Iterator.iterate(s0)(x => x * 48271L % SampleRankP).drop(1)
+    (it.next(), it.next())
+  }
+
   /** Train the coarse quantizer and assign every vector to its cell.
-    * Training: a bounded deterministic sample (seeded hash rank — same
-    * idiom as KMeansNative.randomCenters): ONE corpus scan collects
+    * Training: a bounded deterministic sample (affine Lehmer hash
+    * rank over the id — oracle-expressible): ONE corpus scan collects
     * ≤ trainSample·dim doubles, then all K-Means iterations run on the
     * local sample, so index build is O(corpus) + O(sample · iters)
     * however large the corpus — the scale-up run showed full-corpus
-    * training dominating otherwise. */
+    * training dominating otherwise. The trainer is the exact-decimal
+    * [[graft.cluster.KMeansNative.fitExact]]: its center trajectory is
+    * bit-deterministic across runs, partitionings AND engines, which
+    * (with the arithmetic sample rank) makes the whole index — and
+    * every probe against it — hash-checkable in DuckDB. */
   def buildIndex(embs: DataFrame, idCol: String, vecCol: String,
                  nCells: Int = 16, trainIters: Int = 5,
                  trainSample: Int = 10000, seed: Long = 42L): IvfIndex = {
@@ -131,14 +148,16 @@ object Similarity {
     import spark.implicits._
     val pts = embs.select(col(idCol).cast("long").as("id"),
       VectorOps.toDouble(col(vecCol)).as("v"))
+    val (ra, rb) = sampleRankCoeffs(seed)
     val sampleRows = pts
-      .orderBy(xxhash64(lit(seed), col("id")), col("id"))
+      .orderBy((pmod(col("id"), lit(SampleRankP)) * lit(ra) + lit(rb)) % lit(SampleRankP),
+        col("id"))
       .limit(trainSample)
       .as[(Long, Array[Double])]
       .collect()
     val train = spark.createDataset(sampleRows.toIndexedSeq).toDF("id", "v")
     val init = graft.cluster.KMeansNative.firstKCenters(train, "id", "v", nCells)
-    val centers = graft.cluster.KMeansNative.fit(train, "v", init, maxIter = trainIters).centers
+    val centers = graft.cluster.KMeansNative.fitExact(train, "v", init, trainIters)
     val cells = graft.cluster.KMeansNative.assigned(pts, col("v"), centers)
       .select(col("id"), col("v"), col("cluster_id").as("cell"))
       .persist()
@@ -198,8 +217,11 @@ object Similarity {
     * and must not be collidable in a shared tmp namespace. */
   def indexDirFor(corpusFile: java.io.File, nCells: Int, trainIters: Int,
                   trainSample: Int, seed: Long): String = {
+    // "exact-affine" tags the trainer + sample-rank generation so a
+    // disk index built by an older buildIndex can never be served for
+    // the oracle-checked queries
     val ident = Seq(corpusFile.getAbsolutePath, corpusFile.lastModified,
-      corpusFile.length, nCells, trainIters, trainSample, seed).mkString("|")
+      corpusFile.length, nCells, trainIters, trainSample, seed, "exact-affine").mkString("|")
     val digest = java.security.MessageDigest.getInstance("SHA-256")
       .digest(ident.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(32)
     new java.io.File(System.getProperty("java.io.tmpdir"), s"graft-ivf-$digest")

@@ -120,46 +120,57 @@ object KMeansQueries {
     * loop by induction (assign/accumulate/average are individually
     * oracle-proven), so after `iters` rounds the centroids match
     * cell-exactly. */
-  private def unrolledFitSql(iters: Int): String = {
-    val sb = new StringBuilder(
-      s"""WITH pts AS MATERIALIZED (
-         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings
-         |), cent0 AS MATERIALIZED (
-         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v
-         |  FROM pts ORDER BY vec_id LIMIT $K
-         |)""".stripMargin)
+  /** The per-round CTE stages of the unrolled oracle, reusable by any
+    * caller that defines a points CTE (`ptsName`: (vec_id, v)) and an
+    * initial `${pfx}cent0` (cid, v): appends iters ×
+    * (assign → exact-decimal accumulate → average → next centers)
+    * stages, leaving `${pfx}cent$iters` defined. Shared between
+    * `kmeans_fit_native` and the IVF-training oracles
+    * (SimilarityQueries) — one proven implementation of the exact
+    * Lloyd round, not two. */
+  private[queries] def lloydRoundsCte(ptsName: String, dim: Int, iters: Int,
+                                      pfx: String): String = {
+    val sb = new StringBuilder
     for (r <- 0 until iters) {
       sb.append(
-        s""", d$r AS (
+        s""", ${pfx}d$r AS (
            |  SELECT p.vec_id, p.v, c.cid,
-           |         list_sum(list_transform(generate_series(1, $Dim),
+           |         list_sum(list_transform(generate_series(1, $dim),
            |                  i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i]))) AS d2
-           |  FROM pts p CROSS JOIN cent$r c
-           |), a$r AS (
+           |  FROM $ptsName p CROSS JOIN ${pfx}cent$r c
+           |), ${pfx}a$r AS (
            |  SELECT vec_id, v, cid,
            |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-           |  FROM d$r
-           |), m$r AS (
+           |  FROM ${pfx}d$r
+           |), ${pfx}m$r AS (
            |  SELECT cid, t.i AS di,
            |         CAST(SUM(CAST(v[t.i] AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS coord
-           |  FROM a$r, (SELECT unnest(generate_series(1, $Dim)) AS i) t
+           |  FROM ${pfx}a$r, (SELECT unnest(generate_series(1, $dim)) AS i) t
            |  WHERE rn = 1 GROUP BY 1, 2
-           |), cent${r + 1} AS MATERIALIZED (
+           |), ${pfx}cent${r + 1} AS MATERIALIZED (
            |  SELECT c.cid, coalesce(mm.v, c.v) AS v
-           |  FROM cent$r c LEFT JOIN (
-           |    SELECT cid, list(coord ORDER BY di) AS v FROM m$r GROUP BY cid) mm
+           |  FROM ${pfx}cent$r c LEFT JOIN (
+           |    SELECT cid, list(coord ORDER BY di) AS v FROM ${pfx}m$r GROUP BY cid) mm
            |  ON mm.cid = c.cid
            |)""".stripMargin)
     }
-    sb.append(
+    sb.toString
+  }
+
+  private def unrolledFitSql(iters: Int): String =
+    s"""WITH pts AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), cent0 AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v
+       |  FROM pts ORDER BY vec_id LIMIT $K
+       |)""".stripMargin +
+      lloydRoundsCte("pts", Dim, iters, "") +
       s"""
          |SELECT cid AS cluster_id, CAST(t.i - 1 AS INTEGER) AS dim,
          |       round(v[t.i], 6) AS coord
          |FROM cent$iters, (SELECT unnest(generate_series(1, $Dim)) AS i) t
-         |ORDER BY 1, 2""".stripMargin)
-    sb.toString
-  }
+         |ORDER BY 1, 2""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kmeans_assign" -> (assign _),

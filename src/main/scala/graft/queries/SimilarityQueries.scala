@@ -7,9 +7,12 @@ import graft.functions.VectorOps
 import graft.io.Tables
 import graft.operators.Similarity
 
-/** Declared similarity-search queries: exact brute-force cosine top-k
-  * (oracle-checked) and the multi-table sign-LSH approximate variant
-  * (engine-specific bucketing → rows-only check + recall ScalaTest).
+/** Declared similarity-search queries — ALL FOUR oracle-checked:
+  * exact brute-force cosine top-k, sign-LSH (integer hyperplanes →
+  * bucket membership is exact arithmetic), and the two IVF queries
+  * (arithmetic-hash training sample + exact-decimal Lloyd rounds →
+  * the DuckDB oracle replays the whole build+probe pipeline). Recall
+  * floors vs brute force are additionally pinned by ScalaTest.
   * Query set: the 10 lowest-vec_id embeddings; k=5.
   */
 object SimilarityQueries {
@@ -37,6 +40,7 @@ object SimilarityQueries {
   val IvfTrainIters = 5
   val IvfTrainSample = 10000
   val IvfSeed = 42L
+  val IvfNProbe = 4
 
   /** The IVF index lives on DISK, content-addressed by the fixture
     * file's identity + build params (Similarity.indexDirFor) —
@@ -66,7 +70,7 @@ object SimilarityQueries {
   }
 
   def ivf(s: SparkSession, dir: String): DataFrame =
-    Similarity.probe(ivfIndex(s, dir), queryVecs(s, dir), K)
+    Similarity.probe(ivfIndex(s, dir), queryVecs(s, dir), K, IvfNProbe)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("cosine"), 6).as("cosine"))
       .orderBy("query_id", "rank")
@@ -87,7 +91,7 @@ object SimilarityQueries {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
 
   def ivfProbeOnly(s: SparkSession, dir: String): DataFrame =
-    Similarity.probe(ivfIndex(s, dir), queryVecsNext(s, dir), K)
+    Similarity.probe(ivfIndex(s, dir), queryVecsNext(s, dir), K, IvfNProbe)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("cosine"), 6).as("cosine"))
       .orderBy("query_id", "rank")
@@ -131,7 +135,47 @@ object SimilarityQueries {
        |SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
        |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
+  /** Full IVF oracle: reproduce the arithmetic-hash training sample,
+    * the first-nCells init, all [[IvfTrainIters]] exact-decimal Lloyd
+    * rounds (via KMeansQueries.lloydRoundsCte — the SAME generator the
+    * proven kmeans_fit_native oracle uses), the corpus→cell
+    * assignment, each query's nProbe nearest cells, and the cosine
+    * ranking over the probed cells — the entire build+probe pipeline,
+    * not just the output shape. `querySel` picks the query batch
+    * (first Q vec_ids, or the next Q for probe-only). */
+  private def ivfOracleSql(querySel: String): String = {
+    val (ra, rb) = Similarity.sampleRankCoeffs(IvfSeed)
+    val P = Similarity.SampleRankP
+    s"""WITH p AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |samp AS MATERIALIZED (SELECT vec_id, v FROM p
+       |  ORDER BY (((vec_id % $P) + $P) % $P * $ra + $rb) % $P, vec_id LIMIT $IvfTrainSample),
+       |cent0 AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v
+       |  FROM samp ORDER BY vec_id LIMIT $IvfCells)""".stripMargin +
+      KMeansQueries.lloydRoundsCte("samp", Dim, IvfTrainIters, "") +
+      s""", ad AS (SELECT p.vec_id, c.cid,
+         |  list_sum(list_transform(generate_series(1, $Dim),
+         |           i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i]))) AS d2
+         |  FROM p CROSS JOIN cent$IvfTrainIters c),
+         |cells AS MATERIALIZED (SELECT vec_id, cid AS cell FROM (
+         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |  FROM ad) WHERE rn = 1),
+         |qv AS (SELECT vec_id AS query_id, v FROM p ORDER BY vec_id $querySel),
+         |qd AS (SELECT q.query_id, c.cid,
+         |  list_sum(list_transform(generate_series(1, $Dim),
+         |           i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS d2
+         |  FROM qv q CROSS JOIN cent$IvfTrainIters c),
+         |probes AS (SELECT query_id, cid FROM (
+         |  SELECT query_id, cid, row_number() OVER (PARTITION BY query_id ORDER BY d2, cid) AS rn
+         |  FROM qd) WHERE rn <= $IvfNProbe),
+         |cand AS (SELECT DISTINCT pr.query_id, ce.vec_id AS neighbor_id
+         |  FROM probes pr JOIN cells ce ON ce.cell = pr.cid AND ce.vec_id <> pr.query_id),
+         |""".stripMargin + cosineRankSql("cand")
+  }
+
   val oracles: Map[String, String] = Map(
+    "ann_ivf_topk" -> ivfOracleSql(s"LIMIT $Q"),
+    "ann_ivf_probe_only" -> ivfOracleSql(s"LIMIT $Q OFFSET $Q"),
     "ann_lsh_topk" ->
       (s"""WITH planes(t, b, w) AS (SELECT * FROM (VALUES $planeRows)),
          |p AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
