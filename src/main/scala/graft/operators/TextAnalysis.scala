@@ -231,6 +231,74 @@ object TextAnalysis {
       pmod(pmod(col(idCol).cast("bigint"), lit(SampleHashP)) * lit(SampleHashA),
         lit(SampleHashP)) % k === 0)
 
+  /** Gopher-style per-document repetition signals — the quality gate
+    * that catches boilerplate and looping text generations:
+    * duplicate-word fraction, duplicate-bigram fraction, and the
+    * highest bigram count. Pure per-row HOF work over the in-row
+    * token list (sort_array + a struct-accumulator `aggregate` for
+    * the max run length) — ZERO shuffle, so at 100 TB this is a scan
+    * like the other quality scores, not the (doc, gram) explode +
+    * two-level group-by a naive plan would shuffle. All counts are
+    * exact integers and the fractions one correctly-rounded double
+    * division each, so the whole output is DuckDB-oracle-checkable. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = TextOps.words(col(textCol))
+    // ALL bigrams (multiset — repetition is the signal, so no
+    // dedup here, unlike TextOps.shingles)
+    val bg = when(size(w) >= 2,
+        transform(sequence(lit(1), size(w) - 1),
+          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    // longest run of equal adjacent elements in the sorted multiset
+    // = the highest bigram frequency
+    val maxRun = aggregate(
+      sort_array(bg),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    docs
+      .select(col(idCol).as("doc_id"), w.as("w"), bg.as("bg"), maxRun.as("max_bigram_freq"))
+      .select(
+        col("doc_id"),
+        size(col("w")).as("n_words"),
+        ((size(col("w")) - size(array_distinct(col("w")))).cast("double")
+          / size(col("w"))).as("dup_word_frac"),
+        size(col("bg")).as("n_bigrams"),
+        col("max_bigram_freq"),
+        when(size(col("bg")) > 0,
+            (size(col("bg")) - size(array_distinct(col("bg")))).cast("double")
+              / size(col("bg")))
+          .otherwise(lit(0.0)).as("dup_bigram_frac"))
+  }
+
+  /** Data MIXING for training-set construction: admit each stratum
+    * (language, domain, source…) at its own rate, expressed in basis
+    * points of 10000 — e.g. upsample rare languages, downsample
+    * crawl-heavy domains. Admission reuses the exact multiplicative
+    * hash of [[hashModSample]] (`h(id) mod 10000 < rate_bps`), and the
+    * per-stratum rate is an in-plan CASE chain over the (tiny, fixed)
+    * rate map — so the whole operator is a ZERO-shuffle, zero-join
+    * scan filter at any corpus size, bit-reproducible in any engine.
+    * Strata absent from the map get `defaultBps`. */
+  def mixSample(docs: DataFrame, strataCol: String, idCol: String,
+                ratesBps: Map[String, Int], defaultBps: Int = 0): DataFrame = {
+    require(ratesBps.values.forall(r => r >= 0 && r <= 10000) &&
+      defaultBps >= 0 && defaultBps <= 10000, "rates are basis points in [0, 10000]")
+    // deterministic chain order so plan text (and the oracle SQL
+    // generated from the same map) never depends on map iteration
+    val rateExpr = ratesBps.toSeq.sortBy(_._1).foldLeft(lit(defaultBps)) {
+      case (acc, (k, bps)) => when(col(strataCol) === lit(k), lit(bps)).otherwise(acc)
+    }
+    docs.filter(
+      pmod(pmod(col(idCol).cast("bigint"), lit(SampleHashP)) * lit(SampleHashA),
+        lit(SampleHashP)) % 10000 < rateExpr)
+  }
+
   /** Corpus-level aggregate: per (lang, source) doc counts + token
     * totals — the group-by surface over the text stats. */
   def corpusStats(docs: DataFrame): DataFrame =

@@ -6,10 +6,12 @@ import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.operators.TextAnalysis
 
-/** Declared text-analysis queries over `documents`. All five are
+/** Declared text-analysis queries over `documents`. ALL are
   * DuckDB-oracle-checked — including the rolling-hash fingerprint,
   * whose fold is reproduced with list_reduce (identical chain: the
-  * zero seed is absorbed by the first element in both engines).
+  * zero seed is absorbed by the first element in both engines), the
+  * Gopher-style repetition signals, and both zero-shuffle admission
+  * samplers (uniform hash-mod and per-stratum-rate mixing).
   */
 object TextQueries {
 
@@ -84,7 +86,34 @@ object TextQueries {
       .select("lang", "doc_id")
       .orderBy("lang", "doc_id")
 
+  /** Gopher-style repetition-quality signals, zero-shuffle per-row
+    * HOFs (TextAnalysis.repetitionStats). */
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("n_words"),
+        round(col("dup_word_frac"), 6).as("dup_word_frac"),
+        col("n_bigrams"), col("max_bigram_freq"),
+        round(col("dup_bigram_frac"), 6).as("dup_bigram_frac"))
+      .orderBy("doc_id")
+
+  /** The mixing-rate table for `text_mix_sample`: upsample the rare
+    * languages, admit only 10% of the dominant one — the shape of a
+    * real pretraining language-rebalancing pass. (Single source of
+    * truth for BOTH the operator call and the oracle CASE chain.) */
+  val MixRatesBps: Map[String, Int] =
+    Map("en" -> 1000, "de" -> 5000, "es" -> 2500, "fr" -> 7500, "zh" -> 10000)
+
+  /** Per-stratum-rate admission sampling (data mixing): zero-shuffle
+    * scan filter at any corpus size. */
+  def mixSample(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.mixSample(
+        Tables.documents(s, dir).select("doc_id", "lang"), "lang", "doc_id", MixRatesBps)
+      .select("lang", "doc_id")
+      .orderBy("lang", "doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> (repetition _),
+    "text_mix_sample" -> (mixSample _),
     "text_tokens" -> (tokens _),
     "text_tokens_bpe" -> (bpeTokens _),
     "text_quality" -> (quality _),
@@ -107,7 +136,37 @@ object TextQueries {
          |FROM t""".stripMargin
     }.mkString("\nUNION ALL\n")
 
+  private val mixRateCaseSql: String =
+    "CASE " + MixRatesBps.toSeq.sortBy(_._1)
+      .map { case (k, bps) => s"WHEN lang = '$k' THEN $bps" }
+      .mkString(" ") + " ELSE 0 END"
+
   val oracles: Map[String, String] = Map(
+    // the bigram MULTISET rebuilt by unnest + group-by (the oracle may
+    // shuffle; the operator must not): counts exact, fractions one
+    // double division each
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+        |                i -> w[i] || ' ' || w[i+1])) AS g FROM t),
+        |gc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        |ga AS (SELECT doc_id, SUM(c) AS total_bg, COUNT(*) AS distinct_bg,
+        |         MAX(c) AS max_bg FROM gc GROUP BY 1)
+        |SELECT t.doc_id,
+        |  CAST(len(w) AS INTEGER) AS n_words,
+        |  round(CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS dup_word_frac,
+        |  CAST(coalesce(ga.total_bg, 0) AS INTEGER) AS n_bigrams,
+        |  CAST(coalesce(ga.max_bg, 0) AS BIGINT) AS max_bigram_freq,
+        |  round(CASE WHEN coalesce(ga.total_bg, 0) > 0
+        |        THEN CAST(ga.total_bg - ga.distinct_bg AS DOUBLE) / ga.total_bg
+        |        ELSE 0.0 END, 6) AS dup_bigram_frac
+        |FROM t LEFT JOIN ga ON ga.doc_id = t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "text_mix_sample" ->
+      s"""SELECT lang, doc_id FROM documents
+         |WHERE (((doc_id % ${TextAnalysis.SampleHashP} + ${TextAnalysis.SampleHashP})
+         |        % ${TextAnalysis.SampleHashP}) * ${TextAnalysis.SampleHashA}
+         |       % ${TextAnalysis.SampleHashP}) % 10000 < $mixRateCaseSql
+         |ORDER BY lang, doc_id""".stripMargin,
     "text_tokens" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
         |SELECT doc_id,

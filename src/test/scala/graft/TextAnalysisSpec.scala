@@ -98,6 +98,46 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("repetition stats: hand-checked values, zero shuffle") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b"),        // bigrams: "a a","a a","a b" → max 2, dup 1/3
+      (2L, "x y z"),          // all distinct
+      (3L, "w"),              // no bigrams
+      (4L, "q q q q"))        // bigrams: "q q"×3 → dup 2/3
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r(0).toSeq === Seq(1L, 4, 0.5, 3, 2L, 1.0 / 3))
+    assert(r(1).toSeq === Seq(2L, 3, 0.0, 2, 1L, 0.0))
+    assert(r(2).toSeq === Seq(3L, 1, 0.0, 0, 0L, 0.0))
+    assert(r(3).toSeq === Seq(4L, 4, 0.75, 3, 3L, 2.0 / 3))
+    val plan = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"repetition stats must not shuffle:\n$plan")
+  }
+
+  test("mix sampler: rate 0 drops all, 10000 keeps all, rates nest, zero shuffle") {
+    val docs = Tables.documents(spark, sf001).select("doc_id", "lang")
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0))
+    def run(bps: Int) = TextAnalysis.mixSample(
+        docs, "lang", "doc_id", langs.map(_ -> bps).toMap)
+      .collect().map(_.getLong(0)).toSet
+    assert(run(0).isEmpty)
+    assert(run(10000).size === docs.count())
+    // admission sets are NESTED in the rate (h < r1 implies h < r2 for
+    // r1 <= r2) — raising a stratum's rate only adds rows
+    val half = run(5000); val quarter = run(2500)
+    assert(quarter.subsetOf(half))
+    // per-stratum rates apply independently
+    val mixed = TextAnalysis.mixSample(docs, "lang", "doc_id",
+      Map(langs.head -> 10000), defaultBps = 0)
+    val kept = mixed.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(kept === Set(langs.head))
+    val plan = mixed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"mix sampler must not shuffle:\n$plan")
+  }
+
   test("stratified sample is invariant to the bucket count") {
     val docs = Tables.documents(spark, sf001).select("doc_id", "lang")
     def run(b: Int) = TextAnalysis.stratifiedSample(docs, "lang", "doc_id", 10, buckets = b)
