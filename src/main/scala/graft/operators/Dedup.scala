@@ -108,6 +108,32 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Eval-set DECONTAMINATION — the pretraining hygiene pass: for
+    * each training document, count word n-grams it shares with any
+    * document of an evaluation/benchmark set, so contaminated
+    * training rows can be dropped or flagged before a model ever
+    * sees them. Output: (doc_id, n_shared_ngrams = distinct shared
+    * shingles, n_eval_docs = distinct eval documents hit).
+    *
+    * Scale shape: the TRAIN side streams — shingle, broadcast-join,
+    * partial-aggregate, no train-side shuffle before the (hit-bounded)
+    * final group-by. The EVAL side is collected into a broadcast: its
+    * size is bounded by the benchmark suite (thousands of documents),
+    * NOT by the corpus — unlike a vocabulary it does not grow with
+    * training data (the TF-IDF broadcast lesson does not apply). At
+    * 100 TB this is one scan of train against a few MB of eval
+    * shingles. */
+  def decontamOverlap(train: DataFrame, eval: DataFrame,
+                      idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    val t = docShingles(train, idCol, textCol, n)
+    val e = docShingles(eval, idCol, textCol, n)
+      .withColumnRenamed("doc_id", "eval_id")
+    t.join(broadcast(e), Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("s")).as("n_shared_ngrams"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+  }
+
   /** Oracle-expressible hash machinery shared by MinHash and SimHash:
     * shingles/tokens are first fingerprinted with the same polynomial
     * rolling hash mod P = 1e9+7 as [[TextOps.rollingFingerprint]],

@@ -299,6 +299,33 @@ object TextAnalysis {
         lit(SampleHashP)) % 10000 < rateExpr)
   }
 
+  /** Context-window CHUNKING — the sequence-packing prep step: split
+    * each document into fixed-size word windows of `chunkWords`,
+    * emitting per chunk its word count and the polynomial fingerprint
+    * of its text (chunk-level identity, so downstream chunk dedup /
+    * packing can key on 8 bytes instead of the chunk body). One
+    * per-row transform + explode over the in-row token list — ZERO
+    * shuffle at any corpus size; the fan-out is rows × ceil(words/
+    * chunkWords), the unavoidable output cardinality. Exact integer
+    * fingerprints → fully oracle-checkable. */
+  def chunkStats(docs: DataFrame, idCol: String, textCol: String,
+                 chunkWords: Int): DataFrame = {
+    require(chunkWords >= 1, "chunkWords >= 1")
+    val w = TextOps.words(col(textCol))
+    val nChunks = floor(((size(col("w")) + chunkWords - 1)
+      / lit(chunkWords.toDouble))).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1), i => struct(
+      i.as("chunk_id"),
+      least(lit(chunkWords), size(col("w")) - i * chunkWords).as("n_words"),
+      TextOps.rollingFingerprint(
+        concat_ws(" ", slice(col("w"), i * chunkWords + 1, lit(chunkWords))))
+        .as("chunk_fp")))
+    docs
+      .select(col(idCol).as("doc_id"), w.as("w"))
+      .select(col("doc_id"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("c.chunk_id"), col("c.n_words"), col("c.chunk_fp"))
+  }
+
   /** Corpus-level aggregate: per (lang, source) doc counts + token
     * totals — the group-by surface over the text stats. */
   def corpusStats(docs: DataFrame): DataFrame =

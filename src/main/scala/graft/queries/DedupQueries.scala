@@ -72,7 +72,22 @@ object DedupQueries {
       .select(col("node").as("doc_id"), col("component"))
       .orderBy("doc_id")
 
+  /** Eval-set decontamination: the 20 lowest-doc_id documents play
+    * the benchmark set; every other document reports its 5-gram
+    * overlap with them (pretraining hygiene as a declared surface). */
+  val DecontamEvalBelow = 20
+  val DecontamN = 5
+  def decontam(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.decontamOverlap(
+        docs.filter(col("doc_id") >= DecontamEvalBelow),
+        docs.filter(col("doc_id") < DecontamEvalBelow),
+        "doc_id", "text", n = DecontamN)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_decontam" -> (decontam _),
     "dedup_exact" -> (exact _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash" -> (minhash _),
@@ -124,6 +139,20 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, COUNT(*) AS n_dups FROM documents GROUP BY text ORDER BY doc_id",
+    // distinct 5-shingles on both sides (mirrors TextOps.shingles),
+    // then train×eval hits grouped per training doc
+    "dedup_decontam" ->
+      s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, s FROM (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - ${DecontamN - 1}),
+         |      i -> ${(0 until DecontamN).map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(" || ' ' || ")})) AS s
+         |  FROM docs)),
+         |hits AS (SELECT t.doc_id, t.s, e.doc_id AS eval_id
+         |         FROM sh t JOIN sh e ON e.s = t.s
+         |         AND e.doc_id < $DecontamEvalBelow AND t.doc_id >= $DecontamEvalBelow)
+         |SELECT doc_id, COUNT(DISTINCT s) AS n_shared_ngrams,
+         |  COUNT(DISTINCT eval_id) AS n_eval_docs
+         |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin,
     // candidacy AND verification both reproduced exactly: affine
     // min-hash signatures over polynomial shingle fingerprints, mod-P
     // band-bucket folds, then exact Jaccard on the candidates — the

@@ -80,6 +80,18 @@ object StatsQueries {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Deterministic KMV distinct sketch (k = 256): same O(k) accuracy
+    * class as the HLL query above, but the estimate is exact affine-
+    * hash arithmetic → fully DuckDB-hash-checked, not rows-only. */
+  val KmvK = 256
+  val KmvSeed = 77L
+  def kmvDistinct(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.kmvDistinct(
+        Tables.lineitem(s, dir), Seq("l_returnflag"), col("l_partkey"),
+        k = KmvK, seed = KmvSeed)
+      .select(col("l_returnflag"), round(col("est_distinct"), 6).as("est_distinct"))
+      .orderBy("l_returnflag")
+
   /** As-of join: each event joined to the user's most recent purchase
     * event at or before it. */
   def asofLastPurchase(s: SparkSession, dir: String): DataFrame = {
@@ -117,6 +129,7 @@ object StatsQueries {
     "rel_quantiles" -> (quantiles _),
     "rel_count_distinct" -> (countDistinct _),
     "rel_approx_distinct" -> (approxDistinct _),
+    "rel_kmv_distinct" -> (kmvDistinct _),
     "asof_last_purchase" -> (asofLastPurchase _),
     "sql_q1_pricing" -> (sqlPricing _))
 
@@ -150,6 +163,22 @@ object StatsQueries {
         |  COUNT(DISTINCT l_suppkey) AS nd_supps,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // plain per-group k-min rank — the two-level bucketing on the
+    // Spark side is result-invisible, like the salted-agg oracle
+    "rel_kmv_distinct" -> {
+      val (a, b) = graft.operators.Sketches.kmvCoeffs(KmvSeed)
+      val p = graft.operators.Sketches.HashP
+      s"""WITH h AS (SELECT DISTINCT l_returnflag,
+         |    (((l_partkey % $p + $p) % $p) * $a + $b) % $p AS h FROM lineitem),
+         |r AS (SELECT l_returnflag, h,
+         |        row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn FROM h),
+         |k AS (SELECT l_returnflag, COUNT(*) AS m, MAX(h) AS hk
+         |      FROM r WHERE rn <= $KmvK GROUP BY 1)
+         |SELECT l_returnflag,
+         |  round(CASE WHEN m < $KmvK THEN CAST(m AS DOUBLE)
+         |        ELSE ${KmvK - 1}.0 * $p.0 / hk END, 6) AS est_distinct
+         |FROM k ORDER BY 1""".stripMargin
+    },
     "asof_last_purchase" ->
       """WITH p AS (SELECT user_id, ts, max(event_id) AS p_event_id
         |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),

@@ -111,7 +111,15 @@ object TextQueries {
       .select("lang", "doc_id")
       .orderBy("lang", "doc_id")
 
+  /** Context-window chunking at 64 words — sequence-packing prep with
+    * per-chunk exact fingerprints (zero-shuffle explode). */
+  val ChunkWords = 64
+  def chunks(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkStats(Tables.documents(s, dir), "doc_id", "text", ChunkWords)
+      .orderBy("doc_id", "chunk_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_chunks" -> (chunks _),
     "text_repetition" -> (repetition _),
     "text_mix_sample" -> (mixSample _),
     "text_tokens" -> (tokens _),
@@ -142,6 +150,26 @@ object TextQueries {
       .mkString(" ") + " ELSE 0 END"
 
   val oracles: Map[String, String] = Map(
+    // per-row chunk windows: list_slice is 1-based INCLUSIVE (Spark's
+    // slice is (start, length)); the chunk fingerprint is the same
+    // mod-P character fold as text_fingerprint
+    "text_chunks" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |c AS (SELECT doc_id, w,
+         |        unnest(generate_series(0, CAST((len(w) + ${ChunkWords - 1}) // $ChunkWords AS BIGINT) - 1)) AS chunk_id
+         |      FROM t),
+         |s AS (SELECT doc_id, chunk_id,
+         |        least($ChunkWords, len(w) - chunk_id * $ChunkWords) AS n_words,
+         |        array_to_string(list_slice(w, chunk_id * $ChunkWords + 1,
+         |          least((chunk_id + 1) * $ChunkWords, len(w))), ' ') AS ct
+         |      FROM c)
+         |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+         |  CAST(n_words AS INTEGER) AS n_words,
+         |  CASE WHEN length(ct) = 0 THEN 0 ELSE list_reduce(
+         |    list_transform(generate_series(1, length(ct)),
+         |                   i -> CAST(ascii(substr(ct, i, 1)) AS BIGINT)),
+         |    (a, b) -> (a * 31 + b) % ${graft.functions.TextOps.FingerprintMod}) END AS chunk_fp
+         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
     // the bigram MULTISET rebuilt by unnest + group-by (the oracle may
     // shuffle; the operator must not): counts exact, fractions one
     // double division each

@@ -83,6 +83,24 @@ class DedupSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("decontam overlap counts shared n-grams and eval docs hit") {
+    import spark.implicits._
+    val eval = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "alpha beta gamma delta epsilon eta"),     // shares 1 distinct 5-gram w/ doc 1
+      (11L, "one two three four five six seven"),      // shares 2 w/ doc 2
+      (12L, "alpha beta gamma delta epsilon zeta one two three four five six"), // hits both
+      (13L, "nothing shared here at all now")).toDF("doc_id", "text")
+    val r = graft.operators.Dedup.decontamOverlap(train, eval, "doc_id", "text", n = 5)
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getLong(0)).toSeq === Seq(10L, 11L, 12L))
+    assert(r(0).getLong(1) === 1L && r(0).getLong(2) === 1L)
+    assert(r(1).getLong(1) === 2L && r(1).getLong(2) === 1L)
+    assert(r(2).getLong(2) === 2L)   // doc 12 contaminates against BOTH eval docs
+  }
+
   test("rolling fingerprint is deterministic and order-sensitive") {
     val df = Seq("a b c", "a b c", "c b a").toDF("text")
       .select(TextOps.rollingFingerprint(col("text")).as("f"))

@@ -55,6 +55,26 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("KMV distinct estimate is close to exact and invariant to bucket count") {
+    import org.apache.spark.sql.functions._
+    val li = graft.io.Tables.lineitem(spark, sf001)
+    val exact = li.groupBy("l_returnflag")
+      .agg(count_distinct(col("l_partkey")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def run(buckets: Int) = graft.operators.Sketches.kmvDistinct(
+        li, Seq("l_returnflag"), col("l_partkey"), k = 256, buckets = buckets)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val est = run(64)
+    exact.foreach { case (g, nd) =>
+      val e = est(g)
+      // k=256 → σ ≈ nd/√254 ≈ 6.3%; 4σ bound
+      assert(math.abs(e - nd) <= nd * 0.25 + 1, s"$g est=$e exact=$nd")
+    }
+    // the two-level bucket selection is result-invisible
+    assert(run(1) === est)
+    assert(run(7) === est)
+  }
+
   test("rollup grand total equals table count") {
     val r = graft.queries.StatsQueries.rollup(spark, sf001).collect()
     val grand = r.filter(row => row.isNullAt(0) && row.isNullAt(1))

@@ -117,6 +117,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"repetition stats must not shuffle:\n$plan")
   }
 
+  test("chunking: hand-checked windows, single-chunk fp equals doc fingerprint, zero shuffle") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e"), (2L, "x y")).toDF("doc_id", "text")
+    val r = TextAnalysis.chunkStats(docs, "doc_id", "text", 2)
+      .orderBy("doc_id", "chunk_id").collect()
+    assert(r.map(x => (x.getLong(0), x.getInt(1), x.getInt(2))).toSeq ===
+      Seq((1L, 0, 2), (1L, 1, 2), (1L, 2, 1), (2L, 0, 2)))
+    // a whole-doc chunk's fingerprint is the document fingerprint
+    val whole = TextAnalysis.chunkStats(docs, "doc_id", "text", 100)
+      .select("doc_id", "chunk_fp")
+    val fp = TextAnalysis.fingerprint(docs, "doc_id", "text")
+    assert(whole.orderBy("doc_id").collect().map(_.getLong(1)).toSeq ===
+      fp.orderBy("doc_id").collect().map(_.getLong(1)).toSeq)
+    val plan = TextAnalysis.chunkStats(docs, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
   test("mix sampler: rate 0 drops all, 10000 keeps all, rates nest, zero shuffle") {
     val docs = Tables.documents(spark, sf001).select("doc_id", "lang")
     val langs = docs.select("lang").distinct().collect().map(_.getString(0))
