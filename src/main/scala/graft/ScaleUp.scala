@@ -57,6 +57,7 @@ object ScaleUp {
     spark.range(0, 6000000L, 1, 32)
       .select(
         (col("id") / 4).cast("long").as("l_orderkey"),
+        (pmod(xxhash64(col("id"), lit(9)), lit(200000)) + 1).as("l_partkey"),
         element_at(array(lit("A"), lit("N"), lit("R")),
           (rand(10) * 3).cast("int") + 1).as("l_returnflag"),
         element_at(array(lit("F"), lit("O")), (rand(11) * 2).cast("int") + 1)
@@ -94,6 +95,15 @@ object ScaleUp {
           pmod(xxhash64(col("id"), lit(6)), lit(3)).cast("int") + 1).as("source"))
       .withColumn("n_chars", length(col("text")))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    // embeddings: 20k × 64 float vectors (10× the sf0.1 count), values
+    // in [-1, 1] from the seeded hash — exercises the ANN family
+    spark.range(0, 20000L, 1, 32)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(64)),
+          i => ((pmod(xxhash64(col("id"), i.cast("long"), lit(7)), lit(2001)) - 1000)
+            / lit(1000.0)).cast("float")).as("embedding"),
+        pmod(xxhash64(col("id"), lit(8)), lit(10)).cast("int").as("label"))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     // tiny dims: copy from the real fixture unchanged
     Seq("nation", "region").foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet")
@@ -107,7 +117,15 @@ object ScaleUp {
     "events_session", "events_window", "events_running_total",
     "text_vocab", "text_stratified_sample", "sql_word_shingles",
     "stream_window_parity", "stream_session_parity",
-    "stream_join_pairs", "stream_dedup_distinct")
+    "stream_join_pairs", "stream_dedup_distinct",
+    // round 4: the re-planned TF-IDF (no vocab broadcast), the
+    // zero-shuffle scan family, dedup/sketch surfaces, and the ANN
+    // family over the 10× embeddings (IVF number = build + probe;
+    // the exact n-gram join keeps its round-1 measurement)
+    "text_tfidf_top_terms", "text_repetition", "text_mix_sample",
+    "text_chunks", "text_sample_hashmod",
+    "dedup_exact", "dedup_minhash", "dedup_decontam", "rel_kmv_distinct",
+    "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft-scale10")
@@ -116,7 +134,7 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("ERROR")
     // guard on the NEWEST table so a scale dir generated by an older
     // harness version (missing later tables) is refreshed, not reused
-    if (!new java.io.File(s"$out/documents.parquet").exists) {
+    if (!new java.io.File(s"$out/embeddings.parquet").exists) {
       println(s"[scaleup] generating synthetic 10x fixture under $out")
       generate(spark, out, sfDir)
     }
