@@ -234,14 +234,33 @@ object TextAnalysis {
   /** Gopher-style per-document repetition signals — the quality gate
     * that catches boilerplate and looping text generations:
     * duplicate-word fraction, duplicate-bigram fraction, and the
-    * highest bigram count. Pure per-row HOF work over the in-row
-    * token list (sort_array + a struct-accumulator `aggregate` for
-    * the max run length) — ZERO shuffle, so at 100 TB this is a scan
-    * like the other quality scores, not the (doc, gram) explode +
-    * two-level group-by a naive plan would shuffle. All counts are
-    * exact integers and the fractions one correctly-rounded double
-    * division each, so the whole output is DuckDB-oracle-checkable. */
+    * highest bigram count. One compiled per-row pass
+    * ([[graft.plans.RepetitionKernel]]) over the text — ZERO shuffle,
+    * so at 100 TB this is a scan like the other quality scores, not
+    * the (doc, gram) explode + two-level group-by a naive plan would
+    * shuffle; and compiled, not interpreted-HOF (30× measured — see
+    * the kernel's scaladoc). All counts are exact integers and the
+    * fractions one correctly-rounded double division each, so the
+    * whole output is DuckDB-oracle-checkable. */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val r = graft.plans.expressions.repetition_stats(col(textCol))
+    docs
+      .select(col(idCol).as("doc_id"), r.as("r"))
+      .select(
+        col("doc_id"),
+        col("r")(0).cast("int").as("n_words"),
+        ((col("r")(0) - col("r")(1)).cast("double") / col("r")(0)).as("dup_word_frac"),
+        col("r")(2).cast("int").as("n_bigrams"),
+        col("r")(4).as("max_bigram_freq"),
+        when(col("r")(2) > 0,
+            (col("r")(2) - col("r")(3)).cast("double") / col("r")(2))
+          .otherwise(lit(0.0)).as("dup_bigram_frac"))
+  }
+
+  /** HOF twin of [[repetitionStats]] — semantically identical
+    * (ExpressionsSpec pins the equivalence) but per-element
+    * interpreted; the declared query runs the compiled kernel. */
+  def repetitionStatsHof(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = TextOps.words(col(textCol))
     // ALL bigrams (multiset — repetition is the signal, so no
     // dedup here, unlike TextOps.shingles)

@@ -39,6 +39,37 @@ object ShingleKernel {
   }
 }
 
+/** The per-document repetition loop behind
+  * [[expressions.RepetitionStats]] — one pass over the word array
+  * with a bigram count map, reachable from generated code through a
+  * static forwarder (same shape as [[ShingleKernel]]). */
+object RepetitionKernel {
+  private val Space = UTF8String.fromString(" ")
+
+  /** [n_words, n_distinct_words, n_bigrams, n_distinct_bigrams,
+    * max_bigram_freq] of a space-separated string. Split semantics
+    * match Spark's `split(text, ' ')` (trailing empties kept). */
+  def compute(input: UTF8String): ArrayData = {
+    val words = input.split(Space, -1)
+    val n = words.length
+    val distinct = new java.util.HashSet[UTF8String](n * 2)
+    var i = 0
+    while (i < n) { distinct.add(words(i)); i += 1 }
+    val bigrams = new java.util.HashMap[UTF8String, Long](n * 2)
+    var maxFreq = 0L
+    i = 0
+    while (i < n - 1) {
+      val bg = UTF8String.concatWs(Space, words(i), words(i + 1))
+      val c = bigrams.merge(bg, 1L, (a, b) => a + b)
+      if (c > maxFreq) maxFreq = c
+      i += 1
+    }
+    new GenericArrayData(Array[Any](
+      n.toLong, distinct.size.toLong,
+      math.max(0, n - 1).toLong, bigrams.size.toLong, maxFreq))
+  }
+}
+
 /** Custom Catalyst expressions for kernels where the built-in
   * higher-order functions are semantically sufficient but too slow:
   * HOF lambdas are evaluated by interpretation per element, and
@@ -225,6 +256,30 @@ object expressions {
       copy(child = newChild)
   }
 
+  /** Per-document repetition counters as array<long>
+    * [n_words, n_distinct_words, n_bigrams, n_distinct_bigrams,
+    * max_bigram_freq] — ONE compiled pass with a bigram hash map.
+    * The HOF twin (sort_array + struct-accumulator `aggregate` in
+    * [[graft.operators.TextAnalysis.repetitionStatsHof]]) is
+    * semantically identical but interpreted per element: 4.6 s vs
+    * 0.15 s for the sf0.1 documents through the noop sink (warmed,
+    * round 4) — a 30× gap that at 100 TB is the difference between a
+    * scan and a stall. */
+  case class RepetitionStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "repetition_stats"
+
+    override def nullSafeEval(input: Any): Any =
+      RepetitionKernel.compute(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.plans.RepetitionKernel.compute($a);")
+
+    override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+      copy(child = newChild)
+  }
+
   /** Column wrappers for the compiled kernels. */
   def vec_sqdist(a: Column, b: Column): Column =
     org.apache.spark.sql.GraftShims.column(SqDist(
@@ -245,6 +300,10 @@ object expressions {
     org.apache.spark.sql.GraftShims.column(
       RollingFingerprint(org.apache.spark.sql.GraftShims.expression(text)))
 
+  def repetition_stats(text: Column): Column =
+    org.apache.spark.sql.GraftShims.column(
+      RepetitionStats(org.apache.spark.sql.GraftShims.expression(text)))
+
   /** Register SQL-callable names on a session (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -257,6 +316,8 @@ object expressions {
       "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_fingerprint", exprs => RollingFingerprint(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "repetition_stats", exprs => RepetitionStats(exprs.head), "built-in")
   }
 
   /** Fold a constant integral expression to Int with a clear error

@@ -18,6 +18,19 @@ class ExpressionsSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("RepetitionStats kernel equals the HOF twin on the fixture corpus + edges") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf001)
+      .union(Seq((900001L, "a a a b", "en", "x", 7L),
+        (900002L, "w", "en", "x", 1L),
+        (900003L, "", "en", "x", 0L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val fast = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val ref = TextAnalysis.repetitionStatsHof(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(fast === ref)
+  }
+
   test("WordShingles edge cases") {
     val got = Seq("a b c d", "a a a a", "x y", "", "solo")
       .toDF("text")
