@@ -32,6 +32,14 @@ object Metrics {
       }
     }
     spark.sparkContext.addSparkListener(listener)
+    // same JIT warmup rationale as graft.Bench: without it the first
+    // timed query absorbs ~3-5 s of one-time codegen/reader compile
+    // and its number reads as a phantom hot spot (round-4 audit:
+    // text_repetition "13.6 s" was 4.6 s warmed, then 0.15 s fixed)
+    try {
+      spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().count()
+      spark.range(1000000).selectExpr("sum(id)").count()
+    } catch { case _: Throwable => () }
     println(f"${"query"}%-26s ${"sec"}%8s ${"shufMB"}%10s ${"shufRecs"}%12s ${"rows"}%10s")
     names.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
