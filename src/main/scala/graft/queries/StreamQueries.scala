@@ -204,6 +204,29 @@ object StreamQueries {
       .orderBy("user_id")
   }
 
+  /** The batch text pipeline running UNCHANGED on a document stream:
+    * the same TextAnalysis.mixSample call (per-stratum admission) and
+    * the same compiled repetition kernel, applied to a readStream
+    * frame — stateless scan operators need no watermark/state and
+    * compose with Structured Streaming for free; output equals the
+    * batch computation row-for-row (the oracle). */
+  def mixParity(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.readStream
+      .schema("doc_id bigint, text string, lang string, source string, n_chars bigint")
+      .parquet(streamDir(dir, "documents"))
+    val admitted = graft.operators.TextAnalysis.mixSample(
+      docs, "lang", "doc_id", TextQueries.MixRatesBps)
+    val r = graft.plans.expressions.repetition_stats(col("text"))
+    val out = admitted
+      .select(col("doc_id"), col("lang"), r.as("r"))
+      .select(col("doc_id"), col("lang"),
+        col("r")(0).cast("int").as("n_words"),
+        round((col("r")(0) - col("r")(1)).cast("double") / col("r")(0), 6)
+          .as("dup_word_frac"))
+    runToMemory(s, "stream_mix_sink", out, "append")
+      .orderBy("doc_id")
+  }
+
   def dedupDistinct(s: SparkSession, dir: String): DataFrame = {
     val ev = StreamOps.readEventsStream(s, eventsStreamDir(dir))
       .select("user_id", "event_type")
@@ -220,7 +243,8 @@ object StreamQueries {
     "stream_join_pairs" -> (joinPairs _),
     "stream_dedup_distinct" -> (dedupDistinct _),
     "stream_running_stats" -> (runningStats _),
-    "stream_kmeans_parity" -> (kmeansParity _))
+    "stream_kmeans_parity" -> (kmeansParity _),
+    "stream_mix_parity" -> (mixParity _))
 
   val oracles: Map[String, String] = Map(
     "stream_window_parity" ->
@@ -269,5 +293,19 @@ object StreamQueries {
     "stream_kmeans_parity" -> (KMeansQueries.baseCte +
       """SELECT cid AS cluster_id, dim,
         |  round(CAST(SUM(CAST(coord AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS coord
-        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    // mix admission + repetition counters — the batch oracles of
+    // text_mix_sample and text_repetition composed
+    "stream_mix_parity" -> {
+      import graft.operators.TextAnalysis.{SampleHashA, SampleHashP}
+      val caseSql = "CASE " + TextQueries.MixRatesBps.toSeq.sortBy(_._1)
+        .map { case (k, bps) => s"WHEN lang = '$k' THEN $bps" }
+        .mkString(" ") + " ELSE 0 END"
+      s"""WITH adm AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+         |  WHERE (((doc_id % $SampleHashP + $SampleHashP) % $SampleHashP)
+         |         * $SampleHashA % $SampleHashP) % 10000 < $caseSql)
+         |SELECT doc_id, lang, CAST(len(w) AS INTEGER) AS n_words,
+         |  round(CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS dup_word_frac
+         |FROM adm ORDER BY doc_id""".stripMargin
+    })
 }
