@@ -51,16 +51,33 @@ object StatsQueries {
         (col("O") * 100).cast("long").as("o_qty"))
       .orderBy("l_returnflag")
 
-  /** Exact linear-interpolation quantiles per group (Spark
-    * `percentile` ≡ DuckDB `quantile_cont`). */
-  def quantiles(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy("l_returnflag")
+  /** Exact linear-interpolation quantiles per group (≡ Spark
+    * `percentile` ≡ DuckDB `quantile_cont`; the equivalence to the
+    * built-in is pinned bit-exact in StatsSpec). Computed via the
+    * two-level [[graft.operators.Quantiles]] histogram-refine plan:
+    * the built-in aggregate buffers a group's ENTIRE column in one
+    * task (10.7 MB of shuffle buffers at sf0.1 — a 100 TB
+    * scale-killer); this plan's shuffles are groups × buckets counts
+    * plus ~n/buckets refined rows, independent of group size. */
+  def quantiles(s: SparkSession, dir: String): DataFrame = {
+    // both value columns melt into ONE histogram pass (group =
+    // returnflag × column); "|" cannot occur in a returnflag
+    val melted = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), explode(array(
+        struct(lit("ep").as("c"), col("l_extendedprice").cast("double").as("v")),
+        struct(lit("qty").as("c"), col("l_quantity").cast("double").as("v")))).as("m"))
+      .select(concat(col("l_returnflag"), lit("|"), col("m.c")).as("gc"),
+        col("m.v").as("v"))
+    val q = graft.operators.Quantiles.exactQuantiles(melted, "gc", "v", Seq(0.5, 0.95))
+      .select(split(col("gc"), "\\|")(0).as("l_returnflag"),
+        split(col("gc"), "\\|")(1).as("c"), col("q"), col("value"))
+    q.groupBy("l_returnflag")
       .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95"),
-        round(expr("percentile(l_quantity, 0.5)"), 6).as("qty_p50"))
+        round(max(when(col("c") === "ep" && col("q") === 0.5, col("value"))), 6).as("p50"),
+        round(max(when(col("c") === "ep" && col("q") === 0.95, col("value"))), 6).as("p95"),
+        round(max(when(col("c") === "qty" && col("q") === 0.5, col("value"))), 6).as("qty_p50"))
       .orderBy("l_returnflag")
+  }
 
   /** Exact distinct counts (oracle-checked). */
   def countDistinct(s: SparkSession, dir: String): DataFrame =

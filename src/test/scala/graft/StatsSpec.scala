@@ -55,6 +55,24 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("two-level exact quantiles equal the built-in percentile bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val li = graft.io.Tables.lineitem(spark, sf001)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val builtin = asMap(li.groupBy("l_returnflag").agg(
+      expr("percentile(l_extendedprice, 0.5)").as("p50"),
+      expr("percentile(l_extendedprice, 0.95)").as("p95")))
+    val named = Seq("p50" -> 0.5, "p95" -> 0.95)
+    val mine = asMap(graft.operators.Quantiles.quantileColumns(
+      li, "l_returnflag", "l_extendedprice", named))
+    assert(mine === builtin)   // exact double equality, not approximate
+    // invariant to the bucket count (incl. a tiny one that forces
+    // multi-rank refinement inside single buckets)
+    assert(asMap(graft.operators.Quantiles.quantileColumns(
+      li, "l_returnflag", "l_extendedprice", named, buckets = 7)) === builtin)
+  }
+
   test("KMV distinct estimate is close to exact and invariant to bucket count") {
     import org.apache.spark.sql.functions._
     val li = graft.io.Tables.lineitem(spark, sf001)
