@@ -125,7 +125,7 @@ object ScaleUp {
     "text_tfidf_top_terms", "text_repetition", "text_mix_sample",
     "text_chunks", "text_sample_hashmod",
     "dedup_exact", "dedup_minhash", "dedup_decontam", "rel_kmv_distinct",
-    "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk")
+    "rel_quantiles", "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft-scale10")
