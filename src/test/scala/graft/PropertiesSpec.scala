@@ -137,6 +137,59 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("law: two-level quantiles equal built-in percentile on random grouped data") {
+    val rows = sample(Gen.zip(Gen.choose(0, 3), Gen.choose(-1e6, 1e6)), 2000) ++
+      Seq((4, 7.5), (5, 1.0), (5, 2.0)) // singleton + pair groups
+    val df = rows.toDF("g", "x")
+    val qs = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val builtin = df.groupBy("g")
+      .agg(qs.map(q => expr(s"percentile(x, $q)").as(s"q$q")).head,
+        qs.map(q => expr(s"percentile(x, $q)").as(s"q$q")).tail: _*)
+      .collect().map(r => r.getInt(0) -> qs.indices.map(i => r.getDouble(i + 1))).toMap
+    Seq(3, 64, 4096).foreach { buckets =>
+      val mine = graft.operators.Quantiles.exactQuantiles(df, "g", "x", qs, buckets)
+        .collect().map(r => (r.getInt(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+      builtin.foreach { case (g, vals) =>
+        qs.zip(vals).foreach { case (q, v) =>
+          assert(mine((g, q)) === v, s"g=$g q=$q buckets=$buckets")
+        }
+      }
+    }
+  }
+
+  test("law: chunking accounts for every word exactly once, fingerprints consistent") {
+    val texts = sample(words, 80).filter(_.nonEmpty)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    Seq(1, 3, 7).foreach { c =>
+      val chunks = graft.operators.TextAnalysis.chunkStats(df, "doc_id", "text", c)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      val byDoc = chunks.groupBy(_._1)
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val nWords = t.split(" ", -1).length
+        val cs = byDoc(i.toLong).sortBy(_._2)
+        assert(cs.map(_._3).sum === nWords, s"c=$c doc=$i")      // every word once
+        assert(cs.length === (nWords + c - 1) / c)               // ceil(n/c) chunks
+        assert(cs.map(_._2) === (0 until cs.length))             // contiguous ids
+        cs.dropRight(1).foreach(ch => assert(ch._3 === c))       // full chunks
+      }
+    }
+  }
+
+  test("law: decontam of a corpus against itself reports each doc's own shingles") {
+    val texts = sample(words, 60).filter(_.split(" ", -1).length >= 5)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = graft.operators.Dedup.decontamOverlap(df, df, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val shingleCount = df.select(col("doc_id"),
+        size(graft.functions.TextOps.shingles(col("text"), 5)).as("ns"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    shingleCount.filter(_._2 > 0).foreach { case (id, ns) =>
+      val (shared, evalDocs) = got(id)
+      assert(shared >= ns, s"doc $id must at least self-hit all $ns shingles")
+      assert(evalDocs >= 1)
+    }
+  }
+
   test("law: simhash of permuted token order is identical (bag-of-words property)") {
     val perms = sample(Gen.listOfN(8, Gen.oneOf("aa", "bb", "cc", "dd", "ee")), 40)
       .map(_.mkString(" "))
