@@ -134,6 +134,20 @@ object Dedup {
         countDistinct(col("eval_id")).as("n_eval_docs"))
   }
 
+  /** MOSS-style WINNOWING fingerprints: per document, the distinct
+    * window minima of the polynomial rolling hashes of all character
+    * k-grams ([[graft.plans.WinnowKernel]] — compiled, zero shuffle).
+    * The winnowing guarantee: any two documents sharing a substring
+    * of ≥ k+w−1 characters share at least one selected fingerprint,
+    * and at most ~1/w of the grams are selected — the position-robust
+    * local fingerprint family for plagiarism/boilerplate detection at
+    * corpus scale (join docs on `fp`). Exact integer arithmetic →
+    * DuckDB reproduces the selection bit-for-bit. */
+  def winnow(docs: DataFrame, idCol: String, textCol: String,
+             k: Int = 8, w: Int = 16): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(graft.plans.expressions.winnow_fingerprints(col(textCol), k, w)).as("fp"))
+
   /** Oracle-expressible hash machinery shared by MinHash and SimHash:
     * shingles/tokens are first fingerprinted with the same polynomial
     * rolling hash mod P = 1e9+7 as [[TextOps.rollingFingerprint]],

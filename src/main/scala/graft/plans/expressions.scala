@@ -70,6 +70,58 @@ object RepetitionKernel {
   }
 }
 
+/** The winnowing loop behind [[expressions.WinnowFingerprints]] —
+  * static forwarder shape like [[ShingleKernel]]. */
+object WinnowKernel {
+  private val P = 1000000007L
+
+  /** MOSS-style winnowing: the sorted distinct set of window minima
+    * over the polynomial rolling hashes of all character k-grams
+    * (codepoint-based, matching [[RollingFingerprint]]'s fold). Every
+    * window of `w` consecutive k-gram hashes contributes its minimum
+    * VALUE (value-min is tie-unambiguous, unlike position rules), so
+    * two documents sharing a long-enough substring share a selected
+    * fingerprint regardless of position. Texts shorter than k chars
+    * select nothing; otherwise at least one window (of up to w grams)
+    * is guaranteed. */
+  def compute(input: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = input.toString
+    // codepoint array (zh fixtures: k-grams must count codepoints,
+    // not UTF-16 chars — same walk as RollingFingerprint)
+    val cps = new Array[Int](s.codePointCount(0, s.length))
+    var ci = 0; var si = 0
+    while (si < s.length) {
+      val cp = s.codePointAt(si); cps(ci) = cp; ci += 1
+      si += Character.charCount(cp)
+    }
+    val nGrams = cps.length - k + 1
+    if (nGrams <= 0) return new GenericArrayData(Array.empty[Any])
+    val h = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      var acc = 0L; var j = 0
+      while (j < k) { acc = (acc * 31L + cps(i + j)) % P; j += 1 }
+      h(i) = acc
+      i += 1
+    }
+    val nWin = math.max(1, nGrams - w + 1)
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    i = 0
+    while (i < nWin) {
+      var m = h(i); var j = i + 1
+      val end = math.min(i + w, nGrams)
+      while (j < end) { if (h(j) < m) m = h(j); j += 1 }
+      sel.add(m)
+      i += 1
+    }
+    val out = new Array[Any](sel.size)
+    val it = sel.iterator()
+    var oi = 0
+    while (it.hasNext) { out(oi) = it.next().longValue(); oi += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 /** Custom Catalyst expressions for kernels where the built-in
   * higher-order functions are semantically sufficient but too slow:
   * HOF lambdas are evaluated by interpretation per element, and
@@ -280,6 +332,25 @@ object expressions {
       copy(child = newChild)
   }
 
+  /** Sorted distinct winnowed fingerprints (array<long>) of a string —
+    * see [[WinnowKernel]]; `k`/`w` are constructor constants. */
+  case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+      extends UnaryExpression {
+    require(k >= 1 && w >= 1, "winnow k and w must be >= 1")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "winnow_fingerprints"
+
+    override def nullSafeEval(input: Any): Any =
+      WinnowKernel.compute(input.asInstanceOf[UTF8String], k, w)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.plans.WinnowKernel.compute($a, $k, $w);")
+
+    override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+      copy(child = newChild)
+  }
+
   /** Column wrappers for the compiled kernels. */
   def vec_sqdist(a: Column, b: Column): Column =
     org.apache.spark.sql.GraftShims.column(SqDist(
@@ -303,6 +374,10 @@ object expressions {
   def repetition_stats(text: Column): Column =
     org.apache.spark.sql.GraftShims.column(
       RepetitionStats(org.apache.spark.sql.GraftShims.expression(text)))
+
+  def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
+    org.apache.spark.sql.GraftShims.column(
+      WinnowFingerprints(org.apache.spark.sql.GraftShims.expression(text), k, w))
 
   /** Register SQL-callable names on a session (idempotent). */
   def register(spark: SparkSession): Unit = {

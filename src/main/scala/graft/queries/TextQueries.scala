@@ -118,7 +118,26 @@ object TextQueries {
     TextAnalysis.chunkStats(Tables.documents(s, dir), "doc_id", "text", ChunkWords)
       .orderBy("doc_id", "chunk_id")
 
+  /** Winnowed local fingerprints (k=8 chars, window 16), compacted to
+    * per-doc stats — selection set size, checksum and minimum — so
+    * the declared output stays doc-sized while the full selection is
+    * pinned exactly (sum + min + count over the sorted distinct set
+    * determine regressions as reliably as the set itself). */
+  val WinnowK = 8
+  val WinnowW = 16
+  def winnow(s: SparkSession, dir: String): DataFrame = {
+    val wf = graft.plans.expressions.winnow_fingerprints(col("text"), WinnowK, WinnowW)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), wf.as("s"))
+      .select(col("doc_id"),
+        size(col("s")).as("n_selected"),
+        coalesce(aggregate(col("s"), lit(0L), (a, x) => a + x), lit(0L)).as("fp_sum"),
+        coalesce(array_min(col("s")), lit(0L)).as("fp_min"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_winnow" -> (winnow _),
     "text_chunks" -> (chunks _),
     "text_repetition" -> (repetition _),
     "text_mix_sample" -> (mixSample _),
@@ -150,6 +169,26 @@ object TextQueries {
       .mkString(" ") + " ELSE 0 END"
 
   val oracles: Map[String, String] = Map(
+    // winnowing replayed in SQL: k-gram polynomial hashes (the
+    // text_fingerprint fold over each substring), window minima via
+    // list_min over list_slice, sorted distinct selection
+    "text_winnow" ->
+      s"""WITH g AS (SELECT doc_id,
+         |  list_transform(generate_series(1, length(text) - ${WinnowK - 1}),
+         |    i -> list_reduce(list_transform(generate_series(i, i + ${WinnowK - 1}),
+         |           j -> CAST(ascii(substr(text, j, 1)) AS BIGINT)),
+         |         (a, b) -> (a * 31 + b) % ${graft.functions.TextOps.FingerprintMod})) AS h
+         |  FROM documents),
+         |sel AS (SELECT doc_id,
+         |  CASE WHEN len(h) = 0 THEN CAST([] AS BIGINT[]) ELSE
+         |    list_sort(list_distinct(list_transform(
+         |      generate_series(1, greatest(1, len(h) - ${WinnowW - 1})),
+         |      i -> list_min(list_slice(h, i, least(i + ${WinnowW - 1}, len(h)))))))
+         |  END AS s FROM g)
+         |SELECT doc_id, CAST(len(s) AS INTEGER) AS n_selected,
+         |  CAST(coalesce(list_sum(s), 0) AS BIGINT) AS fp_sum,
+         |  CAST(coalesce(list_min(s), 0) AS BIGINT) AS fp_min
+         |FROM sel ORDER BY doc_id""".stripMargin,
     // per-row chunk windows: list_slice is 1-based INCLUSIVE (Spark's
     // slice is (start, length)); the chunk fingerprint is the same
     // mod-P character fold as text_fingerprint

@@ -31,6 +31,31 @@ class ExpressionsSpec extends SparkSpec {
     assert(fast === ref)
   }
 
+  test("winnowing: exact-length text selects its own fingerprint; short text selects none") {
+    val df = Seq((1L, "abcdefgh"), (2L, "abc"), (3L, "")).toDF("doc_id", "text")
+    val r = df.select(col("doc_id"),
+        expressions.winnow_fingerprints(col("text"), 8, 16).as("s"),
+        TextOps.rollingFingerprint(col("text")).as("fp"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getSeq[Long](1) === Seq(r(0).getLong(2)))  // one gram == whole text
+    assert(r(1).getSeq[Long](1).isEmpty)
+    assert(r(2).getSeq[Long](1).isEmpty)
+  }
+
+  test("winnowing guarantee: docs sharing a >= k+w-1 substring share a fingerprint") {
+    val shared = "the quick brown fox jumps over it"   // 33 chars >= 8+16-1
+    val a = "AAAA " + shared + " tail one"
+    val b = "completely different prefix text " + shared
+    val r = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+      .select(col("doc_id"), expressions.winnow_fingerprints(col("text"), 8, 16).as("s"))
+      .orderBy("doc_id").collect()
+    val sa = r(0).getSeq[Long](1).toSet
+    val sb = r(1).getSeq[Long](1).toSet
+    assert((sa & sb).nonEmpty, "winnowing guarantee violated")
+    // density: at most all grams, at least ~1/w of them are selected
+    assert(sa.size <= a.length && sa.size >= (a.length - 7) / 16)
+  }
+
   test("WordShingles edge cases") {
     val got = Seq("a b c d", "a a a a", "x y", "", "solo")
       .toDF("text")
