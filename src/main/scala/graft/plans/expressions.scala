@@ -379,6 +379,44 @@ object expressions {
     org.apache.spark.sql.GraftShims.column(
       WinnowFingerprints(org.apache.spark.sql.GraftShims.expression(text), k, w))
 
+  /** Monotone IEEE-754 bit image of a double: a long m(x) with
+    * x₁ < x₂ ⟺ m(x₁) < m(x₂) under Spark's double ordering
+    * (negatives ascend, −0.0 normalized to +0.0 via the `+ 0.0`,
+    * NaN above +∞ — `doubleToLongBits` canonicalizes NaN to
+    * 0x7FF8…). The standard sort-key trick: non-negative bit
+    * patterns pass through, negative ones flip their magnitude
+    * bits. Lets order-statistic operators bucket by VALUE-INTRINSIC
+    * bit prefixes (`m >> s`) instead of a per-group min/max affine
+    * rescale — no extent join, so the corpus is never shuffled by
+    * group key (the round-5 quantiles skew-funnel fix: a sort-merge
+    * extent join hash-partitions the whole corpus by group, and one
+    * dominant group lands in one task). */
+  case class DoubleSortBits(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "double_sort_bits"
+
+    override def nullSafeEval(input: Any): Any = {
+      val m = java.lang.Double.doubleToLongBits(input.asInstanceOf[Double] + 0.0d)
+      if (m >= 0L) m else m ^ 0x7fffffffffffffffL
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val m = ctx.freshName("m")
+        s"""
+           |long $m = java.lang.Double.doubleToLongBits($a + 0.0d);
+           |${ev.value} = $m >= 0L ? $m : ($m ^ 0x7fffffffffffffffL);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): DoubleSortBits =
+      copy(child = newChild)
+  }
+
+  def double_sort_bits(x: Column): Column =
+    org.apache.spark.sql.GraftShims.column(
+      DoubleSortBits(org.apache.spark.sql.GraftShims.expression(x)))
+
   /** Register SQL-callable names on a session (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -393,6 +431,8 @@ object expressions {
       "rolling_fingerprint", exprs => RollingFingerprint(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "repetition_stats", exprs => RepetitionStats(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "double_sort_bits", exprs => DoubleSortBits(exprs.head), "built-in")
   }
 
   /** Fold a constant integral expression to Int with a clear error

@@ -157,6 +157,50 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("law: double_sort_bits is strictly monotone and normalizes -0.0") {
+    val edge = Seq(Double.NegativeInfinity, -1.7e308, -1.0, -4.9e-324, -0.0,
+      0.0, 4.9e-324, 1.0, 1.7e308, Double.PositiveInfinity)
+    val doubles = (sample(Gen.choose(-1e12, 1e12), 500) ++
+      sample(Gen.choose(-1.0, 1.0), 500) ++ edge).distinct.sorted
+    val df = doubles.toDF("x")
+      .select(col("x"), graft.plans.expressions.double_sort_bits(col("x")).as("m"))
+    val got = df.collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    doubles.sliding(2).foreach {
+      case Seq(a, b) =>
+        if (a == b) assert(got(a) === got(b), s"$a vs $b")        // -0.0 / +0.0
+        else assert(got(a) < got(b), s"order broken at $a < $b")
+      case _ =>
+    }
+  }
+
+  test("law: quantiles equal built-in percentile under adversarial tie distributions") {
+    // every shape that historically funneled the refinement: whole-group
+    // constants, zero-inflated counts, tiny discrete domains (ratings),
+    // a dominant value + an outlier stretching the range, and near-ties
+    // separated by less than a bucket width
+    val tieValue: Gen[Double] = Gen.frequency(
+      6 -> Gen.const(0.0),                               // zero-inflated
+      3 -> Gen.oneOf(1.0, 2.0, 3.0, 4.0, 5.0),           // discrete ratings
+      1 -> Gen.oneOf(1e9, 5.0 + 1e-9, 5.0 - 1e-9))       // outlier + near-ties
+    val rows = sample(Gen.zip(Gen.choose(0, 4), tieValue), 3000) ++
+      Seq((5, 7.0), (5, 7.0), (5, 7.0), (6, 0.0))        // all-constant + singleton groups
+    val df = rows.toDF("g", "x")
+    val qs = Seq(0.0, 0.1, 0.5, 0.75, 0.9, 1.0)
+    val builtin = df.groupBy("g")
+      .agg(qs.map(q => expr(s"percentile(x, $q)").as(s"q$q")).head,
+        qs.map(q => expr(s"percentile(x, $q)").as(s"q$q")).tail: _*)
+      .collect().map(r => r.getInt(0) -> qs.indices.map(i => r.getDouble(i + 1))).toMap
+    Seq(3, 64, 4096).foreach { buckets =>
+      val mine = graft.operators.Quantiles.exactQuantiles(df, "g", "x", qs, buckets)
+        .collect().map(r => (r.getInt(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+      builtin.foreach { case (g, vals) =>
+        qs.zip(vals).foreach { case (q, v) =>
+          assert(mine((g, q)) === v, s"g=$g q=$q buckets=$buckets")
+        }
+      }
+    }
+  }
+
   test("law: chunking accounts for every word exactly once, fingerprints consistent") {
     val texts = sample(words, 80).filter(_.nonEmpty)
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")

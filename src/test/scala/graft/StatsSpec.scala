@@ -73,6 +73,45 @@ class StatsSpec extends SparkSpec {
       li, "l_returnflag", "l_extendedprice", named, buckets = 7)) === builtin)
   }
 
+  test("tie-skewed column (90% one value) resolves exactly with no single-task funnel") {
+    import org.apache.spark.sql.functions._
+    // 200 k rows, ONE group, 90% exactly 5.0 — the dominant value's
+    // bucket holds ≥180 k rows. The pre-round-5 refinement ranked that
+    // whole bucket under one row_number window partition (a 180 k-row
+    // single task); the short-circuit + distinct-compression plan must
+    // never let any task read even a fraction of the dominant mass.
+    val df = spark.range(200000).select(
+      lit("g").as("g"),
+      when(col("id") % 10 < 9, lit(5.0)).otherwise(rand(7) * 100).as("x"))
+      .toDF()
+    val qs = Seq(0.1, 0.5, 0.9, 0.95)
+    val builtin = df.groupBy("g")
+      .agg(qs.map(q => expr(s"percentile(x, $q)").as(s"q$q")).head,
+        qs.map(q => expr(s"percentile(x, $q)").as(s"q$q")).tail: _*)
+      .collect().map(r => qs.indices.map(i => r.getDouble(i + 1))).head
+    val maxTask = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) maxTask.getAndUpdate(p => math.max(p, m.shuffleReadMetrics.recordsRead))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val mine =
+      try {
+        val got = graft.operators.Quantiles.exactQuantiles(df, "g", "x", qs)
+          .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+        org.apache.spark.GraftSparkShims.drainListenerBus(spark.sparkContext)
+        got
+      } finally spark.sparkContext.removeSparkListener(listener)
+    qs.zip(builtin).foreach { case (q, v) => assert(mine(q) === v, s"q=$q") }
+    // histogram partials peak ≈ mapTasks × occupied buckets ≈ 16 k here;
+    // the funnel this test guards against reads the dominant 180 k rows
+    // in ONE task. 30 k cleanly separates the two regimes.
+    assert(maxTask.get < 30000,
+      s"a task read ${maxTask.get} shuffle records — refinement funnel is back")
+  }
+
   test("KMV distinct estimate is close to exact and invariant to bucket count") {
     import org.apache.spark.sql.functions._
     val li = graft.io.Tables.lineitem(spark, sf001)
