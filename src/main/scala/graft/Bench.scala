@@ -1,6 +1,40 @@
 package graft
 import java.nio.file.{Files, Paths}
 object Bench {
+  /** Times one invocation; a THROWING query returns the −1.0 sentinel
+    * instead of its near-zero elapsed time, so a breakage surfaces in
+    * the bench line rather than silently deflating the total (the
+    * round-4 verdict's failure-masking nit). */
+  def timeOnce(run: () => Unit): Double = {
+    val t0 = System.nanoTime()
+    try { run(); (System.nanoTime() - t0) / 1e9 }
+    catch { case _: Throwable => -1.0 }
+  }
+
+  /** Each query is timed over REPEATED runs and the MIN is reported:
+    * single-shot timing produced phantom regressions two rounds
+    * running (r02: six batch ghosts, all vanished in r03; r03: three
+    * streaming ghosts on unchanged code) — run-order/load variance on
+    * top of the ~2-3 s streaming machinery floor is indistinguishable
+    * from a real regression with one sample. Two runs always; a third
+    * only when the first two disagree by >30% (both-slow is the one
+    * case min-of-2 can't fix — which is why every rep is recorded in
+    * bench.json: a "regression" whose reps are uniformly slow across
+    * rounds is real, one with a fast rep anywhere is load). Any failed
+    * rep poisons the query's value to −1.0. Query builders are
+    * rep-idempotent by contract: memory sinks are dropped and
+    * re-created per invocation, stream source dirs and k-means inits
+    * are fixture-cached. */
+  def bestOf(run: () => Unit): (Double, Seq[Double]) = {
+    val t1 = timeOnce(run)
+    val t2 = timeOnce(run)
+    val reps =
+      if (t1 < 0 || t2 < 0) Seq(t1, t2)
+      else if (math.abs(t1 - t2) > 0.3 * math.min(t1, t2)) Seq(t1, t2, timeOnce(run))
+      else Seq(t1, t2)
+    (if (reps.exists(_ < 0)) -1.0 else reps.min, reps)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.builder(GraftSession.envCpus).getOrCreate()
@@ -14,44 +48,31 @@ object Bench {
       w.groupBy("r_name").count().count()
       spark.range(1000).selectExpr("sum(id)").count()
     } catch { case _: Throwable => () }
-    // Each query is timed over REPEATED runs and the MIN is reported:
-    // single-shot timing produced phantom regressions two rounds
-    // running (r02: six batch ghosts, all vanished in r03; r03: three
-    // streaming ghosts on unchanged code) — run-order/load variance on
-    // top of the ~2-3 s streaming machinery floor is indistinguishable
-    // from a real regression with one sample. Two runs always; a third
-    // only when the first two disagree by >30% (both-slow is the one
-    // case min-of-2 can't fix, and it is rare enough that the extra
-    // rep stays cheap). Query builders are rep-idempotent by contract:
-    // memory sinks are dropped and re-created per invocation, stream
-    // source dirs and k-means inits are fixture-cached.
-    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
-    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t1 = timeOnce(fn)
-      val t2 = timeOnce(fn)
-      val best =
-        if (math.abs(t1 - t2) > 0.3 * math.min(t1, t2)) math.min(math.min(t1, t2), timeOnce(fn))
-        else math.min(t1, t2)
-      name -> best
+      val (best, reps) = bestOf(() => { fn(spark, sfDir).count(); () })
+      (name, best, reps)
     }
     // Per-query seconds rounded to 3 dp (locale-pinned): at 60+ queries the
     // full-double line is ~3.4 KB and the driver's ~2 KB tail capture cuts
     // its HEAD off, so the scraper sees no parseable JSON ("parsed": null).
     // At 3 dp the whole line is ~1.8 KB and fits the tail window entire.
     def dp3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + dp3(v) }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + dp3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line = s"""{"metric":"total","value":${dp3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // stdout for the driver's line scraper AND a file, so a log-prefix
     // wrapper (sbt's [info]) can't make the JSON unparseable again
-    // (round-1 BENCH had "parsed": null from exactly that).
+    // (round-1 BENCH had "parsed": null from exactly that). The FILE
+    // additionally carries every rep per query ("reps") — the stdout
+    // line must stay under the tail window, the file has no such limit
+    // and is what makes both-reps-slow vs real-regression decidable.
+    val repsJson = results.map { case (k, _, reps) =>
+      s"\"" + k + "\":" + reps.map(dp3).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val fileLine = line.dropRight(1) + s""","reps":$repsJson}"""
     println(line)
-    Files.writeString(Paths.get("bench.json"), line + "\n")
+    Files.writeString(Paths.get("bench.json"), fileLine + "\n")
     spark.stop()
   }
 }

@@ -101,4 +101,15 @@ class LibrarySpec extends SparkSpec {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new graft.plans.GraftExtensions().apply(e)
   }
+
+  test("Bench timing surfaces a throwing query as the -1.0 sentinel") {
+    assert(Bench.timeOnce(() => throw new RuntimeException("boom")) === -1.0)
+    assert(Bench.timeOnce(() => ()) >= 0.0)
+    // a failed rep poisons the query's reported value, never deflates it
+    val (best, reps) = Bench.bestOf(() => throw new RuntimeException("boom"))
+    assert(best === -1.0)
+    assert(reps.forall(_ === -1.0) && reps.length === 2)
+    val (ok, okReps) = Bench.bestOf(() => ())
+    assert(ok >= 0.0 && okReps.forall(_ >= 0.0))
+  }
 }
