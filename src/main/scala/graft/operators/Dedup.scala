@@ -148,6 +148,49 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"),
       explode(graft.plans.expressions.winnow_fingerprints(col(textCol), k, w)).as("fp"))
 
+  /** A winnow fingerprint shared by more than this many documents is
+    * corpus boilerplate's boilerplate — template headers, license
+    * blurbs — and only bloats the posting-list self-join (same
+    * rationale and same default as [[DefaultMaxShingleFreq]]). */
+  val DefaultMaxFpFreq = 10000
+
+  /** Winnowing near-dup PAIRS: documents sharing ≥ `minShared`
+    * selected fingerprints, i.e. ≥ `minShared` locally-minimal k-gram
+    * windows — the boilerplate/plagiarism detection surface the
+    * fingerprints exist for. By the winnowing guarantee every common
+    * substring of ≥ k+w−1 characters contributes at least one shared
+    * fingerprint, so `minShared` is a lower bound on the number of
+    * distinct long shared passages (position-robust, unlike whole-doc
+    * minhash: a copied paragraph inside otherwise-different documents
+    * still pairs).
+    *
+    * Scale shape is [[ngramJaccard]]'s: inverted-index self-join on
+    * the 8-byte fingerprint (fixed-width shuffle keys by construction
+    * — no string ever shuffles), posting lists frequency-capped so one
+    * hot template cannot make the join quadratic, co-count group-by.
+    * Fingerprints per doc ≈ grams/w (~1/16 of characters), so the
+    * index is ~6% of corpus characters. Exact integer arithmetic end
+    * to end — DuckDB replays selection, cap, join and count
+    * bit-for-bit. Output: (doc_a, doc_b, n_shared_fps). */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 8, w: Int = 16, minShared: Int = 3,
+                  maxFpFreq: Option[Int] = Some(DefaultMaxFpFreq)): DataFrame = {
+    val fp0 = winnow(docs, idCol, textCol, k, w)
+    val fp = maxFpFreq match {
+      case Some(cap) =>
+        val hot = fp0.groupBy("fp").count().filter(col("count") > cap).select("fp")
+        fp0.join(hot, Seq("fp"), "left_anti")
+      case None => fp0
+    }
+    // winnow_fingerprints emits each doc's DISTINCT minima (ExpressionsSpec
+    // pins that), so count(1) IS the distinct shared-fingerprint count.
+    fp.as("x").join(fp.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .filter(col("n_shared_fps") >= minShared)
+  }
+
   /** Oracle-expressible hash machinery shared by MinHash and SimHash:
     * shingles/tokens are first fingerprinted with the same polynomial
     * rolling hash mod P = 1e9+7 as [[TextOps.rollingFingerprint]],
@@ -315,7 +358,15 @@ object Dedup {
     * the classic 4×16-bit layout). More bands = smaller buckets = more
     * spurious candidates, so keep h small at corpus scale. */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
-              maxHamming: Int = 3): DataFrame = {
+              maxHamming: Int = 3): DataFrame =
+    simhashPairs(simhashFingerprints(docs, idCol, textCol), maxHamming)
+
+  /** Band + verify over an EXISTING (doc_id, sh) fingerprint frame —
+    * split out so one fingerprint pass can feed several consumers
+    * (pair generation at different radii, a persisted/memoized frame
+    * across repeated runs in one process). Semantics identical to
+    * [[simhash]]. */
+  def simhashPairs(fp: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming=$maxHamming must be in [0, 63]")
     val nb = maxHamming + 1
@@ -323,7 +374,6 @@ object Dedup {
       val mask = if (w == 64) -1L else (1L << w) - 1
       s"$i, shiftright(sh, $off) & ${mask}L"
     }.mkString(", ")
-    val fp = simhashFingerprints(docs, idCol, textCol)
     val bands = fp.select(col("doc_id"), col("sh"),
       expr(s"stack($nb, $parts) AS (band, bucket)"))
     val cand = bands.as("x").join(bands.as("y"),

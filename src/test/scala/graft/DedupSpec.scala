@@ -154,6 +154,51 @@ class DedupSpec extends SparkSpec {
     assert(cap5.toSeq === Seq((1L, 2L, 1.0)))
   }
 
+  test("winnowPairs: planted boilerplate pairs recalled, unrelated docs unpaired") {
+    val rnd = new scala.util.Random(7)
+    def noise(words: Int): String =
+      Seq.fill(words)(rnd.alphanumeric.take(6).mkString).mkString(" ")
+    val boiler = "This License grants you a worldwide royalty-free non-exclusive " +
+      "right to reproduce and distribute the covered work in source and binary " +
+      "forms provided that you retain this notice intact."
+    // 4 docs carry the boilerplate block at DIFFERENT positions inside
+    // otherwise-unrelated noise (the position-robustness minhash lacks);
+    // 6 docs are pure noise
+    val planted = ((1L to 4L).map(i =>
+        (i, noise(5 * i.toInt) + " " + boiler + " " + noise(20))) ++
+      (10L to 15L).map(i => (i, noise(45)))).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(planted, "doc_id", "text",
+        k = 8, w = 16, minShared = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)).toSet
+    assert(pairs === want, "exactly the boilerplate-carrying pairs")
+  }
+
+  test("winnowing guarantee: a k+w-1-char shared substring yields a shared fp") {
+    val rnd = new scala.util.Random(11)
+    def noise(words: Int): String =
+      Seq.fill(words)(rnd.alphanumeric.take(6).mkString).mkString(" ")
+    val shared = "abcdefghijklmnopqrstuvw" // exactly k+w-1 = 23 chars
+    val df = Seq(
+      (1L, noise(12) + " " + shared + " " + noise(12)),
+      (2L, noise(12) + " " + shared + " " + noise(12))).toDF("doc_id", "text")
+    val got = Dedup.winnowPairs(df, "doc_id", "text", k = 8, w = 16, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 2L)))
+  }
+
+  test("winnow hot-fp cap gates the posting-list join") {
+    val dup = "identical boilerplate text shared by every single document here"
+    val planted = (1L to 6L).map(i => (i, dup)).toDF("doc_id", "text")
+    // every fp has frequency 6 > cap 5: all posting lists dropped
+    val capped = Dedup.winnowPairs(planted, "doc_id", "text",
+      minShared = 1, maxFpFreq = Some(5))
+    assert(capped.count() === 0)
+    // default cap never fires: all 15 pairs found
+    assert(Dedup.winnowPairs(planted, "doc_id", "text", minShared = 1)
+      .count() === 15L)
+  }
+
   test("simhash bands derive from maxHamming (identical docs found at any h)") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
