@@ -72,19 +72,32 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
 
   /** Winnowing near-dup pairs (k=8, window 16 — the `text_winnow`
-    * constants): documents sharing ≥ `WinnowMinShared` locally-minimal
-    * k-gram fingerprints, i.e. provably sharing long passages —
-    * position-robust boilerplate detection, complementary to the
-    * whole-document minhash/simhash similarity. Threshold calibrated
-    * on the fixture's shared-count distribution: stock phrases give a
-    * p99 of 9 shared fps between unrelated documents, while the
-    * planted near-dups share 20-59 — 20 cuts cleanly between the two
-    * populations. */
-  val WinnowMinShared = 20
+    * constants): documents sharing ≥ `WinnowMinShared` RARE
+    * (frequency ≤ `WinnowMaxFpFreq`) locally-minimal k-gram
+    * fingerprints — position-robust passage-level copy detection,
+    * complementary to the whole-document minhash/simhash similarity.
+    *
+    * Why the tight cap IS the semantics here, not just a guard: a
+    * fingerprint's pair-evidence value decays with its posting list
+    * (a passage appearing in f documents asserts nothing about any
+    * particular pair once f is large), while its join cost grows as
+    * f². Measured on the fixture: unrelated documents share stock
+    * phrases with posting lists in the hundreds-to-thousands —
+    * uncapped, the self-join generates 32 M pair rows at sf0.1 for
+    * 178 surviving pairs, and every one of those hot fingerprints is
+    * either corpus boilerplate or a LARGE duplicate cluster, both
+    * already owned by exact/minhash/simhash whole-doc dedup. With the
+    * cap, join work is ≤ cap × |index| by construction at ANY corpus
+    * size, and the survivors are pairs sharing many passages that
+    * almost nobody else has — the copy-pair signal. Calibrated:
+    * rare-shared counts between unrelated fixture docs are ≤ 2 (p99)
+    * while true copy pairs share 10-62. */
+  val WinnowMinShared = 10
+  val WinnowMaxFpFreq = 64
   def winnowPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.winnowPairs(Tables.documents(s, dir), "doc_id", "text",
         k = TextQueries.WinnowK, w = TextQueries.WinnowW,
-        minShared = WinnowMinShared)
+        minShared = WinnowMinShared, maxFpFreq = Some(WinnowMaxFpFreq))
       .orderBy("doc_a", "doc_b")
 
   def embedding(s: SparkSession, dir: String): DataFrame =
@@ -188,7 +201,7 @@ object DedupQueries {
        |  END AS s FROM g),
        |fp0 AS (SELECT doc_id, unnest(s) AS fp FROM sel),
        |fp AS (SELECT * FROM fp0 WHERE fp NOT IN (
-       |  SELECT fp FROM fp0 GROUP BY fp HAVING COUNT(*) > ${Dedup.DefaultMaxFpFreq}))
+       |  SELECT fp FROM fp0 GROUP BY fp HAVING COUNT(*) > $WinnowMaxFpFreq))
        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_shared_fps
        |FROM fp x JOIN fp y ON y.fp = x.fp AND x.doc_id < y.doc_id
        |GROUP BY 1, 2 HAVING COUNT(*) >= $WinnowMinShared
