@@ -26,20 +26,29 @@ import graft.functions.VectorOps
   */
 object KMeansNative {
 
-  /** Argmin over literal centers. Returns (cluster_id, sqdist) columns.
-    *
-    * Centers become literal arrays in the plan: for k·d up to ~10⁵
-    * scalars this stays codegen-friendly; beyond that prefer
-    * [[assignedTyped]]. Tie-break: struct comparison orders by (dist,
-    * cid), so the lowest id wins ties — the reference's iteration-order
-    * semantics.
-    */
+  /** Argmin over driver-held centers. Returns (cluster_id, sqdist)
+    * columns — ONE compiled [[graft.plans.expressions.ArgminCenters]]
+    * node whose centers ride as a flat double[] codegen reference, so
+    * plan size is O(1) in k·d (the literal-array formulation carried
+    * k·d literals through analysis/optimization EVERY Lloyd round —
+    * planning dominated execution at 10 rounds; kept as
+    * [[argminColumnsLiteral]], spec-pinned equal). Tie-break: lowest
+    * cid wins equal distances — the reference's iteration-order
+    * semantics, same as (dist, cid) struct ordering. */
   def argminColumns(vec: Column, centers: Array[Array[Double]]): (Column, Column) = {
+    require(centers.nonEmpty, "need at least one center")
+    val best = graft.plans.expressions.vec_argmin(vec, centers)
+    (best.getField("cluster_id"), best.getField("sqdist"))
+  }
+
+  /** The literal `array_min(array(struct(vec_sqdist, cid)...))`
+    * formulation of [[argminColumns]] — the equivalence twin
+    * (KMeansSpec pins both paths bit-equal on the fixture corpus;
+    * same arithmetic, same tie-break, built-ins only). */
+  def argminColumnsLiteral(vec: Column, centers: Array[Array[Double]]): (Column, Column) = {
     require(centers.nonEmpty, "need at least one center")
     val candidates = centers.zipWithIndex.map { case (c, cid) =>
       val cvec = array(c.map(lit).toIndexedSeq: _*)
-      // compiled SqDist expression (doGenCode): bit-identical to the
-      // HOF formulation, but the k×dim inner loop is generated Java.
       struct(graft.plans.expressions.vec_sqdist(vec, cvec).as("dist"), lit(cid).as("cid"))
     }
     val best = array_min(array(candidates.toIndexedSeq: _*))
@@ -127,12 +136,13 @@ object KMeansNative {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val dim = init(0).length
+      val work = roundSized(pts, dim)
       var centers = init.map(_.clone())
       val history = scala.collection.mutable.ArrayBuffer.empty[Double]
       var iter = 0
       var moved = Double.MaxValue
       while (iter < maxIter && moved > tol) {
-        val a = assigned(pts, col("v"), centers)
+        val a = assigned(work, col("v"), centers)
         // Single job per iteration: k rows of (cid, n, wcss, sum-vec)
         // via the typed vector-sum Aggregator — partial+final
         // ObjectHashAggregate, shuffle = k × numPartitions buffers.
@@ -179,10 +189,11 @@ object KMeansNative {
     val pts = points.select(VectorOps.toDouble(col(vecCol)).as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      val work = roundSized(pts, init(0).length)
       var centers = init.map(_.clone())
       var it = 0
       while (it < iters) {
-        val rows = average(accumulate(assigned(pts, col("v"), centers), col("v")))
+        val rows = average(accumulate(assigned(work, col("v"), centers), col("v")))
           .select("cluster_id", "dim", "coord").collect()
         val next = centers.map(_.clone())
         rows.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
@@ -191,6 +202,25 @@ object KMeansNative {
       }
       centers
     } finally pts.unpersist()
+  }
+
+  /** Exploded values one round's aggregate pushes through one task —
+    * a few ms of compute, so tasks stay latency-bound only below it. */
+  private val RoundValuesPerTask = 4000000L
+
+  /** Right-size an (already persisted) per-round frame: an iterative
+    * fit pays per-TASK scheduling cost every round, so a small input
+    * spread over many cache partitions is pure overhead ×iters
+    * (measured: 2 k vectors × 32 partitions = 0.4 s/round of which
+    * ~0.25 s was task dispatch). Coalesce — narrow, cache-reading —
+    * to ~[[RoundValuesPerTask]] exploded values per task; inputs big
+    * enough to use the cluster are left untouched (n·dim ≥ tasks·4M),
+    * so at 100 TB this is the identity. Triggers one count() job on
+    * the cached frame — amortized over iters rounds. */
+  private def roundSized(pts: DataFrame, dim: Int): DataFrame = {
+    val cur = pts.rdd.getNumPartitions
+    val ideal = math.max(1L, pts.count() * dim / RoundValuesPerTask)
+    if (ideal < cur) pts.coalesce(ideal.toInt) else pts
   }
 
   /** Total within-cluster sum of squares for fixed centers

@@ -2,10 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -119,6 +119,39 @@ object WinnowKernel {
     var oi = 0
     while (it.hasNext) { out(oi) = it.next().longValue(); oi += 1 }
     new GenericArrayData(out)
+  }
+}
+
+/** Nearest-center scan behind [[expressions.ArgminCenters]], as a
+  * static forwarder reachable from generated code (the
+  * [[ShingleKernel]] pattern). Arithmetic is bit-identical to k
+  * [[expressions.SqDist]] instances folded through `array_min` over
+  * (dist, cid) structs — (x−y)² summed left-to-right per dimension,
+  * strict `<` so the LOWEST cid wins ties, NaN ordered greatest
+  * (Spark's double ordering) — but the whole k×dim loop is ONE
+  * kernel call and the centers ride along as ONE flat double[]
+  * reference instead of k literal array nodes: the per-round plan
+  * of an iterative fit shrinks from ~k·dim literals to one
+  * expression, which is what made 10-round exact Lloyd spend more
+  * time ANALYZING plans than running them. */
+object ArgminKernel {
+  def compute(vec: ArrayData, flat: Array[Double], k: Int, dim: Int): InternalRow = {
+    if (vec.numElements() != dim) return null
+    var bestCid = 0
+    var bestD = 0.0
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      var s = 0.0
+      var i = 0
+      while (i < dim) { val d = vec.getDouble(i) - flat(off + i); s += d * d; i += 1 }
+      if (c == 0 || s < bestD ||
+          (java.lang.Double.isNaN(bestD) && !java.lang.Double.isNaN(s))) {
+        bestD = s; bestCid = c
+      }
+      c += 1
+    }
+    new GenericInternalRow(Array[Any](bestCid, bestD))
   }
 }
 
@@ -256,6 +289,46 @@ object expressions {
     override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
       copy(left = l, right = r)
   }
+
+  /** struct(cluster_id, sqdist) of the nearest center to an
+    * array<double> column, centers fixed per plan (driver-held, the
+    * Lloyd-loop shape). Null for a null or dimension-mismatched
+    * vector. See [[ArgminKernel]] for the equivalence contract with
+    * the literal `array_min` formulation (KMeansSpec pins it on the
+    * fixture corpus). */
+  case class ArgminCenters(child: Expression, centers: Array[Array[Double]])
+      extends UnaryExpression {
+    require(centers.nonEmpty, "need at least one center")
+    private val dim = centers.head.length
+    require(centers.forall(_.length == dim), "ragged centers")
+    @transient private lazy val flat: Array[Double] = centers.flatten
+
+    override def dataType: DataType = StructType(Seq(
+      StructField("cluster_id", IntegerType, nullable = false),
+      StructField("sqdist", DoubleType, nullable = false)))
+    override def nullable: Boolean = true
+    override def prettyName: String = "vec_argmin"
+
+    override def nullSafeEval(input: Any): Any =
+      ArgminKernel.compute(input.asInstanceOf[ArrayData], flat, centers.length, dim)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val flatRef = ctx.addReferenceObj("centersFlat", flat, "double[]")
+        s"""
+           |${ev.value} = graft.plans.ArgminKernel.compute(
+           |  $a, $flatRef, ${centers.length}, $dim);
+           |${ev.isNull} = ${ev.value} == null;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): ArgminCenters =
+      copy(child = newChild)
+  }
+
+  def vec_argmin(vec: Column, centers: Array[Array[Double]]): Column =
+    org.apache.spark.sql.GraftShims.column(ArgminCenters(
+      org.apache.spark.sql.GraftShims.expression(vec), centers))
 
   /** Modulus of the rolling fingerprint: keeps every intermediate
     * < 2^36, so the fold is overflow-safe in 64-bit arithmetic in any

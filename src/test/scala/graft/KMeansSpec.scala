@@ -35,6 +35,22 @@ class KMeansSpec extends SparkSpec {
     }
   }
 
+  test("compiled argmin kernel is bit-equal to the literal array_min formulation") {
+    val (cidK, dK) = KMeansNative.argminColumns(col("v"), init)
+    val (cidL, dL) = KMeansNative.argminColumnsLiteral(col("v"), init)
+    // exact equality on BOTH fields — same (x−y)² left-to-right sums,
+    // same lowest-cid tie-break; <=> is null-safe
+    val diff = pts.select(cidK.as("ck"), dK.as("dk"), cidL.as("cl"), dL.as("dl"))
+      .filter(!(col("ck") <=> col("cl")) || !(col("dk") <=> col("dl")))
+    assert(diff.count() === 0)
+    // dimension mismatch -> null fields on both paths' consumers: the
+    // kernel nulls the struct, the literal path nulls each distance
+    import spark.implicits._
+    val bad = Seq(Array(1.0, 2.0)).toDF("v")
+    val r = bad.select(KMeansNative.argminColumns(col("v"), init)._2.as("d")).collect()
+    assert(r(0).isNullAt(0))
+  }
+
   test("WCSS is non-increasing across Lloyd iterations") {
     val h = fit.wcssHistory
     assert(h.nonEmpty)
