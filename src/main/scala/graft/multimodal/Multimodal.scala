@@ -10,11 +10,15 @@ import org.apache.spark.sql.functions._
   * are processed in fixed-size batches inside each partition, so a
   * real decoder could amortize model/library setup per batch).
   *
-  * DECODE IS A STUB: this container has no image/audio codecs, so
-  * [[decodeStub]] is a deterministic fake (byte stream → fake "pixel"
-  * stream). The Spark-side plumbing — schema, partitioning, batch
-  * shape, kernel signatures — is real and tested; swapping in a real
-  * codec changes only the function body.
+  * DECODE: PNG payloads take a REAL `javax.imageio` decode to
+  * integer luminance ([[decodePng]] — the JDK ships the codec, no
+  * external dependency; MultimodalSpec drives it with ImageIO-written
+  * PNGs end to end). Everything else — the fixture's UTF-8 stand-in
+  * blobs, formats this JVM cannot read — falls back to the
+  * deterministic byte-stream fake [[decodeStub]], so declared-query
+  * outputs stay byte-reproducible. The Spark-side plumbing — schema,
+  * partitioning, batch shape, kernel signatures — is identical on
+  * both paths; a jpeg/ffmpeg codec would change only [[decode]].
   *
   * Scale: all kernels are per-row/per-partition (zero shuffle); blobs
   * never leave their partition, only fixed-width features do.
@@ -46,6 +50,52 @@ object Multimodal {
     px
   }
 
+  private val PngMagic: Array[Byte] =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  def isPng(blob: Array[Byte]): Boolean =
+    blob.length >= PngMagic.length &&
+      java.util.Arrays.equals(blob, 0, PngMagic.length, PngMagic, 0, PngMagic.length)
+
+  /** REAL decoder for PNG payloads: `javax.imageio` (ships with the
+    * JDK — no external codec) → row-major integer luminance
+    * (BT.601 integer weights, deterministic: (299·R + 587·G +
+    * 114·B) / 1000). Null for bytes ImageIO rejects. */
+  def decodePng(blob: Array[Byte]): Array[Int] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+    if (img == null) return null
+    val (w, h) = (img.getWidth, img.getHeight)
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        px(y * w + x) = (299 * r + 587 * g + 114 * b) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    px
+  }
+
+  /** Dispatching decoder — the function every kernel calls: REAL
+    * ImageIO decode for payloads that are PNGs (magic-byte sniff),
+    * the deterministic byte-stream fake otherwise (the fixture's
+    * UTF-8 stand-in blobs, or any codec this JVM lacks — so the
+    * declared queries stay byte-reproducible while genuinely-image
+    * payloads take the real path; MultimodalSpec drives it with
+    * ImageIO-written PNGs end to end). An undecodable PNG degrades
+    * to the fake rather than nulling the row — a corrupt blob at
+    * corpus scale should yield a degenerate feature, not kill the
+    * job. */
+  def decode(blob: Array[Byte]): Array[Int] =
+    if (isPng(blob)) {
+      val px = try decodePng(blob) catch { case _: java.io.IOException => null }
+      if (px != null) px else decodeStub(blob)
+    } else decodeStub(blob)
+
   /** Feature extraction: per-blob normalized byte histogram
     * (`bins` buckets, bucket = pixel % bins), emitted sparse.
     * Runs batched per partition. Output: (id, bin, n, ratio). */
@@ -59,7 +109,7 @@ object Multimodal {
         iter.grouped(batchSize).flatMap { batch =>
           // batch boundary = where a real decoder would run vectorized
           batch.iterator.flatMap { case (id, blob) =>
-            val px = decodeStub(blob)
+            val px = decode(blob)
             val h = new Array[Long](bins)
             px.foreach(p => h(p % bins) += 1)
             val len = px.length.toDouble
@@ -119,7 +169,7 @@ object Multimodal {
     blobs.select(col("id").cast("long"), col("blob"))
       .as[(Long, Array[Byte])]
       .map { case (id, blob) =>
-        val px = decodeStub(blob)
+        val px = decode(blob)
         val h = new Array[Float](bins)
         px.foreach(p => h(p % bins) += 1f)
         val len = math.max(px.length, 1).toFloat

@@ -33,6 +33,48 @@ class MultimodalSpec extends SparkSpec {
     assert(neg.toSeq === Seq(255))
   }
 
+  /** A tiny RGB PNG written by ImageIO itself — the decode round-trip
+    * is real-codec end to end, no fixture file needed. */
+  private def pngBytes(pixels: Array[Array[Int]]): Array[Byte] = {
+    val h = pixels.length; val w = pixels(0).length
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixels(y)(x))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("PNG payloads take the real ImageIO decode to BT.601 luminance") {
+    // 2x2: black, white, pure red, pure green — integer luminances
+    // 0, 255, (299*255)/1000 = 76, (587*255)/1000 = 149
+    val png = pngBytes(Array(
+      Array(0x000000, 0xFFFFFF),
+      Array(0xFF0000, 0x00FF00)))
+    assert(Multimodal.isPng(png))
+    assert(!Multimodal.isPng("plain text".getBytes("UTF-8")))
+    assert(Multimodal.decode(png).toSeq === Seq(0, 255, 76, 149))
+    // non-PNG payloads keep the byte-stream fake
+    assert(Multimodal.decode("abc".getBytes("UTF-8")).toSeq === Seq(97, 98, 99))
+    // corrupt PNG (magic intact, body truncated) degrades to the fake
+    val corrupt = png.take(12)
+    assert(Multimodal.decode(corrupt).toSeq ===
+      Multimodal.decodeStub(corrupt).toSeq)
+  }
+
+  test("PNG blobs flow through the batched histogram kernel unchanged in shape") {
+    import spark.implicits._
+    val png = pngBytes(Array(Array(0x000000, 0xFFFFFF), Array(0xFF0000, 0x00FF00)))
+    val df = Seq((1L, png), (2L, "not a png".getBytes("UTF-8")))
+      .toDF("id", "blob")
+    val h = Multimodal.byteHistogram(df, bins = 64)
+    // luminances 0,255,76,149 -> bins 0, 63 (255%64), 12, 21 — each 1/4
+    val row1 = h.filter(col("id") === 1).collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toMap
+    assert(row1 === Map(0 -> 1L, 63 -> 1L, 12 -> 1L, 21 -> 1L))
+    assert(h.filter(col("id") === 2).count() > 0)
+  }
+
   test("frame sampling covers the payload at the configured stride") {
     val f = Multimodal.frameSample(blobs, frameLen = 16, stride = 64)
     val counts = f.groupBy("id").agg(count(lit(1)).as("frames"))

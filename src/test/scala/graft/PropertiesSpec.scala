@@ -201,6 +201,36 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("law: two-level KMV bucketing is estimate-invariant for any bucket count") {
+    // The invariant behind Sketches.kmvDistinct's skew-free shape: a
+    // group's k smallest hashes each rank <= k within their own
+    // (h mod buckets) bucket, so the per-bucket pre-filter can never
+    // evict a global top-k survivor — any bucket count yields the
+    // bucketless estimate. Random groups, duplicate-heavy values,
+    // negative ids included; k spans under- and over-cardinality.
+    val gen = for {
+      g <- Gen.choose(0, 2)
+      v <- Gen.choose(-50L, 50L)
+    } yield (s"g$g", v)
+    val df = sample(gen, 400).toDF("grp", "v")
+    val k = 7
+    val expected = graft.operators.Sketches
+      .kmvDistinct(df, Seq("grp"), col("v"), k, seed = 77L, buckets = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for (buckets <- Seq(2, 16, 64)) {
+      val got = graft.operators.Sketches
+        .kmvDistinct(df, Seq("grp"), col("v"), k, seed = 77L, buckets = buckets)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got === expected, s"buckets=$buckets")
+    }
+    // under-cardinality groups report their exact distinct count
+    val truth = df.groupBy("grp").agg(countDistinct("v").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.filter(_._2 < k).foreach { case (g, n) =>
+      assert(expected(g) === n.toDouble, s"group $g under k")
+    }
+  }
+
   test("law: chunking accounts for every word exactly once, fingerprints consistent") {
     val texts = sample(words, 80).filter(_.nonEmpty)
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
