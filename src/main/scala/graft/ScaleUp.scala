@@ -125,7 +125,13 @@ object ScaleUp {
     "text_tfidf_top_terms", "text_repetition", "text_mix_sample",
     "text_chunks", "text_sample_hashmod",
     "dedup_exact", "dedup_minhash", "dedup_decontam", "rel_kmv_distinct",
-    "rel_quantiles", "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk")
+    "rel_quantiles", "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
+    // round 5: winnow pairs (the 40-word synthetic vocabulary makes
+    // EVERY fingerprint corpus-hot, so the rare-fp cap drops all
+    // posting lists — the row proves the join-work bound engages, and
+    // the fp scan + frequency pass still process all 50 k docs) and
+    // the exact-decimal 10-round Lloyd fit on 10× embeddings
+    "dedup_winnow_pairs", "kmeans_fit_native")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft-scale10")

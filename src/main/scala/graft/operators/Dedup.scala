@@ -174,8 +174,17 @@ object Dedup {
     * bit-for-bit. Output: (doc_a, doc_b, n_shared_fps). */
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
                   k: Int = 8, w: Int = 16, minShared: Int = 3,
-                  maxFpFreq: Option[Int] = Some(DefaultMaxFpFreq)): DataFrame = {
-    val fp0 = winnow(docs, idCol, textCol, k, w)
+                  maxFpFreq: Option[Int] = Some(DefaultMaxFpFreq)): DataFrame =
+    winnowPairsFromFps(winnow(docs, idCol, textCol, k, w), minShared, maxFpFreq)
+
+  /** Cap + self-join + shared-count over an EXISTING (doc_id, fp)
+    * frame — split out because the plan consumes the fingerprint
+    * index THREE times (hot-frequency pass + both join sides): a
+    * caller that persists/memoizes the frame runs the character
+    * kernel once instead of three times. Semantics identical to
+    * [[winnowPairs]]. */
+  def winnowPairsFromFps(fp0: DataFrame, minShared: Int = 3,
+                         maxFpFreq: Option[Int] = Some(DefaultMaxFpFreq)): DataFrame = {
     val fp = maxFpFreq match {
       case Some(cap) =>
         val hot = fp0.groupBy("fp").count().filter(col("count") > cap).select("fp")

@@ -94,11 +94,39 @@ object DedupQueries {
     * while true copy pairs share 10-62. */
   val WinnowMinShared = 10
   val WinnowMaxFpFreq = 64
+
+  /** The (doc_id, fp) index is consumed three times by the pair plan
+    * (frequency pass + both join sides) and the character kernel is
+    * the expensive part — memoize it materialized, the [[simhashFps]]
+    * pattern. ~32 fps/doc × 16 bytes: index-sized, not text-sized. */
+  private def winnowFps(s: SparkSession, dir: String): DataFrame =
+    FixtureCache.memo(
+        s"winnow_fps:k=${TextQueries.WinnowK}:w=${TextQueries.WinnowW}:" +
+          System.identityHashCode(s),
+        dir, "documents") {
+      val fp = Dedup.winnow(Tables.documents(s, dir), "doc_id", "text",
+        k = TextQueries.WinnowK, w = TextQueries.WinnowW).persist()
+      fp.count() // materialize now so every consumer hits the cached rows
+      fp
+    }
+
   def winnowPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.winnowPairs(Tables.documents(s, dir), "doc_id", "text",
-        k = TextQueries.WinnowK, w = TextQueries.WinnowW,
+    Dedup.winnowPairsFromFps(winnowFps(s, dir),
         minShared = WinnowMinShared, maxFpFreq = Some(WinnowMaxFpFreq))
       .orderBy("doc_a", "doc_b")
+
+  /** Passage-sharing GROUPS: connected components over the winnow
+    * pair graph — the boilerplate-cluster view (one template, many
+    * carriers) composed from two already-proven operators; the oracle
+    * replays pairs + a recursive min-label walk, so the composition
+    * is hash-checked end to end like `dedup_cc_groups`. */
+  def winnowGroups(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        Dedup.winnowPairsFromFps(winnowFps(s, dir),
+          minShared = WinnowMinShared, maxFpFreq = Some(WinnowMaxFpFreq)),
+        "doc_a", "doc_b")
+      .select(col("node").as("doc_id"), col("component"))
+      .orderBy("doc_id")
 
   def embedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosine(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -137,6 +165,7 @@ object DedupQueries {
     "dedup_minhash" -> (minhash _),
     "dedup_simhash" -> (simhash _),
     "dedup_winnow_pairs" -> (winnowPairs _),
+    "dedup_winnow_groups" -> (winnowGroups _),
     "dedup_embedding" -> (embedding _),
     "dedup_cc_groups" -> (ccGroups _))
 
@@ -185,7 +214,7 @@ object DedupQueries {
   // `text_winnow` oracle: k-gram polynomial hashes, window minima,
   // distinct), then the posting-list-capped self-join and shared-count
   // filter — candidacy and counting bit-for-bit.
-  private val winnowPairsSql = {
+  private val winnowCte = {
     val k = TextQueries.WinnowK; val w = TextQueries.WinnowW
     s"""WITH g AS (SELECT doc_id,
        |  list_transform(generate_series(1, length(text) - ${k - 1}),
@@ -201,15 +230,32 @@ object DedupQueries {
        |  END AS s FROM g),
        |fp0 AS (SELECT doc_id, unnest(s) AS fp FROM sel),
        |fp AS (SELECT * FROM fp0 WHERE fp NOT IN (
-       |  SELECT fp FROM fp0 GROUP BY fp HAVING COUNT(*) > $WinnowMaxFpFreq))
-       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_shared_fps
-       |FROM fp x JOIN fp y ON y.fp = x.fp AND x.doc_id < y.doc_id
-       |GROUP BY 1, 2 HAVING COUNT(*) >= $WinnowMinShared
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |  SELECT fp FROM fp0 GROUP BY fp HAVING COUNT(*) > $WinnowMaxFpFreq)),
+       |wp AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_shared_fps
+       |       FROM fp x JOIN fp y ON y.fp = x.fp AND x.doc_id < y.doc_id
+       |       GROUP BY 1, 2 HAVING COUNT(*) >= $WinnowMinShared)
+       |""".stripMargin
   }
+
+  private val winnowPairsSql = winnowCte +
+    "SELECT doc_a, doc_b, n_shared_fps FROM wp ORDER BY doc_a, doc_b"
+
+  // same recursive min-label walk as the `dedup_cc_groups` oracle,
+  // over the winnow pair graph
+  private val winnowGroupsSql =
+    winnowCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      s""", e AS (SELECT doc_a AS cur, doc_b AS nxt FROM wp
+         |      UNION ALL SELECT doc_b, doc_a FROM wp),
+         |walk(node, label) AS (
+         |  SELECT DISTINCT cur, cur FROM e
+         |  UNION
+         |  SELECT e.nxt, w.label FROM walk w JOIN e ON e.cur = w.node)
+         |SELECT node AS doc_id, min(label) AS component
+         |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_winnow_pairs" -> winnowPairsSql,
+    "dedup_winnow_groups" -> winnowGroupsSql,
     "dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, COUNT(*) AS n_dups FROM documents GROUP BY text ORDER BY doc_id",
     // distinct 5-shingles on both sides (mirrors TextOps.shingles),
