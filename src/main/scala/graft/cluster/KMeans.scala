@@ -204,9 +204,14 @@ object KMeansNative {
     } finally pts.unpersist()
   }
 
-  /** Exploded values one round's aggregate pushes through one task —
-    * a few ms of compute, so tasks stay latency-bound only below it. */
-  private val RoundValuesPerTask = 4000000L
+  /** Exploded values one round's aggregate pushes through one task.
+    * The DECIMAL(38,12) partial aggregate processes ~1M values/s per
+    * task (measured: 1.28M values in one task = 1.3 s/round at 10×),
+    * so 64 k values ≈ 60 ms of task compute — comfortably amortizing
+    * ~10 ms of dispatch without serializing the round. The first cut
+    * (4M) optimized dispatch only and single-tasked the 10× fit:
+    * 12.9 s; this value holds both scales (ScaleUp row). */
+  private val RoundValuesPerTask = 65536L
 
   /** Right-size an (already persisted) per-round frame: an iterative
     * fit pays per-TASK scheduling cost every round, so a small input
@@ -214,9 +219,9 @@ object KMeansNative {
     * (measured: 2 k vectors × 32 partitions = 0.4 s/round of which
     * ~0.25 s was task dispatch). Coalesce — narrow, cache-reading —
     * to ~[[RoundValuesPerTask]] exploded values per task; inputs big
-    * enough to use the cluster are left untouched (n·dim ≥ tasks·4M),
-    * so at 100 TB this is the identity. Triggers one count() job on
-    * the cached frame — amortized over iters rounds. */
+    * enough to use the cluster are left untouched (ideal ≥ current
+    * partitions), so at 100 TB this is the identity. Triggers one
+    * count() job on the cached frame — amortized over iters rounds. */
   private def roundSized(pts: DataFrame, dim: Int): DataFrame = {
     val cur = pts.rdd.getNumPartitions
     val ideal = math.max(1L, pts.count() * dim / RoundValuesPerTask)
