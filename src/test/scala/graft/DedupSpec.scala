@@ -187,6 +187,23 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 2L)))
   }
 
+  test("winnow pairs -> connected components: planted carriers form one group") {
+    val rnd = new scala.util.Random(23)
+    def noise(words: Int): String =
+      Seq.fill(words)(rnd.alphanumeric.take(6).mkString).mkString(" ")
+    val boiler = "Permission is hereby granted free of charge to any person " +
+      "obtaining a copy of this software and associated documentation files."
+    val planted = ((1L to 4L).map(i =>
+        (i, noise(4 * i.toInt) + " " + boiler + " " + noise(10))) ++
+      (10L to 14L).map(i => (i, noise(30)))).toDF("doc_id", "text")
+    val groups = Dedup.connectedComponents(
+        Dedup.winnowPairs(planted, "doc_id", "text", k = 8, w = 16, minShared = 5),
+        "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exactly the 4 carriers appear, all labeled with the min id (1)
+    assert(groups === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("winnow hot-fp cap gates the posting-list join") {
     val dup = "identical boilerplate text shared by every single document here"
     val planted = (1L to 6L).map(i => (i, dup)).toDF("doc_id", "text")
