@@ -110,10 +110,23 @@ object DedupQueries {
       fp
     }
 
+  /** The FILTERED winnow pair list feeds two declared queries (pairs
+    * + groups) and is survivor-sized by construction (32 rows at
+    * sf0.1) — memoized like [[jaccardPairs]], so the inverted-index
+    * join runs once per fixture per process. */
+  private def winnowPairList(s: SparkSession, dir: String): DataFrame =
+    FixtureCache.memo(
+        s"winnow_pairs:t=$WinnowMinShared:cap=$WinnowMaxFpFreq:" +
+          System.identityHashCode(s),
+        dir, "documents") {
+      val p = Dedup.winnowPairsFromFps(winnowFps(s, dir),
+        minShared = WinnowMinShared, maxFpFreq = Some(WinnowMaxFpFreq)).persist()
+      p.count() // materialize now so every consumer hits the cached rows
+      p
+    }
+
   def winnowPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.winnowPairsFromFps(winnowFps(s, dir),
-        minShared = WinnowMinShared, maxFpFreq = Some(WinnowMaxFpFreq))
-      .orderBy("doc_a", "doc_b")
+    winnowPairList(s, dir).orderBy("doc_a", "doc_b")
 
   /** Passage-sharing GROUPS: connected components over the winnow
     * pair graph — the boilerplate-cluster view (one template, many
@@ -121,10 +134,7 @@ object DedupQueries {
     * replays pairs + a recursive min-label walk, so the composition
     * is hash-checked end to end like `dedup_cc_groups`. */
   def winnowGroups(s: SparkSession, dir: String): DataFrame =
-    Dedup.connectedComponents(
-        Dedup.winnowPairsFromFps(winnowFps(s, dir),
-          minShared = WinnowMinShared, maxFpFreq = Some(WinnowMaxFpFreq)),
-        "doc_a", "doc_b")
+    Dedup.connectedComponents(winnowPairList(s, dir), "doc_a", "doc_b")
       .select(col("node").as("doc_id"), col("component"))
       .orderBy("doc_id")
 
