@@ -201,6 +201,28 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("law: argmin kernel == literal array_min formulation on random centers") {
+    // random dim (1-8), k (1-6), coordinates including exact ties
+    // (integer-valued doubles make equal distances reachable), so the
+    // lowest-cid tie-break is actually exercised
+    val gen = for {
+      dim <- Gen.choose(1, 8)
+      k <- Gen.choose(1, 6)
+      v <- Gen.listOfN(dim, Gen.choose(-3, 3).map(_.toDouble))
+      cs <- Gen.listOfN(k, Gen.listOfN(dim, Gen.choose(-3, 3).map(_.toDouble)))
+    } yield (v, cs)
+    sample(gen, 60).zipWithIndex.foreach { case ((v, cs), i) =>
+      val centers = cs.map(_.toArray).toArray
+      val df = Seq(Tuple1(v)).toDF("v")
+      val (ck, dk) = graft.cluster.KMeansNative.argminColumns(col("v"), centers)
+      val (cl, dl) = graft.cluster.KMeansNative.argminColumnsLiteral(col("v"), centers)
+      val r = df.select(ck.as("ck"), dk.as("dk"), cl.as("cl"), dl.as("dl")).collect()(0)
+      assert(r.getInt(0) === r.getInt(2), s"case $i cid: v=$v cs=$cs")
+      assert(java.lang.Double.compare(r.getDouble(1), r.getDouble(3)) === 0,
+        s"case $i dist: v=$v cs=$cs")
+    }
+  }
+
   test("law: two-level KMV bucketing is estimate-invariant for any bucket count") {
     // The invariant behind Sketches.kmvDistinct's skew-free shape: a
     // group's k smallest hashes each rank <= k within their own
