@@ -214,6 +214,61 @@ object TextAnalysis {
       .filter(pmod(col("_stratum_rank") - 1, lit(k)) === 0)
       .drop("_stratum_rank")
 
+  /** Concat-and-split SEQUENCE PACKING — the step between chunking
+    * and training: within each stratum (language/domain), documents
+    * are conceptually concatenated in id order and the token stream
+    * is cut into fixed `budget`-token sequences; each document emits
+    * one span row per sequence it overlaps (GPT-style packing, where
+    * a document may straddle a sequence boundary). Output:
+    * (stratum, seq_id, doc_id, seq_off, n_toks) — every sequence
+    * except a stratum's last is exactly full by construction.
+    *
+    * Scale shape: the per-stratum prefix sum is TWO-LEVEL (the
+    * [[stratumRank]] bucketing verbatim — a naive
+    * `sum() over (partition by stratum order by id)` funnels each
+    * language's entire corpus into one task): per-(stratum, bucket)
+    * token sums → prefix over the tiny sums table → broadcast
+    * offsets + within-bucket running sum, parallelism strata·buckets.
+    * The span explode is in-row (cost = output cardinality, like
+    * chunking). All integer arithmetic — the DuckDB oracle is the
+    * plain single-window formulation, which the bucketing reproduces
+    * exactly for any bucket count (spec-pinned). */
+  def packSequences(docs: DataFrame, strataCol: String, idCol: String,
+                    textCol: String, budget: Int, buckets: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, "budget must be positive")
+    val toks = docs.select(col(strataCol).as("_st"), col(idCol).cast("bigint").as("doc_id"),
+      size(TextOps.words(col(textCol))).cast("long").as("_t"))
+    val bounds = toks.agg(min(col("doc_id")).as("_min_id"), max(col("doc_id")).as("_max_id"))
+    val withB = toks.crossJoin(broadcast(bounds))
+      .withColumn("_width", greatest(
+        ceil((col("_max_id") - col("_min_id") + 1).cast("double") / buckets).cast("bigint"),
+        lit(1L)))
+      .withColumn("_bucket", expr("(doc_id - _min_id) DIV _width"))
+      .drop("_min_id", "_max_id", "_width")
+    val sums = withB.groupBy(col("_st").as("_s"), col("_bucket").as("_b"))
+      .agg(sum("_t").as("_c"))
+    val offs = sums
+      .withColumn("_off", coalesce(
+        sum("_c").over(Window.partitionBy("_s").orderBy("_b")
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("_s"), col("_b"), col("_off"))
+    val wb = Window.partitionBy(col("_st"), col("_bucket")).orderBy(col("doc_id"))
+    withB
+      .join(broadcast(offs), withB("_st") <=> offs("_s") && withB("_bucket") <=> offs("_b"))
+      .withColumn("_end", col("_off") + sum("_t").over(wb))
+      .withColumn("_start", col("_end") - col("_t"))
+      .filter(col("_t") > 0)
+      .withColumn("seq_id", explode(sequence(
+        expr(s"_start DIV $budget"), expr(s"(_end - 1) DIV $budget"))))
+      .select(col("_st").as(strataCol), col("seq_id"), col("doc_id"),
+        (greatest(col("_start"), col("seq_id") * budget) - col("seq_id") * budget)
+          .as("seq_off"),
+        (least(col("_end"), (col("seq_id") + 1) * budget)
+          - greatest(col("_start"), col("seq_id") * budget)).as("n_toks"))
+  }
+
   /** Multiplicative-hash admission sampling: keep a row iff
     * `((id mod P) · A mod P) mod k = 0` with P = 1e9+7 and
     * A = 2654435761 mod P (Knuth's 2³²·φ⁻¹ multiplier, reduced so the

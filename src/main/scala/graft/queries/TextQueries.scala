@@ -118,6 +118,15 @@ object TextQueries {
     TextAnalysis.chunkStats(Tables.documents(s, dir), "doc_id", "text", ChunkWords)
       .orderBy("doc_id", "chunk_id")
 
+  /** Sequence packing at 256 tokens per context window, stratified by
+    * language (GPT-style concat-and-split; a document straddling a
+    * boundary emits one span per sequence it overlaps). */
+  val PackBudget = 256
+  def pack(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packSequences(Tables.documents(s, dir), "lang", "doc_id", "text",
+        budget = PackBudget)
+      .orderBy("lang", "seq_id", "doc_id")
+
   /** Winnowed local fingerprints (k=8 chars, window 16), compacted to
     * per-doc stats — selection set size, checksum and minimum — so
     * the declared output stays doc-sized while the full selection is
@@ -138,6 +147,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_winnow" -> (winnow _),
+    "text_pack" -> (pack _),
     "text_chunks" -> (chunks _),
     "text_repetition" -> (repetition _),
     "text_mix_sample" -> (mixSample _),
@@ -172,6 +182,22 @@ object TextQueries {
     // winnowing replayed in SQL: k-gram polynomial hashes (the
     // text_fingerprint fold over each substring), window minima via
     // list_min over list_slice, sorted distinct selection
+    // the packing oracle is the PLAIN single-window prefix sum — the
+    // two-level bucketing must be result-invisible (the salted-agg /
+    // kmv / stratumRank contract)
+    "text_pack" ->
+      s"""WITH t AS (SELECT lang, doc_id,
+         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents),
+         |c AS (SELECT lang, doc_id, tok,
+         |        CAST(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS e FROM t),
+         |s AS (SELECT lang, doc_id, tok, e - tok AS st, e FROM c WHERE tok > 0),
+         |x AS (SELECT lang, doc_id, st, e,
+         |        unnest(generate_series(st // $PackBudget, (e - 1) // $PackBudget)) AS seq_id
+         |      FROM s)
+         |SELECT lang, seq_id, doc_id,
+         |  CAST(greatest(st, seq_id * $PackBudget) - seq_id * $PackBudget AS BIGINT) AS seq_off,
+         |  CAST(least(e, (seq_id + 1) * $PackBudget) - greatest(st, seq_id * $PackBudget) AS BIGINT) AS n_toks
+         |FROM x ORDER BY 1, 2, 3""".stripMargin,
     "text_winnow" ->
       s"""WITH g AS (SELECT doc_id,
          |  list_transform(generate_series(1, length(text) - ${WinnowK - 1}),

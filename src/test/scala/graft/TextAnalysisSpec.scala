@@ -10,6 +10,36 @@ class TextAnalysisSpec extends SparkSpec {
 
   private lazy val docs = Tables.documents(spark, sf001).cache()
 
+  test("packSequences: token conservation, full sequences, bucket invariance") {
+    import org.apache.spark.sql.functions._
+    val budget = 256
+    val p = graft.operators.TextAnalysis
+      .packSequences(docs, "lang", "doc_id", "text", budget).cache()
+    // every token lands in exactly one span: per-language span totals
+    // equal per-language token totals
+    val toks = docs.groupBy("lang")
+      .agg(sum(size(graft.functions.TextOps.words(col("text")))).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val spans = p.groupBy("lang").agg(sum("n_toks").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(spans === toks)
+    // span geometry: offsets in [0, budget), spans fit their window
+    assert(p.filter(col("seq_off") < 0 || col("seq_off") >= budget ||
+      col("n_toks") <= 0 || col("seq_off") + col("n_toks") > budget).count() === 0)
+    // concat-and-split: every sequence except each language's last is
+    // exactly full
+    val bySeq = p.groupBy("lang", "seq_id").agg(sum("n_toks").as("t"))
+    val lastSeq = bySeq.groupBy("lang").agg(max("seq_id").as("last"))
+    assert(bySeq.join(lastSeq, "lang")
+      .filter(col("seq_id") =!= col("last") && col("t") =!= budget)
+      .count() === 0)
+    // the two-level prefix sum is result-invisible for any bucketing
+    val one = graft.operators.TextAnalysis
+      .packSequences(docs, "lang", "doc_id", "text", budget, buckets = 1)
+    assert(p.exceptAll(one).count() === 0 && one.exceptAll(p).count() === 0)
+    p.unpersist()
+  }
+
   test("token stats: n_chars equals fixture n_chars; avg word len consistent") {
     val joined = TextAnalysis.tokenStats(docs, "doc_id", "text")
       .join(docs.select(col("doc_id"), col("n_chars").as("expected")), "doc_id")
