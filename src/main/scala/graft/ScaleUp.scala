@@ -131,7 +131,9 @@ object ScaleUp {
     // posting lists — the row proves the join-work bound engages, and
     // the fp scan + frequency pass still process all 50 k docs) and
     // the exact-decimal 10-round Lloyd fit on 10× embeddings
-    "dedup_winnow_pairs", "kmeans_fit_native")
+    "dedup_winnow_pairs", "kmeans_fit_native",
+    // round 5b: the two-level packing prefix sum over 50 k docs
+    "text_pack")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft-scale10")
