@@ -56,4 +56,64 @@ object Sketches {
           .otherwise(lit((k - 1).toDouble) * lit(HashP.toDouble) / col("_hk"))
           .as("est_distinct"): _*)
   }
+
+  /** One MISRA-GRIES pass over a token stream with k counters: any
+    * item occurring more than n/(k+1) times in the stream is
+    * guaranteed to survive (each eviction round removes k+1 stream
+    * occurrences — the newcomer plus one decrement from each of the k
+    * counters — so an item's counter can be zeroed at most n/(k+1)
+    * times). Pure function so the guarantee is directly law-testable
+    * (PropertiesSpec) and the cluster op below shares the exact code
+    * path with the test. */
+  def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { t =>
+      counts.get(t) match {
+        case Some(c) => counts.update(t, c + 1)
+        case None if counts.size < k => counts.update(t, 1L)
+        case None =>
+          counts.mapValuesInPlace((_, c) => c - 1)
+          counts.filterInPlace((_, c) => c > 0)
+      }
+    }
+    counts.keysIterator
+  }
+
+  /** HEAVY HITTERS — all tokens with share ≥ shareNum/shareDen of the
+    * stream, with EXACT counts. Sketch-driven but oracle-exact (the
+    * KMV pattern): a bounded-state Misra-Gries pass per partition
+    * nominates candidates, and an exact recount over the nominees
+    * rescues the precise answer.
+    *
+    * Exactness: a token with global share ≥ shareNum/shareDen >
+    * 1/(k+1) must exceed share 1/(k+1) in at least one partition
+    * (averaging argument), so per-partition MG retains it there —
+    * the candidate union is a SUPERSET of every qualifying token
+    * (require() enforces the precondition). The recount then filters
+    * with exact integer cross-multiplication, so the result equals
+    * the plain GROUP BY ... HAVING the oracle runs.
+    *
+    * Scale shape at 100 TB: the MG pass is one bounded-state scan
+    * (k counters/partition, no shuffle); candidates are ≤ k·partitions
+    * rows (a few MB at any scale) — broadcast back; the recount's
+    * groupBy shuffles ONLY candidate tokens after map-side partial
+    * aggregation, never the full Heaps'-law vocabulary the plain
+    * GROUP BY would exchange. The total-count scan piggybacks no
+    * shuffle (algebraic count). */
+  def heavyHitters(tokens: DataFrame, tokenCol: String,
+                   k: Int = 255, shareNum: Long = 1, shareDen: Long = 200): DataFrame = {
+    require(shareNum > 0 && shareDen > 0 && shareNum * (k + 1) > shareDen,
+      s"exactness needs share $shareNum/$shareDen > 1/(k+1) = 1/${k + 1}")
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    val t = tokens.select(col(tokenCol).cast("string").as("token"))
+    val cands = t.as[String].mapPartitions(it => misraGries(it, k))
+      .distinct().toDF("token")
+    val total = t.agg(count(lit(1)).as("_total"))
+    t.join(broadcast(cands), Seq("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_occ"))
+      .crossJoin(broadcast(total))
+      .filter(col("n_occ") * lit(shareDen) >= col("_total") * lit(shareNum))
+      .select(col("token"), col("n_occ"))
+  }
 }

@@ -109,6 +109,19 @@ object StatsQueries {
       .select(col("l_returnflag"), round(col("est_distinct"), 6).as("est_distinct"))
       .orderBy("l_returnflag")
 
+  /** Heavy hitters over the document token stream: bounded-state
+    * Misra-Gries nomination per partition + exact rescue recount of
+    * the nominees — the sketch bounds state and shuffle, yet the
+    * result is the plain GROUP BY ... HAVING the oracle runs (share
+    * 1/200 > 1/(k+1) for k = 255, so the candidate union provably
+    * covers every qualifying token; [[graft.operators.Sketches]]). */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.heavyHitters(
+        Tables.documents(s, dir)
+          .select(explode(graft.functions.TextOps.words(col("text"))).as("token")),
+        "token", k = 255, shareNum = 1, shareDen = 200)
+      .orderBy(col("n_occ").desc, col("token"))
+
   /** As-of join: each event joined to the user's most recent purchase
     * event at or before it. */
   def asofLastPurchase(s: SparkSession, dir: String): DataFrame = {
@@ -147,6 +160,7 @@ object StatsQueries {
     "rel_count_distinct" -> (countDistinct _),
     "rel_approx_distinct" -> (approxDistinct _),
     "rel_kmv_distinct" -> (kmvDistinct _),
+    "text_heavy_hitters" -> (heavyHitters _),
     "asof_last_purchase" -> (asofLastPurchase _),
     "sql_q1_pricing" -> (sqlPricing _))
 
@@ -196,6 +210,15 @@ object StatsQueries {
          |        ELSE ${KmvK - 1}.0 * $p.0 / hk END, 6) AS est_distinct
          |FROM k ORDER BY 1""".stripMargin
     },
+    // plain exact GROUP BY ... HAVING — the MG nomination pass is
+    // result-invisible by the superset guarantee (share > 1/(k+1))
+    "text_heavy_hitters" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |n AS (SELECT COUNT(*) AS total FROM w)
+        |SELECT token, COUNT(*) AS n_occ
+        |FROM w GROUP BY 1
+        |HAVING COUNT(*) * 200 >= (SELECT total FROM n)
+        |ORDER BY n_occ DESC, token""".stripMargin,
     "asof_last_purchase" ->
       """WITH p AS (SELECT user_id, ts, max(event_id) AS p_event_id
         |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),

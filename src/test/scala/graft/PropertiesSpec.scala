@@ -297,4 +297,25 @@ class PropertiesSpec extends SparkSpec {
       .filter(col("f1") =!= col("f2"))
     assert(bad.count() === 0)
   }
+
+  test("law: Misra-Gries retains every item with count > n/(k+1) — per stream and unioned") {
+    // pure-function law over the exact code path heavyHitters ships to
+    // executors: candidates from arbitrarily partitioned streams must
+    // cover all globally heavy items (the exactness precondition)
+    val gen = for {
+      k <- Gen.choose(2, 20)
+      nTok <- Gen.choose(1, 40)
+      // quadratic map skews the draw so heavy and light tokens coexist
+      toks <- Gen.listOfN(500, Gen.choose(1, nTok).map(i => s"t${i * i % nTok}"))
+      parts <- Gen.choose(1, 6)
+    } yield (k, toks, parts)
+    sample(gen, 80).foreach { case (k, toks, parts) =>
+      val n = toks.size
+      val heavy = toks.groupBy(identity)
+        .collect { case (t, xs) if xs.size.toLong * (k + 1) > n => t }.toSet
+      val cands = toks.grouped(math.max(1, n / parts))
+        .flatMap(g => graft.operators.Sketches.misraGries(g.iterator, k)).toSet
+      assert(heavy.subsetOf(cands), s"k=$k parts=$parts missing=${heavy -- cands}")
+    }
+  }
 }

@@ -132,6 +132,27 @@ class StatsSpec extends SparkSpec {
     assert(run(7) === est)
   }
 
+  test("heavy hitters equal the plain GROUP BY ... HAVING, under forced evictions") {
+    import spark.implicits._
+    // zipf-ish stream: token i appears ~ 4000/i times — guarantees a
+    // mix of qualifying and non-qualifying tokens, and k = 15 << 60
+    // distinct tokens forces real Misra-Gries eviction rounds
+    val toks = (1 to 60).flatMap(i => Seq.fill(4000 / i)(s"tok$i"))
+    val df = new scala.util.Random(42).shuffle(toks.toVector)
+      .toDF("token").repartition(7)
+    val got = graft.operators.Sketches
+      .heavyHitters(df, "token", k = 15, shareNum = 1, shareDen = 12)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = toks.size.toLong
+    val exact = toks.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      .filter { case (_, c) => c * 12 >= n }
+    assert(got === exact)
+    // precondition violations are rejected, not silently inexact
+    intercept[IllegalArgumentException] {
+      graft.operators.Sketches.heavyHitters(df, "token", k = 10, shareNum = 1, shareDen = 12)
+    }
+  }
+
   test("rollup grand total equals table count") {
     val r = graft.queries.StatsQueries.rollup(spark, sf001).collect()
     val grand = r.filter(row => row.isNullAt(0) && row.isNullAt(1))
