@@ -108,6 +108,24 @@ object RelationalQueries {
     Relational.nationCoverage(s, dir)
       .orderBy("nk")
 
+  /** Runtime bloom-filter join pruning: lineitems of high-value orders.
+    * The bloom bitmap drops non-matching fact rows at the scan, before
+    * the semi-join exchange; the oracle is the PLAIN semi-join — the
+    * filter must be result-invisible ([[graft.operators.Bloom]]). */
+  def bloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val hi = graft.io.Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 400000.0).select("o_orderkey")
+    val li = graft.io.Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        col("l_quantity").cast("decimal(38,2)").as("q"))
+    graft.operators.Bloom.bloomSemiJoin(li, "l_orderkey", hi, "o_orderkey")
+      .groupBy("l_returnflag")
+      .agg(sum(col("q")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        asFixedPoint(col("sum_qty"), 100).as("sum_qty_cents"), col("n"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_outer_join" -> (outerJoin _),
     "rel_q1_pricing" -> (q1 _),
@@ -121,7 +139,8 @@ object RelationalQueries {
     "rel_range_join" -> (valueBands _),
     "rel_grouping_sets" -> (groupingSetsQ _),
     "rel_subquery_brand_avg" -> (subqueryQ _),
-    "rel_skew_salted_agg" -> (skewSalted _))
+    "rel_skew_salted_agg" -> (skewSalted _),
+    "rel_bloom_join" -> (bloomJoin _))
 
   val oracles: Map[String, String] = Map(
     "rel_q1_pricing" ->
@@ -213,6 +232,14 @@ object RelationalQueries {
         |SELECT coalesce(c.nk, s.nk) AS nk,
         |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
         |FROM c FULL OUTER JOIN s ON c.nk = s.nk ORDER BY nk""".stripMargin,
+    // plain semi-join — the bloom pre-filter is result-invisible
+    "rel_bloom_join" ->
+      """SELECT l_returnflag,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DECIMAL(24,2)) * 100 AS BIGINT) AS sum_qty_cents,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "rel_skew_salted_agg" ->
       """SELECT l_returnflag,
         |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DECIMAL(24,2)) * 100 AS BIGINT) AS sum_qty_cents,

@@ -125,4 +125,41 @@ class RelationalSpec extends SparkSpec {
     assert((both & co).isEmpty && (both & so).isEmpty && (co & so).isEmpty)
     assert(p.map(_.getInt(0)).length === p.map(r => (r.getInt(0), r.getString(1))).distinct.length)
   }
+
+  test("bloom semi-join equals the plain semi-join for any bitmap size") {
+    import org.apache.spark.sql.functions._
+    val hi = graft.io.Tables.orders(spark, sf001)
+      .filter(col("o_totalprice") > 400000.0).select("o_orderkey")
+    val li = graft.io.Tables.lineitem(spark, sf001).select("l_orderkey", "l_linenumber")
+    val plain = li.join(hi.withColumnRenamed("o_orderkey", "_bk"),
+        col("l_orderkey") === col("_bk"), "left_semi")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    def run(mWords: Int) = graft.operators.Bloom
+      .bloomSemiJoin(li, "l_orderkey", hi, "o_orderkey", mWords = mWords)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(run(2048) === plain)
+    // a deliberately SATURATED 64-bit bitmap still yields the exact
+    // result — the exact semi-join absorbs every false positive
+    assert(run(1) === plain)
+  }
+
+  test("bloom bitmap has no false negatives and prunes most non-matching rows") {
+    import org.apache.spark.sql.functions._
+    val hi = graft.io.Tables.orders(spark, sf001)
+      .filter(col("o_totalprice") > 400000.0).select("o_orderkey")
+    val words = graft.operators.Bloom.buildBitmap(hi, "o_orderkey", 2048, 3, 91L)
+    // every build key must pass its own bitmap
+    val misses = hi.filter(!graft.operators.Bloom.mightContain(col("o_orderkey"), words, 3, 91L))
+    assert(misses.count() === 0)
+    val li = graft.io.Tables.lineitem(spark, sf001)
+    val pass = li.filter(graft.operators.Bloom.mightContain(col("l_orderkey"), words, 3, 91L)).count()
+    val exact = li.join(hi.withColumnRenamed("o_orderkey", "_bk"),
+      col("l_orderkey") === col("_bk"), "left_semi").count()
+    val total = li.count()
+    // pruning does real work pre-shuffle: survivors ≈ matches + ε,
+    // far below the full scan the plain join would exchange
+    assert(pass >= exact)
+    assert(pass - exact <= (total - exact) / 10,
+      s"bloom passed $pass vs $exact exact of $total total — FPR too high")
+  }
 }
