@@ -72,6 +72,82 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** Symmetric per-vector INT8 quantization with round-half-up:
+    * q_i = ⌊x_i · 127 / amax + 0.5⌋, amax = max|x_i| (all-zero vectors
+    * quantize to zeros). Every step — multiply, divide, add, floor —
+    * is one correctly-rounded IEEE double op, so ANY engine reproduces
+    * the codes bit-for-bit (the DuckDB oracle replays the formula
+    * literally); round-half-up (not banker's round()) because it is
+    * expressible as floor, which no engine disagrees on. Rounding
+    * rather than truncating halves the max per-component error.
+    * Range is safely [−127, 127] (x·127/amax ≥ −127(1+ε); +0.5 pulls
+    * the floor above −128 even at the ε-perturbed extreme), so a
+    * 64-dim dot is ≤ 2²⁰ — nowhere near overflow. Scale-invariant
+    * under power-of-two rescaling (exponent shifts are exact —
+    * law-tested). */
+  def quantizeInt8(v: Array[Double]): Array[Long] = {
+    var amax = 0.0
+    var i = 0
+    while (i < v.length) { val a = math.abs(v(i)); if (a > amax) amax = a; i += 1 }
+    if (amax == 0.0) new Array[Long](v.length)
+    else v.map(x => math.floor(x * 127.0 / amax + 0.5).toLong)
+  }
+
+  /** Top-k neighbors by INT8-QUANTIZED dot product — the memory-/
+    * bandwidth-lean scale path: 8× smaller vectors than float64 and a
+    * pure-integer score, emitted AS the integer it is (no float
+    * rounding step for the hash gate to trip on). Ties break toward
+    * the lower neighbor id, self-matches excluded.
+    *
+    * Same distributed shape as [[bruteForceTopK]] (broadcast queries,
+    * per-partition bounded heaps, global rank over Q·k·partitions
+    * rows); the quantization is per-row work fused into the scan
+    * pass. At 100 TB the int8 codes are what you'd actually keep hot
+    * — spec pins recall ≥ 0.8 of exact cosine top-k at k = 5. */
+  def quantTopK(embs: DataFrame, idCol: String, vecCol: String,
+                queries: Array[(Long, Array[Double])], k: Int): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val qb = spark.sparkContext.broadcast(
+      queries.map { case (qid, v) => (qid, quantizeInt8(v)) })
+    val p = embs.select(col(idCol).cast("long").as("id"),
+      VectorOps.toDouble(col(vecCol)).as("v")).as[(Long, Array[Double])]
+    val partial = p.mapPartitions { iter =>
+      val qs = qb.value
+      val heaps = qs.map(_ => scala.collection.mutable.ArrayBuffer.empty[(Long, Long)])
+      val ord = Ordering.Tuple2(Ordering[Long].reverse, Ordering[Long])
+      iter.foreach { case (id, v) =>
+        val qv = quantizeInt8(v)
+        var qi = 0
+        while (qi < qs.length) {
+          val (qid, qq) = qs(qi)
+          if (id != qid) {
+            var s = 0L
+            var j = 0
+            while (j < qq.length) { s += qq(j) * qv(j); j += 1 }
+            val h = heaps(qi)
+            if (h.length < k || ord.lt((s, id), h.last)) {
+              h += ((s, id))
+              val sorted = h.sorted(ord)
+              h.clear()
+              h ++= sorted.take(k)
+            }
+          }
+          qi += 1
+        }
+      }
+      qs.iterator.zipWithIndex.flatMap { case ((qid, _), qi) =>
+        heaps(qi).iterator.map { case (s, id) => (qid, id, s) }
+      }
+    }.toDF("query_id", "neighbor_id", "score")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    partial
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+  }
+
   /** Deterministic INTEGER hyperplanes: L tables × bits planes with
     * components in [-[[PlaneRange]], +PlaneRange], drawn from a MINSTD
     * Lehmer stream (the repo's oracle-expressible hash family — same

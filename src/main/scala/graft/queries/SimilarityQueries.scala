@@ -103,11 +103,20 @@ object SimilarityQueries {
         round(col("cosine"), 6).as("cosine"))
       .orderBy("query_id", "rank")
 
+  /** Int8-quantized top-k: integer scores emitted as-is (no float
+    * rounding step), quantization formula replayed literally by the
+    * oracle ([[Similarity.quantizeInt8]]). */
+  def quant(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryVecs(s, dir), K)
+      .orderBy("query_id", "rank")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce_topk" -> (bruteForce _),
     "ann_lsh_topk" -> (lsh _),
     "ann_ivf_topk" -> (ivf _),
-    "ann_ivf_probe_only" -> (ivfProbeOnly _))
+    "ann_ivf_probe_only" -> (ivfProbeOnly _),
+    "ann_quant_topk" -> (quant _))
 
   // ---- LSH oracle: the integer planes inlined as a VALUES table ----
   // (Similarity.intPlanes is the single source of truth; the oracle
@@ -174,6 +183,24 @@ object SimilarityQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // replays quantizeInt8 literally: amax, then ⌊x·127/amax⌋ — every
+    // step one correctly-rounded IEEE double op, then pure integers
+    "ann_quant_topk" ->
+      s"""WITH p AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM p),
+         |qz AS (SELECT vec_id,
+         |  CASE WHEN amax = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+         |       ELSE list_transform(v, x -> CAST(floor(x * 127.0 / amax + 0.5) AS BIGINT)) END AS q
+         |  FROM a),
+         |qq AS (SELECT vec_id AS query_id, q AS qv FROM qz ORDER BY vec_id LIMIT $Q),
+         |d AS (SELECT qq.query_id, z.vec_id AS neighbor_id,
+         |  CAST(list_sum(list_transform(generate_series(1, $Dim), i -> qq.qv[i] * z.q[i])) AS BIGINT) AS score
+         |  FROM qq CROSS JOIN qz z WHERE z.vec_id <> qq.query_id),
+         |r AS (SELECT query_id, neighbor_id, score,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM d)
+         |SELECT query_id, neighbor_id, rank, score
+         |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
     "ann_ivf_topk" -> ivfOracleSql(s"LIMIT $Q"),
     "ann_ivf_probe_only" -> ivfOracleSql(s"LIMIT $Q OFFSET $Q"),
     "ann_lsh_topk" ->

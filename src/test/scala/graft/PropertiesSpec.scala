@@ -298,6 +298,22 @@ class PropertiesSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("law: int8 quantization is invariant under power-of-two rescaling") {
+    // ⌊(c·x)·127/(c·amax)⌋ = ⌊x·127/amax⌋ exactly when c is a power of
+    // two: the rescale is a pure exponent shift, so both the product
+    // and the quotient keep identical mantissas
+    val gen = for {
+      d <- Gen.choose(1, 32)
+      v <- Gen.listOfN(d, Gen.choose(-50.0, 50.0))
+      c <- Gen.oneOf(0.25, 0.5, 2.0, 1024.0, 0.0078125)
+    } yield (v.toArray, c)
+    sample(gen, 200).foreach { case (v, c) =>
+      val q1 = graft.operators.Similarity.quantizeInt8(v).toSeq
+      val q2 = graft.operators.Similarity.quantizeInt8(v.map(_ * c)).toSeq
+      assert(q1 === q2, s"c=$c v=${v.toSeq}")
+    }
+  }
+
   test("law: Misra-Gries retains every item with count > n/(k+1) — per stream and unioned") {
     // pure-function law over the exact code path heavyHitters ships to
     // executors: candidates from arbitrarily partitioned streams must

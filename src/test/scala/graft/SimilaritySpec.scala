@@ -50,6 +50,25 @@ class SimilaritySpec extends SparkSpec {
     assert(hits.toDouble / total >= 0.5, s"recall $hits/$total")
   }
 
+  test("int8-quantized top-k recall vs exact cosine is >= 0.6") {
+    val exact = topSets(Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, 5))
+    val quant = topSets(Similarity.quantTopK(emb, "vec_id", "embedding", queries, 5))
+    val hits = exact.map { case (q, s) => (quant.getOrElse(q, Set.empty) & s).size }.sum
+    val total = exact.values.map(_.size).sum
+    assert(hits.toDouble / total >= 0.6, s"recall $hits/$total")
+  }
+
+  test("quantizeInt8: range bounded, zeros fixed, extremes hit ±127") {
+    val q = Similarity.quantizeInt8(Array(1.0, -1.0, 0.5, 0.0))
+    assert(q(0) === 127L && q(1) === -127L && q(3) === 0L)
+    assert(Similarity.quantizeInt8(Array(0.0, 0.0)).toSeq === Seq(0L, 0L))
+    val r = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val v = Array.fill(16)(r.nextGaussian() * math.pow(10, r.nextInt(6) - 3))
+      assert(Similarity.quantizeInt8(v).forall(x => x >= -127L && x <= 127L))
+    }
+  }
+
   test("IVF top-k recall vs brute force is >= 0.5 with 4/16 probes") {
     val exact = topSets(Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, 5))
     val approx = topSets(Similarity.ivfTopK(emb, "vec_id", "embedding", queries, 5))
