@@ -27,4 +27,27 @@ object Sinks {
     * discoverability. */
   def writeCsv(df: DataFrame, path: String): Unit =
     graft.sources.KMeansCsv.writeCsv(df, path)
+
+  /** Z-ORDERED parquet layout: range-partition and sort by the Morton
+    * interleave of two filter columns, so each output file (= row
+    * group at these sizes) covers a compact rectangle-ish region of
+    * the (x, y) key space and its parquet min/max stats prune 2-D
+    * range predicates at the scan — the write-side half of the
+    * engine's pruning story (partition dirs handle categorical
+    * filters; z-order handles multi-dimensional numeric ranges over
+    * columns too fine-grained to partition by). The helper column is
+    * dropped from the written schema; `nFiles` sets the region count
+    * (at 100 TB: pick ~data / row-group-size). Readers need no new
+    * API — plain `spark.read.parquet(path).filter(...)` benefits
+    * (SinksSpec measures records actually read, ordered vs not). */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+                    nFiles: Int, bits: Int = 31): Unit = {
+    import org.apache.spark.sql.functions.col
+    val z = graft.plans.expressions.zorder2(col(xCol), col(yCol), bits)
+    df.withColumn("_z", z)
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

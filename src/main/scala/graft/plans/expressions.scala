@@ -39,6 +39,28 @@ object ShingleKernel {
   }
 }
 
+/** Morton bit-spreading behind [[expressions.ZOrder2]], top-level so
+  * generated Java reaches it through a static forwarder (same shape
+  * as [[ShingleKernel]]). The 5-shift magic-mask spread is the
+  * classic public-domain "interleave by binary magic numbers"
+  * technique (Bit Twiddling Hacks). */
+object ZOrderKernel {
+  /** Spread the low 32 bits of v to the even bit positions. */
+  def spread(v0: Long): Long = {
+    var v = v0 & 0xffffffffL
+    v = (v | (v << 16)) & 0x0000ffff0000ffffL
+    v = (v | (v << 8)) & 0x00ff00ff00ff00ffL
+    v = (v | (v << 4)) & 0x0f0f0f0f0f0f0f0fL
+    v = (v | (v << 2)) & 0x3333333333333333L
+    v = (v | (v << 1)) & 0x5555555555555555L
+    v
+  }
+
+  /** z(x, y): bit i of x → 2i, bit i of y → 2i+1. */
+  def interleave(x: Long, y: Long): Long =
+    spread(x) | (spread(y) << 1)
+}
+
 /** The per-document repetition loop behind
   * [[expressions.RepetitionStats]] — one pass over the word array
   * with a bigram count map, reachable from generated code through a
@@ -489,6 +511,53 @@ object expressions {
   def double_sort_bits(x: Column): Column =
     org.apache.spark.sql.GraftShims.column(
       DoubleSortBits(org.apache.spark.sql.GraftShims.expression(x)))
+
+  /** Z-ORDER (Morton) interleaving of two non-negative keys — the
+    * multi-dimensional data-layout primitive: sorting by z(x, y)
+    * clusters rows so that a range predicate on EITHER key (or both)
+    * maps to a bounded set of z-runs, which parquet row-group min/max
+    * stats then prune at the scan (SinksSpec measures the effect).
+    * Bit i of x lands at z-bit 2i, bit i of y at 2i+1 (y is the
+    * "major" axis on ties). Inputs outside [0, 2^bits) → null —
+    * never a silently-wrapped key; bits ≤ 31 keeps z positive.
+    * Interpreted and generated code both run the public-domain
+    * 5-shift magic-mask spreading ([[ZOrderKernel]]); its equality
+    * with the literal per-bit loop (the formulation the DuckDB
+    * oracle runs) is a ScalaCheck law. */
+  case class ZOrder2(left: Expression, right: Expression, bits: Int)
+      extends BinaryExpression {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "zorder2"
+    private val lim = 1L << bits
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[Long]
+      val y = b.asInstanceOf[Long]
+      if (x < 0L || y < 0L || x >= lim || y >= lim) null
+      else ZOrderKernel.interleave(x, y)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        s"""
+           |if ($a < 0L || $b < 0L || $a >= ${lim}L || $b >= ${lim}L) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = graft.plans.ZOrderKernel.interleave($a, $b);
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): ZOrder2 =
+      copy(left = l, right = r)
+  }
+
+  def zorder2(x: Column, y: Column, bits: Int = 31): Column =
+    org.apache.spark.sql.GraftShims.column(ZOrder2(
+      org.apache.spark.sql.GraftShims.expression(x.cast("bigint")),
+      org.apache.spark.sql.GraftShims.expression(y.cast("bigint")), bits))
 
   /** Register SQL-callable names on a session (idempotent). */
   def register(spark: SparkSession): Unit = {

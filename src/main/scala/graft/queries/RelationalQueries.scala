@@ -126,6 +126,25 @@ object RelationalQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Z-order tile histogram: Morton-interleave the low 6 bits of
+    * (l_partkey, l_suppkey) into a 64×64 grid tile id and aggregate
+    * per tile — the compiled [[graft.plans.expressions.ZOrder2]]
+    * expression exercised end-to-end with exact integer output (the
+    * oracle unrolls the interleave as plain bit arithmetic). The
+    * write-side layout use of the same expression is
+    * [[graft.io.Sinks.writeZOrdered]], whose row-group pruning win
+    * is measured in SinksSpec. */
+  def zorderCells(s: SparkSession, dir: String): DataFrame = {
+    val li = graft.io.Tables.lineitem(s, dir)
+    val z = graft.plans.expressions.zorder2(
+      pmod(col("l_partkey"), lit(64)), pmod(col("l_suppkey"), lit(64)), 6)
+    li.select(z.as("cell"), col("l_quantity").cast("decimal(38,2)").as("q"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"))
+      .select(col("cell"), col("n"), asFixedPoint(col("sq"), 100).as("sum_qty_cents"))
+      .orderBy("cell")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_outer_join" -> (outerJoin _),
     "rel_q1_pricing" -> (q1 _),
@@ -140,7 +159,8 @@ object RelationalQueries {
     "rel_grouping_sets" -> (groupingSetsQ _),
     "rel_subquery_brand_avg" -> (subqueryQ _),
     "rel_skew_salted_agg" -> (skewSalted _),
-    "rel_bloom_join" -> (bloomJoin _))
+    "rel_bloom_join" -> (bloomJoin _),
+    "rel_zorder_cells" -> (zorderCells _))
 
   val oracles: Map[String, String] = Map(
     "rel_q1_pricing" ->
@@ -232,6 +252,16 @@ object RelationalQueries {
         |SELECT coalesce(c.nk, s.nk) AS nk,
         |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
         |FROM c FULL OUTER JOIN s ON c.nk = s.nk ORDER BY nk""".stripMargin,
+    // the interleave unrolled as plain bit arithmetic (bit i of x →
+    // z-bit 2i, bit i of y → 2i+1) — exact integers end to end
+    "rel_zorder_cells" ->
+      """SELECT
+        |  CAST(list_sum(list_transform(generate_series(0, 5), i -> (((l_partkey % 64) >> i) & 1) << (2*i))) +
+        |       list_sum(list_transform(generate_series(0, 5), i -> (((l_suppkey % 64) >> i) & 1) << (2*i + 1))) AS BIGINT) AS cell,
+        |  COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DECIMAL(24,2)) * 100 AS BIGINT) AS sum_qty_cents
+        |FROM lineitem
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // plain semi-join — the bloom pre-filter is result-invisible
     "rel_bloom_join" ->
       """SELECT l_returnflag,

@@ -298,6 +298,26 @@ class PropertiesSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("law: magic-mask z-order interleave equals the literal per-bit loop") {
+    // the oracle runs the per-bit loop in SQL; the engine runs the
+    // 5-shift spread — this law is the bridge between the two
+    def literal(x: Long, y: Long): Long =
+      (0 until 31).foldLeft(0L) { (z, i) =>
+        z | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val gen = for {
+      x <- Gen.choose(0L, (1L << 31) - 1)
+      y <- Gen.choose(0L, (1L << 31) - 1)
+    } yield (x, y)
+    sample(gen, 500).foreach { case (x, y) =>
+      assert(graft.plans.ZOrderKernel.interleave(x, y) === literal(x, y), s"x=$x y=$y")
+    }
+    // axis placement: x occupies even bits, y odd bits
+    assert(graft.plans.ZOrderKernel.interleave(1L, 0L) === 1L)
+    assert(graft.plans.ZOrderKernel.interleave(0L, 1L) === 2L)
+    assert(graft.plans.ZOrderKernel.interleave(3L, 3L) === 15L)
+  }
+
   test("law: int8 quantization is invariant under power-of-two rescaling") {
     // ⌊(c·x)·127/(c·amax)⌋ = ⌊x·127/amax⌋ exactly when c is a power of
     // two: the rescale is a pure exponent shift, so both the product
