@@ -44,4 +44,35 @@ object Skew {
       Seq(value, lit(1)))
       .withColumnRenamed("agg0", "sum_value")
       .withColumnRenamed("agg1", "n")
+
+  /** SALTED SKEW JOIN — the join-side counterpart of
+    * [[saltedAggregate]], for when BOTH sides must shuffle (neither
+    * broadcasts) and the probe side is pathologically skewed on the
+    * join key: a hot key that hash-partitions into one task turns a
+    * 1000-executor join into a 1-task join. Salting restores
+    * parallelism deterministically: the probe side gets a salt in
+    * [0, buckets) derived from row content (partition id + row id —
+    * any uniform source works; result-invisible by construction), the
+    * build side replicates each row `buckets` times with every salt,
+    * and the join runs on (key, salt) — each hot key now spreads over
+    * `buckets` tasks. Build-side cost: ×buckets rows, the standard
+    * replication trade; keep the build side the smaller one.
+    *
+    * Returns the joined frame (probe columns + build columns minus
+    * the build's join key). Inner-join semantics; EXACTLY the rows of
+    * the plain inner join (SkewSpec pins equality and the no-funnel
+    * task profile under a forced shuffle-hash join). */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+                 buckets: Int = 16): DataFrame = {
+    val salted = probe.withColumn("_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)).cast("int"))
+    val replicated = build
+      .withColumn("_salt", explode(array((0 until buckets).map(lit): _*)))
+      .withColumnRenamed(key, "_bkey")
+    salted
+      .join(replicated.hint("shuffle_hash"),
+        salted(key) === replicated("_bkey") && salted("_salt") === replicated("_salt"),
+        "inner")
+      .drop("_salt").drop("_bkey")
+  }
 }

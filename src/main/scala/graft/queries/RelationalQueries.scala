@@ -126,6 +126,47 @@ object RelationalQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Incremental aggregate maintenance: the base slice's per-group
+    * state (computed once) merged with a delta batch's partials must
+    * equal the flat GROUP BY over everything — the oracle IS that
+    * flat recompute ([[graft.operators.Incremental]]). The base/delta
+    * split is deterministic (orderkey mod 10). */
+  def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = graft.io.Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_orderkey"),
+        col("l_extendedprice").cast("decimal(38,2)").as("p"))
+    val base = li.filter(pmod(col("l_orderkey"), lit(10)) =!= 0)
+    val delta = li.filter(pmod(col("l_orderkey"), lit(10)) === 0)
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val merged = graft.operators.Incremental.mergeStates(
+      Seq(graft.operators.Incremental.partialState(base, keys, col("p")),
+        graft.operators.Incremental.partialState(delta, keys, col("p"))), keys)
+    graft.operators.Incremental.finalizeState(merged, keys)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        asFixedPoint(col("sum_value"), 100).as("sum_price_cents"), col("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Salted skew JOIN: lineitem joined to a 3-row per-flag dim table
+    * under a forced shuffle-hash join — the 3-value key would funnel
+    * the whole fact table into 3 tasks; salting spreads each hot key
+    * over 16. The oracle is the PLAIN join ([[graft.operators.Skew]]);
+    * SkewSpec pins the task profile. */
+  def skewSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = graft.io.Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_quantity").cast("decimal(38,2)").as("q"))
+    val dim = graft.io.Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(min(col("l_shipdate")).as("first_ship"))
+      .withColumnRenamed("flag", "l_returnflag")
+    graft.operators.Skew.saltedJoin(li, dim, "l_returnflag", buckets = 16)
+      .groupBy("l_returnflag")
+      .agg(date_format(min(col("first_ship")), Fmt).as("first_ship"),
+        asFixedPoint(sum(col("q")), 100).as("sum_qty_cents"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   /** Z-order tile histogram: Morton-interleave the low 6 bits of
     * (l_partkey, l_suppkey) into a 64×64 grid tile id and aggregate
     * per tile — the compiled [[graft.plans.expressions.ZOrder2]]
@@ -160,7 +201,9 @@ object RelationalQueries {
     "rel_subquery_brand_avg" -> (subqueryQ _),
     "rel_skew_salted_agg" -> (skewSalted _),
     "rel_bloom_join" -> (bloomJoin _),
-    "rel_zorder_cells" -> (zorderCells _))
+    "rel_zorder_cells" -> (zorderCells _),
+    "rel_incremental_agg" -> (incrementalAgg _),
+    "rel_skew_salted_join" -> (skewSaltedJoin _))
 
   val oracles: Map[String, String] = Map(
     "rel_q1_pricing" ->
@@ -252,6 +295,23 @@ object RelationalQueries {
         |SELECT coalesce(c.nk, s.nk) AS nk,
         |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
         |FROM c FULL OUTER JOIN s ON c.nk = s.nk ORDER BY nk""".stripMargin,
+    // flat recompute over base ∪ delta — state-then-merge must be
+    // indistinguishable (exact decimals ⇒ merge order invisible)
+    "rel_incremental_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DECIMAL(24,2)) * 100 AS BIGINT) AS sum_price_cents,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // plain join — salting + forced shuffle-hash is result-invisible
+    "rel_skew_salted_join" ->
+      """WITH dim AS (SELECT l_returnflag AS flag, MIN(l_shipdate) AS fs
+        |             FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag,
+        |  strftime(fs, '%Y-%m-%d %H:%M:%S') AS first_ship,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DECIMAL(24,2)) * 100 AS BIGINT) AS sum_qty_cents,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN dim ON l_returnflag = flag
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     // the interleave unrolled as plain bit arithmetic (bit i of x →
     // z-bit 2i, bit i of y → 2i+1) — exact integers end to end
     "rel_zorder_cells" ->

@@ -40,6 +40,75 @@ class LibrarySpec extends SparkSpec {
     }
   }
 
+  test("salted join equals the plain join, with no hot-key task funnel") {
+    val li = Tables.lineitem(spark, sf001).select("l_orderkey", "l_linenumber", "l_returnflag")
+    val dim = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("dim_n"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("l_orderkey", "l_linenumber", "l_returnflag", "dim_n")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+    val plain = rows(li.join(dim.withColumnRenamed("l_returnflag", "_k"),
+      col("l_returnflag") === col("_k")).drop("_k"))
+    val maxTask = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) maxTask.getAndUpdate(p => math.max(p, m.shuffleReadMetrics.recordsRead))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // AQE's partition coalescing folds this toy-sized shuffle into ONE
+    // task regardless of keys, hiding the distribution under test;
+    // disable it and widen the reduce side so the two regimes separate
+    // (at cluster scale the hot key exceeds any coalesce target and
+    // the same spread is what saves the join)
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    val salted =
+      try {
+        val got = rows(Skew.saltedJoin(li, dim, "l_returnflag", buckets = 16))
+        org.apache.spark.GraftSparkShims.drainListenerBus(spark.sparkContext)
+        got
+      } finally {
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    assert(salted === plain)
+    // 3 hot keys × 16 salts over 32 reduce tasks: a task holds a few
+    // hundred rows; an unsalted 3-key join concentrates a whole flag
+    // (~2000 rows, a third of the table) in one task
+    val total = li.count()
+    assert(maxTask.get < total / 6,
+      s"a task read ${maxTask.get} of $total shuffle records — salt not spreading")
+  }
+
+  test("incremental state merge equals the flat aggregate for any split") {
+    val li = Tables.lineitem(spark, sf001)
+      .select(col("l_returnflag"), col("l_orderkey"),
+        col("l_extendedprice").cast("decimal(38,2)").as("p"))
+    val keys = Seq("l_returnflag")
+    val flat = li.groupBy("l_returnflag")
+      .agg(sum("p").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDecimal(1), r.getLong(2))).toMap
+    // three disjoint slices, including one that owns some groups
+    // exclusively (flag 'R' only in slice c — new-group path)
+    val a = li.filter(pmod(col("l_orderkey"), lit(3)) === 0 && col("l_returnflag") =!= "R")
+    val b = li.filter(pmod(col("l_orderkey"), lit(3)) =!= 0 && col("l_returnflag") =!= "R")
+    val c = li.filter(col("l_returnflag") === "R")
+    val merged = graft.operators.Incremental.finalizeState(
+      graft.operators.Incremental.mergeStates(
+        Seq(a, b, c).map(s => graft.operators.Incremental.partialState(s, keys, col("p"))),
+        keys), keys)
+      .collect().map(r => r.getString(0) -> (r.getDecimal(1), r.getLong(2))).toMap
+    assert(merged.keySet === flat.keySet)
+    flat.foreach { case (k, (s, n)) =>
+      assert(merged(k)._1.compareTo(s) === 0 && merged(k)._2 === n, s"group $k")
+    }
+  }
+
   test("partitioned sink round-trips and prunes partitions at the scan") {
     val dir = Files.createTempDirectory("graft-sink").toString
     val docs = Tables.documents(spark, sf001)

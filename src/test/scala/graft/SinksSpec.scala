@@ -65,13 +65,4 @@ class SinksSpec extends SparkSpec {
       s"z-ordered read $readZ records vs $readNatural natural — no pruning win")
   }
 
-  test("partitioned sink round-trips and prunes to matching directories") {
-    val li = Tables.lineitem(spark, sf001).select("l_orderkey", "l_returnflag")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
-    Sinks.writePartitioned(li, tmp, Seq("l_returnflag"))
-    val back = Sinks.readPartitioned(spark, tmp)
-    assert(back.count() === li.count())
-    val one = back.filter(col("l_returnflag") === "R")
-    assert(one.count() === li.filter(col("l_returnflag") === "R").count())
-  }
 }
