@@ -58,6 +58,7 @@ object ScaleUp {
       .select(
         (col("id") / 4).cast("long").as("l_orderkey"),
         (pmod(xxhash64(col("id"), lit(9)), lit(200000)) + 1).as("l_partkey"),
+        (pmod(xxhash64(col("id"), lit(16)), lit(10000)) + 1).as("l_suppkey"),
         element_at(array(lit("A"), lit("N"), lit("R")),
           (rand(10) * 3).cast("int") + 1).as("l_returnflag"),
         element_at(array(lit("F"), lit("O")), (rand(11) * 2).cast("int") + 1)
@@ -68,6 +69,14 @@ object ScaleUp {
         timestamp_seconds(lit(ship0) + (rand(15) * 1825 * Day).cast("long"))
           .as("l_shipdate"))
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    // orders: 1.5M rows (matches l_orderkey = id/4), price skewed so
+    // the bloom query's > 400k threshold keeps ~20% of orders
+    spark.range(0, 1500000L, 1, 32)
+      .select(
+        col("id").as("o_orderkey"),
+        (pmod(xxhash64(col("id"), lit(17)), lit(150000)) + 1).as("o_custkey"),
+        round(rand(16) * 500000, 2).as("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
     // supplier: 10k rows over 25 nations
     spark.range(1, 10001L, 1, 8)
       .select(
@@ -133,7 +142,13 @@ object ScaleUp {
     // the exact-decimal 10-round Lloyd fit on 10× embeddings
     "dedup_winnow_pairs", "kmeans_fit_native",
     // round 5b: the two-level packing prefix sum over 50 k docs
-    "text_pack")
+    "text_pack",
+    // round 5c: heavy hitters (bounded-state MG + recount over 5M
+    // tokens), bloom pruning against 10× orders, int8 ANN over 20k
+    // vectors, the z-order tile agg, incremental state merge, and the
+    // salted hot-key join (3 keys × 6M rows)
+    "text_heavy_hitters", "rel_bloom_join", "ann_quant_topk",
+    "rel_zorder_cells", "rel_incremental_agg", "rel_skew_salted_join")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft-scale10")
@@ -142,7 +157,7 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("ERROR")
     // guard on the NEWEST table so a scale dir generated by an older
     // harness version (missing later tables) is refreshed, not reused
-    if (!new java.io.File(s"$out/embeddings.parquet").exists) {
+    if (!new java.io.File(s"$out/orders.parquet").exists) {
       println(s"[scaleup] generating synthetic 10x fixture under $out")
       generate(spark, out, sfDir)
     }
