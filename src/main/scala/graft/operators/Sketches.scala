@@ -57,17 +57,17 @@ object Sketches {
           .as("est_distinct"): _*)
   }
 
-  /** One MISRA-GRIES pass over a token stream with k counters: any
-    * item occurring more than n/(k+1) times in the stream is
-    * guaranteed to survive (each eviction round removes k+1 stream
-    * occurrences — the newcomer plus one decrement from each of the k
-    * counters — so an item's counter can be zeroed at most n/(k+1)
-    * times). Pure function so the guarantee is directly law-testable
-    * (PropertiesSpec) and the cluster op below shares the exact code
-    * path with the test. */
-  def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
-    val counts = scala.collection.mutable.HashMap.empty[String, Long]
-    it.foreach { t =>
+  /** MISRA-GRIES sketch state with k counters: any item occurring
+    * more than n/(k+1) times in the offered stream is guaranteed to
+    * survive (each eviction round removes k+1 stream occurrences —
+    * the newcomer plus one decrement from each of the k counters — so
+    * an item's counter can be zeroed at most n/(k+1) times). A tiny
+    * mutable class rather than a closure so the executor-side fused
+    * pass (candidates + stream length in ONE scan) and the pure
+    * law-tested wrapper below share the exact eviction code. */
+  final class MisraGries(k: Int) {
+    private val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    def offer(t: String): Unit =
       counts.get(t) match {
         case Some(c) => counts.update(t, c + 1)
         case None if counts.size < k => counts.update(t, 1L)
@@ -75,8 +75,14 @@ object Sketches {
           counts.mapValuesInPlace((_, c) => c - 1)
           counts.filterInPlace((_, c) => c > 0)
       }
-    }
-    counts.keysIterator
+    def candidates: Iterator[String] = counts.keysIterator
+  }
+
+  /** Pure one-shot wrapper over [[MisraGries]] (PropertiesSpec law). */
+  def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
+    val mg = new MisraGries(k)
+    it.foreach(mg.offer)
+    mg.candidates
   }
 
   /** HEAVY HITTERS — all tokens with share ≥ shareNum/shareDen of the
@@ -93,13 +99,18 @@ object Sketches {
     * with exact integer cross-multiplication, so the result equals
     * the plain GROUP BY ... HAVING the oracle runs.
     *
-    * Scale shape at 100 TB: the MG pass is one bounded-state scan
-    * (k counters/partition, no shuffle); candidates are ≤ k·partitions
-    * rows (a few MB at any scale) — broadcast back; the recount's
-    * groupBy shuffles ONLY candidate tokens after map-side partial
-    * aggregation, never the full Heaps'-law vocabulary the plain
-    * GROUP BY would exchange. The total-count scan piggybacks no
-    * shuffle (algebraic count). */
+    * Scale shape at 100 TB — TWO scans of the token stream, the floor
+    * for exact counts: scan 1 is the fused sketch pass (k bounded
+    * counters per partition AND the partition's token count in the
+    * same iteration — the stream total rides along instead of costing
+    * its own scan); its ≤ (k+1)·partitions output rows aggregate to
+    * (distinct candidates, total) in one tiny job whose driver
+    * collect is candidate-sized, like Bloom.buildBitmap's — never the
+    * data. Scan 2 is the exact recount: candidates broadcast back,
+    * the groupBy shuffles ONLY candidate tokens after map-side
+    * partial aggregation, never the full Heaps'-law vocabulary the
+    * plain GROUP BY would exchange; the threshold enters as a
+    * literal, so no cross-join subtree. */
   def heavyHitters(tokens: DataFrame, tokenCol: String,
                    k: Int = 255, shareNum: Long = 1, shareDen: Long = 200): DataFrame = {
     require(shareNum > 0 && shareDen > 0 && shareNum * (k + 1) > shareDen,
@@ -107,13 +118,21 @@ object Sketches {
     val spark = tokens.sparkSession
     import spark.implicits._
     val t = tokens.select(col(tokenCol).cast("string").as("token"))
-    val cands = t.as[String].mapPartitions(it => misraGries(it, k))
-      .distinct().toDF("token")
-    val total = t.agg(count(lit(1)).as("_total"))
-    t.join(broadcast(cands), Seq("token"))
+    // fused pass: null-token marker row carries the partition count
+    val sketch = t.as[String].mapPartitions { it =>
+      val mg = new MisraGries(k)
+      var n = 0L
+      it.foreach { tok => n += 1; mg.offer(tok) }
+      Iterator.single((None: Option[String], n)) ++
+        mg.candidates.map(c => (Some(c), 0L))
+    }.toDF("token", "_n")
+      .groupBy("token").agg(sum("_n").as("_n"))
+      .collect()
+    val total = sketch.find(_.isNullAt(0)).map(_.getLong(1)).getOrElse(0L)
+    val cands = sketch.collect { case r if !r.isNullAt(0) => r.getString(0) }.toSeq
+    t.join(broadcast(cands.toDF("token")), Seq("token"))
       .groupBy("token").agg(count(lit(1)).as("n_occ"))
-      .crossJoin(broadcast(total))
-      .filter(col("n_occ") * lit(shareDen) >= col("_total") * lit(shareNum))
+      .filter(col("n_occ") * lit(shareDen) >= lit(total) * lit(shareNum))
       .select(col("token"), col("n_occ"))
   }
 }
