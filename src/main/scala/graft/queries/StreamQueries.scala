@@ -237,7 +237,61 @@ object StreamQueries {
       .orderBy("event_type")
   }
 
+  /** Incremental aggregate maintenance driven by its intended engine:
+    * a foreachBatch stream where every micro-batch contributes its
+    * [[graft.operators.Incremental.partialState]] and the running
+    * state table (group-cardinality-sized — collected and re-lifted
+    * per batch so plans never chain across batches) is merged with
+    * [[graft.operators.Incremental.mergeStates]]. The fixture arrives
+    * as one batch here; the multi-batch trajectory (3 files ×
+    * maxFilesPerTrigger=1 ≡ the flat aggregate) is StreamingSpec's
+    * law. Oracle = the flat GROUP BY, same as `rel_incremental_agg` —
+    * batch, delta-merge, and streaming must all land on the same
+    * exact-decimal answer. */
+  /** The core maintenance loop, shared with StreamingSpec's 3-batch
+    * law (`maxFilesPerTrigger` splits a multi-file dir into real
+    * successive micro-batches there). Returns the finalized state. */
+  private[graft] def incrementalStateOf(s: SparkSession, srcDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val reader = maxFilesPerTrigger.foldLeft(s.readStream.schema(schema)) {
+      (r, n) => r.option("maxFilesPerTrigger", n)
+    }
+    val li = reader.parquet(srcDir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_extendedprice").cast("decimal(38,2)").as("p"))
+    @volatile var state: Option[(Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)] = None
+    val q = li.writeStream.queryName("stream_incremental_q")
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val partial = graft.operators.Incremental.partialState(batch, keys, col("p"))
+        val merged = state match {
+          case None => partial
+          case Some((rows, sc)) =>
+            val prev = s.createDataFrame(java.util.Arrays.asList(rows: _*), sc)
+            graft.operators.Incremental.mergeStates(Seq(prev, partial), keys)
+        }
+        state = Some((merged.collect(), merged.schema))
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val (rows, sc) = state.getOrElse((Array.empty[org.apache.spark.sql.Row], null))
+    graft.operators.Incremental.finalizeState(
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), sc), keys)
+  }
+
+  def incrementalParity(s: SparkSession, dir: String): DataFrame =
+    incrementalStateOf(s, streamDir(dir, "lineitem"),
+        graft.io.Tables.lineitem(s, dir).schema, None)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        (col("sum_value") * 100).cast("long").as("sum_price_cents"), col("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_incremental_parity" -> (incrementalParity _),
     "stream_window_parity" -> (windowParity _),
     "stream_session_parity" -> (sessionParity _),
     "stream_join_pairs" -> (joinPairs _),
@@ -247,6 +301,13 @@ object StreamQueries {
     "stream_mix_parity" -> (mixParity _))
 
   val oracles: Map[String, String] = Map(
+    // flat recompute — batch (rel_incremental_agg), delta-merge, and
+    // the streamed state table must all equal it exactly
+    "stream_incremental_parity" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DECIMAL(24,2)) * 100 AS BIGINT) AS sum_price_cents,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_window_parity" ->
       s"""SELECT strftime(date_trunc('hour', ts), '$DuckFmt') AS window_start,
          |  event_type, COUNT(*) AS n,

@@ -210,4 +210,24 @@ class StreamingSpec extends SparkSpec {
     assert(out.contains((7L, 2L)), s"first session emitted: ${out.toSeq}")
     assert(out.contains((7L, 1L)), s"second session emitted on timeout: ${out.toSeq}")
   }
+
+  test("incremental state over 3 real micro-batches equals the flat aggregate") {
+    import org.apache.spark.sql.functions._
+    val li = graft.io.Tables.lineitem(spark, sf001)
+    // 3 parquet files + maxFilesPerTrigger=1 → 3 successive batches
+    val dir = java.nio.file.Files.createTempDirectory("graft-inc-stream").toString
+    li.repartition(3).write.mode("overwrite").parquet(dir)
+    val got = graft.queries.StreamQueries
+      .incrementalStateOf(spark, dir, li.schema, maxFilesPerTrigger = Some(1))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getDecimal(2), r.getLong(3))).toMap
+    val flat = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_extendedprice").cast("decimal(38,2)")).as("s"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getDecimal(2), r.getLong(3))).toMap
+    assert(got.keySet === flat.keySet)
+    flat.foreach { case (k, (sv, n)) =>
+      assert(got(k)._1.compareTo(sv) === 0 && got(k)._2 === n, s"group $k")
+    }
+  }
 }
