@@ -229,9 +229,25 @@ object Dedup {
     * 1 − (1 − s^r)^b. Bucket-fold collisions merely admit spurious
     * candidates (filtered by the exact verify) and are identical in
     * every engine. */
+  /** A band bucket holding more than this many docs contributes
+    * O(size²) candidate pairs from ONE bucket — at corpus scale that
+    * is the boilerplate/templated-text signature (near-identical docs
+    * by the thousand), and verifying the quadratic candidate set is
+    * the blowup, not the answer. Cap semantics mirror
+    * [[DefaultMaxShingleFreq]]/[[DefaultMaxFpFreq]]: oversized
+    * buckets are DROPPED on both operator and oracle sides (the cap
+    * is part of the operator's definition, replayed in SQL), trading
+    * recall on mega-clusters — which exact dedup or winnow groups
+    * catch — for a join bound of cap × buckets. 10× evidence: the
+    * adversarial 40-word-vocabulary corpus collapses every doc into a
+    * few buckets; with the cap the candidate join does bounded work
+    * (BASELINE.md round-5c). */
+  val DefaultMaxBucketSize = 64
+
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  n: Int = 3, numHashes: Int = 32, bands: Int = 8,
-                 threshold: Double = 0.8): DataFrame = {
+                 threshold: Double = 0.8,
+                 maxBucketSize: Option[Int] = Some(DefaultMaxBucketSize)): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(numHashes <= 64, "at most 64 hash functions are pre-seeded")
     val r = numHashes / bands
@@ -265,9 +281,16 @@ object Dedup {
     // arrays — so the self-join shuffles fixed-width rows; the (few)
     // surviving candidate pairs re-join to fetch shingle sets for
     // exact verification.
-    val buckets = sig
+    val buckets0 = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val buckets = maxBucketSize match {
+      case Some(cap) =>
+        val hot = buckets0.groupBy("band", "bucket").count()
+          .filter(col("count") > cap).select("band", "bucket")
+        buckets0.join(hot, Seq("band", "bucket"), "left_anti")
+      case None => buckets0
+    }
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))

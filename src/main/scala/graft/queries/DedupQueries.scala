@@ -290,7 +290,11 @@ object DedupQueries {
     "dedup_minhash" -> (shingleCte +
       s""", fps AS (SELECT doc_id, ${fpSql("s")} AS f FROM sh0),
          |sig AS (SELECT doc_id, $minhashSigCols FROM fps GROUP BY doc_id),
-         |bk AS ($minhashBuckets),
+         |bk0 AS ($minhashBuckets),
+         |bkhot AS (SELECT band, bucket FROM bk0 GROUP BY 1, 2
+         |          HAVING COUNT(*) > ${Dedup.DefaultMaxBucketSize}),
+         |bk AS (SELECT x.* FROM bk0 x LEFT JOIN bkhot h
+         |       ON x.band = h.band AND x.bucket = h.bucket WHERE h.band IS NULL),
          |mcand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |          FROM bk x JOIN bk y
          |          ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),

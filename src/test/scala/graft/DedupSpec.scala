@@ -55,6 +55,27 @@ class DedupSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((1L, 2L, 1.0)))
   }
 
+  test("minhash hot-bucket cap: inert on the fixture, bounds a mega-cluster's join") {
+    // fixture buckets are all small — the default cap must not move
+    // the answer
+    def pairSet(cap: Option[Int]) =
+      Dedup.minhashLsh(docs, "doc_id", "text", 3, 32, 8, 0.8, maxBucketSize = cap)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(Some(Dedup.DefaultMaxBucketSize)) === pairSet(None))
+    // 100 identical docs = one 100-doc bucket per band = 4950
+    // candidate pairs from one bucket; cap 64 drops the mega-bucket
+    // (boilerplate semantics — exact dedup / winnow groups own it)
+    val mega = (1L to 100L)
+      .map(i => (i, "same boilerplate sentence repeated across the whole corpus here"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minhashLsh(mega, "doc_id", "text", 3, 32, 8, 0.8,
+      maxBucketSize = Some(64))
+    assert(capped.count() === 0L)
+    val uncapped = Dedup.minhashLsh(mega, "doc_id", "text", 3, 32, 8, 0.8,
+      maxBucketSize = None)
+    assert(uncapped.count() === 4950L)
+  }
+
   test("simhash: identical text -> hamming 0; near-identical -> small hamming") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
