@@ -298,6 +298,45 @@ class PropertiesSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("law: bloom bitmap has no false negatives for any (size, hashes, seed)") {
+    // membership of every inserted key must hold across configs —
+    // including a 1-word bitmap (saturation is allowed, misses are not)
+    val gen = for {
+      mWords <- Gen.oneOf(1, 4, 64, 512)
+      nHashes <- Gen.choose(1, 6)
+      seed <- Gen.choose(1L, 1000000L)
+      keys <- Gen.listOfN(200, Gen.choose(-1000000L, 1000000L))
+    } yield (mWords, nHashes, seed, keys.distinct)
+    sample(gen, 8).foreach { case (mWords, nHashes, seed, keys) =>
+      val df = keys.toDF("k")
+      val words = graft.operators.Bloom.buildBitmap(df, "k", mWords, nHashes, seed)
+      val misses = df.filter(
+        !graft.operators.Bloom.mightContain(col("k"), words, nHashes, seed)).count()
+      assert(misses === 0L, s"mWords=$mWords nHashes=$nHashes seed=$seed")
+    }
+  }
+
+  test("law: salted join equals the plain join under duplicate build keys") {
+    // the build side is REPLICATED per salt — row multiplicity from
+    // duplicate build keys must survive exactly (each duplicate
+    // matches a probe row exactly once, through its one salt)
+    val gen = for {
+      probe <- Gen.listOfN(60, Gen.zip(Gen.choose(1, 4), Gen.choose(0, 1000)))
+      build <- Gen.listOfN(10, Gen.zip(Gen.choose(1, 4), Gen.choose(0, 1000)))
+    } yield (probe, build)
+    sample(gen, 6).foreach { case (probe, build) =>
+      val p = probe.toDF("k", "pv")
+      val b = build.toDF("k", "bv")
+      def multiset(df: org.apache.spark.sql.DataFrame) =
+        df.select("k", "pv", "bv").collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).sorted.toSeq
+      val plain = multiset(p.join(b.withColumnRenamed("k", "_k"),
+        p("k") === col("_k"), "inner").drop("_k"))
+      val salted = multiset(graft.operators.Skew.saltedJoin(p, b, "k", buckets = 5))
+      assert(salted === plain)
+    }
+  }
+
   test("law: magic-mask z-order interleave equals the literal per-bit loop") {
     // the oracle runs the per-bit loop in SQL; the engine runs the
     // 5-shift spread — this law is the bridge between the two
