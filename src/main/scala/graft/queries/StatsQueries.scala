@@ -122,6 +122,26 @@ object StatsQueries {
         "token", k = 255, shareNum = 1, shareDen = 200)
       .orderBy(col("n_occ").desc, col("token"))
 
+  /** Column profiling — the ANALYZE-style surface a pipeline engine
+    * needs before it can plan (skew detection, dictionary-vs-plain
+    * encoding choices, broadcast-size estimates): per-column row
+    * count, presence, exact distinct count, min and max. Shape:
+    * UNPIVOT first (stack — in-row, zero shuffle), THEN one grouped
+    * aggregation keyed by column name: one exchange of partial
+    * aggregates regardless of how many columns are profiled, instead
+    * of one count_distinct EXPAND per column. */
+  def profile(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_partkey")
+    val stackExpr = cols.map(c => s"'$c', CAST($c AS DOUBLE)").mkString(", ")
+    Tables.lineitem(s, dir)
+      .select(expr(s"stack(${cols.length}, $stackExpr) AS (col_name, v)"))
+      .groupBy("col_name")
+      .agg(count(lit(1)).as("n"), count(col("v")).as("n_present"),
+        count_distinct(col("v")).as("n_distinct"),
+        round(min(col("v")), 6).as("vmin"), round(max(col("v")), 6).as("vmax"))
+      .orderBy("col_name")
+  }
+
   /** As-of join: each event joined to the user's most recent purchase
     * event at or before it. */
   def asofLastPurchase(s: SparkSession, dir: String): DataFrame = {
@@ -161,6 +181,7 @@ object StatsQueries {
     "rel_approx_distinct" -> (approxDistinct _),
     "rel_kmv_distinct" -> (kmvDistinct _),
     "text_heavy_hitters" -> (heavyHitters _),
+    "rel_profile" -> (profile _),
     "asof_last_purchase" -> (asofLastPurchase _),
     "sql_q1_pricing" -> (sqlPricing _))
 
@@ -219,6 +240,16 @@ object StatsQueries {
         |FROM w GROUP BY 1
         |HAVING COUNT(*) * 200 >= (SELECT total FROM n)
         |ORDER BY n_occ DESC, token""".stripMargin,
+    "rel_profile" ->
+      """WITH u AS (
+        |  SELECT 'l_quantity' AS col_name, CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        |  UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+        |  UNION ALL SELECT 'l_partkey', CAST(l_partkey AS DOUBLE) FROM lineitem)
+        |SELECT col_name, COUNT(*) AS n, COUNT(v) AS n_present,
+        |  COUNT(DISTINCT v) AS n_distinct,
+        |  round(MIN(v), 6) AS vmin, round(MAX(v), 6) AS vmax
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     "asof_last_purchase" ->
       """WITH p AS (SELECT user_id, ts, max(event_id) AS p_event_id
         |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),

@@ -153,6 +153,24 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("profile rows equal direct per-column aggregates") {
+    val li = graft.io.Tables.lineitem(spark, sf001)
+    val prof = graft.queries.StatsQueries.profile(spark, sf001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    val n = li.count()
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_partkey").foreach { c =>
+      val d = li.select(col(c).cast("double").as("v"))
+      val (nd, mn, mx) = d.agg(count_distinct(col("v")), min("v"), max("v"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).head
+      val row = prof(c)
+      // Spark's round() is HALF_UP over the double's BigDecimal image
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(row._1 === n && row._2 === n && row._3 === nd, s"col $c counts")
+      assert(row._4 === r6(mn) && row._5 === r6(mx), s"col $c extremes")
+    }
+  }
+
   test("rollup grand total equals table count") {
     val r = graft.queries.StatsQueries.rollup(spark, sf001).collect()
     val grand = r.filter(row => row.isNullAt(0) && row.isNullAt(1))
