@@ -148,7 +148,8 @@ object ScaleUp {
     // vectors, the z-order tile agg, incremental state merge, and the
     // salted hot-key join (3 keys × 6M rows)
     "text_heavy_hitters", "rel_bloom_join", "ann_quant_topk",
-    "rel_zorder_cells", "rel_incremental_agg", "rel_skew_salted_join")
+    "rel_zorder_cells", "rel_incremental_agg", "rel_skew_salted_join",
+    "rel_profile", "stream_incremental_parity")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft-scale10")

@@ -127,9 +127,14 @@ object StatsQueries {
     * encoding choices, broadcast-size estimates): per-column row
     * count, presence, exact distinct count, min and max. Shape:
     * UNPIVOT first (stack — in-row, zero shuffle), THEN one grouped
-    * aggregation keyed by column name: one exchange of partial
-    * aggregates regardless of how many columns are profiled, instead
-    * of one count_distinct EXPAND per column. */
+    * aggregation keyed by column name: ONE exchange regardless of how
+    * many columns are profiled, instead of a count_distinct EXPAND
+    * per column. That exchange necessarily carries Σ per-column
+    * DISTINCT values (map-side dedup collapses repeats — measured
+    * 603 k records for 2.4 M scanned values at sf0.1): exact distinct
+    * counting cannot ship less. Profiling a 100 TB high-cardinality
+    * column wants the sketch path instead — [[kmvDistinct]] is the
+    * oracle-exact estimator for exactly that trade. */
   def profile(s: SparkSession, dir: String): DataFrame = {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_partkey")
     val stackExpr = cols.map(c => s"'$c', CAST($c AS DOUBLE)").mkString(", ")
