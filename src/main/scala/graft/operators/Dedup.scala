@@ -398,7 +398,8 @@ object Dedup {
     * (pair generation at different radii, a persisted/memoized frame
     * across repeated runs in one process). Semantics identical to
     * [[simhash]]. */
-  def simhashPairs(fp: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(fp: DataFrame, maxHamming: Int = 3,
+                   maxBucketSize: Option[Int] = None): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming=$maxHamming must be in [0, 63]")
     val nb = maxHamming + 1
@@ -406,8 +407,24 @@ object Dedup {
       val mask = if (w == 64) -1L else (1L << w) - 1
       s"$i, shiftright(sh, $off) & ${mask}L"
     }.mkString(", ")
-    val bands = fp.select(col("doc_id"), col("sh"),
+    val bands0 = fp.select(col("doc_id"), col("sh"),
       expr(s"stack($nb, $parts) AS (band, bucket)"))
+    // Optional hot-bucket guard (same mechanism as minhashLsh) —
+    // OFF by default, unlike minhash: minhash buckets live in a
+    // ~2³⁰-value fold space where only true boilerplate clusters
+    // collide, but simhash's pigeonhole bands are only ~16 bits wide
+    // and a band bucket legitimately holds many similar-but-distinct
+    // docs on real corpora (the sf0.001 fixture already exceeds 64),
+    // so a default cap would silently trade away the exhaustive
+    // h+1-band guarantee. Enable it explicitly for
+    // boilerplate-dominated corpora (DedupSpec pins the gating).
+    val bands = maxBucketSize match {
+      case Some(cap) =>
+        val hot = bands0.groupBy("band", "bucket").count()
+          .filter(col("count") > cap).select("band", "bucket")
+        bands0.join(hot, Seq("band", "bucket"), "left_anti")
+      case None => bands0
+    }
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -38,4 +38,45 @@ object Incremental {
   /** Finalize a state into the user-facing aggregate columns. */
   def finalizeState(state: DataFrame, keys: Seq[String]): DataFrame =
     state.select(keys.map(col) :+ col("_sum").as("sum_value") :+ col("_n").as("n"): _*)
+
+  /** EXACTLY-ONCE state maintenance under at-least-once batch
+    * delivery — the production face of the foreachBatch loop.
+    * Structured Streaming guarantees a replayed micro-batch keeps its
+    * batchId; this store makes the merge idempotent on that id:
+    * a batch ≤ the last committed id is dropped (its contribution is
+    * already in the committed state), otherwise the merged state is
+    * written to `dir/state_<id>` and `dir/COMMIT_<id>` is created
+    * LAST — a crash between the two leaves an uncommitted snapshot
+    * that is simply overwritten on replay. Commit markers are
+    * O(batches) empty files; snapshots are group-cardinality-sized
+    * parquet. StreamingSpec's replay law drives a batch twice and a
+    * crash-before-commit and still lands on the flat aggregate. */
+  final class IdempotentStateStore(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String, keys: Seq[String]) {
+    private val fs = new java.io.File(dir)
+    fs.mkdirs()
+
+    private def committedIds: Seq[Long] =
+      Option(fs.list()).getOrElse(Array.empty)
+        .collect { case n if n.startsWith("COMMIT_") => n.stripPrefix("COMMIT_").toLong }
+        .toSeq.sorted
+
+    def lastCommitted: Option[Long] = committedIds.lastOption
+
+    /** Committed state as a DataFrame (empty → None). */
+    def current: Option[DataFrame] =
+      lastCommitted.map(id => spark.read.parquet(s"$dir/state_$id"))
+
+    /** Fold one micro-batch's PARTIAL STATE in, exactly once. */
+    def commit(partial: DataFrame, batchId: Long): Unit = {
+      if (lastCommitted.exists(batchId <= _)) return // replayed batch
+      val merged = current match {
+        case Some(prev) => Incremental.mergeStates(Seq(prev, partial), keys)
+        case None => partial
+      }
+      merged.write.mode("overwrite").parquet(s"$dir/state_$batchId")
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(dir, s"COMMIT_$batchId"))
+    }
+  }
 }

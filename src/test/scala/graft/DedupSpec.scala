@@ -76,6 +76,19 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.count() === 4950L)
   }
 
+  test("simhash hot-bucket cap (opt-in) gates a mega-cluster; default stays exhaustive") {
+    // the cap is deliberately OFF by default for simhash — 16-bit
+    // pigeonhole bands legitimately exceed any small cap on real
+    // corpora (this fixture already does), unlike minhash's ~2^30
+    // bucket space — so only the opt-in path gates
+    val mega = (1L to 100L)
+      .map(i => (i, "same boilerplate sentence repeated across the whole corpus here"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.simhashFingerprints(mega, "doc_id", "text")
+    assert(Dedup.simhashPairs(fps, 3).count() === 4950L)
+    assert(Dedup.simhashPairs(fps, 3, maxBucketSize = Some(64)).count() === 0L)
+  }
+
   test("simhash: identical text -> hamming 0; near-identical -> small hamming") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),

@@ -211,6 +211,38 @@ class StreamingSpec extends SparkSpec {
     assert(out.contains((7L, 1L)), s"second session emitted on timeout: ${out.toSeq}")
   }
 
+  test("idempotent state store: replay and crash-before-commit never double-count") {
+    import org.apache.spark.sql.functions._
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val li = graft.io.Tables.lineitem(spark, sf001)
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_orderkey"),
+        col("l_extendedprice").cast("decimal(38,2)").as("p"))
+    def slice(m: Int) = li.filter(pmod(col("l_orderkey"), lit(3)) === m)
+    def partial(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Incremental.partialState(df, keys, col("p"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-state-store").toString
+    val store = new graft.operators.Incremental.IdempotentStateStore(spark, dir, keys)
+    store.commit(partial(slice(0)), 0)
+    store.commit(partial(slice(1)), 1)
+    store.commit(partial(slice(1)), 1) // at-least-once redelivery
+    // crash AFTER the snapshot write, BEFORE the commit marker:
+    partial(slice(2)).write.mode("overwrite").parquet(s"$dir/state_2")
+    assert(store.lastCommitted === Some(1L)) // uncommitted snapshot invisible
+    store.commit(partial(slice(2)), 2) // replay lands cleanly over it
+    store.commit(partial(slice(0)), 0) // stale replay, dropped
+    val got = graft.operators.Incremental.finalizeState(store.current.get, keys)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getDecimal(2), r.getLong(3))).toMap
+    val flat = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("p").as("s"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getDecimal(2), r.getLong(3))).toMap
+    assert(got.keySet === flat.keySet)
+    flat.foreach { case (k, (sv, n)) =>
+      assert(got(k)._1.compareTo(sv) === 0 && got(k)._2 === n, s"group $k")
+    }
+  }
+
   test("incremental state over 3 real micro-batches equals the flat aggregate") {
     import org.apache.spark.sql.functions._
     val li = graft.io.Tables.lineitem(spark, sf001)
