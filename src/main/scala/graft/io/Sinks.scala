@@ -50,4 +50,29 @@ object Sinks {
       .drop("_z")
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  /** COMPACTION — the small-files cure: rewrite a fragmented dataset
+    * into ~`targetRecordsPerFile`-row parquet files. At 100 TB a
+    * streaming ingest or over-parallel job leaves thousands of KB-
+    * sized files whose per-file open/footer cost dominates the next
+    * scan; compaction trades one rewrite for every future read.
+    * `repartition(n)` (round-robin) sizes the files; `maxRecordsPerFile`
+    * enforces the ceiling even when row-size skew concentrates rows. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetRecordsPerFile: Long): Unit = {
+    val df = spark.read.parquet(inPath)
+    val n = math.max(1, math.ceil(df.count().toDouble / targetRecordsPerFile).toInt)
+    df.repartition(n)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", targetRecordsPerFile)
+      .parquet(outPath)
+  }
+
+  /** Schema-evolved read: union a directory tree whose files were
+    * written under successive schema versions (columns added over
+    * time) — `mergeSchema` reconciles footers, absent columns read as
+    * null. The write side needs no coordination: each era appends
+    * its own files (SaveMode.Append). */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 }

@@ -65,4 +65,37 @@ class SinksSpec extends SparkSpec {
       s"z-ordered read $readZ records vs $readNatural natural — no pruning win")
   }
 
+  test("compaction rewrites a fragmented dataset into target-sized files") {
+    val li = Tables.lineitem(spark, sf001).select("l_orderkey", "l_linenumber", "l_quantity")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    // simulate streaming-ingest fragmentation: 64 tiny files
+    li.repartition(64).write.mode("overwrite").parquet(s"$tmp/frag")
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles.count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$tmp/frag") === 64)
+    Sinks.compact(spark, s"$tmp/frag", s"$tmp/compacted", targetRecordsPerFile = 2000)
+    val n = li.count()
+    val expected = math.ceil(n.toDouble / 2000).toInt
+    val got = parquetFiles(s"$tmp/compacted")
+    assert(got >= expected && got <= expected + 1, s"$got files for $n rows")
+    // compaction must be row-invisible
+    val back = spark.read.parquet(s"$tmp/compacted")
+    assert(back.exceptAll(li).count() === 0 && li.exceptAll(back).count() === 0)
+  }
+
+  test("schema-evolved directory reads as the merged schema with nulls for old files") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.mode("append").parquet(tmp)
+    Seq((3L, "c", 0.5), (4L, "d", 0.9)).toDF("id", "name", "quality")
+      .write.mode("append").parquet(tmp)
+    val df = Sinks.readEvolved(spark, tmp)
+    assert(df.columns.toSet === Set("id", "name", "quality"))
+    val rows = df.select("id", "name", "quality").collect().map(r =>
+      (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(rows === Set((1L, "a", None), (2L, "b", None),
+      (3L, "c", Some(0.5)), (4L, "d", Some(0.9))))
+  }
 }
