@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{DedupQueries, EventsQueries, KMeansQueries, MultimodalQueries, PipelineQueries, RelationalQueries, SimilarityQueries, StatsQueries, StreamQueries, TextQueries}
+import graft.queries.{DedupQueries, EventsQueries, GraphQueries, KMeansQueries, MultimodalQueries, PipelineQueries, RelationalQueries, SimilarityQueries, StatsQueries, StreamQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Queries live in per-domain modules under `graft.queries`; this
@@ -17,7 +17,7 @@ object SparkEntry {
     KMeansQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ TextQueries.queries ++ EventsQueries.queries ++
       RelationalQueries.queries ++ MultimodalQueries.queries ++ StatsQueries.queries ++
-      PipelineQueries.queries ++ StreamQueries.queries
+      PipelineQueries.queries ++ StreamQueries.queries ++ GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +25,5 @@ object SparkEntry {
     KMeansQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ TextQueries.oracles ++ EventsQueries.oracles ++
       RelationalQueries.oracles ++ MultimodalQueries.oracles ++ StatsQueries.oracles ++
-      PipelineQueries.oracles ++ StreamQueries.oracles
+      PipelineQueries.oracles ++ StreamQueries.oracles ++ GraphQueries.oracles
 }

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** FIXED-POINT INTEGER PAGERANK — the engine's second hash-checkable
+  * iterative algorithm (after the exact-decimal Lloyd fit): ranks are
+  * BIGINT fixed-point at [[Scale]], and every step is integer
+  * multiply / integer DIV with explicit truncation, so a DuckDB
+  * oracle unrolls the rounds and reproduces each rank bit-for-bit —
+  * float PageRank can only ever be rows-checked (summation order
+  * changes low bits), which is why engines' graph demos dodge the
+  * hash gate. The float limit of this recurrence is the standard
+  * damped PageRank; truncation error per step is < 1 ulp of the
+  * fixed point (1e-12 of total mass).
+  *
+  * Semantics: pr⁰(v) = Scale DIV N for all N nodes; each round
+  *   pr⁺(v) = base + (dampNum · Σ_{u→v} (pr(u) DIV deg(u))) DIV dampDen
+  * with base = ((Scale DIV N) · (dampDen − dampNum)) DIV dampDen.
+  * Dangling nodes (no out-edges) simply leak their mass — the
+  * classic simplified formulation, deterministic and documented.
+  *
+  * Scale shape: per round, the contribution join shuffles the EDGE
+  * list and the inflow aggregate shuffles partial sums per node —
+  * both linear in the graph, never a transitive closure; each
+  * round's rank frame is pinned as a persisted RDD (one LogicalRDD
+  * leaf) exactly like [[Dedup.connectedComponents]], so the plan
+  * tree stays O(1) across rounds (ContextCleaner frees the pins). */
+object Graph {
+  val Scale = 1000000000000L
+
+  /** Pure single-threaded reference of the same integer recurrence —
+    * the ScalaCheck bridge between the cluster plan and the unrolled
+    * SQL oracle (all three must agree exactly). */
+  def pageRankReference(edges: Seq[(Long, Long)], iters: Int,
+                        dampNum: Long = 85, dampDen: Long = 100): Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    if (nodes.isEmpty) return Map.empty
+    val n = nodes.length.toLong
+    val deg = e.groupBy(_._1).map { case (s, xs) => s -> xs.length.toLong }
+    val base = (Scale / n) * (dampDen - dampNum) / dampDen
+    var pr = nodes.map(_ -> Scale / n).toMap
+    (1 to iters).foreach { _ =>
+      val inflow = e.groupBy(_._2).map { case (d, in) =>
+        d -> in.map { case (s, _) => pr(s) / deg(s) }.sum
+      }
+      pr = nodes.map(v => v -> (base + dampNum * inflow.getOrElse(v, 0L) / dampDen)).toMap
+    }
+    pr
+  }
+
+  /** Distributed fixed-point PageRank over an edge list. Output:
+    * (node, pr) with pr the BIGINT fixed-point rank after `iters`
+    * rounds. */
+  def pageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
+                         iters: Int = 10,
+                         dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iters >= 0 && dampNum > 0 && dampDen > dampNum)
+    val spark = edges.sparkSession
+    def pin(df: DataFrame): org.apache.spark.rdd.RDD[(Long, Long)] =
+      df.rdd.map(r => (r.getLong(0), r.getLong(1))).persist()
+    def df2(rdd: org.apache.spark.rdd.RDD[(Long, Long)], a: String, b: String): DataFrame =
+      spark.createDataFrame(rdd).toDF(a, b)
+
+    val eRdd = pin(edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct())
+    val e = df2(eRdd, "src", "dst")
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val n = nodes.count()
+    if (n == 0) return spark.emptyDataFrame.select(lit(0L).as("node"), lit(0L).as("pr")).limit(0)
+    val init = Scale / n
+    val base = (Scale / n) * (dampDen - dampNum) / dampDen
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+
+    var pr = pin(nodes.select(col("node"), lit(init).as("pr")))
+    (1 to iters).foreach { _ =>
+      val prDf = df2(pr, "node", "pr")
+      val inflow = e.join(deg, "src")
+        .join(prDf, e("src") === prDf("node"))
+        .select(col("dst"), expr("pr DIV deg").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("inflow"))
+      // Column `/` on longs is DOUBLE division — the recurrence must
+      // stay in true integer DIV or ranks drift off the oracle by ulps
+      val next = pin(
+        nodes.join(inflow, nodes("node") === inflow("dst"), "left")
+          .select(col("node"),
+            (lit(base) +
+              expr(s"($dampNum * coalesce(inflow, 0L)) DIV $dampDen")).as("pr")))
+      pr.unpersist(false)
+      pr = next
+    }
+    df2(pr, "node", "pr")
+  }
+}
