@@ -149,7 +149,10 @@ object ScaleUp {
     // salted hot-key join (3 keys × 6M rows)
     "text_heavy_hitters", "rel_bloom_join", "ann_quant_topk",
     "rel_zorder_cells", "rel_incremental_agg", "rel_skew_salted_join",
-    "rel_profile", "stream_incremental_parity")
+    "rel_profile", "stream_incremental_parity",
+    // round 5d: 10 unrolled integer-PageRank rounds over the 10×
+    // trade network (edge distillation scans 6 M lineitems)
+    "graph_pagerank")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft-scale10")
