@@ -130,6 +130,30 @@ object Events {
         .as("value_so_far"))
   }
 
+  /** COHORT RETENTION — the product-analytics staple: users are
+    * cohorted by the epoch-week of their FIRST event (integer week =
+    * unix_micros DIV week-µs, engine-portable arithmetic — no
+    * calendar/timezone semantics to disagree on), then each
+    * (cohort, week-offset) cell counts the cohort's users active that
+    * week. Offset 0 equals the cohort size by construction (every
+    * user is active in their own first week — spec-pinned).
+    *
+    * Scale shape: the activity set is DISTINCT (user, week) — map-
+    * side dedup collapses the event stream to at most users×weeks
+    * rows before any exchange; the first-week aggregate and the
+    * cohort join are both keyed on user_id (one partitioning, reused);
+    * the final cell aggregate is cohorts×offsets-sized. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val wk = events
+      .select(col("user_id"), expr(s"unix_micros(ts) DIV $weekUs").as("week"))
+      .distinct()
+    val cohort = wk.groupBy("user_id").agg(min("week").as("cohort_week"))
+    wk.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active")) // (user, week) is distinct ⇒ count = users
+  }
+
   def topUsers(events: DataFrame, k: Int = 10): DataFrame =
     events
       .groupBy("user_id")

@@ -66,7 +66,12 @@ object EventsQueries {
         round(col("value_so_far") * 100).cast("long").as("value_cents_so_far"))
       .orderBy("user_id", "event_id")
 
+  def cohortRetention(s: SparkSession, dir: String): DataFrame =
+    Events.cohortRetention(Tables.events(s, dir))
+      .orderBy("cohort_week", "week_offset")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_cohort_retention" -> (cohortRetention _),
     "events_running_total" -> (runningTotal _),
     "events_window" -> (window _),
     "events_window_sliding" -> (windowSliding _),
@@ -77,6 +82,13 @@ object EventsQueries {
     "events_topk_users" -> (topUsers _))
 
   val oracles: Map[String, String] = Map(
+    // integer epoch-weeks (µs DIV week-µs) — no calendar semantics
+    "events_cohort_retention" ->
+      """WITH wk AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+        |c AS (SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY 1)
+        |SELECT c.cohort_week, wk.week - c.cohort_week AS week_offset, COUNT(*) AS n_active
+        |FROM wk JOIN c ON wk.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "events_running_total" ->
       s"""SELECT user_id, event_id, strftime(ts, '$DuckFmt') AS ts,
          |  COUNT(*) OVER w AS n_so_far,

@@ -76,4 +76,23 @@ class EventsSpec extends SparkSpec {
     val vals = t.map(_.getDouble(1))
     assert(vals.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
   }
+
+  test("cohort retention: offset-0 cell equals the cohort size, cells bounded by it") {
+    val ev = graft.io.Tables.events(spark, sf001)
+    val ret = Events.cohortRetention(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val weekUs = 7L * 86400L * 1000000L
+    val cohortSizes = ev
+      .select(col("user_id"), expr(s"unix_micros(ts) DIV $weekUs").as("week"))
+      .groupBy("user_id").agg(min("week").as("cw"))
+      .groupBy("cw").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ret.keySet.map(_._1) === cohortSizes.keySet)
+    cohortSizes.foreach { case (cw, size) =>
+      assert(ret((cw, 0L)) === size, s"cohort $cw offset 0")
+    }
+    ret.foreach { case ((cw, off), n) =>
+      assert(off >= 0 && n >= 1 && n <= cohortSizes(cw), s"cell ($cw, $off)")
+    }
+  }
 }
