@@ -151,8 +151,9 @@ object ScaleUp {
     "rel_zorder_cells", "rel_incremental_agg", "rel_skew_salted_join",
     "rel_profile", "stream_incremental_parity",
     // round 5d: 10 unrolled integer-PageRank rounds over the 10×
-    // trade network (edge distillation scans 6 M lineitems)
-    "graph_pagerank")
+    // trade network (edge distillation scans 6 M lineitems), and
+    // cohort retention over 1 M events / 7.5 k users
+    "graph_pagerank", "events_cohort_retention")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft-scale10")

@@ -250,7 +250,11 @@ object StreamQueries {
     * exact-decimal answer. */
   /** The core maintenance loop, shared with StreamingSpec's 3-batch
     * law (`maxFilesPerTrigger` splits a multi-file dir into real
-    * successive micro-batches there). Returns the finalized state. */
+    * successive micro-batches there). Returns the finalized state.
+    * State here is the in-memory test-harness face; the PRODUCTION
+    * face is [[graft.operators.Incremental.IdempotentStateStore]]
+    * (disk snapshots + commit markers, exactly-once under
+    * at-least-once redelivery — replay/crash law in StreamingSpec). */
   private[graft] def incrementalStateOf(s: SparkSession, srcDir: String,
       schema: org.apache.spark.sql.types.StructType,
       maxFilesPerTrigger: Option[Int]): DataFrame = {
