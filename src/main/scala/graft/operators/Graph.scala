@@ -55,6 +55,45 @@ object Graph {
     pr
   }
 
+  /** PER-NODE TRIANGLE COUNTS over an undirected graph (directed
+    * input is canonicalized: self-loops dropped, each edge kept once
+    * as u < v). The join is DEGREE-ORIENTED — every edge points from
+    * its (degree, id)-smaller endpoint to the larger, and wedges are
+    * built only from each node's OUT-edges — the classic bound: out-
+    * degree under this orientation is O(√m) on any graph (arboricity
+    * argument), so wedge count is Σ outdeg² ≤ O(m^1.5) instead of the
+    * naive Σ deg² which a single hub makes quadratic. The orientation
+    * is RESULT-INVISIBLE (a triangle is a triangle however its edges
+    * point), so the oracle stays the naive a<b<c 3-way self-join —
+    * the salted-agg/bloom pattern again: scale mechanics the oracle
+    * never sees. Output: (node, n_tri), nodes with ≥ 1 triangle. */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val raw = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = raw.select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orient: src = (deg, id)-smaller endpoint
+    val o = und
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          col("u")).otherwise(col("v")).as("src"),
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          col("v")).otherwise(col("u")).as("dst"))
+    // wedges from out-edges (x < y to count each unordered pair once),
+    // closed by the canonical undirected edge set
+    val wedges = o.as("x").join(o.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .select(col("x.src").as("a"), col("x.dst").as("b"), col("y.dst").as("c"))
+    val tri = wedges.join(und,
+      least(col("b"), col("c")) === col("u") && greatest(col("b"), col("c")) === col("v"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
+
   /** Distributed fixed-point PageRank over an edge list. Output:
     * (node, pr) with pr the BIGINT fixed-point rank after `iters`
     * rounds. */

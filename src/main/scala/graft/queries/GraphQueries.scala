@@ -36,10 +36,39 @@ object GraphQueries {
        |    FROM e JOIN deg d ON e.src = d.src JOIN pr${i - 1} p ON p.node = e.src
        |    GROUP BY 1) inf ON inf.node = n.node)""".stripMargin
 
+  /** Per-nation triangle participation in the trade network
+    * (undirected view). Degree-oriented wedge join on the operator
+    * side; naive a<b<c oracle — the orientation is result-invisible. */
+  def triangles(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+    Graph.triangleCounts(edges, "src", "dst")
+      .orderBy("node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_pagerank" -> (pagerank _))
+    "graph_pagerank" -> (pagerank _),
+    "graph_triangles" -> (triangles _))
 
   val oracles: Map[String, String] = Map(
+    // naive a<b<c triangle enumeration — the operator's degree
+    // orientation is result-invisible
+    "graph_triangles" ->
+      """WITH raw AS (SELECT DISTINCT c_nationkey AS a, s_nationkey AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE c_nationkey <> s_nationkey),
+        |e AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM raw),
+        |tri AS (SELECT ab.u AS a, ab.v AS b, bc.v AS c
+        |        FROM e ab JOIN e bc ON bc.u = ab.v
+        |          JOIN e ac ON ac.u = ab.u AND ac.v = bc.v),
+        |nodes AS (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        |SELECT CAST(node AS BIGINT) AS node, COUNT(*) AS n_tri
+        |FROM nodes GROUP BY 1 ORDER BY 1""".stripMargin,
     "graph_pagerank" -> (
       s"""WITH e AS (SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -29,6 +29,36 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("law: degree-oriented triangle counts equal naive enumeration on random graphs") {
+    def reference(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val und = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+      val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      val tris = for {
+        a <- nodes; b <- nodes if a < b && und((a, b))
+        c <- nodes if b < c && und((b, c)) && und((a, c))
+      } yield (a, b, c)
+      tris.flatMap(t => Seq(t._1, t._2, t._3))
+        .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    }
+    val gen = for {
+      nNodes <- Gen.choose(3, 14)
+      nEdges <- Gen.choose(1, 50)
+      edges <- Gen.listOfN(nEdges,
+        Gen.zip(Gen.choose(0L, nNodes - 1L), Gen.choose(0L, nNodes - 1L)))
+    } yield edges
+    sample(gen, 8).foreach { edges =>
+      val got = Graph.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === reference(edges), s"edges=$edges")
+    }
+    // K4: every node sits on C(3,2) = 3 triangles
+    val k4 = for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j)
+    val gotK4 = Graph.triangleCounts(k4.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotK4 === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
   test("symmetric 2-cycle ranks equal; star center out-ranks leaves; mass conserved") {
     val cycle = run(Seq((1L, 2L), (2L, 1L)), 10)
     assert(cycle(1L) === cycle(2L))
