@@ -402,6 +402,39 @@ object TextAnalysis {
 
   /** Corpus-level aggregate: per (lang, source) doc counts + token
     * totals — the group-by surface over the text stats. */
+  /** BIGRAM COVERAGE against a REFERENCE slice — the integer-exact
+    * core of coverage-based data selection (the DSIR/importance-
+    * sampling family scores candidates by n-gram overlap with a
+    * target corpus; logs and ratios vary by libm, so this surface
+    * keeps the raw signal exact): the reference slice's `refK` most
+    * frequent word bigrams (count desc, bigram asc — total order)
+    * form the target set, and every document scores
+    * coverage_permille = 1000 · |doc bigrams ∩ target| DIV |doc
+    * bigrams| over its DISTINCT bigrams. All integers — hash-exact.
+    *
+    * Scale shape: the reference aggregation is a capped top-k (two
+    * exchanges over partial counts, output bounded at refK rows —
+    * broadcastable at ANY corpus size, the decontamination lesson);
+    * the doc side is one distinct-bigram explode joined to that
+    * broadcast, grouped back by doc — no corpus×corpus work. */
+  def bigramCoverage(docs: DataFrame, idCol: String, textCol: String,
+                     refFilter: Column, refK: Int = 200): DataFrame = {
+    val bi = explode(TextOps.shingles(col(textCol), 2)).as("bg")
+    val ref = docs.filter(refFilter)
+      .select(bi)
+      .groupBy("bg").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bg"))
+      .limit(refK)
+      .select(col("bg"), lit(1).as("_hit"))
+    val docBi = docs.select(col(idCol).as("doc_id"), bi) // shingles are distinct per doc
+    docBi.join(broadcast(ref), Seq("bg"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("_hit"), lit(0))).as("n_covered"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_covered"),
+        expr("(1000 * n_covered) DIV n_bigrams").as("coverage_permille"))
+  }
+
   def corpusStats(docs: DataFrame): DataFrame =
     docs
       .select(col("lang"), col("source"),

@@ -44,6 +44,15 @@ object TextQueries {
     TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Coverage-based selection signal: every doc scored by DISTINCT-
+    * bigram overlap with the en slice's 200 most document-frequent
+    * bigrams — integer permille, hash-exact
+    * ([[TextAnalysis.bigramCoverage]]). */
+  def bigramCoverage(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramCoverage(Tables.documents(s, dir), "doc_id", "text",
+        refFilter = col("lang") === "en", refK = 200)
+      .orderBy("doc_id")
+
   def corpus(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.corpusStats(Tables.documents(s, dir))
       .orderBy("lang", "source")
@@ -157,6 +166,7 @@ object TextQueries {
     "text_langid" -> (langid _),
     "text_fingerprint" -> (fingerprint _),
     "text_corpus_stats" -> (corpus _),
+    "text_bigram_coverage" -> (bigramCoverage _),
     "text_vocab" -> (vocab _),
     "text_stratified_sample" -> (stratified _),
     "text_sample_hashmod" -> (sampleHashMod _),
@@ -304,6 +314,19 @@ object TextQueries {
          |         (a, b) -> (a * 31 + b) % ${graft.functions.TextOps.FingerprintMod})
          |  END AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // distinct-per-doc bigrams (the shingle contract), so the ref
+    // count is DOCUMENT frequency; top-200 under a total order
+    "text_bigram_coverage" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        |b0 AS (SELECT DISTINCT doc_id, lang, s FROM (
+        |  SELECT doc_id, lang, unnest(list_transform(generate_series(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1])) AS s FROM d)),
+        |ref AS (SELECT s FROM b0 WHERE lang = 'en'
+        |        GROUP BY s ORDER BY COUNT(*) DESC, s LIMIT 200)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  SUM(CASE WHEN s IN (SELECT s FROM ref) THEN 1 ELSE 0 END) AS n_covered,
+        |  (1000 * SUM(CASE WHEN s IN (SELECT s FROM ref) THEN 1 ELSE 0 END)) // COUNT(*) AS coverage_permille
+        |FROM b0 GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "text_corpus_stats" ->
       """SELECT lang, source,
         |  COUNT(*) AS n_docs,

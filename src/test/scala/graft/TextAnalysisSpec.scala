@@ -238,4 +238,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(total.getLong(1) ===
       docs.agg(sum("n_chars")).collect()(0).getLong(0))
   }
+
+  test("bigram coverage: self-composed reference doc scores 1000, signal discriminates") {
+    import spark.implicits._
+    // reference slice = 'ref' docs sharing a small bigram vocabulary;
+    // a doc built purely from reference text must score 1000 permille,
+    // an alien-vocabulary doc 0
+    val corpus = Seq(
+      (1L, "the data engine runs the data engine", "ref"),
+      (2L, "the data engine runs fast today here", "ref"),
+      (3L, "the data engine runs the data engine", "cand"),
+      (4L, "zebra quokka lemur wombat differ wholly", "cand"))
+      .toDF("doc_id", "text", "slice")
+    val scored = TextAnalysis.bigramCoverage(corpus, "doc_id", "text",
+        refFilter = col("slice") === "ref", refK = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(scored(3L) === 1000L, s"pure-reference doc: ${scored(3L)}")
+    assert(scored(4L) === 0L, s"alien doc: ${scored(4L)}")
+    // fixture corpus: en docs must out-cover non-en on an en reference
+    val real = TextAnalysis.bigramCoverage(
+        Tables.documents(spark, sf001), "doc_id", "text",
+        refFilter = col("lang") === "en", refK = 200)
+      .join(Tables.documents(spark, sf001).select("doc_id", "lang"), "doc_id")
+      .groupBy(col("lang") === "en").agg(avg("coverage_permille").as("c"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(real(true) > real(false),
+      s"en avg ${real(true)} must exceed non-en ${real(false)}")
+  }
 }
