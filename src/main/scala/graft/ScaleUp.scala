@@ -153,7 +153,8 @@ object ScaleUp {
     // round 5d: 10 unrolled integer-PageRank rounds over the 10×
     // trade network (edge distillation scans 6 M lineitems), and
     // cohort retention over 1 M events / 7.5 k users
-    "graph_pagerank", "events_cohort_retention", "graph_triangles")
+    "graph_pagerank", "events_cohort_retention", "graph_triangles",
+    "text_bigram_coverage")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft-scale10")
