@@ -117,7 +117,12 @@ object Sketches {
       s"exactness needs share $shareNum/$shareDen > 1/(k+1) = 1/${k + 1}")
     val spark = tokens.sparkSession
     import spark.implicits._
+    // NULL tokens are excluded on BOTH sides of the pipeline (they'd
+    // otherwise inflate the total in the sketch pass but vanish from
+    // the recount, whose join drops null keys) — and the null slot is
+    // what the fused pass's marker row uses
     val t = tokens.select(col(tokenCol).cast("string").as("token"))
+      .filter(col("token").isNotNull)
     // fused pass: null-token marker row carries the partition count
     val sketch = t.as[String].mapPartitions { it =>
       val mg = new MisraGries(k)
