@@ -92,7 +92,13 @@ object Multimodal {
     * job. */
   def decode(blob: Array[Byte]): Array[Int] =
     if (isPng(blob)) {
-      val px = try decodePng(blob) catch { case _: java.io.IOException => null }
+      // NonFatal, not just IOException: ImageIO's PNG reader throws
+      // unchecked exceptions (IndexOutOfBounds/NegativeArraySize/
+      // IllegalArgument) on crafted chunk data — the degrade-to-stub
+      // contract must hold for those too, or one malformed blob kills
+      // the whole scan
+      val px = try decodePng(blob)
+        catch { case scala.util.control.NonFatal(_) => null }
       if (px != null) px else decodeStub(blob)
     } else decodeStub(blob)
 

@@ -48,7 +48,11 @@ object Bloom {
   def buildBitmap(keys: DataFrame, keyCol: String,
                   mWords: Int, nHashes: Int, seed: Long): Array[Long] = {
     val mBits = mWords * 64L
-    val pos = keys.select(col(keyCol).cast("bigint").as("_k")).distinct()
+    // null keys are dropped BEFORE hashing: a plain semi-join ignores
+    // them (null never equi-matches), and a null position would
+    // otherwise null the aggregated word and NPE the driver fill
+    val pos = keys.select(col(keyCol).cast("bigint").as("_k"))
+      .filter(col("_k").isNotNull).distinct()
       .select(explode(array(positions(col("_k"), mBits, nHashes, seed): _*)).as("_pos"))
     val rows = pos
       .select(shiftright(col("_pos"), 6).cast("int").as("_w"),

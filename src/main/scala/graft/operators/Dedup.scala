@@ -67,6 +67,18 @@ object Dedup {
     * melt the job. */
   val DefaultMaxShingleFreq = 10000
 
+  /** Drop rows whose `keys` group has more than `cap` members — the
+    * ONE implementation behind every hot-key guard in this file
+    * (shingle frequency, winnow fingerprint frequency, minhash and
+    * simhash band buckets), so cap semantics can never diverge
+    * between sites; each call site's oracle replays the same `>` cap
+    * in SQL. */
+  private def dropHotKeys(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    val hot = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_hot_n"))
+      .filter(col("_hot_n") > cap).select(keys.map(col): _*)
+    df.join(hot, keys, "left_anti")
+  }
+
   /** `hashKeys = true` (default) replaces shingle strings with their
     * xxhash64 before every exchange: the hot-filter, size and
     * self-join shuffles carry fixed 8-byte keys instead of ~n-word
@@ -89,9 +101,7 @@ object Dedup {
     // materializing a corpus-sized cache (measured at 10× scale:
     // persisting was neutral-to-slower, and at 100 TB it would spill).
     val sh = maxShingleFreq match {
-      case Some(cap) =>
-        val hot = sh0.groupBy("s").count().filter(col("count") > cap).select("s")
-        sh0.join(hot, Seq("s"), "left_anti")
+      case Some(cap) => dropHotKeys(sh0, Seq("s"), cap)
       case None => sh0
     }
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
@@ -186,9 +196,7 @@ object Dedup {
   def winnowPairsFromFps(fp0: DataFrame, minShared: Int = 3,
                          maxFpFreq: Option[Int] = Some(DefaultMaxFpFreq)): DataFrame = {
     val fp = maxFpFreq match {
-      case Some(cap) =>
-        val hot = fp0.groupBy("fp").count().filter(col("count") > cap).select("fp")
-        fp0.join(hot, Seq("fp"), "left_anti")
+      case Some(cap) => dropHotKeys(fp0, Seq("fp"), cap)
       case None => fp0
     }
     // winnow_fingerprints emits each doc's DISTINCT minima (ExpressionsSpec
@@ -285,10 +293,7 @@ object Dedup {
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
     val buckets = maxBucketSize match {
-      case Some(cap) =>
-        val hot = buckets0.groupBy("band", "bucket").count()
-          .filter(col("count") > cap).select("band", "bucket")
-        buckets0.join(hot, Seq("band", "bucket"), "left_anti")
+      case Some(cap) => dropHotKeys(buckets0, Seq("band", "bucket"), cap)
       case None => buckets0
     }
     val cand = buckets.as("x").join(buckets.as("y"),
@@ -419,10 +424,7 @@ object Dedup {
     // h+1-band guarantee. Enable it explicitly for
     // boilerplate-dominated corpora (DedupSpec pins the gating).
     val bands = maxBucketSize match {
-      case Some(cap) =>
-        val hot = bands0.groupBy("band", "bucket").count()
-          .filter(col("count") > cap).select("band", "bucket")
-        bands0.join(hot, Seq("band", "bucket"), "left_anti")
+      case Some(cap) => dropHotKeys(bands0, Seq("band", "bucket"), cap)
       case None => bands0
     }
     val cand = bands.as("x").join(bands.as("y"),

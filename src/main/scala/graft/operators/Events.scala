@@ -145,8 +145,14 @@ object Events {
     * the final cell aggregate is cohorts×offsets-sized. */
   def cohortRetention(events: DataFrame): DataFrame = {
     val weekUs = 7L * 86400L * 1000000L
+    // FLOOR division, not DIV: Spark's DIV truncates toward zero while
+    // DuckDB's // floors, so a pre-1970 timestamp (negative micros)
+    // would bucket into different weeks on the two engines. Subtracting
+    // the always-non-negative pmod first makes the numerator an exact
+    // multiple — integer floor division on both sides.
     val wk = events
-      .select(col("user_id"), expr(s"unix_micros(ts) DIV $weekUs").as("week"))
+      .select(col("user_id"),
+        expr(s"(unix_micros(ts) - pmod(unix_micros(ts), $weekUs)) DIV $weekUs").as("week"))
       .distinct()
     val cohort = wk.groupBy("user_id").agg(min("week").as("cohort_week"))
     wk.join(cohort, "user_id")

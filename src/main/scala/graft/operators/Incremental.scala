@@ -47,17 +47,26 @@ object Incremental {
     * already in the committed state), otherwise the merged state is
     * written to `dir/state_<id>` and `dir/COMMIT_<id>` is created
     * LAST — a crash between the two leaves an uncommitted snapshot
-    * that is simply overwritten on replay. Commit markers are
-    * O(batches) empty files; snapshots are group-cardinality-sized
-    * parquet. StreamingSpec's replay law drives a batch twice and a
+    * that is simply overwritten on replay. All paths — snapshots AND
+    * markers — go through the Hadoop FileSystem resolved from `dir`
+    * and the session's config, so the store works identically on
+    * local disk, HDFS, or an object store (markers on the driver's
+    * local disk would silently reset the store after driver failover
+    * on any non-local FS — the exact double-count it exists to
+    * prevent). After each successful commit, snapshots and markers
+    * older than the new id are PRUNED: disk holds one committed
+    * state (plus the in-flight write), not one per batch.
+    * StreamingSpec's replay law drives a batch twice and a
     * crash-before-commit and still lands on the flat aggregate. */
   final class IdempotentStateStore(spark: org.apache.spark.sql.SparkSession,
                                    dir: String, keys: Seq[String]) {
-    private val fs = new java.io.File(dir)
-    fs.mkdirs()
+    import org.apache.hadoop.fs.Path
+    private val root = new Path(dir)
+    private val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
 
     private def committedIds: Seq[Long] =
-      Option(fs.list()).getOrElse(Array.empty)
+      fs.listStatus(root).map(_.getPath.getName)
         .collect { case n if n.startsWith("COMMIT_") => n.stripPrefix("COMMIT_").toLong }
         .toSeq.sorted
 
@@ -75,8 +84,12 @@ object Incremental {
         case None => partial
       }
       merged.write.mode("overwrite").parquet(s"$dir/state_$batchId")
-      java.nio.file.Files.createFile(
-        java.nio.file.Paths.get(dir, s"COMMIT_$batchId"))
+      fs.createNewFile(new Path(root, s"COMMIT_$batchId"))
+      // retain only the newly committed generation
+      committedIds.filter(_ < batchId).foreach { old =>
+        fs.delete(new Path(root, s"state_$old"), true)
+        fs.delete(new Path(root, s"COMMIT_$old"), false)
+      }
     }
   }
 }

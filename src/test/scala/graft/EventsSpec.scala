@@ -83,7 +83,8 @@ class EventsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     val weekUs = 7L * 86400L * 1000000L
     val cohortSizes = ev
-      .select(col("user_id"), expr(s"unix_micros(ts) DIV $weekUs").as("week"))
+      .select(col("user_id"),
+        expr(s"(unix_micros(ts) - pmod(unix_micros(ts), $weekUs)) DIV $weekUs").as("week"))
       .groupBy("user_id").agg(min("week").as("cw"))
       .groupBy("cw").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -94,5 +95,23 @@ class EventsSpec extends SparkSpec {
     ret.foreach { case ((cw, off), n) =>
       assert(off >= 0 && n >= 1 && n <= cohortSizes(cw), s"cell ($cw, $off)")
     }
+  }
+
+  test("cohort weeks FLOOR for pre-epoch timestamps (DuckDB // parity)") {
+    import spark.implicits._
+    // 1969-12-31 is negative micros: floor → week −1, truncation → 0.
+    // Both users must land in week-floor cohorts matching Math.floorDiv.
+    val weekUs = 7L * 86400L * 1000000L
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val ev = Seq(
+      (1L, ts("1969-12-31T00:00:00Z")),
+      (2L, ts("1970-01-02T00:00:00Z")))
+      .toDF("user_id", "ts")
+    val got = graft.operators.Events.cohortRetention(ev).collect()
+      .map(r => r.getLong(0)).toSet
+    def wk(s: String) = Math.floorDiv(
+      java.time.Instant.parse(s).toEpochMilli * 1000L, weekUs)
+    assert(got === Set(wk("1969-12-31T00:00:00Z"), wk("1970-01-02T00:00:00Z")))
+    assert(wk("1969-12-31T00:00:00Z") === -1L)
   }
 }
