@@ -324,8 +324,8 @@ object TextQueries {
         |ref AS (SELECT s FROM b0 WHERE lang = 'en'
         |        GROUP BY s ORDER BY COUNT(*) DESC, s LIMIT 200)
         |SELECT doc_id, COUNT(*) AS n_bigrams,
-        |  SUM(CASE WHEN s IN (SELECT s FROM ref) THEN 1 ELSE 0 END) AS n_covered,
-        |  (1000 * SUM(CASE WHEN s IN (SELECT s FROM ref) THEN 1 ELSE 0 END)) // COUNT(*) AS coverage_permille
+        |  CAST(SUM(CASE WHEN s IN (SELECT s FROM ref) THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+        |  CAST((1000 * SUM(CASE WHEN s IN (SELECT s FROM ref) THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS coverage_permille
         |FROM b0 GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "text_corpus_stats" ->
       """SELECT lang, source,

@@ -99,9 +99,14 @@ for name in sorted(os.listdir(out)):
         continue
     res = con.sql(oracle[name])
     duck_types = [str(t) for t in res.types]
-    duck_dec = [c for c, t in zip(res.columns, duck_types) if t.startswith("DECIMAL")]
+    # DECIMAL + the HUGEINT/unsigned class (uncast SUM / // in DuckDB
+    # binds to INT128: values match Spark BIGINT but the driver's
+    # type-aware value hash does not — round-5 text_bigram_coverage).
+    BAN = ("DECIMAL", "HUGEINT", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT")
+    duck_dec = [c for c, t in zip(res.columns, duck_types)
+                if any(b in t.upper() for b in BAN)]
     if duck_dec:
-        print(f"{name}: FAIL decimal columns in oracle result: {duck_dec} "
+        print(f"{name}: FAIL banned-type columns in oracle result: {duck_dec} "
               "(mirror the scaled-BIGINT cast in the oracle SQL)")
         fails += 1
         continue
