@@ -10,15 +10,16 @@ import org.apache.spark.sql.functions._
   * are processed in fixed-size batches inside each partition, so a
   * real decoder could amortize model/library setup per batch).
   *
-  * DECODE: PNG payloads take a REAL `javax.imageio` decode to
-  * integer luminance ([[decodePng]] — the JDK ships the codec, no
-  * external dependency; MultimodalSpec drives it with ImageIO-written
-  * PNGs end to end). Everything else — the fixture's UTF-8 stand-in
-  * blobs, formats this JVM cannot read — falls back to the
-  * deterministic byte-stream fake [[decodeStub]], so declared-query
-  * outputs stay byte-reproducible. The Spark-side plumbing — schema,
-  * partitioning, batch shape, kernel signatures — is identical on
-  * both paths; a jpeg/ffmpeg codec would change only [[decode]].
+  * DECODE: PNG and JPEG payloads take a REAL `javax.imageio` decode
+  * to integer luminance ([[decodeImage]] — the JDK ships both codecs,
+  * no external dependency; MultimodalSpec drives it with
+  * ImageIO-written PNGs and JPEGs end to end). Everything else — the
+  * fixture's UTF-8 stand-in blobs, formats this JVM cannot read —
+  * falls back to the deterministic byte-stream fake [[decodeStub]],
+  * so declared-query outputs stay byte-reproducible. The Spark-side
+  * plumbing — schema, partitioning, batch shape, kernel signatures —
+  * is identical on both paths; an ffmpeg video codec would change
+  * only [[decode]].
   *
   * Scale: all kernels are per-row/per-partition (zero shuffle); blobs
   * never leave their partition, only fixed-width features do.
@@ -57,11 +58,19 @@ object Multimodal {
     blob.length >= PngMagic.length &&
       java.util.Arrays.equals(blob, 0, PngMagic.length, PngMagic, 0, PngMagic.length)
 
-  /** REAL decoder for PNG payloads: `javax.imageio` (ships with the
-    * JDK — no external codec) → row-major integer luminance
-    * (BT.601 integer weights, deterministic: (299·R + 587·G +
-    * 114·B) / 1000). Null for bytes ImageIO rejects. */
-  def decodePng(blob: Array[Byte]): Array[Int] = {
+  /** JPEG SOI marker + third 0xFF (every JFIF/EXIF/raw-JPEG variant
+    * starts FF D8 FF) — the same cheap prefix sniff as [[isPng]]. */
+  def isJpeg(blob: Array[Byte]): Boolean =
+    blob.length >= 3 &&
+      (blob(0) & 0xff) == 0xff && (blob(1) & 0xff) == 0xd8 && (blob(2) & 0xff) == 0xff
+
+  /** REAL decoder for PNG and JPEG payloads: `javax.imageio` (the JDK
+    * ships both codecs — no external dependency) → row-major integer
+    * luminance (BT.601 integer weights, deterministic:
+    * (299·R + 587·G + 114·B) / 1000). `ImageIO.read` dispatches on
+    * content, so one body serves both formats. Null for bytes ImageIO
+    * rejects. */
+  def decodeImage(blob: Array[Byte]): Array[Int] = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
     if (img == null) return null
     val (w, h) = (img.getWidth, img.getHeight)
@@ -81,23 +90,23 @@ object Multimodal {
   }
 
   /** Dispatching decoder — the function every kernel calls: REAL
-    * ImageIO decode for payloads that are PNGs (magic-byte sniff),
-    * the deterministic byte-stream fake otherwise (the fixture's
-    * UTF-8 stand-in blobs, or any codec this JVM lacks — so the
-    * declared queries stay byte-reproducible while genuinely-image
+    * ImageIO decode for payloads that are PNGs or JPEGs (magic-byte
+    * sniff), the deterministic byte-stream fake otherwise (the
+    * fixture's UTF-8 stand-in blobs, or any codec this JVM lacks — so
+    * the declared queries stay byte-reproducible while genuinely-image
     * payloads take the real path; MultimodalSpec drives it with
-    * ImageIO-written PNGs end to end). An undecodable PNG degrades
-    * to the fake rather than nulling the row — a corrupt blob at
-    * corpus scale should yield a degenerate feature, not kill the
-    * job. */
+    * ImageIO-written PNGs and JPEGs end to end). An undecodable image
+    * degrades to the fake rather than nulling the row — a corrupt
+    * blob at corpus scale should yield a degenerate feature, not kill
+    * the job. */
   def decode(blob: Array[Byte]): Array[Int] =
-    if (isPng(blob)) {
-      // NonFatal, not just IOException: ImageIO's PNG reader throws
+    if (isPng(blob) || isJpeg(blob)) {
+      // NonFatal, not just IOException: ImageIO's readers throw
       // unchecked exceptions (IndexOutOfBounds/NegativeArraySize/
       // IllegalArgument) on crafted chunk data — the degrade-to-stub
       // contract must hold for those too, or one malformed blob kills
       // the whole scan
-      val px = try decodePng(blob)
+      val px = try decodeImage(blob)
         catch { case scala.util.control.NonFatal(_) => null }
       if (px != null) px else decodeStub(blob)
     } else decodeStub(blob)

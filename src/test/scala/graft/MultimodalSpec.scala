@@ -62,6 +62,34 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.decodeStub(corrupt).toSeq)
   }
 
+  /** ImageIO-written JPEG (the JDK ships the codec) — lossy, so the
+    * round-trip asserts dimensions + luminance tolerance, not bit
+    * equality like the PNG test. */
+  private def jpegBytes(pixels: Array[Array[Int]]): Array[Byte] = {
+    val h = pixels.length; val w = pixels(0).length
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixels(y)(x))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("JPEG payloads take the real ImageIO decode (dims exact, luminance within codec loss)") {
+    // uniform mid-gray survives JPEG's DCT almost exactly: every
+    // decoded luminance must be 128 within a small quantization band
+    val gray = jpegBytes(Array.fill(8, 8)(0x808080))
+    assert(Multimodal.isJpeg(gray))
+    assert(!Multimodal.isJpeg("plain text".getBytes("UTF-8")))
+    assert(!Multimodal.isPng(gray))
+    val px = Multimodal.decode(gray)
+    assert(px.length === 64) // 8x8 row-major — the REAL path, not the byte stub
+    assert(px.forall(p => math.abs(p - 128) <= 3), s"luminance drifted: ${px.toSeq}")
+    // corrupt JPEG (SOI marker intact, body truncated) degrades to the fake
+    val corrupt = gray.take(6)
+    assert(Multimodal.decode(corrupt).toSeq === Multimodal.decodeStub(corrupt).toSeq)
+  }
+
   test("PNG blobs flow through the batched histogram kernel unchanged in shape") {
     import spark.implicits._
     val png = pngBytes(Array(Array(0x000000, 0xFFFFFF), Array(0xFF0000, 0x00FF00)))
