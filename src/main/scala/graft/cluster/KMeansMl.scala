@@ -27,14 +27,23 @@ object KMeansMl {
       .fit(feat)
   }
 
-  /** fit + transform: original columns + integer `prediction`. */
-  def fitPredict(df: DataFrame, vecCol: String, k: Int, seed: Long = 42L,
-                 maxIter: Int = 20): DataFrame = {
+  /** fit + transform, returning BOTH the model (centers, training
+    * summary) and the prediction frame — one fit serves callers that
+    * need the model's metadata alongside the assignments (the
+    * `kmeans_fit_ml` banded summary reads center count/dim and
+    * trainingCost from the model and point counts from the frame). */
+  def fitPredictModel(df: DataFrame, vecCol: String, k: Int, seed: Long = 42L,
+                      maxIter: Int = 20): (MlKMeansModel, DataFrame) = {
     val feat = df.withColumn("features", array_to_vector(col(vecCol).cast("array<double>")))
     val model = new MlKMeans()
       .setK(k).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("features").setPredictionCol("prediction")
       .fit(feat)
-    model.transform(feat).drop("features")
+    (model, model.transform(feat).drop("features"))
   }
+
+  /** fit + transform: original columns + integer `prediction`. */
+  def fitPredict(df: DataFrame, vecCol: String, k: Int, seed: Long = 42L,
+                 maxIter: Int = 20): DataFrame =
+    fitPredictModel(df, vecCol, k, seed, maxIter)._2
 }
