@@ -156,11 +156,117 @@ object ScaleUp {
     "graph_pagerank", "events_cohort_retention", "graph_triangles",
     "text_bigram_coverage")
 
+  /** 100×-bench-scale fixture (round-6 rehearsal): ONLY the tables the
+    * five heaviest shuffle producers touch — documents 500 k, lineitem
+    * 60 M, events 10 M over 75 k users. The 10× generator's 40-word
+    * vocabulary is deliberately NOT reused for documents: at 500 k docs
+    * every 3-gram's posting list would be ~900 deep (the vocabulary is
+    * closed, so collision density GROWS with corpus size — a property
+    * real prose does not have), and the exact n-gram join's work is
+    * Σf² — a semantic artifact of the toy vocabulary, not a plan
+    * property. Here each word is drawn zipf-ishly (u³-skewed) from a
+    * 5 000-word open-ended id space: distinct shingles grow with the
+    * corpus, the hot head exercises the `maxShingleFreq` cap exactly
+    * like prose boilerplate, and every 20th document is a byte-exact
+    * copy of its predecessor so the pair join has real positives to
+    * find. Seeded xxhash64 throughout — regeneration is bit-stable. */
+  def generate100(spark: SparkSession, out: String, m: Int): Unit = {
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond
+    // users scale WITH the corpus (more users, not longer histories):
+    // per-user event counts — the session/as-of window sizes — are a
+    // property of the product, not of how much data was collected
+    spark.range(0, 1000000L * m, 1, 64)
+      .select(
+        col("id").as("event_id"),
+        ((lit(base) + (rand(1) * 30 * Day).cast("long")).cast("long") * 1000000000L +
+          (rand(2) * 1000000L).cast("long") * 1000L).as("ts"),
+        (rand(3) * 7500 * m).cast("long").as("user_id"),
+        element_at(array(lit("click"), lit("error"), lit("purchase"),
+          lit("signup"), lit("view")), (rand(4) * 5).cast("int") + 1).as("event_type"),
+        round(rand(5) * 560, 2).as("value"),
+        concat(lit("{\"k\":"), (rand(6) * 100).cast("int").cast("string"), lit("}"))
+          .as("props"))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    val ship0 = java.time.Instant.parse("1995-01-01T00:00:00Z").getEpochSecond
+    spark.range(0, 6000000L * m, 1, 64)
+      .select(
+        element_at(array(lit("A"), lit("N"), lit("R")),
+          (rand(10) * 3).cast("int") + 1).as("l_returnflag"),
+        ((rand(12) * 50).cast("int") + 1).cast("double").as("l_quantity"),
+        timestamp_seconds(lit(ship0) + (rand(15) * 1825 * Day).cast("long"))
+          .as("l_shipdate"))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    // documents: every 20th doc clones its predecessor (the join's
+    // ground-truth positives); word = "w<idx>" with idx = ⌊5000·u³⌋,
+    // u seeded per (docEff, position) — zipf-ish head, open tail
+    val docEff = when(pmod(col("id"), lit(20)) === 0 && col("id") > 1,
+      col("id") - 1).otherwise(col("id"))
+    spark.range(1, 50000L * m + 1, 1, 64)
+      .select(col("id").as("doc_id"), docEff.as("_eff"))
+      .select(col("doc_id"),
+        array_join(transform(
+          sequence(lit(1), (pmod(xxhash64(col("_eff"), lit(4)), lit(170)) + 30).cast("int")),
+          i => concat(lit("w"), floor(lit(5000.0) *
+            pow(pmod(xxhash64(col("_eff"), i.cast("long")), lit(1000000)).cast("double")
+              / 1000000.0, 3.0)).cast("long").cast("string"))),
+          " ").as("text"),
+        element_at(array(lit("en"), lit("de"), lit("es"), lit("fr")),
+          pmod(xxhash64(col("_eff"), lit(5)), lit(4)).cast("int") + 1).as("lang"),
+        element_at(array(lit("web"), lit("books"), lit("code")),
+          pmod(xxhash64(col("_eff"), lit(6)), lit(3)).cast("int") + 1).as("source"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+  }
+
+  /** Generate (if absent) the two open-vocab fixtures and time each
+    * [[Timed100]] query at both scales back-to-back; the printed
+    * RATIO column is what BASELINE.md's 100× table records. */
+  def run100(spark: SparkSession, out: String): Unit = {
+    val out10 = out + "-base10"
+    for ((dir, m) <- Seq((out10, 1), (out, 10))) {
+      if (!new java.io.File(s"$dir/documents.parquet").exists) {
+        println(s"[scaleup] generating open-vocab ${m}0x fixture under $dir")
+        generate100(spark, dir, m)
+      }
+    }
+    try {
+      spark.read.parquet(s"$out10/documents.parquet").groupBy("lang").count().count()
+      spark.range(1000).selectExpr("sum(id)").count()
+    } catch { case _: Throwable => () }
+    println(f"${"query"}%-26s ${"sec10x"}%8s ${"sec100x"}%9s ${"ratio"}%7s ${"rows100x"}%10s")
+    Timed100.foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        def t(dir: String): (Double, Long) = {
+          val t0 = System.nanoTime()
+          val rows = try fn(spark, dir).count()
+            catch { case e: Throwable => println(s"$name FAILED: $e"); -1L }
+          ((System.nanoTime() - t0) / 1e9, rows)
+        }
+        val (s10, _) = t(out10)
+        val (s100, rows) = t(out)
+        println(f"$name%-26s $s10%8.2f $s100%9.2f ${s100 / s10}%7.2f $rows%10d")
+      }
+    }
+  }
+
+  /** The five heaviest shuffle producers of the declared surface
+    * (BENCH_r05 plan audit), timed at BOTH 10× and 100× in one
+    * session so the ratio is load-comparable. Linear-plan budget:
+    * 100×/10× wall ≤ ~12 (10× data on ~fixed cores, plus sub-linear
+    * stage overhead); a ratio well past that marks a super-linear
+    * plan. */
+  val Timed100: Seq[String] = Seq(
+    "dedup_ngram_jaccard", "rel_skew_salted_join", "events_session",
+    "asof_last_purchase", "text_vocab")
+
   def main(args: Array[String]): Unit = {
-    val out = args.headOption.getOrElse("/tmp/graft-scale10")
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val mode100 = args.contains("100")
+    val out = args.filterNot(_ == "100").headOption.getOrElse(
+      if (mode100) "/tmp/graft-scale100" else "/tmp/graft-scale10")
+    val sfDir = args.filterNot(_ == "100").lift(1).getOrElse("/root/testdata/sf0.1")
     val spark = GraftSession.builder(GraftSession.envCpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (mode100) { run100(spark, out); spark.stop(); return }
     // guard on the NEWEST table so a scale dir generated by an older
     // harness version (missing later tables) is refreshed, not reused
     if (!new java.io.File(s"$out/orders.parquet").exists) {
