@@ -159,6 +159,54 @@ object Multimodal {
       .toDF("id", "frame_idx", "frame_fp")
   }
 
+  /** Encode the first `side`² payload bytes as a `side`×`side`
+    * grayscale PNG (zero-padded) — a REAL ImageIO encode producing
+    * blobs the real decode path reads back. Gray pixels make the
+    * BT.601 integer luminance the identity (299 + 587 + 114 = 1000,
+    * so (1000·v)/1000 = v exactly), and PNG is lossless — decoded
+    * features are exact byte arithmetic an SQL oracle can replay. */
+  def encodeGrayPng(bytes: Array[Byte], side: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < side * side) {
+      val v = if (i < bytes.length) bytes(i) & 0xff else 0
+      img.setRGB(i % side, i / side, (v << 16) | (v << 8) | v)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real-codec round-trip feature kernel: per row, PNG-ENCODE the
+    * payload prefix ([[encodeGrayPng]]) and push the result through
+    * the dispatching [[decode]] — the magic-byte sniff selects the
+    * REAL ImageIO path, so the declared `mm_decode_roundtrip` query
+    * exercises encode AND decode with an exact DuckDB oracle (the
+    * stub path can't fire: the blob IS a PNG by construction).
+    * Output: (id, n_px = side², sum_lum = Σ luminance, n_nonzero).
+    * Batched like the other kernels — a real codec amortizes setup
+    * per batch; zero shuffle, blobs never leave their partition. */
+  def decodeRoundtrip(blobs: DataFrame, side: Int = 8,
+                      batchSize: Int = DefaultBatchSize): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("id").cast("long"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, blob) =>
+            val px = decode(encodeGrayPng(blob, side))
+            var sum = 0L; var nz = 0
+            px.foreach { v => sum += v; if (v != 0) nz += 1 }
+            (id, px.length, sum, nz)
+          }
+        }
+      }
+      .toDF("id", "n_px", "sum_lum", "n_nonzero")
+  }
+
   /** Resize: truncate the payload to `maxBytes` and update metadata —
     * the stub stand-in for a real image resize kernel. */
   def resize(blobs: DataFrame, maxBytes: Int): DataFrame = {

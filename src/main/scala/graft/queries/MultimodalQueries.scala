@@ -32,9 +32,21 @@ object MultimodalQueries {
       .select(col("id").as("doc_id"), col("frame_idx"), col("frame_fp"))
       .orderBy("doc_id", "frame_idx")
 
+  /** REAL-codec round-trip (round 6): every fixture payload is
+    * PNG-encoded and decoded through the actual ImageIO path — the
+    * first declared query where the real decoder (not the byte stub)
+    * is DuckDB-hash-checked: gray pixels make BT.601 luminance the
+    * identity, so the oracle is plain byte arithmetic over the text
+    * prefix. */
+  def decodeRoundtrip(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeRoundtrip(blobs(s, dir))
+      .select(col("id").as("doc_id"), col("n_px"), col("sum_lum"), col("n_nonzero"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_byte_histogram" -> (histogram _),
-    "mm_frame_fingerprints" -> (frames _))
+    "mm_frame_fingerprints" -> (frames _),
+    "mm_decode_roundtrip" -> (decodeRoundtrip _))
 
   val oracles: Map[String, String] = Map(
     "mm_byte_histogram" ->
@@ -59,5 +71,17 @@ object MultimodalQueries {
          |              i -> CAST(ascii(substr(frame, i, 1)) AS BIGINT)),
          |              (a, b) -> (a * 31 + b) % $M)
          |  END AS frame_fp
-         |FROM f ORDER BY doc_id, frame_idx""".stripMargin)
+         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    // 8×8 gray PNG of the first 64 text bytes (zero-padded): PNG is
+    // lossless and gray luminance is the identity, so sum_lum is the
+    // plain byte sum of the prefix; ASCII fixture ⇒ no NUL bytes ⇒
+    // n_nonzero = min(len, 64). list_sum over INTEGERs binds HUGEINT
+    // in DuckDB — CAST per the OracleTypesSpec guard.
+    "mm_decode_roundtrip" ->
+      """SELECT doc_id, 64 AS n_px,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    generate_series(1, least(length(text), 64)),
+        |    i -> ascii(substr(text, i, 1)))), 0) AS BIGINT) AS sum_lum,
+        |  CAST(least(length(text), 64) AS INTEGER) AS n_nonzero
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -103,6 +103,23 @@ class MultimodalSpec extends SparkSpec {
     assert(h.filter(col("id") === 2).count() > 0)
   }
 
+  test("encode→decode round-trip is exact byte arithmetic (real codec both ways)") {
+    import spark.implicits._
+    // gray PNG luminance is the identity, PNG lossless: sum_lum must
+    // equal the plain byte sum of the 64-byte prefix, zero-padded
+    val df = Seq((1L, "abc".getBytes("UTF-8")),
+                 (2L, Array.fill[Byte](100)(65)), // 100 bytes, truncated at 64
+                 (3L, Array.emptyByteArray))
+      .toDF("id", "blob")
+    val r = Multimodal.decodeRoundtrip(df, side = 8).collect()
+      .map(x => (x.getLong(0), (x.getInt(1), x.getLong(2), x.getInt(3)))).toMap
+    assert(r(1L) === ((64, 97L + 98L + 99L, 3)))
+    assert(r(2L) === ((64, 64L * 65L, 64)))
+    assert(r(3L) === ((64, 0L, 0)))
+    // the blob really took the ImageIO path: encoding produces a PNG
+    assert(Multimodal.isPng(Multimodal.encodeGrayPng("xyz".getBytes, 8)))
+  }
+
   test("frame sampling covers the payload at the configured stride") {
     val f = Multimodal.frameSample(blobs, frameLen = 16, stride = 64)
     val counts = f.groupBy("id").agg(count(lit(1)).as("frames"))
