@@ -20,6 +20,12 @@ object TextOps {
   def shingles(text: Column, n: Int): Column =
     graft.plans.expressions.word_shingles(text, n)
 
+  /** ALL shingle occurrences (multiplicity kept) — the counting
+    * contract for frequency models; same compiled kernel family as
+    * [[shingles]]. */
+  def shinglesAll(text: Column, n: Int): Column =
+    graft.plans.expressions.word_shingles_all(text, n)
+
   /** The pure-HOF shingle formulation — semantically identical to
     * [[shingles]]; kept as the built-ins-only reference for tests. */
   def shinglesHof(text: Column, n: Int): Column = {

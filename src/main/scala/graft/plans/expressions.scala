@@ -37,6 +37,23 @@ object ShingleKernel {
     while (it.hasNext) { out(k) = it.next(); k += 1 }
     new GenericArrayData(out)
   }
+
+  /** ALL n-word shingle occurrences in order (multiplicity kept) —
+    * the counting contract for frequency models ([[graft.operators
+    * .TextAnalysis.bigramLmScore]]), where the distinct-set contract
+    * of [[compute]] would under-count repeated n-grams. */
+  def computeAll(input: UTF8String, n: Int): ArrayData = {
+    val words = input.split(Space, -1)
+    if (words.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](words.length - n + 1)
+    var i = 0
+    while (i <= words.length - n) {
+      out(i) = UTF8String.concatWs(
+        Space, java.util.Arrays.copyOfRange(words, i, i + n): _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Morton bit-spreading behind [[expressions.ZOrder2]], top-level so
@@ -200,19 +217,24 @@ object expressions {
     * shingle → explode pipeline of the dedup queries stays one fused
     * stage, while the string loop itself remains ONE JIT-compiled JVM
     * method instead of janino-inlined source. */
-  case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  case class WordShingles(child: Expression, n: Int, distinct: Boolean = true)
+      extends UnaryExpression {
     require(n >= 1, "shingle size must be >= 1")
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
-    override def prettyName: String = "word_shingles"
+    override def prettyName: String =
+      if (distinct) "word_shingles" else "word_shingles_all"
 
     override def nullSafeEval(input: Any): Any =
-      ShingleKernel.compute(input.asInstanceOf[UTF8String], n)
+      if (distinct) ShingleKernel.compute(input.asInstanceOf[UTF8String], n)
+      else ShingleKernel.computeAll(input.asInstanceOf[UTF8String], n)
 
-    // No generated locals → no freshName needs; `n` is a constructor
-    // constant, embedded as a literal.
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // No generated locals → no freshName needs; `n` and the kernel
+    // choice are constructor constants, embedded as literals.
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val kernel = if (distinct) "compute" else "computeAll"
       nullSafeCodeGen(ctx, ev, a =>
-        s"${ev.value} = graft.plans.ShingleKernel.compute($a, $n);")
+        s"${ev.value} = graft.plans.ShingleKernel.$kernel($a, $n);")
+    }
 
     override protected def withNewChildInternal(newChild: Expression): WordShingles =
       copy(child = newChild)
@@ -462,6 +484,11 @@ object expressions {
     org.apache.spark.sql.GraftShims.column(
       WordShingles(org.apache.spark.sql.GraftShims.expression(text), n))
 
+  def word_shingles_all(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftShims.column(
+      WordShingles(org.apache.spark.sql.GraftShims.expression(text), n,
+        distinct = false))
+
   def rolling_fingerprint(text: Column): Column =
     org.apache.spark.sql.GraftShims.column(
       RollingFingerprint(org.apache.spark.sql.GraftShims.expression(text)))
@@ -564,6 +591,10 @@ object expressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles",
       exprs => WordShingles(exprs.head, foldToInt(exprs(1))),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles_all",
+      exprs => WordShingles(exprs.head, foldToInt(exprs(1)), distinct = false),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_sqdist", exprs => SqDist(exprs(0), exprs(1)), "built-in")

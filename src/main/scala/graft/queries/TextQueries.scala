@@ -53,6 +53,13 @@ object TextQueries {
         refFilter = col("lang") === "en", refK = 200)
       .orderBy("doc_id")
 
+  /** Model-based quality scoring, integer-exact: the corpus bigram LM
+    * scores every document's mean conditional bigram probability in
+    * permille ([[TextAnalysis.bigramLmScore]]). */
+  def bigramLm(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLmScore(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
   def corpus(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.corpusStats(Tables.documents(s, dir))
       .orderBy("lang", "source")
@@ -167,6 +174,7 @@ object TextQueries {
     "text_fingerprint" -> (fingerprint _),
     "text_corpus_stats" -> (corpus _),
     "text_bigram_coverage" -> (bigramCoverage _),
+    "text_bigram_lm_score" -> (bigramLm _),
     "text_vocab" -> (vocab _),
     "text_stratified_sample" -> (stratified _),
     "text_sample_hashmod" -> (sampleHashMod _),
@@ -327,6 +335,22 @@ object TextQueries {
         |  CAST(SUM(CASE WHEN s IN (SELECT s FROM ref) THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
         |  CAST((1000 * SUM(CASE WHEN s IN (SELECT s FROM ref) THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS coverage_permille
         |FROM b0 GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // ALL bigram occurrences (not the distinct-shingle contract) —
+    // the LM counts multiplicity; every aggregate/DIV output CAST
+    // (uncast SUM + // bind HUGEINT — the OracleTypesSpec ban)
+    "text_bigram_lm_score" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |occ AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+        |          i -> w[i] || ' ' || w[i+1])) AS bg FROM d),
+        |o2 AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM occ),
+        |c2 AS (SELECT bg, COUNT(*) AS c_bg FROM o2 GROUP BY 1),
+        |c1 AS (SELECT t, COUNT(*) AS c_w1 FROM (
+        |        SELECT unnest(string_split(text, ' ')) AS t FROM documents) GROUP BY 1),
+        |sc AS (SELECT o.doc_id, (1000 * c2.c_bg) // c1.c_w1 AS p
+        |       FROM o2 o JOIN c2 USING (bg) JOIN c1 ON c1.t = o.w1)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(p) // COUNT(*) AS BIGINT) AS lm_score_permille
+        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "text_corpus_stats" ->
       """SELECT lang, source,
         |  COUNT(*) AS n_docs,

@@ -18,6 +18,30 @@ class ExpressionsSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("word_shingles_all keeps multiplicity and matches the HOF twin") {
+    // non-distinct law: the all-occurrences kernel equals the plain
+    // transform/sequence formulation (no array_distinct) on the corpus
+    val w = TextOps.words(col("text"))
+    val hofAll = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      .otherwise(array())
+    val diff = Tables.documents(spark, sf001).select(
+        TextOps.shinglesAll(col("text"), 2).as("fast"), hofAll.as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.count() === 0)
+    // hand case: repeated bigram kept twice, distinct variant collapses
+    val one = Seq(("a b a b")).toDF("text")
+    assert(one.select(TextOps.shinglesAll(col("text"), 2)).first.getSeq[String](0)
+      === Seq("a b", "b a", "a b"))
+    assert(one.select(TextOps.shingles(col("text"), 2)).first.getSeq[String](0)
+      === Seq("a b", "b a"))
+    // SQL registration of the new name
+    graft.plans.expressions.register(spark)
+    assert(spark.sql("SELECT word_shingles_all('x y x y', 2) AS s")
+      .first.getSeq[String](0) === Seq("x y", "y x", "x y"))
+  }
+
   test("RepetitionStats kernel equals the HOF twin on the fixture corpus + edges") {
     import graft.operators.TextAnalysis
     val docs = Tables.documents(spark, sf001)

