@@ -89,6 +89,11 @@ object Bench {
     val fileLine = line.dropRight(1) +
       s""","reps":$repsJson,"queries_median":$medianJson}"""
     println(line)
+    // At 90 queries the full line is ~2.3 KB — past the driver's ~2 KB
+    // tail window, which cuts the line's HEAD (where metric/value
+    // live). A compact line printed LAST survives any tail truncation
+    // intact; bench.json stays the authoritative per-query record.
+    println(s"""{"metric":"total","value":${dp3(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","detail":"bench.json"}""")
     Files.writeString(Paths.get("bench.json"), fileLine + "\n")
     spark.stop()
   }

@@ -21,6 +21,28 @@ import scala.sys.process._
   */
 class OracleTypesSpec extends AnyFunSuite {
 
+  /** Queries deliberately declared WITHOUT an oracle. Adding a name
+    * here is a reviewed decision, not a fallback — everything else
+    * must be hash-checked. */
+  private val SanctionedRowsOnly = Set(
+    "rel_approx_distinct" // HLL estimate; oracle-exact KMV twin = rel_kmv_distinct
+  )
+
+  test("oracle keys and declared queries stay in bijection (minus the sanctioned set)") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    // a typo'd oracle key would SILENTLY downgrade its query to the
+    // driver's weaker rows-only check — fail loudly here instead
+    val orphanOracles = o -- q
+    assert(orphanOracles.isEmpty, s"oracles without a declared query: $orphanOracles")
+    val unchecked = q -- o -- SanctionedRowsOnly
+    assert(unchecked.isEmpty,
+      s"queries with neither an oracle nor a sanctioned-rows-only entry: $unchecked")
+    val staleSanction = SanctionedRowsOnly -- (q -- o)
+    assert(staleSanction.isEmpty,
+      s"sanctioned entries that now have an oracle or no query (remove them): $staleSanction")
+  }
+
   test("every oracle binds in DuckDB with driver-hashable column types") {
     val script = new java.io.File("tools/oracle_types.py")
     assume(script.isFile, s"tools/oracle_types.py not found at ${script.getAbsolutePath}")
