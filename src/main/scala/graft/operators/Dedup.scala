@@ -144,6 +144,33 @@ object Dedup {
         countDistinct(col("eval_id")).as("n_eval_docs"))
   }
 
+  /** The EVAL-side contamination metric (complement of
+    * [[decontamOverlap]], which reports from the train side): for
+    * every eval document, the permille of its distinct n-grams that
+    * appear ANYWHERE in the train corpus — the number that decides
+    * whether a benchmark is still valid against this training set.
+    * Integer permille (1000·hits DIV total), oracle-exact.
+    *
+    * Scale shape: the eval shingle set is broadcast (eval benchmarks
+    * are small by definition — same contract as [[decontamOverlap]]);
+    * the train side is scanned once, never shuffled pre-join, and the
+    * hit set is deduplicated to (eval_id, s) pairs — bounded by the
+    * eval set's own shingle count, not by train size. */
+  def contaminationReport(train: DataFrame, eval: DataFrame,
+                          idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    val e = docShingles(eval, idCol, textCol, n)
+      .withColumnRenamed("doc_id", "eval_id")
+    val hits = docShingles(train, idCol, textCol, n).select(col("s"))
+      .join(broadcast(e), Seq("s"))
+      .select(col("eval_id"), col("s")).distinct()
+      .groupBy("eval_id").agg(count(lit(1)).as("n_hit"))
+    e.groupBy("eval_id").agg(count(lit(1)).as("n_ngrams"))
+      .join(hits, Seq("eval_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .select(col("eval_id"), col("n_ngrams"), col("n_hit"),
+        expr("(1000 * n_hit) DIV n_ngrams").as("contamination_permille"))
+  }
+
   /** MOSS-style WINNOWING fingerprints: per document, the distinct
     * window minima of the polynomial rolling hashes of all character
     * k-grams ([[graft.plans.WinnowKernel]] — compiled, zero shuffle).

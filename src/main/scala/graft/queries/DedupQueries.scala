@@ -171,8 +171,21 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** The eval-side view of the same split: per benchmark document,
+    * how much of it leaks from the training corpus
+    * ([[Dedup.contaminationReport]] — integer permille). */
+  def contamReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.contaminationReport(
+        docs.filter(col("doc_id") >= DecontamEvalBelow),
+        docs.filter(col("doc_id") < DecontamEvalBelow),
+        "doc_id", "text", n = DecontamN)
+      .orderBy("eval_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_decontam" -> (decontam _),
+    "dedup_contam_report" -> (contamReport _),
     "dedup_exact" -> (exact _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash" -> (minhash _),
@@ -285,6 +298,24 @@ object DedupQueries {
          |SELECT doc_id, COUNT(DISTINCT s) AS n_shared_ngrams,
          |  COUNT(DISTINCT eval_id) AS n_eval_docs
          |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin,
+    // eval-side twin of dedup_decontam: per eval doc, permille of its
+    // distinct 5-grams present anywhere in train; every aggregate/DIV
+    // output CAST (uncast SUM + // bind HUGEINT — OracleTypesSpec ban)
+    "dedup_contam_report" ->
+      s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, s FROM (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - ${DecontamN - 1}),
+         |      i -> ${(0 until DecontamN).map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(" || ' ' || ")})) AS s
+         |  FROM docs)),
+         |e AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id < $DecontamEvalBelow),
+         |hit AS (SELECT DISTINCT e.eval_id, e.s FROM e
+         |        JOIN sh t ON t.s = e.s AND t.doc_id >= $DecontamEvalBelow),
+         |h AS (SELECT eval_id, COUNT(*) AS n_hit FROM hit GROUP BY 1)
+         |SELECT e2.eval_id, COUNT(*) AS n_ngrams,
+         |  CAST(coalesce(max(h.n_hit), 0) AS BIGINT) AS n_hit,
+         |  CAST((1000 * coalesce(max(h.n_hit), 0)) // COUNT(*) AS BIGINT) AS contamination_permille
+         |FROM e e2 LEFT JOIN h ON h.eval_id = e2.eval_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // candidacy AND verification both reproduced exactly: affine
     // min-hash signatures over polynomial shingle fingerprints, mod-P
     // band-bucket folds, then exact Jaccard on the candidates — the

@@ -135,6 +135,25 @@ class DedupSpec extends SparkSpec {
     assert(r(2).getLong(2) === 2L)   // doc 12 contaminates against BOTH eval docs
   }
 
+  test("contamination report: eval-side permille, hand-checked") {
+    import spark.implicits._
+    val eval = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),  // 2 distinct 5-grams
+      (2L, "unique tokens absent from train corpus entirely"), // 0 hits
+      (3L, "one two three four five")).toDF("doc_id", "text") // 1 5-gram, hit
+    val train = Seq(
+      (10L, "alpha beta gamma delta epsilon eta"),  // hits 1 of doc 1's 2
+      (11L, "one two three four five six")).toDF("doc_id", "text")
+    val r = graft.operators.Dedup.contaminationReport(train, eval, "doc_id", "text", n = 5)
+      .orderBy("eval_id").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) === ((2L, 1L, 500L)))  // 1 of 2 shingles leaked → 500‰
+    assert(r(2L) === ((3L, 0L, 0L)))    // 7 words → 3 shingles, none leaked
+    assert(r(3L) === ((1L, 1L, 1000L))) // fully contained → 1000‰
+    // every eval doc reports, hit or not (left join), and never > 1000
+    assert(r.size === 3 && r.values.forall(_._3 <= 1000L))
+  }
+
   test("rolling fingerprint is deterministic and order-sensitive") {
     val df = Seq("a b c", "a b c", "c b a").toDF("text")
       .select(TextOps.rollingFingerprint(col("text")).as("f"))
