@@ -294,7 +294,38 @@ object StreamQueries {
         (col("sum_value") * 100).cast("long").as("sum_price_cents"), col("n"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** Stream-STATIC dimension join — the enrichment pattern every
+    * production stream runs (fact stream × broadcastable profile
+    * dim). The dim is each user's epoch-week cohort computed once
+    * from the batch table (static by definition); every micro-batch
+    * broadcast-joins it and the complete-mode aggregate fills
+    * (cohort_week, event_type) cells with exact-decimal value sums.
+    * Parity contract: the result equals the flat batch recompute —
+    * the DuckDB oracle. Scale shape: state = cells (cohorts×types),
+    * the dim is |users| rows (broadcast like any profile dim; at
+    * true 100 TB user counts the same plan works as a shuffle join —
+    * Spark picks by size). */
+  def staticJoinParity(s: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    // FLOOR-division week (pmod-subtract) — same engine-portable
+    // arithmetic as Events.cohortRetention
+    val dim = graft.io.Tables.events(s, dir)
+      .select(col("user_id"),
+        expr(s"(unix_micros(ts) - pmod(unix_micros(ts), $weekUs)) DIV $weekUs").as("week"))
+      .groupBy("user_id").agg(min("week").as("cohort_week"))
+    val ev = StreamOps.readEventsStream(s, eventsStreamDir(dir))
+    val agg = ev.join(broadcast(dim), Seq("user_id"))
+      .groupBy("cohort_week", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(38,2)")).as("sv"))
+    runToMemory(s, "stream_static_join_sink", agg, "complete")
+      .select(col("cohort_week"), col("event_type"), col("n"),
+        (col("sv") * 100).cast("long").as("sum_value_cents"))
+      .orderBy("cohort_week", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_static_join_parity" -> (staticJoinParity _),
     "stream_incremental_parity" -> (incrementalParity _),
     "stream_window_parity" -> (windowParity _),
     "stream_session_parity" -> (sessionParity _),
@@ -305,6 +336,16 @@ object StreamQueries {
     "stream_mix_parity" -> (mixParity _))
 
   val oracles: Map[String, String] = Map(
+    // flat batch recompute of the stream-static enrichment: DuckDB //
+    // floors, so no pmod dance is needed on this side
+    "stream_static_join_parity" ->
+      """WITH f AS (SELECT user_id,
+        |  min(epoch_us(ts) // 604800000000) AS cohort_week
+        |  FROM events GROUP BY 1)
+        |SELECT f.cohort_week, e.event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(38,2))) * 100 AS BIGINT) AS sum_value_cents
+        |FROM events e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // flat recompute — batch (rel_incremental_agg), delta-merge, and
     // the streamed state table must all equal it exactly
     "stream_incremental_parity" ->

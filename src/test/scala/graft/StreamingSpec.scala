@@ -188,6 +188,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size >= batch.size - nUsers)
   }
 
+  test("stream-static dim join equals the flat batch enrichment") {
+    import graft.queries.StreamQueries
+    val ev = graft.io.Tables.events(spark, sf001)
+    val got = StreamQueries.staticJoinParity(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val weekUs = 7L * 86400L * 1000000L
+    val dim = ev.select(col("user_id"),
+        expr(s"(unix_micros(ts) - pmod(unix_micros(ts), $weekUs)) DIV $weekUs").as("week"))
+      .groupBy("user_id").agg(min("week").as("cohort_week"))
+    val flat = ev.join(dim, "user_id")
+      .groupBy("cohort_week", "event_type")
+      .agg(count(lit(1)).as("n"),
+        (sum(col("value").cast("decimal(38,2)")) * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got === flat)
+    // every event lands in exactly one cell (the join loses nothing)
+    assert(got.values.map(_._1).sum === ev.count())
+  }
+
   test("flatMapGroupsWithState sessionization emits gap-separated sessions") {
     val input = MemoryStream[Event](spark)
     val q = StreamOps.sessionize(input.toDS(), gapSeconds = 1800L)
