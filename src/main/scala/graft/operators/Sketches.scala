@@ -140,4 +140,54 @@ object Sketches {
       .filter(col("n_occ") * lit(shareDen) >= lit(total) * lit(shareNum))
       .select(col("token"), col("n_occ"))
   }
+
+  /** SINGLE-PASS mergeable quantile ESTIMATE over exact fixed-point
+    * integers — the approximate path [[Quantiles]]' scaladoc points
+    * to for ≥10⁷ simultaneous groups, as a real operator.
+    *
+    * The sketch is an equi-width integer histogram: per (group,
+    * bucket = v DIV widthCents) cell it keeps (count, min, max) —
+    * trivially MERGEABLE (count sums, min mins, max maxs — proved as
+    * a law in StatsSpec on disjoint halves), one scan, bounded state
+    * (domain/width cells per group, no per-group value buffering).
+    * The rank r(q) = ⌊q·(n−1)⌋ is located by a prefix-count walk over
+    * the group's ≤cells rows, and the estimate interpolates INSIDE
+    * the located cell from its (min, max, count):
+    *   est = min + ((max − min)·(r − cumBefore)) DIV max(cnt − 1, 1)
+    * ALL-INTEGER arithmetic end to end — q enters as the rational
+    * qNum/qDen, so the estimate is bit-reproducible and the DuckDB
+    * oracle replays it exactly (unlike engine-private t-digest /
+    * approx_percentile). Error is bounded by the cell width by
+    * construction (spec-pinned against the exact operator).
+    *
+    * Scale shape: one corpus scan → map-side-combined histogram
+    * exchange (occupied cells, never rows); the walk is a window
+    * over per-group cells — cells per group ≤ domain/width, a
+    * CONSTANT chosen by the caller, so the per-group task is O(cells)
+    * regardless of row count. */
+  def histogramQuantiles(df: DataFrame, groupCol: String, valueCents: Column,
+                         qs: Seq[(Long, Long)], widthCents: Long): DataFrame = {
+    require(widthCents > 0, "bucket width must be positive")
+    val cells = df.select(col(groupCol).as("g"), valueCents.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("g"), (col("v") - pmod(col("v"), lit(widthCents))).as("b"))
+      .agg(count(lit(1)).as("cnt"), min("v").as("bmin"), max("v").as("bmax"))
+    val w = Window.partitionBy("g").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val walked = cells
+      .withColumn("cum_before", coalesce(sum("cnt").over(w), lit(0L)))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("g")))
+    val perQ = qs.map { case (qn, qd) =>
+      walked
+        .withColumn("_r", expr(s"($qn * (n - 1)) DIV $qd"))
+        .filter(col("_r") >= col("cum_before") &&
+          col("_r") < col("cum_before") + col("cnt"))
+        .select(col("g"), lit(qn).as("q_num"), lit(qd).as("q_den"),
+          // integer DIV, not `/` (Divide on longs is double division)
+          expr("bmin + ((bmax - bmin) * (_r - cum_before)) DIV greatest(cnt - 1, 1)")
+            .as("est_cents"),
+          col("n"))
+    }
+    perQ.reduce(_.unionAll(_))
+  }
 }

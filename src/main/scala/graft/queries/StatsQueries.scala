@@ -79,6 +79,28 @@ object StatsQueries {
       .orderBy("l_returnflag")
   }
 
+  /** The APPROXIMATE quantile path — [[rel_quantiles]]' single-pass
+    * mergeable twin ([[graft.operators.Sketches.histogramQuantiles]]):
+    * p50/p95 of l_extendedprice in cents, $64 (2¹³-cent) histogram
+    * cells, all-integer arithmetic so the DuckDB oracle replays the
+    * ESTIMATE bit-for-bit (engine-private approx_percentile can't be
+    * hash-checked). StatsSpec pins |estimate − exact| ≤ cell width
+    * and the merge law on disjoint halves. */
+  val SketchWidthCents = 8192L
+  def quantilesSketch(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val q = graft.operators.Sketches.histogramQuantiles(
+      li, "l_returnflag",
+      (col("l_extendedprice").cast("decimal(38,2)") * 100).cast("long"),
+      qs = Seq((1L, 2L), (19L, 20L)), widthCents = SketchWidthCents)
+    q.groupBy(col("g").as("l_returnflag"))
+      .agg(
+        max(when(col("q_num") === 1, col("est_cents"))).as("p50_cents_est"),
+        max(when(col("q_num") === 19, col("est_cents"))).as("p95_cents_est"),
+        max(col("n")).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   /** Exact distinct counts (oracle-checked). */
   def countDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -182,6 +204,7 @@ object StatsQueries {
     "rel_cube" -> (cube _),
     "rel_pivot" -> (pivot _),
     "rel_quantiles" -> (quantiles _),
+    "rel_quantiles_sketch" -> (quantilesSketch _),
     "rel_count_distinct" -> (countDistinct _),
     "rel_approx_distinct" -> (approxDistinct _),
     "rel_kmv_distinct" -> (kmvDistinct _),
@@ -214,6 +237,34 @@ object StatsQueries {
         |  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
         |  round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact replay of the histogram ESTIMATE (not quantile_cont): same
+    // cells, same prefix-count walk, same all-integer interpolation;
+    // `((v % W) + W) % W` is pmod (DuckDB % truncates toward zero)
+    "rel_quantiles_sketch" -> {
+      val W = SketchWidthCents
+      s"""WITH v0 AS (SELECT l_returnflag AS g,
+         |  CAST(CAST(l_extendedprice AS DECIMAL(38,2)) * 100 AS BIGINT) AS v FROM lineitem),
+         |cells AS (SELECT g, v - ((v % $W + $W) % $W) AS b,
+         |  COUNT(*) AS cnt, CAST(min(v) AS BIGINT) AS bmin, CAST(max(v) AS BIGINT) AS bmax
+         |  FROM v0 GROUP BY 1, 2),
+         |walked AS (SELECT *,
+         |  coalesce(SUM(cnt) OVER (PARTITION BY g ORDER BY b
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+         |  SUM(cnt) OVER (PARTITION BY g) AS n FROM cells),
+         |est AS (
+         |  SELECT g, 1 AS qn, CAST((1 * (n - 1)) // 2 AS BIGINT) AS r, * EXCLUDE (g) FROM walked
+         |  UNION ALL
+         |  SELECT g, 19 AS qn, CAST((19 * (n - 1)) // 20 AS BIGINT) AS r, * EXCLUDE (g) FROM walked),
+         |hit AS (SELECT g, qn,
+         |  CAST(bmin + ((bmax - bmin) * (r - cum_before)) // greatest(cnt - 1, 1) AS BIGINT) AS e,
+         |  CAST(n AS BIGINT) AS n
+         |  FROM est WHERE r >= cum_before AND r < cum_before + cnt)
+         |SELECT g AS l_returnflag,
+         |  CAST(max(CASE WHEN qn = 1 THEN e END) AS BIGINT) AS p50_cents_est,
+         |  CAST(max(CASE WHEN qn = 19 THEN e END) AS BIGINT) AS p95_cents_est,
+         |  CAST(max(n) AS BIGINT) AS n
+         |FROM hit GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "rel_count_distinct" ->
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_partkey) AS nd_parts,

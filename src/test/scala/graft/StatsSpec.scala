@@ -73,6 +73,36 @@ class StatsSpec extends SparkSpec {
       li, "l_returnflag", "l_extendedprice", named, buckets = 7)) === builtin)
   }
 
+  test("histogram quantile sketch: within one cell of exact, and mergeable") {
+    import org.apache.spark.sql.functions._
+    val li = graft.io.Tables.lineitem(spark, sf001)
+    val W = graft.queries.StatsQueries.SketchWidthCents
+    val cents = (col("l_extendedprice").cast("decimal(38,2)") * 100).cast("long")
+    val qs = Seq((1L, 2L), (19L, 20L))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val est = asMap(graft.operators.Sketches.histogramQuantiles(
+      li, "l_returnflag", cents, qs, W))
+    // error bound: estimate within one cell width of the exact
+    // NEAREST-RANK order statistic (both live in the located cell)
+    val exact = li.groupBy("l_returnflag").agg(
+        expr("percentile(cast(cast(l_extendedprice as decimal(38,2)) * 100 as long), 0.5)").as("p50"),
+        expr("percentile(cast(cast(l_extendedprice as decimal(38,2)) * 100 as long), 0.95)").as("p95"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (g, (p50, p95)) =>
+      assert(math.abs(est((g, 1L)) - p50) <= W, s"$g p50: ${est((g, 1L))} vs $p50")
+      assert(math.abs(est((g, 19L)) - p95) <= W, s"$g p95: ${est((g, 19L))} vs $p95")
+    }
+    // MERGE LAW: sketch(halfA ∪ halfB) == sketch(full) — the histogram
+    // cells are associative (count sums, min mins, max maxs), so the
+    // estimate over a union of independently-scanned halves matches
+    val a = li.filter(col("l_orderkey") % 2 === 0)
+    val b = li.filter(col("l_orderkey") % 2 =!= 0)
+    val merged = asMap(graft.operators.Sketches.histogramQuantiles(
+      a.unionAll(b), "l_returnflag", cents, qs, W))
+    assert(merged === est)
+  }
+
   test("tie-skewed column (90% one value) resolves exactly with no single-task funnel") {
     import org.apache.spark.sql.functions._
     // 200 k rows, ONE group, 90% exactly 5.0 — the dominant value's
