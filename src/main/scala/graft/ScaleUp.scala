@@ -144,9 +144,11 @@ object ScaleUp {
     // round 5b: the two-level packing prefix sum over 50 k docs
     "text_pack",
     // round 6: the corpus-bigram-LM scorer (token-linear two-join
-    // plan) and the real-codec round-trip (zero-shuffle scan; 50 k
-    // PNG encodes + decodes per run)
+    // plan), the real-codec round-trip (zero-shuffle scan; 50 k
+    // PNG encodes + decodes per run), the mergeable histogram
+    // quantile sketch, and PQ over 20 k vectors (train+encode+rank)
     "text_bigram_lm_score", "mm_decode_roundtrip",
+    "rel_quantiles_sketch", "ann_pq_topk",
     // round 5c: heavy hitters (bounded-state MG + recount over 5M
     // tokens), bloom pruning against 10× orders, int8 ANN over 20k
     // vectors, the z-order tile agg, incremental state merge, and the

@@ -411,4 +411,80 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
+
+  // ---- Product quantization (PQ) ------------------------------------
+
+  /** Train PQ codebooks: the vector space is split into `m` contiguous
+    * subspaces of dim/m dims and each gets its own exact-decimal Lloyd
+    * codebook ([[graft.cluster.KMeansNative.fitExact]], first-k init —
+    * the same bit-deterministic trainer the IVF index and
+    * `kmeans_fit_native` use, so the DuckDB oracle replays training
+    * with the shared unrolled-CTE generator). Returns
+    * m × kCodes × (dim/m) codewords — the 100 TB representation: a
+    * vector stores m small codes (m bytes at kCodes ≤ 256) instead of
+    * dim floats, an 8×dim/m compression with rankable distances. */
+  def pqTrain(embs: DataFrame, idCol: String, vecCol: String,
+              m: Int, kCodes: Int, iters: Int): Array[Array[Array[Double]]] = {
+    val p = embs.select(col(idCol).as("vec_id"), VectorOps.toDouble(col(vecCol)).as("v"))
+    val dim = p.select(size(col("v"))).first.getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    Array.tabulate(m) { j =>
+      val sv = p.select(col("vec_id"), slice(col("v"), j * sub + 1, sub).as("v"))
+      val init = graft.cluster.KMeansNative.firstKCenters(sv, "vec_id", "v", kCodes)
+      graft.cluster.KMeansNative.fitExact(sv, "v", init, iters)
+    }
+  }
+
+  /** PQ ASYMMETRIC-DISTANCE top-k: encode the corpus (per-subspace
+    * compiled argmin → m small codes per vector), then score each
+    * query against the RECONSTRUCTION (codeword concatenation) with
+    * one 64-dim [[graft.plans.expressions.SqDist]].
+    *
+    * Scoring via reconstruction rather than per-subspace LUT sums is
+    * deliberate: d²(q, recon) equals the ADC value mathematically,
+    * and as ONE left-to-right 64-term fold it is bit-identical to
+    * DuckDB's `list_sum` — per-subspace partial sums would round
+    * differently (different grouping). A production deployment keeps
+    * the LUT form; the semantics (and the ranking) are the same.
+    *
+    * Scale shape: train touches the corpus m×iters times (or a
+    * bounded sample at real scale, like IVF); encode is one scan of
+    * compiled argmins; scoring is broadcast-queries × codes with a
+    * bounded per-query top-k — the stored/shuffled representation is
+    * codes, never raw vectors. */
+  def pqTopK(embs: DataFrame, idCol: String, vecCol: String,
+             queries: Array[(Long, Array[Double])], k: Int,
+             m: Int = 4, kCodes: Int = 16, iters: Int = 4,
+             codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val cb = codebooks.getOrElse(pqTrain(embs, idCol, vecCol, m, kCodes, iters))
+    val dim = cb.map(_.head.length).sum
+    val sub = dim / m
+    val p = embs.select(col(idCol).cast("long").as("neighbor_id"),
+      VectorOps.toDouble(col(vecCol)).as("v"))
+    // encode: per-subspace compiled argmin, then reconstruct by
+    // looking the codes back up in nested literals (concat of m
+    // element_at's — codes are what a real index stores)
+    val coded = (0 until m).foldLeft(p) { (df, j) =>
+      val (cid, _) = graft.cluster.KMeansNative.argminColumns(
+        slice(col("v"), j * sub + 1, sub), cb(j))
+      df.withColumn(s"_c$j", cid)
+    }
+    val recon = concat((0 until m).map { j =>
+      element_at(typedLit(cb(j).map(_.toSeq).toSeq), col(s"_c$j") + 1)
+    }: _*)
+    val withRecon = coded.select(col("neighbor_id"), recon.as("recon"))
+    val qdf = broadcast(queries.toSeq.toDF("query_id", "qv"))
+    val scored = withRecon.join(qdf, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.plans.expressions.vec_sqdist(col("qv"), col("recon")).as("sqdist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sqdist").asc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sqdist"))
+  }
 }

@@ -111,12 +111,44 @@ object SimilarityQueries {
         queryVecs(s, dir), K)
       .orderBy("query_id", "rank")
 
+  // PQ build params — one definition for the build call, the fixture
+  // memo key, and the oracle generator (they cannot drift). 16
+  // subspaces × 16 codes: 16 byte-codes/vector = 16× compression of
+  // the 256-byte float32 representation; measured recall@5 vs exact
+  // euclidean = 0.46 on the near-uniform fixture (coarser 4×16 was
+  // 0.22 — uniform random embeddings are PQ's worst case; clustered
+  // real corpora quantize far better).
+  val PqM = 16
+  val PqCodes = 16
+  val PqIters = 4
+
+  /** Product-quantization top-k ([[Similarity.pqTopK]]): PqM subspaces
+    * × PqCodes exact-decimal Lloyd codewords → PqM codes/vector (16×
+    * compression of the float32 representation), asymmetric distance
+    * via reconstruction (one 64-dim SqDist — bit-equal to the DuckDB
+    * fold, see the operator scaladoc). Codebooks are fixture-memoized
+    * like the IVF index; training replays in the oracle through the
+    * SAME unrolled-Lloyd CTE generator as kmeans_fit_native/IVF. */
+  def pq(s: SparkSession, dir: String): DataFrame = {
+    val cb = graft.io.FixtureCache.memo(
+        s"pq_cb:m=$PqM:k=$PqCodes:it=$PqIters", dir, "embeddings") {
+      Similarity.pqTrain(Tables.embeddings(s, dir), "vec_id", "embedding",
+        PqM, PqCodes, PqIters)
+    }
+    Similarity.pqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryVecs(s, dir), K, PqM, PqCodes, PqIters, Some(cb))
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sqdist"), 6).as("sqdist"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce_topk" -> (bruteForce _),
     "ann_lsh_topk" -> (lsh _),
     "ann_ivf_topk" -> (ivf _),
     "ann_ivf_probe_only" -> (ivfProbeOnly _),
-    "ann_quant_topk" -> (quant _))
+    "ann_quant_topk" -> (quant _),
+    "ann_pq_topk" -> (pq _))
 
   // ---- LSH oracle: the integer planes inlined as a VALUES table ----
   // (Similarity.intPlanes is the single source of truth; the oracle
@@ -182,7 +214,49 @@ object SimilarityQueries {
          |""".stripMargin + cosineRankSql("cand")
   }
 
+  /** Full PQ oracle: per subspace — slice, first-k init, PqIters
+    * exact-decimal Lloyd rounds (the SHARED lloydRoundsCte generator,
+    * dim = 64/PqM) — then corpus encode (per-subspace argmin),
+    * codeword-concatenation reconstruction, and one 64-term
+    * left-to-right d² fold per (query, vector), ranked ascending. */
+  private def pqOracleSql: String = {
+    val sub = Dim / PqM
+    val subspaces = (0 until PqM).map { j =>
+      s"""p$j AS MATERIALIZED (SELECT vec_id, list_slice(v, ${j * sub + 1}, ${(j + 1) * sub}) AS v FROM p),
+         |s${j}cent0 AS MATERIALIZED (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v
+         |  FROM p$j ORDER BY vec_id LIMIT $PqCodes)""".stripMargin +
+        KMeansQueries.lloydRoundsCte(s"p$j", sub, PqIters, s"s$j") +
+        s""", e$j AS MATERIALIZED (SELECT vec_id, cid FROM (
+           |  SELECT x.vec_id, c.cid,
+           |    row_number() OVER (PARTITION BY x.vec_id ORDER BY
+           |      list_sum(list_transform(generate_series(1, $sub),
+           |        i -> (x.v[i] - c.v[i]) * (x.v[i] - c.v[i]))), cid) AS rn
+           |  FROM p$j x CROSS JOIN s${j}cent$PqIters c) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val reconJoin = (0 until PqM).map { j =>
+      s"JOIN e$j ON e$j.vec_id = e0.vec_id JOIN s${j}cent$PqIters c$j ON c$j.cid = e$j.cid"
+    }.drop(1).mkString("\n|  ") // e0 is the FROM anchor
+    val reconCols = (0 until PqM).map(j => s"c$j.v").mkString(" || ")
+    s"""WITH p AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |$subspaces,
+       |recon AS MATERIALIZED (SELECT e0.vec_id, $reconCols AS rv
+       |  FROM e0 JOIN s0cent$PqIters c0 ON c0.cid = e0.cid
+       |  $reconJoin),
+       |qv AS (SELECT vec_id AS query_id, v FROM p ORDER BY vec_id LIMIT $Q),
+       |d AS (SELECT q.query_id, r.vec_id AS neighbor_id,
+       |  list_sum(list_transform(generate_series(1, $Dim),
+       |    i -> (q.v[i] - r.rv[i]) * (q.v[i] - r.rv[i]))) AS sqdist
+       |  FROM qv q CROSS JOIN recon r WHERE r.vec_id <> q.query_id),
+       |rk AS (SELECT query_id, neighbor_id, sqdist,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sqdist ASC, neighbor_id) AS INTEGER) AS rank
+       |  FROM d)
+       |SELECT query_id, neighbor_id, rank, round(sqdist, 6) AS sqdist
+       |FROM rk WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "ann_pq_topk" -> pqOracleSql,
     // replays quantizeInt8 literally: amax, then ⌊x·127/amax⌋ — every
     // step one correctly-rounded IEEE double op, then pure integers
     "ann_quant_topk" ->

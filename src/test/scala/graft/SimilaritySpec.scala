@@ -50,6 +50,29 @@ class SimilaritySpec extends SparkSpec {
     assert(hits.toDouble / total >= 0.5, s"recall $hits/$total")
   }
 
+  test("PQ top-k: recall vs exact euclidean >= 0.3 at 16x compression, codes in range") {
+    import graft.queries.SimilarityQueries.{PqM, PqCodes, PqIters}
+    // exact EUCLIDEAN top-5 (PQ ranks by sqdist, not cosine — compare
+    // like with like), driver-side exhaustive like the brute-force law
+    val all: Array[(Long, Array[Double])] =
+      emb.select(col("vec_id"), graft.functions.VectorOps.toDouble(col("embedding")))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def d2(a: Array[Double], b: Array[Double]) = {
+      var s0 = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s0 += d * d; i += 1 }; s0
+    }
+    val exact = queries.map { case (q, qv) =>
+      q -> all.filter(_._1 != q).map { case (i, v) => (i, d2(qv, v)) }
+        .sortBy(x => (x._2, x._1)).take(5).map(_._1).toSet
+    }.toMap
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding", PqM, PqCodes, PqIters)
+    assert(cb.length === PqM && cb.forall(_.length <= PqCodes))
+    val pq = topSets(Similarity.pqTopK(emb, "vec_id", "embedding", queries, 5,
+      PqM, PqCodes, PqIters, Some(cb)))
+    val hits = exact.map { case (q, s0) => (pq.getOrElse(q, Set.empty) & s0).size }.sum
+    assert(hits.toDouble / exact.values.map(_.size).sum >= 0.3, s"recall $hits/50")
+  }
+
   test("int8-quantized top-k recall vs exact cosine is >= 0.6") {
     val exact = topSets(Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, 5))
     val quant = topSets(Similarity.quantTopK(emb, "vec_id", "embedding", queries, 5))
