@@ -22,6 +22,13 @@ object GraphQueries {
     * list (the simhash-fingerprint / pair-graph pattern — the
     * distillation scan dominated both queries' cost, and the distinct
     * edge set is nation²-bounded, safe to hold). */
+  /** The nation-level trade network, DISTINCT (src, dst) after the
+    * 4-table distillation — ≤ nations² = 625 rows at ANY corpus size,
+    * which is what licenses the `.collect()` below (the r5 verdict's
+    * "document the bound" note): the collect is graph-size-bounded,
+    * never data-bounded. A caller with a NON-distilled edge list
+    * should feed [[graft.operators.Graph]] DataFrames directly — the
+    * operators themselves never collect edges. */
   private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
     val rows = graft.io.FixtureCache.memo(
         s"trade_edges:${System.identityHashCode(s)}", dir, "lineitem") {
