@@ -148,7 +148,7 @@ object ScaleUp {
     // PNG encodes + decodes per run), the mergeable histogram
     // quantile sketch, and PQ over 20 k vectors (train+encode+rank)
     "text_bigram_lm_score", "mm_decode_roundtrip",
-    "rel_quantiles_sketch", "ann_pq_topk",
+    "rel_quantiles_sketch", "ann_pq_topk", "ann_ivfpq_topk",
     // round 5c: heavy hitters (bounded-state MG + recount over 5M
     // tokens), bloom pruning against 10× orders, int8 ANN over 20k
     // vectors, the z-order tile agg, incremental state merge, and the

@@ -357,6 +357,54 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** IVF-PQ probe — the production pairing: IVF bounds WHICH vectors
+    * a query touches (nProbe cells), PQ bounds the BYTES per touched
+    * vector (m codes instead of dim floats). Candidate generation is
+    * [[probe]]'s verbatim; ranking is PQ asymmetric distance via
+    * codeword reconstruction (one 64-term fold — see [[pqTopK]] for
+    * why reconstruction, not LUT partial sums). Candidates are
+    * encoded on the fly with the compiled per-subspace argmins here;
+    * a production index stores the codes column alongside `cell`, and
+    * the plan is unchanged by that swap. */
+  def probePq(index: IvfIndex, codebooks: Array[Array[Array[Double]]],
+              queries: Array[(Long, Array[Double])], k: Int,
+              nProbe: Int = 4): DataFrame = {
+    val spark = index.cells.sparkSession
+    import spark.implicits._
+    val m = codebooks.length
+    val dim = codebooks.map(_.head.length).sum
+    val sub = dim / m
+    val probes = queries.flatMap { case (qid, qv) =>
+      index.centers.zipWithIndex
+        .map { case (c, cid) => (VectorOps.sqdistSeq(qv, c), cid) }
+        .sortBy { case (d, cid) => (d, cid) }
+        .take(nProbe)
+        .map { case (_, cid) => (qid, qv, cid) }
+    }.toSeq
+    val qdf = probes.toDF("query_id", "qv", "cell")
+    val neededCells = probes.map(_._3).distinct
+    val cand = index.cells
+      .filter(col("cell").isin(neededCells: _*))
+      .join(broadcast(qdf), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+    val coded = (0 until m).foldLeft(cand) { (df, j) =>
+      val (cid, _) = graft.cluster.KMeansNative.argminColumns(
+        slice(col("v"), j * sub + 1, sub), codebooks(j))
+      df.withColumn(s"_c$j", cid)
+    }
+    val recon = concat((0 until m).map { j =>
+      element_at(typedLit(codebooks(j).map(_.toSeq).toSeq), col(s"_c$j") + 1)
+    }: _*)
+    val scored = coded.select(col("query_id"), col("id").as("neighbor_id"),
+      graft.plans.expressions.vec_sqdist(col("qv"), recon).as("sqdist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sqdist").asc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sqdist"))
+  }
+
   /** IVF (inverted-file) approximate top-k: one-shot convenience over
     * [[buildIndex]] + [[probe]]. Callers issuing repeated query
     * batches should hold the [[IvfIndex]] instead. */

@@ -142,13 +142,31 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-PQ — the production composite ([[Similarity.probePq]]): the
+    * disk-persisted IVF index picks each query's nProbe cells, PQ
+    * codes rank the candidates. Both halves reuse their standalone
+    * artifacts (IVF index cache, PQ codebook memo), and the oracle
+    * composes both proven CTE generators. */
+  def ivfPq(s: SparkSession, dir: String): DataFrame = {
+    val cb = graft.io.FixtureCache.memo(
+        s"pq_cb:m=$PqM:k=$PqCodes:it=$PqIters", dir, "embeddings") {
+      Similarity.pqTrain(Tables.embeddings(s, dir), "vec_id", "embedding",
+        PqM, PqCodes, PqIters)
+    }
+    Similarity.probePq(ivfIndex(s, dir), cb, queryVecs(s, dir), K, IvfNProbe)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sqdist"), 6).as("sqdist"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce_topk" -> (bruteForce _),
     "ann_lsh_topk" -> (lsh _),
     "ann_ivf_topk" -> (ivf _),
     "ann_ivf_probe_only" -> (ivfProbeOnly _),
     "ann_quant_topk" -> (quant _),
-    "ann_pq_topk" -> (pq _))
+    "ann_pq_topk" -> (pq _),
+    "ann_ivfpq_topk" -> (ivfPq _))
 
   // ---- LSH oracle: the integer planes inlined as a VALUES table ----
   // (Similarity.intPlanes is the single source of truth; the oracle
@@ -219,7 +237,12 @@ object SimilarityQueries {
     * dim = 64/PqM) — then corpus encode (per-subspace argmin),
     * codeword-concatenation reconstruction, and one 64-term
     * left-to-right d² fold per (query, vector), ranked ascending. */
-  private def pqOracleSql: String = {
+  /** The PQ train + encode + reconstruct CTE block (everything
+    * between the shared `p` CTE and the query-specific scoring) —
+    * reused verbatim by [[pqOracleSql]] and [[ivfPqOracleSql]], so
+    * the composite cannot drift from the standalone PQ oracle. No
+    * leading or trailing comma. */
+  private def pqTrainEncodeCtes: String = {
     val sub = Dim / PqM
     val subspaces = (0 until PqM).map { j =>
       s"""p$j AS MATERIALIZED (SELECT vec_id, list_slice(v, ${j * sub + 1}, ${(j + 1) * sub}) AS v FROM p),
@@ -238,11 +261,15 @@ object SimilarityQueries {
       s"JOIN e$j ON e$j.vec_id = e0.vec_id JOIN s${j}cent$PqIters c$j ON c$j.cid = e$j.cid"
     }.drop(1).mkString("\n|  ") // e0 is the FROM anchor
     val reconCols = (0 until PqM).map(j => s"c$j.v").mkString(" || ")
-    s"""WITH p AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       |$subspaces,
+    s"""$subspaces,
        |recon AS MATERIALIZED (SELECT e0.vec_id, $reconCols AS rv
        |  FROM e0 JOIN s0cent$PqIters c0 ON c0.cid = e0.cid
-       |  $reconJoin),
+       |  $reconJoin)""".stripMargin
+  }
+
+  private def pqOracleSql: String =
+    s"""WITH p AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |$pqTrainEncodeCtes,
        |qv AS (SELECT vec_id AS query_id, v FROM p ORDER BY vec_id LIMIT $Q),
        |d AS (SELECT q.query_id, r.vec_id AS neighbor_id,
        |  list_sum(list_transform(generate_series(1, $Dim),
@@ -253,10 +280,55 @@ object SimilarityQueries {
        |  FROM d)
        |SELECT query_id, neighbor_id, rank, round(sqdist, 6) AS sqdist
        |FROM rk WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  /** IVF-PQ composite oracle: the IVF prefix (train, cells, probes,
+    * cand — [[ivfOracleSql]]'s exact CTEs) + the PQ block
+    * ([[pqTrainEncodeCtes]]) + PQ-distance ranking over the IVF
+    * candidate set. */
+  private def ivfPqOracleSql: String = {
+    val (ra, rb) = Similarity.sampleRankCoeffs(IvfSeed)
+    val P = Similarity.SampleRankP
+    s"""WITH p AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |samp AS MATERIALIZED (SELECT vec_id, v FROM p
+       |  ORDER BY (((vec_id % $P) + $P) % $P * $ra + $rb) % $P, vec_id LIMIT $IvfTrainSample),
+       |cent0 AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v
+       |  FROM samp ORDER BY vec_id LIMIT $IvfCells)""".stripMargin +
+      KMeansQueries.lloydRoundsCte("samp", Dim, IvfTrainIters, "") +
+      s""", ad AS (SELECT p.vec_id, c.cid,
+         |  list_sum(list_transform(generate_series(1, $Dim),
+         |           i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i]))) AS d2
+         |  FROM p CROSS JOIN cent$IvfTrainIters c),
+         |cells AS MATERIALIZED (SELECT vec_id, cid AS cell FROM (
+         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |  FROM ad) WHERE rn = 1),
+         |qv AS (SELECT vec_id AS query_id, v FROM p ORDER BY vec_id LIMIT $Q),
+         |qd AS (SELECT q.query_id, c.cid,
+         |  list_sum(list_transform(generate_series(1, $Dim),
+         |           i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS d2
+         |  FROM qv q CROSS JOIN cent$IvfTrainIters c),
+         |probes AS (SELECT query_id, cid FROM (
+         |  SELECT query_id, cid, row_number() OVER (PARTITION BY query_id ORDER BY d2, cid) AS rn
+         |  FROM qd) WHERE rn <= $IvfNProbe),
+         |cand AS (SELECT DISTINCT pr.query_id, ce.vec_id AS neighbor_id
+         |  FROM probes pr JOIN cells ce ON ce.cell = pr.cid AND ce.vec_id <> pr.query_id),
+         |""".stripMargin + pqTrainEncodeCtes +
+      s""",
+         |d AS (SELECT c.query_id, c.neighbor_id,
+         |  list_sum(list_transform(generate_series(1, $Dim),
+         |    i -> (q.v[i] - r.rv[i]) * (q.v[i] - r.rv[i]))) AS sqdist
+         |  FROM cand c JOIN qv q ON q.query_id = c.query_id
+         |  JOIN recon r ON r.vec_id = c.neighbor_id),
+         |rk AS (SELECT query_id, neighbor_id, sqdist,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sqdist ASC, neighbor_id) AS INTEGER) AS rank
+         |  FROM d)
+         |SELECT query_id, neighbor_id, rank, round(sqdist, 6) AS sqdist
+         |FROM rk WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
     "ann_pq_topk" -> pqOracleSql,
+    "ann_ivfpq_topk" -> ivfPqOracleSql,
     // replays quantizeInt8 literally: amax, then ⌊x·127/amax⌋ — every
     // step one correctly-rounded IEEE double op, then pure integers
     "ann_quant_topk" ->

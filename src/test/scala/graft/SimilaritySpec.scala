@@ -170,6 +170,45 @@ class SimilaritySpec extends SparkSpec {
     assert(hits.toDouble / total >= 0.5, s"batch-2 recall $hits/$total")
   }
 
+  test("IVF-PQ probe: candidates bounded by IVF probe set, recall >= 0.3") {
+    import graft.queries.SimilarityQueries.{PqM, PqCodes, PqIters, IvfNProbe}
+    val idx = Similarity.buildIndex(emb, "vec_id", "embedding")
+    try {
+      val cb = Similarity.pqTrain(emb, "vec_id", "embedding", PqM, PqCodes, PqIters)
+      val ivfpq = Similarity.probePq(idx, cb, queries, 5, IvfNProbe)
+      // the PQ re-ranking must never widen the candidate set: every
+      // neighbor is also reachable via the exact-distance probe at a
+      // k large enough to keep the whole candidate set
+      val wide = topSets(Similarity.probe(idx, queries, Int.MaxValue, IvfNProbe))
+      val got = ivfpq.collect()
+      got.foreach { r =>
+        assert(wide(r.getLong(0)).contains(r.getLong(1)),
+          s"${r.getLong(1)} not an IVF candidate of ${r.getLong(0)}")
+      }
+      // ranks contiguous per query
+      got.groupBy(_.getLong(0)).values
+        .map(_.map(_.getInt(2)).sorted.toSeq)
+        .foreach(rs => assert(rs === (1 to rs.length)))
+      // recall law vs exact euclidean (same bar as standalone PQ —
+      // the IVF restriction plus 16x code compression)
+      val all = emb.select(col("vec_id"), VectorOps.toDouble(col("embedding")))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      def d2(a: Array[Double], b: Array[Double]) = {
+        var s0 = 0.0; var i = 0
+        while (i < a.length) { val d = a(i) - b(i); s0 += d * d; i += 1 }; s0
+      }
+      val exact = queries.map { case (q, qv) =>
+        q -> all.filter(_._1 != q).map { case (i, v) => (i, d2(qv, v)) }
+          .sortBy(x => (x._2, x._1)).take(5).map(_._1).toSet
+      }.toMap
+      val approx = topSets(ivfpq)
+      val hits = exact.map { case (q, s0) =>
+        (approx.getOrElse(q, Set.empty) & s0).size }.sum
+      assert(hits.toDouble / exact.values.map(_.size).sum >= 0.3,
+        s"ivf-pq recall $hits/${exact.values.map(_.size).sum}")
+    } finally idx.unpersist()
+  }
+
   test("LSH is deterministic for a fixed seed") {
     val a = Similarity.lshTopK(emb, "vec_id", "embedding", queries, 5).collect()
     val b = Similarity.lshTopK(emb, "vec_id", "embedding", queries, 5).collect()
