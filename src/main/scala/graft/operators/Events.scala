@@ -167,4 +167,34 @@ object Events {
         count(lit(1)).as("n_events"))
       .orderBy(col("total_value").desc, col("user_id"))
       .limit(k)
+
+  /** SCD TYPE-2 interval construction — turn a change log into the
+    * versioned dimension a warehouse keeps: collapse consecutive
+    * observations of the SAME attribute value into one validity
+    * interval `[valid_from, valid_to)` per key, with `valid_to` NULL
+    * (and `is_current` = 1) on the open latest version.
+    *
+    * Requires unique (key, ts) with a non-null attribute — pre-
+    * aggregate the feed if not (the declared query does, via max_by
+    * on the unique event id).
+    *
+    * Scale shape: ONE exchange on the key serves both window stages
+    * (change-point detection via lag, then version numbering + lead —
+    * identical partitioning AND sort order, so the sort is done once);
+    * per-key work is a sequential scan, inherent to versioning, and
+    * bounded by one entity's history, never the table. */
+  def scd2Intervals(changes: DataFrame, key: String, ts: String,
+                    attr: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts)
+    val changed = changes
+      .withColumn("_prev", lag(col(attr), 1).over(w))
+      .filter(col("_prev").isNull || col("_prev") =!= col(attr))
+    changed
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to", lead(col(ts), 1).over(w))
+      .select(col(key), col("version"),
+        col(ts).as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.cast("int").as("is_current"),
+        col(attr))
+  }
 }

@@ -70,7 +70,26 @@ object EventsQueries {
     Events.cohortRetention(Tables.events(s, dir))
       .orderBy("cohort_week", "week_offset")
 
+  /** SCD2 dimension build from the event stream: each user's "tier"
+    * (a small derived attribute with natural repeats) observed at
+    * every signup/purchase, compressed into validity intervals. The
+    * feed is made unique per (user, ts) by max_by on the unique event
+    * id, so interval boundaries are deterministic. */
+  def scd2(s: SparkSession, dir: String): DataFrame = {
+    val changes = Tables.events(s, dir)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .groupBy("user_id", "ts")
+      .agg(expr("max_by(CAST(FLOOR(value) AS BIGINT) % 3, event_id)").as("tier"))
+    Events.scd2Intervals(changes, key = "user_id", ts = "ts", attr = "tier")
+      .select(col("user_id"), col("version").cast("int").as("version"),
+        date_format(col("valid_from"), Fmt).as("valid_from"),
+        date_format(col("valid_to"), Fmt).as("valid_to"),
+        col("is_current"), col("tier"))
+      .orderBy("user_id", "version")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_scd2_intervals" -> (scd2 _),
     "events_cohort_retention" -> (cohortRetention _),
     "events_running_total" -> (runningTotal _),
     "events_window" -> (window _),
@@ -82,6 +101,26 @@ object EventsQueries {
     "events_topk_users" -> (topUsers _))
 
   val oracles: Map[String, String] = Map(
+    // change-point compression (lag) then interval build (lead) —
+    // row_number/is_current cast to INTEGER so no DuckDB BIGINT/
+    // BOOLEAN drift reaches the hasher
+    "events_scd2_intervals" ->
+      s"""WITH c AS (SELECT user_id, ts,
+         |    arg_max(CAST(FLOOR(value) AS BIGINT) % 3, event_id) AS tier
+         |  FROM events WHERE event_type IN ('signup', 'purchase') GROUP BY 1, 2),
+         |d AS (SELECT *, lag(tier) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM c),
+         |ch AS (SELECT user_id, ts, tier FROM d WHERE prev IS NULL OR prev <> tier),
+         |v AS (SELECT user_id, tier,
+         |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) AS INTEGER) AS version,
+         |    ts AS valid_from,
+         |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+         |  FROM ch)
+         |SELECT user_id, version,
+         |  strftime(valid_from, '$DuckFmt') AS valid_from,
+         |  strftime(valid_to, '$DuckFmt') AS valid_to,
+         |  CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current,
+         |  tier
+         |FROM v ORDER BY user_id, version""".stripMargin,
     // integer epoch-weeks (µs DIV week-µs) — no calendar semantics
     "events_cohort_retention" ->
       """WITH wk AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events),

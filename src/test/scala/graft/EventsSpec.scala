@@ -70,6 +70,46 @@ class EventsSpec extends SparkSpec {
       }
   }
 
+  test("scd2: consecutive repeats collapse, intervals abut, latest version open") {
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val changes = Seq(
+      (7L, ts(0), 1L), (7L, ts(10), 1L),  // repeat -> same interval
+      (7L, ts(20), 2L), (7L, ts(30), 2L), (7L, ts(40), 1L), // back to 1 = NEW version
+      (8L, ts(5), 9L))
+      .toDF("user_id", "ts", "tier")
+    val got = Events.scd2Intervals(changes, "user_id", "ts", "tier")
+      .orderBy("user_id", "version").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getTimestamp(2), if (r.isNullAt(3)) null else r.getTimestamp(3),
+        r.getInt(4), r.getLong(5)))
+    assert(got.toSeq === Seq(
+      (7L, 1, ts(0), ts(20), 0, 1L),
+      (7L, 2, ts(20), ts(40), 0, 2L),
+      (7L, 3, ts(40), null, 1, 1L),
+      (8L, 1, ts(5), null, 1, 9L)))
+  }
+
+  test("scd2 intervals reconstruct the attribute at every original observation") {
+    // the defining property of a type-2 dimension: point-in-time
+    // lookup through the intervals returns the attribute as observed
+    val changes = events.filter(col("event_type").isin("signup", "purchase"))
+      .groupBy("user_id", "ts")
+      .agg(expr("max_by(CAST(FLOOR(value) AS BIGINT) % 3, event_id)").as("tier"))
+      .cache()
+    val iv = Events.scd2Intervals(changes, "user_id", "ts", "tier")
+    val joined = changes.as("c").join(iv.as("i"),
+      col("c.user_id") === col("i.user_id") &&
+        col("c.ts") >= col("i.valid_from") &&
+        (col("i.valid_to").isNull || col("c.ts") < col("i.valid_to")))
+    // every observation falls in exactly one interval, with its tier
+    assert(joined.count() === changes.count())
+    assert(joined.filter(col("c.tier") =!= col("i.tier")).count() === 0L)
+    // exactly one open interval per user
+    val open = iv.filter(col("is_current") === 1).groupBy("user_id").count()
+    assert(open.filter(col("count") =!= 1).count() === 0L)
+    changes.unpersist()
+  }
+
   test("top users returns k rows in strictly non-increasing order") {
     val t = Events.topUsers(events, 10).collect()
     assert(t.length === 10)
