@@ -5,8 +5,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** As-of join — the classic time-series operator Spark lacks as a
-  * primitive: for every left row, attach the most recent right row
-  * (per key) whose timestamp is ≤ the left timestamp.
+  * primitive: for every left row, attach the nearest right row (per
+  * key) on one side of the left timestamp — most recent at-or-before
+  * (backward, the default everywhere), or earliest at-or-after
+  * (forward, the "next reading" direction).
   *
   * Realized Spark-first as a union + window (`last(..., ignoreNulls)`
   * over rows-unbounded-preceding): both sides are tagged and unioned,
@@ -14,7 +16,8 @@ import org.apache.spark.sql.functions._
   * right-side values forward into left rows. That is the minimal
   * physical cost for this operator on any engine — one exchange, one
   * sort — so no custom SparkPlan is needed (SURVEY spec preference
-  * (a): compose built-ins).
+  * (a): compose built-ins). The forward direction is the SAME plan
+  * with the sort order reversed — no second mechanism.
   *
   * Right side must be unique per (key, ts) — pre-aggregate if not, or
   * ties resolve to the last row in (ts) order nondeterministically.
@@ -30,7 +33,22 @@ object AsOf {
     * different right rows to be mixed (`last(ignoreNulls)` skips only
     * whole missing rows, never individual fields). */
   def joinLatestBefore(left: DataFrame, right: DataFrame, key: String,
-                       ts: String, rightCols: Seq[String]): DataFrame = {
+                       ts: String, rightCols: Seq[String]): DataFrame =
+    joinDirected(left, right, key, ts, rightCols, forward = false)
+
+  /** Forward as-of: for every left row, the EARLIEST right row (per
+    * key) with right.ts ≥ left.ts — "next purchase after this event".
+    * Same single-exchange plan as [[joinLatestBefore]] with the window
+    * sort reversed; ties at equal ts match (inclusive), mirroring the
+    * backward direction. DuckDB equivalent: `ASOF LEFT JOIN … ON
+    * l.key = r.key AND l.ts <= r.ts`. */
+  def joinEarliestAfter(left: DataFrame, right: DataFrame, key: String,
+                        ts: String, rightCols: Seq[String]): DataFrame =
+    joinDirected(left, right, key, ts, rightCols, forward = true)
+
+  private def joinDirected(left: DataFrame, right: DataFrame, key: String,
+                           ts: String, rightCols: Seq[String],
+                           forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     val rowStruct = struct((rightCols.map(col) :+ col(ts).as("_r_ts_field")): _*)
     val nullRow = lit(null).cast(
@@ -48,7 +66,16 @@ object AsOf {
         leftCols.filterNot(Seq(key, ts).contains)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         Seq(rowStruct.as("_r_row")): _*)
-    val w = Window.partitionBy(key).orderBy(col(ts), col("_tag"))
+    // Backward: scan ascending, the latest right ≤ current left is the
+    // last right row seen. Forward: scan DESCENDING, the earliest
+    // right ≥ current left is the last right row seen. Right rows sort
+    // before left at equal ts in both directions (tag 0 first asc;
+    // explicit tag asc within ts desc) so equal-ts matches are
+    // inclusive on both sides.
+    val w = (if (forward)
+      Window.partitionBy(key).orderBy(col(ts).desc, col("_tag").asc)
+    else
+      Window.partitionBy(key).orderBy(col(ts).asc, col("_tag").asc))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = l.unionByName(r)
       .withColumn("_r_filled", last(col("_r_row"), ignoreNulls = true).over(w))

@@ -57,6 +57,66 @@ object Sketches {
           .as("est_distinct"): _*)
   }
 
+  /** KMV SET OPERATIONS over two segments A and B of one table — the
+    * mergeability property that justifies keeping sketches at all:
+    * union-estimate two segments without rescanning either, and
+    * estimate the intersection no single-segment pass can see.
+    *
+    *   - per-segment sketches: k smallest distinct hashes, exactly
+    *     [[kmvDistinct]]'s two-level plan per segment;
+    *   - union sketch U = k smallest of the MERGED sketch rows (a
+    *     ≤ 2k-row frame — parameter-bounded, so the global rank that
+    *     finishes it is O(k), never O(data));
+    *   - n̂(A∪B) from U by the KMV estimator;
+    *   - Jaccard ρ̂ = |{h ∈ U : h ∈ S_A ∧ h ∈ S_B}| / |U| and
+    *     n̂(A∩B) = ρ̂ · n̂(A∪B)  (Beyer et al., SIGMOD'07).
+    *
+    * Every step is integer hashing or a single correctly-rounded IEEE
+    * division/multiply, so a SQL oracle replays the ESTIMATES
+    * bit-for-bit. When a sketch holds fewer than k hashes the
+    * estimates degrade to exact counts (the estimator's exact-small
+    * regime), including the intersection: membership flags are then
+    * complete, so ρ̂·n̂ is the true intersection cardinality. */
+  def kmvSetOps(df: DataFrame, tag: Column, value: Column,
+                tagA: String, tagB: String, k: Int,
+                seed: Long = 77L, buckets: Int = 64): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val (a, b) = kmvCoeffs(seed)
+    val h = (pmod(value.cast("bigint"), lit(HashP)) * lit(a) + lit(b)) % lit(HashP)
+    val hashed = df.filter(tag.isin(tagA, tagB))
+      .select(tag.as("_t"), h.as("_h")).distinct()
+    val w1 = Window.partitionBy(col("_t"), pmod(col("_h"), lit(buckets))).orderBy("_h")
+    val w2 = Window.partitionBy(col("_t")).orderBy("_h")
+    val sk = hashed
+      .withColumn("_r1", row_number().over(w1)).filter(col("_r1") <= k)
+      .withColumn("_r2", row_number().over(w2)).filter(col("_r2") <= k)
+      .select("_t", "_h")
+    // merged + membership-flagged; ≤ 2k rows reach the global rank
+    val u = sk.groupBy("_h")
+      .agg(max(when(col("_t") === tagA, 1).otherwise(0)).as("_ina"),
+           max(when(col("_t") === tagB, 1).otherwise(0)).as("_inb"))
+      .withColumn("_ru", row_number().over(Window.orderBy("_h")))
+      .filter(col("_ru") <= k)
+    def est(m: Column, hk: Column): Column =
+      when(m < k, m.cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(HashP.toDouble) / hk)
+    val segs = sk.groupBy("_t").agg(count(lit(1)).as("m"), max(col("_h")).as("hk"))
+    val seg = segs.groupBy()
+      .agg(max(when(col("_t") === tagA, col("m"))).as("ma"),
+           max(when(col("_t") === tagA, col("hk"))).as("hka"),
+           max(when(col("_t") === tagB, col("m"))).as("mb"),
+           max(when(col("_t") === tagB, col("hk"))).as("hkb"))
+    val uni = u.agg(count(lit(1)).as("um"), max(col("_h")).as("uhk"),
+      sum(when(col("_ina") === 1 && col("_inb") === 1, 1L).otherwise(0L)).as("nboth"))
+    val jac = col("nboth").cast("double") / col("um")
+    seg.crossJoin(uni).select(
+      round(est(col("ma"), col("hka")), 6).as("est_a"),
+      round(est(col("mb"), col("hkb")), 6).as("est_b"),
+      round(est(col("um"), col("uhk")), 6).as("est_union"),
+      round(jac, 6).as("jaccard"),
+      round(jac * est(col("um"), col("uhk")), 6).as("est_intersect"))
+  }
+
   /** MISRA-GRIES sketch state with k counters: any item occurring
     * more than n/(k+1) times in the offered stream is guaranteed to
     * survive (each eviction round removes k+1 stream occurrences —

@@ -186,6 +186,42 @@ object StatsQueries {
       .orderBy("event_id")
   }
 
+  /** Forward as-of with a tolerance band: each event joined to the
+    * user's EARLIEST purchase at or after it ("time to next
+    * conversion"), nulled out when that purchase is more than 7 days
+    * away. The tolerance is a post-filter on the unique earliest-after
+    * candidate — no other purchase can be nearer, so CASE-ing it to
+    * NULL is exact, not an approximation. */
+  val AsofTolSecs = 604800L // 7 days
+  def asofNextPurchase(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(s, dir)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("event_id").as("p_event_id"))
+    val joined = AsOf.joinEarliestAfter(
+      events.select("event_id", "user_id", "ts"),
+      purchases, key = "user_id", ts = "ts", rightCols = Seq("p_event_id"))
+    val gap = expr("(unix_micros(_r_ts) - unix_micros(ts)) DIV 1000000")
+    joined.select(
+        col("event_id"), col("user_id"),
+        date_format(col("ts"), Fmt).as("ts"),
+        when(gap <= AsofTolSecs, col("_r_p_event_id")).as("np_event_id"),
+        when(gap <= AsofTolSecs, gap).as("secs_until"))
+      .orderBy("event_id")
+  }
+
+  /** KMV sketch SET OPERATIONS — the capability HLL sketches are
+    * usually kept around for (mergeable union/intersection estimates
+    * across segments) but oracle-exact: both segment sketches use the
+    * same affine Lehmer hash, so union = k-min of the merged sketch
+    * rows and intersection = Jaccard-on-the-union-sketch × union
+    * estimate, every step integer-or-IEEE-exact and replayed by the
+    * DuckDB oracle bit-for-bit. Segments: distinct l_partkey in
+    * returnflag 'A' vs 'R' lineitems. */
+  def kmvSetOps(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.kmvSetOps(
+      Tables.lineitem(s, dir), col("l_returnflag"), col("l_partkey"),
+      tagA = "A", tagB = "R", k = KmvK, seed = KmvSeed)
+
   /** The SQL entry path: temp views + spark.sql. Same result as
     * rel_q1_pricing, proving the declarative SQL surface end-to-end. */
   def sqlPricing(s: SparkSession, dir: String): DataFrame = {
@@ -211,6 +247,8 @@ object StatsQueries {
     "text_heavy_hitters" -> (heavyHitters _),
     "rel_profile" -> (profile _),
     "asof_last_purchase" -> (asofLastPurchase _),
+    "asof_next_purchase" -> (asofNextPurchase _),
+    "rel_kmv_setops" -> (kmvSetOps _),
     "sql_q1_pricing" -> (sqlPricing _))
 
   val oracles: Map[String, String] = Map(
@@ -316,6 +354,57 @@ object StatsQueries {
         |  (epoch_us(l.ts) - epoch_us(p.ts)) // 1000000 AS secs_since
         |FROM l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts
         |ORDER BY l.event_id""".stripMargin,
+    // forward ASOF (l.ts <= p.ts picks the earliest-after row), then
+    // the 7-day tolerance CASEs the unique candidate to NULL — exact,
+    // since no other purchase can be nearer
+    "asof_next_purchase" ->
+      s"""WITH p AS (SELECT user_id, ts, max(event_id) AS p_event_id
+         |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         |l AS (SELECT event_id, user_id, ts FROM events)
+         |SELECT l.event_id, l.user_id,
+         |  strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+         |  CASE WHEN (epoch_us(p.ts) - epoch_us(l.ts)) // 1000000 <= $AsofTolSecs
+         |       THEN p.p_event_id END AS np_event_id,
+         |  CASE WHEN (epoch_us(p.ts) - epoch_us(l.ts)) // 1000000 <= $AsofTolSecs
+         |       THEN (epoch_us(p.ts) - epoch_us(l.ts)) // 1000000 END AS secs_until
+         |FROM l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts <= p.ts
+         |ORDER BY l.event_id""".stripMargin,
+    // exact replay of the merged-sketch estimators: per-segment k-min
+    // sketches, union = k-min of the merged rows, intersection =
+    // Jaccard-on-the-union-sketch × union estimate — the two-level
+    // bucketing on the Spark side is result-invisible as always
+    "rel_kmv_setops" -> {
+      val (a, b) = graft.operators.Sketches.kmvCoeffs(KmvSeed)
+      val p = graft.operators.Sketches.HashP
+      val k = KmvK
+      s"""WITH h AS (SELECT DISTINCT l_returnflag AS t,
+         |    (((l_partkey % $p + $p) % $p) * $a + $b) % $p AS h
+         |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+         |r AS (SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn FROM h),
+         |s AS (SELECT t, h FROM r WHERE rn <= $k),
+         |u0 AS (SELECT h, MAX(CASE WHEN t = 'A' THEN 1 ELSE 0 END) AS ina,
+         |               MAX(CASE WHEN t = 'R' THEN 1 ELSE 0 END) AS inb
+         |       FROM s GROUP BY 1),
+         |u AS (SELECT * FROM (SELECT *, row_number() OVER (ORDER BY h) AS ru FROM u0)
+         |      WHERE ru <= $k),
+         |sa AS (SELECT COUNT(*) AS m, MAX(h) AS hk FROM s WHERE t = 'A'),
+         |sb AS (SELECT COUNT(*) AS m, MAX(h) AS hk FROM s WHERE t = 'R'),
+         |uu AS (SELECT COUNT(*) AS m, MAX(h) AS hk,
+         |       CAST(SUM(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nboth
+         |       FROM u)
+         |SELECT
+         |  round(CASE WHEN sa.m < $k THEN CAST(sa.m AS DOUBLE)
+         |        ELSE ${k - 1}.0 * $p.0 / sa.hk END, 6) AS est_a,
+         |  round(CASE WHEN sb.m < $k THEN CAST(sb.m AS DOUBLE)
+         |        ELSE ${k - 1}.0 * $p.0 / sb.hk END, 6) AS est_b,
+         |  round(CASE WHEN uu.m < $k THEN CAST(uu.m AS DOUBLE)
+         |        ELSE ${k - 1}.0 * $p.0 / uu.hk END, 6) AS est_union,
+         |  round(CAST(uu.nboth AS DOUBLE) / uu.m, 6) AS jaccard,
+         |  round((CAST(uu.nboth AS DOUBLE) / uu.m) *
+         |        (CASE WHEN uu.m < $k THEN CAST(uu.m AS DOUBLE)
+         |         ELSE ${k - 1}.0 * $p.0 / uu.hk END), 6) AS est_intersect
+         |FROM sa, sb, uu""".stripMargin
+    },
     "sql_q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DECIMAL(24,2)) * 100 AS BIGINT) AS sum_qty,

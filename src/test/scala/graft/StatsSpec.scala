@@ -34,6 +34,40 @@ class StatsSpec extends SparkSpec {
     assert(got.getTimestamp(1) === ts(60))
   }
 
+  test("forward asof join attaches the earliest right row at or after each left ts") {
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val left = Seq((1L, 7L, ts(5)), (2L, 7L, ts(15)), (3L, 7L, ts(31)), (4L, 8L, ts(10)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((7L, ts(0), 100L), (7L, ts(15), 200L), (7L, ts(30), 300L))
+      .toDF("user_id", "ts", "p_event_id")
+    val got = AsOf.joinEarliestAfter(left, right, "user_id", "ts", Seq("p_event_id"))
+      .select("event_id", "_r_p_event_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // event 2 at ts=15 matches the equal-ts right row (inclusive);
+    // event 3 is after the last right row -> no match; user 8 has none
+    assert(got === Map(1L -> 200L, 2L -> 200L, 3L -> -1L, 4L -> -1L))
+  }
+
+  test("forward asof equals backward asof on the time-reversed stream") {
+    // reversing time maps earliest-after onto latest-before: a
+    // direction-agnostic law tying the two implementations together
+    val events = graft.io.Tables.events(spark, sf001)
+      .select("event_id", "user_id", "ts").limit(500)
+    val purchases = graft.io.Tables.events(spark, sf001)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("event_id").as("p_event_id"))
+    val fwd = AsOf.joinEarliestAfter(events, purchases, "user_id", "ts", Seq("p_event_id"))
+      .select("event_id", "_r_p_event_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val negTs = expr("timestamp_micros(-unix_micros(ts))")
+    val bwd = AsOf.joinLatestBefore(
+        events.withColumn("ts", negTs), purchases.withColumn("ts", negTs),
+        "user_id", "ts", Seq("p_event_id"))
+      .select("event_id", "_r_p_event_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(fwd === bwd)
+  }
+
   test("asof join preserves left row count (left-join semantics)") {
     val events = graft.io.Tables.events(spark, sf001)
     val purchases = events.filter(col("event_type") === "purchase")
@@ -160,6 +194,37 @@ class StatsSpec extends SparkSpec {
     // the two-level bucket selection is result-invisible
     assert(run(1) === est)
     assert(run(7) === est)
+  }
+
+  test("KMV set ops: exact in the small regime, within 4-sigma in the sketch regime") {
+    import org.apache.spark.sql.functions._
+    val li = graft.io.Tables.lineitem(spark, sf001)
+    val pa = li.filter(col("l_returnflag") === "A")
+      .select("l_partkey").distinct().collect().map(_.getLong(0)).toSet
+    val pr = li.filter(col("l_returnflag") === "R")
+      .select("l_partkey").distinct().collect().map(_.getLong(0)).toSet
+    val union = (pa ++ pr).size.toDouble
+    val inter = (pa & pr).size.toDouble
+    // k >= every cardinality in play -> all sketches complete -> every
+    // estimate (including the intersection) is the exact count
+    val kBig = (pa ++ pr).size + 10
+    val exactRow = graft.operators.Sketches.kmvSetOps(
+      li, col("l_returnflag"), col("l_partkey"), "A", "R", k = kBig).collect()(0)
+    assert(exactRow.getDouble(0) === pa.size.toDouble)
+    assert(exactRow.getDouble(1) === pr.size.toDouble)
+    assert(exactRow.getDouble(2) === union)
+    assert(exactRow.getDouble(4) === inter)
+    // sketch regime: k = 64 -> sigma ~ 1/sqrt(62) ~ 12.7%; 4-sigma bound
+    val est = graft.operators.Sketches.kmvSetOps(
+      li, col("l_returnflag"), col("l_partkey"), "A", "R", k = 64).collect()(0)
+    assert(math.abs(est.getDouble(2) - union) <= union * 0.51 + 1,
+      s"union est ${est.getDouble(2)} vs $union")
+    assert(math.abs(est.getDouble(4) - inter) <= union * 0.51 + 1,
+      s"intersect est ${est.getDouble(4)} vs $inter")
+    // two-level bucketing is result-invisible
+    val b1 = graft.operators.Sketches.kmvSetOps(
+      li, col("l_returnflag"), col("l_partkey"), "A", "R", k = 64, buckets = 1).collect()(0)
+    assert(b1 === est)
   }
 
   test("heavy hitters equal the plain GROUP BY ... HAVING, under forced evictions") {
