@@ -118,6 +118,45 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Directional n-gram CONTAINMENT — C(A→B) = |A∩B| / |A| over the
+    * shingle sets: detects a document embedded inside a larger one
+    * (quoted articles, boilerplate-wrapped bodies, page dumps) that
+    * symmetric Jaccard structurally misses — a 100-word document
+    * fully contained in a 10,000-word page has Jaccard ≈ 0.01 but
+    * containment 1.0. The standard companion pass to near-dup removal
+    * in pretraining pipelines: the SMALLER side of a high-containment
+    * pair is the redundant one.
+    *
+    * Same inverted-index plan (and hot-shingle cap semantics) as
+    * [[ngramJaccard]] — one undirected co-count join, then BOTH
+    * normalizations emitted as directed rows (inner_id ⊆ outer_id),
+    * so a full-duplicate pair appears in both directions. */
+  def ngramContainment(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.9,
+                       maxShingleFreq: Option[Int] = Some(DefaultMaxShingleFreq),
+                       hashKeys: Boolean = true): DataFrame = {
+    val raw = docShingles(docs, idCol, textCol, n)
+    val sh0 = if (hashKeys) raw.select(col("doc_id"), xxhash64(col("s")).as("s"))
+              else raw
+    val sh = maxShingleFreq match {
+      case Some(cap) => dropHotKeys(sh0, Seq("s"), cap)
+      case None => sh0
+    }
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sized = inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sa"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sb"), "doc_b")
+    val dirA = sized.select(col("doc_a").as("inner_id"), col("doc_b").as("outer_id"),
+      (col("inter").cast("double") / col("sa")).as("containment"))
+    val dirB = sized.select(col("doc_b").as("inner_id"), col("doc_a").as("outer_id"),
+      (col("inter").cast("double") / col("sb")).as("containment"))
+    dirA.unionByName(dirB).filter(col("containment") >= threshold)
+  }
+
   /** Eval-set DECONTAMINATION — the pretraining hygiene pass: for
     * each training document, count word n-grams it shares with any
     * document of an evaluation/benchmark set, so contaminated

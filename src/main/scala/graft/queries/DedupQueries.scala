@@ -49,6 +49,24 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
 
+  /** Directional shingle containment at 0.9 — the doc-in-doc pass
+    * symmetric Jaccard can't see ([[Dedup.ngramContainment]]). Result
+    * memoized like [[jaccardPairs]]: survivor-pair-sized, never
+    * corpus-sized. */
+  val ContainmentThreshold = 0.9
+  def containmentQ(s: SparkSession, dir: String): DataFrame =
+    FixtureCache.memo(
+        s"dedup_contain:n=3:t=$ContainmentThreshold:${System.identityHashCode(s)}",
+        dir, "documents") {
+      val c = Dedup.ngramContainment(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = ContainmentThreshold).persist()
+      c.count()
+      c
+    }
+      .select(col("inner_id"), col("outer_id"),
+        round(col("containment"), 6).as("containment"))
+      .orderBy("inner_id", "outer_id")
+
   def minhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text",
         n = 3, numHashes = 32, bands = 8, threshold = JaccardThreshold)
@@ -188,6 +206,7 @@ object DedupQueries {
     "dedup_contam_report" -> (contamReport _),
     "dedup_exact" -> (exact _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_containment" -> (containmentQ _),
     "dedup_minhash" -> (minhash _),
     "dedup_simhash" -> (simhash _),
     "dedup_winnow_pairs" -> (winnowPairs _),
@@ -368,6 +387,19 @@ object DedupQueries {
          |        GROUP BY 1, 2)
          |SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming
          |FROM ham WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    // same shingle/cap/pair CTEs, containment normalization in both
+    // directions (union names come from the first branch)
+    "dedup_containment" -> (shingleCte +
+      s"""SELECT inner_id, outer_id, round(containment, 6) AS containment
+         |FROM (
+         |  SELECT doc_a AS inner_id, doc_b AS outer_id,
+         |    CAST(inter AS DOUBLE) / ca.c AS containment
+         |  FROM pairs JOIN cnt ca ON doc_a = ca.doc_id
+         |  UNION ALL
+         |  SELECT doc_b, doc_a, CAST(inter AS DOUBLE) / cb.c
+         |  FROM pairs JOIN cnt cb ON doc_b = cb.doc_id)
+         |WHERE containment >= $ContainmentThreshold
+         |ORDER BY inner_id, outer_id""".stripMargin),
     "dedup_ngram_jaccard" -> (shingleCte +
       s"""SELECT doc_a, doc_b,
          |  round(CAST(inter AS DOUBLE) / (ca.c + cb.c - inter), 6) AS jaccard

@@ -117,6 +117,26 @@ class DedupSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("containment finds a doc-in-doc pair that Jaccard misses; dups pair both ways") {
+    import spark.implicits._
+    // doc 1's 8 words sit verbatim inside doc 2's 40: containment
+    // C(1→2) = 1.0 while Jaccard ~ 6/38 — the motivating asymmetry.
+    // docs 3/4 are byte-exact duplicates -> contained both ways.
+    val inner = "alpha beta gamma delta epsilon zeta eta theta"
+    val outer = inner + " " + (1 to 32).map(i => s"w$i").mkString(" ")
+    val planted = Seq((1L, inner), (2L, outer),
+      (3L, "p q r s t u"), (4L, "p q r s t u"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.ngramContainment(planted, "doc_id", "text", n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cont.keySet === Set((1L, 2L), (3L, 4L), (4L, 3L)))
+    assert(cont((1L, 2L)) === 1.0)
+    assert(cont((3L, 4L)) === 1.0 && cont((4L, 3L)) === 1.0)
+    val jac = Dedup.ngramJaccard(planted, "doc_id", "text", n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)), "Jaccard should miss the asymmetric pair")
+  }
+
   test("decontam overlap counts shared n-grams and eval docs hit") {
     import spark.implicits._
     val eval = Seq(
