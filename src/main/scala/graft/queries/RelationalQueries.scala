@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.io.Tables
 import graft.operators.Relational
 
 /** Declared relational queries (scan/filter/join/agg/window/set-op
@@ -186,7 +187,58 @@ object RelationalQueries {
       .orderBy("cell")
   }
 
+  /** CDC SNAPSHOT DIFF ([[graft.operators.Integrity.snapshotDiff]]):
+    * two deterministic "versions" of orders are derived in-query
+    * (modular delete masks + a price bump on every 13th key — the
+    * fixture is static, so the versions must be synthesized, exactly
+    * like the incremental-agg query's batch splits), then diffed into
+    * added/removed/changed rows with old/new values. */
+  private def orderVersions(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"),
+      (col("o_totalprice").cast("decimal(38,2)") * 100).cast("long").as("price_cents"))
+    val before = o.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+    val after = o.filter(pmod(col("o_orderkey"), lit(89)) =!= 0)
+      .withColumn("price_cents",
+        when(pmod(col("o_orderkey"), lit(13)) === 0, col("price_cents") + 100)
+          .otherwise(col("price_cents")))
+    (before, after)
+  }
+
+  def snapshotDiffQ(s: SparkSession, dir: String): DataFrame = {
+    val (before, after) = orderVersions(s, dir)
+    graft.operators.Integrity.snapshotDiff(before, after, "o_orderkey",
+        Seq("o_orderstatus", "price_cents"))
+      .orderBy("o_orderkey")
+  }
+
+  /** MERGE / UPSERT ([[graft.operators.Integrity.applyChanges]]): the
+    * diff of the two synthesized order versions is applied BACK onto
+    * `before` — the oracle is simply `after`, so the hash check proves
+    * the diff∘apply round-trip is the identity at fixture scale, on
+    * every row, not just the spec's toy frame. */
+  def mergeUpsertQ(s: SparkSession, dir: String): DataFrame = {
+    val (before, after) = orderVersions(s, dir)
+    val changes = graft.operators.Integrity.snapshotDiff(before, after,
+      "o_orderkey", Seq("o_orderstatus", "price_cents"))
+    graft.operators.Integrity.applyChanges(before, changes,
+        "o_orderkey", Seq("o_orderstatus", "price_cents"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Order-independent affine table checksum per order status
+    * ([[graft.operators.Integrity.tableChecksum]]): the replication /
+    * backfill equality witness, exact in any engine. */
+  def tableChecksumQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Integrity.tableChecksum(Tables.orders(s, dir),
+        Seq("o_orderstatus"),
+        Seq(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice").cast("decimal(38,2)") * 100).cast("long")))
+      .orderBy("o_orderstatus")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_snapshot_diff" -> (snapshotDiffQ _),
+    "rel_merge_upsert" -> (mergeUpsertQ _),
+    "rel_table_checksum" -> (tableChecksumQ _),
     "rel_outer_join" -> (outerJoin _),
     "rel_q1_pricing" -> (q1 _),
     "rel_q3_top_revenue" -> (q3 _),
@@ -206,6 +258,50 @@ object RelationalQueries {
     "rel_skew_salted_join" -> (skewSaltedJoin _))
 
   val oracles: Map[String, String] = Map(
+    "rel_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(38,2)) * 100 AS BIGINT) AS price_cents
+        |  FROM orders),
+        |b AS (SELECT * FROM o WHERE o_orderkey % 97 <> 0),
+        |a AS (SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN price_cents + 100
+        |         ELSE price_cents END AS price_cents
+        |  FROM o WHERE o_orderkey % 89 <> 0),
+        |j AS (SELECT coalesce(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+        |  CASE WHEN b.o_orderkey IS NULL THEN 'added'
+        |       WHEN a.o_orderkey IS NULL THEN 'removed'
+        |       WHEN b.o_orderstatus IS DISTINCT FROM a.o_orderstatus
+        |         OR b.price_cents IS DISTINCT FROM a.price_cents
+        |       THEN 'changed' END AS change_kind,
+        |  b.o_orderstatus AS old_o_orderstatus, a.o_orderstatus AS new_o_orderstatus,
+        |  b.price_cents AS old_price_cents, a.price_cents AS new_price_cents
+        |  FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey)
+        |SELECT * FROM j WHERE change_kind IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
+    // the oracle IS the target version: diff∘apply must reproduce it
+    "rel_merge_upsert" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 13 = 0
+        |       THEN CAST(CAST(o_totalprice AS DECIMAL(38,2)) * 100 AS BIGINT) + 100
+        |       ELSE CAST(CAST(o_totalprice AS DECIMAL(38,2)) * 100 AS BIGINT)
+        |  END AS price_cents
+        |FROM orders WHERE o_orderkey % 89 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
+    // same stepwise-mod affine row hash, summed exactly (DuckDB SUM of
+    // BIGINT is HUGEINT = Spark's decimal(38,0) accumulator), reduced
+    // mod P at the end
+    "rel_table_checksum" -> {
+      val p = graft.operators.Sketches.HashP
+      val (as, b0) = graft.operators.Integrity.checksumCoeffs(3)
+      val vals = Seq("o_orderkey", "o_custkey",
+        "CAST(CAST(o_totalprice AS DECIMAL(38,2)) * 100 AS BIGINT)")
+      val h = vals.zip(as).foldLeft(b0.toString) {
+        case (acc, (v, a)) => s"(($acc + (($v % $p + $p) % $p) * $a) % $p)"
+      }
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |  CAST(SUM($h) % $p AS BIGINT) AS checksum
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "rel_q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DECIMAL(24,2)) * 100 AS BIGINT) AS sum_qty,
