@@ -197,4 +197,43 @@ object Events {
         col("valid_to").isNull.cast("int").as("is_current"),
         col(attr))
   }
+
+  /** CALENDAR GAP FILL — the time-series resample+forward-fill pass:
+    * per-user daily totals densified onto every epoch day between the
+    * user's first and last activity, empty days carrying the LAST
+    * OBSERVED day's total (`filled_cents`) and an explicit
+    * `n_events = 0`. Epoch-day bucketing is floor integer division on
+    * unix micros (pmod-adjusted, same portable arithmetic as
+    * [[cohortRetention]]); totals accumulate in decimal(38,2) and emit
+    * as exact cents, and the fill is a COPY of an exact value — no
+    * arithmetic happens across engines, so the densified frame
+    * hash-matches anywhere.
+    *
+    * Scale shape: the daily pre-aggregate collapses the event stream
+    * map-side to ≤ users×days rows before any exchange; span, grid
+    * explode, the left join back and the fill window are ALL keyed on
+    * user_id — one partitioning reused end-to-end (the join and window
+    * reuse the aggregate's exchange). Grid size is users×span-days —
+    * output-sized, which is what a densification produces by
+    * definition; no per-user funnel because each user's grid explodes
+    * from its own span row in parallel. */
+  def gapFillDaily(events: DataFrame): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val day = expr(s"(unix_micros(ts) - pmod(unix_micros(ts), $dayUs)) DIV $dayUs")
+    val daily = events
+      .select(col("user_id"), day.as("day"),
+        col("value").cast("decimal(38,2)").as("v"))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("v")).cast("decimal(24,2)") * 100).cast("long").as("day_cents"))
+    val grid = daily
+      .groupBy("user_id").agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val fill = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("day_cents"), ignoreNulls = true).over(fill).as("filled_cents"))
+  }
 }

@@ -88,7 +88,15 @@ object EventsQueries {
       .orderBy("user_id", "version")
   }
 
+  /** Daily resample + forward fill over each user's activity span —
+    * the fill copies exact cents, so the densified frame hash-matches
+    * across engines. */
+  def gapFill(s: SparkSession, dir: String): DataFrame =
+    Events.gapFillDaily(Tables.events(s, dir))
+      .orderBy("user_id", "day")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_gap_fill" -> (gapFill _),
     "events_scd2_intervals" -> (scd2 _),
     "events_cohort_retention" -> (cohortRetention _),
     "events_running_total" -> (runningTotal _),
@@ -101,6 +109,24 @@ object EventsQueries {
     "events_topk_users" -> (topUsers _))
 
   val oracles: Map[String, String] = Map(
+    // epoch-day = floored integer division (DuckDB // floors natively;
+    // Spark side subtracts pmod first); the forward fill is DuckDB's
+    // IGNORE NULLS window copy of the exact-cents daily total
+    "events_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    COUNT(*) AS n_events,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DECIMAL(24,2)) * 100 AS BIGINT) AS day_cents
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(MIN(day), MAX(day))) AS day
+        |  FROM daily GROUP BY user_id)
+        |SELECT g.user_id, g.day,
+        |  COALESCE(d.n_events, 0) AS n_events,
+        |  last_value(d.day_cents IGNORE NULLS)
+        |    OVER (PARTITION BY g.user_id ORDER BY g.day ROWS UNBOUNDED PRECEDING) AS filled_cents
+        |FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+        |ORDER BY g.user_id, g.day""".stripMargin,
     // change-point compression (lag) then interval build (lead) —
     // row_number/is_current cast to INTEGER so no DuckDB BIGINT/
     // BOOLEAN drift reaches the hasher

@@ -154,4 +154,26 @@ class EventsSpec extends SparkSpec {
     assert(got === Set(wk("1969-12-31T00:00:00Z"), wk("1970-01-02T00:00:00Z")))
     assert(wk("1969-12-31T00:00:00Z") === -1L)
   }
+
+  test("gap fill densifies each span, zero-counts empty days, forward-fills cents") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val ev = Seq(
+      (1L, ts("2024-01-01T10:00:00Z"), 1.25),
+      (1L, ts("2024-01-01T12:00:00Z"), 2.00),
+      (1L, ts("2024-01-04T09:00:00Z"), 0.50),
+      (2L, ts("2024-02-10T00:00:00Z"), 3.75))
+      .toDF("user_id", "ts", "value")
+    val got = graft.operators.Events.gapFillDaily(ev)
+      .orderBy("user_id", "day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val d1 = java.time.LocalDate.parse("2024-01-01").toEpochDay
+    val d2 = java.time.LocalDate.parse("2024-02-10").toEpochDay
+    assert(got === Seq(
+      (1L, d1, 2L, 325L),      // 1.25 + 2.00 observed
+      (1L, d1 + 1, 0L, 325L),  // gap day carries the last total
+      (1L, d1 + 2, 0L, 325L),
+      (1L, d1 + 3, 1L, 50L),   // new observation replaces the fill
+      (2L, d2, 1L, 375L)))     // single-day span: no gap rows
+  }
 }
