@@ -161,7 +161,41 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** PII redaction over a corpus with PLANTED addresses: every doc
+    * gains a deterministic email + NANP phone derived from its id, so
+    * the expected counts are known (≥1 each) and the scrub is
+    * exercised on every row ([[TextAnalysis.piiScrub]]). Patterns are
+    * interpolated from the same constants the operator compiles, and
+    * stick to the Java∩RE2 regex subset. */
+  def piiScrubQ(s: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"), lit(" Contact user"), col("doc_id").cast("string"),
+        lit("@example.com or +1-555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" now.")).as("text"))
+    TextAnalysis.piiScrub(planted, "doc_id", "text")
+      .select(col("doc_id"), col("n_emails").cast("long").as("n_emails"),
+        col("n_phones").cast("long").as("n_phones"), col("scrubbed"))
+      .orderBy("doc_id")
+  }
+
+  /** Boilerplate line removal over PLANTED multi-line docs: sentences
+    * become lines and two universal footer lines are appended — those
+    * cross the 30% document-frequency bar and must vanish, while
+    * body lines survive in order
+    * ([[TextAnalysis.removeBoilerplateLines]]). */
+  def lineDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(s, dir).select(col("doc_id"),
+      concat(regexp_replace(col("text"), "\\. ", ".\n"),
+        lit("\nSubscribe to our newsletter today\nAll rights reserved")).as("text"))
+    TextAnalysis.removeBoilerplateLines(planted, "doc_id", "text", maxDocShare = 0.3)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pii_scrub" -> (piiScrubQ _),
+    "text_line_dedup" -> (lineDedupQ _),
     "text_winnow" -> (winnow _),
     "text_pack" -> (pack _),
     "text_chunks" -> (chunks _),
@@ -197,6 +231,46 @@ object TextQueries {
       .mkString(" ") + " ELSE 0 END"
 
   val oracles: Map[String, String] = Map(
+    // the patterns interpolate from the operator's constants; DuckDB
+    // regexp_replace needs the explicit 'g' flag to match Spark's
+    // replace-all, and len() is BIGINT (Spark side casts size() up)
+    "text_pii_scrub" ->
+      s"""WITH planted AS (SELECT doc_id,
+         |    text || ' Contact user' || CAST(doc_id AS VARCHAR) ||
+         |    '@example.com or +1-555-' ||
+         |    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+         |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now.' AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text, '${TextAnalysis.EmailRe}', 0)) AS n_emails,
+         |  len(regexp_extract_all(text, '${TextAnalysis.PhoneRe}', 0)) AS n_phones,
+         |  regexp_replace(regexp_replace(text, '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS scrubbed
+         |FROM planted ORDER BY doc_id""".stripMargin,
+    // zipped parallel unnests give (line, pos); string_agg skips the
+    // CASE's nulls and orders by pos; SUM cast to BIGINT (HUGEINT
+    // guard); all-lines-removed docs coalesce to '' like array_join
+    "text_line_dedup" ->
+      """WITH planted AS (SELECT doc_id,
+        |    replace(text, '. ', '.' || chr(10)) || chr(10) ||
+        |    'Subscribe to our newsletter today' || chr(10) ||
+        |    'All rights reserved' AS text
+        |  FROM documents),
+        |lines AS (SELECT doc_id,
+        |    unnest(string_split(text, chr(10))) AS line,
+        |    unnest(range(len(string_split(text, chr(10))))) AS pos
+        |  FROM planted),
+        |df AS (SELECT line, COUNT(*) AS line_docs
+        |  FROM (SELECT DISTINCT doc_id, line FROM lines WHERE line <> '')
+        |  GROUP BY 1),
+        |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_corpus FROM planted),
+        |boiler AS (SELECT line FROM df, nd WHERE line_docs > n_corpus * 0.3)
+        |SELECT l.doc_id, COUNT(*) AS n_lines,
+        |  CAST(SUM(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  COALESCE(string_agg(CASE WHEN b.line IS NULL THEN l.line END,
+        |    chr(10) ORDER BY l.pos), '') AS clean
+        |FROM lines l LEFT JOIN boiler b ON l.line = b.line
+        |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin,
     // winnowing replayed in SQL: k-gram polynomial hashes (the
     // text_fingerprint fold over each substring), window minima via
     // list_min over list_slice, sorted distinct selection

@@ -287,4 +287,48 @@ class TextAnalysisSpec extends SparkSpec {
     val mean = scored.agg(avg("lm_score_permille")).first.getDouble(0)
     assert(mean > 0.0 && mean < 1000.0, s"mean permille out of range: $mean")
   }
+
+  test("pii scrub counts and redacts emails and phones, leaves clean text alone") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "reach me at jane.doe+spam@mail.example.org today"),
+      (2L, "call +1-415-555-0199 or +1-212-555-0100"),
+      (3L, "no pii here at all"),
+      (4L, "both a@b.io and +1-650-555-0123 appear"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.piiScrub(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> ((x.getInt(1), x.getInt(2), x.getString(3)))).toMap
+    assert(r(1L) === ((1, 0, "reach me at <EMAIL> today")))
+    assert(r(2L) === ((0, 2, "call <PHONE> or <PHONE>")))
+    assert(r(3L) === ((0, 0, "no pii here at all")))
+    assert(r(4L) === ((1, 1, "both <EMAIL> and <PHONE> appear")))
+  }
+
+  test("boilerplate lines vanish above the share bar, body lines survive in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha one\nFOOTER\nbeta two"),
+      (2L, "gamma three\nFOOTER\ndelta four"),
+      (3L, "epsilon five\nFOOTER"),
+      (4L, "zeta six\nrare line"))
+      .toDF("doc_id", "text")
+    // FOOTER in 3/4 docs (> 0.5 share) must go; every other line is
+    // unique and stays, in original order
+    val r = TextAnalysis.removeBoilerplateLines(docs, "doc_id", "text", maxDocShare = 0.5)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(1L) === ((3L, 1L, "alpha one\nbeta two")))
+    assert(r(2L) === ((3L, 1L, "gamma three\ndelta four")))
+    assert(r(3L) === ((2L, 1L, "epsilon five")))
+    assert(r(4L) === ((2L, 0L, "zeta six\nrare line")))
+  }
+
+  test("a doc whose every line is boilerplate cleans to the empty string") {
+    import spark.implicits._
+    val docs = Seq((1L, "X"), (2L, "X"), (3L, "X\nkeep me"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.removeBoilerplateLines(docs, "doc_id", "text", maxDocShare = 0.5)
+      .collect().map(x => x.getLong(0) -> x.getString(3)).toMap
+    assert(r(1L) === "")
+    assert(r(3L) === "keep me")
+  }
 }
