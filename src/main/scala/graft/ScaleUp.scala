@@ -160,7 +160,12 @@ object ScaleUp {
     // trade network (edge distillation scans 6 M lineitems), and
     // cohort retention over 1 M events / 7.5 k users
     "graph_pagerank", "events_cohort_retention", "graph_triangles",
-    "text_bigram_coverage")
+    "text_bigram_coverage",
+    // round 6 late: forward as-of over 1 M events (same union+window
+    // plan as the backward direction), SCD2 interval build (two
+    // same-sort window stages, one exchange), and KMV set ops (the
+    // merged-sketch ranks are parameter-bounded at any corpus size)
+    "asof_next_purchase", "events_scd2_intervals", "rel_kmv_setops")
 
   /** 100×-bench-scale fixture (round-6 rehearsal): ONLY the tables the
     * five heaviest shuffle producers touch — documents 500 k, lineitem
