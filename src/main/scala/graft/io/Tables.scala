@@ -29,18 +29,22 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame      = load(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame    = load(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame  = load(spark, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
-    * read as a timestamp; read nanos as long and truncate to µs —
-    * exactly DuckDB's epoch_us() semantics, so oracles agree.
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set at
-    * session construction ([[graft.GraftSession]]) — readers must not
-    * mutate session conf. */
+  /** `events.ts` has shipped in two fixture generations: TIMESTAMP(NANOS)
+    * parquet (Spark 4 reads it only as a nanos LONG, via
+    * `spark.sql.legacy.parquet.nanosAsLong=true` set in
+    * [[graft.GraftSession]]) and plain TIMESTAMP(MICROS). Normalize both
+    * to session TimestampType at µs precision — exactly DuckDB's
+    * epoch_us() view of the same file, so oracles agree. Readers must
+    * not mutate session conf; dispatch on the file schema instead. */
   def events(spark: SparkSession, d: String): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "session must be built with spark.sql.legacy.parquet.nanosAsLong=true (see GraftSession)")
-    load(spark, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = load(spark, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType      => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampType => raw
+      case _             => raw.withColumn("ts", col("ts").cast(TimestampType)) // TIMESTAMP_NTZ: UTC session tz ⇒ same epoch µs
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")

@@ -42,18 +42,24 @@ object StreamOps {
     ts
   }
 
-  /** File-source stream over an events parquet directory (ns-as-long
-    * + µs truncation, mirroring [[graft.io.Tables.events]]). Requires
-    * `spark.sql.legacy.parquet.nanosAsLong=true`, set at session
-    * construction ([[graft.GraftSession]]) — readers must not mutate
-    * session conf. */
+  /** File-source stream over an events parquet directory, normalized
+    * to session TimestampType at µs precision — mirroring
+    * [[graft.io.Tables.events]] for both fixture generations
+    * (TIMESTAMP(NANOS) read as long via `nanosAsLong`, and plain
+    * TIMESTAMP(MICROS)). A file stream needs an explicit schema, and a
+    * wrong `ts` type here silently mangles every event time (µs read
+    * as ns ⇒ 1970 timestamps ⇒ watermarks drop everything), so the
+    * schema is probed from the files via a one-off batch read of the
+    * footer rather than hardcoded. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "session must be built with spark.sql.legacy.parquet.nanosAsLong=true (see GraftSession)")
-    val schema = "event_id bigint, ts bigint, user_id bigint, " +
-      "event_type string, value double, props string"
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val fileSchema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(fileSchema).parquet(dir)
+    fileSchema("ts").dataType match {
+      case LongType      => stream.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampType => stream
+      case _             => stream.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Tumbling-window counts + value sums with a watermark; identical
