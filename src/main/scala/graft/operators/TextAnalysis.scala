@@ -472,6 +472,70 @@ object TextAnalysis {
         expr("_sp DIV n_bigrams").as("lm_score_permille"))
   }
 
+  /** BM25 top-k document retrieval for a fixed query-term set — the
+    * lexical-retrieval stage of a RAG / data-curation pipeline
+    * (Robertson-Spärck Jones BM25 with k1 = 6/5, b = 3/4).
+    *
+    * Determinism across engines is the whole design: the classic
+    * formulation's `ln((N-df+.5)/(df+.5))` differs in the last ulp
+    * between libm implementations, so this uses the ln-free rational
+    * pair (monotone-equivalent term by term):
+    *
+    *   idf = (2(N−df)+1) / (2df+1)
+    *   tfc = 44·tf·Σdl / (20·tf·Σdl + 6·Σdl + 18·dl·N)
+    *
+    * where tfc is tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with numerator
+    * and denominator multiplied through by 20·Σdl — every operand an
+    * exact BIGINT, each factor ONE correctly-rounded double division,
+    * identical bits in every IEEE engine. Per-term scores are floored
+    * to integer micros BEFORE the per-doc sum, so the sum is exact
+    * integer arithmetic — order-independent, unlike a double sum whose
+    * value depends on shuffle arrival order. (Int64→double casts stay
+    * correctly rounded past 2^53 in both engines; only precision, not
+    * determinism, degrades at extreme corpus sizes.)
+    *
+    * Scale shape: dl is a per-row expression (no explode); the token
+    * stream is filtered to the query terms BEFORE the tf aggregate, so
+    * the heavy shuffle carries only matching occurrences; df (≤ |terms|
+    * rows) and the corpus stats (1 row) are broadcast; the dl join is a
+    * doc-keyed equi-join AQE can broadcast while the match set is
+    * small. Global top-k is TakeOrdered (per-partition heaps), with
+    * rank assigned after the limit on ≤ k rows. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dl = docs.select(col(idCol).as("doc_id"),
+      size(TextOps.words(col(textCol))).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("_n"), sum(col("dl")).as("_sumdl"))
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(TextOps.words(col(textCol))).as("token"))
+      .filter(col("token").isin(queryTerms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        (lit(2L) * (col("_n") - col("df")) + lit(1L)).cast("double") /
+          (lit(2L) * col("df") + lit(1L)))
+      .withColumn("tfc",
+        (lit(44L) * col("tf") * col("_sumdl")).cast("double") /
+          (lit(20L) * col("tf") * col("_sumdl") + lit(6L) * col("_sumdl") +
+            lit(18L) * col("dl") * col("_n")))
+      .withColumn("score_micros",
+        floor(col("idf") * col("tfc") * lit(1000000.0)).cast("long"))
+    val perDoc = scored.groupBy("doc_id")
+      .agg(sum(col("score_micros")).as("bm25_micros"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25_micros").desc, col("doc_id"))
+      .limit(k)
+    perDoc.withColumn("rank",
+        row_number().over(Window.orderBy(col("bm25_micros").desc, col("doc_id")))
+          .cast("int"))
+      .select(col("rank"), col("doc_id"), col("n_terms"), col("bm25_micros"))
+  }
+
   def corpusStats(docs: DataFrame): DataFrame =
     docs
       .select(col("lang"), col("source"),

@@ -88,6 +88,14 @@ object TextQueries {
         round(col("score"), 6).as("score"))
       .orderBy("doc_id", "rank")
 
+  /** BM25 retrieval over the corpus for a fixed 5-term query (see
+    * TextAnalysis.bm25TopK for the ln-free rational formulation that
+    * makes the score cell-exact cross-engine). */
+  def bm25(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+        Bm25Terms, k = 50)
+      .orderBy("rank")
+
   def stratified(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.stratifiedSample(
         Tables.documents(s, dir).select("doc_id", "lang"), "lang", "doc_id", 10)
@@ -213,7 +221,12 @@ object TextQueries {
     "text_stratified_sample" -> (stratified _),
     "text_sample_hashmod" -> (sampleHashMod _),
     "text_tfidf_top_terms" -> (tfidf _),
+    "text_bm25_topk" -> (bm25 _),
     "sql_word_shingles" -> (sqlShingles _))
+
+  /** Query-term set for `text_bm25_topk` (mid-frequency fixture
+    * vocabulary; shared verbatim by the oracle SQL). */
+  private val Bm25Terms = Seq("hash", "join", "scan", "window", "vector")
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -453,6 +466,32 @@ object TextQueries {
          |ORDER BY lang, doc_id""".stripMargin,
     // tf·N/df (not ln): one correctly-rounded double division from
     // integer inputs — bit-identical across engines, unlike libm ln
+    // the same ln-free rational BM25 as the Spark side: every operand
+    // BIGINT, each factor one double division, per-term scores floored
+    // to integer micros before the (exact, order-independent) doc sum
+    "text_bm25_topk" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM tok),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |              CAST(SUM(dl) AS BIGINT) AS sumdl FROM dl),
+         |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, unnest(w) AS token FROM tok)
+         |       WHERE token IN ${inList(Bm25Terms)} GROUP BY 1, 2),
+         |dfx AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc_id,
+         |         CAST(FLOOR(
+         |           (CAST(2 * (st.n - dfx.df) + 1 AS DOUBLE) / (2 * dfx.df + 1)) *
+         |           (CAST(44 * tf.tf * st.sumdl AS DOUBLE) /
+         |            (20 * tf.tf * st.sumdl + 6 * st.sumdl + 18 * dl.dl * st.n)) *
+         |           1000000.0) AS BIGINT) AS score_micros
+         |       FROM tf JOIN dfx ON tf.token = dfx.token
+         |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+         |pd AS (SELECT doc_id, CAST(SUM(score_micros) AS BIGINT) AS bm25_micros,
+         |              CAST(COUNT(*) AS BIGINT) AS n_terms
+         |       FROM sc GROUP BY 1)
+         |SELECT CAST(row_number() OVER (ORDER BY bm25_micros DESC, doc_id) AS INTEGER) AS rank,
+         |       doc_id, n_terms, bm25_micros
+         |FROM pd ORDER BY bm25_micros DESC, doc_id LIMIT 50""".stripMargin,
     "text_tfidf_top_terms" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),

@@ -331,4 +331,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(1L) === "")
     assert(r(3L) === "keep me")
   }
+
+  test("bm25TopK: matches a pure-Scala BM25 reference on a small corpus") {
+    val corpus = Seq(
+      (1L, "hash join scan hash hash"),
+      (2L, "join join join window"),
+      (3L, "vector vector scan window hash join"),
+      (4L, "the quick brown fox"), // no query terms — absent from output
+      (5L, "scan"))
+    val df = corpus.toDF("doc_id", "text")
+    val terms = Seq("hash", "join", "scan", "window", "vector")
+    val got = graft.operators.TextAnalysis
+      .bm25TopK(df, "doc_id", "text", terms, k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    // pure reference: same rational formulation, Long/Double arithmetic
+    val words = corpus.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val n = corpus.size.toLong
+    val sumdl = words.map(_._2.size.toLong).sum
+    val dl = words.map { case (id, w) => id -> w.size.toLong }.toMap
+    val tf = words.flatMap { case (id, w) =>
+      w.filter(terms.contains).groupBy(identity).map { case (t, o) => (id, t, o.size.toLong) } }
+    val dfreq = tf.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val exp = tf.map { case (id, t, f) =>
+        val idf = (2L * (n - dfreq(t)) + 1L).toDouble / (2L * dfreq(t) + 1L)
+        val tfc = (44L * f * sumdl).toDouble /
+          (20L * f * sumdl + 6L * sumdl + 18L * dl(id) * n)
+        (id, math.floor(idf * tfc * 1000000.0).toLong)
+      }.groupBy(_._1).map { case (id, xs) => (id, xs.map(_._2).sum, xs.size.toLong) }
+      .toSeq.sortBy { case (id, s, _) => (-s, id) }
+      .zipWithIndex.map { case ((id, s, nt), i) => (i + 1, id, nt, s) }
+    assert(got.toSeq === exp)
+    assert(!got.exists(_._2 == 4L)) // no-match doc absent
+  }
 }
