@@ -130,6 +130,29 @@ object Events {
         .as("value_so_far"))
   }
 
+  /** TIME-RANGE window frame — per-user trailing-window aggregates
+    * (`RANGE BETWEEN <interval> PRECEDING AND CURRENT ROW`), the
+    * rate-limit / rolling-exposure primitive ROWS frames can't express
+    * (a row's frame depends on event-time distance, not row count).
+    * Ordering is by exact epoch micros — integer RANGE bounds are
+    * engine-portable where interval arithmetic may not be — and sums
+    * accumulate in cents (exact integers), so every frame value is
+    * deterministic cross-engine. RANGE includes order-key peers in
+    * both engines, so duplicate-timestamp rows agree by construction.
+    * Scale: one user_id exchange; frames evaluate with a sliding
+    * two-pointer pass within each sorted partition (cost O(rows), not
+    * O(rows·frame)). */
+  def trailingRange(events: DataFrame, trailing: Long = 3600L * 1000000L): DataFrame = {
+    val frame = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-trailing, Window.currentRow)
+    events.select(
+      col("user_id"), col("event_id"), col("ts"),
+      count(lit(1)).over(frame).as("n_trailing"),
+      sum((col("value").cast("decimal(38,2)") * 100).cast("long"))
+        .over(frame).as("cents_trailing"))
+  }
+
   /** COHORT RETENTION — the product-analytics staple: users are
     * cohorted by the epoch-week of their FIRST event (integer week =
     * unix_micros DIV week-µs, engine-portable arithmetic — no

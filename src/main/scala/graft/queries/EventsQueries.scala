@@ -66,6 +66,16 @@ object EventsQueries {
         round(col("value_so_far") * 100).cast("long").as("value_cents_so_far"))
       .orderBy("user_id", "event_id")
 
+  /** Trailing 1-hour RANGE frame per user (Events.trailingRange) —
+    * integer epoch-µs bounds and exact cents sums, both
+    * engine-portable. */
+  def rangeFrame(s: SparkSession, dir: String): DataFrame =
+    Events.trailingRange(Tables.events(s, dir))
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), Fmt).as("ts"),
+        col("n_trailing"), col("cents_trailing"))
+      .orderBy("user_id", "event_id")
+
   def cohortRetention(s: SparkSession, dir: String): DataFrame =
     Events.cohortRetention(Tables.events(s, dir))
       .orderBy("cohort_week", "week_offset")
@@ -106,7 +116,8 @@ object EventsQueries {
     "events_session_window" -> (sessionWindowQ _),
     "events_funnel" -> (funnelQ _),
     "events_json" -> (json _),
-    "events_topk_users" -> (topUsers _))
+    "events_topk_users" -> (topUsers _),
+    "events_range_frame" -> (rangeFrame _))
 
   val oracles: Map[String, String] = Map(
     // epoch-day = floored integer division (DuckDB // floors natively;
@@ -154,6 +165,16 @@ object EventsQueries {
         |SELECT c.cohort_week, wk.week - c.cohort_week AS week_offset, COUNT(*) AS n_active
         |FROM wk JOIN c ON wk.user_id = c.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // integer RANGE frame over epoch micros: cents are summed as exact
+    // BIGINTs inside the frame, so no decimal/round drift is possible
+    "events_range_frame" ->
+      s"""SELECT user_id, event_id, strftime(ts, '$DuckFmt') AS ts,
+         |  COUNT(*) OVER w AS n_trailing,
+         |  CAST(SUM(CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT)) OVER w AS BIGINT) AS cents_trailing
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, event_id""".stripMargin,
     "events_running_total" ->
       s"""SELECT user_id, event_id, strftime(ts, '$DuckFmt') AS ts,
          |  COUNT(*) OVER w AS n_so_far,

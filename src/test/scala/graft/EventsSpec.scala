@@ -176,4 +176,28 @@ class EventsSpec extends SparkSpec {
       (1L, d1 + 3, 1L, 50L),   // new observation replaces the fill
       (2L, d2, 1L, 375L)))     // single-day span: no gap rows
   }
+
+  test("trailingRange: 1h RANGE frame sums exactly, includes ts peers, resets past the horizon") {
+    import spark.implicits._
+    val t0 = 1704067200000000L // epoch µs
+    val h = 3600L * 1000000L
+    val rows = Seq(
+      // user 1: three events inside one hour, a fourth 2h later
+      (1L, t0, 1L, 1.25), (2L, t0 + h / 2, 1L, 2.00), (3L, t0 + h, 1L, 0.75),
+      (4L, t0 + 3 * h, 1L, 5.00),
+      // user 2: duplicate timestamps — RANGE includes peers both ways
+      (5L, t0, 2L, 1.00), (6L, t0, 2L, 2.00))
+    val ev = rows.toDF("event_id", "us", "user_id", "value")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val got = graft.operators.Events.trailingRange(ev)
+      .select("event_id", "n_trailing", "cents_trailing")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 1L, 125L),
+      (2L, 2L, 325L),
+      (3L, 3L, 400L),  // t0 is exactly 1h back — inclusive bound
+      (4L, 1L, 500L),  // horizon passed: frame is just itself
+      (5L, 2L, 300L),  // peer rows see each other
+      (6L, 2L, 300L)))
+  }
 }
