@@ -159,6 +159,35 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** RECALL@K of the sign-LSH index against the exact brute-force
+    * ranking — the evaluation harness every approximate index needs
+    * before it gates a production pipeline. Composes the two declared
+    * operators (identical tie-breaks, so the top-K SETS are the
+    * hash-proven ones) and reduces to integer hit counts per query:
+    * n_hits = |lsh∩exact|, recall in permille by integer division —
+    * no float aggregation anywhere. Queries whose LSH candidate set
+    * is empty still emit a 0-hit row (left join from the query-id
+    * frame). Scale: the join is (Q·K)-row × (Q·K)-row on
+    * (query_id, neighbor_id) — negligible next to the searches
+    * themselves. */
+  def recallEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qv = queryVecs(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qv, K)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Similarity.lshTopK(emb, "vec_id", "embedding", qv, K)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("_h"))
+    qv.map(_._1).toSeq.toDF("query_id")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), lit(K).cast("int").as("k"),
+        coalesce(col("_h"), lit(0L)).as("n_hits"))
+      .withColumn("recall_permille", expr(s"(1000 * n_hits) DIV $K"))
+      .orderBy("query_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce_topk" -> (bruteForce _),
     "ann_lsh_topk" -> (lsh _),
@@ -166,7 +195,8 @@ object SimilarityQueries {
     "ann_ivf_probe_only" -> (ivfProbeOnly _),
     "ann_quant_topk" -> (quant _),
     "ann_pq_topk" -> (pq _),
-    "ann_ivfpq_topk" -> (ivfPq _))
+    "ann_ivfpq_topk" -> (ivfPq _),
+    "ann_recall_eval" -> (recallEval _))
 
   // ---- LSH oracle: the integer planes inlined as a VALUES table ----
   // (Similarity.intPlanes is the single source of truth; the oracle
