@@ -484,6 +484,126 @@ object Similarity {
     }
   }
 
+  /** A built PQ index: the per-subspace codebooks plus the encoded
+    * corpus (m small codes per vector — the representation a 100 TB
+    * deployment stores instead of raw floats). Build once with
+    * [[buildPqIndex]], probe many times with [[pqProbe]]: training
+    * touches the corpus m×iters times and encode scans it once, so
+    * both must amortize across query batches exactly like the IVF
+    * cell assignment. */
+  final case class PqIndex(codebooks: Array[Array[Array[Double]]], codes: DataFrame)
+
+  /** Encode the corpus against trained codebooks: per-subspace
+    * compiled argmin → one `array<int>` of m codes per vector. This is
+    * the stored representation; nothing downstream needs the raw
+    * vectors. */
+  def encodePq(embs: DataFrame, idCol: String, vecCol: String,
+               codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val dim = codebooks.map(_.head.length).sum
+    val sub = dim / m
+    val p = embs.select(col(idCol).cast("long").as("id"),
+      VectorOps.toDouble(col(vecCol)).as("v"))
+    val coded = (0 until m).foldLeft(p) { (df, j) =>
+      val (cid, _) = graft.cluster.KMeansNative.argminColumns(
+        slice(col("v"), j * sub + 1, sub), codebooks(j))
+      df.withColumn(s"_c$j", cid)
+    }
+    coded.select(col("id"), array((0 until m).map(j => col(s"_c$j")): _*).as("codes"))
+  }
+
+  /** Content-addressed PQ index directory for (corpus file, build
+    * params) — same identity discipline as [[indexDirFor]]; the
+    * "pq-exact" tag versions the trainer so a stale layout can never
+    * serve the oracle-checked queries. */
+  def pqIndexDirFor(corpusFile: java.io.File, m: Int, kCodes: Int, iters: Int): String = {
+    val ident = Seq(corpusFile.getAbsolutePath, corpusFile.lastModified,
+      corpusFile.length, m, kCodes, iters, "pq-exact").mkString("|")
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(ident.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(32)
+    new java.io.File(System.getProperty("java.io.tmpdir"), s"graft-pq-$digest")
+      .getAbsolutePath
+  }
+
+  /** Persist a built PQ index: codes to parquet (the corpus-sized
+    * artifact), codebooks to a tiny parquet of (sub, cid, w) rows —
+    * m·kCodes·(dim/m) doubles. Temp-dir + rename, so a crashed build
+    * never half-populates the path (same contract as [[writeIndex]]). */
+  def writePqIndex(index: PqIndex, dir: String): Unit = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    val path = java.nio.file.Paths.get(dir)
+    val tmp = java.nio.file.Paths.get(dir + ".tmp-" + java.util.UUID.randomUUID)
+    index.codes.write.mode("overwrite").parquet(tmp.resolve("codes").toString)
+    val cbRows = for {
+      (cbj, j) <- index.codebooks.zipWithIndex.toIndexedSeq
+      (cw, cid) <- cbj.zipWithIndex
+    } yield (j, cid, cw.toSeq)
+    spark.createDataset(cbRows).toDF("sub", "cid", "w")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.resolve("codebooks").toString)
+    if (!tmp.toFile.renameTo(path.toFile)) {
+      deleteRecursively(tmp.toFile)
+      if (!java.nio.file.Files.exists(path.resolve("codebooks")))
+        throw new java.io.IOException(
+          s"could not persist PQ index to $dir (rename failed and no index present)")
+    }
+  }
+
+  def readPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String): PqIndex = {
+    val rows = spark.read.parquet(s"$dir/codebooks")
+      .select(col("sub"), col("cid"), col("w")).collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val kCodes = rows.map(_.getInt(1)).max + 1
+    val cb = Array.ofDim[Array[Double]](m, kCodes)
+    rows.foreach { r => cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray }
+    PqIndex(cb, spark.read.parquet(s"$dir/codes"))
+  }
+
+  /** Load the PQ index for (corpus, params) from `dir` if present,
+    * else train + encode + persist — cross-process build-once/
+    * probe-many, exactly like [[loadOrBuildIndex]]. */
+  def loadOrBuildPqIndex(embs: DataFrame, idCol: String, vecCol: String, dir: String,
+                         m: Int, kCodes: Int, iters: Int): PqIndex = {
+    val spark = embs.sparkSession
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "codebooks")))
+      readPqIndex(spark, dir)
+    else {
+      val cb = pqTrain(embs, idCol, vecCol, m, kCodes, iters)
+      val built = PqIndex(cb, encodePq(embs, idCol, vecCol, cb))
+      writePqIndex(built, dir)
+      // serve the persisted layout, not the un-persisted plan, so the
+      // first process exercises the same read path as every later one
+      readPqIndex(spark, dir)
+    }
+  }
+
+  /** Probe a built PQ index: reconstruct each stored code vector from
+    * the codebooks (concat of m codeword lookups) and rank by one
+    * 64-term [[graft.plans.expressions.SqDist]] fold — identical
+    * arithmetic to [[pqTopK]], but the corpus side reads CODES from
+    * the index (the 16×-compressed representation) and never touches
+    * a raw vector or retrains. */
+  def pqProbe(index: PqIndex, queries: Array[(Long, Array[Double])], k: Int): DataFrame = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    val cb = index.codebooks
+    val m = cb.length
+    val recon = concat((0 until m).map { j =>
+      element_at(typedLit(cb(j).map(_.toSeq).toSeq), element_at(col("codes"), j + 1) + 1)
+    }: _*)
+    val withRecon = index.codes.select(col("id").as("neighbor_id"), recon.as("recon"))
+    val qdf = broadcast(queries.toSeq.toDF("query_id", "qv"))
+    val scored = withRecon.join(qdf, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.plans.expressions.vec_sqdist(col("qv"), col("recon")).as("sqdist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sqdist").asc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sqdist"))
+  }
+
   /** PQ ASYMMETRIC-DISTANCE top-k: encode the corpus (per-subspace
     * compiled argmin → m small codes per vector), then score each
     * query against the RECONSTRUCTION (codeword concatenation) with

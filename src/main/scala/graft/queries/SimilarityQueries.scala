@@ -122,25 +122,58 @@ object SimilarityQueries {
   val PqCodes = 16
   val PqIters = 4
 
+  /** The PQ index (codebooks + encoded corpus) lives on DISK like the
+    * IVF index — content-addressed by fixture identity + build params
+    * ([[Similarity.pqIndexDirFor]]), in-memory one entry per fixture
+    * file (the [[ivfCache]] discipline: an appId-keyed memo would pin
+    * stopped sessions' DataFrames forever). Verify builds it; Bench in
+    * a later JVM reads codes straight off parquet. */
+  private val pqCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, Long), (String, Similarity.PqIndex)]
+
+  private def pqIndex(s: SparkSession, dir: String): Similarity.PqIndex = {
+    val f = new java.io.File(Tables.path(dir, "embeddings"))
+    val key = (f.getAbsolutePath, f.lastModified, f.length)
+    val appId = s.sparkContext.applicationId
+    pqCache.get(key) match {
+      case Some((app, idx)) if app == appId => idx
+      case _ =>
+        val indexDir = Similarity.pqIndexDirFor(f, PqM, PqCodes, PqIters)
+        val idx = Similarity.loadOrBuildPqIndex(
+          Tables.embeddings(s, dir), "vec_id", "embedding", indexDir,
+          PqM, PqCodes, PqIters)
+        pqCache.put(key, (appId, idx))
+        idx
+    }
+  }
+
   /** Product-quantization top-k ([[Similarity.pqTopK]]): PqM subspaces
     * × PqCodes exact-decimal Lloyd codewords → PqM codes/vector (16×
     * compression of the float32 representation), asymmetric distance
     * via reconstruction (one 64-dim SqDist — bit-equal to the DuckDB
-    * fold, see the operator scaladoc). Codebooks are fixture-memoized
-    * like the IVF index; training replays in the oracle through the
-    * SAME unrolled-Lloyd CTE generator as kmeans_fit_native/IVF. */
-  def pq(s: SparkSession, dir: String): DataFrame = {
-    val cb = graft.io.FixtureCache.memo(
-        s"pq_cb:m=$PqM:k=$PqCodes:it=$PqIters", dir, "embeddings") {
-      Similarity.pqTrain(Tables.embeddings(s, dir), "vec_id", "embedding",
-        PqM, PqCodes, PqIters)
-    }
+    * fold, see the operator scaladoc). Codebooks come from the SAME
+    * persisted index [[pqProbeOnly]] serves (build exactly once);
+    * training replays in the oracle through the SAME unrolled-Lloyd
+    * CTE generator as kmeans_fit_native/IVF. */
+  def pq(s: SparkSession, dir: String): DataFrame =
     Similarity.pqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-        queryVecs(s, dir), K, PqM, PqCodes, PqIters, Some(cb))
+        queryVecs(s, dir), K, PqM, PqCodes, PqIters, Some(pqIndex(s, dir).codebooks))
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("sqdist"), 6).as("sqdist"))
       .orderBy("query_id", "rank")
-  }
+
+  /** PQ probe-only — build/probe separation for PQ as
+    * [[ivfProbeOnly]] proves it for IVF: a SECOND, disjoint query
+    * batch served from the PERSISTED codes + codebooks
+    * ([[Similarity.pqProbe]]). This query never trains and never
+    * reads a raw corpus vector — at 100 TB the codebook is trained
+    * once and the 16×-compressed codes column is all a query batch
+    * touches. */
+  def pqProbeOnly(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqProbe(pqIndex(s, dir), queryVecsNext(s, dir), K)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sqdist"), 6).as("sqdist"))
+      .orderBy("query_id", "rank")
 
   /** IVF-PQ — the production composite ([[Similarity.probePq]]): the
     * disk-persisted IVF index picks each query's nProbe cells, PQ
@@ -148,11 +181,7 @@ object SimilarityQueries {
     * artifacts (IVF index cache, PQ codebook memo), and the oracle
     * composes both proven CTE generators. */
   def ivfPq(s: SparkSession, dir: String): DataFrame = {
-    val cb = graft.io.FixtureCache.memo(
-        s"pq_cb:m=$PqM:k=$PqCodes:it=$PqIters", dir, "embeddings") {
-      Similarity.pqTrain(Tables.embeddings(s, dir), "vec_id", "embedding",
-        PqM, PqCodes, PqIters)
-    }
+    val cb = pqIndex(s, dir).codebooks
     Similarity.probePq(ivfIndex(s, dir), cb, queryVecs(s, dir), K, IvfNProbe)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("sqdist"), 6).as("sqdist"))
@@ -195,6 +224,7 @@ object SimilarityQueries {
     "ann_ivf_probe_only" -> (ivfProbeOnly _),
     "ann_quant_topk" -> (quant _),
     "ann_pq_topk" -> (pq _),
+    "ann_pq_probe_only" -> (pqProbeOnly _),
     "ann_ivfpq_topk" -> (ivfPq _),
     "ann_recall_eval" -> (recallEval _))
 
@@ -297,10 +327,14 @@ object SimilarityQueries {
        |  $reconJoin)""".stripMargin
   }
 
-  private def pqOracleSql: String =
+  /** `querySel` picks the query batch: `LIMIT Q` for the build+rank
+    * query, `LIMIT Q OFFSET Q` for probe-only — the train/encode/
+    * reconstruct pipeline is byte-identical between the two, exactly
+    * the property the probe-only query claims. */
+  private def pqOracleSql(querySel: String): String =
     s"""WITH p AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |$pqTrainEncodeCtes,
-       |qv AS (SELECT vec_id AS query_id, v FROM p ORDER BY vec_id LIMIT $Q),
+       |qv AS (SELECT vec_id AS query_id, v FROM p ORDER BY vec_id $querySel),
        |d AS (SELECT q.query_id, r.vec_id AS neighbor_id,
        |  list_sum(list_transform(generate_series(1, $Dim),
        |    i -> (q.v[i] - r.rv[i]) * (q.v[i] - r.rv[i]))) AS sqdist
@@ -356,8 +390,59 @@ object SimilarityQueries {
          |FROM rk WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Recall@K oracle: splice the two PROVEN oracle pipelines this
+    * query composes — the LSH candidate/rank CTEs (ann_lsh_topk) and
+    * the brute-force rank CTEs (ann_bruteforce_topk) — and count the
+    * per-query intersection of their top-K sets. Both sides use the
+    * identical (cosine DESC, neighbor_id) tie-break as the Spark
+    * operators, so the SETS are the hash-proven ones; the reduction is
+    * pure integer arithmetic (COUNT + permille integer division). */
+  private def recallOracleSql: String =
+    s"""WITH planes(t, b, w) AS (SELECT * FROM (VALUES $planeRows)),
+       |p AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |qz AS (SELECT vec_id, list_transform(v, x -> CAST(floor(x * ${Similarity.QuantScale}) AS BIGINT)) AS qv FROM p),
+       |dots AS (SELECT z.vec_id, pl.t, pl.b,
+       |  list_sum(list_transform(generate_series(1, $Dim), i -> z.qv[i] * pl.w[i])) AS dot
+       |  FROM qz z CROSS JOIN planes pl),
+       |bk AS (SELECT vec_id, t, SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS bucket
+       |  FROM dots GROUP BY 1, 2),
+       |qids AS (SELECT vec_id AS query_id FROM p ORDER BY vec_id LIMIT $Q),
+       |cand AS (SELECT DISTINCT q.query_id, x.vec_id AS neighbor_id
+       |  FROM qids q JOIN bk qb ON qb.vec_id = q.query_id
+       |  JOIN bk x ON x.t = qb.t AND x.bucket = qb.bucket AND x.vec_id <> q.query_id),
+       |ld AS (SELECT c.query_id, c.neighbor_id,
+       |  list_sum(list_transform(generate_series(1, $Dim), i -> qa.v[i] * nb.v[i])) /
+       |  (sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> qa.v[i] * qa.v[i]))) *
+       |   sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> nb.v[i] * nb.v[i])))) AS cosine
+       |  FROM cand c JOIN p qa ON qa.vec_id = c.query_id
+       |    JOIN p nb ON nb.vec_id = c.neighbor_id),
+       |lsh AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM ld) WHERE rank <= $K),
+       |bd AS (SELECT q.query_id, x.vec_id AS neighbor_id,
+       |  list_sum(list_transform(generate_series(1, $Dim), i -> qa.v[i] * x.v[i])) /
+       |  (sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> qa.v[i] * qa.v[i]))) *
+       |   sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> x.v[i] * x.v[i])))) AS cosine
+       |  FROM qids q JOIN p qa ON qa.vec_id = q.query_id
+       |  CROSS JOIN p x WHERE x.vec_id <> q.query_id),
+       |ex AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM bd) WHERE rank <= $K),
+       |hits AS (SELECT l.query_id, COUNT(*) AS n_hits
+       |  FROM lsh l JOIN ex e ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+       |  GROUP BY 1)
+       |SELECT q.query_id, CAST($K AS INTEGER) AS k,
+       |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST((1000 * coalesce(h.n_hits, 0)) // $K AS BIGINT) AS recall_permille
+       |FROM qids q LEFT JOIN hits h ON h.query_id = q.query_id
+       |ORDER BY q.query_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "ann_pq_topk" -> pqOracleSql,
+    "ann_pq_topk" -> pqOracleSql(s"LIMIT $Q"),
+    "ann_pq_probe_only" -> pqOracleSql(s"LIMIT $Q OFFSET $Q"),
+    "ann_recall_eval" -> recallOracleSql,
     "ann_ivfpq_topk" -> ivfPqOracleSql,
     // replays quantizeInt8 literally: amax, then ⌊x·127/amax⌋ — every
     // step one correctly-rounded IEEE double op, then pure integers

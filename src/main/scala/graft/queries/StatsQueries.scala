@@ -110,13 +110,29 @@ object StatsQueries {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
-  /** HLL sketch distinct counts (engine-specific estimate → rows-only
-    * check; accuracy asserted in ScalaTest against the exact counts). */
-  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+  /** HLL sketch distinct counts, raw form: the engine-private estimate
+    * next to the exact count (used by the banded declared query below
+    * and by StatsSpec's 5% accuracy pin). */
+  def approxDistinctRaw(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        count_distinct(col("l_partkey")).as("nd_parts"),
         count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** HLL distinct counts as a BANDED summary — the kmeans_fit_ml
+    * pattern: the estimate itself is engine-private HLL++ (DuckDB
+    * cannot replay it), but the CLAIM — |estimate − exact| under 10%
+    * of exact — is plain integer arithmetic the oracle hash-checks
+    * (err_band = error-permille DIV 100, expected 0 everywhere;
+    * StatsSpec separately pins ≤5% at rsd = 0.02). This retires the
+    * repo's last rows-only query. */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    approxDistinctRaw(s, dir)
+      .select(col("l_returnflag"), col("nd_parts"), col("n"),
+        expr("((1000 * abs(approx_parts - nd_parts)) DIV nd_parts) DIV 100")
+          .as("err_band"))
       .orderBy("l_returnflag")
 
   /** Deterministic KMV distinct sketch (k = 256): same O(k) accuracy
@@ -405,6 +421,14 @@ object StatsQueries {
          |         ELSE ${k - 1}.0 * $p.0 / uu.hk END), 6) AS est_intersect
          |FROM sa, sb, uu""".stripMargin
     },
+    // the banded HLL summary: exact side recomputed, band pinned 0
+    // (the estimate stays engine-private; the accuracy claim doesn't)
+    "rel_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS nd_parts,
+        |  COUNT(*) AS n,
+        |  CAST(0 AS BIGINT) AS err_band
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "sql_q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DECIMAL(24,2)) * 100 AS BIGINT) AS sum_qty,

@@ -51,9 +51,34 @@ object StreamOps {
     * as ns ⇒ 1970 timestamps ⇒ watermarks drop everything), so the
     * schema is probed from the files via a one-off batch read of the
     * footer rather than hardcoded. */
+  /** Memo for the probed file schema, keyed by the DIRECTORY's content
+    * identity (sorted child names + mtimes + sizes): every stream
+    * parity query probes the same fixture dir, and the one-off batch
+    * footer read behind it measurably showed up in the round-7 bench
+    * (stream_running_stats 0.87→2.92 s cluster). Regenerating the
+    * fixture writes new part files, which changes the listing and
+    * invalidates the entry — the [[graft.io.FixtureCache]] staleness
+    * discipline, adapted to a directory. */
+  private val schemaCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), org.apache.spark.sql.types.StructType]
+
+  private def dirIdentity(dir: String): String = {
+    val files = Option(new java.io.File(dir).listFiles).getOrElse(Array.empty)
+    files.sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.lastModified}:${f.length}").mkString("|")
+  }
+
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampType}
-    val fileSchema = spark.read.parquet(dir).schema
+    val fileSchema = schemaCache.getOrElseUpdate((dir, dirIdentity(dir)), {
+      try spark.read.parquet(dir).schema
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"cannot probe an events schema from '$dir' — the directory is empty " +
+          "or holds no parquet footers. Populate it first, or check the session " +
+          "was built by GraftSession (nanosAsLong for TIMESTAMP(NANOS) fixtures).", e)
+      }
+    })
     val stream = spark.readStream.schema(fileSchema).parquet(dir)
     fileSchema("ts").dataType match {
       case LongType      => stream.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

@@ -24,9 +24,7 @@ class OracleTypesSpec extends AnyFunSuite {
   /** Queries deliberately declared WITHOUT an oracle. Adding a name
     * here is a reviewed decision, not a fallback — everything else
     * must be hash-checked. */
-  private val SanctionedRowsOnly = Set(
-    "rel_approx_distinct" // HLL estimate; oracle-exact KMV twin = rel_kmv_distinct
-  )
+  private val SanctionedRowsOnly = Set.empty[String]
 
   test("oracle keys and declared queries stay in bijection (minus the sanctioned set)") {
     val q = SparkEntry.queries.keySet

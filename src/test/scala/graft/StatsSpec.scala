@@ -81,7 +81,7 @@ class StatsSpec extends SparkSpec {
     val exact = graft.queries.StatsQueries.countDistinct(spark, sf001)
       .select("l_returnflag", "nd_parts").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val approx = graft.queries.StatsQueries.approxDistinct(spark, sf001)
+    val approx = graft.queries.StatsQueries.approxDistinctRaw(spark, sf001)
       .select("l_returnflag", "approx_parts").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     exact.foreach { case (k, e) =>
