@@ -35,10 +35,39 @@ object Bench {
     (if (reps.exists(_ < 0)) -1.0 else reps.min, reps)
   }
 
+  /** Per-stream-sink accumulation of StreamingQueryProgress durations
+    * (r7 verdict task 7): the streaming parity queries' cost is mostly
+    * micro-batch MACHINERY (offset log, planning, commits), not data —
+    * but nothing in the bench line could show that. The listener splits
+    * each sink's total trigger time into addBatch (actual data work)
+    * and everything else, accumulated across ALL reps, and bench.json
+    * carries the split so a "regression" on a stream query is
+    * attributable to machinery vs data without re-running anything. */
+  private final case class StreamStat(batches: Long, triggerMs: Long, addBatchMs: Long)
+  private val streamStats =
+    scala.collection.concurrent.TrieMap.empty[String, StreamStat]
+
+  private def machineryListener: org.apache.spark.sql.streaming.StreamingQueryListener =
+    new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val p = e.progress
+        val name = Option(p.name).getOrElse("unnamed")
+        def ms(k: String): Long =
+          Option(p.durationMs.get(k)).map(_.longValue).getOrElse(0L)
+        val prev = streamStats.getOrElse(name, StreamStat(0L, 0L, 0L))
+        streamStats.put(name, StreamStat(prev.batches + 1,
+          prev.triggerMs + ms("triggerExecution"), prev.addBatchMs + ms("addBatch")))
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.builder(GraftSession.envCpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.streams.addListener(machineryListener)
     // Warm up the JVM (codegen compiler, parquet reader, shuffle path)
     // on a tiny query before timing: otherwise whichever query runs
     // first absorbs ~3-4 s of one-time JIT cost and its number is
@@ -86,8 +115,15 @@ object Bench {
     val medianJson = results.map { case (k, _, reps) =>
       s"\"" + k + "\":" + dp3(median(reps))
     }.mkString("{", ",", "}")
+    // listener events post asynchronously; every stream stopped long
+    // ago, but give the bus a beat to drain before snapshotting
+    Thread.sleep(500)
+    val machineryJson = streamStats.toSeq.sortBy(_._1).map { case (name, st) =>
+      s"\"" + name + s"\":{\"batches\":${st.batches},\"trigger_ms\":${st.triggerMs}," +
+        s"\"addbatch_ms\":${st.addBatchMs},\"machinery_ms\":${st.triggerMs - st.addBatchMs}}"
+    }.mkString("{", ",", "}")
     val fileLine = line.dropRight(1) +
-      s""","reps":$repsJson,"queries_median":$medianJson}"""
+      s""","reps":$repsJson,"queries_median":$medianJson,"stream_machinery":$machineryJson}"""
     println(line)
     // At 90 queries the full line is ~2.3 KB — past the driver's ~2 KB
     // tail window, which cuts the line's HEAD (where metric/value
