@@ -494,6 +494,19 @@ object TextAnalysis {
     * correctly rounded past 2^53 in both engines; only precision, not
     * determinism, degrades at extreme corpus sizes.)
     *
+    * Two documented bounds of the rational form:
+    *  - RANKING CAVEAT: dropping ln is monotone-equivalent PER TERM,
+    *    so single-term rankings match textbook BM25 exactly; after the
+    *    per-doc SUM, multi-term rankings can deviate from the log-idf
+    *    formulation (the idf ratios enter linearly, not
+    *    logarithmically). This is a deliberate BM25 VARIANT traded for
+    *    bit-portability, not a drop-in ranking replica.
+    *  - OVERFLOW BOUND: the BIGINT products 44·tf·Σdl and 18·dl·N must
+    *    stay inside int64, i.e. tf·Σdl < ~2^57 — safe up to corpora of
+    *    ~10^13 total tokens with tf ≤ 10^3; past that, non-ANSI Spark
+    *    wraps silently while DuckDB raises, so compute the products in
+    *    decimal(38,0) before the double cast if you ever run there.
+    *
     * Scale shape: dl is a per-row expression (no explode); the token
     * stream is filtered to the query terms BEFORE the tf aggregate, so
     * the heavy shuffle carries only matching occurrences; df (≤ |terms|
@@ -504,15 +517,34 @@ object TextAnalysis {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queryTerms: Seq[String], k: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val scored = bm25Scores(docs, idCol, textCol,
+      _.filter(col("token").isin(queryTerms: _*)))
+    val perDoc = scored.groupBy("doc_id")
+      .agg(sum(col("score_micros")).as("bm25_micros"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25_micros").desc, col("doc_id"))
+      .limit(k)
+    perDoc.withColumn("rank",
+        row_number().over(Window.orderBy(col("bm25_micros").desc, col("doc_id")))
+          .cast("int"))
+      .select(col("rank"), col("doc_id"), col("n_terms"), col("bm25_micros"))
+  }
+
+  /** The shared BM25 scoring core: token-filtered tf aggregate, df and
+    * corpus stats broadcast, the ln-free rational idf·tfc per
+    * (doc, token) floored to integer micros. `tokenFilter` narrows the
+    * exploded token stream BEFORE the tf shuffle — an `isin` predicate
+    * for a literal term set, a broadcast semi-join for a term TABLE. */
+  private def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+                         tokenFilter: DataFrame => DataFrame): DataFrame = {
     val dl = docs.select(col(idCol).as("doc_id"),
       size(TextOps.words(col(textCol))).cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("_n"), sum(col("dl")).as("_sumdl"))
-    val tf = docs.select(col(idCol).as("doc_id"),
-        explode(TextOps.words(col(textCol))).as("token"))
-      .filter(col("token").isin(queryTerms: _*))
+    val tf = tokenFilter(docs.select(col(idCol).as("doc_id"),
+        explode(TextOps.words(col(textCol))).as("token")))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val scored = tf
+    tf
       .join(broadcast(dfreq), "token")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
@@ -525,15 +557,39 @@ object TextAnalysis {
             lit(18L) * col("dl") * col("_n")))
       .withColumn("score_micros",
         floor(col("idf") * col("tfc") * lit(1000000.0)).cast("long"))
-    val perDoc = scored.groupBy("doc_id")
+  }
+
+  /** BM25 top-k per QUERY from a query-terms TABLE — the composable
+    * retrieval stage ([[bm25TopK]] hardcodes one literal term set;
+    * this form joins a (query_id, token) frame, so a batch of queries
+    * — or the output of an upstream pipeline stage — retrieves in ONE
+    * corpus pass). Same rational arithmetic, same determinism
+    * engineering, same caveats as [[bm25TopK]].
+    *
+    * Scale shape: the query-terms frame is broadcast twice (the
+    * pre-shuffle token semi-join, then the per-query fan-out of
+    * scored terms); df stays corpus-wide (query-independent) and each
+    * (doc, token) is scored ONCE however many queries share the term.
+    * The only per-query cost is the final (query_id, doc_id) rank —
+    * partitioned by query_id, so k-selection never funnels. */
+  def bm25TopKPerQuery(docs: DataFrame, idCol: String, textCol: String,
+                       queryTerms: DataFrame, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = queryTerms
+      .select(col("query_id").cast("int").as("query_id"), col("token")).distinct()
+    val distinctTerms = terms.select("token").distinct()
+    val scored = bm25Scores(docs, idCol, textCol,
+      _.join(broadcast(distinctTerms), Seq("token")))
+    val perQueryDoc = scored.join(broadcast(terms), Seq("token"))
+      .groupBy("query_id", "doc_id")
       .agg(sum(col("score_micros")).as("bm25_micros"),
         count(lit(1)).as("n_terms"))
+    val w = Window.partitionBy("query_id")
       .orderBy(col("bm25_micros").desc, col("doc_id"))
-      .limit(k)
-    perDoc.withColumn("rank",
-        row_number().over(Window.orderBy(col("bm25_micros").desc, col("doc_id")))
-          .cast("int"))
-      .select(col("rank"), col("doc_id"), col("n_terms"), col("bm25_micros"))
+    perQueryDoc.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("n_terms"), col("bm25_micros"))
   }
 
   def corpusStats(docs: DataFrame): DataFrame =

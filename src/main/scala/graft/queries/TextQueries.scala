@@ -96,6 +96,20 @@ object TextQueries {
         Bm25Terms, k = 50)
       .orderBy("rank")
 
+  /** BM25 retrieval from a query-terms TABLE (r7 verdict task 8): a
+    * 3-query batch — overlapping term sets — retrieved in ONE corpus
+    * pass via [[TextAnalysis.bm25TopKPerQuery]]; composes with
+    * pipeline stages that EMIT query frames, which a hardcoded `isin`
+    * cannot. Oracle reuses the identical rational-arithmetic CTEs with
+    * the query table inlined as VALUES. */
+  def bm25QueryTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qt = Bm25QueryTable.toDF("query_id", "token")
+    TextAnalysis.bm25TopKPerQuery(Tables.documents(s, dir), "doc_id", "text",
+        qt, k = 20)
+      .orderBy("query_id", "rank")
+  }
+
   def stratified(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.stratifiedSample(
         Tables.documents(s, dir).select("doc_id", "lang"), "lang", "doc_id", 10)
@@ -222,11 +236,20 @@ object TextQueries {
     "text_sample_hashmod" -> (sampleHashMod _),
     "text_tfidf_top_terms" -> (tfidf _),
     "text_bm25_topk" -> (bm25 _),
+    "text_bm25_querytable" -> (bm25QueryTable _),
     "sql_word_shingles" -> (sqlShingles _))
 
   /** Query-term set for `text_bm25_topk` (mid-frequency fixture
     * vocabulary; shared verbatim by the oracle SQL). */
   private val Bm25Terms = Seq("hash", "join", "scan", "window", "vector")
+
+  /** The 3-query batch for `text_bm25_querytable` — overlapping
+    * subsets of [[Bm25Terms]], so shared (doc, token) scores are
+    * exercised across queries; shared verbatim by the oracle VALUES. */
+  private val Bm25QueryTable: Seq[(Int, String)] = Seq(
+    1 -> "hash", 1 -> "join", 1 -> "scan",
+    2 -> "window", 2 -> "vector",
+    3 -> "hash", 3 -> "join", 3 -> "scan", 3 -> "window", 3 -> "vector")
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -492,6 +515,41 @@ object TextQueries {
          |SELECT CAST(row_number() OVER (ORDER BY bm25_micros DESC, doc_id) AS INTEGER) AS rank,
          |       doc_id, n_terms, bm25_micros
          |FROM pd ORDER BY bm25_micros DESC, doc_id LIMIT 50""".stripMargin,
+    // per-query BM25: same rational CTEs as text_bm25_topk, the query
+    // table inlined as VALUES, df corpus-wide (query-independent),
+    // rank partitioned by query_id
+    "text_bm25_querytable" -> {
+      val qtRows = Bm25QueryTable
+        .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+      s"""WITH qt(query_id, token) AS (SELECT * FROM (VALUES $qtRows)),
+         |tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM tok),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |              CAST(SUM(dl) AS BIGINT) AS sumdl FROM dl),
+         |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, unnest(w) AS token FROM tok)
+         |       WHERE token IN (SELECT DISTINCT token FROM qt) GROUP BY 1, 2),
+         |dfx AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc_id, tf.token,
+         |         CAST(FLOOR(
+         |           (CAST(2 * (st.n - dfx.df) + 1 AS DOUBLE) / (2 * dfx.df + 1)) *
+         |           (CAST(44 * tf.tf * st.sumdl AS DOUBLE) /
+         |            (20 * tf.tf * st.sumdl + 6 * st.sumdl + 18 * dl.dl * st.n)) *
+         |           1000000.0) AS BIGINT) AS score_micros
+         |       FROM tf JOIN dfx ON tf.token = dfx.token
+         |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+         |pq AS (SELECT q.query_id, sc.doc_id,
+         |              CAST(SUM(sc.score_micros) AS BIGINT) AS bm25_micros,
+         |              CAST(COUNT(*) AS BIGINT) AS n_terms
+         |       FROM sc JOIN qt q ON sc.token = q.token GROUP BY 1, 2),
+         |r AS (SELECT CAST(query_id AS INTEGER) AS query_id,
+         |        CAST(row_number() OVER (PARTITION BY query_id
+         |             ORDER BY bm25_micros DESC, doc_id) AS INTEGER) AS rank,
+         |        doc_id, n_terms, bm25_micros
+         |      FROM pq)
+         |SELECT query_id, rank, doc_id, n_terms, bm25_micros
+         |FROM r WHERE rank <= 20 ORDER BY query_id, rank""".stripMargin
+    },
     "text_tfidf_top_terms" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),

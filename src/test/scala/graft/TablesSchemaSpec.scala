@@ -59,6 +59,53 @@ class TablesSchemaSpec extends SparkSpec {
     assert(l.map(_._2).toSeq == baseUs.map(_._2))
   }
 
+  // ---- full-catalog schema lock (round-7 verdict task 6) ------------
+  // Every driver fixture table's NORMALIZED schema (as the io.Tables
+  // readers expose it — so `events.ts` is pinned post-normalization and
+  // the pin holds across both fixture generations). A silent fixture
+  // regeneration that renames/retypes a column now fails this local
+  // spec instead of surfacing as a wall of driver-round query errors.
+  private val expectedSchemas = Map(
+    "region" -> Seq("r_regionkey:int", "r_name:string"),
+    "nation" -> Seq("n_nationkey:int", "n_name:string", "n_regionkey:int"),
+    "customer" -> Seq("c_custkey:bigint", "c_name:string", "c_nationkey:int",
+      "c_acctbal:double", "c_mktsegment:string"),
+    "supplier" -> Seq("s_suppkey:bigint", "s_name:string", "s_nationkey:int",
+      "s_acctbal:double"),
+    "part" -> Seq("p_partkey:bigint", "p_name:string", "p_brand:string",
+      "p_type:string", "p_size:int", "p_retailprice:double"),
+    // o_orderdate / l_shipdate are parquet timestamp[us] WITHOUT
+    // isAdjustedToUTC ⇒ Spark reads TIMESTAMP_NTZ (session tz is UTC,
+    // so epoch arithmetic agrees with DuckDB either way); events.ts is
+    // pinned below as plain `timestamp` because Tables.events
+    // NORMALIZES whatever encoding ships to session TimestampType.
+    "orders" -> Seq("o_orderkey:bigint", "o_custkey:bigint", "o_orderstatus:string",
+      "o_totalprice:double", "o_orderdate:timestamp_ntz", "o_orderpriority:string"),
+    "lineitem" -> Seq("l_orderkey:bigint", "l_partkey:bigint", "l_suppkey:bigint",
+      "l_linenumber:int", "l_quantity:double", "l_extendedprice:double",
+      "l_discount:double", "l_tax:double", "l_returnflag:string",
+      "l_linestatus:string", "l_shipdate:timestamp_ntz"),
+    "events" -> Seq("event_id:bigint", "ts:timestamp", "user_id:bigint",
+      "event_type:string", "value:double", "props:string"),
+    "documents" -> Seq("doc_id:bigint", "text:string", "lang:string",
+      "source:string", "n_chars:bigint"),
+    "embeddings" -> Seq("vec_id:bigint", "embedding:array<float>", "label:int"))
+
+  test("every fixture table's normalized schema is pinned (all 10 tables)") {
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(sfDir).isDirectory, s"fixture dir $sfDir absent")
+    Tables.all.foreach { t =>
+      assume(new java.io.File(Tables.path(sfDir, t)).exists, s"$t fixture absent")
+      val df = t match {
+        case "events" => Tables.events(spark, sfDir) // normalized reader
+        case other    => Tables.load(spark, sfDir, other)
+      }
+      val got = df.schema.map(f => s"${f.name}:${f.dataType.simpleString}")
+      assert(got == expectedSchemas(t),
+        s"schema drift in fixture table '$t': got $got")
+    }
+  }
+
   test("readEventsStream matches Tables.events on both fixture generations") {
     for (dir <- Seq(writeLegacyNanos(), writeTimestampMicros())) {
       val streamed = StreamOps.readEventsStream(spark, s"$dir/events.parquet")
