@@ -75,7 +75,15 @@ object ScaleUp {
       .select(
         col("id").as("o_orderkey"),
         (pmod(xxhash64(col("id"), lit(17)), lit(150000)) + 1).as("o_custkey"),
-        round(rand(16) * 500000, 2).as("o_totalprice"))
+        round(rand(16) * 500000, 2).as("o_totalprice"),
+        // r8: status/date/priority so the snapshot-diff / checksum /
+        // merge family runs at 10× with the fixture's full orders shape
+        element_at(array(lit("F"), lit("O"), lit("P")),
+          (rand(17) * 3).cast("int") + 1).as("o_orderstatus"),
+        timestamp_seconds(lit(ship0) + (rand(18) * 1825 * Day).cast("long"))
+          .as("o_orderdate"),
+        concat(lit("P"), (rand(19) * 5).cast("int").cast("string"))
+          .as("o_orderpriority"))
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
     // supplier: 10k rows over 25 nations
     spark.range(1, 10001L, 1, 8)
@@ -165,7 +173,14 @@ object ScaleUp {
     // plan as the backward direction), SCD2 interval build (two
     // same-sort window stages, one exchange), and KMV set ops (the
     // merged-sketch ranks are parameter-bounded at any corpus size)
-    "asof_next_purchase", "events_scd2_intervals", "rel_kmv_setops")
+    "asof_next_purchase", "events_scd2_intervals", "rel_kmv_setops",
+    // round 7/8 cohort: BM25 (single + query-table form), time-RANGE
+    // frames and daily gap-fill over 1 M events, snapshot diff +
+    // affine checksum over 1.5 M orders, the PQ probe-only path
+    // (codes-only corpus read) and the brute∩LSH recall join
+    "text_bm25_topk", "text_bm25_querytable", "events_range_frame",
+    "events_gap_fill", "rel_snapshot_diff", "rel_table_checksum",
+    "ann_pq_probe_only", "ann_recall_eval")
 
   /** 100×-bench-scale fixture (round-6 rehearsal): ONLY the tables the
     * five heaviest shuffle producers touch — documents 500 k, lineitem
@@ -268,7 +283,11 @@ object ScaleUp {
     * plan. */
   val Timed100: Seq[String] = Seq(
     "dedup_ngram_jaccard", "rel_skew_salted_join", "events_session",
-    "asof_last_purchase", "text_vocab")
+    "asof_last_purchase", "text_vocab",
+    // round 8: the new events window family over the 10 M-event 100×
+    // fixture — RANGE frames, daily gap-fill and SCD2 all reuse one
+    // user_id partitioning, so their ratios should track events_session
+    "events_range_frame", "events_gap_fill", "events_scd2_intervals")
 
   def main(args: Array[String]): Unit = {
     val mode100 = args.contains("100")

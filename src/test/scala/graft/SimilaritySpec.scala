@@ -170,6 +170,70 @@ class SimilaritySpec extends SparkSpec {
     assert(hits.toDouble / total >= 0.5, s"batch-2 recall $hits/$total")
   }
 
+  test("disk-persisted PQ index: load skips rebuild, probe equals on-the-fly encoding") {
+    import graft.queries.SimilarityQueries.{PqM, PqCodes, PqIters}
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-test")
+      .resolve("idx").toString
+    val built = Similarity.loadOrBuildPqIndex(
+      emb, "vec_id", "embedding", dir, PqM, PqCodes, PqIters)
+    val marker = new java.io.File(dir, "codebooks")
+    assert(marker.isDirectory, "PQ index must persist to disk")
+    val mtime = marker.lastModified
+    val loaded = Similarity.loadOrBuildPqIndex(
+      emb, "vec_id", "embedding", dir, PqM, PqCodes, PqIters)
+    assert(marker.lastModified === mtime, "second call must load, not rebuild")
+    assert(loaded.codebooks.map(_.map(_.toSeq).toSeq).toSeq ===
+      built.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    // codes-path probe == on-the-fly encode+rank (same codebooks)
+    val fromCodes = Similarity.pqProbe(loaded, queries, 5)
+      .collect().map(_.toSeq).toSeq
+    val onTheFly = Similarity.pqTopK(emb, "vec_id", "embedding", queries, 5,
+        PqM, PqCodes, PqIters, Some(built.codebooks))
+      .collect().map(_.toSeq).toSeq
+    assert(fromCodes === onTheFly)
+  }
+
+  test("declared PQ probe-only query reuses the persisted index, disjoint batch") {
+    import graft.queries.SimilarityQueries
+    val first = SimilarityQueries.pq(spark, sf001)
+      .select("query_id").distinct().collect().map(_.getLong(0)).toSet
+    val marker = new java.io.File(graft.operators.Similarity.pqIndexDirFor(
+      new java.io.File(Tables.path(sf001, "embeddings")),
+      SimilarityQueries.PqM, SimilarityQueries.PqCodes,
+      SimilarityQueries.PqIters), "codebooks")
+    assert(marker.isDirectory, "ann_pq_topk must have persisted the PQ index")
+    val mtime = marker.lastModified
+    val probeOnly = SimilarityQueries.pqProbeOnly(spark, sf001)
+    val second = probeOnly.select("query_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(marker.lastModified === mtime, "probe-only must not retrain")
+    assert(second.nonEmpty && (first & second).isEmpty,
+      s"query batches must be disjoint: $first vs $second")
+    val ranks = probeOnly.collect().groupBy(_.getLong(0))
+      .values.map(_.map(_.getInt(2)).sorted.toSeq)
+    ranks.foreach(rs => assert(rs === (1 to rs.length)))
+  }
+
+  test("recall eval: permille bounded, equals a driver-side set intersection") {
+    import graft.queries.SimilarityQueries
+    val r = SimilarityQueries.recallEval(spark, sf001).collect()
+    assert(r.length === SimilarityQueries.Q)
+    r.foreach { row =>
+      val (hits, permille) = (row.getLong(2), row.getLong(3))
+      assert(hits >= 0 && hits <= SimilarityQueries.K)
+      assert(permille === 1000L * hits / SimilarityQueries.K)
+    }
+    // the reported hits equal an independent intersection of the two
+    // declared queries' top-K sets
+    val exact = topSets(SimilarityQueries.bruteForce(spark, sf001))
+    val approx = topSets(SimilarityQueries.lsh(spark, sf001))
+    r.foreach { row =>
+      val q = row.getLong(0)
+      val expected = (exact.getOrElse(q, Set.empty) & approx.getOrElse(q, Set.empty)).size
+      assert(row.getLong(2) === expected.toLong, s"query $q")
+    }
+  }
+
   test("IVF-PQ probe: candidates bounded by IVF probe set, recall >= 0.3") {
     import graft.queries.SimilarityQueries.{PqM, PqCodes, PqIters, IvfNProbe}
     val idx = Similarity.buildIndex(emb, "vec_id", "embedding")
