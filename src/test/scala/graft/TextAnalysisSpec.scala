@@ -364,4 +364,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.toSeq === exp)
     assert(!got.exists(_._2 == 4L)) // no-match doc absent
   }
+
+  test("bm25TopKPerQuery: one-query batch equals bm25TopK; shared terms scored once") {
+    val corpus = Seq(
+      (1L, "hash join scan hash hash"),
+      (2L, "join join join window"),
+      (3L, "vector vector scan window hash join"),
+      (4L, "the quick brown fox"),
+      (5L, "scan"))
+    val df = corpus.toDF("doc_id", "text")
+    val terms = Seq("hash", "join", "scan", "window", "vector")
+    // law: a single-query batch reproduces the global variant exactly
+    // (modulo the query_id column and rank column order)
+    val single = graft.operators.TextAnalysis
+      .bm25TopK(df, "doc_id", "text", terms, k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val qt1 = terms.map(t => (7, t)).toDF("query_id", "token")
+    val batch = graft.operators.TextAnalysis
+      .bm25TopKPerQuery(df, "doc_id", "text", qt1, k = 10)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(batch === single)
+    // multi-query batch: each query's rows equal its own single-query run
+    val qt = (Seq("hash", "join").map(t => (1, t)) ++
+      Seq("scan", "window", "vector").map(t => (2, t))).toDF("query_id", "token")
+    val multi = graft.operators.TextAnalysis
+      .bm25TopKPerQuery(df, "doc_id", "text", qt, k = 10)
+      .collect()
+      .groupBy(_.getInt(0))
+      .view.mapValues(_.map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq)
+      .toMap
+    for ((qid, qterms) <- Seq(1 -> Seq("hash", "join"), 2 -> Seq("scan", "window", "vector"))) {
+      val alone = graft.operators.TextAnalysis
+        .bm25TopKPerQuery(df, "doc_id", "text",
+          qterms.map(t => (qid, t)).toDF("query_id", "token"), k = 10)
+        .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      assert(multi(qid) === alone, s"query $qid")
+    }
+  }
 }
