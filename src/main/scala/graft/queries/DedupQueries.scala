@@ -175,6 +175,28 @@ object DedupQueries {
       .select(col("node").as("doc_id"), col("component"))
       .orderBy("doc_id")
 
+  /** SEMANTIC dedup groups — the embedding-space twin of
+    * [[ccGroups]]: connected components over the cosine near-dup pair
+    * graph, reduced to the pipeline's actual DECISION — one survivor
+    * (min vec_id) per group and how many near-duplicates it absorbs.
+    * Composes two proven operators (the tiled cosine kernel and the
+    * min-label propagation), so the oracle splices their proven CTEs:
+    * all-pairs-over-threshold + the recursive walk. Scale shape: the
+    * pair graph is the bounded output of the broadcast-tiled kernel
+    * (at 100 TB the LSH/IVF candidate generators bound it instead —
+    * same downstream plan); components and the group-size agg are
+    * pair-graph-sized, never corpus-sized. */
+  def embeddingGroups(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        Dedup.embeddingCosine(Tables.embeddings(s, dir), "vec_id", "embedding",
+          threshold = CosineThreshold),
+        "id_a", "id_b")
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("component").as("survivor_id"), col("n_members"),
+        (col("n_members") - 1).as("n_dropped"))
+      .orderBy("survivor_id")
+
   /** Eval-set decontamination: the 20 lowest-doc_id documents play
     * the benchmark set; every other document reports its 5-gram
     * overlap with them (pretraining hygiene as a declared surface). */
@@ -212,6 +234,7 @@ object DedupQueries {
     "dedup_winnow_pairs" -> (winnowPairs _),
     "dedup_winnow_groups" -> (winnowGroups _),
     "dedup_embedding" -> (embedding _),
+    "dedup_embedding_groups" -> (embeddingGroups _),
     "dedup_cc_groups" -> (ccGroups _))
 
   // Mirrors Dedup.ngramJaccard EXACTLY, including the default
@@ -430,5 +453,24 @@ object DedupQueries {
          |   sqrt(list_sum(list_transform(generate_series(1, 64), i -> b.v[i] * b.v[i])))) AS cosine
          |  FROM p a JOIN p b ON a.vec_id < b.vec_id)
          |SELECT id_a, id_b, round(cosine, 6) AS cosine FROM c
-         |WHERE cosine >= $CosineThreshold ORDER BY id_a, id_b""".stripMargin)
+         |WHERE cosine >= $CosineThreshold ORDER BY id_a, id_b""".stripMargin,
+    // the dedup_embedding pair CTE + the dedup_cc_groups recursive
+    // min-label walk, reduced to survivor + group size
+    "dedup_embedding_groups" ->
+      s"""WITH RECURSIVE p AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |c AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM p a JOIN p b ON a.vec_id < b.vec_id
+         |  WHERE list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])) /
+         |  (sqrt(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * a.v[i]))) *
+         |   sqrt(list_sum(list_transform(generate_series(1, 64), i -> b.v[i] * b.v[i])))) >= $CosineThreshold),
+         |e AS (SELECT id_a AS cur, id_b AS nxt FROM c
+         |      UNION ALL SELECT id_b, id_a FROM c),
+         |walk(node, label) AS (
+         |  SELECT DISTINCT cur, cur FROM e
+         |  UNION
+         |  SELECT e.nxt, w.label FROM walk w JOIN e ON e.cur = w.node),
+         |comp AS (SELECT node, min(label) AS component FROM walk GROUP BY 1)
+         |SELECT component AS survivor_id, COUNT(*) AS n_members,
+         |  COUNT(*) - 1 AS n_dropped
+         |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin)
 }
