@@ -235,7 +235,39 @@ object RelationalQueries {
           (col("o_totalprice").cast("decimal(38,2)") * 100).cast("long")))
       .orderBy("o_orderstatus")
 
+  /** CO-LOCATED (bucketed) join — the brief's third join strategy
+    * declared as a surface, next to broadcast (dims) and shuffle
+    * (fact-fact): lineitem and orders are written ONCE per fixture as
+    * bucketed tables on their join key (8 buckets, sorted), and the
+    * join then reads matching buckets directly — the executed plan has
+    * NO exchange on either join side (LibrarySpec pins exactly that on
+    * this query's plan). At 100 TB this is the nightly-join pattern:
+    * pay the bucketed layout on write, never shuffle the fact tables
+    * again. Table names carry a fixture discriminator so multi-fixture
+    * JVMs (specs) cannot cross-serve; the bucketed copies are
+    * fixture-memoized so Verify + repeated Bench reps write them
+    * once. */
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val suffix = (math.abs(new java.io.File(dir).getAbsolutePath.hashCode)).toString
+    val (liT, ordT) = (s"graft_li_bkt_$suffix", s"graft_ord_bkt_$suffix")
+    graft.io.FixtureCache.memo(
+        s"bucketed_tables:$suffix:${s.sparkContext.applicationId}", dir, "lineitem") {
+      Tables.lineitem(s, dir).write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(liT)
+      Tables.orders(s, dir).write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ordT)
+      ()
+    }
+    s.table(liT)
+      .join(s.table(ordT), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        (sum(col("l_quantity").cast("decimal(38,2)")) * 100).cast("long").as("sum_qty"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_bucketed_join" -> (bucketedJoin _),
     "rel_snapshot_diff" -> (snapshotDiffQ _),
     "rel_merge_upsert" -> (mergeUpsertQ _),
     "rel_table_checksum" -> (tableChecksumQ _),
@@ -258,6 +290,14 @@ object RelationalQueries {
     "rel_skew_salted_join" -> (skewSaltedJoin _))
 
   val oracles: Map[String, String] = Map(
+    // the bucketed layout is result-invisible: the oracle is the plain
+    // join+agg — what the hash check proves is that the shuffle-free
+    // physical strategy returns exactly the shuffled plan's answer
+    "rel_bucketed_join" ->
+      """SELECT o.o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,2))) * 100 AS BIGINT) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "rel_snapshot_diff" ->
       """WITH o AS (SELECT o_orderkey, o_orderstatus,
         |    CAST(CAST(o_totalprice AS DECIMAL(38,2)) * 100 AS BIGINT) AS price_cents

@@ -152,6 +152,21 @@ class LibrarySpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS ord_bucketed")
   }
 
+  test("declared rel_bucketed_join: no exchange on either join input") {
+    val df = graft.queries.RelationalQueries.bucketedJoin(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    // the join reads co-located buckets directly, whatever physical
+    // join AQE picks (tiny fixtures broadcast; big ones sort-merge):
+    // NO exchange may ever partition on a join key — the only
+    // hash exchange allowed is the group-cardinality aggregate tail
+    val keyExchanges = plan.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") &&
+        (l.contains("l_orderkey") || l.contains("o_orderkey"))).toSeq
+    assert(keyExchanges.isEmpty,
+      s"bucketed join inputs must not shuffle on the join key:\n$keyExchanges")
+    assert(plan.contains("Join"), s"expected a join:\n${plan.take(400)}")
+  }
+
   test("ORC and JSON sinks round-trip the documents table") {
     val dir = Files.createTempDirectory("graft-fmt").toString
     val docs = Tables.documents(spark, sf001)
