@@ -180,7 +180,13 @@ object ScaleUp {
     // (codes-only corpus read) and the brute∩LSH recall join
     "text_bm25_topk", "text_bm25_querytable", "events_range_frame",
     "events_gap_fill", "rel_snapshot_diff", "rel_table_checksum",
-    "ann_pq_probe_only", "ann_recall_eval")
+    "ann_pq_probe_only", "ann_recall_eval",
+    // round 8 late: the co-located join (bucketed layout written once,
+    // then a shuffle-free 6 M × 1.5 M join) and semantic dedup groups
+    // (all-pairs tiled cosine over 20 k vectors — the kernel the LSH/
+    // IVF candidate generators would bound at true scale — then
+    // pair-graph-sized components)
+    "rel_bucketed_join", "dedup_embedding_groups")
 
   /** 100×-bench-scale fixture (round-6 rehearsal): ONLY the tables the
     * five heaviest shuffle producers touch — documents 500 k, lineitem
