@@ -222,12 +222,22 @@ object ScaleUp {
     val ship0 = java.time.Instant.parse("1995-01-01T00:00:00Z").getEpochSecond
     spark.range(0, 6000000L * m, 1, 64)
       .select(
+        // r8: join key so the co-located bucketed join rehearses at 100×
+        (col("id") / 4).cast("long").as("l_orderkey"),
         element_at(array(lit("A"), lit("N"), lit("R")),
           (rand(10) * 3).cast("int") + 1).as("l_returnflag"),
         ((rand(12) * 50).cast("int") + 1).cast("double").as("l_quantity"),
         timestamp_seconds(lit(ship0) + (rand(15) * 1825 * Day).cast("long"))
           .as("l_shipdate"))
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    // orders (r8): the bucketed-join partner — 1.5 M × m rows keyed to
+    // match l_orderkey = id/4
+    spark.range(0, 1500000L * m, 1, 64)
+      .select(
+        col("id").as("o_orderkey"),
+        element_at(array(lit("F"), lit("O"), lit("P")),
+          (rand(17) * 3).cast("int") + 1).as("o_orderstatus"))
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
     // documents: every 20th doc clones its predecessor (the join's
     // ground-truth positives); word = "w<idx>" with idx = ⌊5000·u³⌋,
     // u seeded per (docEff, position) — zipf-ish head, open tail
@@ -256,7 +266,9 @@ object ScaleUp {
   def run100(spark: SparkSession, out: String): Unit = {
     val out10 = out + "-base10"
     for ((dir, m) <- Seq((out10, 1), (out, 10))) {
-      if (!new java.io.File(s"$dir/documents.parquet").exists) {
+      // guard on the NEWEST table (orders, r8) so a dir generated by an
+      // older harness version is refreshed, not reused
+      if (!new java.io.File(s"$dir/orders.parquet").exists) {
         println(s"[scaleup] generating open-vocab ${m}0x fixture under $dir")
         generate100(spark, dir, m)
       }
@@ -293,7 +305,11 @@ object ScaleUp {
     // round 8: the new events window family over the 10 M-event 100×
     // fixture — RANGE frames, daily gap-fill and SCD2 all reuse one
     // user_id partitioning, so their ratios should track events_session
-    "events_range_frame", "events_gap_fill", "events_scd2_intervals")
+    "events_range_frame", "events_gap_fill", "events_scd2_intervals",
+    // round 8 late: the co-located join at 60 M × 15 M — the bucketed
+    // write is the one-time layout cost, the join itself exchanges
+    // nothing on the keys at any scale
+    "rel_bucketed_join")
 
   def main(args: Array[String]): Unit = {
     val mode100 = args.contains("100")
