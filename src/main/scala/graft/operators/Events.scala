@@ -259,4 +259,45 @@ object Events {
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         last(col("day_cents"), ignoreNulls = true).over(fill).as("filled_cents"))
   }
+
+  /** ROLLING Z-SCORE ANOMALY DETECTION — flag events whose value
+    * deviates from the user's own trailing baseline: a row is
+    * anomalous when (x − μ)² > z²·σ² over the `lookback` PRECEDING
+    * rows (current row excluded — the candidate must not contaminate
+    * its own baseline), with at least `minPrev` prior observations.
+    *
+    * The test runs ENTIRELY in BIGINT: with cents x, trailing count n,
+    * trailing sum S and sum-of-squares Q, the population-variance test
+    * (x−μ)² > z²σ² multiplies through by n² to
+    * `(x·n − S)² > z²·(n·Q − S²)` — no division, no doubles, so the
+    * flag (and hence the result set) is bit-portable across engines.
+    * Overflow bound: |x·n − S| ≤ 2·maxCents·n, so with n = 20 the test
+    * stays inside int64 for values up to ~10⁷ cents ($100k) — far
+    * above the fixture domain; wider domains scale cents down first.
+    *
+    * Scale shape: one user_id exchange serves the single window pass
+    * (count/sum/sumsq over one shared frame evaluate in one sliding
+    * scan); the filter then discards all but the anomalies, so the
+    * output is alert-sized, not data-sized. */
+  def anomalyZscore(events: DataFrame, lookback: Int = 20,
+                    minPrev: Int = 8, zSq: Int = 9): DataFrame = {
+    val frame = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-lookback, -1)
+    val scored = events
+      .withColumn("cents", (col("value").cast("decimal(38,2)") * 100).cast("long"))
+      // pre-project the square: an inline cents*cents inside the sum
+      // makes Catalyst split a SECOND Window pass for it (same sort,
+      // extra traversal); projected first, all three aggs share one
+      .withColumn("cents_sq", col("cents") * col("cents"))
+      .withColumn("n_prev", count(lit(1)).over(frame))
+      .withColumn("s_prev", sum(col("cents")).over(frame))
+      .withColumn("q_prev", sum(col("cents_sq")).over(frame))
+    val dev = col("cents") * col("n_prev") - col("s_prev")
+    val varN2 = col("n_prev") * col("q_prev") - col("s_prev") * col("s_prev")
+    scored
+      .filter(col("n_prev") >= minPrev && dev * dev > lit(zSq) * varN2)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("cents"), col("n_prev"), col("s_prev"))
+  }
 }

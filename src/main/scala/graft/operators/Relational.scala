@@ -262,4 +262,65 @@ object Relational {
       .unionByName(custN.except(suppN).withColumn("kind", lit("customers_only")))
       .unionByName(suppN.except(custN).withColumn("kind", lit("suppliers_only")))
   }
+
+  /** TPC-H Q18-style large-quantity orders: full-fact aggregate on the
+    * fact's own key with a HAVING filter, then enrichment of the tiny
+    * survivor set. Scale shape: lineitem shuffles ONCE on l_orderkey
+    * (partial+final hash agg); the HAVING filter runs before anything
+    * joins, so the orders join sees only the survivors (46 rows at
+    * sf0.01); the top-N runs as TakeOrdered over those; the customer
+    * name lookup joins AFTER the limit, against ≤ topN rows — the dim
+    * join costs nothing regardless of customer's size. Money/quantity
+    * emitted as exact fixed-point BIGINT (cents / qty×100). */
+  def largeQuantityOrders(s: SparkSession, dir: String,
+                          minQty: Int = 300, topN: Int = 100): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(dsum2(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+      .select(col("l_orderkey"), (col("sum_qty") * 100).cast("long").as("sum_qty_x100"))
+    val ord = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        (col("o_totalprice").cast("decimal(38,2)") * 100).cast("long")
+          .as("totalprice_cents"))
+    val top = big.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .orderBy(col("totalprice_cents").desc, col("o_orderkey"))
+      .limit(topN)
+    top.join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("totalprice_cents"), col("sum_qty_x100"))
+  }
+
+  /** TPC-H Q10-style returned-item revenue: which customers returned
+    * the most money in a quarter. Scale shape: both filters (order
+    * date range, l_returnflag = 'R') push to the parquet scans; the
+    * fact⋈fact join shuffles on the order key; the per-customer agg is
+    * the second (semantically forced) exchange; customer + nation
+    * names join AFTER the top-N limit, so the dim joins touch ≤ topN
+    * rows. Revenue is the exact decimal(38,4) sum emitted ×10000. */
+  def returnedRevenue(s: SparkSession, dir: String,
+                      from: String = "1996-01-01", until: String = "1996-04-01",
+                      topN: Int = 20): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(until).cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val top = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .select(col("o_custkey"), (col("revenue") * 10000).cast("long").as("revenue_x10000"))
+      .orderBy(col("revenue_x10000").desc, col("o_custkey"))
+      .limit(topN)
+    top
+      .join(broadcast(Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("revenue_x10000"))
+  }
 }

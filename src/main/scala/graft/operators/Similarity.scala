@@ -424,6 +424,37 @@ object Similarity {
   def lshTopK(embs: DataFrame, idCol: String, vecCol: String,
               queries: Array[(Long, Array[Double])], k: Int,
               nTables: Int = 8, bits: Int = 4, seed: Long = 42L): DataFrame = {
+    val scored = lshScores(embs, idCol, vecCol, queries, nTables, bits, seed)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** RADIUS (range) similarity search via the same multi-table
+    * sign-LSH candidate generation as [[lshTopK]]: ALL candidates with
+    * cosine ≥ `minCosine`, not a fixed k — the "find everything this
+    * similar" API (dedup sweeps, contamination hunts) where the result
+    * size is data-dependent. Candidacy is exact integer bucket
+    * arithmetic and the threshold compares the same double both
+    * engines compute in the same order, so the result set is
+    * engine-reproducible (full DuckDB oracle). Scale: identical
+    * shape to [[lshTopK]] — the threshold filter replaces the window
+    * rank, so radius search is strictly cheaper (no per-query sort). */
+  def lshRadius(embs: DataFrame, idCol: String, vecCol: String,
+                queries: Array[(Long, Array[Double])], minCosine: Double,
+                nTables: Int = 8, bits: Int = 4, seed: Long = 42L): DataFrame =
+    lshScores(embs, idCol, vecCol, queries, nTables, bits, seed)
+      .filter(col("cosine") >= minCosine)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+
+  /** Shared LSH candidate scoring: bucket join + exact cosine on the
+    * deduplicated candidate pairs. */
+  private def lshScores(embs: DataFrame, idCol: String, vecCol: String,
+                        queries: Array[(Long, Array[Double])],
+                        nTables: Int, bits: Int, seed: Long): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
     val dim = queries.head._2.length
@@ -448,16 +479,10 @@ object Similarity {
       .filter(col("id") =!= col("query_id"))
       .dropDuplicates("query_id", "id")
       .as[(Int, Int, Long, Array[Double], Long, Array[Double], Double)]
-    val scored = cand.map { case (_, _, id, v, qid, qv, qn) =>
+    cand.map { case (_, _, id, v, qid, qv, qn) =>
       val c = VectorOps.dotSeq(qv, v) / (qn * math.sqrt(VectorOps.dotSeq(v, v)))
       (qid, id, c)
     }.toDF("query_id", "neighbor_id", "cosine")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
   // ---- Product quantization (PQ) ------------------------------------

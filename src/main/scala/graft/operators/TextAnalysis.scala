@@ -472,6 +472,49 @@ object TextAnalysis {
         expr("_sp DIV n_bigrams").as("lm_score_permille"))
   }
 
+  /** CCNet-STYLE QUALITY BUCKETS — the per-language head/middle/tail
+    * split of a pretraining corpus: every document is scored by the
+    * corpus bigram LM ([[bigramLmScore]]), assigned its predicted
+    * language ([[langId]]), and placed into one of `nBuckets`
+    * equal-count quality terciles WITHIN its language — exactly SQL
+    * `NTILE(n) OVER (PARTITION BY lang ORDER BY score, doc_id)`,
+    * which is what the oracle runs.
+    *
+    * Scale shape: NTILE's naive plan is the classic stratum funnel —
+    * one task sorts each language's entire corpus. Here the per-lang
+    * rank comes from [[stratumRank]] (two-level bucketed ranking,
+    * parallelism langs×buckets) over a composite BIGINT ordering key
+    * `score·2³² + doc_id` (lexicographic (score, id) order as long as
+    * ids stay under 2³²), and the NTILE bucket is then pure arithmetic
+    * on (rank, per-lang count): with q = n DIV b and r = n % b the
+    * first r buckets hold q+1 rows — no global sort anywhere. The
+    * per-lang counts frame is ≤ |langs| rows, broadcast. */
+  def qualityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                     nBuckets: Int = 3): DataFrame = {
+    val lm = bigramLmScore(docs, idCol, textCol)
+      .select(col("doc_id"), col("lm_score_permille"))
+    val lang = langId(docs, idCol, textCol)
+      .select(col("doc_id"), col("predicted_lang").as("lang"))
+    val scored = lm.join(lang, "doc_id")
+      .withColumn("_key",
+        col("lm_score_permille") * lit(1L << 32) + col("doc_id"))
+    val ranked = stratumRank(scored, "lang", "_key", rankCol = "_rank")
+    val sizes = scored.groupBy("lang").agg(count(lit(1)).as("_n"))
+    val bucket = expr(
+      s"""CASE WHEN _rank <= (_n % $nBuckets) * (_n DIV $nBuckets + 1)
+         |  THEN (_rank - 1) DIV (_n DIV $nBuckets + 1) + 1
+         |  ELSE (_n % $nBuckets)
+         |    + (_rank - (_n % $nBuckets) * (_n DIV $nBuckets + 1) - 1)
+         |      DIV (_n DIV $nBuckets) + 1
+         |END""".stripMargin)
+    ranked.join(broadcast(sizes), "lang")
+      .withColumn("bucket", bucket)
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("lm_score_permille").as("min_permille"),
+        max("lm_score_permille").as("max_permille"))
+  }
+
   /** BM25 top-k document retrieval for a fixed query-term set — the
     * lexical-retrieval stage of a RAG / data-curation pipeline
     * (Robertson-Spärck Jones BM25 with k1 = 6/5, b = 3/4).

@@ -105,7 +105,17 @@ object EventsQueries {
     Events.gapFillDaily(Tables.events(s, dir))
       .orderBy("user_id", "day")
 
+  /** Rolling z-score anomalies (z = 3, 20-row trailing baseline) —
+    * the flag test is pure BIGINT, so the alert set is bit-portable. */
+  def anomaly(s: SparkSession, dir: String): DataFrame =
+    Events.anomalyZscore(Tables.events(s, dir))
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), Fmt).as("ts"),
+        col("cents"), col("n_prev"), col("s_prev"))
+      .orderBy("user_id", "event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_anomaly_zscore" -> (anomaly _),
     "events_gap_fill" -> (gapFill _),
     "events_scd2_intervals" -> (scd2 _),
     "events_cohort_retention" -> (cohortRetention _),
@@ -120,6 +130,22 @@ object EventsQueries {
     "events_range_frame" -> (rangeFrame _))
 
   val oracles: Map[String, String] = Map(
+    // integer-only z-score test: (x·n − S)² > 9·(n·Q − S²), matching
+    // Events.anomalyZscore's BIGINT algebra term for term
+    "events_anomaly_zscore" ->
+      s"""WITH e AS (SELECT user_id, event_id, ts,
+         |    CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT) AS cents FROM events),
+         |w AS (SELECT *, COUNT(*) OVER f AS n_prev, SUM(cents) OVER f AS s_prev,
+         |    SUM(cents * cents) OVER f AS q_prev
+         |  FROM e WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+         |                      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+         |SELECT user_id, event_id, strftime(ts, '$DuckFmt') AS ts,
+         |  cents, n_prev, CAST(s_prev AS BIGINT) AS s_prev
+         |FROM w
+         |WHERE n_prev >= 8
+         |  AND (cents * n_prev - s_prev) * (cents * n_prev - s_prev)
+         |      > 9 * (n_prev * q_prev - s_prev * s_prev)
+         |ORDER BY user_id, event_id""".stripMargin,
     // epoch-day = floored integer division (DuckDB // floors natively;
     // Spark side subtracts pmod first); the forward fill is DuckDB's
     // IGNORE NULLS window copy of the exact-cents daily total

@@ -266,7 +266,22 @@ object RelationalQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** Q18: the Spark side already emits fixed-point BIGINT; re-sort on
+    * the exact cents (the operator's own order) for a stable dump. */
+  def q18(s: SparkSession, dir: String): DataFrame =
+    Relational.largeQuantityOrders(s, dir)
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), Fmt).as("o_orderdate"),
+        col("totalprice_cents"), col("sum_qty_x100"))
+      .orderBy(col("totalprice_cents").desc, col("o_orderkey"))
+
+  def q10(s: SparkSession, dir: String): DataFrame =
+    Relational.returnedRevenue(s, dir)
+      .orderBy(col("revenue_x10000").desc, col("c_custkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_q18_big_orders" -> (q18 _),
+    "rel_q10_returns" -> (q10 _),
     "rel_bucketed_join" -> (bucketedJoin _),
     "rel_snapshot_diff" -> (snapshotDiffQ _),
     "rel_merge_upsert" -> (mergeUpsertQ _),
@@ -290,6 +305,32 @@ object RelationalQueries {
     "rel_skew_salted_join" -> (skewSaltedJoin _))
 
   val oracles: Map[String, String] = Map(
+    "rel_q18_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(38,2))) AS sq
+        |  FROM lineitem GROUP BY 1
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(38,2))) > 300)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey,
+        |  strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+        |  CAST(CAST(o.o_totalprice AS DECIMAL(38,2)) * 100 AS BIGINT) AS totalprice_cents,
+        |  CAST(CAST(b.sq AS DECIMAL(24,2)) * 100 AS BIGINT) AS sum_qty_x100
+        |FROM big b JOIN orders o ON o.o_orderkey = b.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |ORDER BY totalprice_cents DESC, o.o_orderkey LIMIT 100""".stripMargin,
+    "rel_q10_returns" ->
+      """WITH rev AS (
+        |  SELECT o.o_custkey,
+        |    CAST(CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(38,4))) AS DECIMAL(24,4)) * 10000 AS BIGINT) AS revenue_x10000
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_returnflag = 'R'
+        |    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1),
+        |top AS (SELECT * FROM rev ORDER BY revenue_x10000 DESC, o_custkey LIMIT 20)
+        |SELECT c.c_custkey, c.c_name, n.n_name, t.revenue_x10000
+        |FROM top t JOIN customer c ON c.c_custkey = t.o_custkey
+        |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |ORDER BY t.revenue_x10000 DESC, c.c_custkey""".stripMargin,
     // the bucketed layout is result-invisible: the oracle is the plain
     // join+agg — what the hash check proves is that the shuffle-free
     // physical strategy returns exactly the shuffled plan's answer

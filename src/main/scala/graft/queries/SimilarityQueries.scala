@@ -103,6 +103,19 @@ object SimilarityQueries {
         round(col("cosine"), 6).as("cosine"))
       .orderBy("query_id", "rank")
 
+  /** Radius threshold for `ann_radius_search` — near the fixture's
+    * cosine p99, so the result set is non-trivial but alert-sized.
+    * Shared verbatim by the oracle SQL (string-interpolated, so both
+    * sides compare against the identical double literal). */
+  val RadiusMinCosine = 0.3
+
+  def radius(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshRadius(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryVecs(s, dir), RadiusMinCosine)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("query_id", "neighbor_id")
+
   /** Int8-quantized top-k: integer scores emitted as-is (no float
     * rounding step), quantization formula replayed literally by the
     * oracle ([[Similarity.quantizeInt8]]). */
@@ -220,6 +233,7 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce_topk" -> (bruteForce _),
     "ann_lsh_topk" -> (lsh _),
+    "ann_radius_search" -> (radius _),
     "ann_ivf_topk" -> (ivf _),
     "ann_ivf_probe_only" -> (ivfProbeOnly _),
     "ann_quant_topk" -> (quant _),
@@ -240,6 +254,23 @@ object SimilarityQueries {
         s"($t, $b, ${plane.mkString("[", ",", "]")})"
       }
     }.mkString(", ")
+
+  /** The sign-LSH candidate pipeline (planes → quantize → buckets →
+    * bucket join), shared by the top-k and radius oracles. */
+  private def lshCandSql: String =
+    s"""WITH planes(t, b, w) AS (SELECT * FROM (VALUES $planeRows)),
+       |p AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |qz AS (SELECT vec_id, list_transform(v, x -> CAST(floor(x * ${Similarity.QuantScale}) AS BIGINT)) AS qv FROM p),
+       |dots AS (SELECT z.vec_id, pl.t, pl.b,
+       |  list_sum(list_transform(generate_series(1, $Dim), i -> z.qv[i] * pl.w[i])) AS dot
+       |  FROM qz z CROSS JOIN planes pl),
+       |bk AS (SELECT vec_id, t, SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS bucket
+       |  FROM dots GROUP BY 1, 2),
+       |qids AS (SELECT vec_id AS query_id FROM p ORDER BY vec_id LIMIT $Q),
+       |cand AS (SELECT DISTINCT q.query_id, x.vec_id AS neighbor_id
+       |  FROM qids q JOIN bk qb ON qb.vec_id = q.query_id
+       |  JOIN bk x ON x.t = qb.t AND x.bucket = qb.bucket AND x.vec_id <> q.query_id),
+       |""".stripMargin
 
   private def cosineRankSql(candCte: String): String =
     s"""d AS (SELECT c.query_id, c.neighbor_id,
@@ -464,20 +495,20 @@ object SimilarityQueries {
          |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
     "ann_ivf_topk" -> ivfOracleSql(s"LIMIT $Q"),
     "ann_ivf_probe_only" -> ivfOracleSql(s"LIMIT $Q OFFSET $Q"),
-    "ann_lsh_topk" ->
-      (s"""WITH planes(t, b, w) AS (SELECT * FROM (VALUES $planeRows)),
-         |p AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |qz AS (SELECT vec_id, list_transform(v, x -> CAST(floor(x * ${Similarity.QuantScale}) AS BIGINT)) AS qv FROM p),
-         |dots AS (SELECT z.vec_id, pl.t, pl.b,
-         |  list_sum(list_transform(generate_series(1, $Dim), i -> z.qv[i] * pl.w[i])) AS dot
-         |  FROM qz z CROSS JOIN planes pl),
-         |bk AS (SELECT vec_id, t, SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS bucket
-         |  FROM dots GROUP BY 1, 2),
-         |qids AS (SELECT vec_id AS query_id FROM p ORDER BY vec_id LIMIT $Q),
-         |cand AS (SELECT DISTINCT q.query_id, x.vec_id AS neighbor_id
-         |  FROM qids q JOIN bk qb ON qb.vec_id = q.query_id
-         |  JOIN bk x ON x.t = qb.t AND x.bucket = qb.bucket AND x.vec_id <> q.query_id),
-         |""".stripMargin + cosineRankSql("cand")),
+    "ann_lsh_topk" -> (lshCandSql + cosineRankSql("cand")),
+    // same exact candidate generation, threshold filter instead of
+    // window rank — the oracle and operator share the whole pipeline
+    "ann_radius_search" ->
+      (lshCandSql +
+        s"""d AS (SELECT c.query_id, c.neighbor_id,
+           |  list_sum(list_transform(generate_series(1, $Dim), i -> qa.v[i] * nb.v[i])) /
+           |  (sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> qa.v[i] * qa.v[i]))) *
+           |   sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> nb.v[i] * nb.v[i])))) AS cosine
+           |  FROM cand c JOIN p qa ON qa.vec_id = c.query_id
+           |    JOIN p nb ON nb.vec_id = c.neighbor_id)
+           |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine
+           |FROM d WHERE cosine >= CAST($RadiusMinCosine AS DOUBLE)
+           |ORDER BY query_id, neighbor_id""".stripMargin),
     "ann_bruteforce_topk" ->
       s"""WITH p AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM p ORDER BY vec_id LIMIT $Q),

@@ -60,6 +60,12 @@ object TextQueries {
     TextAnalysis.bigramLmScore(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Per-language quality terciles (CCNet-style head/middle/tail):
+    * bigram-LM score × predicted language × funnel-free exact NTILE. */
+  def qualityBuckets(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityBuckets(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("lang", "bucket")
+
   def corpus(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.corpusStats(Tables.documents(s, dir))
       .orderBy("lang", "source")
@@ -231,6 +237,7 @@ object TextQueries {
     "text_corpus_stats" -> (corpus _),
     "text_bigram_coverage" -> (bigramCoverage _),
     "text_bigram_lm_score" -> (bigramLm _),
+    "text_quality_buckets" -> (qualityBuckets _),
     "text_vocab" -> (vocab _),
     "text_stratified_sample" -> (stratified _),
     "text_sample_hashmod" -> (sampleHashMod _),
@@ -448,6 +455,33 @@ object TextQueries {
     // ALL bigram occurrences (not the distinct-shingle contract) —
     // the LM counts multiplicity; every aggregate/DIV output CAST
     // (uncast SUM + // bind HUGEINT — the OracleTypesSpec ban)
+    // the naive NTILE formulation — what the funnel-free two-level
+    // rank + arithmetic bucket must reproduce exactly
+    "text_quality_buckets" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |occ AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+         |          i -> w[i] || ' ' || w[i+1])) AS bg FROM d),
+         |o2 AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM occ),
+         |c2 AS (SELECT bg, COUNT(*) AS c_bg FROM o2 GROUP BY 1),
+         |c1 AS (SELECT t, COUNT(*) AS c_w1 FROM (
+         |        SELECT unnest(string_split(text, ' ')) AS t FROM documents) GROUP BY 1),
+         |sc AS (SELECT o.doc_id, (1000 * c2.c_bg) // c1.c_w1 AS p
+         |       FROM o2 o JOIN c2 USING (bg) JOIN c1 ON c1.t = o.w1),
+         |lm AS (SELECT doc_id, CAST(SUM(p) // COUNT(*) AS BIGINT) AS lm_score_permille
+         |       FROM sc GROUP BY 1),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |s AS ($langScoresSql),
+         |lr AS (SELECT doc_id, lang, score,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn FROM s),
+         |j AS (SELECT lm.doc_id, lr.lang, lm.lm_score_permille
+         |      FROM lm JOIN lr ON lr.doc_id = lm.doc_id AND lr.rn = 1),
+         |b AS (SELECT lang, lm_score_permille,
+         |  CAST(NTILE(3) OVER (PARTITION BY lang
+         |    ORDER BY lm_score_permille, doc_id) AS BIGINT) AS bucket FROM j)
+         |SELECT lang, bucket, COUNT(*) AS n_docs,
+         |  MIN(lm_score_permille) AS min_permille,
+         |  MAX(lm_score_permille) AS max_permille
+         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_bigram_lm_score" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |occ AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),

@@ -200,4 +200,45 @@ class EventsSpec extends SparkSpec {
       (5L, 2L, 300L),  // peer rows see each other
       (6L, 2L, 300L)))
   }
+
+  test("anomaly z-score: flags a planted spike, never flags a flat series") {
+    import spark.implicits._
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    // user 1: ten identical values then one spike; user 2: flat noise-free
+    val rows = (1 to 10).map(i => (i.toLong, ts(i), 1L, "a", 10.00, "{}")) ++
+      Seq((11L, ts(11), 1L, "a", 500.00, "{}")) ++
+      (20 to 35).map(i => (i.toLong, ts(i), 2L, "a", 25.00, "{}"))
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.anomalyZscore(ev)
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 11L))) // zero-variance baseline: only the spike
+  }
+
+  test("anomaly z-score: integer test agrees with the double z-score on fixture data") {
+    // replay the BIGINT algebra in doubles: a flagged row must satisfy
+    // (x-mu)^2 > 9 sigma^2 (population) over its trailing frame, and an
+    // unflagged row with n_prev >= 8 must not (strict inequality both
+    // ways holds because the integer test is exact)
+    import org.apache.spark.sql.expressions.Window
+    val frame = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-20, -1)
+    val cents = (col("value").cast("decimal(38,2)") * 100).cast("long")
+    val stats = events
+      .withColumn("x", cents.cast("double"))
+      .withColumn("n", count(lit(1)).over(frame).cast("double"))
+      .withColumn("mu", avg(col("x")).over(frame))
+      .withColumn("q", avg(col("x") * col("x")).over(frame))
+      .filter(col("n") >= 8)
+      .withColumn("lhs", (col("x") - col("mu")) * (col("x") - col("mu")))
+      .withColumn("rhs", lit(9.0) * (col("q") - col("mu") * col("mu")))
+    val doubleFlags = stats.filter(col("lhs") > col("rhs") * 1.0000001)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val doubleNoFlags = stats.filter(col("lhs") < col("rhs") * 0.9999999)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val flagged = Events.anomalyZscore(events)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(doubleFlags.subsetOf(flagged))
+    assert(flagged.intersect(doubleNoFlags).isEmpty)
+    assert(flagged.nonEmpty)
+  }
 }

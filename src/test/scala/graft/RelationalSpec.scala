@@ -162,4 +162,36 @@ class RelationalSpec extends SparkSpec {
     assert(pass - exact <= (total - exact) / 10,
       s"bloom passed $pass vs $exact exact of $total total — FPR too high")
   }
+
+  test("q18: every surviving order's recomputed quantity exceeds the HAVING bar") {
+    val got = graft.operators.Relational.largeQuantityOrders(spark, sf001, minQty = 200)
+    val sums = graft.io.Tables.lineitem(spark, sf001)
+      .groupBy("l_orderkey")
+      .agg((sum(col("l_quantity").cast("decimal(38,2)")) * 100).cast("long").as("sq"))
+    val joined = got.join(sums, got("o_orderkey") === sums("l_orderkey"))
+    assert(joined.filter(col("sum_qty_x100") =!= col("sq")).count() === 0)
+    assert(got.filter(col("sum_qty_x100") <= 200 * 100).count() === 0)
+    assert(got.count() > 0)
+  }
+
+  test("q10: returned revenue matches a direct recomputation for the top customer") {
+    val got = graft.operators.Relational.returnedRevenue(spark, sf001)
+      .orderBy(col("revenue_x10000").desc, col("c_custkey")).collect()
+    assert(got.length > 0 && got.length <= 20)
+    // non-increasing revenue
+    assert(got.sliding(2).forall(p =>
+      p.length < 2 || p(0).getLong(3) >= p(1).getLong(3)))
+    val top = got.head
+    val direct = graft.io.Tables.lineitem(spark, sf001)
+      .filter(col("l_returnflag") === "R")
+      .join(graft.io.Tables.orders(spark, sf001)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_custkey") === top.getLong(0))
+      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(38,4)")) * 10000).cast("long"))
+      .collect()(0).getLong(0)
+    assert(direct === top.getLong(3))
+  }
 }

@@ -290,4 +290,23 @@ class SimilaritySpec extends SparkSpec {
     assert(r.head.getLong(1) === 200L)
     assert(math.abs(r.head.getDouble(3) - 1.0) < 1e-12)
   }
+
+  test("radius search equals unbounded LSH top-k filtered at the threshold") {
+    val qv = queries
+    val tau = 0.2
+    val viaTopK = Similarity
+      .lshTopK(emb, "vec_id", "embedding", qv, k = 1000000)
+      .filter(col("cosine") >= tau)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaRadius = Similarity
+      .lshRadius(emb, "vec_id", "embedding", qv, tau)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaRadius === viaTopK)
+    assert(viaRadius.nonEmpty)
+    // every returned pair really is above the threshold
+    assert(Similarity.lshRadius(emb, "vec_id", "embedding", qv, tau)
+      .filter(col("cosine") < tau).count() === 0)
+  }
 }

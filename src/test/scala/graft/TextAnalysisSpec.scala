@@ -401,4 +401,33 @@ class TextAnalysisSpec extends SparkSpec {
       assert(multi(qid) === alone, s"query $qid")
     }
   }
+
+  test("quality buckets equal the naive NTILE window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val ta = graft.operators.TextAnalysis
+    val lm = ta.bigramLmScore(docs, "doc_id", "text")
+      .select(col("doc_id"), col("lm_score_permille"))
+    val lang = ta.langId(docs, "doc_id", "text")
+      .select(col("doc_id"), col("predicted_lang").as("lang"))
+    val naive = lm.join(lang, "doc_id")
+      .withColumn("bucket", ntile(3).over(
+        Window.partitionBy("lang").orderBy(col("lm_score_permille"), col("doc_id")))
+        .cast("long"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("lm_score_permille").as("min_permille"),
+        max("lm_score_permille").as("max_permille"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val mine = ta.qualityBuckets(docs, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(mine === naive)
+    // buckets within a language are balanced to within one row
+    val sizes = mine.groupBy(_._1).values
+    sizes.foreach { bs =>
+      val ns = bs.map(_._3)
+      assert(ns.max - ns.min <= 1, s"unbalanced buckets: $bs")
+    }
+  }
 }
