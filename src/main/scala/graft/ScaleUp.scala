@@ -186,7 +186,18 @@ object ScaleUp {
     // (all-pairs tiled cosine over 20 k vectors — the kernel the LSH/
     // IVF candidate generators would bound at true scale — then
     // pair-graph-sized components)
-    "rel_bucketed_join", "dedup_embedding_groups")
+    "rel_bucketed_join", "dedup_embedding_groups",
+    // round 8 cohort 2: Q18 (6 M-row agg on the fact's own key — the
+    // synthetic 4-line orders cap sum_qty below the HAVING bar, so the
+    // timed cost is the real one: the full-fact aggregate), Q10's
+    // quarter scan, the BIGINT anomaly window over 1 M events, the
+    // funnel-free per-lang NTILE over 50 k docs, LSH radius search
+    // (same candidates as lsh_topk, no per-query sort), perceptual
+    // aHash groups (50 k real PNG encode+decode round-trips), and the
+    // stateful streaming anomaly twin
+    "rel_q18_big_orders", "rel_q10_returns", "events_anomaly_zscore",
+    "text_quality_buckets", "ann_radius_search", "mm_ahash_groups",
+    "stream_anomaly_parity")
 
   /** 100×-bench-scale fixture (round-6 rehearsal): ONLY the tables the
     * five heaviest shuffle producers touch — documents 500 k, lineitem

@@ -207,6 +207,63 @@ object Multimodal {
       .toDF("id", "n_px", "sum_lum", "n_nonzero")
   }
 
+  /** AVERAGE-HASH (aHash) perceptual fingerprint through the REAL
+    * codec: PNG-encode the payload prefix as a `side`×`side` gray
+    * image ([[encodeGrayPng]]), decode it back via the dispatching
+    * [[decode]] (the sniff selects the real ImageIO path — the blob
+    * IS a PNG), downsample to a `grid`×`grid` mosaic by integer block
+    * mean (floor), and set bit j when block j's mean exceeds the
+    * mosaic's overall mean — the standard perceptual near-dup
+    * fingerprint, here bit-exact: gray+lossless makes the decode the
+    * identity, so every step is integer byte arithmetic a SQL oracle
+    * replays. The 64 bits are emitted as two non-negative BIGINT
+    * halves (lo = bits 0-31, hi = bits 32-63) — a single int64 would
+    * go negative on bit 63 and engines disagree on shift overflow.
+    *
+    * Scale: per-row kernel, zero shuffle; downstream grouping shuffles
+    * 2 longs per image, never pixels. */
+  def averageHash(blobs: DataFrame, side: Int = 16, grid: Int = 8,
+                  batchSize: Int = DefaultBatchSize): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    val block = side / grid
+    require(side % grid == 0, s"side $side not a multiple of grid $grid")
+    blobs.select(col("id").cast("long"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, blob) =>
+            val px = decode(encodeGrayPng(blob, side))
+            val nB = grid * grid
+            val bm = new Array[Long](nB)
+            var j = 0
+            while (j < nB) {
+              val by = (j / grid) * block; val bx = (j % grid) * block
+              var s = 0L; var dy = 0
+              while (dy < block) {
+                var dx = 0
+                while (dx < block) { s += px((by + dy) * side + bx + dx); dx += 1 }
+                dy += 1
+              }
+              bm(j) = s / (block * block)
+              j += 1
+            }
+            val mean = bm.sum / nB
+            var lo = 0L; var hi = 0L
+            j = 0
+            while (j < nB) {
+              if (bm(j) > mean) {
+                if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+              }
+              j += 1
+            }
+            (id, hi, lo)
+          }
+        }
+      }
+      .toDF("id", "ahash_hi", "ahash_lo")
+  }
+
   /** Resize: truncate the payload to `maxBytes` and update metadata —
     * the stub stand-in for a real image resize kernel. */
   def resize(blobs: DataFrame, maxBytes: Int): DataFrame = {

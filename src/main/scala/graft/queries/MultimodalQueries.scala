@@ -43,9 +43,21 @@ object MultimodalQueries {
       .select(col("id").as("doc_id"), col("n_px"), col("sum_lum"), col("n_nonzero"))
       .orderBy("doc_id")
 
+  /** Perceptual near-dup groups: aHash through the real codec path
+    * (PNG encode → ImageIO decode → 8×8 block-mean mosaic → mean
+    * threshold bits), grouped on the 64-bit fingerprint. */
+  def ahashGroups(s: SparkSession, dir: String): DataFrame =
+    Multimodal.averageHash(blobs(s, dir))
+      .groupBy("ahash_hi", "ahash_lo")
+      .agg(count(lit(1)).as("n_docs"),
+        min("id").as("exemplar_doc"), max("id").as("max_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy("ahash_hi", "ahash_lo")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_byte_histogram" -> (histogram _),
     "mm_frame_fingerprints" -> (frames _),
+    "mm_ahash_groups" -> (ahashGroups _),
     "mm_decode_roundtrip" -> (decodeRoundtrip _))
 
   val oracles: Map[String, String] = Map(
@@ -72,6 +84,39 @@ object MultimodalQueries {
          |              (a, b) -> (a * 31 + b) % $M)
          |  END AS frame_fp
          |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    // the whole aHash replayed in byte arithmetic: 16×16 gray PNG of
+    // the 256-byte prefix is the identity (lossless + gray), so the
+    // mosaic is 2×2 integer block means over text bytes; bit j set
+    // when block j > the mosaic mean; halves keep BIGINT non-negative
+    "mm_ahash_groups" ->
+      """WITH px AS (
+        |  SELECT doc_id, list_transform(generate_series(1, 256),
+        |    i -> CASE WHEN i <= length(text)
+        |              THEN CAST(ascii(substr(text, i, 1)) AS BIGINT)
+        |              ELSE 0 END) AS p
+        |  FROM documents),
+        |bm AS (
+        |  SELECT doc_id, list_transform(generate_series(0, 63), j ->
+        |    (p[((j // 8) * 2) * 16 + (j % 8) * 2 + 1] +
+        |     p[((j // 8) * 2) * 16 + (j % 8) * 2 + 2] +
+        |     p[((j // 8) * 2 + 1) * 16 + (j % 8) * 2 + 1] +
+        |     p[((j // 8) * 2 + 1) * 16 + (j % 8) * 2 + 2]) // 4) AS b
+        |  FROM px),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(coalesce(list_sum(list_transform(generate_series(32, 63),
+        |      j -> CASE WHEN b[j + 1] > list_sum(b) // 64
+        |                THEN (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END)), 0)
+        |      AS BIGINT) AS ahash_hi,
+        |    CAST(coalesce(list_sum(list_transform(generate_series(0, 31),
+        |      j -> CASE WHEN b[j + 1] > list_sum(b) // 64
+        |                THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)), 0)
+        |      AS BIGINT) AS ahash_lo
+        |  FROM bm)
+        |SELECT ahash_hi, ahash_lo, COUNT(*) AS n_docs,
+        |  MIN(doc_id) AS exemplar_doc, MAX(doc_id) AS max_doc
+        |FROM h GROUP BY 1, 2 HAVING COUNT(*) > 1
+        |ORDER BY 1, 2""".stripMargin,
     // 8×8 gray PNG of the first 64 text bytes (zero-padded): PNG is
     // lossless and gray luminance is the identity, so sum_lum is the
     // plain byte sum of the prefix; ASCII fixture ⇒ no NUL bytes ⇒

@@ -227,6 +227,23 @@ object StreamQueries {
       .orderBy("doc_id")
   }
 
+  /** Stateful streaming anomaly detection: the bounded-ring
+    * flatMapGroupsWithState twin of the batch
+    * `events_anomaly_zscore` — same BIGINT test, same oracle. */
+  def anomalyParity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = StreamOps.readEventsStream(s, eventsStreamDir(dir))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamOps.Event]
+    val alerts = StreamOps.anomalyStream(ev)
+      .toDF("user_id", "event_id", "ts", "cents", "n_prev", "s_prev")
+    runToMemory(s, "stream_anomaly_sink", alerts, "append")
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), Fmt).as("ts"),
+        col("cents"), col("n_prev"), col("s_prev"))
+      .orderBy("user_id", "event_id")
+  }
+
   def dedupDistinct(s: SparkSession, dir: String): DataFrame = {
     val ev = StreamOps.readEventsStream(s, eventsStreamDir(dir))
       .select("user_id", "event_type")
@@ -331,11 +348,15 @@ object StreamQueries {
     "stream_session_parity" -> (sessionParity _),
     "stream_join_pairs" -> (joinPairs _),
     "stream_dedup_distinct" -> (dedupDistinct _),
+    "stream_anomaly_parity" -> (anomalyParity _),
     "stream_running_stats" -> (runningStats _),
     "stream_kmeans_parity" -> (kmeansParity _),
     "stream_mix_parity" -> (mixParity _))
 
   val oracles: Map[String, String] = Map(
+    // the batch anomaly oracle verbatim: streaming state + in-batch
+    // sort must land on the identical BIGINT alert set
+    "stream_anomaly_parity" -> EventsQueries.oracles("events_anomaly_zscore"),
     // flat batch recompute of the stream-static enrichment: DuckDB //
     // floors, so no pmod dance is needed on this side
     "stream_static_join_parity" ->

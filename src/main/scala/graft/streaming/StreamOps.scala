@@ -168,4 +168,55 @@ object StreamOps {
           }
       }
   }
+
+  /** Exact cents the way Spark SQL's `CAST(value AS DECIMAL(38,2))`
+    * produces them: the cast goes through `Double.toString` (shortest
+    * round-trip) then HALF_UP — replicated here so the streaming
+    * anomaly flags are bit-identical to the batch operator's. */
+  def centsOf(value: Double): Long =
+    new java.math.BigDecimal(java.lang.Double.toString(value))
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+      .movePointRight(2).longValueExact()
+
+  /** STREAMING ANOMALY DETECTION — the stateful twin of
+    * [[graft.operators.Events.anomalyZscore]]: per user, keep the
+    * trailing `lookback` cents as a bounded ring of state (≤ 20 longs
+    * per key — watermark-free because the state never grows), sort
+    * each micro-batch's new events by (ts, event_id) (arrival within
+    * a batch is unordered; the trailing baseline is order-sensitive),
+    * and emit a row whenever the BIGINT test
+    * `(x·n − S)² > z²·(n·Q − S²)` fires with ≥ `minPrev` priors.
+    * With the whole fixture in one micro-batch this equals the batch
+    * operator row-for-row — the parity oracle. At scale the in-batch
+    * sort is bounded by one user's per-trigger volume, and emission
+    * is alert-sized. */
+  def anomalyStream(events: Dataset[Event], lookback: Int = 20,
+                    minPrev: Int = 8, zSq: Long = 9L)
+      : Dataset[(Long, Long, Timestamp, Long, Long, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Long], (Long, Long, Timestamp, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, evs, state: GroupState[List[Long]]) =>
+          var buf = state.getOption.getOrElse(Nil) // oldest first, ≤ lookback
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Timestamp, Long, Long, Long)]
+          evs.toSeq.sortBy(e => (tsToUs(e.ts), e.event_id)).foreach { e =>
+            val cents = centsOf(e.value)
+            val n = buf.length.toLong
+            if (n >= minPrev) {
+              var s = 0L; var q = 0L
+              buf.foreach { c => s += c; q += c * c }
+              val dev = cents * n - s
+              if (dev * dev > zSq * (n * q - s * s))
+                out += ((user, e.event_id, e.ts, cents, n, s))
+            }
+            buf = (buf :+ cents).takeRight(lookback)
+          }
+          state.update(buf)
+          out.iterator
+      }
+  }
 }

@@ -144,6 +144,43 @@ class MultimodalSpec extends SparkSpec {
     assert(r.filter(col("meta.n_bytes") > 32).count() === 0)
   }
 
+  test("average hash: equals direct byte arithmetic, stable under identical payloads") {
+    import spark.implicits._
+    // direct recompute from the raw bytes — the codec round-trip must
+    // be the identity (gray + lossless), so the kernel's hash equals
+    // this byte-level reference
+    def ref(text: String): (Long, Long) = {
+      val b = text.getBytes("UTF-8").take(256).map(_ & 0xff)
+      val p = b ++ Array.fill(256 - b.length)(0)
+      val bm = (0 until 64).map { j =>
+        val by = (j / 8) * 2; val bx = (j % 8) * 2
+        (p(by * 16 + bx) + p(by * 16 + bx + 1) +
+          p((by + 1) * 16 + bx) + p((by + 1) * 16 + bx + 1)).toLong / 4
+      }
+      val m = bm.sum / 64
+      var lo = 0L; var hi = 0L
+      bm.zipWithIndex.foreach { case (v, j) =>
+        if (v > m) { if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32) }
+      }
+      (hi, lo)
+    }
+    val texts = Seq((1L, "the quick brown fox jumps over the lazy dog " * 8),
+      (2L, "the quick brown fox jumps over the lazy dog " * 8), // exact dup
+      (3L, "completely different content with other words entirely " * 6))
+    val df = Multimodal.packBlobs(
+      texts.toDF("doc_id", "text"), "doc_id", "text")
+    val got = Multimodal.averageHash(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) === ref(texts.head._2))
+    assert(got(3L) === ref(texts(2)._2))
+    assert(got(1L) === got(2L)) // identical payloads collide
+    assert(got(1L) !== got(3L)) // different payloads do not
+    // halves are non-negative (bit 63 lands in hi bit 31, still < 2^32)
+    got.values.foreach { case (hi, lo) =>
+      assert(hi >= 0L && lo >= 0L && hi < (1L << 32) && lo < (1L << 32))
+    }
+  }
+
   test("embed: fixed-width float features feed the similarity operators") {
     val e = Multimodal.embed(blobs).toDF("id", "embedding")
     val sample = e.limit(5).collect()

@@ -45,4 +45,46 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(bad.isEmpty, s"nested-loop joins without a broadcast side: $bad")
   }
+
+  test("q18/q10: dim lookups broadcast; filters reach the scans") {
+    // the r8 TPC-H additions' load-bearing plan properties: the
+    // customer/nation enrichment joins must be broadcast (they run on
+    // ≤ topN rows after the limit — a shuffle there means the limit
+    // moved), and Q10's selective predicates must be pushed into the
+    // parquet scans, not evaluated post-shuffle
+    val q18 = batchQueries("rel_q18_big_orders").queryExecution.executedPlan.toString
+    assert(q18.contains("BroadcastHashJoin"), "q18 customer join not broadcast")
+    val q10ex = batchQueries("rel_q10_returns").queryExecution
+    val q10 = q10ex.executedPlan.toString
+    assert(q10.contains("BroadcastHashJoin"), "q10 dim joins not broadcast")
+    val scans = q10ex.executedPlan.toString.linesIterator
+      .filter(_.contains("PushedFilters")).mkString("\n")
+    assert(scans.contains("l_returnflag"),
+      s"returnflag filter not pushed to the lineitem scan:\n$scans")
+    assert(scans.contains("o_orderdate"),
+      s"order-date range not pushed to the orders scan:\n$scans")
+  }
+
+  test("anomaly z-score: one data exchange, one window pass") {
+    val plan = batchQueries("events_anomaly_zscore")
+      .queryExecution.executedPlan.toString
+    // exactly one hash exchange (user_id, for the window); the only
+    // other allowed exchange is the output orderBy's range partition
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"anomaly plan should shuffle once on user_id:\n$plan")
+    // count/sum/sumsq share one frame ⇒ one Window operator
+    assert(plan.linesIterator.count(l =>
+        l.replaceFirst("^[\\s+:-]*", "").startsWith("Window")) === 1,
+      s"anomaly plan should evaluate all three frame aggs in one window pass:\n$plan")
+  }
+
+  test("radius search plans no per-query sort (top-k does)") {
+    val radius = batchQueries("ann_radius_search")
+      .queryExecution.executedPlan.toString
+    // the final orderBy is global output ordering; the point is no
+    // WINDOW (rank) operator inside the radius pipeline
+    assert(!radius.contains("RunningWindowFunction") &&
+      !radius.linesIterator.exists(l => l.contains("Window") && !l.contains("window")),
+      s"radius search should not rank:\n$radius")
+  }
 }

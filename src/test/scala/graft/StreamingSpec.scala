@@ -282,4 +282,21 @@ class StreamingSpec extends SparkSpec {
       assert(got(k)._1.compareTo(sv) === 0 && got(k)._2 === n, s"group $k")
     }
   }
+
+  test("streaming anomaly alerts equal the batch z-score operator row-for-row") {
+    val streamed = graft.queries.StreamQueries.anomalyParity(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val batch = Events.anomalyZscore(graft.io.Tables.events(spark, sf001))
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        col("cents"), col("n_prev"), col("s_prev"))
+      .orderBy("user_id", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }
