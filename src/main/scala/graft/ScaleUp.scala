@@ -197,7 +197,12 @@ object ScaleUp {
     // stateful streaming anomaly twin
     "rel_q18_big_orders", "rel_q10_returns", "events_anomaly_zscore",
     "text_quality_buckets", "ann_radius_search", "mm_ahash_groups",
-    "stream_anomaly_parity")
+    "stream_anomaly_parity",
+    // round 8 cohort 4: prefix-filtered EXACT set-similarity join
+    // (the lossless pruning path — prefix posting lists only),
+    // deterministic label propagation (5 rounds over the trade
+    // network), and the quality-aware canonical pick per dedup group
+    "dedup_prefix_jaccard", "graph_label_prop", "dedup_canonical_pick")
 
   /** 100×-bench-scale fixture (round-6 rehearsal): ONLY the tables the
     * five heaviest shuffle producers touch — documents 500 k, lineitem

@@ -118,6 +118,69 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** EXACT set-similarity self-join via PREFIX FILTERING — the
+    * LOSSLESS scale path for shingle Jaccard (the PPJoin prefix
+    * principle): under any fixed global token order, two sets with
+    * J ≥ t MUST share a token inside each side's first
+    * |x| − ⌈t·|x|⌉ + 1 tokens (if they didn't, the overlap would fit
+    * inside the remaining ⌈t·|x|⌉ − 1 slots < t·|x| ≤ |A∩B| —
+    * contradiction). So the inverted-index join runs over PREFIXES
+    * ONLY — with rarest-first ordering the prefix posting lists are
+    * the thin tail of the frequency distribution — and candidates are
+    * then verified EXACTLY per pair. Unlike [[ngramJaccard]]'s
+    * hot-shingle cap, nothing here changes the answer: the result is
+    * every pair with true Jaccard ≥ t, bit-identical to the
+    * cap-free naive join (DedupSpec pins the equality).
+    *
+    * The threshold is a RATIONAL tNum/tDen and every candidate /
+    * verify comparison is integer (⌈t·sz⌉ via integer ceil-div,
+    * size-ratio filter tNum·max ≤ tDen·min, verification
+    * tDen·inter ≥ tNum·union) — a float 0.8·sz would round the
+    * prefix length the wrong way on exact multiples and silently
+    * drop boundary pairs.
+    *
+    * Scale shape: freq agg (token shuffle) → per-doc rank windows
+    * (doc-partitioned, no funnel) → prefix-only self-join (the only
+    * quadratic-risk exchange, bounded by prefix posting lists) →
+    * per-pair array verify (candidate-sized, in-row). */
+  def prefixJaccard(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3, tNum: Int = 4, tDen: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docShingles(docs, idCol, textCol, n)
+      .select(col("doc_id"), xxhash64(col("s")).as("s"))
+    val freq = sh.groupBy("s").agg(count(lit(1)).as("f"))
+    val byDoc = Window.partitionBy("doc_id")
+    val ranked = sh.join(freq, "s")
+      .withColumn("r", row_number().over(byDoc.orderBy(col("f"), col("s"))))
+      .withColumn("sz", count(lit(1)).over(byDoc))
+    // prefix length p = sz − ⌈t·sz⌉ + 1, integer ceil-div (Column./
+    // is double division — DIV keeps the arithmetic integral)
+    val prefix = ranked
+      .filter(col("r") <=
+        col("sz") - expr(s"(sz * $tNum + $tDen - 1) DIV $tDen") + 1)
+      .select(col("doc_id"), col("s"), col("sz"))
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id") &&
+          // J ≥ t ⇒ t·max ≤ min: sizes within ratio, integer compare
+          col("x.sz") * tNum <= col("y.sz") * tDen &&
+          col("y.sz") * tNum <= col("x.sz") * tDen)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sets = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("s"))).as("set"),
+        count(lit(1)).as("c"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("set").as("set_a"),
+        col("c").as("ca")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("set").as("set_b"),
+        col("c").as("cb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .filter(col("inter") * tDen >= (col("ca") + col("cb") - col("inter")) * tNum)
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("ca") + col("cb") - col("inter")))
+          .as("jaccard"))
+  }
+
   /** Directional n-gram CONTAINMENT — C(A→B) = |A∩B| / |A| over the
     * shingle sets: detects a document embedded inside a larger one
     * (quoted articles, boilerplate-wrapped bodies, page dumps) that

@@ -94,6 +94,72 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Pure reference of the deterministic synchronous label
+    * propagation below — the ScalaCheck bridge (cluster plan, this,
+    * and the unrolled SQL oracle must agree exactly). */
+  def labelPropReference(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val nb = (und ++ und.map(_.swap)).groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2) }
+    val nodes = nb.keys.toSeq.sorted
+    var lbl = nodes.map(v => v -> v).toMap
+    (1 to iters).foreach { _ =>
+      lbl = nodes.map { v =>
+        val counts = nb(v).map(lbl).groupBy(identity).map { case (l, xs) => (l, xs.size) }
+        // most frequent neighbor label, ties -> smallest label
+        v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    }
+    lbl
+  }
+
+  /** DETERMINISTIC SYNCHRONOUS LABEL PROPAGATION — community
+    * detection as the engine's FOURTH hash-checkable iterative
+    * algorithm (after the exact Lloyd fit, min-label connected
+    * components, and fixed-point PageRank). Classic async LPA is
+    * run-order-dependent by construction; this variant is fully
+    * deterministic: every round, simultaneously, each node adopts the
+    * MOST FREQUENT label among its neighbors' round-(r−1) labels,
+    * ties broken by the SMALLEST label (argmin over (−count, label) —
+    * the [[graft.operators.TextAnalysis.langId]] struct-min trick).
+    * Labels start as node ids. The oracle unrolls the rounds with a
+    * per-round `row_number() OVER (ORDER BY c DESC, lbl)` — every
+    * label after every round is hash-checked, not just the final
+    * communities.
+    *
+    * Scale shape: per round, one edge-list join against the label
+    * frame + two hash aggregates — linear in edges, never a closure;
+    * edges and nodes pinned once outside the loop (the PageRank
+    * pattern: each round references its predecessor exactly once, so
+    * the lazy plan grows linearly). */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int = 5): DataFrame = {
+    require(iters >= 0)
+    val spark = edges.sparkSession
+    val und = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val nbRdd = und.select(col("u"), col("v"))
+      .union(und.select(col("v"), col("u")))
+      .rdd.map(r => (r.getLong(0), r.getLong(1))).persist()
+    val nb = spark.createDataFrame(nbRdd).toDF("node", "nbr")
+    val lblRdd = nbRdd.keys.distinct().map(v => (v, v)).persist()
+    var lbl = spark.createDataFrame(lblRdd).toDF("node", "lbl")
+    (1 to iters).foreach { _ =>
+      val prev = lbl.select(col("node").as("_pn"), col("lbl"))
+      lbl = nb
+        .join(prev, nb("nbr") === col("_pn"))
+        .groupBy(col("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("node")
+        .agg(min(struct((col("c") * -1).as("nc"), col("lbl").as("l")))
+          .getField("l").as("lbl"))
+    }
+    lbl
+  }
+
   /** Distributed fixed-point PageRank over an edge list. Output:
     * (node, pr) with pr the BIGINT fixed-point rank after `iters`
     * rounds. */

@@ -49,6 +49,14 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
 
+  /** Prefix-filtered EXACT Jaccard join ([[Dedup.prefixJaccard]],
+    * rational 4/5 threshold) — lossless pruning, so the result is the
+    * cap-free naive join's answer bit-for-bit. */
+  def prefixJaccardQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixJaccard(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+
   /** Directional shingle containment at 0.9 — the doc-in-doc pass
     * symmetric Jaccard can't see ([[Dedup.ngramContainment]]). Result
     * memoized like [[jaccardPairs]]: survivor-pair-sized, never
@@ -175,6 +183,33 @@ object DedupQueries {
       .select(col("node").as("doc_id"), col("component"))
       .orderBy("doc_id")
 
+  /** CANONICAL PICK — the dedup pipeline's final decision, quality-
+    * aware: within each near-dup group, keep the member with the
+    * HIGHEST bigram-LM quality score (ties → smallest doc_id), not
+    * blindly the min-id. Composes three proven operators (jaccard
+    * pair graph → connected components → corpus-LM scoring); argmax
+    * via the struct-max trick (max over (q, −doc_id)). The group
+    * frame is pair-graph-sized → broadcast to the corpus-wide score
+    * join; the aggregate is group-count-sized. Members all carry ≥ 2
+    * bigrams by construction (they share 3-gram shingles), so the
+    * inner score join drops nobody — and the oracle mirrors it. */
+  def canonicalPick(s: SparkSession, dir: String): DataFrame = {
+    val groups = Dedup.connectedComponents(jaccardPairs(s, dir), "doc_a", "doc_b")
+      .select(col("node").as("doc_id"), col("component"))
+    val lm = graft.operators.TextAnalysis
+      .bigramLmScore(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("lm_score_permille"))
+    org.apache.spark.sql.functions.broadcast(groups).join(lm, "doc_id")
+      .groupBy("component")
+      .agg(
+        max(struct(col("lm_score_permille").as("q"),
+          (col("doc_id") * -1).as("negid"))).as("m"),
+        count(lit(1)).as("n_members"))
+      .select(col("component"), (col("m.negid") * -1).as("canonical_doc"),
+        col("n_members"), col("m.q").as("best_permille"))
+      .orderBy("component")
+  }
+
   /** SEMANTIC dedup groups — the embedding-space twin of
     * [[ccGroups]]: connected components over the cosine near-dup pair
     * graph, reduced to the pipeline's actual DECISION — one survivor
@@ -228,6 +263,7 @@ object DedupQueries {
     "dedup_contam_report" -> (contamReport _),
     "dedup_exact" -> (exact _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_prefix_jaccard" -> (prefixJaccardQ _),
     "dedup_containment" -> (containmentQ _),
     "dedup_minhash" -> (minhash _),
     "dedup_simhash" -> (simhash _),
@@ -235,7 +271,8 @@ object DedupQueries {
     "dedup_winnow_groups" -> (winnowGroups _),
     "dedup_embedding" -> (embedding _),
     "dedup_embedding_groups" -> (embeddingGroups _),
-    "dedup_cc_groups" -> (ccGroups _))
+    "dedup_cc_groups" -> (ccGroups _),
+    "dedup_canonical_pick" -> (canonicalPick _))
 
   // Mirrors Dedup.ngramJaccard EXACTLY, including the default
   // hot-shingle cap: Jaccard is computed over the cap-filtered shingle
@@ -429,6 +466,22 @@ object DedupQueries {
          |FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
          |WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= $JaccardThreshold
          |ORDER BY doc_a, doc_b""".stripMargin),
+    // CAP-FREE shingle universe (prefix filtering is lossless, there
+    // is no hot-key semantics to mirror) + the operator's integer
+    // rational threshold: 5·inter ≥ 4·union
+    "dedup_prefix_jaccard" ->
+      s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, s FROM (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM docs)),
+         |cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(inter AS DOUBLE) / (ca.c + cb.c - inter), 6) AS jaccard
+         |FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+         |WHERE 5 * inter >= 4 * (ca.c + cb.c - inter)
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // min-label walk: every node collects the labels of everything
     // that can reach it (UNION dedups states), min = component id —
     // the recursive mirror of the iterative propagation in
@@ -445,6 +498,40 @@ object DedupQueries {
          |  SELECT e.nxt, w.label FROM walk w JOIN e ON e.cur = w.node)
          |SELECT node AS doc_id, min(label) AS component
          |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin),
+    // cc walk + the bigram-LM CTE + per-component argmax (quality
+    // desc, doc_id asc) — the three proven CTE families spliced
+    "dedup_canonical_pick" -> (shingleCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      s""", jp AS (SELECT doc_a, doc_b
+         |        FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+         |        WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= $JaccardThreshold),
+         |ew AS (SELECT doc_a AS cur, doc_b AS nxt FROM jp
+         |       UNION ALL SELECT doc_b, doc_a FROM jp),
+         |walk(node, label) AS (
+         |  SELECT DISTINCT cur, cur FROM ew
+         |  UNION
+         |  SELECT ew.nxt, w.label FROM walk w JOIN ew ON ew.cur = w.node),
+         |comp AS (SELECT node AS doc_id, min(label) AS component
+         |         FROM walk GROUP BY 1),
+         |occ AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+         |          i -> w[i] || ' ' || w[i+1])) AS bg FROM docs),
+         |o2 AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM occ),
+         |c2 AS (SELECT bg, COUNT(*) AS c_bg FROM o2 GROUP BY 1),
+         |c1 AS (SELECT t, COUNT(*) AS c_w1 FROM (
+         |        SELECT unnest(string_split(text, ' ')) AS t FROM documents) GROUP BY 1),
+         |sc AS (SELECT o.doc_id, (1000 * c2.c_bg) // c1.c_w1 AS p
+         |       FROM o2 o JOIN c2 USING (bg) JOIN c1 ON c1.t = o.w1),
+         |lm AS (SELECT doc_id, CAST(SUM(p) // COUNT(*) AS BIGINT) AS lm_score_permille
+         |       FROM sc GROUP BY 1),
+         |j AS (SELECT c.component, c.doc_id, lm.lm_score_permille
+         |      FROM comp c JOIN lm ON lm.doc_id = c.doc_id),
+         |r AS (SELECT component, doc_id, lm_score_permille,
+         |  row_number() OVER (PARTITION BY component
+         |    ORDER BY lm_score_permille DESC, doc_id) AS rn FROM j),
+         |sz AS (SELECT component, COUNT(*) AS n_members FROM j GROUP BY 1)
+         |SELECT r.component, r.doc_id AS canonical_doc, sz.n_members,
+         |  r.lm_score_permille AS best_permille
+         |FROM r JOIN sz ON sz.component = r.component
+         |WHERE r.rn = 1 ORDER BY r.component""".stripMargin),
     "dedup_embedding" ->
       s"""WITH p AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |c AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -65,9 +65,27 @@ object GraphQueries {
     Graph.triangleCounts(tradeEdges(s, dir), "src", "dst")
       .orderBy("node")
 
+  /** Deterministic synchronous label propagation on the undirected
+    * trade network — 5 rounds, every round's labels oracle-unrolled. */
+  def labelProp(s: SparkSession, dir: String): DataFrame =
+    Graph.labelPropagation(tradeEdges(s, dir), "src", "dst", iters = LpIters)
+      .orderBy("node")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (pagerank _),
+    "graph_label_prop" -> (labelProp _),
     "graph_triangles" -> (triangles _))
+
+  val LpIters = 5
+
+  private def lpRound(i: Int): String =
+    s"""lp$i AS (SELECT node, lbl FROM (
+       |  SELECT nb.node, p.lbl,
+       |    row_number() OVER (PARTITION BY nb.node
+       |      ORDER BY COUNT(*) DESC, p.lbl) AS rn
+       |  FROM nb JOIN lp${i - 1} p ON p.node = nb.nbr
+       |  GROUP BY nb.node, p.lbl)
+       |WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // naive a<b<c triangle enumeration — the operator's degree
@@ -85,6 +103,21 @@ object GraphQueries {
         |nodes AS (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
         |SELECT CAST(node AS BIGINT) AS node, COUNT(*) AS n_tri
         |FROM nodes GROUP BY 1 ORDER BY 1""".stripMargin,
+    "graph_label_prop" -> (
+      s"""WITH e AS (SELECT DISTINCT c_nationkey AS a, s_nationkey AS b
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |    JOIN customer ON o_custkey = c_custkey
+         |    JOIN supplier ON l_suppkey = s_suppkey
+         |  WHERE c_nationkey <> s_nationkey),
+         |und AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM e),
+         |nb AS (SELECT u AS node, v AS nbr FROM und
+         |       UNION ALL SELECT v, u FROM und),
+         |lp0 AS (SELECT DISTINCT node, node AS lbl FROM nb),
+         |""".stripMargin +
+        (1 to LpIters).map(lpRound).mkString(",\n") +
+        s"""
+           |SELECT CAST(node AS BIGINT) AS node, CAST(lbl AS BIGINT) AS lbl
+           |FROM lp$LpIters ORDER BY node""".stripMargin),
     "graph_pagerank" -> (
       s"""WITH e AS (SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey

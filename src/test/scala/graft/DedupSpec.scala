@@ -390,4 +390,28 @@ class DedupSpec extends SparkSpec {
     assert(run(3) === one)
     assert(run(8) === one)
   }
+
+  test("prefix-filtered Jaccard equals the cap-free naive join bit-for-bit") {
+    val naive = Dedup.ngramJaccard(docs, "doc_id", "text",
+        n = 3, threshold = 0.8, maxShingleFreq = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pref = Dedup.prefixJaccard(docs, "doc_id", "text", n = 3, tNum = 4, tDen = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pref === naive)
+    assert(pref.nonEmpty)
+  }
+
+  test("prefix filtering keeps exact-threshold boundary pairs (integer ceil-div)") {
+    import spark.implicits._
+    // two docs sharing exactly 4 of 5 distinct shingles: J = 4/6 for
+    // disjoint tails... construct J exactly 0.8: |A|=|B|=9, inter=8 →
+    // union=10, J=0.8 — the boundary a float prefix length can drop
+    val a = (1 to 11).map(i => s"w$i").mkString(" ")            // 9 shingles
+    val b = ((1 to 10).map(i => s"w$i") :+ "zz").mkString(" ")  // 8 shared + 1 new
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val got = Dedup.prefixJaccard(df, "doc_id", "text", n = 3, tNum = 4, tDen = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length === 1)
+    assert(got.head._3 === 0.8)
+  }
 }

@@ -71,4 +71,33 @@ class GraphSpec extends SparkSpec {
     // dangling center leaks mass — sum strictly below Scale, all > 0
     assert(star.values.sum < Graph.Scale && star.values.forall(_ > 0))
   }
+
+  test("law: distributed label propagation equals the pure reference exactly") {
+    val gen = for {
+      nNodes <- Gen.choose(2, 12)
+      nEdges <- Gen.choose(1, 30)
+      edges <- Gen.listOfN(nEdges,
+        Gen.zip(Gen.choose(0L, nNodes - 1L), Gen.choose(0L, nNodes - 1L)))
+      iters <- Gen.choose(0, 4)
+    } yield (edges, iters)
+    sample(gen, 8).foreach { case (edges, iters) =>
+      if (edges.exists(e => e._1 != e._2)) {
+        val got = Graph.labelPropagation(edges.toDF("src", "dst"), "src", "dst", iters)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === Graph.labelPropReference(edges, iters),
+          s"edges=$edges iters=$iters")
+      }
+    }
+  }
+
+  test("label propagation: two disjoint triangles converge to per-clique min labels") {
+    val twoTris = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 12L), (12L, 10L))
+    val got = Graph.labelPropagation(twoTris.toDF("src", "dst"), "src", "dst", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // within a triangle every node sees the other two; min-tie-break
+    // drives all three to the clique minimum, communities never mix
+    assert(Set(got(1L), got(2L), got(3L)).subsetOf(Set(1L, 2L, 3L)))
+    assert(Set(got(10L), got(11L), got(12L)).subsetOf(Set(10L, 11L, 12L)))
+    assert(got(1L) === got(2L) || got(2L) === got(3L) || got(1L) === got(3L))
+  }
 }
