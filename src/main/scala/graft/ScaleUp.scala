@@ -202,7 +202,10 @@ object ScaleUp {
     // (the lossless pruning path — prefix posting lists only),
     // deterministic label propagation (5 rounds over the trade
     // network), and the quality-aware canonical pick per dedup group
-    "dedup_prefix_jaccard", "graph_label_prop", "dedup_canonical_pick")
+    "dedup_prefix_jaccard", "graph_label_prop", "dedup_canonical_pick",
+    // round 8 cohort 5: Q14 broadcast-dim promo share, Q4 EXISTS
+    // semi-join priority check, lead()-pass sequence match
+    "rel_q14_promo", "rel_q4_priority", "events_sequence_match")
 
   /** 100×-bench-scale fixture (round-6 rehearsal): ONLY the tables the
     * five heaviest shuffle producers touch — documents 500 k, lineitem

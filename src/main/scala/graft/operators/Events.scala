@@ -101,6 +101,29 @@ object Events {
           .otherwise(0)).as("n_converted"))
   }
 
+  /** Ordered-pair sequence match — the simplest MATCH_RECOGNIZE
+    * shape: per user, count occurrences of `first` IMMEDIATELY
+    * followed (the next event in (ts, event_id) order) by `second`
+    * within `withinUs` micros. One lead() pass over the per-user sort
+    * — no self-join of the events fact, so the only exchange is the
+    * user_id window partitioning and cost is O(events), independent
+    * of the match-window width. Gap arithmetic is integer epoch
+    * micros (engine-portable). Output: (user_id, n_pairs), matched
+    * users only. */
+  def sequenceMatch(events: DataFrame, first: String = "purchase",
+                    second: String = "error",
+                    withinUs: Long = 10L * 60L * 1000000L): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+      .withColumn("gap_us",
+        lead(unix_micros(col("ts")), 1).over(byUser) - unix_micros(col("ts")))
+      .filter(col("event_type") === first && col("next_type") === second &&
+        col("gap_us") <= withinUs)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** JSON property extraction + aggregate: parse `props` (e.g.
     * {"k": 87}) and aggregate k per event_type. Output: (event_type,
     * n, sum_k, avg_k). */

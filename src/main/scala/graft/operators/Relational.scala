@@ -292,6 +292,56 @@ object Relational {
         col("o_orderdate"), col("totalprice_cents"), col("sum_qty_x100"))
   }
 
+  /** TPC-H Q14-style promo revenue share for one ship-month. Scale
+    * shape: the ship-date filter pushes to the lineitem scan; part is
+    * a broadcast dim carrying only (p_partkey, is_promo), so the fact
+    * never shuffles — the whole query is scan → broadcast hash join →
+    * one partial+final aggregate to a single row. Both revenue sums
+    * are exact decimal(38,4) emitted ×10000 as BIGINT, and the share
+    * is integer permille ((1000·promo) DIV total) — bit-portable, no
+    * double division. */
+  def promoRevenue(s: SparkSession, dir: String,
+                   from: String = "1996-01-01", until: String = "1996-02-01"): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val dim = broadcast(Tables.part(s, dir)
+      .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo")))
+    li.join(dim, col("l_partkey") === col("p_partkey"))
+      .agg(
+        dsum4(when(col("is_promo"), col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .otherwise(lit(0.0))).as("promo"),
+        dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total"))
+      .select(
+        (col("promo") * 10000).cast("long").as("promo_x10000"),
+        (col("total") * 10000).cast("long").as("total_x10000"))
+      .withColumn("promo_permille",
+        expr("(promo_x10000 * 1000) DIV total_x10000"))
+  }
+
+  /** TPC-H Q4-style order-priority check: orders placed in a quarter
+    * with at least one line item shipped after the order date (the
+    * fixture has no commit/receipt dates, so ship-after-order is the
+    * lateness witness), counted per priority. The semi-join keeps the
+    * orders side single-copy — EXISTS, not a join multiplying by
+    * matching line items — and the non-equi lateness predicate rides
+    * the equi semi-join on the order key (the only exchange); the
+    * quarter filter pushes to the orders scan. */
+  def orderPriorityCheck(s: SparkSession, dir: String,
+                         from: String = "1996-01-01", until: String = "1996-04-01"): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(until).cast("timestamp"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
   /** TPC-H Q10-style returned-item revenue: which customers returned
     * the most money in a quarter. Scale shape: both filters (order
     * date range, l_returnflag = 'R') push to the parquet scans; the

@@ -42,6 +42,11 @@ object EventsQueries {
         col("n_events"))
       .orderBy("user_id", "session_start")
 
+  def sequenceMatchQ(s: SparkSession, dir: String): DataFrame =
+    Events.sequenceMatch(Tables.events(s, dir))
+      .select(col("user_id"), col("n_pairs"))
+      .orderBy("user_id")
+
   def funnelQ(s: SparkSession, dir: String): DataFrame =
     Events.funnel(Tables.events(s, dir))
       .select(col("user_id"), col("n_signups"), col("n_converted"))
@@ -125,6 +130,7 @@ object EventsQueries {
     "events_session" -> (session _),
     "events_session_window" -> (sessionWindowQ _),
     "events_funnel" -> (funnelQ _),
+    "events_sequence_match" -> (sequenceMatchQ _),
     "events_json" -> (json _),
     "events_topk_users" -> (topUsers _),
     "events_range_frame" -> (rangeFrame _))
@@ -251,6 +257,30 @@ object EventsQueries {
         |  CAST(SUM(CASE WHEN next_purchase_us IS NOT NULL
         |       AND next_purchase_us - us <= 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
         |FROM n WHERE event_type = 'signup'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_sequence_match" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER w AS next_type,
+        |    lead(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, COUNT(*) AS n_pairs
+        |FROM seq
+        |WHERE event_type = 'purchase' AND next_type = 'error'
+        |  AND gap_us <= 600000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_sequence_match" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER w AS next_type,
+        |    lead(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, COUNT(*) AS n_pairs
+        |FROM seq
+        |WHERE event_type = 'purchase' AND next_type = 'error'
+        |  AND gap_us <= 600000000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_json" ->
       """WITH k AS (SELECT event_type, CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events)

@@ -279,7 +279,16 @@ object RelationalQueries {
     Relational.returnedRevenue(s, dir)
       .orderBy(col("revenue_x10000").desc, col("c_custkey"))
 
+  def q14(s: SparkSession, dir: String): DataFrame =
+    Relational.promoRevenue(s, dir)
+
+  def q4(s: SparkSession, dir: String): DataFrame =
+    Relational.orderPriorityCheck(s, dir)
+      .orderBy(col("o_orderpriority"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_q14_promo" -> (q14 _),
+    "rel_q4_priority" -> (q4 _),
     "rel_q18_big_orders" -> (q18 _),
     "rel_q10_returns" -> (q10 _),
     "rel_bucketed_join" -> (bucketedJoin _),
@@ -305,6 +314,29 @@ object RelationalQueries {
     "rel_skew_salted_join" -> (skewSaltedJoin _))
 
   val oracles: Map[String, String] = Map(
+    "rel_q14_promo" ->
+      """WITH rev AS (
+        |  SELECT
+        |    CAST(CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
+        |        THEN l.l_extendedprice * (1.0 - l.l_discount) ELSE 0.0 END
+        |      AS DECIMAL(38,4))) AS DECIMAL(24,4)) * 10000 AS BIGINT) AS promo_x10000,
+        |    CAST(CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+        |      AS DECIMAL(38,4))) AS DECIMAL(24,4)) * 10000 AS BIGINT) AS total_x10000
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l.l_shipdate <  TIMESTAMP '1996-02-01 00:00:00')
+        |SELECT promo_x10000, total_x10000,
+        |  (promo_x10000 * 1000) // total_x10000 AS promo_permille
+        |FROM rev""".stripMargin,
+    "rel_q4_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "rel_q18_big_orders" ->
       """WITH big AS (
         |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(38,2))) AS sq

@@ -43,6 +43,25 @@ class EventsSpec extends SparkSpec {
     assert(s.filter(col("session_end") < col("session_start")).count() === 0)
   }
 
+  test("sequence match agrees with a pure per-user scan") {
+    val got = Events.sequenceMatch(events)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = events
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expected = rows.groupBy(_._1).map { case (u, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      u -> sorted.sliding(2).count {
+        case Array(a, b) =>
+          a._4 == "purchase" && b._4 == "error" && b._2 - a._2 <= 600000000L
+        case _ => false
+      }
+    }.filter(_._2 > 0)
+    assert(got === expected.map { case (k, v) => k -> v.toLong })
+  }
+
   test("json extraction parses every fixture props row") {
     val k = events.withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
     assert(k.filter(col("k").isNull).count() === 0)

@@ -78,6 +78,26 @@ class PlanAuditSpec extends SparkSpec {
       s"anomaly plan should evaluate all three frame aggs in one window pass:\n$plan")
   }
 
+  test("q14/q4: broadcast promo dim; semi-join stays semi") {
+    // q14's part lookup must broadcast (the fact side never shuffles
+    // for the dim join) and q4's EXISTS must plan as a semi join —
+    // an inner join there would double-count multi-line orders
+    val q14 = batchQueries("rel_q14_promo").queryExecution.executedPlan.toString
+    assert(q14.contains("BroadcastHashJoin"), s"q14 part dim not broadcast:\n$q14")
+    assert(!q14.contains("SortMergeJoin"), s"q14 fact should not shuffle-join:\n$q14")
+    val q4 = batchQueries("rel_q4_priority").queryExecution.executedPlan.toString
+    assert(q4.contains("LeftSemi"), s"q4 EXISTS must plan as a semi join:\n$q4")
+  }
+
+  test("sequence match: one exchange, one window pass, no self-join") {
+    val plan = batchQueries("events_sequence_match")
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"sequence match should shuffle once on user_id:\n$plan")
+    assert(!plan.contains("Join"),
+      s"sequence match must be a window pass, not a self-join:\n$plan")
+  }
+
   test("radius search plans no per-query sort (top-k does)") {
     val radius = batchQueries("ann_radius_search")
       .queryExecution.executedPlan.toString

@@ -174,6 +174,39 @@ class RelationalSpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("q14: promo share bounded and total matches a direct recomputation") {
+    val r = Relational.promoRevenue(spark, sf001).collect()
+    assert(r.length === 1)
+    val (promo, total, permille) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2))
+    assert(promo >= 0 && promo <= total)
+    assert(permille === promo * 1000 / total)
+    val direct = Tables.lineitem(spark, sf001)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-02-01").cast("timestamp"))
+      .join(Tables.part(spark, sf001), col("l_partkey") === col("p_partkey"))
+      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(38,4)")) * 10000).cast("long"))
+      .collect()(0).getLong(0)
+    assert(total === direct)
+  }
+
+  test("q4: priority counts equal distinct late orders per priority") {
+    val got = Relational.orderPriorityCheck(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = Tables.orders(spark, sf001)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .join(Tables.lineitem(spark, sf001),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"))
+      .select("o_orderkey", "o_orderpriority").distinct()
+      .groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === direct)
+    assert(got.values.sum > 0)
+  }
+
   test("q10: returned revenue matches a direct recomputation for the top customer") {
     val got = graft.operators.Relational.returnedRevenue(spark, sf001)
       .orderBy(col("revenue_x10000").desc, col("c_custkey")).collect()
