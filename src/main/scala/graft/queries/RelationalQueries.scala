@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
-import graft.operators.Relational
+import graft.operators.{Relational, RelationalTpch}
 
 /** Declared relational queries (scan/filter/join/agg/window/set-op
   * surface over the TPC-H-ish tables). All seven oracle-checked; money
@@ -286,7 +286,46 @@ object RelationalQueries {
     Relational.orderPriorityCheck(s, dir)
       .orderBy(col("o_orderpriority"))
 
+  // ---- the remaining TPC-H family (RelationalTpch; fixture-adapted
+  // where the original needs partsupp/shipmode/comment columns — the
+  // adaptation is documented on each operator). Q2/Q11/Q12 are out of
+  // scope: they are partsupp/l_shipmode queries and the fixture has
+  // neither (FIXTURES.md).
+  def q7(s: SparkSession, dir: String): DataFrame =
+    RelationalTpch.volumeShipping(s, dir)
+  def q8(s: SparkSession, dir: String): DataFrame =
+    RelationalTpch.marketShare(s, dir)
+  def q9(s: SparkSession, dir: String): DataFrame =
+    RelationalTpch.productProfit(s, dir)
+  def q13(s: SparkSession, dir: String): DataFrame =
+    RelationalTpch.customerDistribution(s, dir)
+  def q15(s: SparkSession, dir: String): DataFrame =
+    RelationalTpch.topSupplier(s, dir)
+  def q16(s: SparkSession, dir: String): DataFrame =
+    RelationalTpch.supplierCount(s, dir)
+  def q17(s: SparkSession, dir: String): DataFrame =
+    RelationalTpch.smallQuantityRevenue(s, dir)
+  def q19(s: SparkSession, dir: String): DataFrame =
+    RelationalTpch.disjunctiveRevenue(s, dir)
+  def q20(s: SparkSession, dir: String): DataFrame =
+    RelationalTpch.partPromotion(s, dir)
+  def q21(s: SparkSession, dir: String): DataFrame =
+    RelationalTpch.waitingBlame(s, dir)
+  def q22(s: SparkSession, dir: String): DataFrame =
+    RelationalTpch.salesOpportunity(s, dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_q7_volume_shipping" -> (q7 _),
+    "rel_q8_market_share" -> (q8 _),
+    "rel_q9_product_profit" -> (q9 _),
+    "rel_q13_cust_distribution" -> (q13 _),
+    "rel_q15_top_supplier" -> (q15 _),
+    "rel_q16_supplier_count" -> (q16 _),
+    "rel_q17_small_qty" -> (q17 _),
+    "rel_q19_disjunctive" -> (q19 _),
+    "rel_q20_part_promotion" -> (q20 _),
+    "rel_q21_waiting_blame" -> (q21 _),
+    "rel_q22_sales_opportunity" -> (q22 _),
     "rel_q14_promo" -> (q14 _),
     "rel_q4_priority" -> (q4 _),
     "rel_q18_big_orders" -> (q18 _),
@@ -314,6 +353,146 @@ object RelationalQueries {
     "rel_skew_salted_join" -> (skewSaltedJoin _))
 
   val oracles: Map[String, String] = Map(
+    "rel_q7_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(CAST(SUM(CAST(volume AS DECIMAL(38,4))) AS DECIMAL(24,4)) * 10000 AS BIGINT) AS revenue_x10000
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |         CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+        |         l.l_extendedprice * (1.0 - l.l_discount) AS volume
+        |  FROM supplier s
+        |  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+        |      OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+        |    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "rel_q8_market_share" ->
+      """WITH allv AS (
+        |  SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+        |         l.l_extendedprice * (1.0 - l.l_discount) AS volume,
+        |         n2.n_name AS supp_nation
+        |  FROM part p
+        |  JOIN lineitem l ON p.p_partkey = l.l_partkey
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        |  JOIN region r ON n1.n_regionkey = r.r_regionkey
+        |  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        |  WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
+        |    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'),
+        |agg AS (
+        |  SELECT o_year,
+        |    CAST(CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END
+        |      AS DECIMAL(38,4))) AS DECIMAL(24,4)) * 10000 AS BIGINT) AS nation_volume_x10000,
+        |    CAST(CAST(SUM(CAST(volume AS DECIMAL(38,4))) AS DECIMAL(24,4)) * 10000 AS BIGINT) AS total_volume_x10000
+        |  FROM allv GROUP BY 1)
+        |SELECT o_year, nation_volume_x10000, total_volume_x10000,
+        |  (1000 * nation_volume_x10000) // total_volume_x10000 AS mkt_share_permille
+        |FROM agg ORDER BY o_year""".stripMargin,
+    "rel_q9_product_profit" ->
+      """SELECT n_name, o_year,
+        |  CAST(CAST(SUM(CAST(amount AS DECIMAL(38,4))) AS DECIMAL(24,4)) * 10000 AS BIGINT) AS sum_profit_x10000
+        |FROM (
+        |  SELECT n.n_name, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+        |         l.l_extendedprice * (1.0 - l.l_discount) AS amount
+        |  FROM part p
+        |  JOIN lineitem l ON p.p_partkey = l.l_partkey
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  WHERE p.p_name LIKE '%red%')
+        |GROUP BY 1, 2 ORDER BY n_name, o_year DESC""".stripMargin,
+    "rel_q13_cust_distribution" ->
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM (
+        |  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer c LEFT JOIN orders o
+        |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY c.c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "rel_q15_top_supplier" ->
+      """WITH revenue0 AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))) AS DECIMAL(24,4)) * 10000 AS BIGINT) AS total_revenue_x10000
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, r.total_revenue_x10000
+        |FROM supplier s JOIN revenue0 r ON s.s_suppkey = r.supplier_no
+        |WHERE r.total_revenue_x10000 = (SELECT MAX(total_revenue_x10000) FROM revenue0)
+        |ORDER BY s.s_suppkey""".stripMargin,
+    "rel_q16_supplier_count" ->
+      """SELECT p.p_brand, p.p_type, p.p_size,
+        |  CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+        |  AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "rel_q17_small_qty" ->
+      """WITH target AS (
+        |  SELECT l.l_partkey, CAST(l.l_quantity AS BIGINT) AS qty, l.l_extendedprice
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE p.p_brand = 'Brand#3' AND p.p_size <= 10),
+        |pstats AS (
+        |  SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS sum_qty,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM target GROUP BY 1)
+        |SELECT CAST(CAST(CAST(SUM(CAST(t.l_extendedprice AS DECIMAL(38,2))) AS DECIMAL(24,2)) * 100 AS BIGINT) // 7 AS BIGINT) AS avg_yearly_cents
+        |FROM target t JOIN pstats s ON s.l_partkey = t.l_partkey
+        |WHERE 5 * t.qty * s.cnt < s.sum_qty""".stripMargin,
+    "rel_q19_disjunctive" ->
+      """SELECT CAST(CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(38,4))) AS DECIMAL(24,4)) * 10000 AS BIGINT) AS revenue_x10000
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#7'  AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 15)
+        |   OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 25)
+        |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 35)""".stripMargin,
+    "rel_q20_part_promotion" ->
+      """SELECT s.s_suppkey, s.s_name
+        |FROM supplier s
+        |WHERE s.s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 50)
+        |ORDER BY s.s_suppkey""".stripMargin,
+    "rel_q21_waiting_blame" ->
+      """WITH f AS (
+        |  SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  WHERE o.o_orderstatus = 'F'),
+        |m AS (SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS sd FROM f GROUP BY 1, 2)
+        |SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM m l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        |WHERE EXISTS (SELECT 1 FROM m l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM m l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.sd >= l1.sd)
+        |GROUP BY s.s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
+    "rel_q22_sales_opportunity" ->
+      """WITH pos AS (
+        |  SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,2))) AS DECIMAL(24,2)) * 100 AS BIGINT) AS sum_x100,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT substr(c.c_name, 17, 2) AS cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+        |  CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,2))) AS DECIMAL(24,2)) * 100 AS BIGINT) AS totacctbal_cents
+        |FROM customer c, pos
+        |WHERE CAST(CAST(c.c_acctbal AS DECIMAL(38,2)) * 100 AS BIGINT) * pos.cnt > pos.sum_x100
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "rel_q14_promo" ->
       """WITH rev AS (
         |  SELECT
