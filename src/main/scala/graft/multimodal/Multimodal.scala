@@ -264,6 +264,53 @@ object Multimodal {
       .toDF("id", "ahash_hi", "ahash_lo")
   }
 
+  /** Banded-Hamming near-duplicate candidate join over aHash
+    * fingerprints — the image twin of MinHash-LSH banding, with a
+    * stronger guarantee: splitting the 64-bit hash into 4 disjoint
+    * 16-bit bands makes the band join EXACT for Hamming distance ≤ 3
+    * (pigeonhole: ≤ 3 differing bits cannot touch all 4 bands), so
+    * unlike probabilistic LSH there is no recall loss at the default
+    * radius. Exact-duplicate images are collapsed FIRST (group by the
+    * full hash, keep count + min-id exemplar) and the join runs over
+    * DISTINCT hash values — at 100 TB the million-fold-repeated blank
+    * frame is one row with n_docs = 10⁹, not a quadratic bucket bomb;
+    * bucket width is bounded by hash diversity, not corpus size.
+    * Candidate pairs shuffle on (band_idx, band_val) — 4 rows of 5
+    * longs per distinct hash — and the verify step is 2 xors + 2
+    * popcounts per candidate, no pixel ever crossing the wire.
+    * Requires maxDist < 4; a larger radius needs more bands (8×8-bit
+    * gives exactness to distance 7 — same code, different split). */
+  def ahashNearDupPairs(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist < 4, s"4x16-bit banding is only exact for maxDist <= 3, got $maxDist")
+    val dh = hashes.groupBy("ahash_hi", "ahash_lo")
+      .agg(count(lit(1)).as("n_docs"), min("id").as("exemplar_doc"))
+    val bands = dh.select(col("ahash_hi"), col("ahash_lo"), col("n_docs"),
+        col("exemplar_doc"),
+        explode(array((0 until 4).map { j =>
+          val src = if (j < 2) col("ahash_lo") else col("ahash_hi")
+          struct(lit(j).as("band_idx"),
+            (shiftright(src, 16 * (j % 2)) % 65536).as("band_val"))
+        }: _*)).as("b"))
+      .select(col("ahash_hi"), col("ahash_lo"), col("n_docs"), col("exemplar_doc"),
+        col("b.band_idx"), col("b.band_val"))
+    val a = bands.select(col("band_idx"), col("band_val"),
+      col("ahash_hi").as("hi_a"), col("ahash_lo").as("lo_a"),
+      col("n_docs").as("n_a"), col("exemplar_doc").as("doc_a"))
+    val b = bands.select(col("band_idx"), col("band_val"),
+      col("ahash_hi").as("hi_b"), col("ahash_lo").as("lo_b"),
+      col("n_docs").as("n_b"), col("exemplar_doc").as("doc_b"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("hi_a") < col("hi_b") ||
+        (col("hi_a") === col("hi_b") && col("lo_a") < col("lo_b")))
+      .select("doc_a", "doc_b", "n_a", "n_b", "hi_a", "lo_a", "hi_b", "lo_b")
+      .distinct()
+      .withColumn("hamming",
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("int"))
+      .filter(col("hamming") <= maxDist)
+      .select("doc_a", "doc_b", "n_a", "n_b", "hamming")
+  }
+
   /** Resize: truncate the payload to `maxBytes` and update metadata —
     * the stub stand-in for a real image resize kernel. */
   def resize(blobs: DataFrame, maxBytes: Int): DataFrame = {

@@ -54,10 +54,19 @@ object MultimodalQueries {
       .filter(col("n_docs") > 1)
       .orderBy("ahash_hi", "ahash_lo")
 
+  /** Near-dup image pairs within Hamming ≤ 3 of each other's aHash —
+    * exact by banding (see [[Multimodal.ahashNearDupPairs]]): exact
+    * dupes collapse to one row per hash first, the 4×16-bit band join
+    * generates candidates, 2 popcounts verify. */
+  def ahashNearPairs(s: SparkSession, dir: String): DataFrame =
+    Multimodal.ahashNearDupPairs(Multimodal.averageHash(blobs(s, dir)))
+      .orderBy("doc_a", "doc_b")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_byte_histogram" -> (histogram _),
     "mm_frame_fingerprints" -> (frames _),
     "mm_ahash_groups" -> (ahashGroups _),
+    "mm_ahash_near_pairs" -> (ahashNearPairs _),
     "mm_decode_roundtrip" -> (decodeRoundtrip _))
 
   val oracles: Map[String, String] = Map(
@@ -117,6 +126,58 @@ object MultimodalQueries {
         |  MIN(doc_id) AS exemplar_doc, MAX(doc_id) AS max_doc
         |FROM h GROUP BY 1, 2 HAVING COUNT(*) > 1
         |ORDER BY 1, 2""".stripMargin,
+    // reuses mm_ahash_groups' proven px/bm/h hash pipeline, then
+    // replays the 4×16-bit banding, lexicographic pair orientation,
+    // and xor-popcount verify literally
+    "mm_ahash_near_pairs" ->
+      """WITH px AS (
+        |  SELECT doc_id, list_transform(generate_series(1, 256),
+        |    i -> CASE WHEN i <= length(text)
+        |              THEN CAST(ascii(substr(text, i, 1)) AS BIGINT)
+        |              ELSE 0 END) AS p
+        |  FROM documents),
+        |bm AS (
+        |  SELECT doc_id, list_transform(generate_series(0, 63), j ->
+        |    (p[((j // 8) * 2) * 16 + (j % 8) * 2 + 1] +
+        |     p[((j // 8) * 2) * 16 + (j % 8) * 2 + 2] +
+        |     p[((j // 8) * 2 + 1) * 16 + (j % 8) * 2 + 1] +
+        |     p[((j // 8) * 2 + 1) * 16 + (j % 8) * 2 + 2]) // 4) AS b
+        |  FROM px),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(coalesce(list_sum(list_transform(generate_series(32, 63),
+        |      j -> CASE WHEN b[j + 1] > list_sum(b) // 64
+        |                THEN (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END)), 0)
+        |      AS BIGINT) AS ahash_hi,
+        |    CAST(coalesce(list_sum(list_transform(generate_series(0, 31),
+        |      j -> CASE WHEN b[j + 1] > list_sum(b) // 64
+        |                THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)), 0)
+        |      AS BIGINT) AS ahash_lo
+        |  FROM bm),
+        |dh AS (
+        |  SELECT ahash_hi, ahash_lo, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         MIN(doc_id) AS exemplar_doc
+        |  FROM h GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT ahash_hi, ahash_lo, n_docs, exemplar_doc, t.j AS band_idx,
+        |    CASE t.j
+        |      WHEN 0 THEN ahash_lo % 65536
+        |      WHEN 1 THEN ahash_lo // 65536
+        |      WHEN 2 THEN ahash_hi % 65536
+        |      ELSE        ahash_hi // 65536 END AS band_val
+        |  FROM dh, (SELECT unnest(generate_series(0, 3)) AS j) t),
+        |cand AS (
+        |  SELECT DISTINCT
+        |    a.ahash_hi AS hi_a, a.ahash_lo AS lo_a, a.n_docs AS n_a, a.exemplar_doc AS doc_a,
+        |    b.ahash_hi AS hi_b, b.ahash_lo AS lo_b, b.n_docs AS n_b, b.exemplar_doc AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        |   AND (a.ahash_hi < b.ahash_hi OR (a.ahash_hi = b.ahash_hi AND a.ahash_lo < b.ahash_lo)))
+        |SELECT doc_a, doc_b, n_a, n_b,
+        |  CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS INTEGER) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // 8×8 gray PNG of the first 64 text bytes (zero-padded): PNG is
     // lossless and gray luminance is the identity, so sum_lum is the
     // plain byte sum of the prefix; ASCII fixture ⇒ no NUL bytes ⇒

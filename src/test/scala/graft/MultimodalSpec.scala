@@ -181,6 +181,32 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("ahash banding is lossless at Hamming <= 3: equals brute-force pairs") {
+    val hashes = Multimodal.averageHash(blobs)
+    val got = Multimodal.ahashNearDupPairs(hashes).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .sortBy(t => (t._1, t._2))
+    // brute force over the distinct-hash frame — no banding anywhere
+    val dh = hashes.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(t => (t._2, t._3))
+      .map { case ((hi, lo), g) => (hi, lo, g.length.toLong, g.map(_._1).min) }
+      .toArray
+    val expected = (for {
+      a <- dh; b <- dh
+      if a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+      d = java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+      if d <= 3
+    } yield (a._4, b._4, a._3, b._3, d)).sortBy(t => (t._1, t._2))
+    assert(got.toSeq === expected.toSeq)
+    assert(got.nonEmpty)
+  }
+
+  test("ahash banding refuses a radius the band split cannot guarantee") {
+    intercept[IllegalArgumentException] {
+      Multimodal.ahashNearDupPairs(Multimodal.averageHash(blobs), maxDist = 4)
+    }
+  }
+
   test("embed: fixed-width float features feed the similarity operators") {
     val e = Multimodal.embed(blobs).toDF("id", "embedding")
     val sample = e.limit(5).collect()
