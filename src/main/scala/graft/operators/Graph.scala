@@ -160,6 +160,70 @@ object Graph {
     lbl
   }
 
+  /** Pure reference BFS over the undirected view — the ScalaCheck
+    * bridge for [[bfsHops]] (same canonicalization as
+    * [[labelPropagation]]: self-loops dropped, edges undirected). */
+  def bfsReference(edges: Seq[(Long, Long)], source: Long): Map[Long, Long] = {
+    val nb = edges.filter(t => t._1 != t._2)
+      .flatMap(t => Seq(t, t.swap)).distinct
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    if (!nb.contains(source)) return Map(source -> 0L)
+    var dist = Map(source -> 0L)
+    var frontier = Set(source)
+    var h = 1L
+    while (frontier.nonEmpty) {
+      val next = frontier.flatMap(nb.getOrElse(_, Nil)).diff(dist.keySet)
+      dist ++= next.map(_ -> h)
+      frontier = next
+      h += 1
+    }
+    dist
+  }
+
+  /** MINIMUM-HOP BFS from one source over the undirected view of an
+    * edge list — frontier-expansion iteration, the Pregel shape: each
+    * round joins ONLY the current frontier against the adjacency list
+    * (never the full distance table), anti-joins out already-settled
+    * nodes, and stops at the first empty frontier (driver-side
+    * emptiness check on an already-materialized count, the MLlib
+    * iteration pattern; rounds are bounded by the graph diameter and
+    * hard-capped by `maxHops`). Nothing ever collects: frontier and
+    * distance stay distributed, keyed by node — at 100 TB the
+    * per-round exchange carries the frontier's adjacency, not the
+    * graph. Output: (node, hops) for every node reachable from
+    * `source`, including (source, 0). */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              source: Long, maxHops: Int = 32): DataFrame = {
+    require(maxHops >= 0)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val nbRdd = und.select(col("u"), col("v"))
+      .union(und.select(col("v"), col("u")))
+      .rdd.map(r => (r.getLong(0), r.getLong(1))).persist()
+    val nb = spark.createDataFrame(nbRdd).toDF("node", "nbr")
+    var dist = Seq((source, 0L)).toDF("node", "hops")
+    var frontier = dist.select("node").persist()
+    var h = 1L
+    while (h <= maxHops && !frontier.isEmpty) {
+      val next = frontier.join(nb, Seq("node"))
+        .select(col("nbr").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .persist()
+      // every frontier stays pinned: dist is the union of all of
+      // them, so un-persisting one would force lineage recompute of
+      // the whole chain — the pinned set is ≤ |reachable nodes| ids
+      dist = dist.unionByName(next.select(col("node"), lit(h).as("hops")))
+      frontier = next
+      h += 1
+    }
+    dist
+  }
+
   /** Distributed fixed-point PageRank over an edge list. Output:
     * (node, pr) with pr the BIGINT fixed-point rank after `iters`
     * rounds. */

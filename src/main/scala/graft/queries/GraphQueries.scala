@@ -71,9 +71,20 @@ object GraphQueries {
     Graph.labelPropagation(tradeEdges(s, dir), "src", "dst", iters = LpIters)
       .orderBy("node")
 
+  /** Minimum-hop BFS distances from nation 0 over the undirected
+    * trade network — frontier-expansion iteration
+    * ([[Graph.bfsHops]]), oracle = recursive CTE with min-hop
+    * aggregation. */
+  def bfs(s: SparkSession, dir: String): DataFrame =
+    Graph.bfsHops(tradeEdges(s, dir), "src", "dst", source = BfsSource)
+      .orderBy("node")
+
+  val BfsSource = 0L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (pagerank _),
     "graph_label_prop" -> (labelProp _),
+    "graph_bfs_hops" -> (bfs _),
     "graph_triangles" -> (triangles _))
 
   val LpIters = 5
@@ -88,6 +99,24 @@ object GraphQueries {
        |WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // recursive CTE over the SAME undirected nb view the label-prop
+    // oracle builds; UNION (not UNION ALL) dedups (node, hops) pairs
+    // so cycles terminate; MIN(hops) is the BFS distance
+    "graph_bfs_hops" ->
+      s"""WITH RECURSIVE e AS (SELECT DISTINCT c_nationkey AS a, s_nationkey AS b
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |    JOIN customer ON o_custkey = c_custkey
+         |    JOIN supplier ON l_suppkey = s_suppkey
+         |  WHERE c_nationkey <> s_nationkey),
+         |und AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM e),
+         |nb AS (SELECT u AS node, v AS nbr FROM und UNION ALL SELECT v, u FROM und),
+         |bfs(node, hops) AS (
+         |  SELECT CAST($BfsSource AS BIGINT), 0
+         |  UNION
+         |  SELECT CAST(nb.nbr AS BIGINT), b.hops + 1
+         |  FROM bfs b JOIN nb ON nb.node = b.node WHERE b.hops < 32)
+         |SELECT node, CAST(MIN(hops) AS BIGINT) AS hops
+         |FROM bfs GROUP BY 1 ORDER BY 1""".stripMargin,
     // naive a<b<c triangle enumeration — the operator's degree
     // orientation is result-invisible
     "graph_triangles" ->

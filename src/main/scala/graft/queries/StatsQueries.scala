@@ -251,7 +251,46 @@ object StatsQueries {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   }
 
+  /** Pearson correlation matrix over lineitem's three measures
+    * (quantity, price cents, discount basis points), computed from
+    * EXACT integer moments: every value is an exact long (quantities
+    * integral, money/discount 2-dp), every product fits int64, every
+    * sum accumulates in decimal(38,0) — exact and associative, so the
+    * one full-table pass is partition-order-independent. Only THEN
+    * does each moment convert to double (one correctly-rounded
+    * conversion) and the corr formula runs as an identical IEEE
+    * expression tree on both engines — the proven sqrt/divide/round6
+    * recipe of the ANN cosine oracles, fed by exact sums instead of
+    * row-order-dependent double accumulation (which is why built-in
+    * `corr()` of either engine can NEVER hash-match: both fold
+    * doubles in partition order). Single row, single scan, map-side
+    * partial aggregation — nothing shuffles but 10 numbers. */
+  def corrMatrix(s: SparkSession, dir: String): DataFrame = {
+    def d0(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(38,0)")).cast("double")
+    val li = Tables.lineitem(s, dir).select(
+      col("l_quantity").cast("long").as("q"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("p"),
+      (col("l_discount").cast("decimal(18,2)") * 100).cast("long").as("d"))
+    val m = li.agg(
+      count(lit(1)).as("n"),
+      d0(col("q")).as("sq"), d0(col("p")).as("sp"), d0(col("d")).as("sd"),
+      d0(col("q") * col("q")).as("sqq"), d0(col("p") * col("p")).as("spp"),
+      d0(col("d") * col("d")).as("sdd"),
+      d0(col("q") * col("p")).as("sqp"), d0(col("q") * col("d")).as("sqd"),
+      d0(col("p") * col("d")).as("spd"))
+    def corr(sx: String, sy: String, sxy: String, sx2: String, sy2: String) =
+      round((col("n") * col(sxy) - col(sx) * col(sy)) /
+        (sqrt(col("n") * col(sx2) - col(sx) * col(sx)) *
+          sqrt(col("n") * col(sy2) - col(sy) * col(sy))), 6)
+    m.select(col("n"),
+      corr("sq", "sp", "sqp", "sqq", "spp").as("corr_qty_price"),
+      corr("sq", "sd", "sqd", "sqq", "sdd").as("corr_qty_disc"),
+      corr("sp", "sd", "spd", "spp", "sdd").as("corr_price_disc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_corr_matrix" -> (corrMatrix _),
     "rel_rollup" -> (rollup _),
     "rel_cube" -> (cube _),
     "rel_pivot" -> (pivot _),
@@ -268,6 +307,32 @@ object StatsQueries {
     "sql_q1_pricing" -> (sqlPricing _))
 
   val oracles: Map[String, String] = Map(
+    // exact integer moments in DECIMAL(38,0), ONE double conversion
+    // per moment, then the identical IEEE expression tree — see the
+    // corrMatrix scaladoc for why built-in corr() cannot hash-match
+    "rel_corr_matrix" ->
+      """WITH v AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p,
+        |         CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS d
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sq,
+        |    CAST(CAST(SUM(CAST(p AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sp,
+        |    CAST(CAST(SUM(CAST(d AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sd,
+        |    CAST(CAST(SUM(CAST(q * q AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sqq,
+        |    CAST(CAST(SUM(CAST(p * p AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS spp,
+        |    CAST(CAST(SUM(CAST(d * d AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sdd,
+        |    CAST(CAST(SUM(CAST(q * p AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sqp,
+        |    CAST(CAST(SUM(CAST(q * d AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sqd,
+        |    CAST(CAST(SUM(CAST(p * d AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS spd
+        |  FROM v)
+        |SELECT n,
+        |  round((n * sqp - sq * sp) / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 6) AS corr_qty_price,
+        |  round((n * sqd - sq * sd) / (sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd)), 6) AS corr_qty_disc,
+        |  round((n * spd - sp * sd) / (sqrt(n * spp - sp * sp) * sqrt(n * sdd - sd * sd)), 6) AS corr_price_disc
+        |FROM m""".stripMargin,
     "rel_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DECIMAL(24,2)) * 100 AS BIGINT) AS sum_qty,

@@ -100,4 +100,34 @@ class GraphSpec extends SparkSpec {
     assert(Set(got(10L), got(11L), got(12L)).subsetOf(Set(10L, 11L, 12L)))
     assert(got(1L) === got(2L) || got(2L) === got(3L) || got(1L) === got(3L))
   }
+
+  test("law: frontier-expansion BFS equals the pure reference exactly") {
+    val gen = for {
+      nNodes <- Gen.choose(2, 14)
+      nEdges <- Gen.choose(1, 30)
+      edges <- Gen.listOfN(nEdges,
+        Gen.zip(Gen.choose(0L, nNodes - 1L), Gen.choose(0L, nNodes - 1L)))
+      src <- Gen.choose(0L, nNodes - 1L)
+    } yield (edges, src)
+    sample(gen, 8).foreach { case (edges, src) =>
+      val got = Graph.bfsHops(edges.toDF("src", "dst"), "src", "dst", src)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === Graph.bfsReference(edges, src), s"edges=$edges src=$src")
+    }
+  }
+
+  test("bfs: path graph distances are 0..n-1; unreachable nodes are absent") {
+    val path = (0L until 5L).sliding(2).map(w => (w(0), w(1))).toSeq ++
+      Seq((90L, 91L)) // a disconnected component
+    val got = Graph.bfsHops(path.toDF("src", "dst"), "src", "dst", 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
+
+  test("bfs: maxHops truncates the expansion") {
+    val path = (0L until 6L).sliding(2).map(w => (w(0), w(1))).toSeq
+    val got = Graph.bfsHops(path.toDF("src", "dst"), "src", "dst", 0L, maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+  }
 }

@@ -278,4 +278,33 @@ class StatsSpec extends SparkSpec {
       assert(r.getDouble(1) <= r.getDouble(2))
     }
   }
+
+  test("corr matrix equals a driver-side exact-moment recomputation") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.io.Tables.lineitem(spark, sf001)
+      .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .collect()
+      .map { r =>
+        (r.getDouble(0).toLong,
+          (BigDecimal(r.getDouble(1)).setScale(2) * 100).toLong,
+          (BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLong)
+      }
+    def corr(xs: Array[Long], ys: Array[Long]): Double = {
+      val n = xs.length.toDouble
+      val sX = xs.map(BigInt(_)).sum.toDouble
+      val sY = ys.map(BigInt(_)).sum.toDouble
+      val sXY = xs.zip(ys).map { case (a, b) => BigInt(a) * BigInt(b) }.sum.toDouble
+      val sXX = xs.map(a => BigInt(a) * BigInt(a)).sum.toDouble
+      val sYY = ys.map(b => BigInt(b) * BigInt(b)).sum.toDouble
+      (n * sXY - sX * sY) / (math.sqrt(n * sXX - sX * sX) * math.sqrt(n * sYY - sY * sY))
+    }
+    val q = rows.map(_._1); val p = rows.map(_._2); val d = rows.map(_._3)
+    val got = graft.queries.StatsQueries.corrMatrix(spark, sf001).collect()(0)
+    assert(got.getLong(0) === rows.length.toLong)
+    assert(math.abs(got.getDouble(1) - corr(q, p)) < 1e-6)
+    assert(math.abs(got.getDouble(2) - corr(q, d)) < 1e-6)
+    assert(math.abs(got.getDouble(3) - corr(p, d)) < 1e-6)
+    // sanity: all correlations are in [-1, 1]
+    Seq(1, 2, 3).foreach(i => assert(math.abs(got.getDouble(i)) <= 1.0))
+  }
 }
