@@ -292,13 +292,18 @@ object RelationalTpch {
       .join(finished, col("l_orderkey") === col("o_orderkey"), "left_semi")
       .groupBy("l_orderkey", "l_suppkey")
       .agg(max(col("l_shipdate")).as("sd"))
-    val w = Window.partitionBy("l_orderkey")
+    // all three window expressions share ONE (partition, order) spec
+    // so Catalyst evaluates them in a single Window pass (a
+    // max-then-compare formulation needs two: the tie test reads the
+    // first pass's output). Sole-last ⟺ first row by sd DESC, next
+    // row strictly earlier, and another supplier exists.
+    val w = Window.partitionBy("l_orderkey").orderBy(col("sd").desc, col("l_suppkey"))
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val blamed = m
-      .withColumn("n_supp", count(lit(1)).over(w))
-      .withColumn("max_sd", max(col("sd")).over(w))
-      .withColumn("n_at_max",
-        sum(when(col("sd") === col("max_sd"), 1L).otherwise(0L)).over(w))
-      .filter(col("n_supp") > 1 && col("sd") === col("max_sd") && col("n_at_max") === 1)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("next_sd", lead(col("sd"), 1).over(w))
+      .withColumn("n_supp", count(lit(1)).over(wAll))
+      .filter(col("rn") === 1 && col("n_supp") > 1 && col("next_sd") < col("sd"))
     blamed.groupBy("l_suppkey")
       .agg(count(lit(1)).as("numwait"))
       .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),

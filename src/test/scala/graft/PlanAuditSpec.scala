@@ -98,6 +98,35 @@ class PlanAuditSpec extends SparkSpec {
       s"sequence match must be a window pass, not a self-join:\n$plan")
   }
 
+  test("tpch cohort: pushdown, broadcast dims, semi/anti/outer joins survive planning") {
+    // q19: the disjunctive brand∧size predicate must reach the part
+    // scan (PushedFilters carries an Or), and the fact join broadcasts
+    val q19ex = batchQueries("rel_q19_disjunctive").queryExecution
+    val q19 = q19ex.executedPlan.toString
+    assert(q19.contains("BroadcastHashJoin"), s"q19 part dim not broadcast:\n$q19")
+    assert(q19.linesIterator.filter(_.contains("PushedFilters"))
+      .exists(l => l.contains("Or(") && l.contains("p_brand")),
+      s"q19 OR-of-ANDs not pushed to the part scan:\n$q19")
+    // q21: the EXISTS/NOT-EXISTS reformulation is one window pass —
+    // no self-join of the per-(order, supplier) frame
+    val q21 = batchQueries("rel_q21_waiting_blame").queryExecution.executedPlan.toString
+    assert(q21.linesIterator.count(l =>
+        l.replaceFirst("^[\\s+:*(\\d)-]*", "").startsWith("Window")) === 1,
+      s"q21 should evaluate its three frame aggs in one window pass:\n$q21")
+    assert(q21.contains("LeftSemi"), s"q21 finished-orders filter must stay semi:\n$q21")
+    // q13: the customer-preserving join must stay LeftOuter (an inner
+    // join silently drops zero-order customers)
+    val q13 = batchQueries("rel_q13_cust_distribution").queryExecution.executedPlan.toString
+    assert(q13.contains("LeftOuter"), s"q13 must left-outer join orders:\n$q13")
+    // q22: inactivity must plan as an anti join
+    val q22 = batchQueries("rel_q22_sales_opportunity").queryExecution.executedPlan.toString
+    assert(q22.contains("LeftAnti"), s"q22 inactivity must be an anti join:\n$q22")
+    // q16: the supplier blacklist must be a broadcast anti join, and
+    // the distinct count must aggregate partially before the exchange
+    val q16 = batchQueries("rel_q16_supplier_count").queryExecution.executedPlan.toString
+    assert(q16.contains("LeftAnti"), s"q16 blacklist must be an anti join:\n$q16")
+  }
+
   test("radius search plans no per-query sort (top-k does)") {
     val radius = batchQueries("ann_radius_search")
       .queryExecution.executedPlan.toString
