@@ -28,6 +28,78 @@ object RelationalTpch {
     sum(c.cast("decimal(38,4)"))
   private def ts(d: String) = lit(d).cast("timestamp")
 
+  /** TPC-H Q2 min-cost supplier, adapted: the fixture has no partsupp,
+    * so "supply cost" is DERIVED from sales history — each (supplier,
+    * part)'s integer unit cost is (100·Σprice_cents) DIV Σqty over
+    * its lineitems, exact floor arithmetic both engines replay. The
+    * original's correlated min-cost subquery becomes a per-part
+    * `min(struct(unit_cost, suppkey))` aggregate — no window sort, one
+    * partkey exchange — over region-filtered suppliers; the part
+    * type/size filter applies via broadcast after the min (the
+    * original's shape: the min ranges over the region, the part
+    * filter picks which parts are reported). */
+  def minCostSupplier(s: SparkSession, dir: String,
+                      region: String = "EUROPE", ptype: String = "ECONOMY",
+                      maxSize: Int = 25, topN: Int = 100): DataFrame = {
+    val eur = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === region)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("s_acctbal").cast("decimal(18,2)") * 100).cast("long").as("s_acctbal_cents"),
+        col("n_name"))
+    val sp = Tables.lineitem(s, dir)
+      .groupBy("l_suppkey", "l_partkey")
+      .agg((dsum2(col("l_extendedprice")) * 100).cast("long").as("p_cents"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+    val costed = sp
+      .join(broadcast(eur.select("s_suppkey")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("(100 * p_cents) DIV qty").as("unit_cost"))
+    val best = costed.groupBy("l_partkey")
+      .agg(min(struct(col("unit_cost"), col("l_suppkey"))).as("m"))
+      .select(col("l_partkey"), col("m.unit_cost").as("unit_cost"),
+        col("m.l_suppkey").as("best_supp"))
+    best
+      .join(broadcast(Tables.part(s, dir)
+        .filter(col("p_type") === ptype && col("p_size") < maxSize)
+        .select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(eur), col("best_supp") === col("s_suppkey"))
+      .select(col("s_acctbal_cents"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("unit_cost"))
+      .orderBy(col("s_acctbal_cents").desc, col("s_name"), col("p_partkey"))
+      .limit(topN)
+  }
+
+  /** TPC-H Q11 important parts, adapted: no partsupp, so a part's
+    * "inventory value" is its sales value through the chosen nations'
+    * suppliers; the original's scalar-subquery HAVING survives as a
+    * 1-row cross-broadcast total with the threshold made SCALE-FREE
+    * (value > 2× the mean part value, tested multiplicatively in
+    * exact integers — a fixed global fraction returns nothing once
+    * the part count outgrows it). */
+  def importantParts(s: SparkSession, dir: String,
+                     nations: Seq[String] = Seq("NATION_3", "NATION_8")): DataFrame = {
+    val nsup = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).filter(col("n_name").isin(nations: _*))
+        .select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val pv = Tables.lineitem(s, dir)
+      .join(broadcast(nsup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg((dsum2(col("l_extendedprice")) * 100).cast("long").as("value_cents"))
+    val tot = pv.agg(sum(col("value_cents")).as("total_cents"),
+      count(lit(1)).as("n_parts"))
+    pv.crossJoin(broadcast(tot))
+      .filter(col("value_cents") * col("n_parts") > lit(2) * col("total_cents"))
+      .select("p_partkey", "value_cents")
+      .orderBy(col("value_cents").desc, col("p_partkey"))
+  }
+
   /** TPC-H Q7 volume shipping: revenue between a nation PAIR by ship
     * year, both directions. Scale shape: nation is broadcast into the
     * supplier and customer projections, so the pair filter cuts both

@@ -291,6 +291,10 @@ object RelationalQueries {
   // adaptation is documented on each operator). Q2/Q11/Q12 are out of
   // scope: they are partsupp/l_shipmode queries and the fixture has
   // neither (FIXTURES.md).
+  def q2(s: SparkSession, dir: String): DataFrame =
+    RelationalTpch.minCostSupplier(s, dir)
+  def q11(s: SparkSession, dir: String): DataFrame =
+    RelationalTpch.importantParts(s, dir)
   def q7(s: SparkSession, dir: String): DataFrame =
     RelationalTpch.volumeShipping(s, dir)
   def q8(s: SparkSession, dir: String): DataFrame =
@@ -315,6 +319,8 @@ object RelationalQueries {
     RelationalTpch.salesOpportunity(s, dir)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_q2_min_cost_supplier" -> (q2 _),
+    "rel_q11_important_parts" -> (q11 _),
     "rel_q7_volume_shipping" -> (q7 _),
     "rel_q8_market_share" -> (q8 _),
     "rel_q9_product_profit" -> (q9 _),
@@ -353,6 +359,48 @@ object RelationalQueries {
     "rel_skew_salted_join" -> (skewSaltedJoin _))
 
   val oracles: Map[String, String] = Map(
+    "rel_q2_min_cost_supplier" ->
+      """WITH sp AS (
+        |  SELECT l_suppkey, l_partkey,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DECIMAL(24,2)) * 100 AS BIGINT) AS p_cents,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |eur AS (
+        |  SELECT s_suppkey, s_name,
+        |    CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS s_acctbal_cents,
+        |    n_name
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |costed AS (
+        |  SELECT sp.l_partkey, sp.l_suppkey, (100 * sp.p_cents) // sp.qty AS unit_cost
+        |  FROM sp JOIN eur ON eur.s_suppkey = sp.l_suppkey),
+        |best AS (
+        |  SELECT l_partkey, l_suppkey, unit_cost FROM (
+        |    SELECT l_partkey, l_suppkey, unit_cost,
+        |      row_number() OVER (PARTITION BY l_partkey ORDER BY unit_cost, l_suppkey) AS rn
+        |    FROM costed) WHERE rn = 1)
+        |SELECT e.s_acctbal_cents, e.s_name, e.n_name, p.p_partkey, b.unit_cost
+        |FROM best b
+        |JOIN part p ON p.p_partkey = b.l_partkey
+        |JOIN eur e ON e.s_suppkey = b.l_suppkey
+        |WHERE p.p_type = 'ECONOMY' AND p.p_size < 25
+        |ORDER BY s_acctbal_cents DESC, s_name, p_partkey LIMIT 100""".stripMargin,
+    "rel_q11_important_parts" ->
+      """WITH nsup AS (
+        |  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_3', 'NATION_8')),
+        |pv AS (
+        |  SELECT l_partkey AS p_partkey,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DECIMAL(24,2)) * 100 AS BIGINT) AS value_cents
+        |  FROM lineitem JOIN nsup ON l_suppkey = s_suppkey
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents,
+        |               CAST(COUNT(*) AS BIGINT) AS n_parts FROM pv)
+        |SELECT pv.p_partkey, pv.value_cents
+        |FROM pv, tot WHERE pv.value_cents * tot.n_parts > 2 * tot.total_cents
+        |ORDER BY value_cents DESC, p_partkey""".stripMargin,
     "rel_q7_volume_shipping" ->
       """SELECT supp_nation, cust_nation, l_year,
         |  CAST(CAST(SUM(CAST(volume AS DECIMAL(38,4))) AS DECIMAL(24,4)) * 10000 AS BIGINT) AS revenue_x10000
