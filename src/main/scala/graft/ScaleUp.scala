@@ -90,7 +90,10 @@ object ScaleUp {
       .select(
         col("id").as("s_suppkey"),
         concat(lit("Supplier#"), col("id").cast("string")).as("s_name"),
-        pmod(xxhash64(col("id"), lit(3)), lit(25)).cast("int").as("s_nationkey"))
+        pmod(xxhash64(col("id"), lit(3)), lit(25)).cast("int").as("s_nationkey"),
+        // r8: acctbal (a few % negative, like the fixture) so the
+        // Q2/Q16 family runs at 10× with the fixture's supplier shape
+        round(rand(20) * 10999.99 - 999.99, 2).as("s_acctbal"))
       .write.mode("overwrite").parquet(s"$out/supplier.parquet")
     // documents: 50k docs of 30-199 words from a fixed vocabulary
     val vocab = Seq("the", "of", "and", "to", "data", "spark", "query", "engine",
@@ -198,6 +201,22 @@ object ScaleUp {
     "rel_q18_big_orders", "rel_q10_returns", "events_anomaly_zscore",
     "text_quality_buckets", "ann_radius_search", "mm_ahash_groups",
     "stream_anomaly_parity",
+    // round 8 cohort 6: the TPC-H completion rows whose predicates
+    // are LIVE on the synthetic fixture — Q13's outer-join histogram,
+    // Q21's single-window blame pass over 6 M lines, Q22's anti join,
+    // Q7's pair-filtered 4-way join, Q2's 6 M-row (supp, part) unit-
+    // cost agg + per-part min, Q11's scalar-HAVING, Q16's anti-join
+    // distinct count. (Q8/Q9/Q17/Q19/Q20 filter on p_type/p_name/
+    // p_brand values the synthetic part table doesn't carry — their
+    // 10× rows would time an empty broadcast, not the operator.)
+    // Plus the banded aHash pair join (50 k real codec hashes →
+    // distinct-hash band join), frontier BFS on the 10× trade
+    // network, and the exact-moment correlation scan.
+    "rel_q13_cust_distribution", "rel_q21_waiting_blame",
+    "rel_q22_sales_opportunity", "rel_q7_volume_shipping",
+    "rel_q2_min_cost_supplier", "rel_q11_important_parts",
+    "rel_q16_supplier_count", "mm_ahash_near_pairs", "graph_bfs_hops",
+    "rel_corr_matrix",
     // round 8 cohort 4: prefix-filtered EXACT set-similarity join
     // (the lossless pruning path — prefix posting lists only),
     // deterministic label propagation (5 rounds over the trade
@@ -338,9 +357,14 @@ object ScaleUp {
     val spark = GraftSession.builder(GraftSession.envCpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     if (mode100) { run100(spark, out); spark.stop(); return }
-    // guard on the NEWEST table so a scale dir generated by an older
-    // harness version (missing later tables) is refreshed, not reused
-    if (!new java.io.File(s"$out/orders.parquet").exists) {
+    // guard on the NEWEST schema addition so a scale dir generated by
+    // an older harness version (missing later tables/columns) is
+    // refreshed, not reused
+    val stale = !new java.io.File(s"$out/orders.parquet").exists ||
+      (try !spark.read.parquet(s"$out/supplier.parquet")
+        .schema.fieldNames.contains("s_acctbal")
+      catch { case _: Throwable => true })
+    if (stale) {
       println(s"[scaleup] generating synthetic 10x fixture under $out")
       generate(spark, out, sfDir)
     }
