@@ -6,13 +6,14 @@ import org.apache.spark.sql.functions._
 
 import graft.io.Tables
 
-/** The rest of the TPC-H query family, adapted to the fixture's
-  * column subset (no partsupp, no ship/commit/receipt-mode columns,
-  * no comment/phone text — see FIXTURES.md). Q2/Q11/Q12 need
-  * partsupp/l_shipmode and are therefore out of scope for this
-  * fixture; every other remaining query is here with its join/
-  * subquery structure intact and any substituted predicate documented
-  * on the operator.
+/** The rest of the TPC-H query family — all 22 queries re-expressed,
+  * adapted to the fixture's column subset (no partsupp, no
+  * ship/commit/receipt-mode columns, no comment/phone text — see
+  * FIXTURES.md): Q2/Q11 derive their supply-cost/inventory-value from
+  * sales history, Q12 substitutes l_returnflag for the missing
+  * shipmode and ship-after-order+30d for the missing commit/receipt
+  * lateness. Every query keeps its join/subquery structure intact,
+  * and every substituted predicate is documented on its operator.
   *
   * Same determinism and scale discipline as [[Relational]]:
   * exact decimal sums at the data's scale, integer permille instead
@@ -204,6 +205,32 @@ object RelationalTpch {
       .select(col("n_name"), col("o_year"),
         (col("amount") * 10000).cast("long").as("sum_profit_x10000"))
       .orderBy(col("n_name"), col("o_year").desc)
+  }
+
+  /** TPC-H Q12 shipping-mode priority check, adapted: the fixture has
+    * no l_shipmode/commit/receipt columns, so the line category is
+    * l_returnflag and the lateness witness is ship > order date + 30
+    * days (the Q4 convention). The semantic core survives intact: per
+    * line category in a ship-year, split late lines by high vs low
+    * order priority via two CASE sums. One fact⋈fact exchange on the
+    * order key; the ship-date window pushes to the lineitem scan; the
+    * 30-day lateness predicate rides the equi join. */
+  def shipLateness(s: SparkSession, dir: String,
+                   from: String = "1996-01-01", until: String = "1997-01-01",
+                   graceDays: Int = 30): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= ts(from) && col("l_shipdate") < ts(until))
+      .select("l_orderkey", "l_returnflag", "l_shipdate")
+    val ord = Tables.orders(s, dir).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li.join(ord, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $graceDays DAY"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy("l_returnflag")
   }
 
   /** TPC-H Q13 customer order-count distribution, adapted: the

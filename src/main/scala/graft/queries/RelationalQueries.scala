@@ -288,9 +288,8 @@ object RelationalQueries {
 
   // ---- the remaining TPC-H family (RelationalTpch; fixture-adapted
   // where the original needs partsupp/shipmode/comment columns — the
-  // adaptation is documented on each operator). Q2/Q11/Q12 are out of
-  // scope: they are partsupp/l_shipmode queries and the fixture has
-  // neither (FIXTURES.md).
+  // adaptation is documented on each operator). With these, all 22
+  // TPC-H queries are re-expressed.
   def q2(s: SparkSession, dir: String): DataFrame =
     RelationalTpch.minCostSupplier(s, dir)
   def q11(s: SparkSession, dir: String): DataFrame =
@@ -301,6 +300,8 @@ object RelationalQueries {
     RelationalTpch.marketShare(s, dir)
   def q9(s: SparkSession, dir: String): DataFrame =
     RelationalTpch.productProfit(s, dir)
+  def q12(s: SparkSession, dir: String): DataFrame =
+    RelationalTpch.shipLateness(s, dir)
   def q13(s: SparkSession, dir: String): DataFrame =
     RelationalTpch.customerDistribution(s, dir)
   def q15(s: SparkSession, dir: String): DataFrame =
@@ -324,6 +325,7 @@ object RelationalQueries {
     "rel_q7_volume_shipping" -> (q7 _),
     "rel_q8_market_share" -> (q8 _),
     "rel_q9_product_profit" -> (q9 _),
+    "rel_q12_ship_lateness" -> (q12 _),
     "rel_q13_cust_distribution" -> (q13 _),
     "rel_q15_top_supplier" -> (q15 _),
     "rel_q16_supplier_count" -> (q16 _),
@@ -457,6 +459,15 @@ object RelationalQueries {
         |  JOIN nation n ON s.s_nationkey = n.n_nationkey
         |  WHERE p.p_name LIKE '%red%')
         |GROUP BY 1, 2 ORDER BY n_name, o_year DESC""".stripMargin,
+    "rel_q12_ship_lateness" ->
+      """SELECT l.l_returnflag,
+        |  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+        |  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "rel_q13_cust_distribution" ->
       """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
         |FROM (

@@ -92,6 +92,20 @@ class RelationalTpchSpec extends SparkSpec {
     assert(total === direct)
   }
 
+  test("q12: high + low counts equal the late-line total per category") {
+    val r = RelationalTpch.shipLateness(spark, sf001).collect()
+    assert(r.nonEmpty)
+    val totals = r.map(x => x.getString(0) -> (x.getLong(1) + x.getLong(2))).toMap
+    val expected = Tables.lineitem(spark, sf001)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, sf001), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAY"))
+      .groupBy("l_returnflag").count()
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(totals === expected)
+  }
+
   test("q13: histogram masses add back to customers and non-excluded orders") {
     val r = RelationalTpch.customerDistribution(spark, sf001).collect()
     val nCust = r.map(x => x.getLong(1)).sum
