@@ -262,6 +262,9 @@ object ScaleUp {
       .select(
         // r8: join key so the co-located bucketed join rehearses at 100×
         (col("id") / 4).cast("long").as("l_orderkey"),
+        // r8 cohort 6: supplier key so Q21's per-(order, supplier)
+        // window pass rehearses at 100×
+        (pmod(xxhash64(col("id"), lit(16)), lit(10000L * m)) + 1).as("l_suppkey"),
         element_at(array(lit("A"), lit("N"), lit("R")),
           (rand(10) * 3).cast("int") + 1).as("l_returnflag"),
         ((rand(12) * 50).cast("int") + 1).cast("double").as("l_quantity"),
@@ -276,6 +279,12 @@ object ScaleUp {
         element_at(array(lit("F"), lit("O"), lit("P")),
           (rand(17) * 3).cast("int") + 1).as("o_orderstatus"))
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    // supplier (r8 cohort 6): Q21's name-lookup dim, scaled with the
+    // lineitem supplier-key domain
+    spark.range(1, 10000L * m + 1, 1, 8)
+      .select(col("id").as("s_suppkey"),
+        concat(lit("Supplier#"), col("id").cast("string")).as("s_name"))
+      .write.mode("overwrite").parquet(s"$out/supplier.parquet")
     // documents: every 20th doc clones its predecessor (the join's
     // ground-truth positives); word = "w<idx>" with idx = ⌊5000·u³⌋,
     // u seeded per (docEff, position) — zipf-ish head, open tail
@@ -304,9 +313,13 @@ object ScaleUp {
   def run100(spark: SparkSession, out: String): Unit = {
     val out10 = out + "-base10"
     for ((dir, m) <- Seq((out10, 1), (out, 10))) {
-      // guard on the NEWEST table (orders, r8) so a dir generated by an
-      // older harness version is refreshed, not reused
-      if (!new java.io.File(s"$dir/orders.parquet").exists) {
+      // guard on the NEWEST schema addition (l_suppkey, r8 cohort 6)
+      // so a dir generated by an older harness version is refreshed
+      val stale100 = !new java.io.File(s"$dir/orders.parquet").exists ||
+        (try !spark.read.parquet(s"$dir/lineitem.parquet")
+          .schema.fieldNames.contains("l_suppkey")
+        catch { case _: Throwable => true })
+      if (stale100) {
         println(s"[scaleup] generating open-vocab ${m}0x fixture under $dir")
         generate100(spark, dir, m)
       }
@@ -344,6 +357,9 @@ object ScaleUp {
     // fixture — RANGE frames, daily gap-fill and SCD2 all reuse one
     // user_id partitioning, so their ratios should track events_session
     "events_range_frame", "events_gap_fill", "events_scd2_intervals",
+    // round 8 cohort 6: Q21's per-(order, supplier) max-shipdate agg
+    // + single window pass at 60 M lines / 15 M orders
+    "rel_q21_waiting_blame",
     // round 8 late: the co-located join at 60 M × 15 M — the bucketed
     // write is the one-time layout cost, the join itself exchanges
     // nothing on the keys at any scale
