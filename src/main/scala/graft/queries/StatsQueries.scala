@@ -265,25 +265,53 @@ object StatsQueries {
     * `corr()` of either engine can NEVER hash-match: both fold
     * doubles in partition order). Single row, single scan, map-side
     * partial aggregation — nothing shuffles but 10 numbers. */
-  def corrMatrix(s: SparkSession, dir: String): DataFrame = {
-    def d0(c: org.apache.spark.sql.Column) =
-      sum(c.cast("decimal(38,0)")).cast("double")
-    val li = Tables.lineitem(s, dir).select(
+  def corrMatrix(s: SparkSession, dir: String): DataFrame =
+    corrFromMoments(momentAgg(lineitemMeasures(s, dir)))
+
+  /** The three exact-long measure columns corr runs over. */
+  private[graft] def lineitemMeasures(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(
       col("l_quantity").cast("long").as("q"),
       (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("p"),
       (col("l_discount").cast("decimal(18,2)") * 100).cast("long").as("d"))
-    val m = li.agg(
+
+  /** One-row moment frame in EXACT decimal(38,0) — n plus the 9 sums.
+    * These are plain associative sums, so moment frames from disjoint
+    * slices MERGE by column-wise addition ([[mergeMoments]]) — the
+    * mergeable-state face `stream_corr_parity` maintains per
+    * micro-batch. */
+  private[graft] def momentAgg(li: DataFrame): DataFrame = {
+    def d0(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,0)"))
+    li.agg(
       count(lit(1)).as("n"),
       d0(col("q")).as("sq"), d0(col("p")).as("sp"), d0(col("d")).as("sd"),
       d0(col("q") * col("q")).as("sqq"), d0(col("p") * col("p")).as("spp"),
       d0(col("d") * col("d")).as("sdd"),
       d0(col("q") * col("p")).as("sqp"), d0(col("q") * col("d")).as("sqd"),
       d0(col("p") * col("d")).as("spd"))
+  }
+
+  private[graft] val MomentCols =
+    Seq("n", "sq", "sp", "sd", "sqq", "spp", "sdd", "sqp", "sqd", "spd")
+
+  /** Column-wise addition of moment frames — exact, associative,
+    * order-independent (decimal sums of decimals). */
+  private[graft] def mergeMoments(frames: Seq[DataFrame]): DataFrame = {
+    val all = frames.reduce(_.unionByName(_))
+    all.agg(sum(col("n")).cast("long").as("n"),
+      MomentCols.drop(1).map(c => sum(col(c)).cast("decimal(38,0)").as(c)): _*)
+  }
+
+  /** Finalize: ONE double conversion per exact moment, then the
+    * identical IEEE corr expression tree (see [[corrMatrix]] doc). */
+  private[graft] def corrFromMoments(m: DataFrame): DataFrame = {
+    val md = m.select(col("n").cast("long").as("n") +:
+      MomentCols.drop(1).map(c => col(c).cast("double").as(c)): _*)
     def corr(sx: String, sy: String, sxy: String, sx2: String, sy2: String) =
       round((col("n") * col(sxy) - col(sx) * col(sy)) /
         (sqrt(col("n") * col(sx2) - col(sx) * col(sx)) *
           sqrt(col("n") * col(sy2) - col(sy) * col(sy))), 6)
-    m.select(col("n"),
+    md.select(col("n"),
       corr("sq", "sp", "sqp", "sqq", "spp").as("corr_qty_price"),
       corr("sq", "sd", "sqd", "sqq", "sdd").as("corr_qty_disc"),
       corr("sp", "sd", "spd", "spp", "sdd").as("corr_price_disc"))

@@ -304,6 +304,53 @@ object StreamQueries {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), sc), keys)
   }
 
+  /** Streaming correlation via MERGEABLE MOMENTS: each micro-batch
+    * contributes its one-row exact-decimal moment frame
+    * ([[StatsQueries.momentAgg]]); the running state — 10 numbers —
+    * merges by column-wise addition ([[StatsQueries.mergeMoments]]:
+    * decimal sums are associative, so the trajectory is
+    * batching-independent); finalize converts each merged moment to
+    * double ONCE and runs the shared corr expression. Oracle =
+    * `rel_corr_matrix`'s verbatim — streaming and batch must land on
+    * identical bits. The multi-batch law (3 real micro-batches ≡
+    * flat) is StreamingSpec's. Scale: state is O(1) — the only thing
+    * that ever crosses a batch boundary is 10 numbers. */
+  private[graft] def corrStateOf(s: SparkSession, srcDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
+    val reader = maxFilesPerTrigger.foldLeft(s.readStream.schema(schema)) {
+      (r, n) => r.option("maxFilesPerTrigger", n)
+    }
+    val li = reader.parquet(srcDir).select(
+      col("l_quantity").cast("long").as("q"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("p"),
+      (col("l_discount").cast("decimal(18,2)") * 100).cast("long").as("d"))
+    @volatile var state: Option[(Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)] = None
+    val q = li.writeStream.queryName("stream_corr_q")
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val partial = StatsQueries.momentAgg(batch)
+        val merged = state match {
+          case None => partial
+          case Some((rows, sc)) =>
+            val prev = s.createDataFrame(java.util.Arrays.asList(rows: _*), sc)
+            StatsQueries.mergeMoments(Seq(prev, partial))
+        }
+        state = Some((merged.collect(), merged.schema))
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val (rows, sc) = state.getOrElse((Array.empty[org.apache.spark.sql.Row], null))
+    StatsQueries.corrFromMoments(
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), sc))
+  }
+
+  def corrParity(s: SparkSession, dir: String): DataFrame =
+    corrStateOf(s, streamDir(dir, "lineitem"),
+      graft.io.Tables.lineitem(s, dir).schema, None)
+
   def incrementalParity(s: SparkSession, dir: String): DataFrame =
     incrementalStateOf(s, streamDir(dir, "lineitem"),
         graft.io.Tables.lineitem(s, dir).schema, None)
@@ -342,6 +389,7 @@ object StreamQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_corr_parity" -> (corrParity _),
     "stream_static_join_parity" -> (staticJoinParity _),
     "stream_incremental_parity" -> (incrementalParity _),
     "stream_window_parity" -> (windowParity _),
@@ -357,6 +405,9 @@ object StreamQueries {
     // the batch anomaly oracle verbatim: streaming state + in-batch
     // sort must land on the identical BIGINT alert set
     "stream_anomaly_parity" -> EventsQueries.oracles("events_anomaly_zscore"),
+    // the batch corr oracle verbatim: merged micro-batch moments must
+    // finalize to the identical 6-dp doubles
+    "stream_corr_parity" -> StatsQueries.oracles("rel_corr_matrix"),
     // flat batch recompute of the stream-static enrichment: DuckDB //
     // floors, so no pmod dance is needed on this side
     "stream_static_join_parity" ->

@@ -263,6 +263,22 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamed moment merge over 3 real micro-batches equals the flat corr bits") {
+    val li = graft.io.Tables.lineitem(spark, sf001)
+    val dir = java.nio.file.Files.createTempDirectory("graft-corr-stream").toString
+    li.repartition(3).write.mode("overwrite").parquet(dir)
+    val got = graft.queries.StreamQueries
+      .corrStateOf(spark, dir, li.schema, maxFilesPerTrigger = Some(1))
+      .collect()(0)
+    val flat = graft.queries.StatsQueries.corrMatrix(spark, sf001).collect()(0)
+    assert(got.getLong(0) === flat.getLong(0))
+    // decimal merge is exact, so finalize lands on IDENTICAL doubles
+    (1 to 3).foreach { i =>
+      assert(java.lang.Double.doubleToLongBits(got.getDouble(i)) ===
+        java.lang.Double.doubleToLongBits(flat.getDouble(i)), s"col $i")
+    }
+  }
+
   test("incremental state over 3 real micro-batches equals the flat aggregate") {
     import org.apache.spark.sql.functions._
     val li = graft.io.Tables.lineitem(spark, sf001)
