@@ -224,7 +224,14 @@ object ScaleUp {
     "dedup_prefix_jaccard", "graph_label_prop", "dedup_canonical_pick",
     // round 8 cohort 5: Q14 broadcast-dim promo share, Q4 EXISTS
     // semi-join priority check, lead()-pass sequence match
-    "rel_q14_promo", "rel_q4_priority", "events_sequence_match")
+    "rel_q14_promo", "rel_q4_priority", "events_sequence_match",
+    // round 8 cohort 7: size-proportional systematic sampling (the
+    // funnel-free two-level prefix sum over 50 k docs), the
+    // pair-bounded Levenshtein confirm stage on winnow candidates,
+    // the hash-bucketed epoch shuffle into shards, and the
+    // length-bucketed batching report
+    "text_pps_sample", "dedup_edit_verify", "text_shard_assign",
+    "text_length_batching")
 
   /** 100×-bench-scale fixture (round-6 rehearsal): ONLY the tables the
     * five heaviest shuffle producers touch — documents 500 k, lineitem

@@ -337,6 +337,50 @@ object Dedup {
       .filter(col("n_shared_fps") >= minShared)
   }
 
+  /** EDIT-DISTANCE VERIFICATION of a candidate pair list — the
+    * character-level confirm stage after any candidate generator
+    * (winnowing, MinHash, prefix filter): for each (idA, idB) pair,
+    * Levenshtein distance between the two documents' first
+    * `prefixLen` characters, normalized to an integer similarity
+    * permille `(1000·(maxlen − dist)) DIV maxlen`, plus a 0/1
+    * `verified` verdict at `tauPermille`. Levenshtein is the classic
+    * unit-cost insert/delete/substitute distance, identical in Spark
+    * (`levenshtein`) and DuckDB — the verdict is hash-checkable with
+    * no arithmetic bridging.
+    *
+    * Scale shape: the O(prefixLen²) DP runs ONLY on candidate pairs —
+    * the generator's posting-list caps bound the pair count, and the
+    * prefix bound caps per-pair cost at a constant (~240² cell ops),
+    * so verification is pair-linear at any corpus size. The two text
+    * lookups are equi-joins of the pair frame against the id→prefix
+    * projection (candidate-pair-sized probes into a column-pruned
+    * scan; never corpus × corpus). Prefix semantics: near-identical
+    * FULL documents verify high; pairs that only share an interior
+    * passage (winnowing's specialty) verify low — the two signals are
+    * complementary, which is why the stage emits the measure for every
+    * candidate instead of filtering. */
+  def editVerifyPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
+                      textCol: String, idA: String = "doc_a",
+                      idB: String = "doc_b", prefixLen: Int = 240,
+                      tauPermille: Int = 600): DataFrame = {
+    require(prefixLen > 0, "prefixLen must be positive")
+    val pref = docs.select(col(idCol).as("_id"),
+      substring(col(textCol), 1, prefixLen).as("_pref"))
+    pairs
+      .join(pref.select(col("_id").as("_ida"), col("_pref").as("_pa")),
+        col(idA) === col("_ida"))
+      .join(pref.select(col("_id").as("_idb"), col("_pref").as("_pb")),
+        col(idB) === col("_idb"))
+      .withColumn("edit_dist", levenshtein(col("_pa"), col("_pb")).cast("bigint"))
+      .withColumn("_maxlen",
+        greatest(length(col("_pa")), length(col("_pb"))).cast("bigint"))
+      .withColumn("sim_permille",
+        expr("CAST((1000 * (_maxlen - edit_dist)) DIV greatest(_maxlen, 1) AS BIGINT)"))
+      .withColumn("verified",
+        when(col("sim_permille") >= tauPermille, lit(1L)).otherwise(lit(0L)))
+      .drop("_ida", "_idb", "_pa", "_pb", "_maxlen")
+  }
+
   /** Oracle-expressible hash machinery shared by MinHash and SimHash:
     * shingles/tokens are first fingerprinted with the same polynomial
     * rolling hash mod P = 1e9+7 as [[TextOps.rollingFingerprint]],

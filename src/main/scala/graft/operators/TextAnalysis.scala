@@ -235,8 +235,30 @@ object TextAnalysis {
     * exactly for any bucket count (spec-pinned). */
   def packSequences(docs: DataFrame, strataCol: String, idCol: String,
                     textCol: String, budget: Int, buckets: Int = 256): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(budget > 0, "budget must be positive")
+    tokenSpans(docs, strataCol, idCol, textCol, buckets)
+      .filter(col("_t") > 0)
+      .withColumn("seq_id", explode(sequence(
+        expr(s"_start DIV $budget"), expr(s"(_end - 1) DIV $budget"))))
+      .select(col("_st").as(strataCol), col("seq_id"), col("doc_id"),
+        (greatest(col("_start"), col("seq_id") * budget) - col("seq_id") * budget)
+          .as("seq_off"),
+        (least(col("_end"), (col("seq_id") + 1) * budget)
+          - greatest(col("_start"), col("seq_id") * budget)).as("n_toks"))
+  }
+
+  /** Per-document span (_start, _end] of the per-stratum concatenated
+    * token stream, id-ordered — the shared substrate of
+    * [[packSequences]] and [[ppsSample]]. The per-stratum prefix sum
+    * is the TWO-LEVEL [[stratumRank]] bucketing (per-(stratum, bucket)
+    * token sums → prefix over the tiny sums table → broadcast offsets
+    * + within-bucket running sum), so no stratum ever funnels into a
+    * single task. Columns: `_st`, `doc_id`, `_t` (token count),
+    * `_start`, `_end`; identical for any bucket count to the naive
+    * single-window `sum() over (partition by stratum order by id)`. */
+  private def tokenSpans(docs: DataFrame, strataCol: String, idCol: String,
+                         textCol: String, buckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(strataCol).as("_st"), col(idCol).cast("bigint").as("doc_id"),
       size(TextOps.words(col(textCol))).cast("long").as("_t"))
     val bounds = toks.agg(min(col("doc_id")).as("_min_id"), max(col("doc_id")).as("_max_id"))
@@ -259,14 +281,111 @@ object TextAnalysis {
       .join(broadcast(offs), withB("_st") <=> offs("_s") && withB("_bucket") <=> offs("_b"))
       .withColumn("_end", col("_off") + sum("_t").over(wb))
       .withColumn("_start", col("_end") - col("_t"))
-      .filter(col("_t") > 0)
-      .withColumn("seq_id", explode(sequence(
-        expr(s"_start DIV $budget"), expr(s"(_end - 1) DIV $budget"))))
-      .select(col("_st").as(strataCol), col("seq_id"), col("doc_id"),
-        (greatest(col("_start"), col("seq_id") * budget) - col("seq_id") * budget)
-          .as("seq_off"),
-        (least(col("_end"), (col("seq_id") + 1) * budget)
-          - greatest(col("_start"), col("seq_id") * budget)).as("n_toks"))
+      .drop("_s", "_b", "_off", "_bucket")
+  }
+
+  /** Systematic SIZE-PROPORTIONAL sampling (PPS) — the data-mixing
+    * sampler that weights documents by TOKEN COUNT, not uniformly:
+    * within each stratum the documents are conceptually concatenated
+    * in id order and every `step`-th token position is a dart; a
+    * document is selected iff a dart lands inside its span, i.e.
+    * `_end DIV step > _start DIV step`, and `n_picks` counts its darts
+    * (a doc longer than `step` tokens is picked multiple times — the
+    * with-replacement weight a token-budget mixer consumes). Expected
+    * sample mass per stratum is tokens/step documents with inclusion
+    * probability exactly proportional to length — unlike
+    * [[hashModSample]] (uniform over docs) and [[stratifiedSample]]
+    * (every k-th doc), this is the sampler that preserves TOKEN
+    * distribution. Classic systematic PPS (Madow 1949), here in pure
+    * integer arithmetic so the DuckDB oracle replays the selection
+    * bit-for-bit.
+    *
+    * Scale shape: the span substrate is [[tokenSpans]] — the same
+    * two-level funnel-free prefix sum as sequence packing; selection
+    * itself is a per-row integer filter. At 100 TB the only exchanges
+    * are the (stratum, bucket) token sums (≤ strata·buckets rows) and
+    * the within-bucket window — no corpus-wide sort, no sampling
+    * state. */
+  def ppsSample(docs: DataFrame, strataCol: String, idCol: String,
+                textCol: String, step: Int, buckets: Int = 256): DataFrame = {
+    require(step > 0, "step must be positive")
+    tokenSpans(docs, strataCol, idCol, textCol, buckets)
+      .withColumn("n_picks", expr(s"(_end DIV $step) - (_start DIV $step)"))
+      .filter(col("n_picks") > 0)
+      .select(col("_st").as(strataCol), col("doc_id"),
+        col("_t").as("n_toks"), col("n_picks"))
+  }
+
+  /** Deterministic EPOCH SHUFFLE + SHARD ASSIGNMENT — the step that
+    * turns a curated corpus into training input files: each document
+    * goes to shard `h(id) mod numShards` and receives a dense position
+    * `pos` within its shard ordered by `(h(id), id)`, where h is the
+    * exact multiplicative hash of [[hashModSample]]. Because h
+    * decorrelates order from id, each shard reads as a seeded
+    * pseudo-random permutation sample of the corpus — the "global
+    * shuffle" a data loader wants — while staying bit-reproducible in
+    * any engine (no engine-private RNG).
+    *
+    * Scale shape: the within-shard rank is two-level like
+    * [[stratumRank]], but bucketed on the HASH (whose domain [0, P) is
+    * known a priori — no min/max pass): per-(shard, hash-bucket)
+    * counts → prefix over the tiny counts table → broadcast offsets +
+    * within-bucket row_number ordered by (h, id). Parallelism is
+    * shards·buckets; no shard ever funnels into one task, which a
+    * naive `row_number() over (partition by shard)` would force at
+    * 100 TB. */
+  def shardAssign(docs: DataFrame, idCol: String, numShards: Int,
+                  buckets: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(numShards > 0, "numShards must be positive")
+    val width = SampleHashP / buckets + 1
+    val h = docs.select(col(idCol).cast("bigint").as("doc_id"))
+      .withColumn("_h",
+        pmod(pmod(col("doc_id"), lit(SampleHashP)) * lit(SampleHashA),
+          lit(SampleHashP)))
+      .withColumn("shard", pmod(col("_h"), lit(numShards.toLong)))
+      .withColumn("_bucket", expr(s"_h DIV ${width}L"))
+    val counts = h.groupBy(col("shard").as("_s"), col("_bucket").as("_b"))
+      .agg(count(lit(1)).as("_c"))
+    val offs = counts
+      .withColumn("_off", coalesce(
+        sum("_c").over(Window.partitionBy("_s").orderBy("_b")
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("_s"), col("_b"), col("_off"))
+    val wb = Window.partitionBy(col("shard"), col("_bucket"))
+      .orderBy(col("_h"), col("doc_id"))
+    h.join(broadcast(offs),
+        h("shard") === offs("_s") && h("_bucket") === offs("_b"))
+      .withColumn("pos", col("_off") + row_number().over(wb))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  /** LENGTH-BUCKETED BATCHING report — the inference/packing-free
+    * training layout that groups similar-length documents so padding
+    * is bounded: length bucket `lb = n_toks DIV bucketWidth`, dense
+    * in-bucket rank by doc id (two-level [[stratumRank]], so a hot
+    * length bucket never funnels), batch `(rank − 1) DIV batchSize`,
+    * then per-(bucket, batch) the padded-waste accounting: row count,
+    * max/sum tokens, and `padding_permille` =
+    * `1000·(n·max − Σ) DIV (n·max)` — all exact integers. The report
+    * is batch-count-sized, never corpus-sized. */
+  def lengthBatching(docs: DataFrame, idCol: String, textCol: String,
+                     bucketWidth: Int, batchSize: Int,
+                     buckets: Int = 256): DataFrame = {
+    require(bucketWidth > 0 && batchSize > 0, "bucketWidth/batchSize must be positive")
+    val sized = docs.select(col(idCol).cast("bigint").as("doc_id"),
+        size(TextOps.words(col(textCol))).cast("long").as("n_toks"))
+      .withColumn("len_bucket", expr(s"n_toks DIV $bucketWidth"))
+    stratumRank(sized, "len_bucket", "doc_id", buckets, rankCol = "_r")
+      .withColumn("batch_id", expr(s"(_r - 1) DIV $batchSize"))
+      .groupBy("len_bucket", "batch_id")
+      .agg(count(lit(1)).as("n_docs"),
+        max("n_toks").as("max_toks"),
+        sum("n_toks").as("sum_toks"))
+      .withColumn("padding_permille",
+        expr("CAST((1000 * (n_docs * max_toks - sum_toks)) " +
+          "DIV greatest(n_docs * max_toks, 1) AS BIGINT)"))
   }
 
   /** Multiplicative-hash admission sampling: keep a row iff

@@ -258,7 +258,24 @@ object DedupQueries {
       .orderBy("eval_id")
   }
 
+  /** Edit-distance CONFIRM stage over the winnow candidate pairs
+    * ([[Dedup.editVerifyPairs]]): Levenshtein on 240-char prefixes,
+    * integer permille, 0/1 verdict at 600‰. Composes two proven
+    * pieces — the memoized winnow pair list and a function identical
+    * in both engines — so the oracle splices the winnow CTE with
+    * DuckDB's own `levenshtein`. */
+  val EditPrefixLen = 240
+  val EditVerifyPermille = 600
+  def editVerify(s: SparkSession, dir: String): DataFrame =
+    Dedup.editVerifyPairs(winnowPairList(s, dir), Tables.documents(s, dir),
+        "doc_id", "text", prefixLen = EditPrefixLen,
+        tauPermille = EditVerifyPermille)
+      .select(col("doc_a"), col("doc_b"), col("n_shared_fps"),
+        col("edit_dist"), col("sim_permille"), col("verified"))
+      .orderBy("doc_a", "doc_b")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_edit_verify" -> (editVerify _),
     "dedup_decontam" -> (decontam _),
     "dedup_contam_report" -> (contamReport _),
     "dedup_exact" -> (exact _),
@@ -358,7 +375,24 @@ object DedupQueries {
          |SELECT node AS doc_id, min(label) AS component
          |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // the winnow candidate CTE verbatim, then DuckDB's own levenshtein
+  // on the same 240-char prefixes and the same integer permille/verdict
+  private val editVerifySql = winnowCte +
+    s""", v AS (SELECT wp.doc_a, wp.doc_b, wp.n_shared_fps,
+       |    CAST(levenshtein(substr(da.text, 1, $EditPrefixLen),
+       |                     substr(db.text, 1, $EditPrefixLen)) AS BIGINT) AS edit_dist,
+       |    CAST(greatest(length(substr(da.text, 1, $EditPrefixLen)),
+       |                  length(substr(db.text, 1, $EditPrefixLen))) AS BIGINT) AS ml
+       |  FROM wp JOIN documents da ON da.doc_id = wp.doc_a
+       |          JOIN documents db ON db.doc_id = wp.doc_b)
+       |SELECT doc_a, doc_b, n_shared_fps, edit_dist,
+       |  CAST((1000 * (ml - edit_dist)) // greatest(ml, 1) AS BIGINT) AS sim_permille,
+       |  CAST(CASE WHEN (1000 * (ml - edit_dist)) // greatest(ml, 1)
+       |    >= $EditVerifyPermille THEN 1 ELSE 0 END AS BIGINT) AS verified
+       |FROM v ORDER BY doc_a, doc_b""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dedup_edit_verify" -> editVerifySql,
     "dedup_winnow_pairs" -> winnowPairsSql,
     "dedup_winnow_groups" -> winnowGroupsSql,
     "dedup_exact" ->

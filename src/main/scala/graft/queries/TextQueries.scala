@@ -221,7 +221,40 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Systematic size-proportional sampling at one pick per 512 tokens,
+    * stratified by language — inclusion probability exactly
+    * proportional to document length ([[TextAnalysis.ppsSample]]); the
+    * oracle replays the integer dart arithmetic over the plain
+    * single-window prefix sum. */
+  val PpsStep = 512
+  def ppsSampleQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ppsSample(Tables.documents(s, dir), "lang", "doc_id", "text",
+        step = PpsStep)
+      .orderBy("lang", "doc_id")
+
+  /** Deterministic epoch shuffle into 8 shards
+    * ([[TextAnalysis.shardAssign]]): shard + dense pseudo-random
+    * position from the exact multiplicative hash — the training-input
+    * layout step, funnel-free via hash-bucketed two-level ranking. */
+  val NumShards = 8
+  def shardAssignQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.shardAssign(Tables.documents(s, dir), "doc_id", NumShards)
+      .orderBy("shard", "pos")
+
+  /** Length-bucketed batching report at width 32 / batch 16
+    * ([[TextAnalysis.lengthBatching]]): per-(bucket, batch) padded
+    * token waste in exact integer permille. */
+  val LenBucketWidth = 32
+  val LenBatchSize = 16
+  def lengthBatchingQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lengthBatching(Tables.documents(s, dir), "doc_id", "text",
+        bucketWidth = LenBucketWidth, batchSize = LenBatchSize)
+      .orderBy("len_bucket", "batch_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_shard_assign" -> (shardAssignQ _),
+    "text_length_batching" -> (lengthBatchingQ _),
+    "text_pps_sample" -> (ppsSampleQ _),
     "text_pii_scrub" -> (piiScrubQ _),
     "text_line_dedup" -> (lineDedupQ _),
     "text_winnow" -> (winnow _),
@@ -320,6 +353,43 @@ object TextQueries {
     // the packing oracle is the PLAIN single-window prefix sum — the
     // two-level bucketing must be result-invisible (the salted-agg /
     // kmv / stratumRank contract)
+    // the same multiplicative hash, then the naive per-shard
+    // row_number the hash-bucketed two-level rank reproduces exactly
+    "text_shard_assign" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  ((doc_id % ${TextAnalysis.SampleHashP}) * ${TextAnalysis.SampleHashA})
+         |    % ${TextAnalysis.SampleHashP} AS hh FROM documents),
+         |s AS (SELECT doc_id, hh, CAST(hh % $NumShards AS BIGINT) AS shard FROM h)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) AS BIGINT) AS pos
+         |FROM s ORDER BY shard, pos""".stripMargin,
+    // naive single-window rank + grouped padding arithmetic
+    "text_length_batching" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+         |       FROM documents),
+         |b AS (SELECT doc_id, n_toks, n_toks // $LenBucketWidth AS len_bucket FROM t),
+         |r AS (SELECT doc_id, n_toks, len_bucket,
+         |        row_number() OVER (PARTITION BY len_bucket ORDER BY doc_id) AS r FROM b),
+         |g AS (SELECT len_bucket, CAST((r - 1) // $LenBatchSize AS BIGINT) AS batch_id,
+         |        COUNT(*) AS n_docs, max(n_toks) AS max_toks,
+         |        CAST(SUM(n_toks) AS BIGINT) AS sum_toks
+         |      FROM r GROUP BY 1, 2)
+         |SELECT len_bucket, batch_id, n_docs, max_toks, sum_toks,
+         |  CAST((1000 * (n_docs * max_toks - sum_toks))
+         |    // greatest(n_docs * max_toks, 1) AS BIGINT) AS padding_permille
+         |FROM g ORDER BY len_bucket, batch_id""".stripMargin,
+    // the naive single-window formulation of the two-level span
+    // substrate, then the same integer dart test (`//` = Spark DIV on
+    // the non-negative spans)
+    "text_pps_sample" ->
+      s"""WITH t AS (SELECT lang, doc_id,
+         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents),
+         |c AS (SELECT lang, doc_id, tok,
+         |        CAST(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS e FROM t)
+         |SELECT lang, doc_id, tok AS n_toks,
+         |  CAST((e // $PpsStep) - ((e - tok) // $PpsStep) AS BIGINT) AS n_picks
+         |FROM c WHERE (e // $PpsStep) > ((e - tok) // $PpsStep)
+         |ORDER BY lang, doc_id""".stripMargin,
     "text_pack" ->
       s"""WITH t AS (SELECT lang, doc_id,
          |       CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents),

@@ -414,4 +414,48 @@ class DedupSpec extends SparkSpec {
     assert(got.length === 1)
     assert(got.head._3 === 0.8)
   }
+
+  test("edit verify: identical -> 1000/verified, one-word swap high, alien low") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "zz qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg hh jj kk ll"),
+      (4L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L, 5L), (1L, 3L, 3L), (1L, 4L, 9L))
+      .toDF("doc_a", "doc_b", "n_shared_fps")
+    val out = Dedup.editVerifyPairs(pairs, docs, "doc_id", "text")
+      .orderBy("doc_b")
+      .collect().map(r => (r.getAs[Long]("doc_b"), r.getAs[Long]("edit_dist"),
+        r.getAs[Long]("sim_permille"), r.getAs[Long]("verified")))
+    assert(out(0) === ((2L, 3L, 1000L * 40 / 43, 1L)))  // dog -> cat
+    assert(out(1)._3 < 600 && out(1)._4 === 0L)         // alien text
+    assert(out(2) === ((4L, 0L, 1000L, 1L)))            // byte-identical
+  }
+
+  test("edit verify: Spark levenshtein equals the classic DP on seeded random pairs") {
+    import spark.implicits._
+    // the oracle leans on Spark and DuckDB agreeing on Levenshtein;
+    // pin the Spark side to the textbook unit-cost DP so any engine
+    // drift fails here, not at the driver's hash gate
+    def ref(a: String, b: String): Int = {
+      val d = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = d(0); d(0) = i
+        for (j <- 1 to b.length) {
+          val t = d(j)
+          d(j) = math.min(math.min(d(j) + 1, d(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      d(b.length)
+    }
+    val rnd = new scala.util.Random(20260814L)
+    def str() = (0 until rnd.nextInt(26)).map(_ => "abcd".charAt(rnd.nextInt(4))).mkString
+    val cases = (1 to 200).map(_ => (str(), str()))
+    val got = cases.toDF("a", "b")
+      .select(levenshtein(col("a"), col("b"))).collect().map(_.getInt(0))
+    cases.zip(got).foreach { case ((a, b), g) => assert(g === ref(a, b), s"'$a' vs '$b'") }
+  }
 }

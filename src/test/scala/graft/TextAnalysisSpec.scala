@@ -430,4 +430,103 @@ class TextAnalysisSpec extends SparkSpec {
       assert(ns.max - ns.min <= 1, s"unbalanced buckets: $bs")
     }
   }
+
+  test("ppsSample equals the naive single-window formulation for any bucket count") {
+    import org.apache.spark.sql.expressions.Window
+    val step = 97
+    val naive = docs
+      .select(col("lang"), col("doc_id").cast("bigint").as("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .withColumn("e", sum("n_toks").over(
+        Window.partitionBy("lang").orderBy("doc_id")))
+      .withColumn("n_picks", expr(s"(e DIV $step) - ((e - n_toks) DIV $step)"))
+      .filter(col("n_picks") > 0)
+      .select("lang", "doc_id", "n_toks", "n_picks")
+      .collect().toSet
+    for (buckets <- Seq(1, 3, 256)) {
+      val got = TextAnalysis.ppsSample(docs, "lang", "doc_id", "text",
+        step = step, buckets = buckets).collect().toSet
+      assert(got === naive, s"buckets=$buckets")
+    }
+    assert(naive.nonEmpty)
+  }
+
+  test("ppsSample: per-stratum pick mass is exactly floor(tokens/step); long docs multi-pick") {
+    import spark.implicits._
+    val step = 97
+    val got = TextAnalysis.ppsSample(docs, "lang", "doc_id", "text", step = step)
+      .groupBy("lang").agg(sum("n_picks").as("p"))
+    val tot = docs.select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("t"))
+      .groupBy("lang").agg(sum("t").as("tot"))
+    got.join(tot, "lang").collect().foreach { r =>
+      assert(r.getAs[Long]("p") === r.getAs[Long]("tot") / step,
+        s"lang ${r.getAs[String]("lang")}")
+    }
+    // a document longer than several steps is picked once per dart
+    val toy = Seq(("en", 1L, (1 to 10).map(i => s"t$i").mkString(" ")))
+      .toDF("lang", "doc_id", "text")
+    val picks = TextAnalysis.ppsSample(toy, "lang", "doc_id", "text", step = 3)
+      .collect()
+    assert(picks.length === 1 && picks.head.getAs[Long]("n_picks") === 3L)
+  }
+
+  test("shardAssign: per-shard positions dense, hash-ordered, bucket-invariant") {
+    import org.apache.spark.sql.expressions.Window
+    val P = TextAnalysis.SampleHashP; val A = TextAnalysis.SampleHashA
+    val naive = docs
+      .select(col("doc_id").cast("bigint").as("doc_id"))
+      .withColumn("_h", pmod(pmod(col("doc_id"), lit(P)) * lit(A), lit(P)))
+      .withColumn("shard", pmod(col("_h"), lit(8L)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy("_h", "doc_id")).cast("bigint"))
+      .select("doc_id", "shard", "pos")
+      .collect().toSet
+    for (buckets <- Seq(1, 7, 256)) {
+      val got = TextAnalysis.shardAssign(docs, "doc_id", numShards = 8,
+        buckets = buckets).collect().toSet
+      assert(got === naive, s"buckets=$buckets")
+    }
+    // bijection: every doc exactly once; positions dense per shard
+    assert(naive.size === docs.count())
+    naive.groupBy(_.getLong(1)).foreach { case (shard, rows) =>
+      val ps = rows.map(_.getLong(2)).toSeq.sorted
+      assert(ps === (1L to ps.length).toSeq, s"shard $shard not dense")
+    }
+  }
+
+  test("lengthBatching: equals naive window; full batches; zero padding when uniform") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val sized = docs.select(col("doc_id").cast("bigint").as("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .withColumn("len_bucket", expr("n_toks DIV 32"))
+    val naive = sized
+      .withColumn("r", row_number().over(
+        Window.partitionBy("len_bucket").orderBy("doc_id")))
+      .withColumn("batch_id", expr("(r - 1) DIV 16"))
+      .groupBy("len_bucket", "batch_id")
+      .agg(count(lit(1)).as("n_docs"), max("n_toks").as("max_toks"),
+        sum("n_toks").as("sum_toks"))
+      .withColumn("padding_permille",
+        expr("CAST((1000 * (n_docs * max_toks - sum_toks)) " +
+          "DIV greatest(n_docs * max_toks, 1) AS BIGINT)"))
+      .collect().toSet
+    val got = TextAnalysis.lengthBatching(docs, "doc_id", "text",
+      bucketWidth = 32, batchSize = 16).collect().toSet
+    assert(got === naive)
+    // every batch except possibly a bucket's last is exactly full
+    val byBucket = got.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    byBucket.foreach { case (_, bs) =>
+      val lastBatch = bs.map(_._2).max
+      bs.filter(_._2 < lastBatch).foreach(b => assert(b._3 === 16L))
+    }
+    // uniform lengths -> zero padding
+    val toy = (1L to 32L).map(i => (i, (1 to 40).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pads = TextAnalysis.lengthBatching(toy, "doc_id", "text", 32, 16)
+      .select("padding_permille").collect().map(_.getLong(0))
+    assert(pads.nonEmpty && pads.forall(_ === 0L))
+  }
 }
