@@ -231,7 +231,12 @@ object ScaleUp {
     // the hash-bucketed epoch shuffle into shards, and the
     // length-bucketed batching report
     "text_pps_sample", "dedup_edit_verify", "text_shard_assign",
-    "text_length_batching")
+    "text_length_batching",
+    // round 8 stragglers: Q12's returnflag-category lateness split is
+    // live on the synthetic fixture (o_orderdate + l_shipdate), and
+    // the streaming correlation parity exercises the mergeable-moment
+    // state path over 1 M events
+    "rel_q12_ship_lateness", "stream_corr_parity")
 
   /** 100×-bench-scale fixture (round-6 rehearsal): ONLY the tables the
     * five heaviest shuffle producers touch — documents 500 k, lineitem
