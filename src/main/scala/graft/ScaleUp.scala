@@ -375,7 +375,11 @@ object ScaleUp {
     // round 8 late: the co-located join at 60 M × 15 M — the bucketed
     // write is the one-time layout cost, the join itself exchanges
     // nothing on the keys at any scale
-    "rel_bucketed_join")
+    "rel_bucketed_join",
+    // round 8 cohort 7: the three docs-linear layout/sampling ops at
+    // 500 k open-vocab docs — their two-level substrates must stay
+    // funnel-free when the corpus, not the strata, is what grows
+    "text_pps_sample", "text_shard_assign", "text_length_batching")
 
   def main(args: Array[String]): Unit = {
     val mode100 = args.contains("100")
