@@ -51,6 +51,25 @@ object Relational {
         (dsum2(col("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
 
+  /** Equi-width HISTOGRAM of order value — the profiling workhorse
+    * dashboards and skew diagnostics start from: prices go to exact
+    * cents via the repo's decimal(38,2) bridge (double→2-dp cast is
+    * identical in Spark and DuckDB), bucket = cents DIV `bucketCents`,
+    * and each bucket reports row count + exact revenue mass. One
+    * partial+final hash aggregate whose output is bucket-count-sized —
+    * the histogram of a 100 TB fact costs one scan and a
+    * buckets×partitions exchange, nothing else. */
+  def priceHistogram(s: SparkSession, dir: String,
+                     bucketCents: Long = 5000000L): DataFrame =
+    Tables.orders(s, dir)
+      .select((col("o_totalprice").cast("decimal(38,2)") * 100).cast("long")
+        .as("_cents"))
+      .groupBy(expr(s"_cents DIV ${bucketCents}L").as("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum("_cents").cast("long").as("revenue_cents"))
+      .select(col("bucket"), (col("bucket") * bucketCents).as("bucket_lo_cents"),
+        col("n_orders"), col("revenue_cents"))
+
   /** TPC-H Q3-style: segment customers' open orders ranked by revenue.
     * customer is broadcast; orders⋈lineitem shuffles on the order key. */
   def shippingPriority(s: SparkSession, dir: String,

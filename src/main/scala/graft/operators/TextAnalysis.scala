@@ -316,6 +316,47 @@ object TextAnalysis {
         col("_t").as("n_toks"), col("n_picks"))
   }
 
+  /** VOCABULARY COVERAGE CURVE (Zipf head report) — the tokenizer-
+    * design signal: for each coverage threshold (permille of ALL
+    * token occurrences), the smallest frequency-ranked head size that
+    * reaches it, plus the exact occurrences that head covers. Rank
+    * order is (count DESC, word ASC) — fully deterministic.
+    *
+    * Scale shape: token counting is the usual explode + partial/final
+    * hash aggregate (vocab-sized output, never corpus-sized); the
+    * head is `orderBy(desc).limit(headK)` — Spark plans TakeOrdered
+    * with per-partition heaps, so no global sort ever materializes —
+    * and the prefix-sum window then runs over ≤ headK rows (a BOUNDED
+    * single partition, like every top-k in the repo). By Zipf's law
+    * the interesting thresholds live in the head; a threshold the
+    * head cannot reach is absent from the output (semantics: coverage
+    * WITHIN the top-`headK` head — headK is a parameter of the
+    * report, and the oracle replays the same bound). */
+  def zipfCoverage(docs: DataFrame, textCol: String,
+                   thresholds: Seq[Int] = Seq(500, 900, 990),
+                   headK: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(thresholds.nonEmpty && thresholds.forall(t => t > 0 && t <= 1000))
+    val counts = docs
+      .select(explode(TextOps.words(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum("c").as("_total"))
+    val ord = Window.orderBy(col("c").desc, col("w"))
+    val head = counts.orderBy(col("c").desc, col("w")).limit(headK)
+      .withColumn("_rank", row_number().over(ord).cast("bigint"))
+      .withColumn("_cum", sum("c").over(ord))
+    head.crossJoin(broadcast(total))
+      .withColumn("threshold_permille",
+        explode(array(thresholds.map(t => lit(t.toLong)): _*)))
+      .filter(col("_cum") * 1000 >= col("threshold_permille") * col("_total"))
+      .groupBy("threshold_permille")
+      .agg(min(struct(col("_rank"), col("_cum"))).as("_m"),
+        max(col("_total")).as("total_tokens"))
+      .select(col("threshold_permille"), col("_m._rank").as("n_words"),
+        col("_m._cum").as("covered_tokens"), col("total_tokens"))
+  }
+
   /** Deterministic EPOCH SHUFFLE + SHARD ASSIGNMENT — the step that
     * turns a curated corpus into training input files: each document
     * goes to shard `h(id) mod numShards` and receives a dense position

@@ -297,6 +297,13 @@ object RelationalQueries {
     Relational.returnedRevenue(s, dir)
       .orderBy(col("revenue_x10000").desc, col("c_custkey"))
 
+  /** Equi-width order-value histogram at $50k buckets
+    * ([[Relational.priceHistogram]]) — exact-cents buckets and revenue
+    * mass, bucket-count-sized output. */
+  def priceHistogramQ(s: SparkSession, dir: String): DataFrame =
+    Relational.priceHistogram(s, dir)
+      .orderBy("bucket")
+
   def q14(s: SparkSession, dir: String): DataFrame =
     Relational.promoRevenue(s, dir)
 
@@ -355,6 +362,7 @@ object RelationalQueries {
     "rel_q14_promo" -> (q14 _),
     "rel_q4_priority" -> (q4 _),
     "rel_q18_big_orders" -> (q18 _),
+    "rel_price_histogram" -> (priceHistogramQ _),
     "rel_q10_returns" -> (q10 _),
     "rel_bucketed_join" -> (bucketedJoin _),
     "rel_snapshot_diff" -> (snapshotDiffQ _),
@@ -593,6 +601,17 @@ object RelationalQueries {
         |              WHERE l.l_orderkey = o.o_orderkey
         |                AND l.l_shipdate > o.o_orderdate)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the same decimal(38,2)->cents bridge, then plain bucket group-by
+    "rel_price_histogram" ->
+      """WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(38,2)) * 100 AS BIGINT) AS cents
+        |       FROM orders),
+        |b AS (SELECT cents // 5000000 AS bucket, COUNT(*) AS n_orders,
+        |        CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        |      FROM c GROUP BY 1)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(bucket * 5000000 AS BIGINT) AS bucket_lo_cents,
+        |  n_orders, revenue_cents
+        |FROM b ORDER BY bucket""".stripMargin,
     "rel_q18_big_orders" ->
       """WITH big AS (
         |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(38,2))) AS sq

@@ -251,7 +251,15 @@ object TextQueries {
         bucketWidth = LenBucketWidth, batchSize = LenBatchSize)
       .orderBy("len_bucket", "batch_id")
 
+  /** Vocabulary coverage curve at 500/900/990‰
+    * ([[TextAnalysis.zipfCoverage]], head bound 4096): smallest
+    * frequency-ranked head reaching each coverage threshold. */
+  def zipfCoverageQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.zipfCoverage(Tables.documents(s, dir), "text")
+      .orderBy("threshold_permille")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_zipf_coverage" -> (zipfCoverageQ _),
     "text_shard_assign" -> (shardAssignQ _),
     "text_length_batching" -> (lengthBatchingQ _),
     "text_pps_sample" -> (ppsSampleQ _),
@@ -353,6 +361,25 @@ object TextQueries {
     // the packing oracle is the PLAIN single-window prefix sum — the
     // two-level bucketing must be result-invisible (the salted-agg /
     // kmv / stratumRank contract)
+    // same (count DESC, word) rank, same 4096-head bound, same
+    // integer threshold test
+    "text_zipf_coverage" ->
+      """WITH wds AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |cnt AS (SELECT w, COUNT(*) AS c FROM wds WHERE length(w) > 0 GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM cnt),
+        |head AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 4096),
+        |r AS (SELECT w, c,
+        |        CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS rnk,
+        |        CAST(SUM(c) OVER (ORDER BY c DESC, w) AS BIGINT) AS cum
+        |      FROM head),
+        |x AS (SELECT t.t AS threshold_permille, r.rnk, r.cum, tot.total
+        |      FROM r, tot, (VALUES (500), (900), (990)) AS t(t)
+        |      WHERE r.cum * 1000 >= t.t * tot.total)
+        |SELECT CAST(threshold_permille AS BIGINT) AS threshold_permille,
+        |  CAST(min(rnk) AS BIGINT) AS n_words,
+        |  CAST(min_by(cum, rnk) AS BIGINT) AS covered_tokens,
+        |  CAST(max(total) AS BIGINT) AS total_tokens
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
     // the same multiplicative hash, then the naive per-shard
     // row_number the hash-bucketed two-level rank reproduces exactly
     "text_shard_assign" ->

@@ -227,4 +227,21 @@ class RelationalSpec extends SparkSpec {
       .collect()(0).getLong(0)
     assert(direct === top.getLong(3))
   }
+
+  test("price histogram: mass conservation and per-bucket bounds") {
+    val orders = graft.io.Tables.orders(spark, sf001)
+    val width = 5000000L
+    val h = graft.operators.Relational.priceHistogram(spark, sf001, width)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every order lands in exactly one bucket; cents mass conserved
+    assert(h.map(_._3).sum === orders.count())
+    val allCents = orders
+      .agg(sum((col("o_totalprice").cast("decimal(38,2)") * 100).cast("long")))
+      .collect()(0).getLong(0)
+    assert(h.map(_._4).sum === allCents)
+    h.foreach { case (b, lo, n, rev) =>
+      assert(lo === b * width)
+      assert(rev >= n * lo && rev < n * (lo + width), s"bucket $b out of bounds")
+    }
+  }
 }

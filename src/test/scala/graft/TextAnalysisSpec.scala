@@ -529,4 +529,33 @@ class TextAnalysisSpec extends SparkSpec {
       .select("padding_permille").collect().map(_.getLong(0))
     assert(pads.nonEmpty && pads.forall(_ === 0L))
   }
+
+  test("zipfCoverage: minimal head per threshold; closed-form toy") {
+    import spark.implicits._
+    // fixture: thresholds monotone in n_words, coverage proven minimal
+    val rows = TextAnalysis.zipfCoverage(docs, "text")
+      .orderBy("threshold_permille").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === Seq(500L, 900L, 990L))
+    assert(rows.map(_._2).toSeq === rows.map(_._2).toSeq.sorted)     // head grows
+    // driver recompute: the counts, ranked the same way
+    val counts = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).groupBy("w").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (w, c) => (-c, w) }
+    val total = counts.map(_._2).sum
+    val cums = counts.scanLeft(0L)(_ + _._2).drop(1)
+    rows.foreach { case (t, n, cov, tot) =>
+      assert(tot === total)
+      assert(cov === cums(n.toInt - 1))
+      assert(cov * 1000 >= t * total)                                 // reaches
+      if (n > 1) assert(cums(n.toInt - 2) * 1000 < t * total)         // minimally
+    }
+    // closed-form toy: a a a a b b c d
+    val toy = Seq((1L, "a a a a b b c d")).toDF("doc_id", "text")
+    val got = TextAnalysis.zipfCoverage(toy, "text")
+      .orderBy("threshold_permille").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((500L, 1L, 4L), (900L, 4L, 8L), (990L, 4L, 8L)))
+  }
 }
