@@ -238,9 +238,10 @@ object ScaleUp {
     // state path over 1 M events
     "rel_q12_ship_lateness", "stream_corr_parity",
     // round 8 cohort 8: the equi-width cents histogram over 1.5 M
-    // orders (bucket-count-sized exchange) and the Zipf head report
-    // over 5 M tokens (vocab-sized agg + bounded head window)
-    "rel_price_histogram", "text_zipf_coverage")
+    // orders (bucket-count-sized exchange), the Zipf head report
+    // over 5 M tokens (vocab-sized agg + bounded head window), and
+    // the contribution-decomposition rolling WAU over 1 M events
+    "rel_price_histogram", "text_zipf_coverage", "events_rolling_wau")
 
   /** 100×-bench-scale fixture (round-6 rehearsal): ONLY the tables the
     * five heaviest shuffle producers touch — documents 500 k, lineitem

@@ -283,6 +283,35 @@ object Events {
         last(col("day_cents"), ignoreNulls = true).over(fill).as("filled_cents"))
   }
 
+  /** ROLLING ACTIVE USERS — exact trailing-window distinct users per
+    * observed epoch day (DAU + `windowDays`-day WAU): windowed COUNT
+    * DISTINCT is not sum-decomposable, so the scalable exact plan is
+    * the CONTRIBUTION decomposition — reduce events to distinct
+    * (user, active-day) pairs (map-side partial DISTINCT collapses
+    * each user's events per day before anything shuffles), explode
+    * each pair to the `windowDays` report days it contributes to,
+    * DISTINCT again (a user active twice in one window still counts
+    * once), and count per day. Work is user-days × windowDays —
+    * linear, no per-day state, no sliding-window buffer; the per-day
+    * report joins DAU and WAU day-count-sized frames. Days are
+    * epoch-day integers ([[gapFillDaily]]'s representation — no
+    * DATE-type or timezone drift can reach the hasher). */
+  def rollingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays > 0, "windowDays must be positive")
+    val dayUs = 86400L * 1000000L
+    val day = expr(s"(unix_micros(ts) - pmod(unix_micros(ts), $dayUs)) DIV $dayUs")
+    val ud = events.select(col("user_id"), day.as("d")).distinct()
+    val dau = ud.groupBy(col("d").as("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("d"), col("d") + (windowDays - 1))).as("day"))
+      .distinct()
+      .join(broadcast(dau.select("day")), "day") // observed days only
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"))
+  }
+
   /** ROLLING Z-SCORE ANOMALY DETECTION — flag events whose value
     * deviates from the user's own trailing baseline: a row is
     * anomalous when (x − μ)² > z²·σ² over the `lookback` PRECEDING

@@ -119,7 +119,15 @@ object EventsQueries {
         col("cents"), col("n_prev"), col("s_prev"))
       .orderBy("user_id", "event_id")
 
+  /** Exact DAU + trailing-7-day WAU per observed epoch day
+    * ([[Events.rollingActiveUsers]]) — the contribution decomposition
+    * that keeps windowed COUNT DISTINCT linear. */
+  def rollingWau(s: SparkSession, dir: String): DataFrame =
+    Events.rollingActiveUsers(Tables.events(s, dir), windowDays = 7)
+      .orderBy("day")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_rolling_wau" -> (rollingWau _),
     "events_anomaly_zscore" -> (anomaly _),
     "events_gap_fill" -> (gapFill _),
     "events_scd2_intervals" -> (scd2 _),
@@ -152,6 +160,20 @@ object EventsQueries {
          |  AND (cents * n_prev - s_prev) * (cents * n_prev - s_prev)
          |      > 9 * (n_prev * q_prev - s_prev * s_prev)
          |ORDER BY user_id, event_id""".stripMargin,
+    // the same contribution decomposition: distinct (user, day),
+    // explode to the 7 report days, distinct, count — restricted to
+    // observed days
+    "events_rolling_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+        |       FROM events),
+        |dau AS (SELECT d AS day, COUNT(*) AS dau FROM ud GROUP BY 1),
+        |contrib AS (SELECT DISTINCT u.user_id, u.d + g.o AS day
+        |            FROM ud u, (SELECT unnest(generate_series(0, 6)) AS o) g),
+        |wau AS (SELECT c.day, COUNT(*) AS wau FROM contrib c
+        |        JOIN dau ON dau.day = c.day GROUP BY 1)
+        |SELECT d.day, d.dau, w.wau
+        |FROM dau d JOIN wau w ON w.day = d.day
+        |ORDER BY d.day""".stripMargin,
     // epoch-day = floored integer division (DuckDB // floors natively;
     // Spark side subtracts pmod first); the forward fill is DuckDB's
     // IGNORE NULLS window copy of the exact-cents daily total

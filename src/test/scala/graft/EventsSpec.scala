@@ -260,4 +260,33 @@ class EventsSpec extends SparkSpec {
     assert(flagged.intersect(doubleNoFlags).isEmpty)
     assert(flagged.nonEmpty)
   }
+
+  test("rolling WAU equals naive trailing-window distinct; DAU <= WAU") {
+    val got = Events.rollingActiveUsers(events, windowDays = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.nonEmpty)
+    // driver recompute from distinct (user, epoch-day)
+    val dayUs = 86400L * 1000000L
+    val ud = events
+      .select(col("user_id"), expr(s"unix_micros(ts) DIV $dayUs").as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDay = ud.groupBy(_._2)
+    got.foreach { case (day, dau, wau) =>
+      assert(dau === byDay(day).map(_._1).distinct.length.toLong)
+      val naive = ud.filter { case (_, d) => d >= day - 6 && d <= day }
+        .map(_._1).distinct.length.toLong
+      assert(wau === naive, s"day $day")
+      assert(dau <= wau)
+    }
+    // toy: re-activity within one window counts once
+    val t0 = 1700000000L
+    val toy = Seq((1L, t0), (1L, t0 + 3 * 86400L), (2L, t0 + 3 * 86400L))
+      .toDF("user_id", "sec")
+      .select(col("user_id"), timestamp_seconds(col("sec")).as("ts"))
+    val tg = Events.rollingActiveUsers(toy, windowDays = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).map(t => (t._2, t._3)).toSeq
+    assert(tg === Seq((1L, 1L), (2L, 2L)))
+  }
 }
