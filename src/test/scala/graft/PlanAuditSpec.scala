@@ -127,6 +127,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(q16.contains("LeftAnti"), s"q16 blacklist must be an anti join:\n$q16")
   }
 
+  test("cohort-7/8 layout ops: funnel-free windows, bounded heads, broadcast dims") {
+    // the two-level samplers/layout ops must never plan an
+    // UNPARTITIONED window (the naive per-stratum formulation's
+    // funnel); their windows are (stratum, bucket)- or
+    // (shard, bucket)-partitioned. (A bounded `Exchange
+    // SinglePartition` under the 1-row min/max bounds aggregate is
+    // fine — that is agg partials, not data.)
+    for (q <- Seq("text_pps_sample", "text_shard_assign",
+        "text_length_batching", "events_rolling_wau")) {
+      val plan = batchQueries(q).queryExecution.executedPlan.toString
+      // a partitioned Window prints `], [partCols], [orderCols]`
+      // (three bracket groups); an unpartitioned one only two
+      val globalWindows = plan.linesIterator
+        .filter(_.contains("windowspecdefinition"))
+        .filter(_.split("""\], \[""").length < 3)
+        .toSeq
+      assert(globalWindows.isEmpty,
+        s"$q plans an unpartitioned window (stratum funnel): $globalWindows")
+    }
+    // zipf coverage: the head must be TakeOrdered (per-partition
+    // heaps), never a global Sort of the vocabulary; its one
+    // single-partition window runs over <= headK bounded rows
+    val zipf = batchQueries("text_zipf_coverage").queryExecution.executedPlan.toString
+    assert(zipf.contains("TakeOrderedAndProject"),
+      s"zipf head should plan as TakeOrdered:\n$zipf")
+    // price histogram: one partial+final agg — a single hash exchange
+    // besides the output ordering's range partition
+    val hist = batchQueries("rel_price_histogram").queryExecution.executedPlan.toString
+    assert(hist.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"price histogram should shuffle once (bucket partials):\n$hist")
+  }
+
   test("radius search plans no per-query sort (top-k does)") {
     val radius = batchQueries("ann_radius_search")
       .queryExecution.executedPlan.toString
