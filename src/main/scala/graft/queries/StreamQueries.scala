@@ -254,6 +254,41 @@ object StreamQueries {
       .orderBy("event_type")
   }
 
+  /** Rolling WAU on a STREAM — the contribution decomposition of
+    * [[graft.operators.Events.rollingActiveUsers]] composed from
+    * native Structured Streaming state: dedup events to distinct
+    * (user, epoch-day) (bounded state: user-days), explode each pair
+    * to the 7 report days it touches (stateless), dedup again on
+    * (user, report-day) so re-activity inside one window counts once
+    * — CHAINED stateful dedups, the exact streaming face of the batch
+    * plan's two DISTINCTs. The drained append sink holds the distinct
+    * contribution set; day counts and the observed-day restriction
+    * are day-cardinality-sized batch steps (the restriction frame
+    * comes from the batch table, like `stream_static_join_parity`'s
+    * dim). Parity contract: equals the batch operator's `wau` column
+    * — the oracle is the same contribution CTE. A production
+    * deployment bounds both dedup states with a `withWatermark`
+    * before the first dedup (state ≤ users × (window + lateness)
+    * days); the parity run replays a finite fixture, so it keeps the
+    * whole set, like `stream_dedup_distinct`. */
+  def wauParity(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val ev = StreamOps.readEventsStream(s, eventsStreamDir(dir))
+      .select(col("user_id"),
+        expr(s"(unix_micros(ts) - pmod(unix_micros(ts), $dayUs)) DIV $dayUs").as("d"))
+      .dropDuplicates("user_id", "d")
+      .select(col("user_id"),
+        explode(sequence(col("d"), col("d") + 6)).as("day"))
+      .dropDuplicates("user_id", "day")
+    val sunk = runToMemory(s, "stream_wau_sink", ev, "append")
+    val obs = graft.io.Tables.events(s, dir)
+      .select(expr(s"(unix_micros(ts) - pmod(unix_micros(ts), $dayUs)) DIV $dayUs")
+        .as("day")).distinct()
+    sunk.join(broadcast(obs), "day")
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+      .orderBy("day")
+  }
+
   /** Incremental aggregate maintenance driven by its intended engine:
     * a foreachBatch stream where every micro-batch contributes its
     * [[graft.operators.Incremental.partialState]] and the running
@@ -389,6 +424,7 @@ object StreamQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_wau_parity" -> (wauParity _),
     "stream_corr_parity" -> (corrParity _),
     "stream_static_join_parity" -> (staticJoinParity _),
     "stream_incremental_parity" -> (incrementalParity _),
@@ -420,6 +456,17 @@ object StreamQueries {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // flat recompute — batch (rel_incremental_agg), delta-merge, and
     // the streamed state table must all equal it exactly
+    // the batch contribution CTE verbatim (events_rolling_wau's wau
+    // half) — streaming chained dedups must land on the same set
+    "stream_wau_parity" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+        |       FROM events),
+        |obs AS (SELECT DISTINCT d AS day FROM ud),
+        |contrib AS (SELECT DISTINCT u.user_id, u.d + g.o AS day
+        |            FROM ud u, (SELECT unnest(generate_series(0, 6)) AS o) g)
+        |SELECT c.day, COUNT(*) AS wau
+        |FROM contrib c JOIN obs ON obs.day = c.day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_incremental_parity" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DECIMAL(24,2)) * 100 AS BIGINT) AS sum_price_cents,

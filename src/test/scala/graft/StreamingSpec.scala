@@ -315,4 +315,14 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
+
+  test("streaming WAU (chained dedups) equals the batch contribution decomposition") {
+    val streamed = SparkEntry.queries("stream_wau_parity")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batch = Events.rollingActiveUsers(graft.io.Tables.events(spark, sf001))
+      .orderBy("day")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }
