@@ -241,7 +241,10 @@ object ScaleUp {
     // orders (bucket-count-sized exchange), the Zipf head report
     // over 5 M tokens (vocab-sized agg + bounded head window), and
     // the contribution-decomposition rolling WAU over 1 M events
-    "rel_price_histogram", "text_zipf_coverage", "events_rolling_wau")
+    "rel_price_histogram", "text_zipf_coverage", "events_rolling_wau",
+    // hybrid retrieval: both retrievers' full plans + the bounded
+    // fusion join, and the streaming WAU's chained dedup states
+    "ann_hybrid_rrf", "stream_wau_parity")
 
   /** 100×-bench-scale fixture (round-6 rehearsal): ONLY the tables the
     * five heaviest shuffle producers touch — documents 500 k, lineitem

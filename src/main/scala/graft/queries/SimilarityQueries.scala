@@ -230,7 +230,48 @@ object SimilarityQueries {
       .orderBy("query_id")
   }
 
+  /** HYBRID RETRIEVAL — reciprocal-rank fusion of the two flagship
+    * retrieval paths (the RAG-standard combiner): BM25 top-50 over
+    * `documents` and exact-cosine top-50 around the first query
+    * vector, fused by RRF with the textbook k=60 — in INTEGER micros
+    * (`1000000 DIV (60 + rank)`), so the fused ranking is
+    * hash-checkable with no float fusion arithmetic. Fixture
+    * convention (the standard RAG layout): `embeddings.vec_id` is the
+    * embedding of `documents.doc_id` — text and vectors key on one
+    * corpus id. A doc present in only one list contributes one RRF
+    * term and reports −1 for the missing rank. Scale shape: both
+    * inputs are top-k-bounded frames (the heavy work is each
+    * retriever's own audited plan); the fusion join and final rank
+    * touch ≤ 2k rows. */
+  val RrfK = 60
+  val HybridK = 50
+  val HybridOut = 20
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bm = graft.operators.TextAnalysis.bm25TopK(Tables.documents(s, dir),
+        "doc_id", "text", TextQueries.Bm25Terms, k = HybridK)
+      .select(col("doc_id"), col("rank").cast("bigint").as("bm25_rank"))
+    val q0 = queryVecs(s, dir).minBy(_._1)
+    val ann = Similarity.bruteForceTopK(Tables.embeddings(s, dir), "vec_id",
+        "embedding", Array(q0), HybridK)
+      .select(col("neighbor_id").cast("bigint").as("doc_id"),
+        col("rank").cast("bigint").as("ann_rank"))
+    bm.join(ann, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_micros",
+        coalesce(expr(s"1000000 DIV ($RrfK + bm25_rank)"), lit(0L)) +
+        coalesce(expr(s"1000000 DIV ($RrfK + ann_rank)"), lit(0L)))
+      .orderBy(col("rrf_micros").desc, col("doc_id"))
+      .limit(HybridOut)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("rrf_micros").desc, col("doc_id"))).cast("bigint"))
+      .select(col("rank"), col("doc_id"), col("rrf_micros"),
+        coalesce(col("bm25_rank"), lit(-1L)).as("bm25_rank"),
+        coalesce(col("ann_rank"), lit(-1L)).as("ann_rank"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_hybrid_rrf" -> (hybridRrf _),
     "ann_bruteforce_topk" -> (bruteForce _),
     "ann_lsh_topk" -> (lsh _),
     "ann_radius_search" -> (radius _),
@@ -471,6 +512,56 @@ object SimilarityQueries {
        |ORDER BY q.query_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the proven text_bm25_topk and ann_bruteforce_topk CTEs spliced,
+    // then integer-micros RRF — ranks are the only fusion inputs
+    "ann_hybrid_rrf" -> {
+      val terms = TextQueries.Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM tok),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |              CAST(SUM(dl) AS BIGINT) AS sumdl FROM dl),
+         |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, unnest(w) AS token FROM tok)
+         |       WHERE token IN $terms GROUP BY 1, 2),
+         |dfx AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc_id,
+         |         CAST(FLOOR(
+         |           (CAST(2 * (st.n - dfx.df) + 1 AS DOUBLE) / (2 * dfx.df + 1)) *
+         |           (CAST(44 * tf.tf * st.sumdl AS DOUBLE) /
+         |            (20 * tf.tf * st.sumdl + 6 * st.sumdl + 18 * dl.dl * st.n)) *
+         |           1000000.0) AS BIGINT) AS score_micros
+         |       FROM tf JOIN dfx ON tf.token = dfx.token
+         |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+         |pd AS (SELECT doc_id, CAST(SUM(score_micros) AS BIGINT) AS bm25_micros
+         |       FROM sc GROUP BY 1),
+         |bm AS (SELECT doc_id,
+         |         CAST(row_number() OVER (ORDER BY bm25_micros DESC, doc_id) AS BIGINT) AS bm25_rank
+         |       FROM pd ORDER BY bm25_micros DESC, doc_id LIMIT $HybridK),
+         |p AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |      FROM embeddings),
+         |qv AS (SELECT vec_id AS query_id, v AS qq FROM p ORDER BY vec_id LIMIT 1),
+         |d AS (SELECT p.vec_id AS doc_id,
+         |  list_sum(list_transform(generate_series(1, $Dim), i -> qv.qq[i] * p.v[i])) /
+         |  (sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> qv.qq[i] * qv.qq[i]))) *
+         |   sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> p.v[i] * p.v[i])))) AS cosine
+         |  FROM qv CROSS JOIN p WHERE p.vec_id <> qv.query_id),
+         |ann AS (SELECT doc_id, ann_rank FROM (
+         |  SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS ann_rank
+         |  FROM d) WHERE ann_rank <= $HybridK),
+         |f AS (SELECT COALESCE(bm.doc_id, ann.doc_id) AS doc_id,
+         |             bm.bm25_rank, ann.ann_rank
+         |      FROM bm FULL OUTER JOIN ann ON ann.doc_id = bm.doc_id),
+         |g AS (SELECT doc_id,
+         |        CAST(COALESCE(1000000 // ($RrfK + bm25_rank), 0) +
+         |             COALESCE(1000000 // ($RrfK + ann_rank), 0) AS BIGINT) AS rrf_micros,
+         |        CAST(COALESCE(bm25_rank, -1) AS BIGINT) AS bm25_rank,
+         |        CAST(COALESCE(ann_rank, -1) AS BIGINT) AS ann_rank
+         |      FROM f)
+         |SELECT CAST(row_number() OVER (ORDER BY rrf_micros DESC, doc_id) AS BIGINT) AS rank,
+         |  doc_id, rrf_micros, bm25_rank, ann_rank
+         |FROM g ORDER BY rrf_micros DESC, doc_id LIMIT $HybridOut""".stripMargin
+    },
     "ann_pq_topk" -> pqOracleSql(s"LIMIT $Q"),
     "ann_pq_probe_only" -> pqOracleSql(s"LIMIT $Q OFFSET $Q"),
     "ann_recall_eval" -> recallOracleSql,

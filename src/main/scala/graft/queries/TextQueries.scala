@@ -289,7 +289,7 @@ object TextQueries {
 
   /** Query-term set for `text_bm25_topk` (mid-frequency fixture
     * vocabulary; shared verbatim by the oracle SQL). */
-  private val Bm25Terms = Seq("hash", "join", "scan", "window", "vector")
+  private[queries] val Bm25Terms = Seq("hash", "join", "scan", "window", "vector")
 
   /** The 3-query batch for `text_bm25_querytable` — overlapping
     * subsets of [[Bm25Terms]], so shared (doc, token) scores are

@@ -309,4 +309,31 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.lshRadius(emb, "vec_id", "embedding", qv, tau)
       .filter(col("cosine") < tau).count() === 0)
   }
+
+  test("hybrid RRF equals a driver-side fusion of the two retrievers") {
+    val got = SparkEntry.queries("ann_hybrid_rrf")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // bm25 side via its own declared query (same terms, k=50)
+    val bm = SparkEntry.queries("text_bm25_topk")(spark, sf001)
+      .select(col("doc_id"), col("rank").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ann side: exact top-50 around the lowest-id query vector
+    val embT = Tables.embeddings(spark, sf001)
+    val q0 = embT.orderBy("vec_id").limit(1)
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).head
+    val ann = Similarity.bruteForceTopK(embT, "vec_id", "embedding", Array(q0), 50)
+      .select(col("neighbor_id").cast("long"), col("rank").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fused = (bm.keySet ++ ann.keySet).toSeq.map { id =>
+      val rrf = bm.get(id).map(r => 1000000L / (60 + r)).getOrElse(0L) +
+        ann.get(id).map(r => 1000000L / (60 + r)).getOrElse(0L)
+      (id, rrf, bm.getOrElse(id, -1L), ann.getOrElse(id, -1L))
+    }.sortBy { case (id, rrf, _, _) => (-rrf, id) }.take(20).zipWithIndex
+      .map { case ((id, rrf, b, a), i) => (i + 1L, id, rrf, b, a) }
+    assert(got.toSeq === fused)
+    // at least one doc must be found by both retrievers or the
+    // fixture stopped exercising the fusion
+    assert(got.exists(r => r._4 > 0 && r._5 > 0))
+  }
 }
