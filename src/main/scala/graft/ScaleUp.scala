@@ -244,7 +244,10 @@ object ScaleUp {
     "rel_price_histogram", "text_zipf_coverage", "events_rolling_wau",
     // hybrid retrieval: both retrievers' full plans + the bounded
     // fusion join, and the streaming WAU's chained dedup states
-    "ann_hybrid_rrf", "stream_wau_parity")
+    "ann_hybrid_rrf", "stream_wau_parity",
+    // image clusters: the codec-heavy aHash frame (memoized), the
+    // distinct-hash band join, then pair-graph-sized components
+    "mm_ahash_clusters")
 
   /** 100×-bench-scale fixture (round-6 rehearsal): ONLY the tables the
     * five heaviest shuffle producers touch — documents 500 k, lineitem

@@ -75,14 +75,104 @@ object MultimodalQueries {
     Multimodal.ahashNearDupPairs(ahashFrame(s, dir))
       .orderBy("doc_a", "doc_b")
 
+  /** Perceptual image CLUSTERS — connected components over the
+    * banded-Hamming pair graph (nodes = distinct aHashes, identified
+    * by their exemplar doc), each cluster reporting how many distinct
+    * hashes and how many IMAGES it absorbs (exact-dup members ride
+    * along via the distinct-hash frame's member counts). The image
+    * twin of `dedup_cc_groups`: one template's crops/re-encodes
+    * collapse to one cluster row. Pair graph is near-dup-bounded,
+    * components and the final agg are pair-graph-sized. */
+  def ahashClusters(s: SparkSession, dir: String): DataFrame = {
+    val dh = ahashFrame(s, dir).groupBy("ahash_hi", "ahash_lo")
+      .agg(count(lit(1)).as("n_docs"), min("id").as("exemplar_doc"))
+    val pairs = Multimodal.ahashNearDupPairs(ahashFrame(s, dir))
+      .select("doc_a", "doc_b")
+    graft.operators.Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .join(dh, col("node") === col("exemplar_doc"))
+      .groupBy(col("component").as("cluster_id"))
+      .agg(count(lit(1)).as("n_hashes"), sum("n_docs").as("n_images"))
+      .orderBy("cluster_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_ahash_clusters" -> (ahashClusters _),
     "mm_byte_histogram" -> (histogram _),
     "mm_frame_fingerprints" -> (frames _),
     "mm_ahash_groups" -> (ahashGroups _),
     "mm_ahash_near_pairs" -> (ahashNearPairs _),
     "mm_decode_roundtrip" -> (decodeRoundtrip _))
 
+  // pixels → block-mean mosaic → hash bits → distinct hashes → 16-bit
+  // bands → verified pairs: shared by the near-pairs and clusters
+  // oracles (wp = the Hamming-verified pair list between distinct
+  // hashes, dh = the distinct-hash frame with exemplar + member count)
+  private val ahashPairCte =
+    """WITH px AS (
+        |  SELECT doc_id, list_transform(generate_series(1, 256),
+        |    i -> CASE WHEN i <= length(text)
+        |              THEN CAST(ascii(substr(text, i, 1)) AS BIGINT)
+        |              ELSE 0 END) AS p
+        |  FROM documents),
+        |bm AS (
+        |  SELECT doc_id, list_transform(generate_series(0, 63), j ->
+        |    (p[((j // 8) * 2) * 16 + (j % 8) * 2 + 1] +
+        |     p[((j // 8) * 2) * 16 + (j % 8) * 2 + 2] +
+        |     p[((j // 8) * 2 + 1) * 16 + (j % 8) * 2 + 1] +
+        |     p[((j // 8) * 2 + 1) * 16 + (j % 8) * 2 + 2]) // 4) AS b
+        |  FROM px),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(coalesce(list_sum(list_transform(generate_series(32, 63),
+        |      j -> CASE WHEN b[j + 1] > list_sum(b) // 64
+        |                THEN (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END)), 0)
+        |      AS BIGINT) AS ahash_hi,
+        |    CAST(coalesce(list_sum(list_transform(generate_series(0, 31),
+        |      j -> CASE WHEN b[j + 1] > list_sum(b) // 64
+        |                THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)), 0)
+        |      AS BIGINT) AS ahash_lo
+        |  FROM bm),
+        |dh AS (
+        |  SELECT ahash_hi, ahash_lo, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         MIN(doc_id) AS exemplar_doc
+        |  FROM h GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT ahash_hi, ahash_lo, n_docs, exemplar_doc, t.j AS band_idx,
+        |    CASE t.j
+        |      WHEN 0 THEN ahash_lo % 65536
+        |      WHEN 1 THEN ahash_lo // 65536
+        |      WHEN 2 THEN ahash_hi % 65536
+        |      ELSE        ahash_hi // 65536 END AS band_val
+        |  FROM dh, (SELECT unnest(generate_series(0, 3)) AS j) t),
+        |cand AS (
+        |  SELECT DISTINCT
+        |    a.ahash_hi AS hi_a, a.ahash_lo AS lo_a, a.n_docs AS n_a, a.exemplar_doc AS doc_a,
+        |    b.ahash_hi AS hi_b, b.ahash_lo AS lo_b, b.n_docs AS n_b, b.exemplar_doc AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        |   AND (a.ahash_hi < b.ahash_hi OR (a.ahash_hi = b.ahash_hi AND a.ahash_lo < b.ahash_lo))),
+      |wp AS (SELECT doc_a, doc_b, n_a, n_b,
+      |  CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS INTEGER) AS hamming
+      |  FROM cand
+      |  WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // the shared pair CTE + the recursive min-label walk (the
+    // dedup_cc_groups oracle pattern) + member counts from dh
+    "mm_ahash_clusters" -> (ahashPairCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      """,
+        |e AS (SELECT doc_a AS cur, doc_b AS nxt FROM wp
+        |      UNION ALL SELECT doc_b, doc_a FROM wp),
+        |walk(node, label) AS (
+        |  SELECT DISTINCT cur, cur FROM e
+        |  UNION
+        |  SELECT e.nxt, w.label FROM walk w JOIN e ON e.cur = w.node),
+        |comp AS (SELECT node, min(label) AS component FROM walk GROUP BY 1)
+        |SELECT CAST(c.component AS BIGINT) AS cluster_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_hashes,
+        |  CAST(SUM(d.n_docs) AS BIGINT) AS n_images
+        |FROM comp c JOIN dh d ON d.exemplar_doc = c.node
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
     "mm_byte_histogram" ->
       s"""WITH px AS (
          |  SELECT doc_id, length(text) AS len,
@@ -142,55 +232,10 @@ object MultimodalQueries {
     // reuses mm_ahash_groups' proven px/bm/h hash pipeline, then
     // replays the 4×16-bit banding, lexicographic pair orientation,
     // and xor-popcount verify literally
-    "mm_ahash_near_pairs" ->
-      """WITH px AS (
-        |  SELECT doc_id, list_transform(generate_series(1, 256),
-        |    i -> CASE WHEN i <= length(text)
-        |              THEN CAST(ascii(substr(text, i, 1)) AS BIGINT)
-        |              ELSE 0 END) AS p
-        |  FROM documents),
-        |bm AS (
-        |  SELECT doc_id, list_transform(generate_series(0, 63), j ->
-        |    (p[((j // 8) * 2) * 16 + (j % 8) * 2 + 1] +
-        |     p[((j // 8) * 2) * 16 + (j % 8) * 2 + 2] +
-        |     p[((j // 8) * 2 + 1) * 16 + (j % 8) * 2 + 1] +
-        |     p[((j // 8) * 2 + 1) * 16 + (j % 8) * 2 + 2]) // 4) AS b
-        |  FROM px),
-        |h AS (
-        |  SELECT doc_id,
-        |    CAST(coalesce(list_sum(list_transform(generate_series(32, 63),
-        |      j -> CASE WHEN b[j + 1] > list_sum(b) // 64
-        |                THEN (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END)), 0)
-        |      AS BIGINT) AS ahash_hi,
-        |    CAST(coalesce(list_sum(list_transform(generate_series(0, 31),
-        |      j -> CASE WHEN b[j + 1] > list_sum(b) // 64
-        |                THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)), 0)
-        |      AS BIGINT) AS ahash_lo
-        |  FROM bm),
-        |dh AS (
-        |  SELECT ahash_hi, ahash_lo, CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |         MIN(doc_id) AS exemplar_doc
-        |  FROM h GROUP BY 1, 2),
-        |bands AS (
-        |  SELECT ahash_hi, ahash_lo, n_docs, exemplar_doc, t.j AS band_idx,
-        |    CASE t.j
-        |      WHEN 0 THEN ahash_lo % 65536
-        |      WHEN 1 THEN ahash_lo // 65536
-        |      WHEN 2 THEN ahash_hi % 65536
-        |      ELSE        ahash_hi // 65536 END AS band_val
-        |  FROM dh, (SELECT unnest(generate_series(0, 3)) AS j) t),
-        |cand AS (
-        |  SELECT DISTINCT
-        |    a.ahash_hi AS hi_a, a.ahash_lo AS lo_a, a.n_docs AS n_a, a.exemplar_doc AS doc_a,
-        |    b.ahash_hi AS hi_b, b.ahash_lo AS lo_b, b.n_docs AS n_b, b.exemplar_doc AS doc_b
-        |  FROM bands a JOIN bands b
-        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-        |   AND (a.ahash_hi < b.ahash_hi OR (a.ahash_hi = b.ahash_hi AND a.ahash_lo < b.ahash_lo)))
-        |SELECT doc_a, doc_b, n_a, n_b,
-        |  CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS INTEGER) AS hamming
-        |FROM cand
-        |WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "mm_ahash_near_pairs" -> (ahashPairCte +
+      """
+        |SELECT doc_a, doc_b, n_a, n_b, hamming FROM wp
+        |ORDER BY doc_a, doc_b""".stripMargin),
     // 8×8 gray PNG of the first 64 text bytes (zero-padded): PNG is
     // lossless and gray luminance is the identity, so sum_lum is the
     // plain byte sum of the prefix; ASCII fixture ⇒ no NUL bytes ⇒

@@ -217,4 +217,30 @@ class MultimodalSpec extends SparkSpec {
         sample.head.getSeq[Float](1).map(_.toDouble).toArray)), 3)
     assert(topk.count() === 3)
   }
+
+  test("ahash clusters equal a union-find over the near-pair graph") {
+    val pairs = SparkEntry.queries("mm_ahash_near_pairs")(spark, sf001)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assume(pairs.nonEmpty)
+    // driver union-find with min-label components
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb))
+        parent(hi) = lo }
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expect = nodes.groupBy(find).map { case (root, ns) =>
+      (ns.min, ns.length.toLong) }.toMap  // min-label -> n_hashes
+    val got = SparkEntry.queries("mm_ahash_clusters")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(g => g._1 -> g._2).toMap === expect)
+    // member counts ride along: images >= hashes in every cluster
+    got.foreach { case (_, nh, ni) => assert(ni >= nh) }
+  }
 }
