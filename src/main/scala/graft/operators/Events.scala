@@ -352,4 +352,67 @@ object Events {
       .select(col("user_id"), col("event_id"), col("ts"),
         col("cents"), col("n_prev"), col("s_prev"))
   }
+
+  /** EVENT-TYPE TRANSITION MATRIX — the first-order Markov summary of
+    * user journeys: for every ordered (from_type → to_type) pair of
+    * CONSECUTIVE events per user (same (ts, event_id) total order as
+    * [[sequenceMatch]]), the occurrence count and the row-conditional
+    * transition probability in integer permille
+    * (`1000·n DIV Σ_to n`). The sequence-statistics report a
+    * curriculum/session-model stage reads before sampling.
+    *
+    * Scale shape: one user_id window exchange produces the pairs; the
+    * aggregation is a type²-bounded groupBy (map-side partials make
+    * the shuffle carry ≤ |types|² rows per task), and the permille
+    * normalizer is a window over the already-tiny matrix — no second
+    * pass over the data. All-integer outputs hash-exactly. */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val byFrom = Window.partitionBy("from_type")
+    events
+      .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p_permille",
+        expr("(1000 * n) DIV sum(n) OVER (PARTITION BY from_type)"))
+      .select(col("from_type"), col("to_type"), col("n"), col("p_permille"))
+  }
+
+  /** LAST-TOUCH ATTRIBUTION — credit each conversion event to the
+    * most recent PRECEDING touch event by the same user within
+    * `windowUs` micros: the standard marketing-attribution reduction,
+    * and the window-function shape the rest of the repo lacks —
+    * `last(expr, ignoreNulls) OVER (... ROWS UNBOUNDED PRECEDING TO 1
+    * PRECEDING)` (DuckDB: `LAST_VALUE(x IGNORE NULLS)`). Output: one
+    * row per touch type (plus the unattributed bucket as NULL) with
+    * conversion counts and cents totals.
+    *
+    * Scale shape: the one user_id window exchange both finds the last
+    * touch and carries its timestamp; the conversion filter then
+    * shrinks the frame to conversions only, and the final groupBy is
+    * |touch types|-bounded. No self-join of the fact against itself —
+    * the naive formulation — so cost is O(events), independent of the
+    * attribution-window width. */
+  def lastTouchAttribution(events: DataFrame,
+                           touchTypes: Seq[String] = Seq("view", "click"),
+                           conversionType: String = "purchase",
+                           windowUs: Long = 24L * 3600L * 1000000L): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col("event_type").isInCollection(touchTypes)
+    events
+      .withColumn("last_touch",
+        last(when(isTouch, col("event_type")), ignoreNulls = true).over(byUser))
+      .withColumn("last_touch_us",
+        last(when(isTouch, unix_micros(col("ts"))), ignoreNulls = true).over(byUser))
+      .filter(col("event_type") === conversionType)
+      .withColumn("touch_type",
+        when(unix_micros(col("ts")) - col("last_touch_us") <= windowUs,
+          col("last_touch")))
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_conversions"),
+        sum((col("value").cast("decimal(38,2)") * 100).cast("long")).as("sum_cents"))
+  }
 }

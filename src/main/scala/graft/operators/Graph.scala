@@ -224,6 +224,58 @@ object Graph {
     dist
   }
 
+  /** WEIGHTED SINGLE-SOURCE SHORTEST PATHS over a DIRECTED edge list
+    * with non-negative BIGINT weights — distributed Bellman-Ford with
+    * the frontier optimization (the delta-stepping degenerate case):
+    * each round relaxes ONLY the edges leaving nodes whose distance
+    * improved last round, merges candidates into the distance table by
+    * integer MIN, and stops at the first round with no improvement
+    * (driver-side emptiness check on a materialized frame — the same
+    * bounded-iteration pattern as [[bfsHops]]; rounds are bounded by
+    * the longest shortest path's hop count and hard-capped by
+    * `maxRounds`). All arithmetic is BIGINT add/min, so every round —
+    * and hence the fixed point — is bit-portable; the DuckDB oracle
+    * unrolls the same relaxation rounds. Distances stay distributed
+    * keyed by node; per-round exchange carries the frontier's
+    * out-edges, never the graph. Output: (node, cost) for nodes
+    * reachable from `source`, including (source, 0). */
+  def ssspWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                   wCol: String, source: Long, maxRounds: Int = 64): DataFrame = {
+    require(maxRounds >= 0)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val eRdd = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), col(wCol).cast("long").as("w"))
+      .filter(col("src") =!= col("dst"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).persist()
+    val e = spark.createDataFrame(eRdd).toDF("src", "dst", "w")
+    var dist = Seq((source, 0L)).toDF("node", "cost")
+    var frontier = dist.persist()
+    var r = 0
+    var converged = false
+    while (r < maxRounds && !converged) {
+      val cand = frontier.join(e, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("cost") + col("w")).as("cost"))
+        .groupBy("node").agg(min(col("cost")).as("cost"))
+      val improved = cand.alias("c")
+        .join(dist.select(col("node"), col("cost").as("_old")), Seq("node"), "left")
+        .filter(col("_old").isNull || col("cost") < col("_old"))
+        .select(col("node"), col("cost"))
+        .persist()
+      if (improved.isEmpty) converged = true
+      else {
+        // overlap keys keep the smaller (= improved) cost; rounds are
+        // diameter-bounded so the persisted chain stays short
+        dist = dist.unionByName(improved)
+          .groupBy("node").agg(min(col("cost")).as("cost"))
+          .persist()
+        frontier = improved
+      }
+      r += 1
+    }
+    dist
+  }
+
   /** Distributed fixed-point PageRank over an edge list. Output:
     * (node, pr) with pr the BIGINT fixed-point rank after `iters`
     * rounds. */

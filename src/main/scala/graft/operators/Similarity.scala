@@ -72,6 +72,58 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** Exact top-k MAXIMUM-INNER-PRODUCT neighbors for each query
+    * vector — the retrieval scoring used when embeddings are trained
+    * with a dot-product objective (e.g. dual-encoder retrievers),
+    * where the cosine's norm division would re-rank away the learned
+    * magnitude signal. Same distributed shape as [[bruteForceTopK]]:
+    * queries broadcast, per-partition bounded heaps, only
+    * Q·k·numPartitions candidates shuffle to the global rank. The dot
+    * is the identical left-to-right [[VectorOps.dotSeq]] fold the
+    * DuckDB oracle's `list_sum(list_transform(...))` computes, so
+    * scores hash-match bit-for-bit. Output: (query_id, neighbor_id,
+    * rank, dot); self-matches excluded; ties break toward the lower
+    * neighbor id. */
+  def mipsTopK(embs: DataFrame, idCol: String, vecCol: String,
+               queries: Array[(Long, Array[Double])], k: Int): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val qb = spark.sparkContext.broadcast(queries)
+    val p = embs.select(col(idCol).cast("long").as("id"),
+      VectorOps.toDouble(col(vecCol)).as("v")).as[(Long, Array[Double])]
+    val partial = p.mapPartitions { iter =>
+      val qs = qb.value
+      val heaps = qs.map(_ => scala.collection.mutable.ArrayBuffer.empty[(Double, Long)])
+      val ord = Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long])
+      iter.foreach { case (id, v) =>
+        var qi = 0
+        while (qi < qs.length) {
+          val (qid, qv) = qs(qi)
+          if (id != qid) {
+            val d = VectorOps.dotSeq(qv, v)
+            val h = heaps(qi)
+            if (h.length < k || ord.lt((d, id), h.last)) {
+              h += ((d, id))
+              val sorted = h.sorted(ord)
+              h.clear()
+              h ++= sorted.take(k)
+            }
+          }
+          qi += 1
+        }
+      }
+      qs.iterator.zipWithIndex.flatMap { case ((qid, _), qi) =>
+        heaps(qi).iterator.map { case (d, id) => (qid, id, d) }
+      }
+    }.toDF("query_id", "neighbor_id", "dot")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dot").desc, col("neighbor_id"))
+    partial
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("dot"))
+  }
+
   /** Symmetric per-vector INT8 quantization with round-half-up:
     * q_i = ⌊x_i · 127 / amax + 0.5⌋, amax = max|x_i| (all-zero vectors
     * quantize to zeros). Every step — multiply, divide, add, floor —

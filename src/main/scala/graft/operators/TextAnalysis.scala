@@ -632,6 +632,48 @@ object TextAnalysis {
         expr("_sp DIV n_bigrams").as("lm_score_permille"))
   }
 
+  /** TOP-N COLLOCATIONS by DICE COEFFICIENT — the corpus-level
+    * "which word pairs travel together" report a tokenizer-merge or
+    * phrase-mining stage starts from. For every bigram with at least
+    * `minCount` occurrences: dice_permille = 2000·c(w₁w₂) DIV
+    * (c(w₁)+c(w₂)), ranked (dice DESC, count DESC, bigram ASC).
+    *
+    * Dice over PMI is a deliberate determinism choice: PMI needs a log
+    * (or an N·c(ab)/(c(a)·c(b)) ratio whose BIGINT product overflows
+    * once N·c(ab) passes 2⁶³ — reachable at ~10 TB of text), while
+    * Dice's numerator is bounded by 2000·min(c(w₁),c(w₂)) ≤ 2000·N,
+    * inside int64 for any corpus below ~4·10¹⁵ tokens. All integer —
+    * hash-exact across engines.
+    *
+    * Scale shape: the bigram count is the same token-linear shuffle as
+    * [[bigramLmScore]]'s; the minCount filter then shrinks the
+    * candidate table BEFORE both unigram-count joins (rare bigrams —
+    * the vast majority — never join); global top-N is TakeOrdered
+    * (per-partition heaps via orderBy+limit), with rank assigned after
+    * the limit on ≤ N rows — no single-partition sort funnel. */
+  def collocations(docs: DataFrame, idCol: String, textCol: String,
+                   minCount: Int = 5, topN: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c2 = docs.select(explode(TextOps.shinglesAll(col(textCol), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("n_bg"))
+      .filter(col("n_bg") >= minCount)
+    val c1 = docs.select(explode(TextOps.words(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n_w"))
+    val top = c2
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(c1.select(col("t").as("w1"), col("n_w").as("n_w1")), Seq("w1"))
+      .join(c1.select(col("t").as("w2"), col("n_w").as("n_w2")), Seq("w2"))
+      .withColumn("dice_permille", expr("(2000 * n_bg) DIV (n_w1 + n_w2)"))
+      .orderBy(col("dice_permille").desc, col("n_bg").desc, col("bg"))
+      .limit(topN)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("dice_permille").desc, col("n_bg").desc, col("bg")))
+        .cast("int"))
+      .select(col("rank"), col("bg"), col("n_bg"), col("n_w1"), col("n_w2"),
+        col("dice_permille"))
+  }
+
   /** CCNet-STYLE QUALITY BUCKETS — the per-language head/middle/tail
     * split of a pretraining corpus: every document is scored by the
     * corpus bigram LM ([[bigramLmScore]]), assigned its predicted

@@ -126,7 +126,26 @@ object EventsQueries {
     Events.rollingActiveUsers(Tables.events(s, dir), windowDays = 7)
       .orderBy("day")
 
+  /** First-order event-type transition matrix
+    * ([[Events.transitionMatrix]]): type²-bounded output, permille
+    * rows integer-exact. */
+  def markov(s: SparkSession, dir: String): DataFrame =
+    Events.transitionMatrix(Tables.events(s, dir))
+      .orderBy("from_type", "to_type")
+
+  /** Last-touch attribution ([[Events.lastTouchAttribution]]):
+    * view/click touches, purchase conversions, 24 h window. The NULL
+    * bucket is labeled 'unattributed' so the result carries no NULLs
+    * (Spark and DuckDB disagree on NULL sort position). */
+  def attribution(s: SparkSession, dir: String): DataFrame =
+    Events.lastTouchAttribution(Tables.events(s, dir))
+      .select(coalesce(col("touch_type"), lit("unattributed")).as("touch_type"),
+        col("n_conversions"), col("sum_cents"))
+      .orderBy("touch_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_markov_transitions" -> (markov _),
+    "events_attribution" -> (attribution _),
     "events_rolling_wau" -> (rollingWau _),
     "events_anomaly_zscore" -> (anomaly _),
     "events_gap_fill" -> (gapFill _),
@@ -144,6 +163,32 @@ object EventsQueries {
     "events_range_frame" -> (rangeFrame _))
 
   val oracles: Map[String, String] = Map(
+    "events_markov_transitions" ->
+      """WITH p AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |m AS (SELECT event_type AS from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST((1000 * n) // (SUM(n) OVER (PARTITION BY from_type)) AS BIGINT) AS p_permille
+        |FROM m ORDER BY from_type, to_type""".stripMargin,
+    "events_attribution" ->
+      """WITH w AS (SELECT user_id, ts, event_id, event_type, value,
+        |    last_value(CASE WHEN event_type IN ('view', 'click') THEN event_type END IGNORE NULLS)
+        |      OVER u AS last_touch,
+        |    last_value(CASE WHEN event_type IN ('view', 'click') THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER u AS last_touch_us
+        |  FROM events
+        |  WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |c AS (SELECT
+        |    CASE WHEN epoch_us(ts) - last_touch_us <= 86400000000 THEN last_touch END AS touch_type,
+        |    CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT) AS cents
+        |  FROM w WHERE event_type = 'purchase')
+        |SELECT coalesce(touch_type, 'unattributed') AS touch_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_conversions,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM c GROUP BY 1 ORDER BY touch_type""".stripMargin,
     // integer-only z-score test: (x·n − S)² > 9·(n·Q − S²), matching
     // Events.anomalyZscore's BIGINT algebra term for term
     "events_anomaly_zscore" ->

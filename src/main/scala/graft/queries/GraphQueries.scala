@@ -81,11 +81,60 @@ object GraphQueries {
 
   val BfsSource = 0L
 
+  /** Relaxation rounds for the SSSP oracle: |nations| − 1 = 24 —
+    * Bellman-Ford's convergence bound for ≤ 25 nodes; the operator
+    * iterates to its own fixed point and lands on the same table. */
+  val SsspRounds = 24
+
+  /** Weighted trade edges: w = 1 + 1000 DIV n_txn, n_txn the lineitem
+    * count between the nation pair — a "trade friction" cost where
+    * heavily-traded routes are cheap. Same 4-table distillation (and
+    * the same ≤ nations²-bounded collect license) as [[tradeEdges]],
+    * keeping the per-pair count this time. */
+  private def tradeEdgesWeighted(s: SparkSession, dir: String): DataFrame = {
+    val rows = graft.io.FixtureCache.memo(
+        s"trade_edges_w:${System.identityHashCode(s)}", dir, "lineitem") {
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("c_nationkey") =!= col("s_nationkey"))
+        .groupBy(col("c_nationkey").cast("long").as("src"),
+          col("s_nationkey").cast("long").as("dst"))
+        .agg(count(lit(1)).as("n_txn"))
+        .select(col("src"), col("dst"), expr("1 + (1000 DIV n_txn)").as("w"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    }
+    import s.implicits._
+    rows.toDF("src", "dst", "w")
+  }
+
+  /** Cheapest trade route from nation 0 to every reachable nation
+    * under the friction weights — distributed Bellman-Ford
+    * ([[Graph.ssspWeighted]]); the oracle unrolls the identical
+    * BIGINT relaxation rounds. */
+  def sssp(s: SparkSession, dir: String): DataFrame =
+    Graph.ssspWeighted(tradeEdgesWeighted(s, dir), "src", "dst", "w",
+        source = BfsSource)
+      .orderBy("node")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (pagerank _),
     "graph_label_prop" -> (labelProp _),
     "graph_bfs_hops" -> (bfs _),
+    "graph_sssp_cost" -> (sssp _),
     "graph_triangles" -> (triangles _))
+
+  // AS MATERIALIZED is load-bearing: each round references the prior
+  // one TWICE (carry + relax), so un-materialized CTE inlining would
+  // expand 2^rounds plan copies (observed: DuckDB exhausting file
+  // handles re-scanning the base tables)
+  private def ssspRound(i: Int): String =
+    s"""d$i AS MATERIALIZED (SELECT node, MIN(cost) AS cost FROM (
+       |  SELECT node, cost FROM d${i - 1}
+       |  UNION ALL
+       |  SELECT e.dst AS node, p.cost + e.w AS cost
+       |  FROM e JOIN d${i - 1} p ON p.node = e.src) GROUP BY 1)""".stripMargin
 
   val LpIters = 5
 
@@ -99,6 +148,22 @@ object GraphQueries {
        |WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // unrolled Bellman-Ford: 24 = |nations|−1 relaxation rounds over
+    // the DIRECTED friction-weighted edges; MIN/+ on BIGINT only
+    "graph_sssp_cost" -> (
+      s"""WITH e AS MATERIALIZED (SELECT CAST(c_nationkey AS BIGINT) AS src,
+         |    CAST(s_nationkey AS BIGINT) AS dst,
+         |    CAST(1 + (1000 // COUNT(*)) AS BIGINT) AS w
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |    JOIN customer ON o_custkey = c_custkey
+         |    JOIN supplier ON l_suppkey = s_suppkey
+         |  WHERE c_nationkey <> s_nationkey
+         |  GROUP BY 1, 2),
+         |d0 AS (SELECT CAST($BfsSource AS BIGINT) AS node, CAST(0 AS BIGINT) AS cost),
+         |""".stripMargin +
+        (1 to SsspRounds).map(ssspRound).mkString(",\n") +
+        s"""
+           |SELECT node, cost FROM d$SsspRounds ORDER BY node""".stripMargin),
     // recursive CTE over the SAME undirected nb view the label-prop
     // oracle builds; UNION (not UNION ALL) dedups (node, hops) pairs
     // so cycles terminate; MIN(hops) is the BFS distance

@@ -34,6 +34,19 @@ object SimilarityQueries {
         round(col("cosine"), 6).as("cosine"))
       .orderBy("query_id", "rank")
 
+  /** Maximum-inner-product top-k ([[Similarity.mipsTopK]]) — the
+    * dot-product-objective twin of `ann_bruteforce_topk` (dual-encoder
+    * retrievers rank by dot, not cosine; the two orderings genuinely
+    * differ on this fixture because vector norms vary). Same
+    * broadcast-queries/bounded-heap plan; dot folds left-to-right in
+    * both engines. */
+  def mips(s: SparkSession, dir: String): DataFrame =
+    Similarity.mipsTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryVecs(s, dir), K)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("dot"), 6).as("dot"))
+      .orderBy("query_id", "rank")
+
   // one explicit set of build params, used for BOTH the build call and
   // the disk-key derivation — they cannot drift apart
   val IvfCells = 16
@@ -273,6 +286,7 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_hybrid_rrf" -> (hybridRrf _),
     "ann_bruteforce_topk" -> (bruteForce _),
+    "ann_mips_topk" -> (mips _),
     "ann_lsh_topk" -> (lsh _),
     "ann_radius_search" -> (radius _),
     "ann_ivf_topk" -> (ivf _),
@@ -600,6 +614,17 @@ object SimilarityQueries {
            |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine
            |FROM d WHERE cosine >= CAST($RadiusMinCosine AS DOUBLE)
            |ORDER BY query_id, neighbor_id""".stripMargin),
+    "ann_mips_topk" ->
+      s"""WITH p AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM p ORDER BY vec_id LIMIT $Q),
+         |d AS (SELECT q.query_id, p.vec_id AS neighbor_id,
+         |  list_sum(list_transform(generate_series(1, $Dim), i -> q.qv[i] * p.v[i])) AS dot
+         |  FROM q CROSS JOIN p WHERE p.vec_id <> q.query_id),
+         |r AS (SELECT query_id, neighbor_id, dot,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM d)
+         |SELECT query_id, neighbor_id, rank, round(dot, 6) AS dot
+         |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
     "ann_bruteforce_topk" ->
       s"""WITH p AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM p ORDER BY vec_id LIMIT $Q),

@@ -70,6 +70,13 @@ object TextQueries {
     TextAnalysis.corpusStats(Tables.documents(s, dir))
       .orderBy("lang", "source")
 
+  /** Top-50 Dice-scored collocations with ≥ 5 occurrences (see
+    * TextAnalysis.collocations for why Dice, not PMI: log-free AND
+    * overflow-free at any corpus size). */
+  def collocationsQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.collocations(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("rank")
+
   def vocab(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabulary(Tables.documents(s, dir), "doc_id", "text")
       .orderBy(col("n_occurrences").desc, col("token"))
@@ -278,6 +285,7 @@ object TextQueries {
     "text_corpus_stats" -> (corpus _),
     "text_bigram_coverage" -> (bigramCoverage _),
     "text_bigram_lm_score" -> (bigramLm _),
+    "text_collocations" -> (collocationsQ _),
     "text_quality_buckets" -> (qualityBuckets _),
     "text_vocab" -> (vocab _),
     "text_stratified_sample" -> (stratified _),
@@ -538,6 +546,23 @@ object TextQueries {
          |FROM documents ORDER BY doc_id""".stripMargin,
     // distinct-per-doc bigrams (the shingle contract), so the ref
     // count is DOCUMENT frequency; top-200 under a total order
+    "text_collocations" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |occ AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+        |          i -> w[i] || ' ' || w[i+1])) AS bg FROM d),
+        |c2 AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS n_bg FROM occ
+        |       GROUP BY 1 HAVING COUNT(*) >= 5),
+        |c1 AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_w FROM (
+        |        SELECT unnest(string_split(text, ' ')) AS t FROM documents) GROUP BY 1),
+        |j AS (SELECT c2.bg, c2.n_bg, a.n_w AS n_w1, b.n_w AS n_w2,
+        |        CAST((2000 * c2.n_bg) // (a.n_w + b.n_w) AS BIGINT) AS dice_permille
+        |      FROM c2 JOIN c1 a ON a.t = string_split(c2.bg, ' ')[1]
+        |              JOIN c1 b ON b.t = string_split(c2.bg, ' ')[2]),
+        |r AS (SELECT CAST(row_number() OVER (
+        |        ORDER BY dice_permille DESC, n_bg DESC, bg) AS INTEGER) AS rank,
+        |        bg, n_bg, n_w1, n_w2, dice_permille FROM j)
+        |SELECT rank, bg, n_bg, n_w1, n_w2, dice_permille
+        |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
     "text_bigram_coverage" ->
       """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
         |b0 AS (SELECT DISTINCT doc_id, lang, s FROM (

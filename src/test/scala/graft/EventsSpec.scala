@@ -289,4 +289,57 @@ class EventsSpec extends SparkSpec {
       .sortBy(_._1).map(t => (t._2, t._3)).toSeq
     assert(tg === Seq((1L, 1L), (2L, 2L)))
   }
+
+  test("transition matrix: hand-checked counts and permille on a synthetic journey") {
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val df = Seq(
+      (1L, ts(0), 7L, "view", 1.0, "{}"),
+      (2L, ts(1), 7L, "click", 1.0, "{}"),
+      (3L, ts(2), 7L, "view", 1.0, "{}"),
+      (4L, ts(3), 7L, "click", 1.0, "{}"),
+      (5L, ts(4), 7L, "purchase", 1.0, "{}"),
+      (6L, ts(0), 8L, "view", 1.0, "{}"),
+      (7L, ts(1), 8L, "error", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.transitionMatrix(df)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // view→click ×2, view→error ×1: view row normalizes 666/333
+    assert(got === Seq(
+      ("click", "purchase", 1L, 500L), ("click", "view", 1L, 500L),
+      ("view", "click", 2L, 666L), ("view", "error", 1L, 333L)))
+  }
+
+  test("transition matrix: counts conserve (n events minus one per active user)") {
+    val m = Events.transitionMatrix(events)
+    val total = m.agg(sum("n")).collect()(0).getLong(0)
+    val users = events.select("user_id").distinct().count()
+    assert(total === events.count() - users)
+  }
+
+  test("last-touch attribution: window expiry, override, and the unattributed bucket") {
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val df = Seq(
+      // user 7: view then click then purchase — click wins (most recent)
+      (1L, ts(0), 7L, "view", 1.0, "{}"),
+      (2L, ts(5), 7L, "click", 1.0, "{}"),
+      (3L, ts(10), 7L, "purchase", 10.0, "{}"),
+      // user 8: touch outside the 24h window — unattributed
+      (4L, ts(0), 8L, "view", 1.0, "{}"),
+      (5L, ts(25 * 60), 8L, "purchase", 20.0, "{}"),
+      // user 9: no touch at all — unattributed
+      (6L, ts(0), 9L, "purchase", 30.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.lastTouchAttribution(df)
+      .collect().map(r => (Option(r.getString(0)).getOrElse("null"),
+        r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got === Seq(("click", 1L, 1000L), ("null", 2L, 5000L)))
+  }
+
+  test("attribution conserves conversions across buckets") {
+    val buckets = Events.lastTouchAttribution(events)
+    val total = buckets.agg(sum("n_conversions")).collect()(0).getLong(0)
+    assert(total === events.filter(col("event_type") === "purchase").count())
+  }
 }

@@ -130,4 +130,42 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
   }
+
+  // pure Bellman-Ford over the directed weighted edge list, self-loops
+  // dropped — the reference for ssspWeighted
+  private def ssspReference(edges: Seq[(Long, Long, Long)], source: Long): Map[Long, Long] = {
+    val es = edges.filter(e => e._1 != e._2)
+    var dist = Map(source -> 0L)
+    var changed = true
+    while (changed) {
+      changed = false
+      es.foreach { case (s, d, w) =>
+        dist.get(s).foreach { ds =>
+          if (dist.get(d).forall(_ > ds + w)) { dist += d -> (ds + w); changed = true }
+        }
+      }
+    }
+    dist
+  }
+
+  test("law: distributed weighted SSSP equals pure Bellman-Ford on random digraphs") {
+    val gen = for {
+      nNodes <- Gen.choose(2, 10)
+      nEdges <- Gen.choose(1, 30)
+      edges <- Gen.listOfN(nEdges, Gen.zip(
+        Gen.choose(0L, nNodes - 1L), Gen.choose(0L, nNodes - 1L), Gen.choose(1L, 20L)))
+    } yield edges
+    sample(gen, 8).foreach { edges =>
+      val got = Graph.ssspWeighted(edges.toDF("src", "dst", "w"), "src", "dst", "w", 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === ssspReference(edges, 0L), s"edges=$edges")
+    }
+  }
+
+  test("sssp: picks the cheaper two-hop route over the heavy direct edge") {
+    val edges = Seq((0L, 2L, 10L), (0L, 1L, 2L), (1L, 2L, 3L))
+    val got = Graph.ssspWeighted(edges.toDF("src", "dst", "w"), "src", "dst", "w", 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 2L, 2L -> 5L))
+  }
 }

@@ -159,6 +159,32 @@ class PlanAuditSpec extends SparkSpec {
       s"price histogram should shuffle once (bucket partials):\n$hist")
   }
 
+  test("cohort-10: single-exchange journey ops, TakeOrdered collocations") {
+    // transition matrix + attribution: ONE data exchange (user_id)
+    // serves the window pass; the tiny post-agg normalizer/groupBy
+    // exchanges carry type²-bounded rows, not data — so assert no
+    // events self-join rather than an exchange count
+    for (q <- Seq("events_markov_transitions", "events_attribution")) {
+      val plan = batchQueries(q).queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+        s"$q must be window passes over one fact scan, never a self-join:\n$plan")
+      assert(plan.linesIterator.count(l =>
+          l.contains("Exchange hashpartitioning") && l.contains("user_id")) === 1,
+        s"$q should shuffle the fact once, on user_id:\n$plan")
+    }
+    // collocations: the global top-N must be TakeOrdered (bounded
+    // per-partition heaps), never a single-partition Sort of the
+    // bigram table; rank then runs over <= topN rows
+    val coll = batchQueries("text_collocations").queryExecution.executedPlan.toString
+    assert(coll.contains("TakeOrderedAndProject"),
+      s"collocations top-N should plan as TakeOrdered:\n$coll")
+    // MIPS: corpus is scored in mapPartitions against broadcast
+    // queries — the only exchange feeds the Q·k-bounded global rank
+    val mips = batchQueries("ann_mips_topk").queryExecution.executedPlan.toString
+    assert(!mips.contains("Join"),
+      s"mips scoring must not join the corpus:\n$mips")
+  }
+
   test("radius search plans no per-query sort (top-k does)") {
     val radius = batchQueries("ann_radius_search")
       .queryExecution.executedPlan.toString

@@ -42,6 +42,23 @@ class SimilaritySpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("MIPS top-k matches a driver-side exhaustive dot-product ranking") {
+    val all = emb.select(col("vec_id"), VectorOps.toDouble(col("embedding")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0
+      for (i <- a.indices) d += a(i) * b(i)
+      d
+    }
+    val expected = queries.map { case (qid, qv) =>
+      qid -> all.filter(_._1 != qid)
+        .map { case (id, v) => (id, dot(qv, v)) }
+        .sortBy { case (id, d) => (-d, id) }.take(5).map(_._1).toSet
+    }.toMap
+    val got = topSets(Similarity.mipsTopK(emb, "vec_id", "embedding", queries, 5))
+    assert(got === expected)
+  }
+
   test("LSH top-k recall vs brute force is >= 0.5 and precision-only candidates") {
     val exact = topSets(Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, 5))
     val approx = topSets(Similarity.lshTopK(emb, "vec_id", "embedding", queries, 5))

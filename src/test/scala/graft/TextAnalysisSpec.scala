@@ -558,4 +558,32 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq === Seq((500L, 1L, 4L), (900L, 4L, 8L), (990L, 4L, 8L)))
   }
+
+  test("collocations: hand-checked Dice ranking with tie-break on a toy corpus") {
+    val docs = Seq(
+      (1L, "big data big data pipeline"),
+      (2L, "big data lake")).toDF("doc_id", "text")
+    // unigrams: big=3 data=3 pipeline=1 lake=1
+    // bigrams: "big data"x3 "data big"x1 "data pipeline"x1 "data lake"x1
+    val got = TextAnalysis.collocations(docs, "doc_id", "text", minCount = 1, topN = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(5)))
+    assert(got.toSeq === Seq(
+      (1, "big data", 3L, 1000L),
+      (2, "data lake", 1L, 500L),       // dice tie with "data pipeline":
+      (3, "data pipeline", 1L, 500L),   // bg ASC breaks it
+      (4, "data big", 1L, 333L)))
+  }
+
+  test("collocations: minCount filters, dice bounded by 1000, ranks contiguous") {
+    val docs = Tables.documents(spark, sf001)
+    val got = TextAnalysis.collocations(docs, "doc_id", "text", minCount = 3, topN = 20)
+      .orderBy("rank").collect()
+    assert(got.nonEmpty && got.length <= 20)
+    assert(got.map(_.getInt(0)).toSeq === (1 to got.length))
+    got.foreach { r =>
+      assert(r.getLong(2) >= 3L)
+      assert(r.getLong(5) >= 0L && r.getLong(5) <= 1000L)
+    }
+  }
 }
