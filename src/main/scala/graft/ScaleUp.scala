@@ -247,7 +247,19 @@ object ScaleUp {
     "ann_hybrid_rrf", "stream_wau_parity",
     // image clusters: the codec-heavy aHash frame (memoized), the
     // distinct-hash band join, then pair-graph-sized components
-    "mm_ahash_clusters")
+    "mm_ahash_clusters",
+    // round 8 cohort 10: the journey transition matrix and last-touch
+    // attribution over 1 M events (one user_id window exchange each),
+    // Dice collocations over 5 M tokens (bigram-count shuffle, then
+    // minCount-pruned unigram joins), weighted Bellman-Ford on the
+    // 10× trade network, and dot-product MIPS over 20 k vectors
+    "events_markov_transitions", "events_attribution",
+    "text_collocations", "graph_sssp_cost", "ann_mips_topk",
+    // round 8 cohort 11: the funnel-free global NTILE over 1.5 M
+    // orders (two-level rank + remainders-first buckets), the
+    // chained-state streaming transition matrix, and visual k-NN over
+    // 50 k codec-real mosaic embeddings (integer distances)
+    "rel_decile_report", "stream_markov_parity", "mm_patch_knn")
 
   /** 100×-bench-scale fixture (round-6 rehearsal): ONLY the tables the
     * five heaviest shuffle producers touch — documents 500 k, lineitem

@@ -327,6 +327,97 @@ object Multimodal {
         length(col("blob")).cast("long").as("n_bytes")))
   }
 
+  /** INTEGER MOSAIC FEATURE VECTOR — the grid²-dim block-mean vector
+    * the aHash thresholds ([[averageHash]]'s `bm` array) exposed as a
+    * perceptual EMBEDDING: same real codec path (PNG encode →
+    * ImageIO decode → integer block means), no thresholding — the
+    * untruncated features a visual k-NN ranks on. Every component is
+    * an exact integer, so downstream distances are BIGINT arithmetic
+    * a SQL oracle replays bit-for-bit (no float embedding model in
+    * this container — the mosaic is the deterministic stand-in with a
+    * real decode in the loop). Per-row kernel, zero shuffle. */
+  def mosaicVectors(blobs: DataFrame, side: Int = 16, grid: Int = 8,
+                    batchSize: Int = DefaultBatchSize): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    val block = side / grid
+    require(side % grid == 0, s"side $side not a multiple of grid $grid")
+    blobs.select(col("id").cast("long"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, blob) =>
+            val px = decode(encodeGrayPng(blob, side))
+            val nB = grid * grid
+            val bm = new Array[Long](nB)
+            var j = 0
+            while (j < nB) {
+              val by = (j / grid) * block; val bx = (j % grid) * block
+              var s = 0L; var dy = 0
+              while (dy < block) {
+                var dx = 0
+                while (dx < block) { s += px((by + dy) * side + bx + dx); dx += 1 }
+                dy += 1
+              }
+              bm(j) = s / (block * block)
+              j += 1
+            }
+            (id, bm)
+          }
+        }
+      }
+      .toDF("id", "mosaic")
+  }
+
+  /** VISUAL k-NN over mosaic vectors — exact top-k by INTEGER squared
+    * euclidean distance (ties toward the lower neighbor id, self
+    * excluded): the multimodal face of [[graft.operators.Similarity]]'s
+    * brute-force baseline, with the same distributed shape (queries
+    * broadcast, bounded per-partition heaps, only Q·k·numPartitions
+    * candidates shuffle to the global rank) and a stronger determinism
+    * story — distances are BIGINT sums of squared byte-scale ints
+    * (≤ 64·255² per pair), so there is no float to round anywhere. */
+  def patchKnn(mosaics: DataFrame, queries: Array[(Long, Array[Long])],
+               k: Int): DataFrame = {
+    val spark = mosaics.sparkSession
+    import spark.implicits._
+    val qb = spark.sparkContext.broadcast(queries)
+    val p = mosaics.select(col("id").cast("long"), col("mosaic"))
+      .as[(Long, Array[Long])]
+    val partial = p.mapPartitions { iter =>
+      val qs = qb.value
+      val heaps = qs.map(_ => scala.collection.mutable.ArrayBuffer.empty[(Long, Long)])
+      val ord = Ordering.Tuple2(Ordering[Long], Ordering[Long])
+      iter.foreach { case (id, v) =>
+        var qi = 0
+        while (qi < qs.length) {
+          val (qid, qv) = qs(qi)
+          if (id != qid) {
+            var d = 0L; var i = 0
+            while (i < qv.length) { val t = qv(i) - v(i); d += t * t; i += 1 }
+            val h = heaps(qi)
+            if (h.length < k || ord.lt((d, id), h.last)) {
+              h += ((d, id))
+              val sorted = h.sorted(ord)
+              h.clear()
+              h ++= sorted.take(k)
+            }
+          }
+          qi += 1
+        }
+      }
+      qs.iterator.zipWithIndex.flatMap { case ((qid, _), qi) =>
+        heaps(qi).iterator.map { case (d, id) => (qid, id, d) }
+      }
+    }.toDF("query_id", "neighbor_id", "sqdist")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("sqdist").asc, col("neighbor_id"))
+    partial
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sqdist"))
+  }
+
   /** Embed: full fixed-width feature vector (dense histogram ratio
     * per bin) as array<float> — the hand-off into the similarity /
     * clustering operators. */

@@ -70,6 +70,42 @@ object Relational {
       .select(col("bucket"), (col("bucket") * bucketCents).as("bucket_lo_cents"),
         col("n_orders"), col("revenue_cents"))
 
+  /** GLOBAL DECILE REPORT of order value — exact equal-count NTILE
+    * over the WHOLE fact without the single-partition sort the naive
+    * `NTILE(10) OVER (ORDER BY ...)` plans: the total order is the
+    * composite key cents·2³² + o_orderkey (ties broken by key — a
+    * TOTAL order, so the decile assignment is deterministic), ranked
+    * funnel-free by [[TextAnalysis.stratumRank]]'s two-level
+    * range-bucket rank under a constant stratum, then mapped to
+    * buckets by the same remainders-first arithmetic as
+    * `text_quality_buckets` (first n%k buckets get ⌈n/k⌉ rows).
+    * Composite bound: cents < 2³¹ (order values ≤ $21M) and
+    * o_orderkey < 2³² keep the key inside int64; wider domains split
+    * the key into two rank columns. Output is decile-count-sized:
+    * (decile, n_orders, min/max/sum cents). */
+  def decileReport(s: SparkSession, dir: String, nBuckets: Int = 10): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(38,2)") * 100).cast("long").as("_cents"))
+      .withColumn("_all", lit("all"))
+      .withColumn("_key", col("_cents") * lit(1L << 32) + col("o_orderkey"))
+    val ranked = TextAnalysis.stratumRank(o, "_all", "_key", rankCol = "_rank")
+    val sizes = o.agg(count(lit(1)).as("_n"))
+    ranked.crossJoin(broadcast(sizes))
+      .withColumn("decile", expr(
+        s"""CASE WHEN _rank <= (_n % $nBuckets) * (_n DIV $nBuckets + 1)
+           |  THEN (_rank - 1) DIV (_n DIV $nBuckets + 1) + 1
+           |  ELSE (_n % $nBuckets)
+           |    + (_rank - (_n % $nBuckets) * (_n DIV $nBuckets + 1) - 1)
+           |      DIV (_n DIV $nBuckets) + 1
+           |END""".stripMargin))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_orders"),
+        min("_cents").as("min_cents"),
+        max("_cents").as("max_cents"),
+        sum("_cents").cast("long").as("sum_cents"))
+  }
+
   /** TPC-H Q3-style: segment customers' open orders ranked by revenue.
     * customer is broadcast; orders⋈lineitem shuffles on the order key. */
   def shippingPriority(s: SparkSession, dir: String,

@@ -95,8 +95,37 @@ object MultimodalQueries {
       .orderBy("cluster_id")
   }
 
+  /** Visual k-NN query batch size / k (shared verbatim by the
+    * oracle SQL). */
+  val KnnQ = 5
+  val KnnK = 5
+
+  /** The mosaic frame shares the ahashFrame memo discipline: one real
+    * codec pass per fixture + session, 64 longs per doc persisted. */
+  private def mosaicFrame(s: SparkSession, dir: String): DataFrame =
+    graft.io.FixtureCache.memo(
+        s"mm_mosaic:${System.identityHashCode(s)}", dir, "documents") {
+      val m = Multimodal.mosaicVectors(blobs(s, dir)).persist()
+      m.count()
+      m
+    }
+
+  /** Visual k-NN over the codec-real mosaic embeddings
+    * ([[Multimodal.patchKnn]]): the KnnQ lowest doc_ids query the
+    * corpus for their KnnK nearest images by INTEGER squared
+    * distance — multimodal feature extraction composed with the
+    * similarity family, hash-exact end to end (no floats anywhere). */
+  def patchKnnQ(s: SparkSession, dir: String): DataFrame = {
+    val m = mosaicFrame(s, dir)
+    val qs = m.orderBy("id").limit(KnnQ)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    Multimodal.patchKnn(m, qs, KnnK)
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_ahash_clusters" -> (ahashClusters _),
+    "mm_patch_knn" -> (patchKnnQ _),
     "mm_byte_histogram" -> (histogram _),
     "mm_frame_fingerprints" -> (frames _),
     "mm_ahash_groups" -> (ahashGroups _),
@@ -107,7 +136,10 @@ object MultimodalQueries {
   // bands → verified pairs: shared by the near-pairs and clusters
   // oracles (wp = the Hamming-verified pair list between distinct
   // hashes, dh = the distinct-hash frame with exemplar + member count)
-  private val ahashPairCte =
+  /** The shared pixel-mosaic reconstruction (px = the 16×16 gray
+    * prefix image, bm = the 64 integer block means) — the common
+    * front of every aHash oracle AND the mm_patch_knn embedding. */
+  private val mosaicCte =
     """WITH px AS (
         |  SELECT doc_id, list_transform(generate_series(1, 256),
         |    i -> CASE WHEN i <= length(text)
@@ -120,7 +152,10 @@ object MultimodalQueries {
         |     p[((j // 8) * 2) * 16 + (j % 8) * 2 + 2] +
         |     p[((j // 8) * 2 + 1) * 16 + (j % 8) * 2 + 1] +
         |     p[((j // 8) * 2 + 1) * 16 + (j % 8) * 2 + 2]) // 4) AS b
-        |  FROM px),
+        |  FROM px)""".stripMargin
+
+  private val ahashPairCte = mosaicCte +
+    """,
         |h AS (
         |  SELECT doc_id,
         |    CAST(coalesce(list_sum(list_transform(generate_series(32, 63),
@@ -157,6 +192,20 @@ object MultimodalQueries {
       |  WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the shared mosaic CTE as the embedding, then exact integer
+    // sqdist top-k — the ann_bruteforce rank shape in pure BIGINT
+    "mm_patch_knn" -> (mosaicCte +
+      s""",
+         |q AS (SELECT doc_id AS query_id, b AS qb FROM bm ORDER BY doc_id LIMIT $KnnQ),
+         |d AS (SELECT q.query_id, m.doc_id AS neighbor_id,
+         |  CAST(list_sum(list_transform(generate_series(1, 64),
+         |    i -> (q.qb[i] - m.b[i]) * (q.qb[i] - m.b[i]))) AS BIGINT) AS sqdist
+         |  FROM q CROSS JOIN bm m WHERE m.doc_id <> q.query_id),
+         |r AS (SELECT query_id, neighbor_id, sqdist,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sqdist, neighbor_id) AS INTEGER) AS rank
+         |  FROM d)
+         |SELECT query_id, neighbor_id, rank, sqdist
+         |FROM r WHERE rank <= $KnnK ORDER BY query_id, rank""".stripMargin),
     // the shared pair CTE + the recursive min-label walk (the
     // dedup_cc_groups oracle pattern) + member counts from dh
     "mm_ahash_clusters" -> (ahashPairCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +

@@ -304,6 +304,15 @@ object RelationalQueries {
     Relational.priceHistogram(s, dir)
       .orderBy("bucket")
 
+  /** Funnel-free exact decile report over orders (see
+    * Relational.decileReport); the oracle replays the identical
+    * remainders-first bucket arithmetic over a plain global
+    * row_number — the naive formulation the two-level rank must
+    * reproduce. */
+  def decileReportQ(s: SparkSession, dir: String): DataFrame =
+    Relational.decileReport(s, dir)
+      .orderBy("decile")
+
   def q14(s: SparkSession, dir: String): DataFrame =
     Relational.promoRevenue(s, dir)
 
@@ -363,6 +372,7 @@ object RelationalQueries {
     "rel_q4_priority" -> (q4 _),
     "rel_q18_big_orders" -> (q18 _),
     "rel_price_histogram" -> (priceHistogramQ _),
+    "rel_decile_report" -> (decileReportQ _),
     "rel_q10_returns" -> (q10 _),
     "rel_bucketed_join" -> (bucketedJoin _),
     "rel_snapshot_diff" -> (snapshotDiffQ _),
@@ -601,6 +611,27 @@ object RelationalQueries {
         |              WHERE l.l_orderkey = o.o_orderkey
         |                AND l.l_shipdate > o.o_orderdate)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // naive global NTILE via row_number + the identical remainders-
+    // first bucket arithmetic the two-level rank replays
+    "rel_decile_report" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(38,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (SELECT cents,
+        |    row_number() OVER (ORDER BY cents, o_orderkey) AS rk,
+        |    (SELECT COUNT(*) FROM o) AS n
+        |  FROM o),
+        |d AS (SELECT cents,
+        |    CASE WHEN rk <= (n % 10) * (n // 10 + 1)
+        |      THEN (rk - 1) // (n // 10 + 1) + 1
+        |      ELSE (n % 10) + (rk - (n % 10) * (n // 10 + 1) - 1) // (n // 10) + 1
+        |    END AS decile
+        |  FROM r)
+        |SELECT CAST(decile AS BIGINT) AS decile,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  MIN(cents) AS min_cents, MAX(cents) AS max_cents,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     // the same decimal(38,2)->cents bridge, then plain bucket group-by
     "rel_price_histogram" ->
       """WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(38,2)) * 100 AS BIGINT) AS cents

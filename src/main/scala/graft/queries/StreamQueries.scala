@@ -423,7 +423,29 @@ object StreamQueries {
       .orderBy("cohort_week", "event_type")
   }
 
+  /** Streaming transition matrix — [[StreamOps.transitionsStream]]
+    * chains per-user last-event state across micro-batches so no
+    * consecutive pair is lost to batching; the drained pair sink then
+    * reduces to the type²-bounded matrix with the SAME permille
+    * arithmetic as the batch operator. Oracle = the batch
+    * events_markov_transitions SQL verbatim. */
+  def markovParity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = StreamOps.readEventsStream(s, eventsStreamDir(dir))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamOps.Event]
+    val pairs = StreamOps.transitionsStream(ev)
+      .toDF("user_id", "from_type", "to_type")
+    runToMemory(s, "stream_markov_sink", pairs, "append")
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .withColumn("p_permille",
+        expr("(1000 * n) DIV sum(n) OVER (PARTITION BY from_type)"))
+      .select(col("from_type"), col("to_type"), col("n"), col("p_permille"))
+      .orderBy("from_type", "to_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_markov_parity" -> (markovParity _),
     "stream_wau_parity" -> (wauParity _),
     "stream_corr_parity" -> (corrParity _),
     "stream_static_join_parity" -> (staticJoinParity _),
@@ -441,6 +463,9 @@ object StreamQueries {
     // the batch anomaly oracle verbatim: streaming state + in-batch
     // sort must land on the identical BIGINT alert set
     "stream_anomaly_parity" -> EventsQueries.oracles("events_anomaly_zscore"),
+    // the batch transition-matrix oracle verbatim: chained last-event
+    // state must extract the identical consecutive-pair multiset
+    "stream_markov_parity" -> EventsQueries.oracles("events_markov_transitions"),
     // the batch corr oracle verbatim: merged micro-batch moments must
     // finalize to the identical 6-dp doubles
     "stream_corr_parity" -> StatsQueries.oracles("rel_corr_matrix"),

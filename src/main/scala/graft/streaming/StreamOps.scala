@@ -169,6 +169,36 @@ object StreamOps {
       }
   }
 
+  /** STREAMING TRANSITION PAIRS — the stateful face of
+    * [[graft.operators.Events.transitionMatrix]]'s pair extraction:
+    * per user, keep the LAST (µs, event_id, type) as state, sort each
+    * micro-batch's events by (ts, event_id) (arrival within a batch
+    * is unordered), and emit one (user, from, to) row per consecutive
+    * pair — the state tuple chains pairs ACROSS batch boundaries, so
+    * batching never loses a transition. State is one small tuple per
+    * user (watermark-free because it never grows); the matrix
+    * reduction (counts + permille) is type²-bounded and runs on the
+    * drained sink. */
+  def transitionsStream(events: Dataset[Event]): Dataset[(Long, String, String)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, String), (Long, String, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, evs, state: GroupState[(Long, Long, String)]) =>
+          val sorted = evs.toSeq.sortBy(e => (tsToUs(e.ts), e.event_id))
+          var out = List.empty[(Long, String, String)]
+          var last = state.getOption.orNull
+          sorted.foreach { e =>
+            if (last != null) out ::= ((user, last._3, e.event_type))
+            last = (tsToUs(e.ts), e.event_id, e.event_type)
+          }
+          if (last != null) state.update(last)
+          out.reverseIterator
+      }
+  }
+
   /** Exact cents the way Spark SQL's `CAST(value AS DECIMAL(38,2))`
     * produces them: the cast goes through `Double.toString` (shortest
     * round-trip) then HALF_UP — replicated here so the streaming

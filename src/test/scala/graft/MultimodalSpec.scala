@@ -243,4 +243,39 @@ class MultimodalSpec extends SparkSpec {
     // member counts ride along: images >= hashes in every cluster
     got.foreach { case (_, nh, ni) => assert(ni >= nh) }
   }
+
+  test("mosaic vectors threshold to exactly the average-hash bits") {
+    val mosaics = Multimodal.mosaicVectors(blobs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val hashes = Multimodal.averageHash(blobs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hashes.nonEmpty)
+    hashes.foreach { case (id, hi, lo) =>
+      val bm = mosaics(id)
+      assert(bm.length === 64)
+      val mean = bm.sum / 64
+      var eLo = 0L; var eHi = 0L
+      for (j <- 0 until 64 if bm(j) > mean)
+        if (j < 32) eLo |= 1L << j else eHi |= 1L << (j - 32)
+      assert((hi, lo) === ((eHi, eLo)), s"doc $id")
+    }
+  }
+
+  test("patch k-NN equals a driver-side exhaustive integer ranking") {
+    val m = Multimodal.mosaicVectors(blobs)
+    val all = m.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val qs = all.sortBy(_._1).take(3)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val expected = qs.map { case (qid, qv) =>
+      qid -> all.filter(_._1 != qid)
+        .map { case (id, v) => (id, d2(qv, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(4).map(_._1).toSeq
+    }.toMap
+    val got = Multimodal.patchKnn(m, qs, 4)
+      .orderBy("query_id", "rank")
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq }
+    assert(got === expected)
+  }
 }

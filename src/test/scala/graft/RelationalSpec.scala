@@ -244,4 +244,28 @@ class RelationalSpec extends SparkSpec {
       assert(rev >= n * lo && rev < n * (lo + width), s"bucket $b out of bounds")
     }
   }
+
+  test("decile report: equal-count buckets, ordered boundaries, exact totals") {
+    val d = Relational.decileReport(spark, sf001)
+      .orderBy("decile").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val orders = Tables.orders(spark, sf001)
+    val total = orders.count()
+    val allCents = orders
+      .select(sum((col("o_totalprice").cast("decimal(38,2)") * 100).cast("long")))
+      .collect()(0).getLong(0)
+    assert(d.map(_._1).toSeq === (1L to 10L))
+    assert(d.map(_._2).sum === total)
+    assert(d.map(_._5).sum === allCents)
+    // equal-count: sizes differ by at most 1, remainders to the front
+    val sizes = d.map(_._2)
+    assert(sizes.max - sizes.min <= 1)
+    assert(sizes.sorted.reverse.toSeq === sizes.toSeq)
+    // value-ordered: each decile's max <= the next decile's min (ties
+    // can straddle a boundary, so <=, not <)
+    d.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._3, s"decile ${a._1} max ${a._4} > decile ${b._1} min ${b._3}")
+    }
+    d.foreach { case (_, _, mn, mx, _) => assert(mn <= mx) }
+  }
 }

@@ -316,6 +316,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming transitions chain pairs across micro-batch boundaries") {
+    val input = MemoryStream[Event](spark)
+    val q = StreamOps.transitionsStream(input.toDS())
+      .toDF("user_id", "from_type", "to_type")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("markov_pairs").start()
+    def ev(id: Long, min: Int, u: Long, t: String) =
+      Event(id, new Timestamp(1700000000000L + min * 60000L), u, t, 0.0)
+    input.addData(ev(1, 0, 7, "view"), ev(2, 1, 7, "click"))
+    q.processAllAvailable()
+    // the view→... boundary pair must come from STATE, not the batch
+    input.addData(ev(3, 2, 7, "purchase"), ev(4, 0, 8, "view"))
+    q.processAllAvailable()
+    val pairs = spark.table("markov_pairs")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+    q.stop()
+    assert(pairs === Seq((7L, "click", "purchase"), (7L, "view", "click")))
+  }
+
+  test("streaming transition matrix equals the batch operator on the fixture") {
+    val streamed = SparkEntry.queries("stream_markov_parity")(spark, sf001)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val batch = Events.transitionMatrix(graft.io.Tables.events(spark, sf001))
+      .orderBy("from_type", "to_type")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming WAU (chained dedups) equals the batch contribution decomposition") {
     val streamed = SparkEntry.queries("stream_wau_parity")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
