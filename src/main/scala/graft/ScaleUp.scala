@@ -259,7 +259,11 @@ object ScaleUp {
     // orders (two-level rank + remainders-first buckets), the
     // chained-state streaming transition matrix, and visual k-NN over
     // 50 k codec-real mosaic embeddings (integer distances)
-    "rel_decile_report", "stream_markov_parity", "mm_patch_knn")
+    "rel_decile_report", "stream_markov_parity", "mm_patch_knn",
+    // round 8 cohort 12: bidirectional nearest as-of (one exchange,
+    // two in-exchange sorts over 1 M events) and the langs²-bounded
+    // language-ID confusion matrix over 50 k docs
+    "asof_nearest_purchase", "text_lang_confusion")
 
   /** 100×-bench-scale fixture (round-6 rehearsal): ONLY the tables the
     * five heaviest shuffle producers touch — documents 500 k, lineitem

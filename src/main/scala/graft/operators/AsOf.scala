@@ -85,4 +85,60 @@ object AsOf {
         rightCols.map(c => col(s"_r_filled.$c").as(s"_r_$c")) ++
         Seq(col("_r_filled._r_ts_field").as("_r_ts"))): _*)
   }
+
+  /** BIDIRECTIONAL NEAREST as-of: for every left row, the right row
+    * (per key) with the SMALLEST absolute time gap, whichever side of
+    * the left timestamp it falls on — ties (equal µs gap both ways)
+    * resolve backward, matching the repo's backward-default
+    * convention. "Nearest reading to this moment" is the sensor-fusion
+    * / feature-alignment variant neither single direction expresses.
+    *
+    * Plan: the SAME tagged union as the directed joins, then BOTH
+    * fills — the backward `last(ignoreNulls)` over the ascending sort
+    * and the forward one over the descending sort — inside ONE key
+    * exchange (two sorts, zero extra shuffles; running the two
+    * directed joins separately and re-joining on the left key would
+    * cost three exchanges). Output: left columns + `_r_<c>`/`_r_ts`
+    * from the nearer row (null when the key has no right rows) +
+    * `_dir` ('back' | 'fwd' | 'none'). */
+  def joinNearest(left: DataFrame, right: DataFrame, key: String,
+                  ts: String, rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rowStruct = struct((rightCols.map(col) :+ col(ts).as("_r_ts_field")): _*)
+    val nullRow = lit(null).cast(
+      org.apache.spark.sql.types.StructType(
+        rightCols.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)) :+
+          org.apache.spark.sql.types.StructField("_r_ts_field", right.schema(ts).dataType)))
+    val l = left
+      .withColumn("_tag", lit(1))
+      .select(Seq(col(key), col(ts), col("_tag")) ++
+        leftCols.filterNot(Seq(key, ts).contains).map(col) ++
+        Seq(nullRow.as("_r_row")): _*)
+    val r = right
+      .withColumn("_tag", lit(0))
+      .select(Seq(col(key), col(ts), col("_tag")) ++
+        leftCols.filterNot(Seq(key, ts).contains)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(rowStruct.as("_r_row")): _*)
+    val wB = Window.partitionBy(key).orderBy(col(ts).asc, col("_tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(key).orderBy(col(ts).desc, col("_tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val backGap = unix_micros(col(ts)) - unix_micros(col("_r_back._r_ts_field"))
+    val fwdGap = unix_micros(col("_r_fwd._r_ts_field")) - unix_micros(col(ts))
+    val pickBack = col("_r_fwd").isNull || (col("_r_back").isNotNull && backGap <= fwdGap)
+    val picked = when(pickBack, col("_r_back")).otherwise(col("_r_fwd"))
+    l.unionByName(r)
+      .withColumn("_r_back", last(col("_r_row"), ignoreNulls = true).over(wB))
+      .withColumn("_r_fwd", last(col("_r_row"), ignoreNulls = true).over(wF))
+      .filter(col("_tag") === 1)
+      .withColumn("_r_picked", picked)
+      .withColumn("_dir",
+        when(col("_r_picked").isNull, lit("none"))
+          .when(pickBack, lit("back")).otherwise(lit("fwd")))
+      .select((Seq(col(key), col(ts)) ++
+        leftCols.filterNot(Seq(key, ts).contains).map(col) ++
+        rightCols.map(c => col(s"_r_picked.$c").as(s"_r_$c")) ++
+        Seq(col("_r_picked._r_ts_field").as("_r_ts"), col("_dir"))): _*)
+  }
 }

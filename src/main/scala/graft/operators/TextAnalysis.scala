@@ -75,18 +75,41 @@ object TextAnalysis {
   /** Heuristic language ID: fraction of tokens in each language's
     * function-word profile; argmax with (score desc, lang asc)
     * tie-break. Output (id, predicted_lang, score). */
-  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** The winning (lang, score) struct of the stopword-profile vote —
+    * shared by [[langId]] and [[langConfusion]] so both ride one
+    * projection with no self-join. */
+  private def bestLang(textCol: String): Column = {
     val w = TextOps.words(col(textCol))
     val scored = LangProfiles.map { case (lang, stop) =>
       val s = size(filter(w, t => t.isin(stop: _*))).cast("double") / size(w)
       struct((s * -1).as("neg"), lit(lang).as("lang"), s.as("score"))
     }
-    val best = array_min(array(scored: _*))
+    array_min(array(scored: _*))
+  }
+
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val best = bestLang(textCol)
     docs.select(
       col(idCol).as("doc_id"),
       best.getField("lang").as("predicted_lang"),
       best.getField("score").as("score"))
   }
+
+  /** LANGUAGE-ID CONFUSION MATRIX — the classifier-eval report every
+    * curation pipeline runs before trusting a language filter: for
+    * each (labeled lang, predicted lang) cell, the document count and
+    * the row-conditional rate in integer permille. The label column
+    * rides the SAME scan as the prediction (no self-join); the agg is
+    * |langs|²-bounded, so the whole matrix costs one pass at any
+    * corpus size. Diagonal permille = per-language recall. */
+  def langConfusion(docs: DataFrame, idCol: String, textCol: String,
+                    labelCol: String): DataFrame =
+    docs.select(col(labelCol).as("label_lang"),
+        bestLang(textCol).getField("lang").as("predicted_lang"))
+      .groupBy("label_lang", "predicted_lang")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_permille",
+        expr("(1000 * n) DIV sum(n) OVER (PARTITION BY label_lang)"))
 
   /** Rolling-hash fingerprint (order-sensitive, mod 1e9+7): one BIGINT
     * per document. */

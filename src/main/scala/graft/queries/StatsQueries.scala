@@ -225,6 +225,29 @@ object StatsQueries {
       .orderBy("event_id")
   }
 
+  /** Bidirectional NEAREST as-of ([[AsOf.joinNearest]]): each event
+    * joined to the user's purchase with the smallest absolute gap on
+    * EITHER side (ties → backward) — the sensor-fusion/feature-
+    * alignment variant neither directed join expresses; one key
+    * exchange, two in-exchange sorts. The oracle splices the two
+    * proven directed ASOF joins and replays the same µs-exact
+    * nearer-side pick. */
+  def asofNearestPurchase(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(s, dir)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("event_id").as("p_event_id"))
+    val joined = AsOf.joinNearest(
+      events.select("event_id", "user_id", "ts"),
+      purchases, key = "user_id", ts = "ts", rightCols = Seq("p_event_id"))
+    joined.select(
+        col("event_id"), col("user_id"),
+        date_format(col("ts"), Fmt).as("ts"),
+        col("_r_p_event_id").as("near_event_id"),
+        expr("abs(unix_micros(ts) - unix_micros(_r_ts)) DIV 1000000").as("gap_secs"),
+        col("_dir").as("direction"))
+      .orderBy("event_id")
+  }
+
   /** KMV sketch SET OPERATIONS — the capability HLL sketches are
     * usually kept around for (mergeable union/intersection estimates
     * across segments) but oracle-exact: both segment sketches use the
@@ -331,6 +354,7 @@ object StatsQueries {
     "rel_profile" -> (profile _),
     "asof_last_purchase" -> (asofLastPurchase _),
     "asof_next_purchase" -> (asofNextPurchase _),
+    "asof_nearest_purchase" -> (asofNearestPurchase _),
     "rel_kmv_setops" -> (kmvSetOps _),
     "sql_q1_pricing" -> (sqlPricing _))
 
@@ -478,6 +502,32 @@ object StatsQueries {
          |       THEN (epoch_us(p.ts) - epoch_us(l.ts)) // 1000000 END AS secs_until
          |FROM l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts <= p.ts
          |ORDER BY l.event_id""".stripMargin,
+    // the two proven directed ASOF joins spliced, then the identical
+    // µs-exact nearer-side pick (ties -> backward)
+    "asof_nearest_purchase" ->
+      """WITH p AS (SELECT user_id, ts, max(event_id) AS p_event_id
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |l AS (SELECT event_id, user_id, ts FROM events),
+        |b AS (SELECT l.event_id, l.user_id, l.ts, p.p_event_id AS b_id, p.ts AS b_ts
+        |      FROM l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts),
+        |f AS (SELECT l.event_id, p.p_event_id AS f_id, p.ts AS f_ts
+        |      FROM l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts <= p.ts),
+        |j AS (SELECT b.event_id, b.user_id, b.ts, b.b_id, b.b_ts, f.f_id, f.f_ts,
+        |        CASE WHEN f.f_ts IS NULL OR (b.b_ts IS NOT NULL AND
+        |               epoch_us(b.ts) - epoch_us(b.b_ts)
+        |                 <= epoch_us(f.f_ts) - epoch_us(b.ts))
+        |             THEN 0 ELSE 1 END AS usef
+        |      FROM b JOIN f USING (event_id))
+        |SELECT event_id, user_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |  CASE WHEN usef = 1 THEN f_id ELSE b_id END AS near_event_id,
+        |  CAST(abs(epoch_us(ts) -
+        |    epoch_us(CASE WHEN usef = 1 THEN f_ts ELSE b_ts END)) // 1000000
+        |    AS BIGINT) AS gap_secs,
+        |  CASE WHEN usef = 1 AND f_ts IS NOT NULL THEN 'fwd'
+        |       WHEN usef = 0 AND b_ts IS NOT NULL THEN 'back'
+        |       ELSE 'none' END AS direction
+        |FROM j ORDER BY event_id""".stripMargin,
     // exact replay of the merged-sketch estimators: per-segment k-min
     // sketches, union = k-min of the merged rows, intersection =
     // Jaccard-on-the-union-sketch × union estimate — the two-level

@@ -70,6 +70,13 @@ object TextQueries {
     TextAnalysis.corpusStats(Tables.documents(s, dir))
       .orderBy("lang", "source")
 
+  /** Language-ID confusion matrix against the fixture's lang labels
+    * (TextAnalysis.langConfusion): the filter-eval report, langs²
+    * rows, diagonal permille = per-language recall. */
+  def langConfusionQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langConfusion(Tables.documents(s, dir), "doc_id", "text", "lang")
+      .orderBy("label_lang", "predicted_lang")
+
   /** Top-50 Dice-scored collocations with ≥ 5 occurrences (see
     * TextAnalysis.collocations for why Dice, not PMI: log-free AND
     * overflow-free at any corpus size). */
@@ -281,6 +288,7 @@ object TextQueries {
     "text_tokens_bpe" -> (bpeTokens _),
     "text_quality" -> (quality _),
     "text_langid" -> (langid _),
+    "text_lang_confusion" -> (langConfusionQ _),
     "text_fingerprint" -> (fingerprint _),
     "text_corpus_stats" -> (corpus _),
     "text_bigram_coverage" -> (bigramCoverage _),
@@ -528,6 +536,21 @@ object TextQueries {
          |  round(punct_ratio, 6) AS punct_ratio,
          |  round(stop_ratio * 0.3 + (1.0 - punct_ratio) * 0.4 + least(avg_len / 10.0, 1.0) * 0.3, 6) AS score
          |FROM f ORDER BY doc_id""".stripMargin,
+    // same ranked-vote CTE as text_langid, joined to the label and
+    // reduced to the langs^2 matrix with integer row-permille
+    "text_lang_confusion" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |s AS ($langScoresSql),
+         |r AS (SELECT doc_id, lang AS predicted_lang FROM (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+         |  FROM s) WHERE rn = 1),
+         |j AS (SELECT d.lang AS label_lang, r.predicted_lang,
+         |        CAST(COUNT(*) AS BIGINT) AS n
+         |      FROM r JOIN documents d USING (doc_id) GROUP BY 1, 2)
+         |SELECT label_lang, predicted_lang, n,
+         |  CAST((1000 * n) // (SUM(n) OVER (PARTITION BY label_lang)) AS BIGINT) AS row_permille
+         |FROM j ORDER BY label_lang, predicted_lang""".stripMargin,
     "text_langid" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |s AS ($langScoresSql),

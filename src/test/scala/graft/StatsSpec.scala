@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
+import graft.io.Tables
 import graft.operators.AsOf
 
 class StatsSpec extends SparkSpec {
@@ -75,6 +76,60 @@ class StatsSpec extends SparkSpec {
     val j = AsOf.joinLatestBefore(events.select("event_id", "user_id", "ts"),
       purchases, "user_id", "ts", Seq("p_event_id"))
     assert(j.count() === events.count())
+  }
+
+  test("nearest asof picks the smaller gap either side; ties go backward") {
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val left = Seq((1L, 7L, ts(10)), (2L, 7L, ts(21)), (3L, 7L, ts(100)), (4L, 8L, ts(5)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((7L, ts(0), 100L), (7L, ts(20), 200L), (7L, ts(22), 300L))
+      .toDF("user_id", "ts", "p_event_id")
+    val got = AsOf.joinNearest(left, right, "user_id", "ts", Seq("p_event_id"))
+      .select("event_id", "_r_p_event_id", "_dir").collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getString(2))).toMap
+    // event 1: back 100 at gap 10 vs fwd 200 at gap 10 — tie -> back
+    // event 2: back 200 gap 1 vs fwd 300 gap 1 — tie -> back
+    // event 3: only backward candidates remain -> 300
+    // event 4: user 8 has no purchases -> none
+    assert(got === Map(1L -> ((100L, "back")), 2L -> ((200L, "back")),
+      3L -> ((300L, "back")), 4L -> ((-1L, "none"))))
+    val fwdOnly = AsOf.joinNearest(
+      Seq((9L, 7L, ts(0))).toDF("event_id", "user_id", "ts")
+        .withColumn("ts", col("ts") - expr("INTERVAL 30 MINUTES")),
+      right, "user_id", "ts", Seq("p_event_id"))
+      .select("_r_p_event_id", "_dir").collect()(0)
+    assert((fwdOnly.getLong(0), fwdOnly.getString(1)) === ((100L, "fwd")))
+  }
+
+  test("nearest asof agrees with the two directed joins on fixture data") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "ts")
+    val purchases = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("event_id").as("p_event_id"))
+    val near = AsOf.joinNearest(events, purchases, "user_id", "ts", Seq("p_event_id"))
+      .select(col("event_id"), col("_r_p_event_id"),
+        abs(unix_micros(col("ts")) - unix_micros(col("_r_ts"))).as("gap"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(near.length === events.count())
+    val back = AsOf.joinLatestBefore(events, purchases, "user_id", "ts", Seq("p_event_id"))
+      .select(col("event_id"),
+        (unix_micros(col("ts")) - unix_micros(col("_r_ts"))).as("g"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) Long.MaxValue else r.getLong(1))).toMap
+    val fwd = AsOf.joinEarliestAfter(events, purchases, "user_id", "ts", Seq("p_event_id"))
+      .select(col("event_id"),
+        (unix_micros(col("_r_ts")) - unix_micros(col("ts"))).as("g"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) Long.MaxValue else r.getLong(1))).toMap
+    near.foreach { case (id, pid, gap) =>
+      val expectGap = math.min(back(id), fwd(id))
+      if (expectGap == Long.MaxValue) assert(pid === -1L && gap === -1L, s"event $id")
+      else assert(gap === expectGap, s"event $id")
+    }
   }
 
   test("approx_count_distinct is within 5% of exact at rsd=0.02") {

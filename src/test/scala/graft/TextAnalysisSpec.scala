@@ -559,6 +559,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.toSeq === Seq((500L, 1L, 4L), (900L, 4L, 8L), (990L, 4L, 8L)))
   }
 
+  test("lang confusion: rows conserve doc counts, cells match langId directly") {
+    val m = TextAnalysis.langConfusion(docs, "doc_id", "text", "lang")
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    val byLabel = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLabel.foreach { case (lang, n) =>
+      val row = m.filter(_._1._1 == lang).values
+      assert(row.map(_._1).sum === n, s"row $lang count")
+      assert(row.map(_._2).sum <= 1000L, s"row $lang permille (floor division)")
+    }
+    // cells equal a direct langId x label recount
+    val direct = TextAnalysis.langId(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang", "predicted_lang").count()
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(m.view.mapValues(_._1).toMap === direct)
+  }
+
   test("collocations: hand-checked Dice ranking with tie-break on a toy corpus") {
     val docs = Seq(
       (1L, "big data big data pipeline"),
