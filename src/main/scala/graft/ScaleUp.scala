@@ -263,7 +263,13 @@ object ScaleUp {
     // round 8 cohort 12: bidirectional nearest as-of (one exchange,
     // two in-exchange sorts over 1 M events) and the langs²-bounded
     // language-ID confusion matrix over 50 k docs
-    "asof_nearest_purchase", "text_lang_confusion")
+    "asof_nearest_purchase", "text_lang_confusion",
+    // round 8 cohort 13: window-4 skip-gram counts over 5 M tokens
+    // (per-row pair HOFs, one pair-count exchange), the 3-step
+    // deadline funnel over 1 M events (user-keyed chained mins), and
+    // the chained-state streaming attribution twin
+    "text_skipgram_counts", "events_funnel_depth",
+    "stream_attribution_parity")
 
   /** 100×-bench-scale fixture (round-6 rehearsal): ONLY the tables the
     * five heaviest shuffle producers touch — documents 500 k, lineitem

@@ -353,6 +353,48 @@ object Events {
         col("cents"), col("n_prev"), col("s_prev"))
   }
 
+  /** MULTI-STEP ORDERED FUNNEL DEPTH — for a step sequence
+    * (s₁, s₂, …, sₖ), how far each user progresses taking each step's
+    * EARLIEST occurrence at-or-after the previous step AND within
+    * `stepWindowUs` of it (the standard product-analytics funnel with
+    * a per-step conversion deadline: a later s₁ cannot resurrect a
+    * funnel, equal timestamps chain — the as-of family's inclusive
+    * convention — and a step past the deadline breaks the chain).
+    * Output: (depth, n_users) for the observed depths over ALL users.
+    *
+    * Scale shape: k chained conditional-min aggregates, every one
+    * keyed on user_id — the per-step join is user-keyed against a
+    * users-sized frame (one row per user who reached the previous
+    * step), so AQE broadcasts it once the funnel narrows and no
+    * exchange ever carries more than the events fact once per step.
+    * The final depth histogram is k+1 rows. */
+  def funnelDepth(events: DataFrame,
+                  steps: Seq[String] = Seq("signup", "view", "purchase"),
+                  stepWindowUs: Long = 24L * 3600L * 1000000L): DataFrame = {
+    require(steps.nonEmpty)
+    val e = events.select(col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("_us"))
+    val users = e.select("user_id").distinct()
+    // reached(i) = (user_id, _t) the earliest time user completed step i
+    val first = e.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min(col("_us")).as("_t"))
+    val reached = steps.tail.scanLeft(first) { (prev, step) =>
+      e.filter(col("event_type") === step)
+        .join(prev.select(col("user_id"), col("_t").as("_pt")), "user_id")
+        .filter(col("_us") >= col("_pt") &&
+          col("_us") - col("_pt") <= stepWindowUs)
+        .groupBy("user_id").agg(min(col("_us")).as("_t"))
+    }
+    val depth = reached.zipWithIndex.foldLeft(
+        users.withColumn("_d", lit(0))) { case (acc, (r, i)) =>
+      acc.join(r.select(col("user_id"), lit(1).as(s"_r$i")), Seq("user_id"), "left")
+        .withColumn("_d", when(col(s"_r$i").isNotNull, lit(i + 1)).otherwise(col("_d")))
+        .drop(s"_r$i")
+    }
+    depth.groupBy(col("_d").cast("long").as("depth"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** EVENT-TYPE TRANSITION MATRIX — the first-order Markov summary of
     * user journeys: for every ordered (from_type → to_type) pair of
     * CONSECUTIVE events per user (same (ts, event_id) total order as

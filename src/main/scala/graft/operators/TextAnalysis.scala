@@ -655,6 +655,43 @@ object TextAnalysis {
         expr("_sp DIV n_bigrams").as("lm_score_permille"))
   }
 
+  /** SKIP-GRAM CO-OCCURRENCE COUNTS — the word2vec/GloVe
+    * preprocessing table: for every ordered token pair (w₁, w₂) with
+    * w₂ at most `window` positions after w₁ in the same document, the
+    * occurrence count; top `topN` pairs by (count DESC, pair ASC).
+    * Generalizes bigrams (window = 1) to the sliding co-occurrence
+    * window embedding trainers actually consume.
+    *
+    * Scale shape: pair generation is a PER-ROW expression — one
+    * codegen'd HOF per offset d ∈ 1..window zips the token array with
+    * itself shifted by d (`w[i] || ' ' || w[i+d]`), so NO self-join
+    * of the token stream and no position explode: the only shuffle is
+    * the pair-count aggregate (map-side partials), ~window·tokens
+    * rows. Global top-N is TakeOrdered; rank after limit. */
+  def skipgramCounts(docs: DataFrame, idCol: String, textCol: String,
+                     window: Int = 4, topN: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 1)
+    val w = TextOps.words(col(textCol))
+    // short docs: Spark's sequence(1, n) DESCENDS when n < 1 (it would
+    // index position 0), so offsets past the doc length take an
+    // explicit empty array — DuckDB's generate_series is empty there
+    val pairsPerOffset = (1 to window).map { d =>
+      when(size(w) > d,
+        transform(sequence(lit(1), size(w) - d),
+          i => concat(element_at(w, i), lit(" "), element_at(w, i + d))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val top = docs
+      .select(explode(flatten(array(pairsPerOffset: _*))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topN)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("pair"))).cast("int"))
+      .select(col("rank"), col("pair"), col("n"))
+  }
+
   /** TOP-N COLLOCATIONS by DICE COEFFICIENT — the corpus-level
     * "which word pairs travel together" report a tokenizer-merge or
     * phrase-mining stage starts from. For every bigram with at least

@@ -143,9 +143,17 @@ object EventsQueries {
         col("n_conversions"), col("sum_cents"))
       .orderBy("touch_type")
 
+  /** 3-step ordered funnel (signup → view → purchase) depth histogram
+    * ([[Events.funnelDepth]]): each step's earliest occurrence
+    * at-or-after the previous step; all joins user-keyed. */
+  def funnelDepthQ(s: SparkSession, dir: String): DataFrame =
+    Events.funnelDepth(Tables.events(s, dir))
+      .orderBy("depth")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_markov_transitions" -> (markov _),
     "events_attribution" -> (attribution _),
+    "events_funnel_depth" -> (funnelDepthQ _),
     "events_rolling_wau" -> (rollingWau _),
     "events_anomaly_zscore" -> (anomaly _),
     "events_gap_fill" -> (gapFill _),
@@ -172,6 +180,27 @@ object EventsQueries {
         |SELECT from_type, to_type, n,
         |  CAST((1000 * n) // (SUM(n) OVER (PARTITION BY from_type)) AS BIGINT) AS p_permille
         |FROM m ORDER BY from_type, to_type""".stripMargin,
+    // the chained conditional-min formulation, step i's earliest
+    // occurrence at-or-after step i-1 (inclusive, the as-of convention)
+    "events_funnel_depth" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |r1 AS (SELECT user_id, MIN(us) AS t FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |r2 AS (SELECT e.user_id, MIN(e.us) AS t FROM e JOIN r1 USING (user_id)
+        |       WHERE e.event_type = 'view' AND e.us >= r1.t
+        |         AND e.us - r1.t <= 86400000000 GROUP BY 1),
+        |r3 AS (SELECT e.user_id, MIN(e.us) AS t FROM e JOIN r2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.us >= r2.t
+        |         AND e.us - r2.t <= 86400000000 GROUP BY 1),
+        |d AS (SELECT u.user_id,
+        |        CASE WHEN r3.user_id IS NOT NULL THEN 3
+        |             WHEN r2.user_id IS NOT NULL THEN 2
+        |             WHEN r1.user_id IS NOT NULL THEN 1 ELSE 0 END AS depth
+        |      FROM u LEFT JOIN r1 USING (user_id) LEFT JOIN r2 USING (user_id)
+        |        LEFT JOIN r3 USING (user_id))
+        |SELECT CAST(depth AS BIGINT) AS depth, CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_attribution" ->
       """WITH w AS (SELECT user_id, ts, event_id, event_type, value,
         |    last_value(CASE WHEN event_type IN ('view', 'click') THEN event_type END IGNORE NULLS)

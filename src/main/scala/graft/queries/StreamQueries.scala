@@ -444,7 +444,26 @@ object StreamQueries {
       .orderBy("from_type", "to_type")
   }
 
+  /** Streaming last-touch attribution — [[StreamOps.attributionStream]]
+    * keeps one most-recent-touch tuple per user across micro-batches;
+    * the drained (bucket, cents) sink reduces to the same 3-row
+    * report as the batch operator. Oracle = events_attribution SQL
+    * verbatim. */
+  def attributionParity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = StreamOps.readEventsStream(s, eventsStreamDir(dir))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamOps.Event]
+    val rows = StreamOps.attributionStream(ev)
+      .toDF("touch_type", "cents")
+    runToMemory(s, "stream_attr_sink", rows, "append")
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_conversions"), sum("cents").as("sum_cents"))
+      .orderBy("touch_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_attribution_parity" -> (attributionParity _),
     "stream_markov_parity" -> (markovParity _),
     "stream_wau_parity" -> (wauParity _),
     "stream_corr_parity" -> (corrParity _),
@@ -466,6 +485,9 @@ object StreamQueries {
     // the batch transition-matrix oracle verbatim: chained last-event
     // state must extract the identical consecutive-pair multiset
     "stream_markov_parity" -> EventsQueries.oracles("events_markov_transitions"),
+    // the batch attribution oracle verbatim: one most-recent-touch
+    // tuple per user must credit the identical bucket totals
+    "stream_attribution_parity" -> EventsQueries.oracles("events_attribution"),
     // the batch corr oracle verbatim: merged micro-batch moments must
     // finalize to the identical 6-dp doubles
     "stream_corr_parity" -> StatsQueries.oracles("rel_corr_matrix"),

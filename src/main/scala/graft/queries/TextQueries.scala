@@ -77,6 +77,13 @@ object TextQueries {
     TextAnalysis.langConfusion(Tables.documents(s, dir), "doc_id", "text", "lang")
       .orderBy("label_lang", "predicted_lang")
 
+  /** Top-100 window-4 skip-gram pair counts
+    * (TextAnalysis.skipgramCounts): the word2vec co-occurrence prep,
+    * pair generation per-row (no token self-join). */
+  def skipgramsQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.skipgramCounts(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("rank")
+
   /** Top-50 Dice-scored collocations with ≥ 5 occurrences (see
     * TextAnalysis.collocations for why Dice, not PMI: log-free AND
     * overflow-free at any corpus size). */
@@ -294,6 +301,7 @@ object TextQueries {
     "text_bigram_coverage" -> (bigramCoverage _),
     "text_bigram_lm_score" -> (bigramLm _),
     "text_collocations" -> (collocationsQ _),
+    "text_skipgram_counts" -> (skipgramsQ _),
     "text_quality_buckets" -> (qualityBuckets _),
     "text_vocab" -> (vocab _),
     "text_stratified_sample" -> (stratified _),
@@ -569,6 +577,18 @@ object TextQueries {
          |FROM documents ORDER BY doc_id""".stripMargin,
     // distinct-per-doc bigrams (the shingle contract), so the ref
     // count is DOCUMENT frequency; top-200 under a total order
+    // one generate_series per offset d in 1..4, unioned — the same
+    // shifted-zip pair generation as the per-row Spark HOFs
+    "text_skipgram_counts" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |occ AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(w) - t.d),
+        |           i -> w[i] || ' ' || w[i + t.d])) AS pair
+        |  FROM d, (SELECT unnest(generate_series(1, 4)) AS d) t),
+        |c AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM occ GROUP BY 1),
+        |r AS (SELECT CAST(row_number() OVER (ORDER BY n DESC, pair) AS INTEGER) AS rank,
+        |        pair, n FROM c)
+        |SELECT rank, pair, n FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
     "text_collocations" ->
       """WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
         |occ AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),

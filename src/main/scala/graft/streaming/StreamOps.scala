@@ -199,6 +199,46 @@ object StreamOps {
       }
   }
 
+  /** STREAMING LAST-TOUCH ATTRIBUTION — the stateful face of
+    * [[graft.operators.Events.lastTouchAttribution]]: per user, the
+    * state is the single most-recent touch (µs, type); each
+    * micro-batch sorts its events by (ts, event_id) and every
+    * conversion emits (attributed-touch-or-'unattributed', exact
+    * cents), with touches updating state as the scan passes them —
+    * so a touch in one batch attributes a conversion in a later one.
+    * State is one tuple per user; emission is conversion-sized; the
+    * bucket totals are a |touch types|-bounded reduction on the
+    * drained sink. Cents go through [[centsOf]] (the decimal(38,2)
+    * bridge) so sums are bit-identical to the batch operator's. */
+  def attributionStream(events: Dataset[Event],
+                        touchTypes: Set[String] = Set("view", "click"),
+                        conversionType: String = "purchase",
+                        windowUs: Long = 24L * 3600L * 1000000L)
+      : Dataset[(String, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, String), (String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, evs, state: GroupState[(Long, String)]) =>
+          val sorted = evs.toSeq.sortBy(e => (tsToUs(e.ts), e.event_id))
+          var last = state.getOption.orNull
+          var out = List.empty[(String, Long)]
+          sorted.foreach { e =>
+            val us = tsToUs(e.ts)
+            if (e.event_type == conversionType) {
+              val attr = if (last != null && us - last._1 <= windowUs) last._2
+                         else "unattributed"
+              out ::= ((attr, centsOf(e.value)))
+            }
+            if (touchTypes(e.event_type)) last = (us, e.event_type)
+          }
+          if (last != null) state.update(last)
+          out.reverseIterator
+      }
+  }
+
   /** Exact cents the way Spark SQL's `CAST(value AS DECIMAL(38,2))`
     * produces them: the cast goes through `Double.toString` (shortest
     * round-trip) then HALF_UP — replicated here so the streaming

@@ -317,6 +317,34 @@ class EventsSpec extends SparkSpec {
     assert(total === events.count() - users)
   }
 
+  test("funnel depth: ordered chaining, per-step deadline, no resurrection") {
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val day = 24 * 60
+    val df = Seq(
+      // user 7: signup -> view -> purchase inside the deadlines: depth 3
+      (1L, ts(0), 7L, "signup", 0.0, "{}"),
+      (2L, ts(10), 7L, "view", 0.0, "{}"),
+      (3L, ts(20), 7L, "purchase", 0.0, "{}"),
+      // user 8: view BEFORE signup never counts; none after: depth 1
+      (4L, ts(5), 8L, "view", 0.0, "{}"),
+      (5L, ts(10), 8L, "signup", 0.0, "{}"),
+      // user 9: view past the 24h step deadline: depth 1
+      (6L, ts(0), 9L, "signup", 0.0, "{}"),
+      (7L, ts(day + 1), 9L, "view", 0.0, "{}"),
+      // user 10: no signup at all: depth 0
+      (8L, ts(0), 10L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.funnelDepth(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 1L, 1L -> 2L, 3L -> 1L))
+  }
+
+  test("funnel depth conserves users on the fixture") {
+    val d = Events.funnelDepth(events)
+    assert(d.agg(sum("n_users")).collect()(0).getLong(0) ===
+      events.select("user_id").distinct().count())
+  }
+
   test("last-touch attribution: window expiry, override, and the unattributed bucket") {
     def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
     val df = Seq(

@@ -336,6 +336,37 @@ class StreamingSpec extends SparkSpec {
     assert(pairs === Seq((7L, "click", "purchase"), (7L, "view", "click")))
   }
 
+  test("streaming attribution credits a touch from an earlier micro-batch") {
+    val input = MemoryStream[Event](spark)
+    val q = StreamOps.attributionStream(input.toDS())
+      .toDF("touch_type", "cents")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_rows").start()
+    def ev(id: Long, min: Int, u: Long, t: String, v: Double) =
+      Event(id, new Timestamp(1700000000000L + min * 60000L), u, t, v)
+    input.addData(ev(1, 0, 7, "click", 0.0))
+    q.processAllAvailable()
+    // conversion arrives a batch later; credit must come from state
+    input.addData(ev(2, 10, 7, "purchase", 12.34),
+      ev(3, 0, 8, "purchase", 5.0))
+    q.processAllAvailable()
+    val rows = spark.table("attr_rows")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    q.stop()
+    assert(rows === Seq(("click", 1234L), ("unattributed", 500L)))
+  }
+
+  test("streaming attribution equals the batch operator on the fixture") {
+    val streamed = SparkEntry.queries("stream_attribution_parity")(spark, sf001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = graft.queries.EventsQueries.attribution(spark, sf001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming transition matrix equals the batch operator on the fixture") {
     val streamed = SparkEntry.queries("stream_markov_parity")(spark, sf001)
       .collect()

@@ -559,6 +559,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.toSeq === Seq((500L, 1L, 4L), (900L, 4L, 8L), (990L, 4L, 8L)))
   }
 
+  test("skipgrams: window-2 hand check; window-1 equals the bigram multiset") {
+    val toy = Seq((1L, "a b c a")).toDF("doc_id", "text")
+    // offsets 1: (a b)(b c)(c a); offset 2: (a c)(b a)
+    val got = TextAnalysis.skipgramCounts(toy, "doc_id", "text", window = 2, topN = 10)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(got === Map("a b" -> 1L, "b c" -> 1L, "c a" -> 1L,
+      "a c" -> 1L, "b a" -> 1L))
+    // window=1 reduces to bigram occurrence counts on fixture data
+    val sg1 = TextAnalysis.skipgramCounts(docs, "doc_id", "text", window = 1, topN = 20)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val bigrams = docs
+      .select(explode(graft.functions.TextOps.shinglesAll(col("text"), 2)).as("bg"))
+      .groupBy("bg").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sg1.foreach { case (p, n) => assert(bigrams(p) === n, p) }
+    // single-token docs produce no pairs and no index-0 errors
+    val tiny = Seq((1L, "solo")).toDF("doc_id", "text")
+    assert(TextAnalysis.skipgramCounts(tiny, "doc_id", "text").count() === 0)
+  }
+
   test("lang confusion: rows conserve doc counts, cells match langId directly") {
     val m = TextAnalysis.langConfusion(docs, "doc_id", "text", "lang")
       .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
