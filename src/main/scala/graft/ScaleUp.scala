@@ -269,7 +269,10 @@ object ScaleUp {
     // deadline funnel over 1 M events (user-keyed chained mins), and
     // the chained-state streaming attribution twin
     "text_skipgram_counts", "events_funnel_depth",
-    "stream_attribution_parity")
+    "stream_attribution_parity",
+    // round 8 cohort 14: the shard manifest (hash shuffle + token
+    // totals + order-independent checksum over 50 k docs)
+    "pipeline_shard_manifest")
 
   /** 100×-bench-scale fixture (round-6 rehearsal): ONLY the tables the
     * five heaviest shuffle producers touch — documents 500 k, lineitem

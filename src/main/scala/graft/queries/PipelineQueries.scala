@@ -3,8 +3,9 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextOps
 import graft.io.Tables
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Integrity, TextAnalysis}
 
 /** Composite training-data pipeline: the operators composed the way a
   * real corpus-cleaning job chains them — exact dedup → quality
@@ -93,14 +94,59 @@ object PipelineQueries {
       .orderBy("lang", "doc_id")
   }
 
+  /** SHARD MANIFEST — the artifact an epoch-sharding stage actually
+    * ships next to its files: per shard, the document count, token
+    * total, and an ORDER-INDEPENDENT affine checksum over
+    * (doc_id, n_tokens, n_chars) ([[Integrity.tableChecksum]] — the
+    * commutative Lehmer fold, so the manifest is invariant to
+    * partitioning and plan, and a downstream loader re-derives it to
+    * prove its copy is complete and uncorrupted). Composes the proven
+    * [[TextAnalysis.shardAssign]] hash-bucketed shuffle with the
+    * proven checksum; both shuffles are shard- (8-) bounded after the
+    * per-doc projection. */
+  def shardManifest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val perDoc = TextAnalysis.shardAssign(docs, "doc_id", TextQueries.NumShards)
+      .join(docs.select(col("doc_id"),
+        size(TextOps.words(col("text"))).cast("long").as("_tok"),
+        col("n_chars").cast("long").as("_nc")), "doc_id")
+    val sums = perDoc.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("_tok").as("n_tokens"))
+    val ck = Integrity.tableChecksum(perDoc, Seq("shard"),
+      Seq(col("doc_id"), col("_tok"), col("_nc")))
+    sums.join(ck.select(col("shard"), col("checksum")), "shard")
+      .select(col("shard"), col("n_docs"), col("n_tokens"), col("checksum"))
+      .orderBy("shard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_clean_corpus" -> (cleanCorpus _),
+    "pipeline_shard_manifest" -> (shardManifest _),
     "pipeline_training_set" -> (trainingSet _))
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracles: Map[String, String] = Map(
+    // shard hash from the text_shard_assign oracle + the checksum
+    // fold from rel_table_checksum's coefficient stream
+    "pipeline_shard_manifest" -> {
+      val p = graft.operators.Sketches.HashP
+      val (as, b0) = Integrity.checksumCoeffs(3)
+      val vals = Seq("doc_id", "CAST(len(string_split(text, ' ')) AS BIGINT)",
+        "CAST(n_chars AS BIGINT)")
+      val h = vals.zip(as).foldLeft(b0.toString) {
+        case (acc, (v, a)) => s"(($acc + (($v % $p + $p) % $p) * $a) % $p)"
+      }
+      s"""WITH d AS (SELECT doc_id, text, n_chars,
+         |    CAST(((doc_id % ${TextAnalysis.SampleHashP}) * ${TextAnalysis.SampleHashA})
+         |      % ${TextAnalysis.SampleHashP} % ${TextQueries.NumShards} AS BIGINT) AS shard
+         |  FROM documents)
+         |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_tokens,
+         |  CAST(SUM($h) % $p AS BIGINT) AS checksum
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "pipeline_training_set" ->
       s"""WITH docs AS (SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents),
          |sh0 AS (SELECT DISTINCT doc_id, s FROM (

@@ -95,4 +95,18 @@ class IntegritySpec extends SparkSpec {
     }.toMap
     assert(merged === whole)
   }
+
+  test("shard manifest conserves docs and tokens; checksums differ across shards") {
+    val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val m = graft.queries.PipelineQueries.shardManifest(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(m.map(_._1).toSeq === m.map(_._1).toSeq.sorted)
+    assert(m.map(_._2).sum === docs.count())
+    val totalToks = docs
+      .select(sum(size(graft.functions.TextOps.words(col("text"))).cast("long")))
+      .collect()(0).getLong(0)
+    assert(m.map(_._3).sum === totalToks)
+    // 8 shards of distinct content should virtually never collide
+    assert(m.map(_._4).distinct.length === m.length)
+  }
 }
