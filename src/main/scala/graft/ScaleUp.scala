@@ -415,7 +415,15 @@ object ScaleUp {
     // round 8 cohort 7: the three docs-linear layout/sampling ops at
     // 500 k open-vocab docs — their two-level substrates must stay
     // funnel-free when the corpus, not the strata, is what grows
-    "text_pps_sample", "text_shard_assign", "text_length_batching")
+    "text_pps_sample", "text_shard_assign", "text_length_batching",
+    // round 8 cohorts 10/13/14 at 100x: the token-linear pair tables
+    // (window-4 skip-grams ~4x the bigram shuffle; Dice collocations)
+    // over 500 k open-vocab docs, the one-exchange journey ops and
+    // the deadline funnel over 10 M events / 750 k users, and the
+    // manifest's shard-bounded checksum shuffle
+    "text_skipgram_counts", "text_collocations",
+    "events_markov_transitions", "events_attribution",
+    "events_funnel_depth", "pipeline_shard_manifest")
 
   def main(args: Array[String]): Unit = {
     val mode100 = args.contains("100")
