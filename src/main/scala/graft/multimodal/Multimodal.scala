@@ -159,6 +159,23 @@ object Multimodal {
       .toDF("id", "frame_idx", "frame_fp")
   }
 
+  /** SHARED-SEGMENT DETECTION across payloads — the copy-detection
+    * reduction over [[frameSample]]'s rolling-hash frames: every
+    * frame fingerprint that occurs in MORE THAN ONE distinct payload,
+    * with its payload count, total occurrences, and the first/last
+    * payload ids — how reused intros, watermarks, and syndicated
+    * segments surface in a video/audio corpus without any pairwise
+    * comparison. Scale: the frame stream (bytes/stride rows) shuffles
+    * once on the fingerprint (map-side partials; the distinct-doc
+    * count is the standard two-phase distinct agg), and the output is
+    * shared-fingerprints-only — collision-bounded, not corpus-sized. */
+  def sharedFrames(blobs: DataFrame, frameLen: Int = 16, stride: Int = 64): DataFrame =
+    frameSample(blobs, frameLen, stride)
+      .groupBy("frame_fp")
+      .agg(countDistinct("id").as("n_docs"), count(lit(1)).as("n_occurrences"),
+        min("id").as("first_doc"), max("id").as("last_doc"))
+      .filter(col("n_docs") > 1)
+
   /** Encode the first `side`² payload bytes as a `side`×`side`
     * grayscale PNG (zero-padded) — a REAL ImageIO encode producing
     * blobs the real decode path reads back. Gray pixels make the

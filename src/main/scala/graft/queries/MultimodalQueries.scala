@@ -32,6 +32,15 @@ object MultimodalQueries {
       .select(col("id").as("doc_id"), col("frame_idx"), col("frame_fp"))
       .orderBy("doc_id", "frame_idx")
 
+  /** Cross-payload shared frames ([[Multimodal.sharedFrames]]) —
+    * copy/syndication detection without pairwise comparison; output
+    * is shared-fingerprints-only. */
+  def sharedFramesQ(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sharedFrames(blobs(s, dir))
+      .select(col("frame_fp"), col("n_docs"), col("n_occurrences"),
+        col("first_doc"), col("last_doc"))
+      .orderBy("frame_fp")
+
   /** REAL-codec round-trip (round 6): every fixture payload is
     * PNG-encoded and decoded through the actual ImageIO path — the
     * first declared query where the real decoder (not the byte stub)
@@ -128,6 +137,7 @@ object MultimodalQueries {
     "mm_patch_knn" -> (patchKnnQ _),
     "mm_byte_histogram" -> (histogram _),
     "mm_frame_fingerprints" -> (frames _),
+    "mm_shared_frames" -> (sharedFramesQ _),
     "mm_ahash_groups" -> (ahashGroups _),
     "mm_ahash_near_pairs" -> (ahashNearPairs _),
     "mm_decode_roundtrip" -> (decodeRoundtrip _))
@@ -231,6 +241,25 @@ object MultimodalQueries {
          |SELECT doc_id, bin, COUNT(*) AS n,
          |  round(CAST(COUNT(*) AS DOUBLE) / max(len), 6) AS ratio
          |FROM px GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the frame-fp CTE shared with mm_frame_fingerprints, reduced to
+    // fingerprints occurring in > 1 distinct doc (copy detection)
+    "mm_shared_frames" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, substr(text, CAST(t.k AS INTEGER) * 64 + 1, 16) AS frame
+         |  FROM documents,
+         |    (SELECT unnest(generate_series(0, 1000)) AS k) t
+         |  WHERE t.k * 64 < length(text)),
+         |fp AS (SELECT doc_id,
+         |  CASE WHEN length(frame) = 0 THEN 0
+         |       ELSE list_reduce(list_transform(generate_series(1, length(frame)),
+         |              i -> CAST(ascii(substr(frame, i, 1)) AS BIGINT)),
+         |              (a, b) -> (a * 31 + b) % $M)
+         |  END AS frame_fp FROM f)
+         |SELECT frame_fp, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM fp GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1
+         |ORDER BY frame_fp""".stripMargin,
     "mm_frame_fingerprints" ->
       s"""WITH f AS (
          |  SELECT doc_id, CAST(t.k AS INTEGER) AS frame_idx,

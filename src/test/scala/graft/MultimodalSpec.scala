@@ -244,6 +244,27 @@ class MultimodalSpec extends SparkSpec {
     got.foreach { case (_, nh, ni) => assert(ni >= nh) }
   }
 
+  test("shared frames: planted clone detected, counts reconcile with frameSample") {
+    import spark.implicits._
+    val base = "x" * 200
+    val docs = Seq((1L, base), (2L, base), (3L, "y" * 200))
+      .toDF("doc_id", "text")
+    val b = Multimodal.packBlobs(docs, "doc_id", "text")
+    val got = Multimodal.sharedFrames(b)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // docs 1 and 2 are byte-identical; their repeated 'x'*16 frame
+    // (offsets 0/64/128, 3 occurrences per doc) and the short 'x'*8
+    // tail frame are the two shared fingerprints; doc 3 shares nothing
+    assert(got.map(t => (t._2, t._3, t._4, t._5)).sorted.toSeq ===
+      Seq((2L, 2L, 1L, 2L), (2L, 6L, 1L, 2L)))
+    // fixture: every reported fp really occurs in >= 2 distinct docs
+    val fixture = Multimodal.sharedFrames(blobs).collect()
+    val byFp = Multimodal.frameSample(blobs)
+      .groupBy("frame_fp").agg(countDistinct("id").as("nd"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fixture.foreach(r => assert(byFp(r.getLong(0)) === r.getLong(1)))
+  }
+
   test("mosaic vectors threshold to exactly the average-hash bits") {
     val mosaics = Multimodal.mosaicVectors(blobs)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
