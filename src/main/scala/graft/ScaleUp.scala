@@ -186,9 +186,9 @@ object ScaleUp {
     "ann_pq_probe_only", "ann_recall_eval",
     // round 8 late: the co-located join (bucketed layout written once,
     // then a shuffle-free 6 M × 1.5 M join) and semantic dedup groups
-    // (all-pairs tiled cosine over 20 k vectors — the kernel the LSH/
-    // IVF candidate generators would bound at true scale — then
-    // pair-graph-sized components)
+    // (round 9: banded sign-LSH candidates + exact verify — the
+    // fixture-pinned bits=8; see dedup_embedding_auto in TimedCustom
+    // for the autoLshBits path that holds bucket occupancy constant)
     "rel_bucketed_join", "dedup_embedding_groups",
     // round 8 cohort 2: Q18 (6 M-row agg on the fact's own key — the
     // synthetic 4-line orders cap sum_qty below the HAVING bar, so the
@@ -274,6 +274,23 @@ object ScaleUp {
     // totals + order-independent checksum over 50 k docs)
     "pipeline_shard_manifest")
 
+  /** Rehearsal-only closures that are NOT declared queries: the
+    * auto-parameter scale path of an operator whose declared form pins
+    * fixture constants for oracle replay. `dedup_embedding_auto` runs
+    * the banded embedding near-dup with [[graft.operators.Dedup
+    * .autoLshBits]] (bits = ⌈log₂(n/8)⌉), the production configuration
+    * — at 20 k vectors bits=11, at 200 k bits=15, so mean bucket
+    * occupancy (and hence per-table candidate volume Σm² ≈ 8n) stays
+    * LINEAR in the corpus while the fixture-pinned bits=8 would melt
+    * (mean bucket 781 at 200 k → ~1.2 B candidate pairs). */
+  val TimedCustom: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+    "dedup_embedding_auto" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.Dedup.embeddingCosineLsh(e, "vec_id", "embedding",
+        threshold = 0.35, nTables = 16,
+        bits = graft.operators.Dedup.autoLshBits(e.count()), seed = 42L)
+    }))
+
   /** 100×-bench-scale fixture (round-6 rehearsal): ONLY the tables the
     * five heaviest shuffle producers touch — documents 500 k, lineitem
     * 60 M, events 10 M over 75 k users. The 10× generator's 40-word
@@ -353,6 +370,22 @@ object ScaleUp {
           pmod(xxhash64(col("_eff"), lit(6)), lit(3)).cast("int") + 1).as("source"))
       .withColumn("n_chars", length(col("text")))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    // embeddings (r9): 20 k × m vectors; every 20th is its
+    // predecessor plus ±0.02 jitter (cosine ≈ 0.9998 — a true planted
+    // near-dup the banded path must find), the rest seeded-uniform in
+    // [-1, 1] — the rehearsal substrate for dedup_embedding_auto
+    val vecEff = when(pmod(col("id"), lit(20)) === 0 && col("id") > 1,
+      col("id") - 1).otherwise(col("id"))
+    spark.range(1, 20000L * m + 1, 1, 64)
+      .select(col("id").as("vec_id"), vecEff.as("_eff"))
+      .select(col("vec_id"),
+        transform(sequence(lit(1), lit(64)),
+          i => (((pmod(xxhash64(col("_eff"), i.cast("long"), lit(7)), lit(2001)) - 1000)
+            / lit(1000.0)) +
+            when(col("vec_id") =!= col("_eff"),
+              (pmod(xxhash64(col("vec_id"), i.cast("long"), lit(9)), lit(41)) - 20)
+                / lit(1000.0)).otherwise(lit(0.0))).cast("float")).as("embedding"))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
 
   /** Generate (if absent) the two open-vocab fixtures and time each
@@ -361,9 +394,10 @@ object ScaleUp {
   def run100(spark: SparkSession, out: String): Unit = {
     val out10 = out + "-base10"
     for ((dir, m) <- Seq((out10, 1), (out, 10))) {
-      // guard on the NEWEST schema addition (l_suppkey, r8 cohort 6)
-      // so a dir generated by an older harness version is refreshed
+      // guard on the NEWEST schema addition (embeddings, r9) so a dir
+      // generated by an older harness version is refreshed
       val stale100 = !new java.io.File(s"$dir/orders.parquet").exists ||
+        !new java.io.File(s"$dir/embeddings.parquet").exists ||
         (try !spark.read.parquet(s"$dir/lineitem.parquet")
           .schema.fieldNames.contains("l_suppkey")
         catch { case _: Throwable => true })
@@ -377,19 +411,21 @@ object ScaleUp {
       spark.range(1000).selectExpr("sum(id)").count()
     } catch { case _: Throwable => () }
     println(f"${"query"}%-26s ${"sec10x"}%8s ${"sec100x"}%9s ${"ratio"}%7s ${"rows100x"}%10s")
-    Timed100.foreach { name =>
-      SparkEntry.queries.get(name).foreach { fn =>
-        def t(dir: String): (Double, Long) = {
-          val t0 = System.nanoTime()
-          val rows = try fn(spark, dir).count()
-            catch { case e: Throwable => println(s"$name FAILED: $e"); -1L }
-          ((System.nanoTime() - t0) / 1e9, rows)
-        }
-        val (s10, _) = t(out10)
-        val (s100, rows) = t(out)
-        println(f"$name%-26s $s10%8.2f $s100%9.2f ${s100 / s10}%7.2f $rows%10d")
+    def timeBoth(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      def t(dir: String): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val rows = try fn(spark, dir).count()
+          catch { case e: Throwable => println(s"$name FAILED: $e"); -1L }
+        ((System.nanoTime() - t0) / 1e9, rows)
       }
+      val (s10, _) = t(out10)
+      val (s100, rows) = t(out)
+      println(f"$name%-26s $s10%8.2f $s100%9.2f ${s100 / s10}%7.2f $rows%10d")
     }
+    Timed100.foreach { name =>
+      SparkEntry.queries.get(name).foreach(fn => timeBoth(name, fn))
+    }
+    TimedCustom.foreach { case (name, fn) => timeBoth(name, fn) }
   }
 
   /** The five heaviest shuffle producers of the declared surface
@@ -451,14 +487,16 @@ object ScaleUp {
       spark.range(1000).selectExpr("sum(id)").count()
     } catch { case _: Throwable => () }
     println(f"${"query"}%-26s ${"sec"}%8s ${"rows"}%10s")
-    Timed.foreach { name =>
-      SparkEntry.queries.get(name).foreach { fn =>
-        val t0 = System.nanoTime()
-        val rows = try fn(spark, out).count()
-          catch { case e: Throwable => println(s"$name FAILED: $e"); -1L }
-        println(f"$name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f $rows%10d")
-      }
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val rows = try fn(spark, out).count()
+        catch { case e: Throwable => println(s"$name FAILED: $e"); -1L }
+      println(f"$name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f $rows%10d")
     }
+    Timed.foreach { name =>
+      SparkEntry.queries.get(name).foreach(fn => timeOne(name, fn))
+    }
+    TimedCustom.foreach { case (name, fn) => timeOne(name, fn) }
     spark.stop()
   }
 }

@@ -20,9 +20,12 @@ import graft.functions.{TextOps, VectorOps}
   *  - simhash: fingerprints come from one codegen'd 64-column hash
   *    aggregate over exploded token hashes (shuffle = |docs|×64 ints
   *    after partial agg); candidate pairs from 16-bit band equality.
+  *  - embeddingCosineLsh: the DEFAULT embedding near-dup path —
+  *    sign-LSH banded candidates (bucket equi-join, hot-bucket cap)
+  *    verified by exact cosine, candidate-bounded compute;
   *  - embeddingCosine: exact quadratic verifier, tiled so no executor
-  *    or the driver ever holds the whole table — the sub-quadratic
-  *    scale path is the LSH/IVF variants in [[Similarity]].
+  *    or the driver ever holds the whole table — the ground-truth /
+  *    small-corpus path and the verify kernel's reference semantics.
   */
 object Dedup {
 
@@ -796,6 +799,94 @@ object Dedup {
     * the lower-id vector first — IEEE multiplication is commutative,
     * so orientation doesn't change bits — exactly matching the
     * sequential DuckDB oracle, so results stay hash-identical. */
+  /** SUB-QUADRATIC embedding near-dup: sign-LSH banded candidate
+    * generation in front of the exact cosine verifier — the same
+    * candidates→verify cascade shape as [[minhashLsh]], applied to the
+    * embedding column. Pipeline:
+    *
+    *  1. each vector is quantized ([[Similarity.quantize]], exact
+    *     floor(x·2¹⁰)) and hashed into `nTables` sign-LSH buckets of
+    *     `bits` integer hyperplanes ([[Similarity.intPlanes]] — exact
+    *     64-bit arithmetic, so bucket membership reproduces bit-for-bit
+    *     in any engine);
+    *  2. buckets over `maxBucketSize` members are dropped whole
+    *     ([[dropHotKeys]] — the one cap implementation, replayed by the
+    *     oracle), bounding every bucket's pair contribution;
+    *  3. candidate pairs = distinct (id_a < id_b) sharing any (table,
+    *     bucket) — an equi-join on 8-byte keys, NEVER an all-pairs
+    *     loop; the bucket rows carry ids only (nTables·16 bytes/vec),
+    *     vectors rejoin at verify, so the banding shuffle is
+    *     corpus-bounded, not nTables×corpus;
+    *  4. exact cosine on CANDIDATES only, same fold order as
+    *     [[embeddingCosine]] (dot over the lower-id vector
+    *     left-to-right), threshold filter.
+    *
+    * Contract: the result is the LSH-candidate subset of the exact
+    * threshold join (recall(c) = 1−(1−(1−acos(c)/π)^bits)^nTables — at
+    * the defaults ~0.30 at the 64-dim noise floor c=0.35, 0.94 at
+    * c=0.8, 0.9996 at c=0.9), the standard production semantics for
+    * semantic dedup: approximate candidacy, exact verification. Scale
+    * law: candidate volume per table is Σ_buckets m², so `bits` grows
+    * with log₂(n) to keep mean bucket size constant (see
+    * [[autoLshBits]]); at fixed fixture parameters the fraction is
+    * ~7% of all pairs vs the exact kernel's 100%. The tiled exact
+    * kernel [[embeddingCosine]] remains the ground-truth/verify path
+    * (spec-pinned superset law). */
+  def embeddingCosineLsh(embs: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, nTables: Int = 16, bits: Int = 8,
+                         seed: Long = 42L,
+                         maxBucketSize: Option[Int] = Some(DefaultMaxBucketSize)): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val p = embs.select(col(idCol).cast("long").as("id"),
+      VectorOps.toDouble(col(vecCol)).as("v")).as[(Long, Array[Double])]
+    val dim = embs.select(size(col(vecCol))).first.getInt(0)
+    val planes = Similarity.intPlanes(nTables, bits, dim, seed)
+    val pb = spark.sparkContext.broadcast(planes)
+    val buckets0 = p.mapPartitions { iter =>
+      val pl = pb.value
+      iter.flatMap { case (id, v) =>
+        val qv = Similarity.quantize(v)
+        pl.iterator.zipWithIndex.map { case (tp, t) =>
+          (id, t, Similarity.bucketOf(qv, tp))
+        }
+      }
+    }.toDF("id", "table", "bucket")
+    val buckets = maxBucketSize match {
+      case Some(cap) => dropHotKeys(buckets0, Seq("table", "bucket"), cap)
+      case None => buckets0
+    }
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val vecs = p.toDF("id", "v")
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
+      .as[(Long, Long, Array[Double], Array[Double])]
+      .map { case (ida, idb, va, vb) =>
+        val c = VectorOps.dotSeq(va, vb) /
+          (math.sqrt(VectorOps.dotSeq(va, va)) * math.sqrt(VectorOps.dotSeq(vb, vb)))
+        (ida, idb, c)
+      }
+      .filter(_._3 >= threshold)
+      .toDF("id_a", "id_b", "cosine")
+  }
+
+  /** The bits-scaling law behind [[embeddingCosineLsh]]: pick `bits`
+    * so the EXPECTED bucket occupancy n/2^bits stays at
+    * `targetBucket`, i.e. bits = ⌈log₂(n / targetBucket)⌉ (clamped to
+    * [4, 24]). With bits ∝ log n, per-table candidate volume
+    * Σ m² ≈ n·targetBucket stays LINEAR in the corpus — the property
+    * the 10×/100× rehearsals assert. Fixture queries pin bits
+    * explicitly so the DuckDB oracle's plane table is a constant. */
+  def autoLshBits(n: Long, targetBucket: Int = 8): Int =
+    math.min(24, math.max(4,
+      math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt))
+
   def embeddingCosine(embs: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, numBlocks: Int = 8): DataFrame = {
     val spark = embs.sparkSession

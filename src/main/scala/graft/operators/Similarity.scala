@@ -225,7 +225,7 @@ object Similarity {
 
   /** LSH bucket id of a quantized vector for one table: sign bits of
     * the exact integer dot products, packed to int. */
-  private def bucketOf(qv: Array[Long], planes: Array[Array[Long]]): Int = {
+  private[operators] def bucketOf(qv: Array[Long], planes: Array[Array[Long]]): Int = {
     var b = 0; var i = 0
     while (i < planes.length) {
       val p = planes(i)

@@ -18,6 +18,16 @@ object DedupQueries {
   val JaccardThreshold = 0.8
   val CosineThreshold = 0.35
 
+  /** Sign-LSH banding for the embedding dedup queries (fixture-pinned
+    * so the oracle's plane VALUES table is a constant; at scale `bits`
+    * follows [[Dedup.autoLshBits]]'s log₂(n) law instead). 16 tables ×
+    * 8 bits keeps candidates at ~7% of all pairs on the fixtures
+    * (measured at sf0.01 AND sf0.1 — the fraction is n-stable at fixed
+    * bits) with recall 0.94 at cosine 0.8, 0.9996 at 0.9. */
+  val EmbLshTables = 16
+  val EmbLshBits = 8
+  val EmbLshSeed = 42L
+
   def exact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
@@ -167,9 +177,23 @@ object DedupQueries {
       .select(col("node").as("doc_id"), col("component"))
       .orderBy("doc_id")
 
+  /** The banded embedding pair graph feeds BOTH `dedup_embedding` and
+    * `dedup_embedding_groups`; memoized like [[jaccardPairs]] — the
+    * cached frame is the threshold-filtered survivor pair list
+    * (82 rows at sf0.01), never corpus- or candidate-sized. */
+  private[queries] def embeddingPairs(s: SparkSession, dir: String): DataFrame =
+    FixtureCache.memo(
+        s"dedup_emb_pairs:L=$EmbLshTables:b=$EmbLshBits:t=$CosineThreshold:${System.identityHashCode(s)}",
+        dir, "embeddings") {
+      val p = Dedup.embeddingCosineLsh(Tables.embeddings(s, dir), "vec_id",
+        "embedding", threshold = CosineThreshold,
+        nTables = EmbLshTables, bits = EmbLshBits, seed = EmbLshSeed).persist()
+      p.count()
+      p
+    }
+
   def embedding(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingCosine(Tables.embeddings(s, dir), "vec_id", "embedding",
-        threshold = CosineThreshold)
+    embeddingPairs(s, dir)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("id_a", "id_b")
 
@@ -211,21 +235,17 @@ object DedupQueries {
   }
 
   /** SEMANTIC dedup groups — the embedding-space twin of
-    * [[ccGroups]]: connected components over the cosine near-dup pair
-    * graph, reduced to the pipeline's actual DECISION — one survivor
-    * (min vec_id) per group and how many near-duplicates it absorbs.
-    * Composes two proven operators (the tiled cosine kernel and the
-    * min-label propagation), so the oracle splices their proven CTEs:
-    * all-pairs-over-threshold + the recursive walk. Scale shape: the
-    * pair graph is the bounded output of the broadcast-tiled kernel
-    * (at 100 TB the LSH/IVF candidate generators bound it instead —
-    * same downstream plan); components and the group-size agg are
-    * pair-graph-sized, never corpus-sized. */
+    * [[ccGroups]]: connected components over the BANDED cosine
+    * near-dup pair graph ([[embeddingPairs]] — shared memo with
+    * `dedup_embedding`), reduced to the pipeline's actual DECISION —
+    * one survivor (min vec_id) per group and how many near-duplicates
+    * it absorbs. The oracle splices the banded pair CTEs (planes →
+    * buckets → cap → candidates → verify) with the recursive
+    * min-label walk. Scale shape: candidate generation is the
+    * bucket equi-join (candidate-bounded, never n²); components and
+    * the group-size agg are pair-graph-sized, never corpus-sized. */
   def embeddingGroups(s: SparkSession, dir: String): DataFrame =
-    Dedup.connectedComponents(
-        Dedup.embeddingCosine(Tables.embeddings(s, dir), "vec_id", "embedding",
-          threshold = CosineThreshold),
-        "id_a", "id_b")
+    Dedup.connectedComponents(embeddingPairs(s, dir), "id_a", "id_b")
       .groupBy("component")
       .agg(count(lit(1)).as("n_members"))
       .select(col("component").as("survivor_id"), col("n_members"),
@@ -390,6 +410,47 @@ object DedupQueries {
        |  CAST(CASE WHEN (1000 * (ml - edit_dist)) // greatest(ml, 1)
        |    >= $EditVerifyPermille THEN 1 ELSE 0 END AS BIGINT) AS verified
        |FROM v ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- banded embedding dedup oracle: the sign-LSH planes inlined
+  // as a VALUES table (Dedup.embeddingCosineLsh and this SQL both draw
+  // from Similarity.intPlanes — single source of truth, no drift) ----
+  private val EmbDim = 64
+  private def embPlaneRows: String =
+    graft.operators.Similarity
+      .intPlanes(EmbLshTables, EmbLshBits, EmbDim, EmbLshSeed)
+      .zipWithIndex.flatMap { case (tbl, t) =>
+        tbl.zipWithIndex.map { case (plane, b) =>
+          s"($t, $b, ${plane.mkString("[", ",", "]")})"
+        }
+      }.mkString(", ")
+
+  /** The full banded pipeline as CTEs: quantize → per-table bucket
+    * fold → hot-bucket cap (same `> cap` anti-join dropHotKeys runs)
+    * → distinct candidate pairs → exact cosine verify. Ends with the
+    * `pairs` CTE (id_a, id_b, cosine ≥ threshold) — both embedding
+    * oracles build on it. */
+  private def embBandedCtes: String =
+    s"""planes(t, b, w) AS (SELECT * FROM (VALUES $embPlaneRows)),
+       |p AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |qz AS (SELECT vec_id, list_transform(v, x -> CAST(floor(x * ${graft.operators.Similarity.QuantScale}) AS BIGINT)) AS qv FROM p),
+       |dots AS (SELECT z.vec_id, pl.t, pl.b,
+       |  list_sum(list_transform(generate_series(1, $EmbDim), i -> z.qv[i] * pl.w[i])) AS dot
+       |  FROM qz z CROSS JOIN planes pl),
+       |bk0 AS (SELECT vec_id, t, SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS bucket
+       |  FROM dots GROUP BY 1, 2),
+       |bkhot AS (SELECT t, bucket FROM bk0 GROUP BY 1, 2
+       |          HAVING COUNT(*) > ${Dedup.DefaultMaxBucketSize}),
+       |bk AS (SELECT x.* FROM bk0 x LEFT JOIN bkhot h
+       |       ON x.t = h.t AND x.bucket = h.bucket WHERE h.t IS NULL),
+       |ecand AS (SELECT DISTINCT a.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM bk a JOIN bk y ON y.t = a.t AND y.bucket = a.bucket AND a.vec_id < y.vec_id),
+       |pairs AS (SELECT id_a, id_b, cosine FROM (
+       |  SELECT c.id_a, c.id_b,
+       |    list_sum(list_transform(generate_series(1, $EmbDim), i -> pa.v[i] * pb.v[i])) /
+       |    (sqrt(list_sum(list_transform(generate_series(1, $EmbDim), i -> pa.v[i] * pa.v[i]))) *
+       |     sqrt(list_sum(list_transform(generate_series(1, $EmbDim), i -> pb.v[i] * pb.v[i])))) AS cosine
+       |  FROM ecand c JOIN p pa ON pa.vec_id = c.id_a JOIN p pb ON pb.vec_id = c.id_b)
+       |  WHERE cosine >= $CosineThreshold)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_edit_verify" -> editVerifySql,
@@ -566,26 +627,18 @@ object DedupQueries {
          |  r.lm_score_permille AS best_permille
          |FROM r JOIN sz ON sz.component = r.component
          |WHERE r.rn = 1 ORDER BY r.component""".stripMargin),
+    // the FULL banded pipeline replayed: integer planes → bucket folds
+    // → hot-bucket cap → candidate equi-join → exact cosine verify
     "dedup_embedding" ->
-      s"""WITH p AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |c AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |  list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])) /
-         |  (sqrt(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * a.v[i]))) *
-         |   sqrt(list_sum(list_transform(generate_series(1, 64), i -> b.v[i] * b.v[i])))) AS cosine
-         |  FROM p a JOIN p b ON a.vec_id < b.vec_id)
-         |SELECT id_a, id_b, round(cosine, 6) AS cosine FROM c
-         |WHERE cosine >= $CosineThreshold ORDER BY id_a, id_b""".stripMargin,
-    // the dedup_embedding pair CTE + the dedup_cc_groups recursive
-    // min-label walk, reduced to survivor + group size
+      s"""WITH $embBandedCtes
+         |SELECT id_a, id_b, round(cosine, 6) AS cosine FROM pairs
+         |ORDER BY id_a, id_b""".stripMargin,
+    // the banded pair CTEs + the dedup_cc_groups recursive min-label
+    // walk, reduced to survivor + group size
     "dedup_embedding_groups" ->
-      s"""WITH RECURSIVE p AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |c AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM p a JOIN p b ON a.vec_id < b.vec_id
-         |  WHERE list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])) /
-         |  (sqrt(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * a.v[i]))) *
-         |   sqrt(list_sum(list_transform(generate_series(1, 64), i -> b.v[i] * b.v[i])))) >= $CosineThreshold),
-         |e AS (SELECT id_a AS cur, id_b AS nxt FROM c
-         |      UNION ALL SELECT id_b, id_a FROM c),
+      s"""WITH RECURSIVE $embBandedCtes,
+         |e AS (SELECT id_a AS cur, id_b AS nxt FROM pairs
+         |      UNION ALL SELECT id_b, id_a FROM pairs),
          |walk(node, label) AS (
          |  SELECT DISTINCT cur, cur FROM e
          |  UNION

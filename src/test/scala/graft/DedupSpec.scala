@@ -391,6 +391,58 @@ class DedupSpec extends SparkSpec {
     assert(run(8) === one)
   }
 
+  test("banded embedding near-dup is a subset of the exact threshold join, bit-for-bit") {
+    val e = Tables.embeddings(spark, sf001)
+    val exact = Dedup.embeddingCosine(e, "vec_id", "embedding", 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val banded = Dedup.embeddingCosineLsh(e, "vec_id", "embedding", 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(banded.nonEmpty)
+    // candidacy only prunes: every banded pair is an exact pair with
+    // the IDENTICAL cosine (same fold order in both kernels)
+    banded.foreach { case (k, c) =>
+      assert(exact.contains(k), s"banded pair $k missing from exact join")
+      assert(exact(k) === c, s"cosine mismatch at $k")
+    }
+    assert(banded.size < exact.size) // it genuinely pruned at the noise floor
+  }
+
+  test("banded embedding recall on planted high-cosine near-dups") {
+    import spark.implicits._
+    // 40 base vectors + a planted near-dup of each (tiny orthogonal-ish
+    // perturbation → cosine ≥ 0.95): the regime the operator is
+    // designed for. Deterministic seed → fixed planes → fixed result.
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(40)(Array.fill(64)(rnd.nextGaussian()))
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      val dup = v.map(x => x + 0.05 * rnd.nextGaussian())
+      Seq((i.toLong, v.toSeq), ((i + 1000).toLong, dup.toSeq))
+    }.toSeq
+    val df = rows.toDF("vec_id", "embedding")
+    val found = Dedup.embeddingCosineLsh(df, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 40).map(i => (i.toLong, (i + 1000).toLong))
+      .filter { case (a, b) => // only count pairs truly above threshold
+        val va = base(a.toInt); val vb = rows(2 * a.toInt + 1)._2.toArray
+        val c = graft.functions.VectorOps.dotSeq(va, vb) /
+          (math.sqrt(graft.functions.VectorOps.dotSeq(va, va)) *
+           math.sqrt(graft.functions.VectorOps.dotSeq(vb, vb)))
+        c >= 0.9
+      }.toSet
+    assert(planted.size >= 35, s"fixture degenerate: ${planted.size} planted pairs")
+    val recall = (found & planted).size.toDouble / planted.size
+    assert(recall >= 0.95, s"planted recall $recall < 0.95 " +
+      s"(theory at c≥0.9: 1-(1-0.29)^16 ≈ 0.9996)")
+  }
+
+  test("banded embedding auto-bits law keeps mean bucket occupancy constant") {
+    assert(Dedup.autoLshBits(500) === 6)     //  500/2⁶ ≈ 8
+    assert(Dedup.autoLshBits(2000) === 8)    // 2000/2⁸ ≈ 8
+    assert(Dedup.autoLshBits(200000) === 15)
+    assert(Dedup.autoLshBits(2000000000L) === 24) // clamped ceiling
+    assert(Dedup.autoLshBits(10) === 4)           // clamped floor
+  }
+
   test("prefix-filtered Jaccard equals the cap-free naive join bit-for-bit") {
     val naive = Dedup.ngramJaccard(docs, "doc_id", "text",
         n = 3, threshold = 0.8, maxShingleFreq = None)
