@@ -77,6 +77,19 @@ object Bench {
       w.groupBy("r_name").count().count()
       spark.range(1000).selectExpr("sum(id)").count()
     } catch { case _: Throwable => () }
+    // Warm pass (r9 verdict tasks 2/8): run every query ONCE untimed
+    // before the timed reps, recording its first-run seconds as
+    // queries_warm. One-time costs — fixture memos (native k-means
+    // fit, pair graphs, the aHash codec frame), disk-persisted
+    // IVF/PQ indexes, stream schema probes — land HERE, so the timed
+    // reps below measure steady-state serve cost and a memoized
+    // pipeline's build is attributed to itself (r8: kmeans_fit_ml's
+    // reps absorbed the native-fit memo that kmeans_fit_native, which
+    // sorts after it, then served in 0.08 s). warm − min ≈ the
+    // build share; both are in bench.json for the round tables.
+    val warm = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      (name, timeOnce(() => { fn(spark, sfDir).count(); () }))
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (best, reps) = bestOf(() => { fn(spark, sfDir).count(); () })
       (name, best, reps)
@@ -122,8 +135,10 @@ object Bench {
       s"\"" + name + s"\":{\"batches\":${st.batches},\"trigger_ms\":${st.triggerMs}," +
         s"\"addbatch_ms\":${st.addBatchMs},\"machinery_ms\":${st.triggerMs - st.addBatchMs}}"
     }.mkString("{", ",", "}")
+    val warmJson = warm.map { case (k, v) => s"\"" + k + "\":" + dp3(v) }
+      .mkString("{", ",", "}")
     val fileLine = line.dropRight(1) +
-      s""","reps":$repsJson,"queries_median":$medianJson,"stream_machinery":$machineryJson}"""
+      s""","reps":$repsJson,"queries_median":$medianJson,"queries_warm":$warmJson,"stream_machinery":$machineryJson}"""
     println(line)
     // At 90 queries the full line is ~2.3 KB — past the driver's ~2 KB
     // tail window, which cuts the line's HEAD (where metric/value

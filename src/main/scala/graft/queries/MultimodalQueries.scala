@@ -80,8 +80,21 @@ object MultimodalQueries {
     * exact by banding (see [[Multimodal.ahashNearDupPairs]]): exact
     * dupes collapse to one row per hash first, the 4×16-bit band join
     * generates candidates, 2 popcounts verify. */
+  /** The banded-Hamming pair frame feeds BOTH `mm_ahash_near_pairs`
+    * and `mm_ahash_clusters` (r9 verdict task 5): memoized like
+    * [[ahashFrame]] so the 4×16-bit band join runs once per fixture +
+    * session instead of once per consumer per Bench rep. The cached
+    * frame is near-dup-pair-sized, never corpus-sized. */
+  private def ahashPairs(s: SparkSession, dir: String): DataFrame =
+    graft.io.FixtureCache.memo(
+        s"mm_ahash_pairs:${System.identityHashCode(s)}", dir, "documents") {
+      val p = Multimodal.ahashNearDupPairs(ahashFrame(s, dir)).persist()
+      p.count() // materialize now so every consumer hits the cached rows
+      p
+    }
+
   def ahashNearPairs(s: SparkSession, dir: String): DataFrame =
-    Multimodal.ahashNearDupPairs(ahashFrame(s, dir))
+    ahashPairs(s, dir)
       .orderBy("doc_a", "doc_b")
 
   /** Perceptual image CLUSTERS — connected components over the
@@ -95,7 +108,7 @@ object MultimodalQueries {
   def ahashClusters(s: SparkSession, dir: String): DataFrame = {
     val dh = ahashFrame(s, dir).groupBy("ahash_hi", "ahash_lo")
       .agg(count(lit(1)).as("n_docs"), min("id").as("exemplar_doc"))
-    val pairs = Multimodal.ahashNearDupPairs(ahashFrame(s, dir))
+    val pairs = ahashPairs(s, dir)
       .select("doc_a", "doc_b")
     graft.operators.Dedup.connectedComponents(pairs, "doc_a", "doc_b")
       .join(dh, col("node") === col("exemplar_doc"))

@@ -270,9 +270,18 @@ object RelationalQueries {
           rm(loc)
         }
       }
-      Tables.lineitem(s, dir).write.mode("overwrite")
+      // repartition to the bucket count ON the bucket key before the
+      // bucketed write (r9 verdict task 3): each write task then sorts
+      // exactly ONE bucket's rows (8 concurrent spilling sorts, one
+      // file per bucket) instead of 32 read-partition tasks each
+      // sub-sorting all 8 buckets at once — the configuration that
+      // transiently OOM'd execution memory at the 60 M-row 100×
+      // rehearsal. Same layout, bounded writer memory.
+      Tables.lineitem(s, dir).repartition(8, col("l_orderkey"))
+        .write.mode("overwrite")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(liT)
-      Tables.orders(s, dir).write.mode("overwrite")
+      Tables.orders(s, dir).repartition(8, col("o_orderkey"))
+        .write.mode("overwrite")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ordT)
       ()
     }
