@@ -77,23 +77,28 @@ object Bench {
       w.groupBy("r_name").count().count()
       spark.range(1000).selectExpr("sum(id)").count()
     } catch { case _: Throwable => () }
-    // Warm pass (r9 verdict tasks 2/8): run every query ONCE untimed
-    // before the timed reps, recording its first-run seconds as
+    // Per-query warm run (r9 verdict task 2): each query runs ONCE
+    // untimed IMMEDIATELY before its own timed reps, recorded as
     // queries_warm. One-time costs — fixture memos (native k-means
     // fit, pair graphs, the aHash codec frame), disk-persisted
-    // IVF/PQ indexes, stream schema probes — land HERE, so the timed
-    // reps below measure steady-state serve cost and a memoized
-    // pipeline's build is attributed to itself (r8: kmeans_fit_ml's
-    // reps absorbed the native-fit memo that kmeans_fit_native, which
-    // sorts after it, then served in 0.08 s). warm − min ≈ the
-    // build share; both are in bench.json for the round tables.
-    val warm = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      (name, timeOnce(() => { fn(spark, sfDir).count(); () }))
-    }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // IVF/PQ indexes, stream schema probes — land in the warm run, so
+    // the timed reps measure steady-state serve cost and a memoized
+    // pipeline's build is attributed to itself; warm − min ≈ the
+    // build share. Interleaving (warm = rep 0, discarded) rather than
+    // a separate full warm PASS is deliberate: r9 ran all 168 queries
+    // to completion before the first timed rep, and the timed session
+    // was ~170 queries older than r8's — late-alphabet clusters
+    // inflated 2-7× from JVM/GC aging alone (stream_wau_parity's
+    // UNTIMED warm run was 3× faster than the timed reps that
+    // followed the pass). One warm run per query keeps the session
+    // age at timing time within one query of the r8 shape.
+    val benched = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val w = timeOnce(() => { fn(spark, sfDir).count(); () })
       val (best, reps) = bestOf(() => { fn(spark, sfDir).count(); () })
-      (name, best, reps)
+      (name, w, best, reps)
     }
+    val warm = benched.map { case (name, w, _, _) => (name, w) }
+    val results = benched.map { case (name, _, best, reps) => (name, best, reps) }
     // Per-query seconds rounded to 3 dp (locale-pinned): at 60+ queries the
     // full-double line is ~3.4 KB and the driver's ~2 KB tail capture cuts
     // its HEAD off, so the scraper sees no parseable JSON ("parsed": null).
@@ -137,8 +142,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val warmJson = warm.map { case (k, v) => s"\"" + k + "\":" + dp3(v) }
       .mkString("{", ",", "}")
+    // stream_machinery accumulates across ALL runs of each stream
+    // query — the warm run AND the timed reps (r9 ADVICE: stated here
+    // so cross-round batches/trigger_ms comparisons stay honest).
+    val machineryNote =
+      "warm+timed cumulative: 1 warm + N timed micro-batch runs per stream query"
     val fileLine = line.dropRight(1) +
-      s""","reps":$repsJson,"queries_median":$medianJson,"queries_warm":$warmJson,"stream_machinery":$machineryJson}"""
+      s""","reps":$repsJson,"queries_median":$medianJson,"queries_warm":$warmJson,""" +
+      s""""stream_machinery_note":"$machineryNote","stream_machinery":$machineryJson}"""
     println(line)
     // At 90 queries the full line is ~2.3 KB — past the driver's ~2 KB
     // tail window, which cuts the line's HEAD (where metric/value

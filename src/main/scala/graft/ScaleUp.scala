@@ -278,11 +278,20 @@ object ScaleUp {
     * auto-parameter scale path of an operator whose declared form pins
     * fixture constants for oracle replay. `dedup_embedding_auto` runs
     * the banded embedding near-dup with [[graft.operators.Dedup
-    * .autoLshBits]] (bits = ⌈log₂(n/8)⌉), the production configuration
-    * — at 20 k vectors bits=11, at 200 k bits=15, so mean bucket
-    * occupancy (and hence per-table candidate volume Σm² ≈ 8n) stays
-    * LINEAR in the corpus while the fixture-pinned bits=8 would melt
-    * (mean bucket 781 at 200 k → ~1.2 B candidate pairs). */
+    * .autoLshBits]] (bits = ⌈log₂(n/8)⌉), the production banded
+    * configuration — at 20 k vectors bits=12, at 200 k bits=15, so
+    * mean bucket occupancy (and hence per-table candidate volume
+    * Σm² ≈ 8n) stays LINEAR in the corpus. The fixture-pinned bits=8
+    * does NOT melt at these sizes — the maxBucketSize=64 cap engages
+    * first and drops over-full buckets WHOLE — but its recall
+    * collapses toward zero as mean occupancy (~78 at 20 k, ~781 at
+    * 200 k) passes the cap, so a pinned-bits run would mostly time
+    * bucket generation over a near-empty candidate stage (r9 ADVICE).
+    * autoLshBits is the configuration whose candidate stage stays
+    * LIVE at every scale, which is what this row times. (The declared
+    * `dedup_embedding_groups` in [[Timed100]] rehearses the OTHER
+    * half since r10: [[graft.operators.Dedup.embeddingCosineAuto]]'s
+    * size dispatch — exact tiled kernel at 20 k, banded above.) */
   val TimedCustom: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
     "dedup_embedding_auto" -> ((s: SparkSession, dir: String) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")

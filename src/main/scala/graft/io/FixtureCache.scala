@@ -15,4 +15,20 @@ object FixtureCache {
     val key = (tag, f.getAbsolutePath, f.lastModified, f.length)
     cache.getOrElseUpdate(key, compute).asInstanceOf[T]
   }
+
+  /** Stable unique key for a session, for memo tags that cache
+    * session-bound values (persisted DataFrames bind to the session
+    * that built them): one minted UUID per live session, weakly held.
+    * Unlike `System.identityHashCode`, a UUID is never reused — an
+    * identity hash can collide with a fresh session after the old one
+    * is GC'd, serving a cached frame bound to a stopped session
+    * (r9 ADVICE). (Spark's own `sessionUUID` is `private[sql]`.) */
+  def sessionKey(s: org.apache.spark.sql.SparkSession): String =
+    sessionKeys.synchronized {
+      var k = sessionKeys.get(s)
+      if (k == null) { k = java.util.UUID.randomUUID.toString; sessionKeys.put(s, k) }
+      k
+    }
+  private val sessionKeys =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]
 }

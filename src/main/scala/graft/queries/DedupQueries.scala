@@ -46,7 +46,7 @@ object DedupQueries {
     * of `pipeline_training_set` from re-running the self-join. */
   private[queries] def jaccardPairs(s: SparkSession, dir: String): DataFrame =
     FixtureCache.memo(
-        s"dedup_pairs:n=3:t=$JaccardThreshold:${System.identityHashCode(s)}",
+        s"dedup_pairs:n=3:t=$JaccardThreshold:${graft.io.FixtureCache.sessionKey(s)}",
         dir, "documents") {
       val p = Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
         n = 3, threshold = JaccardThreshold).persist()
@@ -74,7 +74,7 @@ object DedupQueries {
   val ContainmentThreshold = 0.9
   def containmentQ(s: SparkSession, dir: String): DataFrame =
     FixtureCache.memo(
-        s"dedup_contain:n=3:t=$ContainmentThreshold:${System.identityHashCode(s)}",
+        s"dedup_contain:n=3:t=$ContainmentThreshold:${graft.io.FixtureCache.sessionKey(s)}",
         dir, "documents") {
       val c = Dedup.ngramContainment(Tables.documents(s, dir), "doc_id", "text",
         n = 3, threshold = ContainmentThreshold).persist()
@@ -99,7 +99,7 @@ object DedupQueries {
     * session so regenerated data or a fresh session recomputes. */
   private def simhashFps(s: SparkSession, dir: String): DataFrame =
     FixtureCache.memo(
-        s"simhash_fps:${System.identityHashCode(s)}", dir, "documents") {
+        s"simhash_fps:${graft.io.FixtureCache.sessionKey(s)}", dir, "documents") {
       val fp = Dedup.simhashFingerprints(
         Tables.documents(s, dir), "doc_id", "text").persist()
       fp.count() // materialize now so every consumer hits the cached rows
@@ -141,7 +141,7 @@ object DedupQueries {
   private def winnowFps(s: SparkSession, dir: String): DataFrame =
     FixtureCache.memo(
         s"winnow_fps:k=${TextQueries.WinnowK}:w=${TextQueries.WinnowW}:" +
-          System.identityHashCode(s),
+          graft.io.FixtureCache.sessionKey(s),
         dir, "documents") {
       val fp = Dedup.winnow(Tables.documents(s, dir), "doc_id", "text",
         k = TextQueries.WinnowK, w = TextQueries.WinnowW).persist()
@@ -156,7 +156,7 @@ object DedupQueries {
   private def winnowPairList(s: SparkSession, dir: String): DataFrame =
     FixtureCache.memo(
         s"winnow_pairs:t=$WinnowMinShared:cap=$WinnowMaxFpFreq:" +
-          System.identityHashCode(s),
+          graft.io.FixtureCache.sessionKey(s),
         dir, "documents") {
       val p = Dedup.winnowPairsFromFps(winnowFps(s, dir),
         minShared = WinnowMinShared, maxFpFreq = Some(WinnowMaxFpFreq)).persist()
@@ -177,17 +177,25 @@ object DedupQueries {
       .select(col("node").as("doc_id"), col("component"))
       .orderBy("doc_id")
 
-  /** The banded embedding pair graph feeds BOTH `dedup_embedding` and
+  /** The embedding pair graph feeds BOTH `dedup_embedding` and
     * `dedup_embedding_groups`; memoized like [[jaccardPairs]] — the
     * cached frame is the threshold-filtered survivor pair list
-    * (82 rows at sf0.01), never corpus- or candidate-sized. */
+    * (271 rows at sf0.01), never corpus- or candidate-sized.
+    *
+    * Built by [[Dedup.embeddingCosineAuto]] (r10): the EXACT tiled
+    * kernel below 50 k vectors — so the declared surface finds every
+    * qualifying pair (the r9 banded default silently returned ~32% of
+    * them at τ=0.35, precisely the regime sign-LSH is weakest in) —
+    * and the banded autoLshBits cascade above, where n² is
+    * unpayable. Every fixture is below the cutover, so the DuckDB
+    * oracle replays the exact side; the banded side's fixture-scale
+    * behavior is oracle-pinned by `dedup_embedding_recall`. */
   private[queries] def embeddingPairs(s: SparkSession, dir: String): DataFrame =
     FixtureCache.memo(
-        s"dedup_emb_pairs:L=$EmbLshTables:b=$EmbLshBits:t=$CosineThreshold:${System.identityHashCode(s)}",
+        s"dedup_emb_pairs:auto:t=$CosineThreshold:${graft.io.FixtureCache.sessionKey(s)}",
         dir, "embeddings") {
-      val p = Dedup.embeddingCosineLsh(Tables.embeddings(s, dir), "vec_id",
-        "embedding", threshold = CosineThreshold,
-        nTables = EmbLshTables, bits = EmbLshBits, seed = EmbLshSeed).persist()
+      val p = Dedup.embeddingCosineAuto(Tables.embeddings(s, dir), "vec_id",
+        "embedding", threshold = CosineThreshold).persist()
       p.count()
       p
     }
@@ -252,6 +260,31 @@ object DedupQueries {
         (col("n_members") - 1).as("n_dropped"))
       .orderBy("survivor_id")
 
+  /** RECALL REPORT for the banded sign-LSH scale path (r9 verdict
+    * task 3c, the `ann_recall_eval` pattern): the fixture-pinned
+    * banded configuration vs the exact pair graph, as one hash-checked
+    * row — so the approximation the 100-TB dispatch switches to is
+    * oracle-measured, not just docstring-claimed. Banded pairs verify
+    * exactly, so n_common = n_banded unless the cascade invents a pair
+    * (the subset law, visible in the declared output). The permille is
+    * floor-exact and the oracle replays the identical banded CTEs, so
+    * this row fails loudly if the LSH family's recall ever drifts. */
+  def embeddingRecall(s: SparkSession, dir: String): DataFrame = {
+    val exactPairs = embeddingPairs(s, dir).select(col("id_a"), col("id_b"))
+    val banded = Dedup.embeddingCosineLsh(Tables.embeddings(s, dir), "vec_id",
+        "embedding", threshold = CosineThreshold, nTables = EmbLshTables,
+        bits = EmbLshBits, seed = EmbLshSeed)
+      .select(col("id_a"), col("id_b"))
+    val ne = exactPairs.agg(count(lit(1)).as("n_exact"))
+    val nb = banded.agg(count(lit(1)).as("n_banded"))
+    val nc = banded.join(exactPairs, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    ne.crossJoin(nb).crossJoin(nc) // three 1-row aggregates
+      .select(col("n_exact"), col("n_banded"), col("n_common"),
+        floor(lit(1000.0) * col("n_common") / greatest(col("n_exact"), lit(1)))
+          .cast("long").as("recall_permille"))
+  }
+
   /** Eval-set decontamination: the 20 lowest-doc_id documents play
     * the benchmark set; every other document reports its 5-gram
     * overlap with them (pretraining hygiene as a declared surface). */
@@ -308,6 +341,7 @@ object DedupQueries {
     "dedup_winnow_groups" -> (winnowGroups _),
     "dedup_embedding" -> (embedding _),
     "dedup_embedding_groups" -> (embeddingGroups _),
+    "dedup_embedding_recall" -> (embeddingRecall _),
     "dedup_cc_groups" -> (ccGroups _),
     "dedup_canonical_pick" -> (canonicalPick _))
 
@@ -450,6 +484,20 @@ object DedupQueries {
        |    (sqrt(list_sum(list_transform(generate_series(1, $EmbDim), i -> pa.v[i] * pa.v[i]))) *
        |     sqrt(list_sum(list_transform(generate_series(1, $EmbDim), i -> pb.v[i] * pb.v[i])))) AS cosine
        |  FROM ecand c JOIN p pa ON pa.vec_id = c.id_a JOIN p pb ON pb.vec_id = c.id_b)
+       |  WHERE cosine >= $CosineThreshold)""".stripMargin
+
+  /** The EXACT pair graph as CTEs (`p` → `pairs`), mirroring
+    * [[Dedup.embeddingCosine]]'s fold order (dot over the lower-id
+    * vector) — what [[Dedup.embeddingCosineAuto]] runs at fixture
+    * scale. */
+  private def embExactCtes: String =
+    s"""p AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |pairs AS (SELECT id_a, id_b, cosine FROM (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    list_sum(list_transform(generate_series(1, $EmbDim), i -> a.v[i] * b.v[i])) /
+       |    (sqrt(list_sum(list_transform(generate_series(1, $EmbDim), i -> a.v[i] * a.v[i]))) *
+       |     sqrt(list_sum(list_transform(generate_series(1, $EmbDim), i -> b.v[i] * b.v[i])))) AS cosine
+       |  FROM p a JOIN p b ON a.vec_id < b.vec_id)
        |  WHERE cosine >= $CosineThreshold)""".stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -627,16 +675,15 @@ object DedupQueries {
          |  r.lm_score_permille AS best_permille
          |FROM r JOIN sz ON sz.component = r.component
          |WHERE r.rn = 1 ORDER BY r.component""".stripMargin),
-    // the FULL banded pipeline replayed: integer planes → bucket folds
-    // → hot-bucket cap → candidate equi-join → exact cosine verify
+    // exact pair graph (the fixture-scale side of embeddingCosineAuto)
     "dedup_embedding" ->
-      s"""WITH $embBandedCtes
+      s"""WITH $embExactCtes
          |SELECT id_a, id_b, round(cosine, 6) AS cosine FROM pairs
          |ORDER BY id_a, id_b""".stripMargin,
-    // the banded pair CTEs + the dedup_cc_groups recursive min-label
+    // the exact pair CTEs + the dedup_cc_groups recursive min-label
     // walk, reduced to survivor + group size
     "dedup_embedding_groups" ->
-      s"""WITH RECURSIVE $embBandedCtes,
+      s"""WITH RECURSIVE $embExactCtes,
          |e AS (SELECT id_a AS cur, id_b AS nxt FROM pairs
          |      UNION ALL SELECT id_b, id_a FROM pairs),
          |walk(node, label) AS (
@@ -646,5 +693,23 @@ object DedupQueries {
          |comp AS (SELECT node, min(label) AS component FROM walk GROUP BY 1)
          |SELECT component AS survivor_id, COUNT(*) AS n_members,
          |  COUNT(*) - 1 AS n_dropped
-         |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin)
+         |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the FULL banded pipeline replayed (integer planes → bucket folds
+    // → hot-bucket cap → candidate equi-join → exact cosine verify),
+    // measured against the exact graph — one row of recall truth
+    "dedup_embedding_recall" ->
+      s"""WITH $embBandedCtes,
+         |ex AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM p a JOIN p b ON a.vec_id < b.vec_id
+         |  WHERE list_sum(list_transform(generate_series(1, $EmbDim), i -> a.v[i] * b.v[i])) /
+         |    (sqrt(list_sum(list_transform(generate_series(1, $EmbDim), i -> a.v[i] * a.v[i]))) *
+         |     sqrt(list_sum(list_transform(generate_series(1, $EmbDim), i -> b.v[i] * b.v[i])))) >= $CosineThreshold),
+         |st AS (SELECT
+         |  (SELECT COUNT(*) FROM ex) AS n_exact,
+         |  (SELECT COUNT(*) FROM pairs) AS n_banded,
+         |  (SELECT COUNT(*) FROM pairs c JOIN ex e
+         |     ON e.id_a = c.id_a AND e.id_b = c.id_b) AS n_common)
+         |SELECT n_exact, n_banded, n_common,
+         |  CAST(floor(1000.0 * n_common / greatest(n_exact, 1)) AS BIGINT) AS recall_permille
+         |FROM st""".stripMargin)
 }

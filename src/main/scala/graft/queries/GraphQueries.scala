@@ -31,7 +31,7 @@ object GraphQueries {
     * operators themselves never collect edges. */
   private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
     val rows = graft.io.FixtureCache.memo(
-        s"trade_edges:${System.identityHashCode(s)}", dir, "lineitem") {
+        s"trade_edges:${graft.io.FixtureCache.sessionKey(s)}", dir, "lineitem") {
       Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
@@ -93,7 +93,7 @@ object GraphQueries {
     * keeping the per-pair count this time. */
   private def tradeEdgesWeighted(s: SparkSession, dir: String): DataFrame = {
     val rows = graft.io.FixtureCache.memo(
-        s"trade_edges_w:${System.identityHashCode(s)}", dir, "lineitem") {
+        s"trade_edges_w:${graft.io.FixtureCache.sessionKey(s)}", dir, "lineitem") {
       Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))

@@ -62,7 +62,7 @@ object MultimodalQueries {
     * the codec exactly once. The persisted frame is 3 longs per doc. */
   private def ahashFrame(s: SparkSession, dir: String): DataFrame =
     graft.io.FixtureCache.memo(
-        s"mm_ahash:${System.identityHashCode(s)}", dir, "documents") {
+        s"mm_ahash:${graft.io.FixtureCache.sessionKey(s)}", dir, "documents") {
       val h = Multimodal.averageHash(blobs(s, dir)).persist()
       h.count() // materialize now so every consumer hits the cached rows
       h
@@ -87,7 +87,7 @@ object MultimodalQueries {
     * frame is near-dup-pair-sized, never corpus-sized. */
   private def ahashPairs(s: SparkSession, dir: String): DataFrame =
     graft.io.FixtureCache.memo(
-        s"mm_ahash_pairs:${System.identityHashCode(s)}", dir, "documents") {
+        s"mm_ahash_pairs:${graft.io.FixtureCache.sessionKey(s)}", dir, "documents") {
       val p = Multimodal.ahashNearDupPairs(ahashFrame(s, dir)).persist()
       p.count() // materialize now so every consumer hits the cached rows
       p
@@ -126,7 +126,7 @@ object MultimodalQueries {
     * codec pass per fixture + session, 64 longs per doc persisted. */
   private def mosaicFrame(s: SparkSession, dir: String): DataFrame =
     graft.io.FixtureCache.memo(
-        s"mm_mosaic:${System.identityHashCode(s)}", dir, "documents") {
+        s"mm_mosaic:${graft.io.FixtureCache.sessionKey(s)}", dir, "documents") {
       val m = Multimodal.mosaicVectors(blobs(s, dir)).persist()
       m.count()
       m

@@ -70,7 +70,7 @@ object PipelineQueries {
     // dedup_ngram_jaccard / dedup_cc_groups share (n=3, threshold =
     // DedupQueries.JaccardThreshold) via its fixture memo.
     val kept = graft.io.FixtureCache.memo(
-        s"pipeline_kept:k=$SampleEvery:${System.identityHashCode(s)}",
+        s"pipeline_kept:k=$SampleEvery:${graft.io.FixtureCache.sessionKey(s)}",
         dir, "documents") {
       val docs = Tables.documents(s, dir)
       val sampled = TextAnalysis.stratifiedSample(

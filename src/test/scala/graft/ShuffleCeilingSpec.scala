@@ -1,0 +1,71 @@
+package graft
+
+import java.util.concurrent.atomic.LongAdder
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
+/** Shuffle-record CEILINGS for the bounded-output query classes
+  * (r8/r9 verdict task: "red-bar assertions so a refactor can't
+  * re-introduce a corpus-sized exchange"). Each query below has a
+  * SEMANTIC shuffle bound that does not grow with the corpus —
+  * bucket counts, label pairs, sketch cells, k·d partials — and the
+  * measured graft.Metrics numbers at sf0.1 confirm it: the corpus
+  * grows 100× from sf0.001 and these queries' shuffle records stay
+  * within small multiples (while corpus-linear classes like
+  * rel_profile's distinct-count partials grow right along with the
+  * data — those are excluded because their exchange is semantically
+  * forced, not a regression).
+  *
+  * The test executes each query at sf0.1 (the LARGEST fixture — at
+  * sf0.01 several corpora are smaller than the ceilings, so a
+  * corpus-sized regression would pass unnoticed) under a
+  * task-metrics listener, through a noop sink so Catalyst cannot
+  * prune the query's real compute (the graft.Metrics rationale), and
+  * asserts total shuffle-write records stay under a ceiling set at
+  * ~4× the measured value — headroom for partition-count and
+  * partial-aggregation variance, still 1-2 orders of magnitude below
+  * the smallest corpus the query scans.
+  */
+class ShuffleCeilingSpec extends SparkSpec {
+  private val sf1 = "/root/testdata/sf0.1"
+
+  // query -> (ceiling, semantic bound). Measured records at sf0.1
+  // (8 cpus) in parentheses.
+  private val ceilings: Seq[(String, Long, String)] = Seq(
+    ("rel_price_histogram", 200L, "price-bucket cells x partials (20)"),
+    ("text_lang_confusion", 200L, "langs^2 confusion cells (30)"),
+    ("text_heavy_hitters", 500L, "MG summary k x partitions (93)"),
+    ("text_zipf_coverage", 200L, "bounded head window + 3 coverage rows (32)"),
+    ("rel_corr_matrix", 50L, "column-pair moment partials (3)"),
+    ("rel_table_checksum", 50L, "per-group affine checksum partials (6)"),
+    ("rel_quantiles_sketch", 30000L, "price-domain/width histogram cells (7633)"),
+    ("pipeline_shard_manifest", 10000L, "shard x partition partials (2072)"),
+    ("rel_zorder_cells", 33000L, "4096 z-tiles x2 exchanges (8192)"),
+    ("text_bigram_coverage", 44000L, "closed-vocab bigram space (10931)"),
+    ("kmeans_average", 6000L, "k*d centroid partials (1280)"),
+    ("kmeans_accumulate", 6000L, "k*d accumulator partials (1280)"),
+    ("text_collocations", 5000L, "minCount-pruned bigrams + top-k (962)"))
+
+  test("bounded-output queries shuffle bounded records at sf0.1") {
+    val records = new LongAdder
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) records.add(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val offenders = ceilings.flatMap { case (name, ceiling, bound) =>
+        records.reset()
+        SparkEntry.queries(name)(spark, sf1)
+          .write.mode("overwrite").format("noop").save()
+        org.apache.spark.GraftSparkShims.drainListenerBus(spark.sparkContext)
+        val recs = records.sum()
+        if (recs > ceiling) Some(s"$name: $recs shuffle records > ceiling $ceiling ($bound)")
+        else None
+      }
+      assert(offenders.isEmpty, offenders.mkString("\n"))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+}
