@@ -248,6 +248,10 @@ object ScaleUp {
     // image clusters: the codec-heavy aHash frame (memoized), the
     // distinct-hash band join, then pair-graph-sized components
     "mm_ahash_clusters",
+    // round 10 (r9 verdict task 7): cohort-15 cross-payload shared
+    // frames — frame fingerprints per payload, then a fingerprint-
+    // keyed dup-count exchange (shared-fps-only output)
+    "mm_shared_frames",
     // round 8 cohort 10: the journey transition matrix and last-touch
     // attribution over 1 M events (one user_id window exchange each),
     // Dice collocations over 5 M tokens (bigram-count shuffle, then
@@ -468,7 +472,15 @@ object ScaleUp {
     // manifest's shard-bounded checksum shuffle
     "text_skipgram_counts", "text_collocations",
     "events_markov_transitions", "events_attribution",
-    "events_funnel_depth", "pipeline_shard_manifest")
+    "events_funnel_depth", "pipeline_shard_manifest",
+    // round 10 (r9 verdict task 7): the 100× gaps — the langs²-bounded
+    // confusion matrix over 5 M docs, the bidirectional nearest as-of
+    // over 10 M events — and the declared embedding dedup, whose
+    // embeddingCosineAuto dispatch this run rehearses END TO END:
+    // exact tiled kernel at 20 k vectors (10×), banded autoLshBits
+    // cascade + sparse-dispatched components at 200 k (100×)
+    "text_lang_confusion", "asof_nearest_purchase",
+    "dedup_embedding_groups")
 
   def main(args: Array[String]): Unit = {
     val mode100 = args.contains("100")

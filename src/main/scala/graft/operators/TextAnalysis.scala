@@ -824,10 +824,18 @@ object TextAnalysis {
     * small. Global top-k is TakeOrdered (per-partition heaps), with
     * rank assigned after the limit on ≤ k rows. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
-               queryTerms: Seq[String], k: Int = 50): DataFrame = {
+               queryTerms: Seq[String], k: Int = 50): DataFrame =
+    bm25TopKFromScored(bm25Scores(docs, idCol, textCol,
+      _.filter(col("token").isin(queryTerms: _*))), k)
+
+  /** Rank stage of [[bm25TopK]], split out so a caller that issues
+    * SEVERAL retrievals over one term universe (the declared bm25
+    * queries share a 5-term set) can compute — and persist — the
+    * scored (doc, token) frame ONCE and rank many ways; the frame is
+    * matched-occurrence-sized (≤ |terms|·|docs| rows), never
+    * token-stream-sized. */
+  def bm25TopKFromScored(scored: DataFrame, k: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = bm25Scores(docs, idCol, textCol,
-      _.filter(col("token").isin(queryTerms: _*)))
     val perDoc = scored.groupBy("doc_id")
       .agg(sum(col("score_micros")).as("bm25_micros"),
         count(lit(1)).as("n_terms"))
@@ -843,9 +851,11 @@ object TextAnalysis {
     * corpus stats broadcast, the ln-free rational idf·tfc per
     * (doc, token) floored to integer micros. `tokenFilter` narrows the
     * exploded token stream BEFORE the tf shuffle — an `isin` predicate
-    * for a literal term set, a broadcast semi-join for a term TABLE. */
-  private def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
-                         tokenFilter: DataFrame => DataFrame): DataFrame = {
+    * for a literal term set, a broadcast semi-join for a term TABLE.
+    * Public so query layers can build the scored frame once and feed
+    * both [[bm25TopKFromScored]] and [[bm25TopKPerQueryFromScored]]. */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+                 tokenFilter: DataFrame => DataFrame): DataFrame = {
     val dl = docs.select(col(idCol).as("doc_id"),
       size(TextOps.words(col(textCol))).cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("_n"), sum(col("dl")).as("_sumdl"))
@@ -883,12 +893,22 @@ object TextAnalysis {
     * partitioned by query_id, so k-selection never funnels. */
   def bm25TopKPerQuery(docs: DataFrame, idCol: String, textCol: String,
                        queryTerms: DataFrame, k: Int = 50): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val terms = queryTerms
       .select(col("query_id").cast("int").as("query_id"), col("token")).distinct()
     val distinctTerms = terms.select("token").distinct()
     val scored = bm25Scores(docs, idCol, textCol,
       _.join(broadcast(distinctTerms), Seq("token")))
+    bm25TopKPerQueryFromScored(scored, queryTerms, k)
+  }
+
+  /** Per-query rank stage of [[bm25TopKPerQuery]] over a precomputed
+    * scored frame (see [[bm25TopKFromScored]]). The scored frame must
+    * cover every token the query table mentions. */
+  def bm25TopKPerQueryFromScored(scored: DataFrame, queryTerms: DataFrame,
+                                 k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = queryTerms
+      .select(col("query_id").cast("int").as("query_id"), col("token")).distinct()
     val perQueryDoc = scored.join(broadcast(terms), Seq("token"))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("score_micros")).as("bm25_micros"),
