@@ -391,6 +391,32 @@ class DedupSpec extends SparkSpec {
     assert(run(8) === one)
   }
 
+  test("embeddingCosineAuto dispatches by size: exact below the cutover, banded above") {
+    val e = Tables.embeddings(spark, sf001)
+    // below the cutover (fixture n=500 << 50k): bit-identical to the
+    // exact tiled kernel — the declared surface finds EVERY pair
+    val auto = Dedup.embeddingCosineAuto(e, "vec_id", "embedding", 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = Dedup.embeddingCosine(e, "vec_id", "embedding", 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(auto === exact && auto.nonEmpty)
+    // cutover forced to 0: bit-identical to the banded cascade at
+    // autoLshBits(n) — the 100-TB side of the dispatch
+    val autoBanded = Dedup.embeddingCosineAuto(e, "vec_id", "embedding", 0.35,
+        exactMaxVectors = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val banded = Dedup.embeddingCosineLsh(e, "vec_id", "embedding", 0.35,
+        bits = Dedup.autoLshBits(500))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(autoBanded === banded)
+  }
+
+  test("banded embedding near-dup on empty input returns an empty pair frame") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Dedup.embeddingCosineLsh(empty, "vec_id", "embedding", 0.35).count() === 0)
+  }
+
   test("banded embedding near-dup is a subset of the exact threshold join, bit-for-bit") {
     val e = Tables.embeddings(spark, sf001)
     val exact = Dedup.embeddingCosine(e, "vec_id", "embedding", 0.35)
