@@ -665,9 +665,23 @@ object TextAnalysis {
     * Scale shape: pair generation is a PER-ROW expression — one
     * codegen'd HOF per offset d ∈ 1..window zips the token array with
     * itself shifted by d (`w[i] || ' ' || w[i+d]`), so NO self-join
-    * of the token stream and no position explode: the only shuffle is
-    * the pair-count aggregate (map-side partials), ~window·tokens
-    * rows. Global top-N is TakeOrdered; rank after limit. */
+    * of the token stream and no position explode. The count runs as
+    * NOMINATE-then-RECOUNT (r10, the [[Sketches.heavyHitters]] shape,
+    * after the 100× rehearsal measured the string-keyed aggregate at
+    * 19× wall on 10× data — distinct-pair growth makes the partial
+    * hash tables spill through their string keys):
+    *  1. the corpus-wide exchange aggregates xxhash64(pair) — fixed
+    *     8-byte keys through both the partial maps and the wire
+    *     (the [[Dedup.ngramJaccard]] hashKeys argument);
+    *  2. the top 3·topN hashes are nominees (margin for count ties;
+    *     a collision only INFLATES a bucket, so a true top-N pair's
+    *     bucket cannot rank below ~topN genuinely-heavier buckets);
+    *  3. an exact per-STRING recount over the broadcast nominee set —
+    *     re-deriving pairs costs one more codegen'd scan, and the
+    *     recount exchange is nominee-bounded — makes the reported
+    *     counts collision-proof; like heavy hitters, the sketch layer
+    *     is result-invisible (the oracle replays the naive GROUP BY).
+    * Global top-N is TakeOrdered; rank after limit. */
   def skipgramCounts(docs: DataFrame, idCol: String, textCol: String,
                      window: Int = 4, topN: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -685,9 +699,16 @@ object TextAnalysis {
           i => concat(element_at(w, i), lit(" "), element_at(w, i + d))))
         .otherwise(array().cast("array<string>"))
     }
-    val top = docs
+    def pairs = docs
       .select(TextOps.words(col(textCol)).as("_w"))
       .select(explode(flatten(array(pairsPerOffset: _*))).as("pair"))
+    val nominees = pairs.groupBy(xxhash64(col("pair")).as("h"))
+      .agg(count(lit(1)).as("hn"))
+      .orderBy(col("hn").desc, col("h"))
+      .limit(3 * topN)
+      .select("h")
+    val top = pairs
+      .join(broadcast(nominees), xxhash64(col("pair")) === col("h"))
       .groupBy("pair").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair"))
       .limit(topN)
