@@ -1053,4 +1053,45 @@ object Dedup {
     }.toDF("id_a", "id_b", "cosine")
   }
 
+  /** Within-group exact cosine pairs — the pair stage of SemDeDup
+    * (Abbas et al., "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication", arXiv:2303.09540): a coarse
+    * k-means quantizer partitions the embedding space and the
+    * quadratic pair search runs ONLY inside each cluster, so total
+    * work is Σ m_c² instead of n². At 100 TB the quantizer is sized
+    * k ∝ n (the paper uses k ≈ n/200, i.e. constant expected cell
+    * occupancy — the same constant-occupancy law [[autoLshBits]]
+    * pins for the sign-LSH cascade), which keeps every group
+    * task-sized no matter the corpus; one shuffle on the group key,
+    * nothing corpus-quadratic anywhere. Fold order and id
+    * orientation match [[embeddingCosine]] exactly (ids sorted
+    * ascending inside the group, dot product folded a-before-b), so
+    * within-group pairs are bit-equal to the exact kernel's pairs
+    * restricted to the group — the restriction law DedupSpec pins. */
+  def embeddingCosineWithin(embs: DataFrame, idCol: String, vecCol: String,
+                            groupCol: String, threshold: Double): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val p = embs.select(col(groupCol).cast("long").as("g"),
+      col(idCol).cast("long").as("id"),
+      VectorOps.toDouble(col(vecCol)).as("v")).as[(Long, Long, Array[Double])]
+    p.groupByKey(_._1).flatMapGroups { (_, iter) =>
+      val rows = iter.map { case (_, id, v) => (id, v) }.toArray.sortBy(_._1)
+      val norms = rows.map(r => math.sqrt(VectorOps.dotSeq(r._2, r._2)))
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var i = 0
+      while (i < rows.length) {
+        var j = i + 1
+        while (j < rows.length) {
+          // ids ascend, so (i, j) is already the oracle's a<b fold order
+          val c = VectorOps.dotSeq(rows(i)._2, rows(j)._2) / (norms(i) * norms(j))
+          if (c >= threshold) buf += ((rows(i)._1, rows(j)._1, c))
+          j += 1
+        }
+        i += 1
+      }
+      buf.iterator
+    }.toDF("id_a", "id_b", "cosine")
+  }
+
 }

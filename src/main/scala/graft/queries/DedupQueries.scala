@@ -295,6 +295,57 @@ object DedupQueries {
           .cast("long").as("recall_permille"))
   }
 
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540) as
+    * a declared surface: semantic near-dup groups found only WITHIN
+    * the cells of a k-means coarse quantizer — the SAME persisted IVF
+    * index the ann_ivf* queries build and probe
+    * ([[SimilarityQueries.ivfIndex]]: build-once on disk, shared
+    * across query families and processes). Inside each cell the exact
+    * cosine kernel runs all-pairs ([[Dedup.embeddingCosineWithin]] —
+    * Σ m_c² work instead of n²; at 100 TB the quantizer is sized
+    * k ∝ n for constant cell occupancy, so every cell stays
+    * task-sized); connected components over the within-cell pair
+    * graph; then the paper's keep rule — per group the member LEAST
+    * similar to its cell centroid survives (ties → min vec_id), the
+    * intuition being that the most centroid-typical members are the
+    * redundant ones. The oracle replays the whole chain: the shared
+    * [[SimilarityQueries.ivfBuildCtes]] training replay, within-cell
+    * exact-cosine pairs, the recursive min-label walk, and the
+    * centroid-cosine argmin — build, pair, group and keep decisions
+    * all hash-checked. */
+  def semantic(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = SimilarityQueries.ivfIndex(s, dir)
+    val pe = idx.cells // (id, v, cell): corpus assignment, v already double
+    val pairs = FixtureCache.memo(
+        s"dedup_sem_pairs:t=$CosineThreshold:${FixtureCache.sessionKey(s)}",
+        dir, "embeddings") {
+      val p = Dedup.embeddingCosineWithin(pe, "id", "v", "cell",
+        CosineThreshold).persist()
+      p.count() // survivor-pair-sized, never corpus-sized
+      p
+    }
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val centersDf = {
+      import s.implicits._
+      idx.centers.toIndexedSeq.zipWithIndex
+        .map { case (v, cid) => (cid, v) }.toDF("cell", "cv")
+    }
+    val ccos = pe.join(broadcast(centersDf), "cell")
+      .select(col("id").cast("long").as("node"),
+        graft.functions.VectorOps.cosine(col("v"), col("cv")).as("ccos"))
+    comp.join(ccos, "node")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("component").orderBy(col("ccos"), col("node"))))
+      .withColumn("n_members", count(lit(1)).over(
+        Window.partitionBy("component")))
+      .where(col("rn") === 1)
+      .select(col("component"), col("node").as("kept_id"), col("n_members"),
+        round(col("ccos"), 6).as("kept_centroid_cosine"))
+      .orderBy("component")
+  }
+
   /** Eval-set decontamination: the 20 lowest-doc_id documents play
     * the benchmark set; every other document reports its 5-gram
     * overlap with them (pretraining hygiene as a declared surface). */
@@ -352,6 +403,7 @@ object DedupQueries {
     "dedup_embedding" -> (embedding _),
     "dedup_embedding_groups" -> (embeddingGroups _),
     "dedup_embedding_recall" -> (embeddingRecall _),
+    "dedup_semantic" -> (semantic _),
     "dedup_cc_groups" -> (ccGroups _),
     "dedup_canonical_pick" -> (canonicalPick _))
 
@@ -721,5 +773,40 @@ object DedupQueries {
          |     ON e.id_a = c.id_a AND e.id_b = c.id_b) AS n_common)
          |SELECT n_exact, n_banded, n_common,
          |  CAST(floor(1000.0 * n_common / greatest(n_exact, 1)) AS BIGINT) AS recall_permille
-         |FROM st""".stripMargin)
+         |FROM st""".stripMargin,
+    // SemDeDup end-to-end: the SHARED IVF training replay
+    // (SimilarityQueries.ivfBuildCtes — the same CTEs the proven
+    // ann_ivf* oracles use, because the query clusters through the
+    // same persisted index), within-cell exact-cosine pairs, the
+    // recursive min-label walk, and the centroid-cosine argmin keep
+    // rule — every decision in the pipeline replayed.
+    "dedup_semantic" -> ("WITH RECURSIVE " + SimilarityQueries.ivfBuildCtes +
+      s""",
+         |pe AS (SELECT c.vec_id, c.cell, p.v FROM cells c JOIN p USING (vec_id)),
+         |sp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM pe a JOIN pe b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE list_sum(list_transform(generate_series(1, ${SimilarityQueries.Dim}), i -> a.v[i] * b.v[i])) /
+         |    (sqrt(list_sum(list_transform(generate_series(1, ${SimilarityQueries.Dim}), i -> a.v[i] * a.v[i]))) *
+         |     sqrt(list_sum(list_transform(generate_series(1, ${SimilarityQueries.Dim}), i -> b.v[i] * b.v[i])))) >= $CosineThreshold),
+         |e AS (SELECT id_a AS cur, id_b AS nxt FROM sp
+         |      UNION ALL SELECT id_b, id_a FROM sp),
+         |walk(node, label) AS (
+         |  SELECT DISTINCT cur, cur FROM e
+         |  UNION
+         |  SELECT e.nxt, w.label FROM walk w JOIN e ON e.cur = w.node),
+         |comp AS (SELECT node, min(label) AS component FROM walk GROUP BY 1),
+         |cc AS (SELECT pe.vec_id,
+         |  list_sum(list_transform(generate_series(1, ${SimilarityQueries.Dim}), i -> pe.v[i] * c.v[i])) /
+         |  (sqrt(list_sum(list_transform(generate_series(1, ${SimilarityQueries.Dim}), i -> pe.v[i] * pe.v[i]))) *
+         |   sqrt(list_sum(list_transform(generate_series(1, ${SimilarityQueries.Dim}), i -> c.v[i] * c.v[i])))) AS ccos
+         |  FROM pe JOIN cent${SimilarityQueries.IvfTrainIters} c ON c.cid = pe.cell),
+         |j AS (SELECT comp.component, comp.node, cc.ccos
+         |      FROM comp JOIN cc ON cc.vec_id = comp.node),
+         |r AS (SELECT component, node, ccos,
+         |  row_number() OVER (PARTITION BY component ORDER BY ccos, node) AS rn FROM j),
+         |sz AS (SELECT component, COUNT(*) AS n_members FROM j GROUP BY 1)
+         |SELECT r.component, r.node AS kept_id, sz.n_members,
+         |  round(r.ccos, 6) AS kept_centroid_cosine
+         |FROM r JOIN sz ON sz.component = r.component
+         |WHERE r.rn = 1 ORDER BY r.component""".stripMargin))
 }

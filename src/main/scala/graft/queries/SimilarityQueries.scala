@@ -65,7 +65,7 @@ object SimilarityQueries {
   private val ivfCache = scala.collection.concurrent.TrieMap
     .empty[(String, Long, Long), (String, Similarity.IvfIndex)]
 
-  private def ivfIndex(s: SparkSession, dir: String): Similarity.IvfIndex = {
+  private[graft] def ivfIndex(s: SparkSession, dir: String): Similarity.IvfIndex = {
     val f = new java.io.File(Tables.path(dir, "embeddings"))
     val key = (f.getAbsolutePath, f.lastModified, f.length)
     val appId = s.sparkContext.applicationId
@@ -340,18 +340,18 @@ object SimilarityQueries {
        |SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
        |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
-  /** Full IVF oracle: reproduce the arithmetic-hash training sample,
-    * the first-nCells init, all [[IvfTrainIters]] exact-decimal Lloyd
-    * rounds (via KMeansQueries.lloydRoundsCte — the SAME generator the
-    * proven kmeans_fit_native oracle uses), the corpus→cell
-    * assignment, each query's nProbe nearest cells, and the cosine
-    * ranking over the probed cells — the entire build+probe pipeline,
-    * not just the output shape. `querySel` picks the query batch
-    * (first Q vec_ids, or the next Q for probe-only). */
-  private def ivfOracleSql(querySel: String): String = {
+  /** The IVF BUILD replay — arithmetic-hash training sample, first-
+    * nCells init, all [[IvfTrainIters]] exact-decimal Lloyd rounds
+    * (via KMeansQueries.lloydRoundsCte — the SAME generator the
+    * proven kmeans_fit_native oracle uses), and the corpus→cell
+    * assignment. WITH-body prefix (no `WITH`) defining `p`, `samp`,
+    * `cent0`..`cent$IvfTrainIters` and `cells`; shared by the three
+    * ann_ivf* oracles here and by DedupQueries' `dedup_semantic`
+    * oracle, which clusters through the SAME persisted index. */
+  private[queries] def ivfBuildCtes: String = {
     val (ra, rb) = Similarity.sampleRankCoeffs(IvfSeed)
     val P = Similarity.SampleRankP
-    s"""WITH p AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    s"""p AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |samp AS MATERIALIZED (SELECT vec_id, v FROM p
        |  ORDER BY (((vec_id % $P) + $P) % $P * $ra + $rb) % $P, vec_id LIMIT $IvfTrainSample),
        |cent0 AS MATERIALIZED (
@@ -364,7 +364,17 @@ object SimilarityQueries {
          |  FROM p CROSS JOIN cent$IvfTrainIters c),
          |cells AS MATERIALIZED (SELECT vec_id, cid AS cell FROM (
          |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-         |  FROM ad) WHERE rn = 1),
+         |  FROM ad) WHERE rn = 1)""".stripMargin
+  }
+
+  /** Full IVF oracle: [[ivfBuildCtes]] + each query's nProbe nearest
+    * cells and the cosine ranking over the probed cells — the entire
+    * build+probe pipeline, not just the output shape. `querySel`
+    * picks the query batch (first Q vec_ids, or the next Q for
+    * probe-only). */
+  private def ivfOracleSql(querySel: String): String = {
+    "WITH " + ivfBuildCtes +
+      s""",
          |qv AS (SELECT vec_id AS query_id, v FROM p ORDER BY vec_id $querySel),
          |qd AS (SELECT q.query_id, c.cid,
          |  list_sum(list_transform(generate_series(1, $Dim),
@@ -436,22 +446,8 @@ object SimilarityQueries {
     * ([[pqTrainEncodeCtes]]) + PQ-distance ranking over the IVF
     * candidate set. */
   private def ivfPqOracleSql: String = {
-    val (ra, rb) = Similarity.sampleRankCoeffs(IvfSeed)
-    val P = Similarity.SampleRankP
-    s"""WITH p AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       |samp AS MATERIALIZED (SELECT vec_id, v FROM p
-       |  ORDER BY (((vec_id % $P) + $P) % $P * $ra + $rb) % $P, vec_id LIMIT $IvfTrainSample),
-       |cent0 AS MATERIALIZED (
-       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v
-       |  FROM samp ORDER BY vec_id LIMIT $IvfCells)""".stripMargin +
-      KMeansQueries.lloydRoundsCte("samp", Dim, IvfTrainIters, "") +
-      s""", ad AS (SELECT p.vec_id, c.cid,
-         |  list_sum(list_transform(generate_series(1, $Dim),
-         |           i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i]))) AS d2
-         |  FROM p CROSS JOIN cent$IvfTrainIters c),
-         |cells AS MATERIALIZED (SELECT vec_id, cid AS cell FROM (
-         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-         |  FROM ad) WHERE rn = 1),
+    "WITH " + ivfBuildCtes +
+      s""",
          |qv AS (SELECT vec_id AS query_id, v FROM p ORDER BY vec_id LIMIT $Q),
          |qd AS (SELECT q.query_id, c.cid,
          |  list_sum(list_transform(generate_series(1, $Dim),

@@ -411,6 +411,75 @@ class DedupSpec extends SparkSpec {
     assert(autoBanded === banded)
   }
 
+  test("embeddingCosineWithin == exact kernel restricted to same-group pairs, bit-for-bit") {
+    val e = Tables.embeddings(spark, sf001)
+    // group = vec_id mod 7: an arbitrary partition of the corpus
+    val grouped = e.withColumn("g", pmod(col("vec_id"), lit(7L)))
+    val within = Dedup.embeddingCosineWithin(grouped, "vec_id", "embedding", "g", 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val groupOf = e.select(col("vec_id").cast("long")).collect()
+      .map(_.getLong(0)).map(id => id -> java.lang.Math.floorMod(id, 7L)).toMap
+    val restricted = Dedup.embeddingCosine(e, "vec_id", "embedding", 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => groupOf(a) == groupOf(b) }.toSet
+    assert(within === restricted && within.nonEmpty)
+  }
+
+  test("semanticDedup keep rule: planted clones grouped, least-centroid-similar member kept") {
+    // two planted semantic-dup pairs far apart in two dimensions plus
+    // isolated noise; groups must pair the clones, never bridge them
+    val mk: (Double, Double) => Array[Float] =
+      (x, y) => Array.tabulate(8)(i => (if (i == 0) x else if (i == 1) y else 0.05).toFloat)
+    val vecs = Seq(
+      1L -> mk(10.0, 0.1), 2L -> mk(10.0, 0.12), // clone pair A
+      3L -> mk(0.1, 10.0), 4L -> mk(0.12, 10.0), // clone pair B
+      5L -> mk(-8.0, -8.0)) // isolated
+    val e = vecs.toDF("vec_id", "embedding")
+    val cells = Seq(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 2).toDF("vec_id", "cell")
+    val pe = e.join(cells, "vec_id")
+    val pairs = Dedup.embeddingCosineWithin(pe, "vec_id", "embedding", "cell", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (3L, 4L)))
+    val comp = Dedup.connectedComponents(
+        pairs.toSeq.toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("dedup_semantic declared query: groups disjoint, kept member minimizes (ccos, id)") {
+    val rep = graft.queries.DedupQueries.semantic(spark, sf001).collect()
+    assert(rep.nonEmpty, "fixture should contain within-cell semantic dups")
+    // every group has >= 2 members and components are distinct
+    assert(rep.forall(_.getLong(2) >= 2L))
+    assert(rep.map(_.getLong(0)).distinct.length === rep.length)
+    // driver recompute of the keep rule from the operator's own pieces
+    val idx = graft.queries.SimilarityQueries.ivfIndex(spark, sf001)
+    val pe = idx.cells.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    val centers = idx.centers
+    val ccos = pe.map { case (id, v, cell) =>
+      val c = centers(cell)
+      id -> (graft.functions.VectorOps.dotSeq(v, c) /
+        (math.sqrt(graft.functions.VectorOps.dotSeq(v, v)) *
+         math.sqrt(graft.functions.VectorOps.dotSeq(c, c))))
+    }.toMap
+    val pairs = Dedup.embeddingCosineWithin(idx.cells, "id", "v", "cell",
+        graft.queries.DedupQueries.CosineThreshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val comp = Dedup.connectedComponents(pairs.toSeq.toDF("id_a", "id_b"),
+        "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byComp = comp.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
+    rep.foreach { r =>
+      val (c, kept, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val members = byComp(c)
+      assert(members.size.toLong === n)
+      val expectKept = members.minBy(id => (ccos(id), id))(
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+      assert(kept === expectKept, s"component $c")
+    }
+  }
+
   test("banded embedding near-dup on empty input returns an empty pair frame") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
