@@ -276,7 +276,15 @@ object ScaleUp {
     "stream_attribution_parity",
     // round 8 cohort 14: the shard manifest (hash shuffle + token
     // totals + order-independent checksum over 50 k docs)
-    "pipeline_shard_manifest")
+    "pipeline_shard_manifest",
+    // round 10 cohort 16: SemDeDup through the 20 k-vector IVF
+    // quantizer (within-cell Σm² pairs + CC + keep rule), hashed
+    // DSIR weights over 5 M tokens (bucket-bounded stats exchange +
+    // one doc-keyed weight agg), and the ExactSubstr span report
+    // (8-byte fp nominate → substring verify; the 40-word synthetic
+    // vocabulary makes ~5-word grams recur, so the verify stage is
+    // LIVE here, not empty)
+    "dedup_semantic", "text_dsir_weights", "text_repeated_spans")
 
   /** Rehearsal-only closures that are NOT declared queries: the
     * auto-parameter scale path of an operator whose declared form pins
@@ -480,7 +488,12 @@ object ScaleUp {
     // exact tiled kernel at 20 k vectors (10×), banded autoLshBits
     // cascade + sparse-dispatched components at 200 k (100×)
     "text_lang_confusion", "asof_nearest_purchase",
-    "dedup_embedding_groups")
+    "dedup_embedding_groups",
+    // round 10 cohort 16 at 100×: the two docs-linear text ops over
+    // 500 k open-vocab docs — DSIR's exchanges stay bucket/doc-
+    // bounded; repeated-spans' nominate exchange stays 8 B/position
+    // and its verify stage is bounded by the ACTUAL repeat volume
+    "text_dsir_weights", "text_repeated_spans")
 
   def main(args: Array[String]): Unit = {
     val mode100 = args.contains("100")

@@ -992,6 +992,135 @@ object TextAnalysis {
     * sort_array over (pos, line) structs — per-doc work bounded by
     * one document's lines. Corpus size for the share threshold is a
     * 1-row broadcast. */
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169):
+    * documents scored by a hashed-n-gram likelihood ratio between a
+    * TARGET slice and the RAW corpus, then the top-K selected — the
+    * "make the pretraining mix look like the target domain" stage of
+    * a training-data pipeline.
+    *
+    * Features are unigram + bigram occurrences (multiplicity kept)
+    * hashed into `buckets` cells by the corpus-standard mod-P char
+    * fold ([[TextOps.rollingFingerprint]]) — the paper's hashed
+    * bag-of-n-grams. Per bucket, Laplace-smoothed occurrence rates
+    * u = (c_t+1)/(N_t+B) under the target and v = (c_r+1)/(N_r+B)
+    * under the raw corpus give the bucket score
+    * s = ⌊10⁶ · (u / v)⌋ in integer micros; a document's weight is
+    * Σ s over its feature OCCURRENCES — the paper's per-feature
+    * log-ratio sum with the log dropped (logs differ in the last ulp
+    * across libm implementations; the ratio itself is three IEEE ops
+    * in pinned order — two divisions, one multiply — each correctly
+    * rounded, so the floor is bit-identical in any IEEE engine, the
+    * BM25 determinism idiom). Operand exactness holds while bucket
+    * counts stay below 2^53 (~9·10¹⁵ occurrences — past any real
+    * corpus). The paper then Gumbel-samples ∝ w; the deterministic
+    * analogue declared here is top-K by (weight DESC, doc_id) —
+    * resampling with the randomness replaced by the total order.
+    *
+    * Scale shape: the feature stream never leaves its scan partition
+    * un-aggregated — bucket stats are ONE map-side-combined exchange
+    * whose result is bounded at `buckets` rows and COLLECTED (the
+    * bloom-words bounded-collect idiom; a declarative totals
+    * re-aggregate would make Catalyst re-scan the corpus a third
+    * time), totals and the score table computed driver-side with the
+    * same pinned IEEE ops, then ≤ `buckets` (bucket, s) rows
+    * broadcast back onto the re-scanned stream — the whole job is
+    * TWO corpus scans, one buckets-bounded exchange, one doc-keyed
+    * exchange; the global top-K is TakeOrdered (per-partition
+    * heaps), rank assigned after the limit on ≤ K rows. */
+  def dsirImportance(docs: DataFrame, idCol: String, textCol: String,
+                     targetFilter: Column, buckets: Int = 4096,
+                     topK: Int = 200): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feats = explode(concat(
+      TextOps.words(col(textCol)),
+      TextOps.shinglesAll(col(textCol), 2))).as("f")
+    val occ = docs
+      .select(col(idCol).as("doc_id"), targetFilter.as("is_t"), feats)
+      .select(col("doc_id"), col("is_t"),
+        pmod(TextOps.rollingFingerprint(col("f")), lit(buckets.toLong)).as("bucket"))
+    val bs = occ.groupBy("bucket").agg(
+        count(lit(1)).as("c_r"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nR = bs.map(_._2).sum
+    val nT = bs.map(_._3).sum
+    val bw = bs.toSeq.map { case (bk, cR, cT) =>
+      val u = (cT + 1).toDouble / (nT + buckets).toDouble
+      val v = (cR + 1).toDouble / (nR + buckets).toDouble
+      (bk, math.floor(1e6 * (u / v)).toLong)
+    }.toDF("bucket", "s")
+    val dw = occ.join(broadcast(bw), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_features"), sum("s").as("weight_micros"))
+    dw.orderBy(col("weight_micros").desc, col("doc_id")).limit(topK)
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("weight_micros").desc, col("doc_id"))).cast("int"))
+      .select(col("rank"), col("doc_id"), col("n_features"), col("weight_micros"))
+      .orderBy("rank")
+  }
+
+  /** Exact repeated-substring spans (the signal behind Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499 — their suffix-array ExactSubstr dedup): per
+    * document, the maximal spans covered by character `gramLen`-grams
+    * that occur MORE THAN ONCE in the corpus (any document, any
+    * position, the same document included). Two verbatim occurrences
+    * of a ≥ gramLen-char passage are covered in both places, so
+    * `covered_chars` is the per-doc budget an ExactSubstr pass would
+    * cut.
+    *
+    * The suffix array is re-expressed as the repo's nominate-then-
+    * verify cascade (the skip-gram idiom): pass 1 explodes per-
+    * position O(n) ROLLING gram fingerprints
+    * ([[graft.plans.expressions.GramKernel]], 8 bytes/position) and
+    * map-side-combines them into a fingerprint→count exchange; fps
+    * with count > 1 (no false negatives: equal substrings hash
+    * equally) broadcast back onto a RE-SCAN, where the actual
+    * substring is materialized ONLY for nominated positions — explode
+    * → broadcast-join → substr all fuse into one codegen stage, so
+    * the corpus-sized position stream never hits an exchange wider
+    * than 8 bytes/position. Hash-collision candidates die in the
+    * substring-keyed count>1 verify (exact — the result equals the
+    * all-substrings computation the oracle runs). Verified positions
+    * (repeat-bounded, not corpus-bounded) merge into maximal spans
+    * per doc: islands over the sorted positions (gap > gramLen splits
+    * — lag+sum, all integer), then per-island [min, max+gramLen)
+    * extents. Only documents with at least one repeated gram appear. */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    gramLen: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val grams = graft.plans.expressions.gram_fingerprints(col("text"), gramLen)
+    val pos1 = d.select(col("doc_id"), posexplode(grams).as(Seq("pos", "fp")))
+    val nom = pos1.groupBy("fp").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("fp")
+    val cand = d.select(col("doc_id"), col("text"), posexplode(grams).as(Seq("pos", "fp")))
+      .join(broadcast(nom), "fp")
+      .select(col("doc_id"), col("pos"),
+        expr(s"substr(text, pos + 1, $gramLen)").as("sub"))
+    val ver = cand
+      .withColumn("sc", count(lit(1)).over(Window.partitionBy("sub")))
+      .filter(col("sc") > 1)
+      .select(col("doc_id"), col("pos"))
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = ver
+      .withColumn("nw", when(lag("pos", 1).over(wd).isNull ||
+        col("pos") > lag("pos", 1).over(wd) + gramLen, 1L).otherwise(0L))
+      .withColumn("island", sum("nw").over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").cast("long").as("st"),
+        (max("pos") + gramLen).cast("long").as("en"),
+        count(lit(1)).as("ng"))
+    spans.groupBy("doc_id")
+      .agg(sum("ng").as("n_rep_grams"), count(lit(1)).as("n_spans"),
+        sum(col("en") - col("st")).as("covered_chars"),
+        max(col("en") - col("st")).as("max_span_chars"))
+      .orderBy("doc_id")
+  }
+
   def removeBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
                              maxDocShare: Double = 0.3): DataFrame = {
     val nDocs = docs.select(countDistinct(col(idCol)).as("n_corpus"))

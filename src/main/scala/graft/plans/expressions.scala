@@ -161,6 +161,47 @@ object WinnowKernel {
   }
 }
 
+/** The per-position gram-hash loop behind
+  * [[expressions.GramFingerprints]] — a static forwarder like
+  * [[WinnowKernel]], and the same codepoint polynomial fold, but it
+  * returns ALL positions' k-gram fingerprints (no window selection)
+  * and computes them with the O(n) ROLLING recurrence instead of
+  * O(n·k) per-position refolds: h' = ((h − cp_out·31^(k−1)) · 31 +
+  * cp_in) mod P. Modular subtraction keeps every value identical to
+  * the direct fold, so an engine replaying the naive per-position
+  * fold (the DuckDB oracle) lands on the same longs bit-for-bit. */
+object GramKernel {
+  private val P = 1000000007L
+
+  def compute(input: UTF8String, k: Int): ArrayData = {
+    val s = input.toString
+    val cps = new Array[Int](s.codePointCount(0, s.length))
+    var ci = 0; var si = 0
+    while (si < s.length) {
+      val cp = s.codePointAt(si); cps(ci) = cp; ci += 1
+      si += Character.charCount(cp)
+    }
+    val nGrams = cps.length - k + 1
+    if (nGrams <= 0) return new GenericArrayData(Array.empty[Any])
+    var pw = 1L // 31^(k-1) mod P
+    var j = 1
+    while (j < k) { pw = (pw * 31L) % P; j += 1 }
+    val out = new Array[Any](nGrams)
+    var h = 0L
+    j = 0
+    while (j < k) { h = (h * 31L + cps(j)) % P; j += 1 }
+    out(0) = h
+    var i = 1
+    while (i < nGrams) {
+      val drop = (cps(i - 1) * pw) % P
+      h = (((h + P - drop) % P) * 31L + cps(i + k - 1)) % P
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Nearest-center scan behind [[expressions.ArgminCenters]], as a
   * static forwarder reachable from generated code (the
   * [[ShingleKernel]] pattern). Arithmetic is bit-identical to k
@@ -449,6 +490,25 @@ object expressions {
       copy(child = newChild)
   }
 
+  /** ALL per-position k-gram rolling fingerprints (array<long>) of a
+    * string — see [[GramKernel]]; `k` is a constructor constant. */
+  case class GramFingerprints(child: Expression, k: Int)
+      extends UnaryExpression {
+    require(k >= 1, "gram width k must be >= 1")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "gram_fingerprints"
+
+    override def nullSafeEval(input: Any): Any =
+      GramKernel.compute(input.asInstanceOf[UTF8String], k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.plans.GramKernel.compute($a, $k);")
+
+    override protected def withNewChildInternal(newChild: Expression): GramFingerprints =
+      copy(child = newChild)
+  }
+
   /** Sorted distinct winnowed fingerprints (array<long>) of a string —
     * see [[WinnowKernel]]; `k`/`w` are constructor constants. */
   case class WinnowFingerprints(child: Expression, k: Int, w: Int)
@@ -500,6 +560,10 @@ object expressions {
   def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
     org.apache.spark.sql.GraftShims.column(
       WinnowFingerprints(org.apache.spark.sql.GraftShims.expression(text), k, w))
+
+  def gram_fingerprints(text: Column, k: Int): Column =
+    org.apache.spark.sql.GraftShims.column(
+      GramFingerprints(org.apache.spark.sql.GraftShims.expression(text), k))
 
   /** Monotone IEEE-754 bit image of a double: a long m(x) with
     * x₁ < x₂ ⟺ m(x₁) < m(x₂) under Spark's double ordering

@@ -227,6 +227,28 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** DSIR importance resampling, deterministic analogue
+    * ([[TextAnalysis.dsirImportance]]): unigram+bigram occurrences
+    * hashed into 4096 buckets, Laplace-smoothed target/raw rate
+    * ratios in integer micros, and the top-200 documents by summed
+    * ratio — target slice = the en documents (the same slice
+    * text_bigram_coverage targets). */
+  val DsirBuckets = 4096
+  val DsirTopK = 200
+  def dsirWeights(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dsirImportance(Tables.documents(s, dir), "doc_id", "text",
+      targetFilter = col("lang") === "en",
+      buckets = DsirBuckets, topK = DsirTopK)
+
+  /** Exact repeated-substring spans at 25 chars
+    * ([[TextAnalysis.repeatedSpans]]) — the per-doc ExactSubstr
+    * budget: positions whose 25-gram recurs anywhere in the corpus,
+    * merged into maximal spans. */
+  val RepSpanGram = 25
+  def repeatedSpansQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repeatedSpans(Tables.documents(s, dir), "doc_id", "text",
+      RepSpanGram)
+
   /** PII redaction over a corpus with PLANTED addresses: every doc
     * gains a deterministic email + NANP phone derived from its id, so
     * the expected counts are known (≥1 each) and the scrub is
@@ -316,6 +338,8 @@ object TextQueries {
     "text_fingerprint" -> (fingerprint _),
     "text_corpus_stats" -> (corpus _),
     "text_bigram_coverage" -> (bigramCoverage _),
+    "text_dsir_weights" -> (dsirWeights _),
+    "text_repeated_spans" -> (repeatedSpansQ _),
     "text_bigram_lm_score" -> (bigramLm _),
     "text_collocations" -> (collocationsQ _),
     "text_skipgram_counts" -> (skipgramsQ _),
@@ -634,6 +658,57 @@ object TextQueries {
         |  CAST(SUM(CASE WHEN s IN (SELECT s FROM ref) THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
         |  CAST((1000 * SUM(CASE WHEN s IN (SELECT s FROM ref) THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS coverage_permille
         |FROM b0 GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // hashed-feature DSIR: the SAME mod-P char fold as
+    // text_fingerprint buckets every unigram+bigram occurrence; the
+    // bucket score is floor(1e6·(u/v)) with the two Laplace rates and
+    // the ratio in PINNED IEEE op order (two divisions, one multiply
+    // — each correctly rounded, so the floor matches Spark bit-exact)
+    "text_dsir_weights" ->
+      s"""WITH d AS (SELECT doc_id, lang = 'en' AS is_t, string_split(text, ' ') AS w FROM documents),
+         |occ AS (
+         |  SELECT doc_id, is_t, unnest(w) AS f FROM d
+         |  UNION ALL
+         |  SELECT doc_id, is_t, unnest(list_transform(generate_series(1, len(w) - 1),
+         |         i -> w[i] || ' ' || w[i+1])) AS f FROM d),
+         |ob AS (SELECT doc_id, is_t,
+         |  list_reduce(list_transform(generate_series(1, length(f)),
+         |      i -> CAST(ascii(substr(f, i, 1)) AS BIGINT)),
+         |    (a, b) -> (a * 31 + b) % ${graft.functions.TextOps.FingerprintMod}) % $DsirBuckets AS bucket FROM occ),
+         |bs AS (SELECT bucket, COUNT(*) AS c_r,
+         |       SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_t FROM ob GROUP BY 1),
+         |tot AS (SELECT SUM(c_r) AS n_r, SUM(c_t) AS n_t FROM bs),
+         |bw AS (SELECT bucket, CAST(floor(1e6 * (
+         |    ((c_t + 1)::DOUBLE / (n_t + $DsirBuckets)::DOUBLE) /
+         |    ((c_r + 1)::DOUBLE / (n_r + $DsirBuckets)::DOUBLE))) AS BIGINT) AS s
+         |  FROM bs CROSS JOIN tot),
+         |dw AS (SELECT ob.doc_id, COUNT(*) AS n_features,
+         |       CAST(SUM(bw.s) AS BIGINT) AS weight_micros
+         |       FROM ob JOIN bw USING (bucket) GROUP BY 1),
+         |r AS (SELECT CAST(row_number() OVER (ORDER BY weight_micros DESC, doc_id) AS INTEGER) AS rank,
+         |      doc_id, n_features, weight_micros FROM dw)
+         |SELECT rank, doc_id, n_features, weight_micros
+         |FROM r WHERE rank <= $DsirTopK ORDER BY rank""".stripMargin,
+    // all-substrings direct form — equals the operator's fp-nominate +
+    // substring-verify cascade exactly (equal substrings hash equally,
+    // so nomination has no false negatives; the verify recount is on
+    // the substring itself)
+    "text_repeated_spans" ->
+      s"""WITH g AS (SELECT doc_id, i - 1 AS pos, substr(text, i, $RepSpanGram) AS sub
+         |      FROM (SELECT doc_id, text,
+         |            unnest(generate_series(1, length(text) - $RepSpanGram + 1)) AS i FROM documents)),
+         |v AS (SELECT doc_id, pos FROM (
+         |      SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY sub) AS c FROM g) WHERE c > 1),
+         |i AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER w IS NULL
+         |        OR pos > lag(pos) OVER w + $RepSpanGram THEN 1 ELSE 0 END AS nw
+         |      FROM v WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |s AS (SELECT doc_id, pos, SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM i),
+         |sp AS (SELECT doc_id, island, MIN(pos) AS st, MAX(pos) + $RepSpanGram AS en,
+         |       COUNT(*) AS ng FROM s GROUP BY 1, 2)
+         |SELECT doc_id, CAST(SUM(ng) AS BIGINT) AS n_rep_grams,
+         |  CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |  CAST(SUM(en - st) AS BIGINT) AS covered_chars,
+         |  CAST(MAX(en - st) AS BIGINT) AS max_span_chars
+         |FROM sp GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // ALL bigram occurrences (not the distinct-shingle contract) —
     // the LM counts multiplicity; every aggregate/DIV output CAST
     // (uncast SUM + // bind HUGEINT — the OracleTypesSpec ban)

@@ -625,4 +625,129 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getLong(5) >= 0L && r.getLong(5) <= 1000L)
     }
   }
+
+  // driver replica of the corpus fold: h = (h·31 + codepoint) mod P
+  private def foldFp(s: String): Long = {
+    var h = 0L; var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31L + cp) % graft.functions.TextOps.FingerprintMod
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  test("GramKernel rolling recurrence == direct per-position refold, bit-for-bit") {
+    val k = 25
+    val texts = docs.select("text").collect().map(_.getString(0))
+    assert(texts.nonEmpty)
+    val viaKernel = docs
+      .select(col("doc_id"), graft.plans.expressions.gram_fingerprints(col("text"), k).as("g"))
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1).toArray)
+    val direct = docs.select("doc_id", "text").orderBy("doc_id").collect().map { r =>
+      val cps = r.getString(1).codePoints().toArray
+      (0 to cps.length - k).map { i =>
+        var h = 0L; var j = 0
+        while (j < k) { h = (h * 31L + cps(i + j)) % graft.functions.TextOps.FingerprintMod; j += 1 }
+        h
+      }.toArray
+    }
+    assert(viaKernel.length === direct.length)
+    viaKernel.zip(direct).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+  }
+
+  test("repeatedSpans: planted verbatim clone surfaces in both docs; unique corpus is empty") {
+    import spark.implicits._
+    val passage = "the quick brown fox jumps over the lazy dog again and again"
+    val d = Seq(
+      (1L, s"alpha beta gamma $passage delta epsilon"),
+      (2L, s"zeta eta $passage theta iota kappa lambda"),
+      (3L, "completely unrelated text with no duplicated passage at all xyzzy"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repeatedSpans(d, "doc_id", "text", 25)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // both clone carriers report a span at least as long as the passage
+    assert(got.keySet === Set(1L, 2L))
+    assert(got.values.forall(_ >= passage.length))
+    val unique = Seq(
+      (1L, "one two three four five six seven eight nine ten eleven twelve"),
+      (2L, "thirteen fourteen fifteen sixteen seventeen eighteen nineteen"))
+      .toDF("doc_id", "text")
+    assert(TextAnalysis.repeatedSpans(unique, "doc_id", "text", 25).count() === 0L)
+  }
+
+  test("repeatedSpans == driver brute force over all substrings (fixture)") {
+    val k = 25
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val counts = scala.collection.mutable.HashMap.empty[String, Int]
+    rows.foreach { case (_, t) =>
+      (0 to t.length - k).foreach { i =>
+        val s = t.substring(i, i + k)
+        counts(s) = counts.getOrElse(s, 0) + 1
+      }
+    }
+    val expect = rows.flatMap { case (id, t) =>
+      val pos = (0 to t.length - k).filter(i => counts(t.substring(i, i + k)) > 1)
+      if (pos.isEmpty) None else {
+        // island merge: gap > k splits
+        val islands = pos.tail.foldLeft(List(List(pos.head))) { (acc, p) =>
+          if (p > acc.head.head + k) List(p) :: acc
+          else (p :: acc.head) :: acc.tail
+        }.map(_.reverse).reverse
+        val extents = islands.map(is => (is.min, is.max + k, is.size))
+        Some((id, extents.map(_._3.toLong).sum, extents.size.toLong,
+          extents.map(e => (e._2 - e._1).toLong).sum,
+          extents.map(e => (e._2 - e._1).toLong).max))
+      }
+    }.sortBy(_._1)
+    val got = TextAnalysis.repeatedSpans(docs, "doc_id", "text", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === expect.toSeq && got.nonEmpty)
+    // NOTE: fixture texts are ASCII, so String.substring positions and
+    // the kernel's codepoint positions coincide (the kernel itself is
+    // codepoint-pinned by the refold test above).
+  }
+
+  test("dsirImportance == driver replica of the hashed-ratio arithmetic; target outranks raw") {
+    import spark.implicits._
+    val b = 64
+    val d = Seq(
+      (1L, "en", "alpha beta alpha beta gamma"),
+      (2L, "en", "alpha gamma beta alpha"),
+      (3L, "de", "zump quor flig zump blar"),
+      (4L, "de", "quor blar flig zump"),
+      (5L, "de", "alpha zump beta quor")) // mixed vocab
+      .toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.dsirImportance(d, "doc_id", "text",
+        targetFilter = col("lang") === "en", buckets = b, topK = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // driver replica: same features, same fold, same pinned IEEE ops
+    val rows = Seq((1L, true, "alpha beta alpha beta gamma"),
+      (2L, true, "alpha gamma beta alpha"),
+      (3L, false, "zump quor flig zump blar"),
+      (4L, false, "quor blar flig zump"),
+      (5L, false, "alpha zump beta quor"))
+    val occ = rows.flatMap { case (id, t, txt) =>
+      val w = txt.split(" ", -1)
+      val feats = w.toSeq ++ w.sliding(2).map(_.mkString(" ")).toSeq
+      feats.map(f => (id, t, foldFp(f) % b))
+    }
+    val cT = occ.filter(_._2).groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val cR = occ.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val nT = cT.values.sum; val nR = cR.values.sum
+    val s = cR.keys.map { bk =>
+      val u = (cT.getOrElse(bk, 0L) + 1).toDouble / (nT + b).toDouble
+      val v = (cR(bk) + 1).toDouble / (nR + b).toDouble
+      bk -> math.floor(1e6 * (u / v)).toLong
+    }.toMap
+    val expW = occ.groupBy(_._1).view.mapValues(os => (os.size.toLong, os.map(o => s(o._3)).sum)).toMap
+    val expRank = expW.toSeq.map { case (id, (nf, w)) => (id, nf, w) }
+      .sortBy { case (id, _, w) => (-w, id) }
+      .zipWithIndex.map { case ((id, nf, w), i) => (i + 1, id, nf, w) }
+    assert(got.toSeq === expRank)
+    // the en docs (pure target vocab) outrank the pure-raw de docs
+    val rankOf = got.map(r => r._2 -> r._1).toMap
+    assert(rankOf(1L) < rankOf(3L) && rankOf(2L) < rankOf(4L))
+  }
 }
