@@ -1076,30 +1076,53 @@ object TextAnalysis {
     * position O(n) ROLLING gram fingerprints
     * ([[graft.plans.expressions.GramKernel]], 8 bytes/position) and
     * map-side-combines them into a fingerprint→count exchange; fps
-    * with count > 1 (no false negatives: equal substrings hash
-    * equally) broadcast back onto a RE-SCAN, where the actual
-    * substring is materialized ONLY for nominated positions — explode
-    * → broadcast-join → substr all fuse into one codegen stage, so
-    * the corpus-sized position stream never hits an exchange wider
-    * than 8 bytes/position. Hash-collision candidates die in the
+    * with count > 1 nominate (no false negatives: equal substrings
+    * hash equally), and the actual substring is materialized ONLY for
+    * nominated positions. Hash-collision candidates die in the
     * substring-keyed count>1 verify (exact — the result equals the
     * all-substrings computation the oracle runs). Verified positions
     * (repeat-bounded, not corpus-bounded) merge into maximal spans
     * per doc: islands over the sorted positions (gap > gramLen splits
     * — lag+sum, all integer), then per-island [min, max+gramLen)
-    * extents. Only documents with at least one repeated gram appear. */
+    * extents. Only documents with at least one repeated gram appear.
+    *
+    * The nominate→candidate hand-off SIZE-DISPATCHES (the
+    * embeddingCosineAuto idiom; both paths are result-identical,
+    * spec-pinned): a real pretraining corpus is repetition-SPARSE, so
+    * the nominee set is tiny and broadcasts back onto a re-scan where
+    * explode → broadcast-join → substr fuse into one codegen stage —
+    * the position stream never hits a second exchange. Past
+    * `maxBroadcastNominees` (a repetition-DENSE corpus — the regime
+    * where a nominee broadcast becomes a multi-hundred-MB hash
+    * relation on every executor), nominees instead shuffle-join the
+    * fingerprint stream (16 B/position) and survivors attach their
+    * substring by a doc-keyed join against the raw text — the text
+    * side is corpus-BYTES-sized, n bytes against n position rows, so
+    * it is never the wide side of that exchange. The nominee frame is
+    * persisted (nominee-bounded, LRU-evictable) so counting it for
+    * the dispatch doesn't re-run the nominate exchange. */
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
-                    gramLen: Int = 25): DataFrame = {
+                    gramLen: Int = 25,
+                    maxBroadcastNominees: Long = 8000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val grams = graft.plans.expressions.gram_fingerprints(col("text"), gramLen)
     val pos1 = d.select(col("doc_id"), posexplode(grams).as(Seq("pos", "fp")))
     val nom = pos1.groupBy("fp").agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).select("fp")
-    val cand = d.select(col("doc_id"), col("text"), posexplode(grams).as(Seq("pos", "fp")))
-      .join(broadcast(nom), "fp")
-      .select(col("doc_id"), col("pos"),
-        expr(s"substr(text, pos + 1, $gramLen)").as("sub"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nNom = nom.count()
+    val cand =
+      if (nNom <= maxBroadcastNominees)
+        d.select(col("doc_id"), col("text"), posexplode(grams).as(Seq("pos", "fp")))
+          .join(broadcast(nom), "fp")
+          .select(col("doc_id"), col("pos"),
+            expr(s"substr(text, pos + 1, $gramLen)").as("sub"))
+      else
+        pos1.join(nom, "fp").select("doc_id", "pos")
+          .join(d, "doc_id")
+          .select(col("doc_id"), col("pos"),
+            expr(s"substr(text, pos + 1, $gramLen)").as("sub"))
     val ver = cand
       .withColumn("sc", count(lit(1)).over(Window.partitionBy("sub")))
       .filter(col("sc") > 1)

@@ -709,6 +709,15 @@ class TextAnalysisSpec extends SparkSpec {
     // codepoint-pinned by the refold test above).
   }
 
+  test("repeatedSpans dispatch equality: broadcast-nominee and shuffle-join paths agree") {
+    val viaBroadcast = TextAnalysis.repeatedSpans(docs, "doc_id", "text", 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val viaShuffle = TextAnalysis.repeatedSpans(docs, "doc_id", "text", 25,
+        maxBroadcastNominees = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(viaBroadcast.toSeq === viaShuffle.toSeq && viaBroadcast.nonEmpty)
+  }
+
   test("dsirImportance == driver replica of the hashed-ratio arithmetic; target outranks raw") {
     import spark.implicits._
     val b = 64
