@@ -284,7 +284,11 @@ object ScaleUp {
     // (8-byte fp nominate → substring verify; the 40-word synthetic
     // vocabulary makes ~5-word grams recur, so the verify stage is
     // LIVE here, not empty)
-    "dedup_semantic", "text_dsir_weights", "text_repeated_spans")
+    "dedup_semantic", "text_dsir_weights", "text_repeated_spans",
+    // round 10 cohort 17: BPE training — one corpus token-count
+    // exchange, then 10 vocab-bounded rounds with 1-row argmax
+    // collects (the Lloyd hand-off)
+    "text_bpe_merges")
 
   /** Rehearsal-only closures that are NOT declared queries: the
     * auto-parameter scale path of an operator whose declared form pins
@@ -493,7 +497,7 @@ object ScaleUp {
     // 500 k open-vocab docs — DSIR's exchanges stay bucket/doc-
     // bounded; repeated-spans' nominate exchange stays 8 B/position
     // and its verify stage is bounded by the ACTUAL repeat volume
-    "text_dsir_weights", "text_repeated_spans")
+    "text_dsir_weights", "text_repeated_spans", "text_bpe_merges")
 
   def main(args: Array[String]): Unit = {
     val mode100 = args.contains("100")

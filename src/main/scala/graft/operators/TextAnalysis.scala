@@ -992,6 +992,66 @@ object TextAnalysis {
     * sort_array over (pos, line) structs — per-doc work bounded by
     * one document's lines. Corpus size for the share threshold is a
     * 1-row broadcast. */
+  /** BPE merge learning (Sennrich et al., "Neural Machine Translation
+    * of Rare Words with Subword Units", arXiv:1508.07909) — tokenizer
+    * TRAINING as a declared query: starting from per-character
+    * symbols, each round counts adjacent symbol pairs across the
+    * vocabulary weighted by word frequency, merges the most frequent
+    * pair (ties: count DESC, then pair string ASC — a total order),
+    * and rewrites every word with the greedy leftmost-non-overlapping
+    * pass ([[graft.plans.expressions.BpeMergeKernel]], compiled). The
+    * output is the learned merge table — (round, lhs, rhs, merged,
+    * pair_count) — exactly what a BPE tokenizer ships.
+    *
+    * Scale shape is the Lloyd-iteration story: ONE corpus-sized
+    * token-count exchange up front, after which every round runs on
+    * the persisted VOCABULARY frame (distinct words — bounded by
+    * vocabulary, not corpus, growth) with a pair aggregate bounded by
+    * vocab × word-length and a 1-row collect (the argmax pair — the
+    * same k·d-bounded driver hand-off as Lloyd centers). 100 TB of
+    * text changes the weights `n`, not the frame the rounds touch.
+    * The rewrite chain re-evaluates earlier rounds' folds against the
+    * cached base (O(rounds²) vocab-bounded passes — at 10 rounds,
+    * noise). The vocab cache is released once the merge table (driver
+    * literals, no lineage) is built. */
+  def bpeLearnMerges(docs: DataFrame, idCol: String, textCol: String,
+                     rounds: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab0 = docs.select(explode(TextOps.words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("syms"), col("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var vocab = vocab0
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val arr = split(col("syms"), " ")
+      val pairsCol = when(size(arr) >= 2,
+        transform(sequence(lit(1), size(arr) - 1),
+          i => concat(element_at(arr, i), lit(" "), element_at(arr, i + 1))))
+        .otherwise(array())
+      val best = vocab.select(explode(pairsCol).as("p"), col("n"))
+        .groupBy("p").agg(sum("n").as("cnt"))
+        .orderBy(col("cnt").desc, col("p")).limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val Array(a, b) = best(0).getString(0).split(" ", 2)
+        learned += ((r, a, b, a + b, best(0).getLong(1)))
+        vocab = vocab.select(
+          graft.plans.expressions.bpe_merge_round(col("syms"), a, b).as("syms"),
+          col("n"))
+        r += 1
+      }
+    }
+    vocab0.unpersist(blocking = false)
+    learned.toSeq.toDF("round", "lhs", "rhs", "merged", "pair_count")
+      .select(col("round").cast("int").as("round"), col("lhs"), col("rhs"),
+        col("merged"), col("pair_count"))
+      .orderBy("round")
+  }
+
   /** DSIR-style importance weights (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", arXiv:2302.03169):
     * documents scored by a hashed-n-gram likelihood ratio between a

@@ -202,6 +202,34 @@ object GramKernel {
   }
 }
 
+/** The greedy left-to-right BPE merge pass behind
+  * [[expressions.BpeMergeRound]]: symbols arrive space-joined, every
+  * leftmost non-overlapping adjacent (a, b) pair is replaced by the
+  * concatenation a+b. Equivalent to the string-accumulator fold the
+  * DuckDB oracle replays with list_reduce (a freshly merged element
+  * a+b can never equal a — b is non-empty — so the fold's
+  * trailing-token test reproduces exactly the scan-and-consume
+  * greedy walk). */
+object BpeMergeKernel {
+  def compute(syms: UTF8String, a: UTF8String, b: UTF8String): UTF8String = {
+    val parts = syms.split(UTF8String.fromString(" "), -1)
+    if (parts.length < 2) return syms
+    val out = new java.util.ArrayList[UTF8String](parts.length)
+    var i = 0
+    while (i < parts.length) {
+      if (i + 1 < parts.length && parts(i).equals(a) && parts(i + 1).equals(b)) {
+        out.add(UTF8String.concat(a, b))
+        i += 2
+      } else {
+        out.add(parts(i))
+        i += 1
+      }
+    }
+    UTF8String.concatWs(UTF8String.fromString(" "),
+      out.toArray(new Array[UTF8String](out.size)): _*)
+  }
+}
+
 /** Nearest-center scan behind [[expressions.ArgminCenters]], as a
   * static forwarder reachable from generated code (the
   * [[ShingleKernel]] pattern). Arithmetic is bit-identical to k
@@ -490,6 +518,33 @@ object expressions {
       copy(child = newChild)
   }
 
+  /** One greedy BPE merge pass over a space-joined symbol string —
+    * see [[BpeMergeKernel]]; the pair (a, b) is a per-round constant
+    * (the round's argmax pair, collected k·1-row like Lloyd
+    * centers). */
+  case class BpeMergeRound(child: Expression, a: String, b: String)
+      extends UnaryExpression {
+    require(a.nonEmpty && b.nonEmpty, "merge pair symbols must be non-empty")
+    override def dataType: DataType = StringType
+    override def prettyName: String = "bpe_merge_round"
+
+    private val ua = UTF8String.fromString(a)
+    private val ub = UTF8String.fromString(b)
+
+    override def nullSafeEval(input: Any): Any =
+      BpeMergeKernel.compute(input.asInstanceOf[UTF8String], ua, ub)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val refA = ctx.addReferenceObj("bpeA", ua, classOf[UTF8String].getName)
+      val refB = ctx.addReferenceObj("bpeB", ub, classOf[UTF8String].getName)
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.plans.BpeMergeKernel.compute($s, $refA, $refB);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): BpeMergeRound =
+      copy(child = newChild)
+  }
+
   /** ALL per-position k-gram rolling fingerprints (array<long>) of a
     * string — see [[GramKernel]]; `k` is a constructor constant. */
   case class GramFingerprints(child: Expression, k: Int)
@@ -564,6 +619,10 @@ object expressions {
   def gram_fingerprints(text: Column, k: Int): Column =
     org.apache.spark.sql.GraftShims.column(
       GramFingerprints(org.apache.spark.sql.GraftShims.expression(text), k))
+
+  def bpe_merge_round(syms: Column, a: String, b: String): Column =
+    org.apache.spark.sql.GraftShims.column(
+      BpeMergeRound(org.apache.spark.sql.GraftShims.expression(syms), a, b))
 
   /** Monotone IEEE-754 bit image of a double: a long m(x) with
     * x₁ < x₂ ⟺ m(x₁) < m(x₂) under Spark's double ordering

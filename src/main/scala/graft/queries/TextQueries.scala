@@ -249,6 +249,13 @@ object TextQueries {
     TextAnalysis.repeatedSpans(Tables.documents(s, dir), "doc_id", "text",
       RepSpanGram)
 
+  /** BPE tokenizer training ([[TextAnalysis.bpeLearnMerges]]): the
+    * 10-round learned merge table over the corpus vocabulary. */
+  val BpeMergeRounds = 10
+  def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeLearnMerges(Tables.documents(s, dir), "doc_id", "text",
+      BpeMergeRounds)
+
   /** PII redaction over a corpus with PLANTED addresses: every doc
     * gains a deterministic email + NANP phone derived from its id, so
     * the expected counts are known (≥1 each) and the scrub is
@@ -340,6 +347,7 @@ object TextQueries {
     "text_bigram_coverage" -> (bigramCoverage _),
     "text_dsir_weights" -> (dsirWeights _),
     "text_repeated_spans" -> (repeatedSpansQ _),
+    "text_bpe_merges" -> (bpeMerges _),
     "text_bigram_lm_score" -> (bigramLm _),
     "text_collocations" -> (collocationsQ _),
     "text_skipgram_counts" -> (skipgramsQ _),
@@ -366,6 +374,32 @@ object TextQueries {
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** The unrolled BPE-training oracle — see the `text_bpe_merges`
+    * comment in [[oracleSql]]. */
+  private def bpeOracleSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b, cnt FROM (
+         |  SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(list_transform(generate_series(1, len(s) - 1), i -> s[i] || ' ' || s[i+1])) AS pair, n
+         |    FROM (SELECT string_split(syms, ' ') AS s, n FROM v${r - 1}))
+         |  GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1)),
+         |v$r AS MATERIALIZED (
+         |  SELECT list_reduce(string_split(v.syms, ' '),
+         |      (acc, x) -> CASE WHEN (acc = p.a OR ends_with(acc, ' ' || p.a)) AND x = p.b
+         |        THEN left(acc, length(acc) - length(p.a)) || p.a || p.b
+         |        ELSE acc || ' ' || x END) AS syms, v.n
+         |  FROM v${r - 1} v CROSS JOIN p$r p)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val unioned = (1 to rounds).map { r =>
+      s"SELECT $r AS round, a AS lhs, b AS rhs, a || b AS merged, cnt AS pair_count FROM p$r"
+    }.mkString(" UNION ALL ")
+    s"""WITH v0 AS MATERIALIZED (
+       |  SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS syms, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1)$roundCtes
+       |SELECT CAST(round AS INTEGER) AS round, lhs, rhs, merged, pair_count
+       |FROM ($unioned) ORDER BY round""".stripMargin
+  }
 
   private val langScoresSql: String =
     TextAnalysis.LangProfiles.map { case (lang, stop) =>
@@ -658,6 +692,16 @@ object TextQueries {
         |  CAST(SUM(CASE WHEN s IN (SELECT s FROM ref) THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
         |  CAST((1000 * SUM(CASE WHEN s IN (SELECT s FROM ref) THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS coverage_permille
         |FROM b0 GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // BPE training replayed round by round — the kmeans_fit_native
+    // unrolled-iteration precedent: v0 symbolizes the vocabulary
+    // per-character; each round's CTE pair (pR, vR) picks the argmax
+    // adjacent pair (count DESC, pair ASC) and rewrites every word
+    // with the string-accumulator fold list_reduce — equivalent to
+    // the compiled greedy kernel because a freshly merged a||b can
+    // never equal a (b non-empty), so the trailing-token test IS the
+    // scan-and-consume greedy walk. MATERIALIZED throughout: vR is
+    // referenced by both pR+1 and vR+1.
+    "text_bpe_merges" -> bpeOracleSql(BpeMergeRounds),
     // hashed-feature DSIR: the SAME mod-P char fold as
     // text_fingerprint buckets every unigram+bigram occurrence; the
     // bucket score is floor(1e6·(u/v)) with the two Laplace rates and

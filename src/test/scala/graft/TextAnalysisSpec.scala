@@ -709,6 +709,36 @@ class TextAnalysisSpec extends SparkSpec {
     // codepoint-pinned by the refold test above).
   }
 
+  test("BpeMergeKernel == classic greedy scan on overlap/edge cases") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def k(s: String, a: String, b: String): String =
+      graft.plans.BpeMergeKernel.compute(UTF8String.fromString(s),
+        UTF8String.fromString(a), UTF8String.fromString(b)).toString
+    assert(k("a a a", "a", "a") === "aa a")       // leftmost non-overlapping
+    assert(k("a a a a", "a", "a") === "aa aa")
+    assert(k("a b a b", "a", "b") === "ab ab")
+    assert(k("a a b", "a", "b") === "a ab")
+    assert(k("b a b a b", "b", "a") === "ba ba b")
+    assert(k("x", "a", "b") === "x")              // single symbol untouched
+    assert(k("ab a b", "a", "b") === "ab ab")     // earlier merged symbol is inert
+    assert(k("a ab ab", "a", "ab") === "aab ab")  // multi-char right symbol
+  }
+
+  test("bpeLearnMerges: hand-computed merges on the classic toy corpus; counts exact") {
+    import spark.implicits._
+    // Sennrich-style toy: "low" x5, "lower" x2 — most frequent pair is
+    // l-o (7 = 5+2), then lo-w (7), then low (5)+"er"-chain ties
+    val d = Seq((1L, ("low " * 5).trim + " " + ("lower " * 2).trim))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeLearnMerges(d, "doc_id", "text", rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(got(0) === ((1, "l", "o", "lo", 7L)))
+    assert(got(1) === ((2, "lo", "w", "low", 7L)))
+    // round 3: remaining pairs all count 2 ("low e", "e r") — tie
+    // breaks on pair string ASC: "e r" < "low e"
+    assert(got(2) === ((3, "e", "r", "er", 2L)))
+  }
+
   test("repeatedSpans dispatch equality: broadcast-nominee and shuffle-join paths agree") {
     val viaBroadcast = TextAnalysis.repeatedSpans(docs, "doc_id", "text", 25)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
