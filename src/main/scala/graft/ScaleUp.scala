@@ -287,8 +287,9 @@ object ScaleUp {
     "dedup_semantic", "text_dsir_weights", "text_repeated_spans",
     // round 10 cohort 17: BPE training — one corpus token-count
     // exchange, then 10 vocab-bounded rounds with 1-row argmax
-    // collects (the Lloyd hand-off)
-    "text_bpe_merges")
+    // collects (the Lloyd hand-off) — and the encode twin (one
+    // (lang, word) occurrence exchange + fused merge chain)
+    "text_bpe_merges", "text_bpe_encode")
 
   /** Rehearsal-only closures that are NOT declared queries: the
     * auto-parameter scale path of an operator whose declared form pins
@@ -497,7 +498,8 @@ object ScaleUp {
     // 500 k open-vocab docs — DSIR's exchanges stay bucket/doc-
     // bounded; repeated-spans' nominate exchange stays 8 B/position
     // and its verify stage is bounded by the ACTUAL repeat volume
-    "text_dsir_weights", "text_repeated_spans", "text_bpe_merges")
+    "text_dsir_weights", "text_repeated_spans", "text_bpe_merges",
+    "text_bpe_encode")
 
   def main(args: Array[String]): Unit = {
     val mode100 = args.contains("100")

@@ -1052,6 +1052,43 @@ object TextAnalysis {
       .orderBy("round")
   }
 
+  /** BPE ENCODING with a learned merge table
+    * ([[bpeLearnMerges]]'s output applied back to the corpus) — the
+    * per-language compression report a tokenizer-training pipeline
+    * checks before committing a vocab: words segment through the
+    * merge chain (all `merges` folded into ONE projection of chained
+    * compiled [[graft.plans.expressions.BpeMergeRound]] kernels over
+    * the DISTINCT-word frame), and subword counts ride word
+    * OCCURRENCE counts back up to (lang, n_docs, n_words,
+    * n_bpe_tokens, bpe_per_kiloword = ⌊1000·n_bpe/n_words⌋).
+    *
+    * Scale shape: the corpus-sized token stream hits exactly one
+    * map-side-combined exchange — the (lang, word) occurrence count;
+    * everything after (distinct words, the merge chain, the
+    * word-keyed join, the langs-bounded report) is vocabulary-sized.
+    * The encode never re-reads raw text per merge: 10 merges = 10
+    * fused kernel calls in one stage over distinct words. */
+  def bpeEncodeReport(docs: DataFrame, langCol: String, textCol: String,
+                      merges: Seq[(String, String)]): DataFrame = {
+    val occ = docs
+      .select(col(langCol).as("lang"), explode(TextOps.words(col(textCol))).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+    val syms0 = trim(regexp_replace(col("w"), "(.)", "$1 "))
+    val symsN = merges.foldLeft(syms0) { case (c, (a, b)) =>
+      graft.plans.expressions.bpe_merge_round(c, a, b) }
+    val enc = occ.select("w").distinct()
+      .select(col("w"), size(split(symsN, " ")).cast("long").as("n_bpe"))
+    val perLang = occ.join(enc, "w")
+      .groupBy("lang")
+      .agg(sum("c").as("n_words"),
+        sum(col("c") * col("n_bpe")).as("n_bpe_tokens"))
+    val nd = docs.groupBy(col(langCol).as("lang")).agg(count(lit(1)).as("n_docs"))
+    perLang.join(nd, "lang")
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_bpe_tokens"),
+        expr("(1000 * n_bpe_tokens) DIV n_words").as("bpe_per_kiloword"))
+      .orderBy("lang")
+  }
+
   /** DSIR-style importance weights (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", arXiv:2302.03169):
     * documents scored by a hashed-n-gram likelihood ratio between a

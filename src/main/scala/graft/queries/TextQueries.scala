@@ -256,6 +256,26 @@ object TextQueries {
     TextAnalysis.bpeLearnMerges(Tables.documents(s, dir), "doc_id", "text",
       BpeMergeRounds)
 
+  /** Learned merge pairs, driver-cached per (fixture, app) like the
+    * IVF index — training runs once per process, encode reps pay
+    * only the apply chain. */
+  private val bpeMergesCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, Long, String), Seq[(String, String)]]
+
+  /** BPE encode ([[TextAnalysis.bpeEncodeReport]]): the learned
+    * merges applied back to the corpus — per-language subword
+    * compression report. */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val f = new java.io.File(Tables.path(dir, "documents"))
+    val key = (f.getAbsolutePath, f.lastModified, f.length,
+      s.sparkContext.applicationId)
+    val merges = bpeMergesCache.getOrElseUpdate(key,
+      TextAnalysis.bpeLearnMerges(Tables.documents(s, dir), "doc_id", "text",
+          BpeMergeRounds)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq)
+    TextAnalysis.bpeEncodeReport(Tables.documents(s, dir), "lang", "text", merges)
+  }
+
   /** PII redaction over a corpus with PLANTED addresses: every doc
     * gains a deterministic email + NANP phone derived from its id, so
     * the expected counts are known (≥1 each) and the scrub is
@@ -348,6 +368,7 @@ object TextQueries {
     "text_dsir_weights" -> (dsirWeights _),
     "text_repeated_spans" -> (repeatedSpansQ _),
     "text_bpe_merges" -> (bpeMerges _),
+    "text_bpe_encode" -> (bpeEncode _),
     "text_bigram_lm_score" -> (bigramLm _),
     "text_collocations" -> (collocationsQ _),
     "text_skipgram_counts" -> (skipgramsQ _),
@@ -375,9 +396,11 @@ object TextQueries {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
-  /** The unrolled BPE-training oracle — see the `text_bpe_merges`
-    * comment in [[oracleSql]]. */
-  private def bpeOracleSql(rounds: Int): String = {
+  /** The unrolled BPE-training CTE chain (v0..vR carrying the WORD
+    * through every rewrite so the encode oracle can join occurrences
+    * back; p1..pR are the per-round argmax pairs) — shared by the
+    * `text_bpe_merges` and `text_bpe_encode` oracles. */
+  private def bpeCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""p$r AS MATERIALIZED (SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b, cnt FROM (
          |  SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM (
@@ -385,21 +408,42 @@ object TextQueries {
          |    FROM (SELECT string_split(syms, ' ') AS s, n FROM v${r - 1}))
          |  GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1)),
          |v$r AS MATERIALIZED (
-         |  SELECT list_reduce(string_split(v.syms, ' '),
+         |  SELECT v.w, list_reduce(string_split(v.syms, ' '),
          |      (acc, x) -> CASE WHEN (acc = p.a OR ends_with(acc, ' ' || p.a)) AND x = p.b
          |        THEN left(acc, length(acc) - length(p.a)) || p.a || p.b
          |        ELSE acc || ' ' || x END) AS syms, v.n
          |  FROM v${r - 1} v CROSS JOIN p$r p)""".stripMargin
     }.mkString(",\n", ",\n", "")
+    s"""v0 AS MATERIALIZED (
+       |  SELECT w, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS syms, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1, 2)$roundCtes""".stripMargin
+  }
+
+  /** See the `text_bpe_merges` comment in [[oracleSql]]. */
+  private def bpeOracleSql(rounds: Int): String = {
     val unioned = (1 to rounds).map { r =>
       s"SELECT $r AS round, a AS lhs, b AS rhs, a || b AS merged, cnt AS pair_count FROM p$r"
     }.mkString(" UNION ALL ")
-    s"""WITH v0 AS MATERIALIZED (
-       |  SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS syms, CAST(COUNT(*) AS BIGINT) AS n
-       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1)$roundCtes
+    s"""WITH ${bpeCtes(rounds)}
        |SELECT CAST(round AS INTEGER) AS round, lhs, rhs, merged, pair_count
        |FROM ($unioned) ORDER BY round""".stripMargin
   }
+
+  /** The encode oracle: the SAME training chain, then subword counts
+    * ride (lang, word) occurrence counts back up to the per-language
+    * compression report. */
+  private def bpeEncodeOracleSql(rounds: Int): String =
+    s"""WITH ${bpeCtes(rounds)},
+       |enc AS (SELECT w, CAST(len(string_split(syms, ' ')) AS BIGINT) AS n_bpe FROM v$rounds),
+       |o AS (SELECT lang, w, COUNT(*) AS c FROM (
+       |  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1, 2),
+       |j AS (SELECT o.lang, CAST(SUM(o.c) AS BIGINT) AS n_words,
+       |      CAST(SUM(o.c * e.n_bpe) AS BIGINT) AS n_bpe_tokens
+       |      FROM o JOIN enc e USING (w) GROUP BY 1),
+       |d AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+       |SELECT j.lang, d.n_docs, j.n_words, j.n_bpe_tokens,
+       |  CAST((1000 * j.n_bpe_tokens) // j.n_words AS BIGINT) AS bpe_per_kiloword
+       |FROM j JOIN d ON d.lang = j.lang ORDER BY j.lang""".stripMargin
 
   private val langScoresSql: String =
     TextAnalysis.LangProfiles.map { case (lang, stop) =>
@@ -702,6 +746,8 @@ object TextQueries {
     // scan-and-consume greedy walk. MATERIALIZED throughout: vR is
     // referenced by both pR+1 and vR+1.
     "text_bpe_merges" -> bpeOracleSql(BpeMergeRounds),
+    // same training chain, then the per-language encode report
+    "text_bpe_encode" -> bpeEncodeOracleSql(BpeMergeRounds),
     // hashed-feature DSIR: the SAME mod-P char fold as
     // text_fingerprint buckets every unigram+bigram occurrence; the
     // bucket score is floor(1e6·(u/v)) with the two Laplace rates and

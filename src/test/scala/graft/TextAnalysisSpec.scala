@@ -739,6 +739,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2) === ((3, "e", "r", "er", 2L)))
   }
 
+  test("bpeEncodeReport: merges compress monotonically; zero merges == char count") {
+    import spark.implicits._
+    val d = Seq((1L, "en", ("low " * 5).trim + " " + ("lower " * 2).trim))
+      .toDF("doc_id", "lang", "text")
+    // no merges: every word token splits into its characters
+    val zero = TextAnalysis.bpeEncodeReport(d, "lang", "text", Seq.empty)
+      .collect().head
+    assert(zero.getLong(2) === 7L)        // n_words
+    assert(zero.getLong(3) === 5 * 3 + 2 * 5L) // n_bpe_tokens == total chars
+    // learned merges can only reduce the subword count, monotonically
+    val merges = TextAnalysis.bpeLearnMerges(d, "doc_id", "text", 3)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val counts = (0 to merges.length).map { k =>
+      TextAnalysis.bpeEncodeReport(d, "lang", "text", merges.take(k))
+        .collect().head.getLong(3)
+    }
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a })
+    // after (l,o) and (lo,w): "low"->1 subword x5, "lower"->3 x2
+    val two = TextAnalysis.bpeEncodeReport(d, "lang", "text", merges.take(2))
+      .collect().head
+    assert(two.getLong(3) === 5 * 1 + 2 * 3L)
+  }
+
   test("repeatedSpans dispatch equality: broadcast-nominee and shuffle-join paths agree") {
     val viaBroadcast = TextAnalysis.repeatedSpans(docs, "doc_id", "text", 25)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
