@@ -289,7 +289,10 @@ object ScaleUp {
     // exchange, then 10 vocab-bounded rounds with 1-row argmax
     // collects (the Lloyd hand-off) — and the encode twin (one
     // (lang, word) occurrence exchange + fused merge chain)
-    "text_bpe_merges", "text_bpe_encode")
+    "text_bpe_merges", "text_bpe_encode",
+    // round 10 cohort 18: the per-source novelty curve — one
+    // gram-keyed exchange over the map-side-distinct stream
+    "text_novelty_curve")
 
   /** Rehearsal-only closures that are NOT declared queries: the
     * auto-parameter scale path of an operator whose declared form pins
@@ -499,7 +502,7 @@ object ScaleUp {
     // bounded; repeated-spans' nominate exchange stays 8 B/position
     // and its verify stage is bounded by the ACTUAL repeat volume
     "text_dsir_weights", "text_repeated_spans", "text_bpe_merges",
-    "text_bpe_encode")
+    "text_bpe_encode", "text_novelty_curve")
 
   def main(args: Array[String]): Unit = {
     val mode100 = args.contains("100")

@@ -992,6 +992,41 @@ object TextAnalysis {
     * sort_array over (pos, line) structs — per-doc work bounded by
     * one document's lines. Corpus size for the share threshold is a
     * 1-row broadcast. */
+  /** Per-source n-gram NOVELTY curve — the marginal-contribution
+    * signal a data-mixing pipeline reads before adding a source to
+    * the blend (the "how much NEW text does this slice buy"
+    * question): every distinct word `n`-gram is attributed to its
+    * FIRST source in source-name order (min(source) — a total,
+    * engine-portable order), and each source reports its distinct
+    * grams, the novel ones it introduces, novelty in integer
+    * permille, and the cumulative distinct-gram count of the blend up
+    * to it.
+    *
+    * Scale shape: the (source, gram) frame is distinct-reduced
+    * map-side before its single gram-keyed exchange (both the
+    * min-source attribution and the per-source totals ride the same
+    * distinct stream); everything after is sources-bounded, and the
+    * running sum is a window over ≤ |sources| rows. */
+  def noveltyCurve(docs: DataFrame, sourceCol: String, textCol: String,
+                   n: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sg = docs.select(col(sourceCol).as("source"),
+        explode(TextOps.shingles(col(textCol), n)).as("g"))
+      .distinct()
+    val firstSrc = sg.groupBy("g").agg(min("source").as("source"))
+    val novel = firstSrc.groupBy("source").agg(count(lit(1)).as("n_novel"))
+    val totals = sg.groupBy("source").agg(count(lit(1)).as("n_distinct_grams"))
+    totals.join(novel, Seq("source"), "left")
+      .select(col("source"), col("n_distinct_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_permille",
+        expr("(1000 * n_novel) DIV n_distinct_grams"))
+      .withColumn("cum_distinct", sum("n_novel").over(
+        Window.orderBy("source").rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .orderBy("source")
+  }
+
   /** BPE merge learning (Sennrich et al., "Neural Machine Translation
     * of Rare Words with Subword Units", arXiv:1508.07909) — tokenizer
     * TRAINING as a declared query: starting from per-character

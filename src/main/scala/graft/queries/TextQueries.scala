@@ -276,6 +276,13 @@ object TextQueries {
     TextAnalysis.bpeEncodeReport(Tables.documents(s, dir), "lang", "text", merges)
   }
 
+  /** Per-source 5-gram novelty curve ([[TextAnalysis.noveltyCurve]]):
+    * the marginal-contribution report of the source blend. */
+  val NoveltyGram = 5
+  def noveltyCurveQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.noveltyCurve(Tables.documents(s, dir), "source", "text",
+      NoveltyGram)
+
   /** PII redaction over a corpus with PLANTED addresses: every doc
     * gains a deterministic email + NANP phone derived from its id, so
     * the expected counts are known (≥1 each) and the scrub is
@@ -369,6 +376,7 @@ object TextQueries {
     "text_repeated_spans" -> (repeatedSpansQ _),
     "text_bpe_merges" -> (bpeMerges _),
     "text_bpe_encode" -> (bpeEncode _),
+    "text_novelty_curve" -> (noveltyCurveQ _),
     "text_bigram_lm_score" -> (bigramLm _),
     "text_collocations" -> (collocationsQ _),
     "text_skipgram_counts" -> (skipgramsQ _),
@@ -736,6 +744,23 @@ object TextQueries {
         |  CAST(SUM(CASE WHEN s IN (SELECT s FROM ref) THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
         |  CAST((1000 * SUM(CASE WHEN s IN (SELECT s FROM ref) THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS coverage_permille
         |FROM b0 GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // distinct (source, 5-gram) set; first-source attribution by
+    // min(source) — SET semantics, so the operator's per-doc distinct
+    // shingles and the oracle's occurrence unnest agree after DISTINCT
+    "text_novelty_curve" ->
+      """WITH sg AS (SELECT DISTINCT source, s AS g FROM (
+        |  SELECT source, unnest(list_transform(generate_series(1, len(w) - 4),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS s
+        |  FROM (SELECT source, string_split(text, ' ') AS w FROM documents))),
+        |f AS (SELECT g, min(source) AS source FROM sg GROUP BY 1),
+        |nv AS (SELECT source, COUNT(*) AS n_novel FROM f GROUP BY 1),
+        |tt AS (SELECT source, COUNT(*) AS n_distinct_grams FROM sg GROUP BY 1)
+        |SELECT tt.source, CAST(tt.n_distinct_grams AS BIGINT) AS n_distinct_grams,
+        |  CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel,
+        |  CAST((1000 * coalesce(nv.n_novel, 0)) // tt.n_distinct_grams AS BIGINT) AS novelty_permille,
+        |  CAST(SUM(coalesce(nv.n_novel, 0)) OVER (ORDER BY tt.source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_distinct
+        |FROM tt LEFT JOIN nv ON nv.source = tt.source ORDER BY tt.source""".stripMargin,
     // BPE training replayed round by round — the kmeans_fit_native
     // unrolled-iteration precedent: v0 symbolizes the vocabulary
     // per-character; each round's CTE pair (pR, vR) picks the argmax

@@ -762,6 +762,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(two.getLong(3) === 5 * 1 + 2 * 3L)
   }
 
+  test("noveltyCurve: attribution partitions the gram universe; clone source adds nothing") {
+    import spark.implicits._
+    val d = Seq(
+      ("a_first", "one two three four five six"),
+      ("b_clone", "one two three four five six"),            // verbatim clone
+      ("c_fresh", "alpha beta gamma delta epsilon zeta eta")) // all new
+      .toDF("source", "text")
+    val got = TextAnalysis.noveltyCurve(d, "source", "text", 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // a_first: 2 grams, both novel; b_clone: same 2 grams, 0 novel;
+    // c_fresh: 3 grams, all novel; cumulative = partition of the universe
+    assert(got.toSeq === Seq(
+      ("a_first", 2L, 2L, 1000L, 2L),
+      ("b_clone", 2L, 0L, 0L, 2L),
+      ("c_fresh", 3L, 3L, 1000L, 5L)))
+    // fixture law: Σ n_novel == global distinct gram count
+    val fx = TextAnalysis.noveltyCurve(docs, "source", "text", 5).collect()
+    val universe = docs.select(explode(graft.functions.TextOps.shingles(col("text"), 5)).as("g"))
+      .distinct().count()
+    assert(fx.map(_.getLong(2)).sum === universe && fx.nonEmpty)
+    assert(fx.last.getLong(4) === universe)
+  }
+
   test("repeatedSpans dispatch equality: broadcast-nominee and shuffle-join paths agree") {
     val viaBroadcast = TextAnalysis.repeatedSpans(docs, "doc_id", "text", 25)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
