@@ -992,6 +992,66 @@ object TextAnalysis {
     * sort_array over (pos, line) structs — per-doc work bounded by
     * one document's lines. Corpus size for the share threshold is a
     * 1-row broadcast. */
+  /** TOPIC CLUSTERING of documents — k-means over hashed
+    * bag-of-words vectors, the unsupervised corpus-map stage of a
+    * curation pipeline (domain discovery, mixture balancing): each
+    * document becomes a `buckets`-dim token-count vector (the
+    * corpus-standard mod-P fold buckets tokens — exact integers cast
+    * to double), k centers initialize from the k lowest doc_ids (the
+    * oracle-checkable reference init) and run `iters` exact-decimal
+    * Lloyd rounds through [[graft.cluster.KMeansNative.fitExact]] — the
+    * SAME decimal-bridge trajectory the kmeans_fit_native oracle
+    * proves — then every document assigns to its nearest final
+    * center (compiled argmin, ties to the lowest cid) and the report
+    * aggregates per cluster: size and dominant language.
+    *
+    * Scale shape: vector assembly is one (doc, bucket) map-side-
+    * combined exchange + a doc-keyed dense-assemble; each Lloyd round
+    * moves only k·d decimal partials to the driver (the proven
+    * kmeans shape); assignment is a per-row compiled expression over
+    * one re-scan; the report is k·langs-bounded. */
+  def topicClusters(docs: DataFrame, idCol: String, langCol: String,
+                    textCol: String, buckets: Int = 32, k: Int = 8,
+                    iters: Int = 5,
+                    trained: Option[Array[Array[Double]]] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = docVectors(docs, idCol, textCol, buckets)
+    val centers = trained.getOrElse(trainTopicCenters(vecs, k, iters))
+    val asg = vecs.select(col("doc_id"),
+      graft.plans.expressions.vec_argmin(col("v"), centers)("cluster_id").as("cid"))
+    val byLang = asg
+      .join(docs.select(col(idCol).as("doc_id"), col(langCol).as("lang")), "doc_id")
+      .groupBy("cid", "lang").agg(count(lit(1)).as("n"))
+    val top = byLang
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cid").orderBy(col("n").desc, col("lang"))))
+      .filter(col("rn") === 1)
+      .select(col("cid"), col("lang").as("top_lang"), col("n").as("top_lang_docs"))
+    byLang.groupBy("cid").agg(sum("n").as("n_docs"))
+      .join(top, "cid")
+      .select(col("cid").cast("int").as("cluster_id"), col("n_docs"),
+        col("top_lang"), col("top_lang_docs"))
+      .orderBy("cluster_id")
+  }
+
+  /** Hashed bag-of-words document vectors for [[topicClusters]]. */
+  def docVectors(docs: DataFrame, idCol: String, textCol: String,
+                 buckets: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextOps.words(col(textCol))).as("t"))
+      .select(col("doc_id"),
+        pmod(TextOps.rollingFingerprint(col("t")), lit(buckets.toLong)).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(map_from_arrays(collect_list(col("b")), collect_list(col("c"))).as("m"))
+      .select(col("doc_id"), transform(sequence(lit(0L), lit(buckets - 1L)),
+        i => coalesce(element_at(col("m"), i), lit(0L)).cast("double")).as("v"))
+
+  /** First-k init + exact-decimal Lloyd over [[docVectors]] output. */
+  def trainTopicCenters(vecs: DataFrame, k: Int, iters: Int): Array[Array[Double]] =
+    graft.cluster.KMeansNative.fitExact(vecs, "v",
+      graft.cluster.KMeansNative.firstKCenters(vecs, "doc_id", "v", k), iters)
+
   /** Per-source n-gram NOVELTY curve — the marginal-contribution
     * signal a data-mixing pipeline reads before adding a source to
     * the blend (the "how much NEW text does this slice buy"

@@ -762,6 +762,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(two.getLong(3) === 5 * 1 + 2 * 3L)
   }
 
+  test("topicClusters: planted two-vocab corpus separates perfectly at k=2; sizes partition the corpus") {
+    import spark.implicits._
+    // two disjoint vocabularies, 6 docs each + slight within-group
+    // variety; INTERLEAVED ids so the declared first-k init (docs 0
+    // and 1) seeds one center inside each vocabulary
+    val ga = Seq("alpha beta gamma alpha", "beta gamma alpha beta", "gamma alpha beta gamma")
+    val gb = Seq("zump quor flig zump", "quor flig zump quor", "flig zump quor flig")
+    val d = (ga ++ ga).zip(gb ++ gb).zipWithIndex
+      .flatMap { case ((a, b), i) =>
+        Seq((2L * i, "en", a), (2L * i + 1, "de", b)) }
+      .toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.topicClusters(d, "doc_id", "lang", "text",
+        buckets = 32, k = 2, iters = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.map(_._2).sum === 12L)
+    // perfect separation: each cluster is single-vocab, so the
+    // dominant lang count equals the cluster size
+    assert(got.forall { case (_, n, _, topN) => n === topN })
+    assert(got.map(_._3).toSet === Set("en", "de"))
+    // fixture: sizes partition the corpus, every cluster id in [0, k)
+    val fx = graft.queries.TextQueries.topicClustersQ(spark, sf001).collect()
+    assert(fx.map(_.getLong(1)).sum === Tables.documents(spark, sf001).count())
+    assert(fx.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 8))
+  }
+
   test("noveltyCurve: attribution partitions the gram universe; clone source adds nothing") {
     import spark.implicits._
     val d = Seq(
