@@ -185,6 +185,57 @@ class PlanAuditSpec extends SparkSpec {
       s"mips scoring must not join the corpus:\n$mips")
   }
 
+  test("bounded-output queries: shuffle-record ceilings hold at sf0.01 (r8/r9 verdict task)") {
+    // The red bar that stops a refactor from re-introducing a
+    // corpus-sized exchange in a query whose exchanges are
+    // semantically BOUNDED — by buckets, langs², shards, sketch
+    // cells, or vocabulary TYPES — independent of corpus row count.
+    // Ceilings are ~2-8× the measured graft.Metrics records at
+    // sf0.01 (2026-08-14 sweep; the test session's 4-way parallelism
+    // produces FEWER partial-agg records than the 32-way sweep, so
+    // the headroom is conservative), and every ceiling sits BELOW its
+    // input's corpus size at sf0.01 — lineitem 60 000 rows, events
+    // 10 000, documents 27 165 token occurrences — so a regression to
+    // a data-sized exchange fails even at this fixture scale.
+    // Excluded by design: exact-distinct reports (rel_count_distinct,
+    // rel_profile, rel_approx_distinct's exact column) whose
+    // distinct-value stream is the semantics, and the journey/window
+    // family (events_attribution) whose one fact exchange is asserted
+    // by shape above, not by volume.
+    val ceilings = Seq(
+      "rel_q1_pricing" -> 100L,          // measured 12: flag×status partials
+      "rel_price_histogram" -> 100L,     // measured 20: 10 buckets
+      "text_lang_confusion" -> 200L,     // measured 30: langs² cells
+      "rel_corr_matrix" -> 50L,          // measured 1: one moments row
+      "text_zipf_coverage" -> 300L,      // measured 32: headK partials
+      "text_heavy_hitters" -> 800L,      // measured 93: sketch nominees
+      "pipeline_shard_manifest" -> 2500L, // measured 524: shard partials
+      "text_quality_buckets" -> 12000L,  // measured 3457: bigram TYPES (lang,bucket) partials
+      "rel_quantiles_sketch" -> 20000L,  // measured 7629: range/8192-cent cells ×2 quantiles
+      "text_vocab" -> 20000L)            // measured 11726: vocab TYPES, not the 27k token stream
+    val records = new java.util.concurrent.atomic.LongAdder
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) records.add(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val over = ceilings.flatMap { case (name, ceiling) =>
+        records.reset()
+        // noop sink, not count(): count() lets Catalyst prune the
+        // query's actual compute (the graft.Metrics rationale)
+        SparkEntry.queries(name)(spark, sf01).write.mode("overwrite")
+          .format("noop").save()
+        org.apache.spark.GraftSparkShims.drainListenerBus(spark.sparkContext)
+        val got = records.sum()
+        if (got > ceiling) Some(s"$name: $got shuffle records > ceiling $ceiling") else None
+      }
+      assert(over.isEmpty, s"corpus-sized exchange regressions:\n${over.mkString("\n")}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("radius search plans no per-query sort (top-k does)") {
     val radius = batchQueries("ann_radius_search")
       .queryExecution.executedPlan.toString
