@@ -41,6 +41,59 @@ object Dedup {
       .agg(min(col(idCol)).as("doc_id"), count(lit(1)).as("n_dups"))
       .select("doc_id", "n_dups")
 
+  /** INCREMENTAL dedup — the ingestion-time form of the family: a NEW
+    * batch arrives against an EXISTING corpus and only the new
+    * documents need a verdict (re-deduping the settled corpus on
+    * every ingest is the naive O(corpus) mistake). Per new document:
+    * `exact` (verbatim copy of a corpus doc, or of an earlier —
+    * lower-id — new doc), `near` (thresholded near-dup pair with a
+    * corpus doc or an earlier new doc, from the supplied
+    * already-verified pair list), or `kept`; `dup_of` is the minimum
+    * qualifying partner, exact partners taking precedence.
+    *
+    * Scale shape: the exact pass is ONE digest-keyed exchange of the
+    * whole table (the [[exact]] class — 32-byte keys, not bodies);
+    * within each text group the min corpus id flows down an unbounded
+    * window and earlier new ids a preceding-frame running min, so
+    * there is no self-join and no group-size² term. The near pass is
+    * pure arithmetic over the survivor-sized pair list (the memoized
+    * pair graphs the batch dedup queries already share). `isNew` must
+    * be a pure function of the id column so the pair-list pass can
+    * evaluate it without a corpus join. */
+  def incrementalDedup(docs: DataFrame, nearPairs: DataFrame, idCol: String,
+                       textCol: String, isNew: Column => Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.select(col(idCol).cast("long").as("doc_id"),
+      unhex(sha2(col(textCol), 256)).as("k"),
+      isNew(col(idCol).cast("long")).as("is_new"))
+    val wAll = Window.partitionBy("k")
+    val wPrev = Window.partitionBy("k").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ex = d
+      .withColumn("min_corpus",
+        min(when(!col("is_new"), col("doc_id"))).over(wAll))
+      .withColumn("prev_new",
+        min(when(col("is_new"), col("doc_id"))).over(wPrev))
+      .filter(col("is_new"))
+      // least() skips nulls: corpus partner at any id, new at lower
+      .select(col("doc_id"), least(col("min_corpus"), col("prev_new")).as("exact_of"))
+    val sym = nearPairs
+      .select(col("doc_a").cast("long").as("u"), col("doc_b").cast("long").as("v"))
+      .union(nearPairs
+        .select(col("doc_b").cast("long").as("u"), col("doc_a").cast("long").as("v")))
+    val nr = sym
+      .filter(isNew(col("u")) && (!isNew(col("v")) || col("v") < col("u")))
+      .groupBy("u").agg(min("v").as("near_of"))
+      .withColumnRenamed("u", "doc_id")
+    ex.join(nr, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_of").isNotNull, lit("exact"))
+          .when(col("near_of").isNotNull, lit("near"))
+          .otherwise(lit("kept")).as("verdict"),
+        coalesce(col("exact_of"), col("near_of")).as("dup_of"))
+      .orderBy("doc_id")
+  }
+
   /** Distinct (id, shingle) pairs — the inverted-index input.
     * Distinctness comes from the shingle EXPRESSION itself
     * ([[TextOps.shingles]] emits each doc's distinct shingles — both

@@ -1087,6 +1087,44 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Pairwise source OVERLAP matrix — the sources² companion of
+    * [[noveltyCurve]]: for every source pair with a non-empty shared
+    * n-gram set, the shared distinct-gram count and its permille of
+    * EACH side's distinct-gram universe (overlap is asymmetric: a
+    * small source can sit entirely inside a large one). This is the
+    * cross-source leakage report a blend designer reads next to the
+    * novelty curve — which pairs of feeds are actually the same crawl.
+    *
+    * Scale shape: one gram-keyed exchange over the map-side-distinct
+    * (source, gram) stream (the noveltyCurve exchange); per gram the
+    * source SET is |sources|-bounded, its pair explosion |sources|²,
+    * and the (a, b) counts map-side-combine to a sources²-bounded
+    * exchange. Nothing pairwise ever touches gram frequency — the
+    * self-join formulation this replaces is Σ freq(g)² in the worst
+    * case. Totals broadcast. */
+  def sourceOverlap(docs: DataFrame, sourceCol: String, textCol: String,
+                    n: Int = 5): DataFrame = {
+    val sg = docs.select(col(sourceCol).as("source"),
+        explode(TextOps.shingles(col(textCol), n)).as("g"))
+      .distinct()
+    val totals = sg.groupBy("source").agg(count(lit(1)).as("c"))
+    val pairs = sg.groupBy("g").agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) > 1)
+      .select(explode(col("ss")).as("source_a"), col("ss"))
+      .select(col("source_a"), explode(col("ss")).as("source_b"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(totals.select(col("source").as("source_a"), col("c").as("ca"))),
+        "source_a")
+      .join(broadcast(totals.select(col("source").as("source_b"), col("c").as("cb"))),
+        "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        expr("(1000 * n_shared) DIV ca").as("shared_permille_a"),
+        expr("(1000 * n_shared) DIV cb").as("shared_permille_b"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** BPE merge learning (Sennrich et al., "Neural Machine Translation
     * of Rare Words with Subword Units", arXiv:1508.07909) — tokenizer
     * TRAINING as a declared query: starting from per-character

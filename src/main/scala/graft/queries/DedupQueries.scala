@@ -388,7 +388,20 @@ object DedupQueries {
         col("edit_dist"), col("sim_permille"), col("verified"))
       .orderBy("doc_a", "doc_b")
 
+  /** Incremental ingest split: every 5th document (doc_id ≡ 4 mod 5)
+    * plays the NEW batch, the rest the settled corpus — a pure id
+    * predicate, so the pair-list pass needs no corpus join. Near
+    * evidence is the SAME memoized [[jaccardPairs]] graph the batch
+    * dedup queries share; the only new work is one digest-keyed
+    * window pass ([[Dedup.incrementalDedup]]). */
+  val IncrementalMod = 5
+  def incremental(s: SparkSession, dir: String): DataFrame =
+    Dedup.incrementalDedup(Tables.documents(s, dir), jaccardPairs(s, dir),
+      "doc_id", "text",
+      id => pmod(id, lit(IncrementalMod.toLong)) === lit(IncrementalMod - 1L))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_incremental" -> (incremental _),
     "dedup_edit_verify" -> (editVerify _),
     "dedup_decontam" -> (decontam _),
     "dedup_contam_report" -> (contamReport _),
@@ -563,6 +576,33 @@ object DedupQueries {
        |  WHERE cosine >= $CosineThreshold)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the near evidence is the dedup_ngram_jaccard pair CTE verbatim;
+    // exact partners join on raw text (the dedup_exact oracle idiom —
+    // the operator's sha2 digest key only narrows the shuffle);
+    // partner qualifies if corpus (any id) or earlier new (lower id)
+    "dedup_incremental" -> (shingleCte +
+      s""", jp AS (SELECT doc_a, doc_b
+         |      FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+         |      WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= $JaccardThreshold),
+         |sym AS (SELECT doc_a AS u, doc_b AS v FROM jp
+         |        UNION ALL SELECT doc_b, doc_a FROM jp),
+         |nd AS (SELECT doc_id, text FROM documents
+         |       WHERE doc_id % $IncrementalMod = ${IncrementalMod - 1}),
+         |ex AS (SELECT n.doc_id, min(p.doc_id) AS exact_of
+         |       FROM nd n JOIN documents p ON p.text = n.text
+         |         AND (p.doc_id % $IncrementalMod <> ${IncrementalMod - 1} OR p.doc_id < n.doc_id)
+         |       GROUP BY 1),
+         |nr AS (SELECT u AS doc_id, min(v) AS near_of FROM sym
+         |       WHERE u % $IncrementalMod = ${IncrementalMod - 1}
+         |         AND (v % $IncrementalMod <> ${IncrementalMod - 1} OR v < u)
+         |       GROUP BY 1)
+         |SELECT n.doc_id,
+         |  CASE WHEN ex.exact_of IS NOT NULL THEN 'exact'
+         |       WHEN nr.near_of IS NOT NULL THEN 'near' ELSE 'kept' END AS verdict,
+         |  coalesce(ex.exact_of, nr.near_of) AS dup_of
+         |FROM nd n LEFT JOIN ex ON ex.doc_id = n.doc_id
+         |LEFT JOIN nr ON nr.doc_id = n.doc_id
+         |ORDER BY n.doc_id""".stripMargin),
     "dedup_edit_verify" -> editVerifySql,
     "dedup_winnow_pairs" -> winnowPairsSql,
     "dedup_winnow_groups" -> winnowGroupsSql,

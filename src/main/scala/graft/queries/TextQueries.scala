@@ -307,6 +307,13 @@ object TextQueries {
     TextAnalysis.noveltyCurve(Tables.documents(s, dir), "source", "text",
       NoveltyGram)
 
+  /** Pairwise source 5-gram overlap matrix
+    * ([[TextAnalysis.sourceOverlap]]): the cross-source leakage report
+    * read next to the novelty curve. */
+  def sourceOverlapQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sourceOverlap(Tables.documents(s, dir), "source", "text",
+      NoveltyGram)
+
   /** PII redaction over a corpus with PLANTED addresses: every doc
     * gains a deterministic email + NANP phone derived from its id, so
     * the expected counts are known (≥1 each) and the scrub is
@@ -401,6 +408,7 @@ object TextQueries {
     "text_bpe_merges" -> (bpeMerges _),
     "text_bpe_encode" -> (bpeEncode _),
     "text_novelty_curve" -> (noveltyCurveQ _),
+    "text_source_overlap" -> (sourceOverlapQ _),
     "text_topic_clusters" -> (topicClustersQ _),
     "text_bigram_lm_score" -> (bigramLm _),
     "text_collocations" -> (collocationsQ _),
@@ -824,6 +832,24 @@ object TextQueries {
         |  CAST(SUM(coalesce(nv.n_novel, 0)) OVER (ORDER BY tt.source
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_distinct
         |FROM tt LEFT JOIN nv ON nv.source = tt.source ORDER BY tt.source""".stripMargin,
+    // the novelty CTE's distinct (source, gram) stream; the oracle's
+    // gram-keyed self-join is the pairwise formulation the Spark
+    // operator deliberately avoids (per-gram source SET instead) —
+    // equal because both count distinct shared grams per pair
+    "text_source_overlap" ->
+      """WITH sg AS (SELECT DISTINCT source, s AS g FROM (
+        |  SELECT source, unnest(list_transform(generate_series(1, len(w) - 4),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS s
+        |  FROM (SELECT source, string_split(text, ' ') AS w FROM documents))),
+        |tot AS (SELECT source, COUNT(*) AS c FROM sg GROUP BY 1),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+        |      FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source GROUP BY 1, 2)
+        |SELECT source_a, source_b, CAST(n_shared AS BIGINT) AS n_shared,
+        |  CAST((1000 * n_shared) // ta.c AS BIGINT) AS shared_permille_a,
+        |  CAST((1000 * n_shared) // tb.c AS BIGINT) AS shared_permille_b
+        |FROM p JOIN tot ta ON ta.source = p.source_a
+        |JOIN tot tb ON tb.source = p.source_b
+        |ORDER BY source_a, source_b""".stripMargin,
     // BPE training replayed round by round — the kmeans_fit_native
     // unrolled-iteration precedent: v0 symbolizes the vocabulary
     // per-character; each round's CTE pair (pR, vR) picks the argmax

@@ -605,4 +605,30 @@ class DedupSpec extends SparkSpec {
       .select(levenshtein(col("a"), col("b"))).collect().map(_.getInt(0))
     cases.zip(got).foreach { case ((a, b), g) => assert(g === ref(a, b), s"'$a' vs '$b'") }
   }
+
+  test("incrementalDedup: exact beats near, earlier-new partners qualify, novel kept") {
+    import spark.implicits._
+    val a = (1 to 12).map("a" + _).mkString(" ")
+    val b = (1 to 12).map("b" + _).mkString(" ")
+    val n = (1 to 12).map("n" + _).mkString(" ")
+    val d = Seq(
+      0L -> a, 1L -> b, 2L -> ((1 to 12).map("c" + _).mkString(" ")), // corpus
+      4L -> a,              // new: verbatim corpus copy -> exact of 0
+      9L -> (b + " b13"),   // new: 10/11 shingles shared -> near of 1
+      14L -> n,             // new: novel -> kept
+      19L -> n              // new: copy of EARLIER new 14 -> exact of 14
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccard(d, "doc_id", "text", n = 3, threshold = 0.8)
+    val got = Dedup.incrementalDedup(d, pairs, "doc_id", "text",
+        id => pmod(id, lit(5L)) === lit(4L))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(got.toSeq === Seq(
+      (4L, "exact", 0L), (9L, "near", 1L), (14L, "kept", -1L), (19L, "exact", 14L)))
+    // fixture: one verdict per new doc; exact/near always attributed
+    val fx = graft.queries.DedupQueries.incremental(spark, sf001).collect()
+    assert(fx.length === docs.filter(pmod(col("doc_id"), lit(5)) === 4).count())
+    assert(fx.forall(r => Set("exact", "near", "kept")(r.getString(1))))
+    assert(fx.forall(r => r.getString(1) == "kept" || !r.isNullAt(2)))
+  }
 }

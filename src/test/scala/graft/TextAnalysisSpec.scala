@@ -810,6 +810,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fx.last.getLong(4) === universe)
   }
 
+  test("sourceOverlap: clone pair overlaps fully both ways; disjoint source pairs absent") {
+    import spark.implicits._
+    val d = Seq(
+      ("a_big", "one two three four five six seven eight"),   // 4 grams
+      ("b_clone", "one two three four five six"),             // 2 grams ⊂ a's
+      ("c_fresh", "alpha beta gamma delta epsilon zeta eta")) // disjoint
+      .toDF("source", "text")
+    val got = TextAnalysis.sourceOverlap(d, "source", "text", 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // only (a, b) overlap: 2 shared grams = 500‰ of a's 4, 1000‰ of b's 2
+    assert(got.toSeq === Seq(("a_big", "b_clone", 2L, 500L, 1000L)))
+    // fixture laws: a < b throughout; n_shared ≤ min side ⇒ permille ≤ 1000
+    val fx = graft.queries.TextQueries.sourceOverlapQ(spark, sf001).collect()
+    assert(fx.nonEmpty)
+    assert(fx.forall(r => r.getString(0) < r.getString(1)))
+    assert(fx.forall(r => r.getLong(3) <= 1000L && r.getLong(4) <= 1000L))
+  }
+
   test("repeatedSpans dispatch equality: broadcast-nominee and shuffle-join paths agree") {
     val viaBroadcast = TextAnalysis.repeatedSpans(docs, "doc_id", "text", 25)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
