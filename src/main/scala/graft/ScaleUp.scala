@@ -502,7 +502,14 @@ object ScaleUp {
     // bounded; repeated-spans' nominate exchange stays 8 B/position
     // and its verify stage is bounded by the ACTUAL repeat volume
     "text_dsir_weights", "text_repeated_spans", "text_bpe_merges",
-    "text_bpe_encode", "text_novelty_curve")
+    "text_bpe_encode", "text_novelty_curve",
+    // round 10 cohorts 19/20: topic k-means over hashed doc vectors
+    // (one (doc, bucket) exchange + k·d-bounded Lloyd rounds), the
+    // incremental ingest verdicts (one digest-keyed window exchange;
+    // the near pass shares the jaccardPairs memo the
+    // dedup_ngram_jaccard row above has already built at each scale),
+    // and the sources²-bounded overlap matrix on the novelty exchange
+    "text_topic_clusters", "dedup_incremental", "text_source_overlap")
 
   def main(args: Array[String]): Unit = {
     val mode100 = args.contains("100")
