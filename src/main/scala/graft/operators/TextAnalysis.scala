@@ -56,20 +56,78 @@ object TextAnalysis {
   /** Quality features + a composite score in [0, 1]:
     * 0.3·stopword_ratio + 0.4·(1 − punct_ratio) + 0.3·min(avg_len/10, 1).
     * The exact arithmetic shape is mirrored in the DuckDB oracle. */
-  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String,
+                   carry: Seq[String] = Nil): DataFrame = {
     val w = TextOps.words(col(textCol))
     val nTok = size(w)
     val stopRatio = size(filter(w, t => t.isin(EnStopwords: _*))).cast("double") / nTok
     val punctRatio = length(regexp_replace(col(textCol), "[a-z0-9 ]", ""))
       .cast("double") / length(col(textCol))
     val avgLen = (length(col(textCol)) - (nTok - 1)).cast("double") / nTok
-    docs.select(
+    docs.select(Seq(
       col(idCol).as("doc_id"),
       nTok.as("n_tokens"),
       stopRatio.as("stop_ratio"),
       punctRatio.as("punct_ratio"),
       (stopRatio * 0.3 + (lit(1.0) - punctRatio) * 0.4 +
-        least(avgLen / 10.0, lit(1.0)) * 0.3).as("score"))
+        least(avgLen / 10.0, lit(1.0)) * 0.3).as("score")) ++ carry.map(col): _*)
+  }
+
+  /** TOKEN-BUDGET greedy selection — "fill each language's training
+    * budget with its best documents": per language, documents are
+    * taken in (quality score DESC, doc_id) order until the next doc
+    * would cross `budgetTokens` whitespace tokens; the report is the
+    * langs-bounded manifest (selected docs/tokens, the score cutoff,
+    * and the candidate totals). The selection key is
+    * floor(score·10⁶) — the [[qualityScore]] composite, whose
+    * pinned-order IEEE arithmetic the text_quality oracle already
+    * proves bit-reproducible cross-engine — with doc_id as the total
+    * tie-break.
+    *
+    * The cumulative token sum is EXACT but never funnels one language
+    * into one task (the naive per-lang window): the two-level
+    * stratumRank substrate re-specialized to SUMS — score-range
+    * buckets give a monotone partition of the selection order, bucket
+    * token-subtotals window over a langs×buckets-bounded frame, and
+    * the within-(lang, bucket) running sum adds the broadcast bucket
+    * offset. Identical semantics to the naive scan, spec-pinned. */
+  def tokenBudgetSelect(docs: DataFrame, idCol: String, langCol: String,
+                        textCol: String, budgetTokens: Long,
+                        buckets: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetTokens > 0 && buckets > 0, "budget/buckets must be positive")
+    val width = math.max(1L, 1000001L / buckets)
+    val scored = qualityScore(docs, idCol, textCol, carry = Seq(langCol))
+      .select(col("doc_id").cast("long").as("doc_id"), col(langCol).as("lang"),
+        col("n_tokens").cast("long").as("n_toks"),
+        floor(col("score") * 1000000.0).cast("long").as("score_micros"))
+    // bucket index DESCENDS with score so bucket order == take order
+    val b = scored.withColumn("_bucket",
+      expr(s"(1000000 - score_micros) DIV $width"))
+    val offs = b.groupBy(col("lang").as("_l"), col("_bucket").as("_b"))
+      .agg(sum("n_toks").as("_t"))
+      .withColumn("_off", coalesce(
+        sum("_t").over(Window.partitionBy("_l").orderBy("_b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_l"), col("_b"), col("_off"))
+    val wb = Window.partitionBy("lang", "_bucket")
+      .orderBy(col("score_micros").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sel = b
+      .join(broadcast(offs), b("lang") <=> offs("_l") && b("_bucket") <=> offs("_b"))
+      .withColumn("cum_toks", col("_off") + sum("n_toks").over(wb))
+      .filter(col("cum_toks") <= budgetTokens)
+      .groupBy("lang").agg(count(lit(1)).as("n_selected"),
+        sum("n_toks").as("n_tokens_selected"),
+        min("score_micros").as("cutoff_score_micros"))
+    scored.groupBy("lang")
+      .agg(count(lit(1)).as("n_candidates"), sum("n_toks").as("n_tokens_total"))
+      .join(sel, Seq("lang"), "left")
+      .select(col("lang"), col("n_candidates"), col("n_tokens_total"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        coalesce(col("n_tokens_selected"), lit(0L)).as("n_tokens_selected"),
+        col("cutoff_score_micros"))
+      .orderBy("lang")
   }
 
   /** Heuristic language ID: fraction of tokens in each language's

@@ -119,15 +119,57 @@ object PipelineQueries {
       .orderBy("shard")
   }
 
+  /** Per-language training-token budget for `pipeline_token_budget`
+    * (~40% of each fixture language's tokens at sf0.01, ~4% at sf0.1 —
+    * a non-trivial cutoff at both verify scales). */
+  val QualityBudget = 2000L
+
+  /** Token-budget greedy selection
+    * ([[TextAnalysis.tokenBudgetSelect]]): fill each language's
+    * budget with its best-quality documents; langs-bounded manifest. */
+  def tokenBudget(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenBudgetSelect(Tables.documents(s, dir), "doc_id",
+      "lang", "text", QualityBudget)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_clean_corpus" -> (cleanCorpus _),
     "pipeline_shard_manifest" -> (shardManifest _),
+    "pipeline_token_budget" -> (tokenBudget _),
     "pipeline_training_set" -> (trainingSet _))
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracles: Map[String, String] = Map(
+    // the text_quality score CTE (pinned-order IEEE arithmetic, so
+    // floor(score·1e6) is bit-stable cross-engine), then the NAIVE
+    // per-lang running token sum — the two-level operator's semantics
+    // contract; every SUM CAST (HUGEINT ban)
+    "pipeline_token_budget" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents),
+         |f AS (SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_toks,
+         |  CAST(len(list_filter(w, x -> x IN ${inList(TextAnalysis.EnStopwords)})) AS DOUBLE) / len(w) AS stop_ratio,
+         |  CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+         |  CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) AS avg_len
+         |FROM t),
+         |q AS (SELECT doc_id, lang, n_toks,
+         |  CAST(floor((stop_ratio * 0.3 + (1.0 - punct_ratio) * 0.4 +
+         |    least(avg_len / 10.0, 1.0) * 0.3) * 1000000.0) AS BIGINT) AS score_micros
+         |FROM f),
+         |c AS (SELECT *, SUM(n_toks) OVER (PARTITION BY lang
+         |        ORDER BY score_micros DESC, doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM q),
+         |s AS (SELECT lang, COUNT(*) AS n_selected,
+         |        CAST(SUM(n_toks) AS BIGINT) AS n_tokens_selected,
+         |        min(score_micros) AS cutoff_score_micros
+         |      FROM c WHERE cum <= $QualityBudget GROUP BY 1),
+         |tot AS (SELECT lang, COUNT(*) AS n_candidates,
+         |        CAST(SUM(n_toks) AS BIGINT) AS n_tokens_total FROM q GROUP BY 1)
+         |SELECT tot.lang, tot.n_candidates, tot.n_tokens_total,
+         |  CAST(coalesce(s.n_selected, 0) AS BIGINT) AS n_selected,
+         |  coalesce(s.n_tokens_selected, 0) AS n_tokens_selected,
+         |  s.cutoff_score_micros
+         |FROM tot LEFT JOIN s ON s.lang = tot.lang ORDER BY tot.lang""".stripMargin,
     // shard hash from the text_shard_assign oracle + the checksum
     // fold from rel_table_checksum's coefficient stream
     "pipeline_shard_manifest" -> {

@@ -810,6 +810,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fx.last.getLong(4) === universe)
   }
 
+  test("tokenBudgetSelect: two-level cumulative equals the naive per-lang window; budget edges") {
+    import org.apache.spark.sql.expressions.Window
+    val scored = TextAnalysis.qualityScore(docs, "doc_id", "text", carry = Seq("lang"))
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+        col("n_tokens").cast("long").as("n_toks"),
+        floor(col("score") * 1000000.0).as("score_micros"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("score_micros").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = scored.withColumn("cum", sum("n_toks").over(w))
+      .filter(col("cum") <= 2000L)
+      .groupBy("lang").agg(count(lit(1)).as("n_selected"),
+        sum("n_toks").as("n_tokens_selected"), min("score_micros").as("cutoff"))
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val got = TextAnalysis.tokenBudgetSelect(docs, "doc_id", "lang", "text", 2000L)
+      .collect()
+    assert(got.filter(_.getLong(3) > 0)
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+      === naive.toSeq)
+    // budget ≥ corpus selects everything; budget 1 selects nothing
+    val all = TextAnalysis.tokenBudgetSelect(docs, "doc_id", "lang", "text", 100000000L)
+      .collect()
+    assert(all.nonEmpty && all.forall(r =>
+      r.getLong(3) === r.getLong(1) && r.getLong(4) === r.getLong(2)))
+    val none = TextAnalysis.tokenBudgetSelect(docs, "doc_id", "lang", "text", 1L)
+      .collect()
+    assert(none.forall(r => r.getLong(3) === 0L && r.isNullAt(5)))
+  }
+
   test("sourceOverlap: clone pair overlaps fully both ways; disjoint source pairs absent") {
     import spark.implicits._
     val d = Seq(
