@@ -462,7 +462,36 @@ object StreamQueries {
       .orderBy("touch_type")
   }
 
+  /** Topic-model SERVING on a document stream — the train-once,
+    * classify-forever pattern: each incoming document builds its
+    * hashed bag-of-words vector PER ROW (a stateless HOF expression:
+    * no shuffle, no state, no watermark — the vector is a pure
+    * function of the row) and assigns to the centers the batch
+    * `text_topic_clusters` trained (driver literals compiled into the
+    * argmin, the broadcast-model idiom). Output = per-doc cluster
+    * assignment, equal to the batch assignment row-for-row (the
+    * oracle replays train + assign via the shared topic CTEs). */
+  def topicParity(s: SparkSession, dir: String): DataFrame = {
+    val centers = TextQueries.topicCenters(s, dir)
+    val docs = s.readStream
+      .schema("doc_id bigint, text string, lang string, source string, n_chars bigint")
+      .parquet(streamDir(dir, "documents"))
+    val words = graft.functions.TextOps.words(col("text"))
+    // per-row bucket counts == the batch docVectors explode+groupBy:
+    // count of tokens whose fingerprint lands in each bucket
+    val vec = transform(
+      sequence(lit(0L), lit(TextQueries.TopicBuckets - 1L)),
+      i => size(filter(words, t =>
+        pmod(graft.functions.TextOps.rollingFingerprint(t),
+          lit(TextQueries.TopicBuckets.toLong)) === i)).cast("double"))
+    val out = docs.select(col("doc_id"),
+      graft.plans.expressions.vec_argmin(vec, centers)("cluster_id")
+        .cast("int").as("cluster_id"))
+    runToMemory(s, "stream_topic_sink", out, "append").orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_topic_parity" -> (topicParity _),
     "stream_attribution_parity" -> (attributionParity _),
     "stream_markov_parity" -> (markovParity _),
     "stream_wau_parity" -> (wauParity _),
@@ -479,6 +508,12 @@ object StreamQueries {
     "stream_mix_parity" -> (mixParity _))
 
   val oracles: Map[String, String] = Map(
+    // the batch topic oracle's shared train+assign chain, read out
+    // per document instead of as the k-bounded report
+    "stream_topic_parity" -> (TextQueries.topicAsgCtes +
+      """
+        |SELECT vec_id AS doc_id, CAST(cid AS INTEGER) AS cluster_id
+        |FROM asg ORDER BY 1""".stripMargin),
     // the batch anomaly oracle verbatim: streaming state + in-batch
     // sort must land on the identical BIGINT alert set
     "stream_anomaly_parity" -> EventsQueries.oracles("events_anomaly_zscore"),

@@ -288,17 +288,22 @@ object TextQueries {
   /** Topic clustering ([[TextAnalysis.topicClusters]]): hashed
     * bag-of-words k-means through the proven exact-decimal Lloyd
     * trajectory; per-cluster size + dominant language. */
-  def topicClustersQ(s: SparkSession, dir: String): DataFrame = {
+  /** Trained centers for the fixture — shared by the batch query and
+    * the streaming parity twin. */
+  private[graft] def topicCenters(s: SparkSession, dir: String): Array[Array[Double]] = {
     val f = new java.io.File(Tables.path(dir, "documents"))
     val key = (f.getAbsolutePath, f.lastModified, f.length,
       s.sparkContext.applicationId)
-    val centers = topicCentersCache.getOrElseUpdate(key,
+    topicCentersCache.getOrElseUpdate(key,
       TextAnalysis.trainTopicCenters(
         TextAnalysis.docVectors(Tables.documents(s, dir), "doc_id", "text",
           TopicBuckets), TopicK, TopicIters))
-    TextAnalysis.topicClusters(Tables.documents(s, dir), "doc_id", "lang",
-      "text", TopicBuckets, TopicK, TopicIters, trained = Some(centers))
   }
+
+  def topicClustersQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topicClusters(Tables.documents(s, dir), "doc_id", "lang",
+      "text", TopicBuckets, TopicK, TopicIters,
+      trained = Some(topicCenters(s, dir)))
 
   /** Per-source 5-gram novelty curve ([[TextAnalysis.noveltyCurve]]):
     * the marginal-contribution report of the source blend. */
@@ -497,6 +502,36 @@ object TextQueries {
     "CASE " + MixRatesBps.toSeq.sortBy(_._1)
       .map { case (k, bps) => s"WHEN lang = '$k' THEN $bps" }
       .mkString(" ") + " ELSE 0 END"
+
+
+  /** Shared topic-model oracle CTEs: hashed bag-of-words vectors,
+    * first-k init, the proven exact-decimal Lloyd chain, and the
+    * final-center argmin assignment `asg(vec_id, cid)` — used by the
+    * batch report AND the streaming parity twin. */
+  private[queries] def topicAsgCtes: String =
+    s"""WITH occ AS (SELECT doc_id,
+       |  list_reduce(list_transform(generate_series(1, length(t)),
+       |      i -> CAST(ascii(substr(t, i, 1)) AS BIGINT)),
+       |    (a, b) -> (a * 31 + b) % ${graft.functions.TextOps.FingerprintMod}) % $TopicBuckets AS b
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
+       |bc AS (SELECT doc_id, b, COUNT(*) AS c FROM occ GROUP BY 1, 2),
+       |grid AS (SELECT d.doc_id, g.i FROM (SELECT DISTINCT doc_id FROM documents) d,
+       |         (SELECT unnest(generate_series(0, ${TopicBuckets - 1})) AS i) g),
+       |cell AS (SELECT grid.doc_id, grid.i, CAST(coalesce(bc.c, 0) AS DOUBLE) AS x
+       |         FROM grid LEFT JOIN bc ON bc.doc_id = grid.doc_id AND bc.b = grid.i),
+       |pts AS MATERIALIZED (SELECT doc_id AS vec_id, list(x ORDER BY i) AS v FROM cell GROUP BY 1),
+       |cent0 AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v
+       |  FROM pts ORDER BY vec_id LIMIT $TopicK)""".stripMargin +
+      KMeansQueries.lloydRoundsCte("pts", TopicBuckets, TopicIters, "") +
+      s""",
+         |df AS (SELECT p.vec_id, c.cid,
+         |  list_sum(list_transform(generate_series(1, $TopicBuckets),
+         |           i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i]))) AS d2
+         |  FROM pts p CROSS JOIN cent$TopicIters c),
+         |af AS (SELECT vec_id, cid,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM df),
+         |asg AS (SELECT vec_id, cid FROM af WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // the patterns interpolate from the operator's constants; DuckDB
@@ -782,39 +817,16 @@ object TextQueries {
     // exact-decimal Lloyd CTE generator the proven kmeans_fit_native
     // oracle uses, final-center argmin assignment (ties cid ASC), and
     // the k·langs report
-    "text_topic_clusters" -> {
-      s"""WITH occ AS (SELECT doc_id,
-         |  list_reduce(list_transform(generate_series(1, length(t)),
-         |      i -> CAST(ascii(substr(t, i, 1)) AS BIGINT)),
-         |    (a, b) -> (a * 31 + b) % ${graft.functions.TextOps.FingerprintMod}) % $TopicBuckets AS b
-         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
-         |bc AS (SELECT doc_id, b, COUNT(*) AS c FROM occ GROUP BY 1, 2),
-         |grid AS (SELECT d.doc_id, g.i FROM (SELECT DISTINCT doc_id FROM documents) d,
-         |         (SELECT unnest(generate_series(0, ${TopicBuckets - 1})) AS i) g),
-         |cell AS (SELECT grid.doc_id, grid.i, CAST(coalesce(bc.c, 0) AS DOUBLE) AS x
-         |         FROM grid LEFT JOIN bc ON bc.doc_id = grid.doc_id AND bc.b = grid.i),
-         |pts AS MATERIALIZED (SELECT doc_id AS vec_id, list(x ORDER BY i) AS v FROM cell GROUP BY 1),
-         |cent0 AS MATERIALIZED (
-         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v
-         |  FROM pts ORDER BY vec_id LIMIT $TopicK)""".stripMargin +
-        KMeansQueries.lloydRoundsCte("pts", TopicBuckets, TopicIters, "") +
-        s""",
-           |df AS (SELECT p.vec_id, c.cid,
-           |  list_sum(list_transform(generate_series(1, $TopicBuckets),
-           |           i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i]))) AS d2
-           |  FROM pts p CROSS JOIN cent$TopicIters c),
-           |af AS (SELECT vec_id, cid,
-           |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM df),
-           |asg AS (SELECT vec_id, cid FROM af WHERE rn = 1),
-           |bl AS (SELECT asg.cid, d.lang, COUNT(*) AS n
-           |       FROM asg JOIN documents d ON d.doc_id = asg.vec_id GROUP BY 1, 2),
-           |tp AS (SELECT cid, lang, n,
-           |       row_number() OVER (PARTITION BY cid ORDER BY n DESC, lang) AS rn FROM bl),
-           |sz AS (SELECT cid, CAST(SUM(n) AS BIGINT) AS n_docs FROM bl GROUP BY 1)
-           |SELECT CAST(sz.cid AS INTEGER) AS cluster_id, sz.n_docs,
-           |  tp.lang AS top_lang, CAST(tp.n AS BIGINT) AS top_lang_docs
-           |FROM sz JOIN tp ON tp.cid = sz.cid AND tp.rn = 1 ORDER BY 1""".stripMargin
-    },
+    "text_topic_clusters" -> (topicAsgCtes +
+      s""",
+         |bl AS (SELECT asg.cid, d.lang, COUNT(*) AS n
+         |       FROM asg JOIN documents d ON d.doc_id = asg.vec_id GROUP BY 1, 2),
+         |tp AS (SELECT cid, lang, n,
+         |       row_number() OVER (PARTITION BY cid ORDER BY n DESC, lang) AS rn FROM bl),
+         |sz AS (SELECT cid, CAST(SUM(n) AS BIGINT) AS n_docs FROM bl GROUP BY 1)
+         |SELECT CAST(sz.cid AS INTEGER) AS cluster_id, sz.n_docs,
+         |  tp.lang AS top_lang, CAST(tp.n AS BIGINT) AS top_lang_docs
+         |FROM sz JOIN tp ON tp.cid = sz.cid AND tp.rn = 1 ORDER BY 1""".stripMargin),
     // distinct (source, 5-gram) set; first-source attribution by
     // min(source) — SET semantics, so the operator's per-doc distinct
     // shingles and the oracle's occurrence unnest agree after DISTINCT

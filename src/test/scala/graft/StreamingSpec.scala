@@ -379,6 +379,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming topic assignment equals the batch argmin on the fixture") {
+    val streamed = SparkEntry.queries("stream_topic_parity")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val centers = graft.queries.TextQueries.topicCenters(spark, sf001)
+    val batch = graft.operators.TextAnalysis.docVectors(
+        graft.io.Tables.documents(spark, sf001), "doc_id", "text",
+        graft.queries.TextQueries.TopicBuckets)
+      .select(col("doc_id"),
+        graft.plans.expressions.vec_argmin(col("v"), centers)("cluster_id")
+          .cast("int").as("cid"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming WAU (chained dedups) equals the batch contribution decomposition") {
     val streamed = SparkEntry.queries("stream_wau_parity")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
