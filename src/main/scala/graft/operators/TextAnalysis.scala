@@ -1092,18 +1092,17 @@ object TextAnalysis {
       .orderBy("cluster_id")
   }
 
-  /** Hashed bag-of-words document vectors for [[topicClusters]]. */
+  /** Hashed bag-of-words document vectors for [[topicClusters]] and
+    * the streaming serving twin: ONE compiled O(tokens) pass per row
+    * ([[graft.plans.expressions.HashedBow]]) — no (doc, bucket)
+    * exchange at all (the explode/group-by/dense-assemble formulation
+    * this replaced shuffled a token-linear stream; the kernel makes
+    * vector assembly a scan). Shuffle-free, so it composes with
+    * Structured Streaming stateless (see `stream_topic_parity`). */
   def docVectors(docs: DataFrame, idCol: String, textCol: String,
                  buckets: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        explode(TextOps.words(col(textCol))).as("t"))
-      .select(col("doc_id"),
-        pmod(TextOps.rollingFingerprint(col("t")), lit(buckets.toLong)).as("b"))
-      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(map_from_arrays(collect_list(col("b")), collect_list(col("c"))).as("m"))
-      .select(col("doc_id"), transform(sequence(lit(0L), lit(buckets - 1L)),
-        i => coalesce(element_at(col("m"), i), lit(0L)).cast("double")).as("v"))
+      graft.plans.expressions.hashed_bow(col(textCol), buckets).as("v"))
 
   /** First-k init + exact-decimal Lloyd over [[docVectors]] output. */
   def trainTopicCenters(vecs: DataFrame, k: Int, iters: Int): Array[Array[Double]] =

@@ -202,6 +202,44 @@ object GramKernel {
   }
 }
 
+/** The per-document hashed bag-of-words loop behind
+  * [[expressions.HashedBow]]: split on single spaces (PRESERVING
+  * empty tokens — the exact `split(text, " ")` contract, so "" is one
+  * empty token and double spaces yield empties), fingerprint each
+  * token with the codepoint polynomial fold, and count tokens per
+  * `fp mod buckets` cell. One O(tokens) pass per row replacing BOTH
+  * the (doc, bucket) explode/group-by exchange of the original
+  * docVectors plan AND the O(buckets × tokens) interpreted nested-HOF
+  * per-row formulation (transform∘filter is CodegenFallback — the
+  * 10× scale probe measured it in MINUTES where this kernel scans). */
+object HashedBowKernel {
+  private val P = 1000000007L
+
+  def compute(input: UTF8String, buckets: Int): ArrayData = {
+    val s = input.toString
+    val counts = new Array[Double](buckets)
+    var start = 0
+    var i = 0
+    val n = s.length
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        // token = s[start, i): fold its codepoints
+        var h = 0L
+        var j = start
+        while (j < i) {
+          val cp = s.codePointAt(j)
+          h = (h * 31L + cp) % P
+          j += Character.charCount(cp)
+        }
+        counts((h % buckets).toInt) += 1.0
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(counts.map(Double.box(_): Any))
+  }
+}
+
 /** The greedy left-to-right BPE merge pass behind
   * [[expressions.BpeMergeRound]]: symbols arrive space-joined, every
   * leftmost non-overlapping adjacent (a, b) pair is replaced by the
@@ -545,6 +583,26 @@ object expressions {
       copy(child = newChild)
   }
 
+  /** Per-document hashed bag-of-words counts (array<double>, length
+    * `buckets`) — see [[HashedBowKernel]]; `buckets` is a constructor
+    * constant. */
+  case class HashedBow(child: Expression, buckets: Int)
+      extends UnaryExpression {
+    require(buckets >= 1, "bucket count must be >= 1")
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "hashed_bow"
+
+    override def nullSafeEval(input: Any): Any =
+      HashedBowKernel.compute(input.asInstanceOf[UTF8String], buckets)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.plans.HashedBowKernel.compute($a, $buckets);")
+
+    override protected def withNewChildInternal(newChild: Expression): HashedBow =
+      copy(child = newChild)
+  }
+
   /** ALL per-position k-gram rolling fingerprints (array<long>) of a
     * string — see [[GramKernel]]; `k` is a constructor constant. */
   case class GramFingerprints(child: Expression, k: Int)
@@ -619,6 +677,10 @@ object expressions {
   def gram_fingerprints(text: Column, k: Int): Column =
     org.apache.spark.sql.GraftShims.column(
       GramFingerprints(org.apache.spark.sql.GraftShims.expression(text), k))
+
+  def hashed_bow(text: Column, buckets: Int): Column =
+    org.apache.spark.sql.GraftShims.column(
+      HashedBow(org.apache.spark.sql.GraftShims.expression(text), buckets))
 
   def bpe_merge_round(syms: Column, a: String, b: String): Column =
     org.apache.spark.sql.GraftShims.column(

@@ -476,14 +476,10 @@ object StreamQueries {
     val docs = s.readStream
       .schema("doc_id bigint, text string, lang string, source string, n_chars bigint")
       .parquet(streamDir(dir, "documents"))
-    val words = graft.functions.TextOps.words(col("text"))
-    // per-row bucket counts == the batch docVectors explode+groupBy:
-    // count of tokens whose fingerprint lands in each bucket
-    val vec = transform(
-      sequence(lit(0L), lit(TextQueries.TopicBuckets - 1L)),
-      i => size(filter(words, t =>
-        pmod(graft.functions.TextOps.rollingFingerprint(t),
-          lit(TextQueries.TopicBuckets.toLong)) === i)).cast("double"))
+    // the SAME compiled O(tokens) kernel the batch docVectors scans
+    // with — per-row, shuffle-free, stateless
+    val vec = graft.plans.expressions.hashed_bow(col("text"),
+      TextQueries.TopicBuckets)
     val out = docs.select(col("doc_id"),
       graft.plans.expressions.vec_argmin(vec, centers)("cluster_id")
         .cast("int").as("cluster_id"))

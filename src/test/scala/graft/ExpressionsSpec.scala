@@ -163,4 +163,33 @@ class ExpressionsSpec extends SparkSpec {
       .collect()(0).getSeq[String](0)
     assert(got === Seq("a b", "b c"))
   }
+
+  test("HashedBow equals the split+fingerprint+pmod reference, edge cases included") {
+    // the built-ins-only reference: split(" ") token semantics
+    // (empties preserved), rolling fingerprint, pmod bucket, counts
+    val cases = Seq("a b c d", "a  b", " leading", "trailing ", "",
+      " ", "solo", "ünïcode ünïcode x", "a a a a")
+    val df = cases.toDF("text").select(col("text"),
+      expressions.hashed_bow(col("text"), 8).as("fast"))
+    val ref = cases.toDF("text")
+      .select(col("text"), explode(TextOps.words(col("text"))).as("t"))
+      .select(col("text"),
+        pmod(TextOps.rollingFingerprint(col("t")), lit(8L)).as("b"))
+      .groupBy("text", "b").count()
+      .collect().groupBy(_.getString(0))
+      .map { case (t, rows) =>
+        val v = new Array[Double](8)
+        rows.foreach(r => v(r.getLong(1).toInt) = r.getLong(2).toDouble)
+        t -> v.toSeq
+      }
+    df.collect().foreach { r =>
+      assert(r.getSeq[Double](1) === ref(r.getString(0)),
+        s"mismatch for '${r.getString(0)}'")
+    }
+    // totals law: Σ counts == token count (split-with-empties length)
+    val sums = cases.toDF("text").select(
+      aggregate(expressions.hashed_bow(col("text"), 8), lit(0.0), _ + _).as("s"),
+      size(TextOps.words(col("text"))).cast("double").as("n"))
+    assert(sums.filter(col("s") =!= col("n")).count() === 0)
+  }
 }
