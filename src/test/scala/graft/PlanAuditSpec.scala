@@ -212,7 +212,10 @@ class PlanAuditSpec extends SparkSpec {
       "pipeline_shard_manifest" -> 2500L, // measured 524: shard partials
       "text_quality_buckets" -> 12000L,  // measured 3457: bigram TYPES (lang,bucket) partials
       "rel_quantiles_sketch" -> 20000L,  // measured 7629: range/8192-cent cells ×2 quantiles
-      "text_vocab" -> 20000L)            // measured 11726: vocab TYPES, not the 27k token stream
+      "text_vocab" -> 20000L,            // measured 11726: vocab TYPES, not the 27k token stream
+      "text_topic_clusters" -> 6000L)    // measured 1345: k·d Lloyd partials + k-bounded report —
+                                         // a regression to the pre-kernel (doc, bucket) exchange
+                                         // (≥ 16k at sf0.01) fails here
     val records = new java.util.concurrent.atomic.LongAdder
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
