@@ -631,4 +631,36 @@ class DedupSpec extends SparkSpec {
     assert(fx.forall(r => Set("exact", "near", "kept")(r.getString(1))))
     assert(fx.forall(r => r.getString(1) == "kept" || !r.isNullAt(2)))
   }
+
+  test("incrementalDedup equals the brute-force reference on seeded random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    def text() = (0 until 4 + rnd.nextInt(4)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    for (_ <- 1 to 5) {
+      val n = 12 + rnd.nextInt(10)
+      // small vocab forces plenty of exact copies and near pairs
+      val rows = (0L until n.toLong).map(i => (i, text()))
+      val d = rows.toDF("doc_id", "text")
+      def isNew(i: Long) = i % 3 == 2
+      val pairs = Dedup.ngramJaccard(d, "doc_id", "text", n = 2, threshold = 0.5)
+      val pairList = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val got = Dedup.incrementalDedup(d, pairs, "doc_id", "text",
+          id => pmod(id, lit(3L)) === lit(2L))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+      val byText = rows.toMap
+      val ref = rows.collect { case (i, t) if isNew(i) =>
+        val exact = rows.collect { case (p, pt)
+          if pt == t && p != i && (!isNew(p) || p < i) => p }
+        val near = pairList.flatMap { case (a, b) =>
+          Seq((a, b), (b, a)) }.collect { case (u, v)
+          if u == i && (!isNew(v) || v < u) => v }
+        if (exact.nonEmpty) (i, "exact", exact.min)
+        else if (near.nonEmpty) (i, "near", near.min)
+        else (i, "kept", -1L)
+      }
+      assert(got === ref, s"mismatch on corpus ${rows.take(4)}... (byText size ${byText.size})")
+    }
+  }
 }

@@ -859,6 +859,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fx.forall(r => r.getLong(3) <= 1000L && r.getLong(4) <= 1000L))
   }
 
+  test("sourceOverlap equals the brute-force pairwise intersection on seeded random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    def text() = (0 until 3 + rnd.nextInt(5)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    for (_ <- 1 to 5) {
+      val srcs = Vector("s0", "s1", "s2", "s3")
+      val rows = (1 to 20).map(_ => (srcs(rnd.nextInt(srcs.size)), text()))
+      val got = TextAnalysis.sourceOverlap(rows.toDF("source", "text"),
+          "source", "text", 2)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+      def grams(t: String) = t.split(" ").sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toSet
+      val bySrc = rows.groupBy(_._1).view
+        .mapValues(_.flatMap(r => grams(r._2)).toSet).toMap
+      val ref = (for {
+        a <- bySrc.keys; b <- bySrc.keys if a < b
+        shared = (bySrc(a) & bySrc(b)).size if shared > 0
+      } yield (a, b, shared.toLong,
+        1000L * shared / bySrc(a).size, 1000L * shared / bySrc(b).size))
+        .toSeq.sortBy(t => (t._1, t._2))
+      assert(got === ref)
+    }
+  }
+
   test("repeatedSpans dispatch equality: broadcast-nominee and shuffle-join paths agree") {
     val viaBroadcast = TextAnalysis.repeatedSpans(docs, "doc_id", "text", 25)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
