@@ -94,6 +94,42 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The PROBE form of [[incrementalDedup]]'s near evidence, for
+    * pipelines that do NOT already materialize the corpus pair graph:
+    * only the NEW batch's postings probe the corpus-wide inverted
+    * index (join work ≈ batch-fraction × the full self-join's), the
+    * partner rule (corpus at any id, new only at lower id) rides the
+    * join condition, and the output is exactly the qualifying
+    * directed (new, partner) pairs — feeding it to [[incrementalDedup]]
+    * yields verdicts identical to the full pair graph (spec-pinned on
+    * random corpora). Hot-shingle caps are computed on the FULL
+    * corpus, so candidacy semantics match [[ngramJaccard]] exactly. */
+  def incrementalNearPairs(docs: DataFrame, idCol: String, textCol: String,
+                           isNew: Column => Column, n: Int = 3,
+                           threshold: Double = 0.8,
+                           maxShingleFreq: Option[Int] = Some(DefaultMaxShingleFreq)): DataFrame = {
+    val raw = docShingles(docs, idCol, textCol, n)
+    val sh0 = raw.select(col("doc_id"), xxhash64(col("s")).as("s"))
+    val sh = maxShingleFreq match {
+      case Some(cap) => dropHotKeys(sh0, Seq("s"), cap)
+      case None => sh0
+    }
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val probe = sh.filter(isNew(col("doc_id")))
+    val inter = probe.as("x").join(sh.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") =!= col("y.doc_id") &&
+          (!isNew(col("y.doc_id")) || col("y.doc_id") < col("x.doc_id")))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sa"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sb"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** Distinct (id, shingle) pairs — the inverted-index input.
     * Distinctness comes from the shingle EXPRESSION itself
     * ([[TextOps.shingles]] emits each doc's distinct shingles — both

@@ -661,6 +661,16 @@ class DedupSpec extends SparkSpec {
         else (i, "kept", -1L)
       }
       assert(got === ref, s"mismatch on corpus ${rows.take(4)}... (byText size ${byText.size})")
+      // the probe form (new postings against the corpus index) feeds
+      // incrementalDedup to IDENTICAL verdicts — the path a pipeline
+      // without a materialized pair graph takes
+      val probe = Dedup.incrementalNearPairs(d, "doc_id", "text",
+        id => pmod(id, lit(3L)) === lit(2L), n = 2, threshold = 0.5)
+      val gotProbe = Dedup.incrementalDedup(d, probe, "doc_id", "text",
+          id => pmod(id, lit(3L)) === lit(2L))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+      assert(gotProbe === ref)
     }
   }
 }
