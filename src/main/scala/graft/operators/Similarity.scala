@@ -24,6 +24,34 @@ import graft.functions.VectorOps
   */
 object Similarity {
 
+  /** VECTOR-TABLE AUDIT — the validation gate a pipeline runs before
+    * spending an indexing job on an embedding column: one scan, one
+    * 1-row report of everything that breaks an ANN index downstream
+    * (wrong-dimension rows poison PQ codebooks, zero-norm vectors make
+    * cosine undefined, non-finite components corrupt every distance).
+    * Norm² uses the fold-order-matched [[VectorOps.dot]] so the min /
+    * max bounds floor to the same micros in any engine (the cosine
+    * determinism idiom); every output is BIGINT. Zero shuffle beyond
+    * the single partial+final aggregate. */
+  def vectorAudit(embs: DataFrame, idCol: String, vecCol: String,
+                  expectDim: Int): DataFrame = {
+    val v = VectorOps.toDouble(col(vecCol))
+    val n2 = VectorOps.dot(v, v)
+    embs
+      .select(col(vecCol).isNull.as("is_null"), size(col(vecCol)).as("dim"),
+        n2.as("n2"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        sum(when(col("is_null"), 1L).otherwise(0L)).as("n_null"),
+        sum(when(!col("is_null") && col("dim") =!= expectDim, 1L)
+          .otherwise(0L)).as("n_wrong_dim"),
+        sum(when(col("n2") === 0.0, 1L).otherwise(0L)).as("n_zero_norm"),
+        sum(when(isnan(col("n2")) || col("n2") === Double.PositiveInfinity, 1L)
+          .otherwise(0L)).as("n_nonfinite"),
+        min(floor(col("n2") * 1000000.0)).as("min_norm2_micros"),
+        max(floor(col("n2") * 1000000.0)).as("max_norm2_micros"))
+  }
+
   /** Exact top-k cosine neighbors for each query vector.
     * Output: (query_id, neighbor_id, rank, cosine). Self-matches are
     * excluded; ties break toward the lower neighbor id. */

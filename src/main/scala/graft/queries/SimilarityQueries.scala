@@ -283,7 +283,18 @@ object SimilarityQueries {
       .orderBy("rank")
   }
 
+  /** Embedding dimension of the fixture table (shared with the dedup
+    * oracle's CTEs, which pin the same 64). */
+  val AuditDim = 64
+
+  /** Vector-table audit ([[Similarity.vectorAudit]]): the 1-row
+    * validation report run before any indexing job. */
+  def vectorAuditQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.vectorAudit(Tables.embeddings(s, dir), "vec_id", "embedding",
+      AuditDim)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_vector_audit" -> (vectorAuditQ _),
     "ann_hybrid_rrf" -> (hybridRrf _),
     "ann_bruteforce_topk" -> (bruteForce _),
     "ann_mips_topk" -> (mips _),
@@ -522,6 +533,22 @@ object SimilarityQueries {
        |ORDER BY q.query_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same float→double cast, same left-fold sum of squares
+    // (list_sum == the fold-order-matched dot — the cosine idiom),
+    // floor micros; non-finite via isnan/isinf
+    "ann_vector_audit" ->
+      s"""WITH p AS (SELECT embedding IS NULL AS is_null,
+         |  len(embedding) AS dim,
+         |  list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
+         |FROM embeddings)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         |  CAST(SUM(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  CAST(SUM(CASE WHEN NOT is_null AND dim <> $AuditDim THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
+         |  CAST(SUM(CASE WHEN n2 = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+         |  CAST(SUM(CASE WHEN isnan(n2) OR isinf(n2) THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+         |  CAST(min(floor(n2 * 1000000.0)) AS BIGINT) AS min_norm2_micros,
+         |  CAST(max(floor(n2 * 1000000.0)) AS BIGINT) AS max_norm2_micros
+         |FROM p""".stripMargin,
     // the proven text_bm25_topk and ann_bruteforce_topk CTEs spliced,
     // then integer-micros RRF — ranks are the only fusion inputs
     "ann_hybrid_rrf" -> {

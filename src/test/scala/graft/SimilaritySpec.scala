@@ -353,4 +353,27 @@ class SimilaritySpec extends SparkSpec {
     // fixture stopped exercising the fusion
     assert(got.exists(r => r._4 > 0 && r._5 > 0))
   }
+  test("vectorAudit counts planted defects exactly; fixture table is clean") {
+    import spark.implicits._
+    val good = Array.fill(4)(0.5f)
+    val d = Seq(
+      (1L, good),                         // clean
+      (2L, Array.fill(4)(0.0f)),          // zero norm
+      (3L, Array.fill(3)(1.0f)),          // wrong dim
+      (4L, Array(Float.NaN, 1f, 1f, 1f)), // non-finite
+      (5L, null.asInstanceOf[Array[Float]])) // null
+      .toDF("vec_id", "embedding")
+    val r = Similarity.vectorAudit(d, "vec_id", "embedding", 4).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      === ((5L, 1L, 1L, 1L, 1L)))
+    // min over non-null norms: the zero vector; max: the wrong-dim 3x1.0 = 3.0
+    assert(r.getLong(5) === 0L)
+    assert(r.getLong(6) === 3000000L)
+    // the fixture embedding table must audit CLEAN (that is what lets
+    // every ANN query index it without a guard)
+    val fx = graft.queries.SimilarityQueries.vectorAuditQ(spark, sf001).collect()(0)
+    assert(fx.getLong(1) === 0L && fx.getLong(2) === 0L &&
+      fx.getLong(3) === 0L && fx.getLong(4) === 0L)
+    assert(fx.getLong(0) > 0L && fx.getLong(5) > 0L)
+  }
 }
