@@ -92,7 +92,16 @@ object Bench {
     // UNTIMED warm run was 3× faster than the timed reps that
     // followed the pass). One warm run per query keeps the session
     // age at timing time within one query of the r8 shape.
-    val benched = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev-only subset filter (comma-separated name prefixes): lets a
+    // single query cluster be re-timed in seconds while iterating.
+    // UNSET in the driver's run, so the recorded bench always covers
+    // the full board.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
+      only.forall(_.exists(name.startsWith))
+    }
+    val benched = selected.map { case (name, fn) =>
       val w = timeOnce(() => { fn(spark, sfDir).count(); () })
       val (best, reps) = bestOf(() => { fn(spark, sfDir).count(); () })
       (name, w, best, reps)

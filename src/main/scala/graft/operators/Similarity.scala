@@ -32,11 +32,22 @@ object Similarity {
     * Norm² uses the fold-order-matched [[VectorOps.dot]] so the min /
     * max bounds floor to the same micros in any engine (the cosine
     * determinism idiom); every output is BIGINT. Zero shuffle beyond
-    * the single partial+final aggregate. */
+    * the single partial+final aggregate.
+    *
+    * The min/max norm² bounds are defined over FINITE norms only
+    * (r10 ADVICE): a NaN/±Inf norm is already counted by
+    * `n_nonfinite`, and letting it reach the bound columns makes them
+    * engine-dependent exactly when the defects they audit are present
+    * — Spark's floor-to-long maps NaN→0 (indistinguishable from a
+    * legitimate tiny norm) and +Inf→Long.MaxValue, while DuckDB's
+    * min/max propagate the non-finite value into a CAST that errors. */
   def vectorAudit(embs: DataFrame, idCol: String, vecCol: String,
                   expectDim: Int): DataFrame = {
     val v = VectorOps.toDouble(col(vecCol))
     val n2 = VectorOps.dot(v, v)
+    val finiteN2 = when(!isnan(col("n2")) &&
+      col("n2") =!= Double.PositiveInfinity &&
+      col("n2") =!= Double.NegativeInfinity, col("n2"))
     embs
       .select(col(vecCol).isNull.as("is_null"), size(col(vecCol)).as("dim"),
         n2.as("n2"))
@@ -48,8 +59,8 @@ object Similarity {
         sum(when(col("n2") === 0.0, 1L).otherwise(0L)).as("n_zero_norm"),
         sum(when(isnan(col("n2")) || col("n2") === Double.PositiveInfinity, 1L)
           .otherwise(0L)).as("n_nonfinite"),
-        min(floor(col("n2") * 1000000.0)).as("min_norm2_micros"),
-        max(floor(col("n2") * 1000000.0)).as("max_norm2_micros"))
+        min(floor(finiteN2 * 1000000.0)).as("min_norm2_micros"),
+        max(floor(finiteN2 * 1000000.0)).as("max_norm2_micros"))
   }
 
   /** Exact top-k cosine neighbors for each query vector.

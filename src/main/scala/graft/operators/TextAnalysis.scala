@@ -60,10 +60,18 @@ object TextAnalysis {
                    carry: Seq[String] = Nil): DataFrame = {
     val w = TextOps.words(col(textCol))
     val nTok = size(w)
-    val stopRatio = size(filter(w, t => t.isin(EnStopwords: _*))).cast("double") / nTok
+    // Null-safe divisors: an EMPTY document (0 chars / 0 tokens) must
+    // score NULL, not throw ANSI DIVIDE_BY_ZERO — downstream
+    // consumers (tokenBudgetSelect) pin the null to a sorts-last
+    // sentinel (r10 ADVICE). The fixture has no empty docs, so every
+    // declared oracle is byte-identical.
+    val nTokD = when(nTok === 0, lit(null)).otherwise(nTok.cast("double"))
+    val nCharsD = when(length(col(textCol)) === 0, lit(null))
+      .otherwise(length(col(textCol)).cast("double"))
+    val stopRatio = size(filter(w, t => t.isin(EnStopwords: _*))).cast("double") / nTokD
     val punctRatio = length(regexp_replace(col(textCol), "[a-z0-9 ]", ""))
-      .cast("double") / length(col(textCol))
-    val avgLen = (length(col(textCol)) - (nTok - 1)).cast("double") / nTok
+      .cast("double") / nCharsD
+    val avgLen = (length(col(textCol)) - (nTok - 1)).cast("double") / nTokD
     docs.select(Seq(
       col(idCol).as("doc_id"),
       nTok.as("n_tokens"),
@@ -97,10 +105,20 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     require(budgetTokens > 0 && buckets > 0, "budget/buckets must be positive")
     val width = math.max(1L, 1000001L / buckets)
+    // A degenerate document (empty text → 0/0 ratios) scores
+    // null/NaN; left alone it lands in a NULL bucket that Spark's ASC
+    // window orders FIRST — i.e. highest selection priority — while
+    // the oracle's score DESC puts it last (r10 ADVICE). Pin every
+    // non-finite score to −1: real scores are ≥ 0 by construction
+    // (all three components are non-negative), so −1 sorts strictly
+    // last in both engines and the bucket index stays non-null.
+    val microsRaw = floor(col("score") * 1000000.0).cast("long")
     val scored = qualityScore(docs, idCol, textCol, carry = Seq(langCol))
       .select(col("doc_id").cast("long").as("doc_id"), col(langCol).as("lang"),
         col("n_tokens").cast("long").as("n_toks"),
-        floor(col("score") * 1000000.0).cast("long").as("score_micros"))
+        when(col("score").isNull || isnan(col("score")) ||
+            col("score") === Double.PositiveInfinity, lit(-1L))
+          .otherwise(microsRaw).as("score_micros"))
     // bucket index DESCENDS with score so bucket order == take order
     val b = scored.withColumn("_bucket",
       expr(s"(1000000 - score_micros) DIV $width"))
@@ -760,10 +778,25 @@ object TextAnalysis {
     def pairs = docs
       .select(TextOps.words(col(textCol)).as("_w"))
       .select(explode(flatten(array(pairsPerOffset: _*))).as("pair"))
-    val nominees = pairs.groupBy(xxhash64(col("pair")).as("h"))
+    // TIE-COMPLETE nominee cut (r10 ADVICE): a fixed limit(3·topN)
+    // chooses among count-TIED buckets by hash order, while the
+    // oracle's final tie-break is pair ASC — a lexicographically
+    // smaller tied pair could fail nomination and diverge the
+    // declared top-N. Instead nominate every bucket whose count
+    // reaches the 3·topN-th count: that threshold is ≤ the true
+    // topN-th PAIR count (hash buckets only merge counts upward), so
+    // every pair that can appear in the final top-N — including all
+    // margin ties — is nominated. The threshold is a well-defined
+    // value (min over the multiset of the 3·topN largest counts)
+    // regardless of which tied buckets the limit observes, and it
+    // rides the plan as a broadcast 1-row frame — no collect. The
+    // bucket-count exchange appears on both branches with an
+    // identical subtree, so ReuseExchange serves the second read.
+    val bucketCounts = pairs.groupBy(xxhash64(col("pair")).as("h"))
       .agg(count(lit(1)).as("hn"))
-      .orderBy(col("hn").desc, col("h"))
-      .limit(3 * topN)
+    val thr = bucketCounts.orderBy(col("hn").desc).limit(3 * topN)
+      .agg(min("hn").as("_thr"))
+    val nominees = bucketCounts.join(broadcast(thr), col("hn") >= col("_thr"))
       .select("h")
     val top = pairs
       .join(broadcast(nominees), xxhash64(col("pair")) === col("h"))

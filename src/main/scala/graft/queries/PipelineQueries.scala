@@ -152,10 +152,14 @@ object PipelineQueries {
          |  CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
          |  CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) AS avg_len
          |FROM t),
-         |q AS (SELECT doc_id, lang, n_toks,
-         |  CAST(floor((stop_ratio * 0.3 + (1.0 - punct_ratio) * 0.4 +
-         |    least(avg_len / 10.0, 1.0) * 0.3) * 1000000.0) AS BIGINT) AS score_micros
+         |q0 AS (SELECT doc_id, lang, n_toks,
+         |  (stop_ratio * 0.3 + (1.0 - punct_ratio) * 0.4 +
+         |    least(avg_len / 10.0, 1.0) * 0.3) * 1000000.0 AS sm
          |FROM f),
+         |q AS (SELECT doc_id, lang, n_toks,
+         |  CASE WHEN sm IS NULL OR isnan(sm) OR isinf(sm) THEN CAST(-1 AS BIGINT)
+         |       ELSE CAST(floor(sm) AS BIGINT) END AS score_micros
+         |FROM q0),
          |c AS (SELECT *, SUM(n_toks) OVER (PARTITION BY lang
          |        ORDER BY score_micros DESC, doc_id
          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM q),

@@ -546,8 +546,8 @@ object SimilarityQueries {
          |  CAST(SUM(CASE WHEN NOT is_null AND dim <> $AuditDim THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
          |  CAST(SUM(CASE WHEN n2 = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
          |  CAST(SUM(CASE WHEN isnan(n2) OR isinf(n2) THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
-         |  CAST(min(floor(n2 * 1000000.0)) AS BIGINT) AS min_norm2_micros,
-         |  CAST(max(floor(n2 * 1000000.0)) AS BIGINT) AS max_norm2_micros
+         |  CAST(min(floor(CASE WHEN isnan(n2) OR isinf(n2) THEN NULL ELSE n2 END * 1000000.0)) AS BIGINT) AS min_norm2_micros,
+         |  CAST(max(floor(CASE WHEN isnan(n2) OR isinf(n2) THEN NULL ELSE n2 END * 1000000.0)) AS BIGINT) AS max_norm2_micros
          |FROM p""".stripMargin,
     // the proven text_bm25_topk and ann_bruteforce_topk CTEs spliced,
     // then integer-micros RRF — ranks are the only fusion inputs

@@ -673,4 +673,16 @@ class DedupSpec extends SparkSpec {
       assert(gotProbe === ref)
     }
   }
+
+  test("dedup_incremental_probe: declared probe query verdict-equal to the full-graph query") {
+    // the two DECLARED surfaces (full memoized pair graph vs probe-
+    // only evidence) must agree row-for-row on the fixture — this is
+    // what lets both ride the same DuckDB oracle (r10 verdict task 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    val full = rows(graft.queries.DedupQueries.incremental(spark, sf001))
+    val probe = rows(graft.queries.DedupQueries.incrementalProbe(spark, sf001))
+    assert(full.nonEmpty && probe === full)
+  }
 }

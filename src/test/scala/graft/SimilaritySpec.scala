@@ -369,6 +369,14 @@ class SimilaritySpec extends SparkSpec {
     // min over non-null norms: the zero vector; max: the wrong-dim 3x1.0 = 3.0
     assert(r.getLong(5) === 0L)
     assert(r.getLong(6) === 3000000L)
+    // r10 ADVICE: non-finite norms are EXCLUDED from the bound
+    // columns — a NaN row must not silently report
+    // min_norm2_micros = 0 (indistinguishable from a real tiny norm)
+    val d2 = Seq((1L, Array.fill(4)(0.5f)), (2L, Array(Float.NaN, 1f, 1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val r2 = Similarity.vectorAudit(d2, "vec_id", "embedding", 4).collect()(0)
+    assert(r2.getLong(4) === 1L)
+    assert(r2.getLong(5) === 1000000L && r2.getLong(6) === 1000000L)
     // the fixture embedding table must audit CLEAN (that is what lets
     // every ANN query index it without a guard)
     val fx = graft.queries.SimilarityQueries.vectorAuditQ(spark, sf001).collect()(0)

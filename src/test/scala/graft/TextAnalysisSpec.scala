@@ -579,6 +579,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.skipgramCounts(tiny, "doc_id", "text").count() === 0)
   }
 
+  test("skipgrams: tie-complete nominee cut resolves all-tied counts by pair ASC (r10 ADVICE)") {
+    import spark.implicits._
+    // 40 distinct adjacent pairs, each occurring exactly once: every
+    // pair ties at the top-N margin, so a fixed limit(3·topN) nominee
+    // cut would choose an arbitrary hash-ordered subset while the
+    // GROUP BY oracle tie-breaks by pair ASC. The count-threshold cut
+    // must nominate every tied bucket and return the
+    // lexicographically smallest pairs.
+    val text = (0 to 40).map(i => f"w$i%02d").mkString(" ")
+    val toy = Seq((1L, text)).toDF("doc_id", "text")
+    val got = TextAnalysis.skipgramCounts(toy, "doc_id", "text", window = 1, topN = 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val expect = (0 until 5).map(i => (i + 1, f"w$i%02d w${i + 1}%02d", 1L))
+    assert(got.toSeq === expect)
+  }
+
   test("lang confusion: rows conserve doc counts, cells match langId directly") {
     val m = TextAnalysis.langConfusion(docs, "doc_id", "text", "lang")
       .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
@@ -838,6 +855,28 @@ class TextAnalysisSpec extends SparkSpec {
     val none = TextAnalysis.tokenBudgetSelect(docs, "doc_id", "lang", "text", 1L)
       .collect()
     assert(none.forall(r => r.getLong(3) === 0L && r.isNullAt(5)))
+  }
+
+  test("tokenBudgetSelect: null/NaN-scored docs sort LAST, never first (r10 ADVICE)") {
+    import spark.implicits._
+    // an empty doc scores NaN (0/0 punct ratio); pinned to −1 it must
+    // lose to every real document instead of landing in a NULL bucket
+    // that the ASC bucket window would order FIRST
+    val degenerate = Seq((999999L, "en", "")).toDF("doc_id", "lang", "text")
+    val aug = docs.select(col("doc_id").cast("long").as("doc_id"),
+        col("lang"), col("text"))
+      .unionByName(degenerate)
+    def sel(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.tokenBudgetSelect(d, "doc_id", "lang", "text", 2000L)
+        .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSeq
+    assert(sel(aug) === sel(docs.toDF()))
+    // selected on its own (budget permits), the degenerate doc
+    // reports the pinned −1 cutoff — deterministic in both engines
+    val only = TextAnalysis.tokenBudgetSelect(degenerate, "doc_id", "lang", "text", 100L)
+      .collect()
+    assert(only.length === 1 && only.head.getLong(3) === 1L &&
+      only.head.getLong(5) === -1L)
   }
 
   test("sourceOverlap: clone pair overlaps fully both ways; disjoint source pairs absent") {
