@@ -292,7 +292,15 @@ object ScaleUp {
     "text_bpe_merges", "text_bpe_encode",
     // round 10 cohort 18: the per-source novelty curve — one
     // gram-keyed exchange over the map-side-distinct stream
-    "text_novelty_curve")
+    "text_novelty_curve",
+    // round 11: the winnow-sampled span twin (selected positions only
+    // reach the nominate exchange), the probe-form incremental dedup
+    // (new-batch postings against the corpus index — no full pair
+    // graph), and the r10-verdict-task-7 cohort 21-23 rows: the
+    // token-budget manifest, the stateless streaming topic classifier
+    // and the 1-row vector audit — all scan-shaped
+    "text_repeated_spans_sampled", "dedup_incremental_probe",
+    "pipeline_token_budget", "stream_topic_parity", "ann_vector_audit")
 
   /** Rehearsal-only closures that are NOT declared queries: the
     * auto-parameter scale path of an operator whose declared form pins
@@ -509,7 +517,13 @@ object ScaleUp {
     // the near pass shares the jaccardPairs memo the
     // dedup_ngram_jaccard row above has already built at each scale),
     // and the sources²-bounded overlap matrix on the novelty exchange
-    "text_topic_clusters", "dedup_incremental", "text_source_overlap")
+    "text_topic_clusters", "dedup_incremental", "text_source_overlap",
+    // round 11: the sampled span twin at 100× — the dense-regime
+    // relief (the exact row above carries the full 8 B/position
+    // exchange; this one ~2/(w+1) of it), the probe-form incremental
+    // verdicts, and the cohort 21-23 scan-shaped rows
+    "text_repeated_spans_sampled", "dedup_incremental_probe",
+    "pipeline_token_budget", "stream_topic_parity", "ann_vector_audit")
 
   def main(args: Array[String]): Unit = {
     val mode100 = args.contains("100")

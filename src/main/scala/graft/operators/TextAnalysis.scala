@@ -1464,6 +1464,77 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** WINNOW-SAMPLED repeated spans — the dense-regime companion to
+    * [[repeatedSpans]] (r10 verdict task 5): the exact operator's
+    * nominate exchange carries 8 bytes for EVERY gram position, which
+    * on a repetition-dense corpus (18–30% of positions repeating in
+    * the 100× rehearsal) is the whole cost. Here the position stream
+    * is first winnow-SELECTED inside the compiled kernel
+    * ([[graft.plans.GramKernel.computeWinnowedPos]] — zero shuffle
+    * spent on sampling, ~2/(w+1) density), and the
+    * nominate → dispatch → substring-verify → island cascade runs
+    * over selected positions only.
+    *
+    * DETECTION GUARANTEE (spec-pinned): selection is value-min over
+    * w-gram windows, a pure function of content, so every repeated
+    * substring of length ≥ gramLen + window − 1 selects a
+    * content-identical gram in each occurrence and is reported in
+    * every occurrence's doc. Within a contiguous repeated region
+    * every w consecutive grams select ≥ 1 position, so the island
+    * gap widens to gramLen + window − 1 and a region stays one span;
+    * extents are sampled (span endpoints snap to selected grams), so
+    * counts/coverage are the sampled statistics, not the exact
+    * operator's — both are deterministic pure functions of the corpus
+    * and the oracle replays this exact cascade. */
+  def repeatedSpansSampled(docs: DataFrame, idCol: String, textCol: String,
+                           gramLen: Int = 25, window: Int = 8,
+                           maxBroadcastNominees: Long = 8000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val packed = graft.plans.expressions.gram_winnowed_pos(col("text"), gramLen, window)
+    def unpack(df: DataFrame): DataFrame = df
+      .select(col("*"), explode(col("_pk")).as("pk")).drop("_pk")
+      .withColumn("pos", shiftright(col("pk"), 31).cast("int"))
+      .withColumn("fp", col("pk").bitwiseAND(lit((1L << 31) - 1)))
+      .drop("pk")
+    val pos1 = unpack(d.select(col("doc_id"), packed.as("_pk")))
+    val nom = pos1.groupBy("fp").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("fp")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nNom = nom.count()
+    val cand =
+      if (nNom <= maxBroadcastNominees)
+        unpack(d.select(col("doc_id"), col("text"), packed.as("_pk")))
+          .join(broadcast(nom), "fp")
+          .select(col("doc_id"), col("pos"),
+            expr(s"substr(text, pos + 1, $gramLen)").as("sub"))
+      else
+        pos1.join(nom, "fp").select("doc_id", "pos")
+          .join(d, "doc_id")
+          .select(col("doc_id"), col("pos"),
+            expr(s"substr(text, pos + 1, $gramLen)").as("sub"))
+    val ver = cand
+      .withColumn("sc", count(lit(1)).over(Window.partitionBy("sub")))
+      .filter(col("sc") > 1)
+      .select(col("doc_id"), col("pos"))
+    val gap = gramLen + window - 1
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = ver
+      .withColumn("nw", when(lag("pos", 1).over(wd).isNull ||
+        col("pos") > lag("pos", 1).over(wd) + gap, 1L).otherwise(0L))
+      .withColumn("island", sum("nw").over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").cast("long").as("st"),
+        (max("pos") + gramLen).cast("long").as("en"),
+        count(lit(1)).as("ng"))
+    spans.groupBy("doc_id")
+      .agg(sum("ng").as("n_rep_grams"), count(lit(1)).as("n_spans"),
+        sum(col("en") - col("st")).as("covered_chars"),
+        max(col("en") - col("st")).as("max_span_chars"))
+      .orderBy("doc_id")
+  }
+
   def removeBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
                              maxDocShare: Double = 0.3): DataFrame = {
     val nDocs = docs.select(countDistinct(col(idCol)).as("n_corpus"))

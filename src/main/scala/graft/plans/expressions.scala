@@ -200,6 +200,54 @@ object GramKernel {
     }
     new GenericArrayData(out)
   }
+
+  /** WINNOW-SAMPLED positions with their fingerprints, packed one
+    * long each as `(pos << 31) | fp` (fp < P < 2³⁰, so the pack is
+    * lossless): position p is emitted iff its rolling k-gram hash is
+    * the MINIMUM of at least one window of `w` consecutive grams —
+    * the MOSS winnowing rule, kept per-POSITION instead of
+    * [[WinnowKernel]]'s distinct value set. Selection is a pure
+    * function of gram CONTENT and its w-neighborhood, so two
+    * occurrences of a repeated substring of length ≥ k + w − 1 both
+    * select the content-identical min gram of any window that fits
+    * inside the repeat (the detection guarantee
+    * [[graft.operators.TextAnalysis.repeatedSpansSampled]] pins), and
+    * every window of w grams selects ≥ 1 position (density bound
+    * ~2/(w+1)) — the per-position exchange shrinks ~w/2× with no
+    * shuffle spent on the sampling itself. Ties on the window min
+    * select every achieving position (value rules, never position
+    * rules — position tie-breaks would destroy content determinism
+    * across occurrences at different offsets). */
+  def computeWinnowedPos(input: UTF8String, k: Int, w: Int): ArrayData = {
+    val all = compute(input, k)
+    val nGrams = all.numElements()
+    if (nGrams == 0) return all
+    val h = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) { h(i) = all.getLong(i); i += 1 }
+    val sel = new Array[Boolean](nGrams)
+    val nWin = math.max(1, nGrams - w + 1)
+    i = 0
+    while (i < nWin) {
+      val end = math.min(i + w, nGrams)
+      var m = h(i); var j = i + 1
+      while (j < end) { if (h(j) < m) m = h(j); j += 1 }
+      j = i
+      while (j < end) { if (h(j) == m) sel(j) = true; j += 1 }
+      i += 1
+    }
+    var n = 0
+    i = 0
+    while (i < nGrams) { if (sel(i)) n += 1; i += 1 }
+    val out = new Array[Any](n)
+    var oi = 0
+    i = 0
+    while (i < nGrams) {
+      if (sel(i)) { out(oi) = (i.toLong << 31) | h(i); oi += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** The per-document hashed bag-of-words loop behind
@@ -622,6 +670,25 @@ object expressions {
       copy(child = newChild)
   }
 
+  /** Winnow-SELECTED per-position fingerprints, packed
+    * `(pos << 31) | fp` — see [[GramKernel.computeWinnowedPos]]. */
+  case class GramWinnowedPos(child: Expression, k: Int, w: Int)
+      extends UnaryExpression {
+    require(k >= 1 && w >= 1, "gram width k and window w must be >= 1")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "gram_winnowed_pos"
+
+    override def nullSafeEval(input: Any): Any =
+      GramKernel.computeWinnowedPos(input.asInstanceOf[UTF8String], k, w)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.plans.GramKernel.computeWinnowedPos($a, $k, $w);")
+
+    override protected def withNewChildInternal(newChild: Expression): GramWinnowedPos =
+      copy(child = newChild)
+  }
+
   /** Sorted distinct winnowed fingerprints (array<long>) of a string —
     * see [[WinnowKernel]]; `k`/`w` are constructor constants. */
   case class WinnowFingerprints(child: Expression, k: Int, w: Int)
@@ -677,6 +744,10 @@ object expressions {
   def gram_fingerprints(text: Column, k: Int): Column =
     org.apache.spark.sql.GraftShims.column(
       GramFingerprints(org.apache.spark.sql.GraftShims.expression(text), k))
+
+  def gram_winnowed_pos(text: Column, k: Int, w: Int): Column =
+    org.apache.spark.sql.GraftShims.column(
+      GramWinnowedPos(org.apache.spark.sql.GraftShims.expression(text), k, w))
 
   def hashed_bow(text: Column, buckets: Int): Column =
     org.apache.spark.sql.GraftShims.column(

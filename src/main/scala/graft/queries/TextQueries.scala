@@ -249,6 +249,15 @@ object TextQueries {
     TextAnalysis.repeatedSpans(Tables.documents(s, dir), "doc_id", "text",
       RepSpanGram)
 
+  /** The dense-regime sampled twin (r10 verdict task 5): winnow-
+    * selected positions only reach the nominate exchange (~2/(w+1)
+    * density); spans ≥ gramLen + window − 1 chars are guaranteed
+    * detected ([[TextAnalysis.repeatedSpansSampled]]). */
+  val RepSpanWindow = 8
+  def repeatedSpansSampledQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repeatedSpansSampled(Tables.documents(s, dir), "doc_id",
+      "text", RepSpanGram, RepSpanWindow)
+
   /** BPE tokenizer training ([[TextAnalysis.bpeLearnMerges]]): the
     * 10-round learned merge table over the corpus vocabulary. */
   val BpeMergeRounds = 10
@@ -410,6 +419,7 @@ object TextQueries {
     "text_bigram_coverage" -> (bigramCoverage _),
     "text_dsir_weights" -> (dsirWeights _),
     "text_repeated_spans" -> (repeatedSpansQ _),
+    "text_repeated_spans_sampled" -> (repeatedSpansSampledQ _),
     "text_bpe_merges" -> (bpeMerges _),
     "text_bpe_encode" -> (bpeEncode _),
     "text_novelty_curve" -> (noveltyCurveQ _),
@@ -920,6 +930,41 @@ object TextQueries {
          |s AS (SELECT doc_id, pos, SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM i),
          |sp AS (SELECT doc_id, island, MIN(pos) AS st, MAX(pos) + $RepSpanGram AS en,
          |       COUNT(*) AS ng FROM s GROUP BY 1, 2)
+         |SELECT doc_id, CAST(SUM(ng) AS BIGINT) AS n_rep_grams,
+         |  CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |  CAST(SUM(en - st) AS BIGINT) AS covered_chars,
+         |  CAST(MAX(en - st) AS BIGINT) AS max_span_chars
+         |FROM sp GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // the sampled twin replayed literally: rolling gram hashes (the
+    // text_winnow refold, k=25), window-min position selection (ALL
+    // achieving positions per window — value rules), then the same
+    // substring-verify + island cascade over SELECTED positions with
+    // the widened gap k + w - 1
+    "text_repeated_spans_sampled" ->
+      s"""WITH g AS (SELECT doc_id, text,
+         |  list_transform(generate_series(1, length(text) - ${RepSpanGram - 1}),
+         |    i -> list_reduce(list_transform(generate_series(i, i + ${RepSpanGram - 1}),
+         |           j -> CAST(ascii(substr(text, j, 1)) AS BIGINT)),
+         |         (a, b) -> (a * 31 + b) % ${graft.functions.TextOps.FingerprintMod})) AS h
+         |  FROM documents),
+         |wn AS (SELECT doc_id, text, h,
+         |       unnest(generate_series(1, greatest(1, len(h) - ${RepSpanWindow - 1}))) AS i
+         |       FROM g WHERE len(h) > 0),
+         |wm AS (SELECT doc_id, text, h, i,
+         |       list_min(list_slice(h, i, least(i + ${RepSpanWindow - 1}, len(h)))) AS m FROM wn),
+         |selp AS (SELECT DISTINCT doc_id, text, j FROM (
+         |         SELECT doc_id, text, h, m,
+         |                unnest(generate_series(i, least(i + ${RepSpanWindow - 1}, len(h)))) AS j FROM wm)
+         |         WHERE h[j] = m),
+         |cand AS (SELECT doc_id, j - 1 AS pos, substr(text, j, $RepSpanGram) AS sub FROM selp),
+         |v AS (SELECT doc_id, pos FROM (
+         |      SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY sub) AS c FROM cand) WHERE c > 1),
+         |i2 AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER w IS NULL
+         |        OR pos > lag(pos) OVER w + ${RepSpanGram + RepSpanWindow - 1} THEN 1 ELSE 0 END AS nw
+         |      FROM v WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |s2 AS (SELECT doc_id, pos, SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM i2),
+         |sp AS (SELECT doc_id, island, MIN(pos) AS st, MAX(pos) + $RepSpanGram AS en,
+         |       COUNT(*) AS ng FROM s2 GROUP BY 1, 2)
          |SELECT doc_id, CAST(SUM(ng) AS BIGINT) AS n_rep_grams,
          |  CAST(COUNT(*) AS BIGINT) AS n_spans,
          |  CAST(SUM(en - st) AS BIGINT) AS covered_chars,

@@ -693,6 +693,73 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.repeatedSpans(unique, "doc_id", "text", 25).count() === 0L)
   }
 
+  test("repeatedSpansSampled: detection guarantee + driver replica of the winnow cascade") {
+    import spark.implicits._
+    val k = 25; val w = 8
+    // GUARANTEE: every repeated span >= k + w - 1 chars must surface
+    // in EVERY carrier doc (the fully-inside-window min gram is
+    // content-determined, so both occurrences nominate it)
+    val passage = "the quick brown fox jumps over the lazy dog again and again"
+    assert(passage.length >= k + w - 1)
+    val planted = Seq(
+      (1L, s"alpha beta gamma $passage delta epsilon"),
+      (2L, s"zeta eta $passage theta iota kappa lambda"),
+      (3L, "completely unrelated text with no duplicated passage at all xyzzy"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repeatedSpansSampled(planted, "doc_id", "text", k, w)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got.keySet === Set(1L, 2L))
+    // span extents snap to selected grams, but a >= k+w-1 repeat
+    // still covers at least one full gram in each doc
+    assert(got.values.forall(_ >= k))
+
+    // driver replica on the fixture: winnow-select positions (all
+    // achieving a window min), verify substring counts among selected,
+    // islands with gap k + w - 1 — must equal the operator exactly
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val P = 1000000007L
+    def hashes(t: String): Array[Long] = {
+      val n = t.length - k + 1
+      Array.tabulate(math.max(0, n)) { i =>
+        t.substring(i, i + k).foldLeft(0L)((a, c) => (a * 31 + c) % P)
+      }
+    }
+    def selected(h: Array[Long]): Seq[Int] = {
+      if (h.isEmpty) return Nil
+      val sel = Array.fill(h.length)(false)
+      val nWin = math.max(1, h.length - w + 1)
+      for (i <- 0 until nWin) {
+        val end = math.min(i + w, h.length)
+        val m = (i until end).map(h).min
+        for (j <- i until end if h(j) == m) sel(j) = true
+      }
+      sel.indices.filter(sel)
+    }
+    val cand = rows.flatMap { case (id, t) =>
+      selected(hashes(t)).map(p => (id, p, t.substring(p, p + k))) }
+    val subCounts = cand.groupBy(_._3).view.mapValues(_.size).toMap
+    val ver = cand.filter(c => subCounts(c._3) > 1).map(c => (c._1, c._2))
+    val gap = k + w - 1
+    val expect = ver.groupBy(_._1).map { case (id, ps) =>
+      val sorted = ps.map(_._2).sorted
+      val islands = sorted.tail.foldLeft(List((sorted.head, sorted.head, 1))) {
+        case ((st, en, ng) :: rest, p) =>
+          if (p > en + gap) (p, p, 1) :: (st, en, ng) :: rest
+          else (st, p, ng + 1) :: rest
+        case (Nil, p) => List((p, p, 1))
+      }
+      val sp = islands.map { case (st, en, ng) => (st.toLong, en.toLong + k, ng.toLong) }
+      (id, (sp.map(_._3).sum, sp.size.toLong,
+        sp.map(s => s._2 - s._1).sum, sp.map(s => s._2 - s._1).max))
+    }
+    val gotFx = TextAnalysis.repeatedSpansSampled(docs, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(gotFx === expect)
+    assert(gotFx.nonEmpty)
+  }
+
   test("repeatedSpans == driver brute force over all substrings (fixture)") {
     val k = 25
     val rows = docs.select("doc_id", "text").collect()
