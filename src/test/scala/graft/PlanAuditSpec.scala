@@ -213,9 +213,27 @@ class PlanAuditSpec extends SparkSpec {
       "text_quality_buckets" -> 12000L,  // measured 3457: bigram TYPES (lang,bucket) partials
       "rel_quantiles_sketch" -> 20000L,  // measured 7629: range/8192-cent cells ×2 quantiles
       "text_vocab" -> 20000L,            // measured 11726: vocab TYPES, not the 27k token stream
-      "text_topic_clusters" -> 6000L)    // measured 1345: k·d Lloyd partials + k-bounded report —
+      "text_topic_clusters" -> 6000L,    // measured 1345: k·d Lloyd partials + k-bounded report —
                                          // a regression to the pre-kernel (doc, bucket) exchange
                                          // (≥ 16k at sf0.01) fails here
+      // round-10 cohorts (r10 verdict task 6; measured 2026-08-15):
+      "text_source_overlap" -> 150000L,  // measured 49209: distinct (source, gram) TYPES — a
+                                         // regression to the occurrence stream (sources × 27k
+                                         // token positions) fails
+      "dedup_incremental" -> 100000L,    // measured 29010 cold (incl. pair-memo build): 32-byte
+                                         // digest keys + shingle postings, never a docs² term
+      "dedup_incremental_probe" -> 80000L, // measured 21459: new-batch postings only probe the
+                                         // corpus index — the ingest-shaped evidence path
+      "text_bpe_merges" -> 5000L,        // measured 968: ONE corpus token-count exchange + 10
+                                         // vocab-frame rounds; a per-round corpus re-exchange
+                                         // (≥ 27k × rounds) fails
+      "text_novelty_curve" -> 150000L,   // measured 49185: the same (source, gram) type exchange
+      "pipeline_token_budget" -> 3000L,  // measured 645: langs×buckets subtotals + per-bucket
+                                         // partials, never a one-task per-lang funnel
+      "text_repeated_spans_sampled" -> 120000L) // measured 34561 vs the exact twin's 156752 —
+                                         // the winnow cut is the red bar here: losing it puts
+                                         // the full position stream (≥ 150k at sf0.01) back
+                                         // on the exchange
     val records = new java.util.concurrent.atomic.LongAdder
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
