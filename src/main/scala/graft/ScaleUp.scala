@@ -459,10 +459,11 @@ object ScaleUp {
       val (s100, rows) = t(out)
       println(f"$name%-26s $s10%8.2f $s100%9.2f ${s100 / s10}%7.2f $rows%10d")
     }
-    Timed100.foreach { name =>
+    Timed100.filter(scaleSelected).foreach { name =>
       SparkEntry.queries.get(name).foreach(fn => timeBoth(name, fn))
     }
-    TimedCustom.foreach { case (name, fn) => timeBoth(name, fn) }
+    TimedCustom.filter(t => scaleSelected(t._1))
+      .foreach { case (name, fn) => timeBoth(name, fn) }
   }
 
   /** The five heaviest shuffle producers of the declared surface
@@ -525,6 +526,15 @@ object ScaleUp {
     "text_repeated_spans_sampled", "dedup_incremental_probe",
     "pipeline_token_budget", "stream_topic_parity", "ann_vector_audit")
 
+  /** Dev-only rehearsal subset (comma-separated name prefixes, like
+    * Bench's SPARK_GRAFT_BENCH_ONLY): lets a NEW operator's scale row
+    * be measured in minutes without re-timing the whole board. UNSET
+    * for the recorded full sweeps. */
+  private val scaleOnly = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+    .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+  private def scaleSelected(name: String): Boolean =
+    scaleOnly.forall(_.exists(name.startsWith))
+
   def main(args: Array[String]): Unit = {
     val mode100 = args.contains("100")
     val out = args.filterNot(_ == "100").headOption.getOrElse(
@@ -557,10 +567,11 @@ object ScaleUp {
         catch { case e: Throwable => println(s"$name FAILED: $e"); -1L }
       println(f"$name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f $rows%10d")
     }
-    Timed.foreach { name =>
+    Timed.filter(scaleSelected).foreach { name =>
       SparkEntry.queries.get(name).foreach(fn => timeOne(name, fn))
     }
-    TimedCustom.foreach { case (name, fn) => timeOne(name, fn) }
+    TimedCustom.filter(t => scaleSelected(t._1))
+      .foreach { case (name, fn) => timeOne(name, fn) }
     spark.stop()
   }
 }
