@@ -771,4 +771,117 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sqdist"))
   }
+
+  /** MARGIN-BASED cross-set pair mining (Artetxe & Schwenk, "Margin-
+    * based Parallel Corpus Mining with Multilingual Sentence
+    * Embeddings", arXiv:1811.01136) — the standard way parallel /
+    * aligned training pairs are mined from two embedding sets (e.g.
+    * two languages, or text↔image): a raw cosine threshold is scale-
+    * sensitive per query, so each candidate's cosine is normalized by
+    * the mean similarity of BOTH endpoints' k-NN neighborhoods
+    * (the "ratio" margin): margin(x,y) = sim(x,y) /
+    * (avgₖNN(x)/2 + avgₖNN(y)/2). Each x's mined partner is its
+    * margin-argmax among its k-NN; `mutual` marks pairs where y mines
+    * x back (the high-precision setting the paper reports).
+    *
+    * Distributed shape: the B² TILED exact cross kernel (the
+    * [[graft.operators.Dedup.embeddingCosine]] block scheme, cross-set
+    * form) — each side's row lands in B tiles, every (x, y) pair
+    * meets in exactly one tile, each tile emits only per-vector
+    * bounded top-k partials, so the post-kernel shuffle is
+    * (|X|+|Y|)·k·B rows, never |X|·|Y|. The margin arithmetic then
+    * runs on the k-bounded lists: two sum aggregates + one broadcast-
+    * able best-partner window. At 100 TB the tile kernel is swapped
+    * for IVF/LSH candidate generation (the [[Similarity]] index
+    * family) and the margin stage is unchanged — it only ever sees
+    * k-bounded candidate lists.
+    *
+    * Cross-engine determinism: k-NN ranks order by the RAW double
+    * cosine (the proven oracle fold), every derived quantity is
+    * integer — sim_micros = ⌊(cos+1)·5·10⁵⌋ (the +1 shift keeps
+    * neighborhood sums strictly non-negative so integer division
+    * truncation = floor in both engines), margin_permille =
+    * (2k·1000·sim_micros) DIV (Σₖx + Σₖy). */
+  def marginKnnMining(embsX: DataFrame, embsY: DataFrame,
+                      idCol: String, vecCol: String,
+                      k: Int = 4, numBlocks: Int = 4): DataFrame = {
+    val spark = embsX.sparkSession
+    import spark.implicits._
+    require(k >= 1 && numBlocks >= 1, "k and numBlocks must be >= 1")
+    val B = numBlocks
+    def prep(df: DataFrame) = df
+      .select(col(idCol).cast("long").as("id"),
+        VectorOps.toDouble(col(vecCol)).as("v")).as[(Long, Array[Double])]
+    val tagged =
+      prep(embsX).flatMap { case (id, v) =>
+        val bx = java.lang.Math.floorMod(id, B.toLong).toInt
+        (0 until B).map(j => (bx * B + j, 0, id, v))
+      }.union(prep(embsY).flatMap { case (id, v) =>
+        val by = java.lang.Math.floorMod(id, B.toLong).toInt
+        (0 until B).map(i => (i * B + by, 1, id, v))
+      })
+    val ord = Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long])
+    val partial = tagged.groupByKey(_._1).flatMapGroups { (_, iter) =>
+      val rows = iter.toArray
+      val xs = rows.filter(_._2 == 0).map(r => (r._3, r._4)).sortBy(_._1)
+      val ys = rows.filter(_._2 == 1).map(r => (r._3, r._4)).sortBy(_._1)
+      val xn = xs.map { case (_, v) => math.sqrt(VectorOps.dotSeq(v, v)) }
+      val yn = ys.map { case (_, v) => math.sqrt(VectorOps.dotSeq(v, v)) }
+      def topk(from: Array[(Long, Array[Double])], fn: Array[Double],
+               to: Array[(Long, Array[Double])], tn: Array[Double],
+               side: Int, xFirst: Boolean) =
+        from.iterator.zipWithIndex.flatMap { case ((fid, fv), fi) =>
+          val h = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+          var ti = 0
+          while (ti < to.length) {
+            val (tid, tv) = to(ti)
+            // X-side vector always folds first so cos(x, y) is the
+            // SAME double in both directions (and in the oracle)
+            val c =
+              if (xFirst) VectorOps.dotSeq(fv, tv) / (fn(fi) * tn(ti))
+              else VectorOps.dotSeq(tv, fv) / (tn(ti) * fn(fi))
+            if (h.length < k || ord.lt((c, tid), h.last)) {
+              h += ((c, tid))
+              val sorted = h.sorted(ord)
+              h.clear(); h ++= sorted.take(k)
+            }
+            ti += 1
+          }
+          h.iterator.map { case (c, tid) => (side, fid, tid, c) }
+        }
+      (topk(xs, xn, ys, yn, 0, xFirst = true) ++
+        topk(ys, yn, xs, xn, 1, xFirst = false)).toSeq
+    }.toDF("side", "id", "other", "cosine")
+    val w = Window.partitionBy("side", "id")
+      .orderBy(col("cosine").desc, col("other"))
+    val knn = partial
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .withColumn("m", floor((col("cosine") + 1.0d) * 500000.0d).cast("long"))
+    val sums = knn.groupBy("side", "id").agg(sum("m").as("s"))
+    val sx = sums.filter(col("side") === 0).select(col("id").as("xid"), col("s").as("sx"))
+    val sy = sums.filter(col("side") === 1).select(col("id").as("yid"), col("s").as("sy"))
+    def margins(side: Int, asX: Boolean) = knn.filter(col("side") === side)
+      .select((if (asX) col("id") else col("other")).as("xid"),
+        (if (asX) col("other") else col("id")).as("yid"),
+        col("cosine"), col("m"))
+      .join(sx, "xid").join(sy, "yid")
+      .withColumn("margin_permille",
+        when(col("sx") + col("sy") === 0L, lit(null))
+          .otherwise(expr(s"(2 * $k * 1000 * m) DIV (sx + sy)")))
+    val bw = Window.partitionBy("xid")
+      .orderBy(col("margin_permille").desc, col("cosine").desc, col("yid"))
+    val bestX = margins(0, asX = true)
+      .withColumn("brk", row_number().over(bw)).filter(col("brk") === 1)
+      .select(col("xid").as("x_id"), col("yid").as("y_id"), col("margin_permille"))
+    val bwY = Window.partitionBy("yid")
+      .orderBy(col("margin_permille").desc, col("cosine").desc, col("xid"))
+    val bestY = margins(1, asX = false)
+      .withColumn("brk", row_number().over(bwY)).filter(col("brk") === 1)
+      .select(col("xid").as("bx"), col("yid").as("by"), lit(1).as("_m"))
+    bestX
+      .join(bestY, col("x_id") === col("bx") && col("y_id") === col("by"), "left")
+      .select(col("x_id"), col("y_id"), col("margin_permille"),
+        col("_m").isNotNull.as("mutual"))
+      .orderBy("x_id")
+  }
 }

@@ -293,7 +293,21 @@ object SimilarityQueries {
     Similarity.vectorAudit(Tables.embeddings(s, dir), "vec_id", "embedding",
       AuditDim)
 
+  /** Margin-based cross-set mining ([[Similarity.marginKnnMining]],
+    * arXiv:1811.01136): the fixture is split into two "languages" by
+    * vec_id parity; each even-id vector mines its margin-best odd-id
+    * partner among its k-NN, `mutual` marks reciprocated pairs. */
+  val MarginK = 4
+  def marginMining(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.marginKnnMining(
+      e.filter(pmod(col("vec_id"), lit(2)) === 0),
+      e.filter(pmod(col("vec_id"), lit(2)) === 1),
+      "vec_id", "embedding", k = MarginK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_margin_mining" -> (marginMining _),
     "ann_vector_audit" -> (vectorAuditQ _),
     "ann_hybrid_rrf" -> (hybridRrf _),
     "ann_bruteforce_topk" -> (bruteForce _),
@@ -648,6 +662,47 @@ object SimilarityQueries {
          |  FROM d)
          |SELECT query_id, neighbor_id, rank, round(dot, 6) AS dot
          |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+    // margin mining: cosines via the proven bruteforce fold (X-side
+    // vector first), k-NN rank on the RAW double, then all-integer
+    // margin arithmetic — the +1-shifted micros keep every operand
+    // non-negative so // (floor) == Spark's DIV (truncation)
+    "ann_margin_mining" ->
+      s"""WITH p AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |xs AS (SELECT vec_id AS xid, v FROM p WHERE vec_id % 2 = 0),
+         |ys AS (SELECT vec_id AS yid, v FROM p WHERE vec_id % 2 = 1),
+         |d AS (SELECT x.xid, y.yid,
+         |  list_sum(list_transform(generate_series(1, $Dim), i -> x.v[i] * y.v[i])) /
+         |  (sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> x.v[i] * x.v[i]))) *
+         |   sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> y.v[i] * y.v[i])))) AS c
+         |  FROM xs x CROSS JOIN ys y),
+         |kf AS (SELECT xid, yid, c, CAST(floor((c + 1.0) * 500000.0) AS BIGINT) AS m FROM (
+         |       SELECT xid, yid, c, row_number() OVER (PARTITION BY xid ORDER BY c DESC, yid) AS rk
+         |       FROM d) WHERE rk <= $MarginK),
+         |kb AS (SELECT xid, yid, c, CAST(floor((c + 1.0) * 500000.0) AS BIGINT) AS m FROM (
+         |       SELECT xid, yid, c, row_number() OVER (PARTITION BY yid ORDER BY c DESC, xid) AS rk
+         |       FROM d) WHERE rk <= $MarginK),
+         |sx AS (SELECT xid, SUM(m) AS sxs FROM kf GROUP BY 1),
+         |sy AS (SELECT yid, SUM(m) AS sys FROM kb GROUP BY 1),
+         |mf AS (SELECT kf.xid, kf.yid, kf.c,
+         |       CASE WHEN sxs + sys = 0 THEN NULL
+         |            ELSE CAST((2 * $MarginK * 1000 * kf.m) // (sxs + sys) AS BIGINT) END AS margin_permille
+         |       FROM kf JOIN sx USING (xid) JOIN sy USING (yid)),
+         |mb AS (SELECT kb.xid, kb.yid, kb.c,
+         |       CASE WHEN sxs + sys = 0 THEN NULL
+         |            ELSE CAST((2 * $MarginK * 1000 * kb.m) // (sxs + sys) AS BIGINT) END AS margin_permille
+         |       FROM kb JOIN sx USING (xid) JOIN sy USING (yid)),
+         |bx AS (SELECT xid, yid, margin_permille FROM (
+         |       SELECT xid, yid, margin_permille,
+         |         row_number() OVER (PARTITION BY xid ORDER BY margin_permille DESC, c DESC, yid) AS rk
+         |       FROM mf) WHERE rk = 1),
+         |byy AS (SELECT xid, yid FROM (
+         |       SELECT xid, yid,
+         |         row_number() OVER (PARTITION BY yid ORDER BY margin_permille DESC, c DESC, xid) AS rk
+         |       FROM mb) WHERE rk = 1)
+         |SELECT bx.xid AS x_id, bx.yid AS y_id, bx.margin_permille,
+         |  (byy.xid IS NOT NULL) AS mutual
+         |FROM bx LEFT JOIN byy ON byy.yid = bx.yid AND byy.xid = bx.xid
+         |ORDER BY x_id""".stripMargin,
     "ann_bruteforce_topk" ->
       s"""WITH p AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM p ORDER BY vec_id LIMIT $Q),

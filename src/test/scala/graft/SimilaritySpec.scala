@@ -384,4 +384,45 @@ class SimilaritySpec extends SparkSpec {
       fx.getLong(3) === 0L && fx.getLong(4) === 0L)
     assert(fx.getLong(0) > 0L && fx.getLong(5) > 0L)
   }
+
+  test("margin mining: planted near-identical pair mined mutually with dominant margin") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    def noise() = Array.fill(32)((rng.nextDouble() - 0.5).toFloat)
+    val base = noise()
+    // x=0 and y=1 are near-clones; everything else is independent noise
+    val xs = ((0L, base.map(v => (v + 0.001f))) +:
+      (1 to 5).map(i => (2L * i, noise()))).toDF("vec_id", "embedding")
+    val ys = ((1L, base) +:
+      (1 to 5).map(i => (2L * i + 1, noise()))).toDF("vec_id", "embedding")
+    val got = Similarity.marginKnnMining(xs, ys, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    val (y0, m0, mut0) = got(0L)
+    assert(y0 === 1L && mut0)
+    // the clone pair's margin dwarfs every other mined pair's
+    assert(got.filter(_._1 != 0L).values.forall(_._2 < m0))
+  }
+
+  test("margin mining: block-scheme invariance and mined-pair law on the fixture") {
+    val e = emb
+    val x = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val y = e.filter(pmod(col("vec_id"), lit(2)) === 1)
+    def rows(b: Int) = Similarity.marginKnnMining(x, y, "vec_id", "embedding",
+        k = 4, numBlocks = b)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    val b4 = rows(4)
+    // tiling is an execution detail: 1 tile == 16 tiles, row for row
+    assert(rows(1) === b4)
+    // every X vector mines exactly one partner; partner ids are odd
+    assert(b4.map(_._1).distinct.length === b4.length)
+    assert(b4.forall(t => t._2 % 2 == 1))
+    // mutual pairs: y's best must be x — verify against a reversed run
+    // (swap sides; mining X<->Y is symmetric in the margin formula)
+    val rev = Similarity.marginKnnMining(y, x, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    b4.filter(_._4).foreach { case (xid, yid, _, _) =>
+      assert(rev(yid) === xid, s"mutual pair ($xid, $yid) not reciprocated")
+    }
+  }
 }
