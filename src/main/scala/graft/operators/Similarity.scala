@@ -772,6 +772,69 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sqdist"))
   }
 
+  /** EXACT second-moment statistics of an embedding column — the
+    * sufficient statistic for covariance, whitening, PCA and OPQ-style
+    * rotation init, and the standing drift monitor an embedding
+    * pipeline diffs between snapshots. One pass, upper-triangle
+    * d(d+1)/2 cells: per cell (i ≤ j) the row count, the exact
+    * per-dim sums Σvᵢ, Σvⱼ and the exact product sum Σvᵢvⱼ —
+    * covariance = (n·Σvᵢvⱼ − Σvᵢ·Σvⱼ)/n² is driver arithmetic.
+    *
+    * Scale shape: the pair explode inflates rows ×d(d+1)/2 but ALL of
+    * it partial-aggregates map-side (HashAggregate) — the exchange is
+    * d²-bounded per partition (d=64: 2080 cells), never corpus-sized,
+    * and the per-dim frame (d rows) broadcasts onto the cells. Sums
+    * ride the [[graft.cluster.KMeans.accumulate]] DECIMAL(38,12)
+    * bridge, so cross-partition merge order cannot perturb a bit and
+    * the d² report hash-matches the DuckDB replay. */
+  def covarianceStats(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val base = embs.select(VectorOps.toDouble(col(vecCol)).as("v"))
+    val pairs = base
+      .select(posexplode(col("v")).as(Seq("i", "vi")), col("v"))
+      .select(col("i"), col("vi"), posexplode(col("v")).as(Seq("j", "vj")))
+      .filter(col("j") >= col("i"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"),
+        round(sum((col("vi") * col("vj")).cast("decimal(38,12)")).cast("double"), 6)
+          .as("s_xy"))
+    val dims = base
+      .select(posexplode(col("v")).as(Seq("d", "vd")))
+      .groupBy("d")
+      .agg(round(sum(col("vd").cast("decimal(38,12)")).cast("double"), 6).as("s"))
+    pairs
+      .join(broadcast(dims.select(col("d").as("i"), col("s").as("s_i"))), "i")
+      .join(broadcast(dims.select(col("d").as("j"), col("s").as("s_j"))), "j")
+      .select(col("i"), col("j"), col("n"), col("s_i"), col("s_j"), col("s_xy"))
+      .orderBy("i", "j")
+  }
+
+  /** Driver-side PCA top component from [[covarianceStats]] output —
+    * the d²-bounded hand-off (the k·d-centers discipline: only the
+    * moment cells cross to the driver, never data). Deterministic
+    * power iteration from the all-ones start; returns (eigenvalue,
+    * unit eigenvector of the covariance matrix). */
+  def pcaTopComponent(stats: Array[(Int, Int, Long, Double, Double, Double)],
+                      iters: Int = 50): (Double, Array[Double]) = {
+    require(stats.nonEmpty, "empty covariance stats")
+    val d = stats.map(_._2).max + 1
+    val n = stats.head._3.toDouble
+    val cov = Array.ofDim[Double](d, d)
+    stats.foreach { case (i, j, _, si, sj, sxy) =>
+      val c = (n * sxy - si * sj) / (n * n)
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var lambda = 0.0
+    var it = 0
+    while (it < iters) {
+      val w = Array.tabulate(d)(i => VectorOps.dotSeq(cov(i), v))
+      val nm = math.sqrt(VectorOps.dotSeq(w, w))
+      if (nm > 0) { v = w.map(_ / nm); lambda = nm }
+      it += 1
+    }
+    (lambda, v)
+  }
+
   /** MARGIN-BASED cross-set pair mining (Artetxe & Schwenk, "Margin-
     * based Parallel Corpus Mining with Multilingual Sentence
     * Embeddings", arXiv:1811.01136) — the standard way parallel /

@@ -306,7 +306,14 @@ object SimilarityQueries {
       "vec_id", "embedding", k = MarginK)
   }
 
+  /** Exact covariance sufficient statistics
+    * ([[Similarity.covarianceStats]]): d(d+1)/2 upper-triangle cells,
+    * decimal-exact sums — the whitening/PCA/drift pass. */
+  def covariance(s: SparkSession, dir: String): DataFrame =
+    Similarity.covarianceStats(Tables.embeddings(s, dir), "vec_id", "embedding")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_covariance" -> (covariance _),
     "ann_margin_mining" -> (marginMining _),
     "ann_vector_audit" -> (vectorAuditQ _),
     "ann_hybrid_rrf" -> (hybridRrf _),
@@ -662,6 +669,23 @@ object SimilarityQueries {
          |  FROM d)
          |SELECT query_id, neighbor_id, rank, round(dot, 6) AS dot
          |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+    // covariance: the kmeans_accumulate DECIMAL(38,12) idiom cell for
+    // cell — products computed in DOUBLE (same per row both engines),
+    // summed exactly in decimal, output round(double, 6)
+    "ann_covariance" ->
+      s"""WITH p AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |e AS (SELECT v, unnest(generate_series(1, $Dim)) AS i1 FROM p),
+         |e2 AS (SELECT v, i1, unnest(generate_series(i1, $Dim)) AS j1 FROM e),
+         |pc AS (SELECT CAST(i1 - 1 AS INTEGER) AS i, CAST(j1 - 1 AS INTEGER) AS j,
+         |       COUNT(*) AS n,
+         |       round(CAST(SUM(CAST(v[i1] * v[j1] AS DECIMAL(38,12))) AS DOUBLE), 6) AS s_xy
+         |       FROM e2 GROUP BY 1, 2),
+         |ds AS (SELECT CAST(i1 - 1 AS INTEGER) AS d,
+         |       round(CAST(SUM(CAST(v[i1] AS DECIMAL(38,12))) AS DOUBLE), 6) AS s
+         |       FROM e GROUP BY 1)
+         |SELECT pc.i, pc.j, pc.n, di.s AS s_i, dj.s AS s_j, pc.s_xy
+         |FROM pc JOIN ds di ON di.d = pc.i JOIN ds dj ON dj.d = pc.j
+         |ORDER BY i, j""".stripMargin,
     // margin mining: cosines via the proven bruteforce fold (X-side
     // vector first), k-NN rank on the RAW double, then all-integer
     // margin arithmetic — the +1-shifted micros keep every operand

@@ -385,6 +385,42 @@ class SimilaritySpec extends SparkSpec {
     assert(fx.getLong(0) > 0L && fx.getLong(5) > 0L)
   }
 
+  test("covarianceStats == driver replica; PCA power iteration recovers a planted axis") {
+    import spark.implicits._
+    // anisotropic toy: strong variance along dim 1, tiny along dim 3
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 200).map { i =>
+      val t = rng.nextGaussian()
+      (i.toLong, Array(0.1f * rng.nextGaussian().toFloat,
+        (3.0 * t).toFloat, 0.1f * rng.nextGaussian().toFloat,
+        (0.3 * t).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.covarianceStats(df, "vec_id", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.length === 4 * 5 / 2)
+    // driver replica: exact BigDecimal sums of the same double products
+    def bd(x: Double) = new java.math.BigDecimal(java.lang.Double.toString(x))
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+    val vs = rows.map(_._2.map(_.toDouble))
+    got.foreach { case (i, j, n, si, sj, sxy) =>
+      assert(n === 200L)
+      def r6(b: java.math.BigDecimal) =
+        math.rint(b.doubleValue * 1e6) / 1e6
+      val esi = r6(vs.map(v => bd(v(i))).reduce(_ add _))
+      val esxy = r6(vs.map(v => bd(v(i) * v(j))).reduce(_ add _))
+      assert(si === esi, s"s_i cell ($i,$j)")
+      assert(sxy === esxy, s"s_xy cell ($i,$j)")
+      assert(sj === r6(vs.map(v => bd(v(j))).reduce(_ add _)))
+    }
+    val (lambda, vec) = Similarity.pcaTopComponent(got)
+    // dominant direction is (0, ±0.995, 0, ±0.0995): dim 1 carries it
+    assert(lambda > 5.0)
+    assert(math.abs(vec(1)) > 0.99)
+    assert(math.abs(vec(0)) < 0.05 && math.abs(vec(2)) < 0.05)
+  }
+
   test("margin mining: planted near-identical pair mined mutually with dominant margin") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
