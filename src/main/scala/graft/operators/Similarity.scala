@@ -781,32 +781,29 @@ object Similarity {
     * covariance = (n·Σvᵢvⱼ − Σvᵢ·Σvⱼ)/n² is driver arithmetic.
     *
     * Scale shape: the pair explode inflates rows ×d(d+1)/2 but ALL of
-    * it partial-aggregates map-side (HashAggregate) — the exchange is
-    * d²-bounded per partition (d=64: 2080 cells), never corpus-sized,
-    * and the per-dim frame (d rows) broadcasts onto the cells. Sums
-    * ride the [[graft.cluster.KMeans.accumulate]] DECIMAL(38,12)
-    * bridge, so cross-partition merge order cannot perturb a bit and
-    * the d² report hash-matches the DuckDB replay. */
-  def covarianceStats(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val base = embs.select(VectorOps.toDouble(col(vecCol)).as("v"))
-    val pairs = base
+    * it partial-aggregates map-side (HashAggregate) — ONE exchange,
+    * d²-bounded per partition (d=64: 2080 cells), never corpus-sized.
+    * The first moments ride along inside the same cells (s_i summed
+    * per cell is n-fold redundant compute but keeps the plan to a
+    * single shuffle — no per-dim frame, no joins). Sums ride the
+    * [[graft.cluster.KMeans.accumulate]] DECIMAL(38,12) bridge, so
+    * cross-partition merge order cannot perturb a bit and the d²
+    * report hash-matches the DuckDB replay. [[cellStats]] is the
+    * pre-sort frame the streaming parity twin shares. */
+  def cellStats(embs: DataFrame, vecCol: String): DataFrame =
+    embs.select(VectorOps.toDouble(col(vecCol)).as("v"))
       .select(posexplode(col("v")).as(Seq("i", "vi")), col("v"))
       .select(col("i"), col("vi"), posexplode(col("v")).as(Seq("j", "vj")))
       .filter(col("j") >= col("i"))
       .groupBy("i", "j")
       .agg(count(lit(1)).as("n"),
+        round(sum(col("vi").cast("decimal(38,12)")).cast("double"), 6).as("s_i"),
+        round(sum(col("vj").cast("decimal(38,12)")).cast("double"), 6).as("s_j"),
         round(sum((col("vi") * col("vj")).cast("decimal(38,12)")).cast("double"), 6)
           .as("s_xy"))
-    val dims = base
-      .select(posexplode(col("v")).as(Seq("d", "vd")))
-      .groupBy("d")
-      .agg(round(sum(col("vd").cast("decimal(38,12)")).cast("double"), 6).as("s"))
-    pairs
-      .join(broadcast(dims.select(col("d").as("i"), col("s").as("s_i"))), "i")
-      .join(broadcast(dims.select(col("d").as("j"), col("s").as("s_j"))), "j")
-      .select(col("i"), col("j"), col("n"), col("s_i"), col("s_j"), col("s_xy"))
-      .orderBy("i", "j")
-  }
+
+  def covarianceStats(embs: DataFrame, idCol: String, vecCol: String): DataFrame =
+    cellStats(embs, vecCol).orderBy("i", "j")
 
   /** Driver-side PCA top component from [[covarianceStats]] output —
     * the d²-bounded hand-off (the k·d-centers discipline: only the

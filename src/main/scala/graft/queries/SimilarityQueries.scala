@@ -312,6 +312,21 @@ object SimilarityQueries {
   def covariance(s: SparkSession, dir: String): DataFrame =
     Similarity.covarianceStats(Tables.embeddings(s, dir), "vec_id", "embedding")
 
+  /** One oracle for the batch query AND its streaming parity twin —
+    * the kmeans_accumulate DECIMAL(38,12) idiom cell for cell:
+    * products computed in DOUBLE (same per row both engines), summed
+    * exactly in decimal, output round(double, 6). */
+  private[graft] def covarianceOracleSql: String =
+    s"""WITH p AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |e AS (SELECT v, unnest(generate_series(1, $Dim)) AS i1 FROM p),
+       |e2 AS (SELECT v, i1, unnest(generate_series(i1, $Dim)) AS j1 FROM e)
+       |SELECT CAST(i1 - 1 AS INTEGER) AS i, CAST(j1 - 1 AS INTEGER) AS j,
+       |  COUNT(*) AS n,
+       |  round(CAST(SUM(CAST(v[i1] AS DECIMAL(38,12))) AS DOUBLE), 6) AS s_i,
+       |  round(CAST(SUM(CAST(v[j1] AS DECIMAL(38,12))) AS DOUBLE), 6) AS s_j,
+       |  round(CAST(SUM(CAST(v[i1] * v[j1] AS DECIMAL(38,12))) AS DOUBLE), 6) AS s_xy
+       |FROM e2 GROUP BY 1, 2 ORDER BY i, j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_covariance" -> (covariance _),
     "ann_margin_mining" -> (marginMining _),
@@ -672,20 +687,7 @@ object SimilarityQueries {
     // covariance: the kmeans_accumulate DECIMAL(38,12) idiom cell for
     // cell — products computed in DOUBLE (same per row both engines),
     // summed exactly in decimal, output round(double, 6)
-    "ann_covariance" ->
-      s"""WITH p AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |e AS (SELECT v, unnest(generate_series(1, $Dim)) AS i1 FROM p),
-         |e2 AS (SELECT v, i1, unnest(generate_series(i1, $Dim)) AS j1 FROM e),
-         |pc AS (SELECT CAST(i1 - 1 AS INTEGER) AS i, CAST(j1 - 1 AS INTEGER) AS j,
-         |       COUNT(*) AS n,
-         |       round(CAST(SUM(CAST(v[i1] * v[j1] AS DECIMAL(38,12))) AS DOUBLE), 6) AS s_xy
-         |       FROM e2 GROUP BY 1, 2),
-         |ds AS (SELECT CAST(i1 - 1 AS INTEGER) AS d,
-         |       round(CAST(SUM(CAST(v[i1] AS DECIMAL(38,12))) AS DOUBLE), 6) AS s
-         |       FROM e GROUP BY 1)
-         |SELECT pc.i, pc.j, pc.n, di.s AS s_i, dj.s AS s_j, pc.s_xy
-         |FROM pc JOIN ds di ON di.d = pc.i JOIN ds dj ON dj.d = pc.j
-         |ORDER BY i, j""".stripMargin,
+    "ann_covariance" -> covarianceOracleSql,
     // margin mining: cosines via the proven bruteforce fold (X-side
     // vector first), k-NN rank on the RAW double, then all-integer
     // margin arithmetic — the +1-shifted micros keep every operand

@@ -486,7 +486,26 @@ object StreamQueries {
     runToMemory(s, "stream_topic_sink", out, "append").orderBy("doc_id")
   }
 
+  /** Streaming covariance — the DRIFT-MONITOR serving form of
+    * `ann_covariance`: the same one-exchange cell aggregate
+    * ([[graft.operators.Similarity.cellStats]]) as a stateful
+    * streaming aggregation in complete mode. Decimal sums make the
+    * accumulated state merge-order-proof, so after the fixture's
+    * single micro-batch the emitted d² cells are CELL-FOR-CELL the
+    * batch query's (and ride the same DuckDB oracle); in production
+    * the same query tails the embedding ingest and every trigger
+    * emits the current exact moments — no recompute-the-corpus job. */
+  def covarianceParity(s: SparkSession, dir: String): DataFrame = {
+    val embs = s.readStream
+      .schema("vec_id bigint, embedding array<float>, label int")
+      .parquet(streamDir(dir, "embeddings"))
+    runToMemory(s, "stream_cov_sink",
+        graft.operators.Similarity.cellStats(embs, "embedding"), "complete")
+      .orderBy("i", "j")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_covariance_parity" -> (covarianceParity _),
     "stream_topic_parity" -> (topicParity _),
     "stream_attribution_parity" -> (attributionParity _),
     "stream_markov_parity" -> (markovParity _),
@@ -506,6 +525,9 @@ object StreamQueries {
   val oracles: Map[String, String] = Map(
     // the batch topic oracle's shared train+assign chain, read out
     // per document instead of as the k-bounded report
+    // the batch covariance oracle verbatim: accumulated decimal
+    // streaming state must equal the batch cells exactly
+    "stream_covariance_parity" -> SimilarityQueries.covarianceOracleSql,
     "stream_topic_parity" -> (TextQueries.topicAsgCtes +
       """
         |SELECT vec_id AS doc_id, CAST(cid AS INTEGER) AS cluster_id
