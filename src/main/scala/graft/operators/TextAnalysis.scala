@@ -1464,6 +1464,45 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** TEMPERATURE-BASED source mixing — the multilingual-pretraining
+    * resampling stage (mC4 / XLM-R style: sample source s with
+    * probability ∝ qₛ^α, α < 1, so low-resource sources are
+    * up-weighted relative to their natural share qₛ = tokensₛ/total).
+    *
+    * α is expressed as a number of SQRT APPLICATIONS (α = 2^−a):
+    * sqrt is the one fractional power IEEE 754 requires correctly
+    * rounded, so qₛ^α is bit-identical in any engine, while pow(x, α)
+    * for general α differs across libm implementations — the same
+    * determinism reasoning that keeps ln out of the BM25 scores. The
+    * smoothed weights are integer-normalized (floor to micros, then
+    * permille by integer division over the micro-sum), and the
+    * per-source sampling budget is `targetDocs · weight DIV 1000`.
+    *
+    * One source-keyed exchange (sources-bounded cells after map-side
+    * partials); the two 1-row totals broadcast. The report is the
+    * manifest a zero-shuffle admission filter (hashModSample per
+    * source at rate weight/share) consumes downstream. */
+  def temperatureMix(docs: DataFrame, sourceCol: String, textCol: String,
+                     targetDocs: Long, sqrtApplications: Int = 1): DataFrame = {
+    require(sqrtApplications >= 1 && targetDocs > 0,
+      "need >= 1 sqrt application (alpha = 2^-a) and a positive target")
+    val per = docs.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextOps.words(col(textCol)))).cast("long").as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("_tt"))
+    val q = col("n_tokens").cast("double") / col("_tt").cast("double")
+    val r = (1 to sqrtApplications).foldLeft(q)((c, _) => sqrt(c))
+    val scored = per.crossJoin(broadcast(tot))
+      .withColumn("r", floor(r * 1000000.0d).cast("long"))
+    val denom = scored.agg(sum("r").as("_rs"))
+    scored.crossJoin(broadcast(denom))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("(1000 * n_tokens) DIV _tt").as("share_permille"),
+        expr("(1000 * r) DIV _rs").as("weight_permille"),
+        expr(s"($targetDocs * ((1000 * r) DIV _rs)) DIV 1000").as("target_docs"))
+      .orderBy("source")
+  }
+
   /** WINNOW-SAMPLED repeated spans — the dense-regime companion to
     * [[repeatedSpans]] (r10 verdict task 5): the exact operator's
     * nominate exchange carries 8 bytes for EVERY gram position, which

@@ -131,8 +131,16 @@ object PipelineQueries {
     TextAnalysis.tokenBudgetSelect(Tables.documents(s, dir), "doc_id",
       "lang", "text", QualityBudget)
 
+  /** Temperature mixing ([[TextAnalysis.temperatureMix]]): α = 0.5
+    * (one sqrt), a 100 k-doc sampling target. */
+  val MixTargetDocs = 100000L
+  def mixWeights(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.temperatureMix(Tables.documents(s, dir), "source", "text",
+      MixTargetDocs)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_clean_corpus" -> (cleanCorpus _),
+    "pipeline_mix_weights" -> (mixWeights _),
     "pipeline_shard_manifest" -> (shardManifest _),
     "pipeline_token_budget" -> (tokenBudget _),
     "pipeline_training_set" -> (trainingSet _))
@@ -141,6 +149,22 @@ object PipelineQueries {
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracles: Map[String, String] = Map(
+    // sqrt is IEEE-correctly-rounded in both engines; everything
+    // after the floor is positive-integer arithmetic (// == DIV)
+    "pipeline_mix_weights" ->
+      s"""WITH per AS (SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |t AS (SELECT SUM(n_tokens) AS tt FROM per),
+         |s AS (SELECT source, n_docs, n_tokens, tt,
+         |  CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / tt) * 1000000.0) AS BIGINT) AS r
+         |  FROM per CROSS JOIN t),
+         |d AS (SELECT SUM(r) AS rs FROM s)
+         |SELECT source, n_docs, n_tokens,
+         |  CAST((1000 * n_tokens) // tt AS BIGINT) AS share_permille,
+         |  CAST((1000 * r) // rs AS BIGINT) AS weight_permille,
+         |  CAST(($MixTargetDocs * ((1000 * r) // rs)) // 1000 AS BIGINT) AS target_docs
+         |FROM s CROSS JOIN d ORDER BY source""".stripMargin,
     // the text_quality score CTE (pinned-order IEEE arithmetic, so
     // floor(score·1e6) is bit-stable cross-engine), then the NAIVE
     // per-lang running token sum — the two-level operator's semantics

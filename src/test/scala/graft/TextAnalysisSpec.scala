@@ -924,6 +924,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(none.forall(r => r.getLong(3) === 0L && r.isNullAt(5)))
   }
 
+  test("temperatureMix: low-resource sources up-weighted; weights normalize; deeper alpha flattens") {
+    import spark.implicits._
+    // 90/9/1 token split across three sources
+    val d = (
+      (1 to 90).map(i => (i.toLong, "big", "a b c d e f g h i j")) ++
+      (1 to 9).map(i => (100L + i, "mid", "a b c d e f g h i j")) ++
+      Seq((200L, "small", "a b c d e f g h i j"))).toDF("doc_id", "source", "text")
+    def mix(a: Int) = TextAnalysis.temperatureMix(d, "source", "text", 1000L, a)
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val m1 = mix(1)
+    // shares: 900, 90, 10 permille; alpha=0.5 smooths toward uniform
+    assert(m1("big")._1 === 900L && m1("mid")._1 === 90L && m1("small")._1 === 10L)
+    assert(m1("big")._2 < 900L && m1("small")._2 > 10L && m1("mid")._2 > 90L)
+    // permille weights normalize up to per-source floor loss
+    val wsum = m1.values.map(_._2).sum
+    assert(wsum > 1000L - 3 * 2 && wsum <= 1000L)
+    // target budgets follow the weights exactly (integer arithmetic)
+    m1.foreach { case (_, (_, w, t)) => assert(t === w) } // targetDocs=1000
+    // alpha=0.25 (two sqrts) flattens further
+    val m2 = mix(2)
+    assert(m2("big")._2 < m1("big")._2 && m2("small")._2 > m1("small")._2)
+    // degenerate single source takes the whole budget
+    val solo = TextAnalysis.temperatureMix(
+        d.filter(col("source") === "big"), "source", "text", 1000L)
+      .collect()
+    assert(solo.length === 1 && solo.head.getLong(4) === 1000L &&
+      solo.head.getLong(5) === 1000L)
+  }
+
   test("tokenBudgetSelect: null/NaN-scored docs sort LAST, never first (r10 ADVICE)") {
     import spark.implicits._
     // an empty doc scores NaN (0/0 punct ratio); pinned to −1 it must
