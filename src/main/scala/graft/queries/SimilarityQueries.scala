@@ -419,7 +419,7 @@ object SimilarityQueries {
     * build+probe pipeline, not just the output shape. `querySel`
     * picks the query batch (first Q vec_ids, or the next Q for
     * probe-only). */
-  private def ivfOracleSql(querySel: String): String = {
+  private[graft] def ivfOracleSql(querySel: String): String = {
     "WITH " + ivfBuildCtes +
       s""",
          |qv AS (SELECT vec_id AS query_id, v FROM p ORDER BY vec_id $querySel),

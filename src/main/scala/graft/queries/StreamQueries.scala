@@ -486,6 +486,59 @@ object StreamQueries {
     runToMemory(s, "stream_topic_sink", out, "append").orderBy("doc_id")
   }
 
+  /** Streaming ANN — ONLINE VECTOR RETRIEVAL against the persisted
+    * IVF index, the serving form of `ann_ivf_topk`: query vectors
+    * arrive as a stream, each row assigns its nProbe nearest cells
+    * per-row against the broadcast k·d centroid literals (compiled
+    * [[graft.plans.expressions.vec_sqdist]] — bit-equal to the batch
+    * probe's JVM fold, spec-pinned), candidates come from a
+    * stream-STATIC join against the disk-persisted cell layout (only
+    * probed cells' rows join — the per-query candidate state is
+    * nProbe-cell-bounded, never corpus-bounded), and top-k is a
+    * complete-mode collect + deterministic array_sort on
+    * (−cosine, id) — negation is IEEE-exact both ways, and streaming
+    * forbids rank windows, so the sort IS the row_number twin. The
+    * emitted rows ride `ann_ivf_topk`'s full build+probe DuckDB
+    * oracle verbatim: same queries (vec_id < Q on the dense 0-based
+    * fixture ids = the batch's ORDER BY LIMIT Q), same index, same
+    * ranks, same rounded cosines. */
+  def annServeParity(s: SparkSession, dir: String): DataFrame = {
+    val idx = SimilarityQueries.ivfIndex(s, dir)
+    val nProbe = SimilarityQueries.IvfNProbe
+    val stream = s.readStream
+      .schema("vec_id bigint, embedding array<float>, label int")
+      .parquet(streamDir(dir, "embeddings"))
+      .filter(col("vec_id") < SimilarityQueries.Q)
+      .select(col("vec_id").as("query_id"),
+        graft.functions.VectorOps.toDouble(col("embedding")).as("qv"))
+    val cellStructs = array(idx.centers.zipWithIndex.map { case (c, cid) =>
+      struct(
+        graft.plans.expressions.vec_sqdist(col("qv"), typedlit(c.toSeq)).as("d2"),
+        lit(cid).as("cid"))
+    }: _*)
+    val probes = stream
+      .withColumn("qn", sqrt(graft.plans.expressions.vec_dot(col("qv"), col("qv"))))
+      .withColumn("cell", explode(transform(
+        slice(array_sort(cellStructs), 1, nProbe), x => x.getField("cid"))))
+    val joined = probes.join(idx.cells, Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("cosine",
+        graft.plans.expressions.vec_dot(col("qv"), col("v")) /
+          (col("qn") * sqrt(graft.plans.expressions.vec_dot(col("v"), col("v")))))
+      .select("query_id", "id", "cosine")
+    val agg = joined.groupBy("query_id")
+      .agg(collect_list(struct((-col("cosine")).as("nc"), col("id").as("nid")))
+        .as("cand"))
+    runToMemory(s, "stream_ann_sink", agg, "complete")
+      .select(col("query_id"),
+        posexplode(slice(array_sort(col("cand")), 1, SimilarityQueries.K))
+          .as(Seq("p", "c")))
+      .select(col("query_id"), col("c.nid").as("neighbor_id"),
+        (col("p") + 1).cast("int").as("rank"),
+        round(-col("c.nc"), 6).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Streaming covariance — the DRIFT-MONITOR serving form of
     * `ann_covariance`: the same one-exchange cell aggregate
     * ([[graft.operators.Similarity.cellStats]]) as a stateful
@@ -505,6 +558,7 @@ object StreamQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_ann_parity" -> (annServeParity _),
     "stream_covariance_parity" -> (covarianceParity _),
     "stream_topic_parity" -> (topicParity _),
     "stream_attribution_parity" -> (attributionParity _),
@@ -525,6 +579,11 @@ object StreamQueries {
   val oracles: Map[String, String] = Map(
     // the batch topic oracle's shared train+assign chain, read out
     // per document instead of as the k-bounded report
+    // the batch IVF build+probe oracle verbatim: the streamed
+    // queries (vec_id < Q, dense 0-based ids) ARE the batch's
+    // ORDER BY vec_id LIMIT Q set
+    "stream_ann_parity" ->
+      SimilarityQueries.ivfOracleSql(s"LIMIT ${SimilarityQueries.Q}"),
     // the batch covariance oracle verbatim: accumulated decimal
     // streaming state must equal the batch cells exactly
     "stream_covariance_parity" -> SimilarityQueries.covarianceOracleSql,

@@ -395,6 +395,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming ANN serve equals the batch IVF probe row for row") {
+    val streamed = SparkEntry.queries("stream_ann_parity")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    val batch = SparkEntry.queries("ann_ivf_topk")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming covariance cells equal the batch moment pass exactly") {
+    val streamed = SparkEntry.queries("stream_covariance_parity")(spark, sf001)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    val batch = SparkEntry.queries("ann_covariance")(spark, sf001)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(streamed === batch)
+    assert(streamed.length === 64 * 65 / 2)
+  }
+
   test("streaming WAU (chained dedups) equals the batch contribution decomposition") {
     val streamed = SparkEntry.queries("stream_wau_parity")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
