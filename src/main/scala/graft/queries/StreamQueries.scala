@@ -552,8 +552,18 @@ object StreamQueries {
     val embs = s.readStream
       .schema("vec_id bigint, embedding array<float>, label int")
       .parquet(streamDir(dir, "embeddings"))
-    runToMemory(s, "stream_cov_sink",
-        graft.operators.Similarity.cellStats(embs, "embedding"), "complete")
+      .select(graft.functions.VectorOps.toDouble(col("embedding")).as("v"))
+    // the CovCellsAgg typed UDAF, not the batch explode plan: the
+    // exploded stream measured 13 s/batch on the stateful path (vs
+    // ~0.5 s batch); the object buffer keeps per-row work in JVM
+    // loops and ships ONE d2-cell buffer per partition
+    val agg = embs.groupBy()
+      .agg(graft.functions.CovCellsAgg.cov_cells(SimilarityQueries.Dim)(col("v"))
+        .as("cells"))
+    runToMemory(s, "stream_cov_sink", agg, "complete")
+      .select(posexplode(col("cells")).as(Seq("_p", "c")))
+      .select(col("c._1").as("i"), col("c._2").as("j"), col("c._3").as("n"),
+        col("c._4").as("s_i"), col("c._5").as("s_j"), col("c._6").as("s_xy"))
       .orderBy("i", "j")
   }
 
