@@ -41,6 +41,52 @@ object Dedup {
       .agg(min(col(idCol)).as("doc_id"), count(lit(1)).as("n_dups"))
       .select("doc_id", "n_dups")
 
+  /** CHUNK-LEVEL dedup with document REWRITE — the CCNet
+    * deduplication step (Wenzek et al., "CCNet: Extracting High
+    * Quality Monolingual Datasets from Web Crawl Data",
+    * arXiv:1911.00359): duplicated content is removed FROM INSIDE
+    * documents, not by dropping whole documents — every distinct
+    * segment keeps exactly its FIRST corpus occurrence (min
+    * (doc_id, position)) and all other occurrences are cut, then each
+    * document is rebuilt from its surviving segments in order. CCNet
+    * segments on paragraphs; the fixture corpus is single-line, so
+    * the segmentation here is the `text_chunks` fixed-width word
+    * window (the segmentation is a parameter of the idea, not of the
+    * plan).
+    *
+    * Scale shape: ONE digest-keyed exchange elects first occurrences
+    * (32-byte sha2 keys + a min-struct aggregate — the [[exact]]
+    * idiom, never text bodies ×occurrences), one chunk-keyed join
+    * attaches the verdicts, and the rebuild is a per-doc aggregate
+    * whose `array_sort(collect_list)` state is each document's OWN
+    * chunk list — document-bounded, not corpus-bounded. */
+  def chunkDedupRewrite(docs: DataFrame, idCol: String, textCol: String,
+                        chunkWords: Int): DataFrame = {
+    require(chunkWords >= 1, "chunkWords >= 1")
+    val w = TextOps.words(col(textCol))
+    val nChunks = floor(((size(col("w")) + chunkWords - 1)
+      / lit(chunkWords.toDouble))).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1), i =>
+      struct(i.as("cid"),
+        concat_ws(" ", slice(col("w"), i * chunkWords + 1, lit(chunkWords))).as("ct")))
+    val segs = docs
+      .select(col(idCol).cast("long").as("doc_id"), w.as("w"))
+      .select(col("doc_id"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("c.cid"), col("c.ct"))
+    val first = segs.groupBy(unhex(sha2(col("ct"), 256)).as("h"))
+      .agg(min(struct(col("doc_id"), col("cid"))).as("f"))
+    segs.join(first, unhex(sha2(col("ct"), 256)) === col("h"))
+      .withColumn("keep",
+        col("doc_id") === col("f.doc_id") && col("cid") === col("f.cid"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"), struct(col("cid"), col("ct"))))),
+          x => x.getField("ct")), " ").as("rebuilt_text"))
+      .orderBy("doc_id")
+  }
+
   /** INCREMENTAL dedup — the ingestion-time form of the family: a NEW
     * batch arrives against an EXISTING corpus and only the new
     * documents need a verdict (re-deduping the settled corpus on

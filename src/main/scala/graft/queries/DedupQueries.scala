@@ -437,7 +437,16 @@ object DedupQueries {
       "doc_id", "text", incrementalIsNew)
   }
 
+  /** CCNet chunk rewrite ([[Dedup.chunkDedupRewrite]]): width-20 word
+    * windows (59 corpus-duplicate chunks live at sf0.01 — width 64
+    * would leave only 8). */
+  val RewriteChunkWords = 20
+  def chunkRewrite(s: SparkSession, dir: String): DataFrame =
+    Dedup.chunkDedupRewrite(Tables.documents(s, dir), "doc_id", "text",
+      RewriteChunkWords)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_chunk_rewrite" -> (chunkRewrite _),
     "dedup_incremental" -> (incremental _),
     "dedup_incremental_probe" -> (incrementalProbe _),
     "dedup_edit_verify" -> (editVerify _),
@@ -645,6 +654,23 @@ object DedupQueries {
          |ORDER BY n.doc_id""".stripMargin)
 
   val oracles: Map[String, String] = Map(
+    // first occurrence = row_number 1 over (doc_id, cid) per chunk
+    // text — the operator's min-struct election; string_agg skips the
+    // CASE NULLs so only kept chunks rebuild, in cid order
+    "dedup_chunk_rewrite" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |c AS (SELECT doc_id, w, unnest(generate_series(0,
+         |        CAST((len(w) + ${RewriteChunkWords - 1}) // $RewriteChunkWords AS BIGINT) - 1)) AS cid
+         |      FROM t),
+         |s AS (SELECT doc_id, cid, array_to_string(list_slice(w,
+         |        cid * $RewriteChunkWords + 1,
+         |        least((cid + 1) * $RewriteChunkWords, len(w))), ' ') AS ct FROM c),
+         |k AS (SELECT doc_id, cid, ct,
+         |        row_number() OVER (PARTITION BY ct ORDER BY doc_id, cid) = 1 AS keep FROM s)
+         |SELECT doc_id, COUNT(*) AS n_chunks,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  coalesce(string_agg(CASE WHEN keep THEN ct END, ' ' ORDER BY cid), '') AS rebuilt_text
+         |FROM k GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "dedup_incremental" -> incrementalSql,
     "dedup_incremental_probe" -> incrementalSql,
     "dedup_edit_verify" -> editVerifySql,
