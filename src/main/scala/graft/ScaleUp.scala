@@ -300,7 +300,16 @@ object ScaleUp {
     // token-budget manifest, the stateless streaming topic classifier
     // and the 1-row vector audit — all scan-shaped
     "text_repeated_spans_sampled", "dedup_incremental_probe",
-    "pipeline_token_budget", "stream_topic_parity", "ann_vector_audit")
+    "pipeline_token_budget", "stream_topic_parity", "ann_vector_audit",
+    // round 11 cohort 24: the moment pass (explode + map-side partial
+    // agg), its streaming UDAF twin, online ANN serving, CCNet chunk
+    // rewrite, temperature mixing — and margin mining, which is
+    // 10×-ONLY by design: the tiled exact cross kernel is the
+    // fixture path, the 100-TB path swaps in IVF candidate
+    // generation (timing an exact 100k × 100k cross would rehearse a
+    // plan no one would run)
+    "ann_covariance", "stream_covariance_parity", "stream_ann_parity",
+    "dedup_chunk_rewrite", "pipeline_mix_weights", "ann_margin_mining")
 
   /** Rehearsal-only closures that are NOT declared queries: the
     * auto-parameter scale path of an operator whose declared form pins
@@ -524,7 +533,10 @@ object ScaleUp {
     // exchange; this one ~2/(w+1) of it), the probe-form incremental
     // verdicts, and the cohort 21-23 scan-shaped rows
     "text_repeated_spans_sampled", "dedup_incremental_probe",
-    "pipeline_token_budget", "stream_topic_parity", "ann_vector_audit")
+    "pipeline_token_budget", "stream_topic_parity", "ann_vector_audit",
+    // round 11 cohort 24 (margin mining is 10×-only — see Timed)
+    "ann_covariance", "stream_covariance_parity", "stream_ann_parity",
+    "dedup_chunk_rewrite", "pipeline_mix_weights")
 
   /** Dev-only rehearsal subset (comma-separated name prefixes, like
     * Bench's SPARK_GRAFT_BENCH_ONLY): lets a NEW operator's scale row

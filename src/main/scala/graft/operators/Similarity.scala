@@ -111,6 +111,63 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** HARD-NEGATIVE mining — the candidate generator for contrastive /
+    * dual-encoder training (in-batch negatives are mostly easy; the
+    * negatives that move the loss are the most-similar vectors of a
+    * DIFFERENT class): for each query, the exact top-k cosine
+    * neighbors whose label differs from the query's. Same distributed
+    * shape as [[bruteForceTopK]] — queries (with their labels)
+    * broadcast, per-partition bounded heaps that skip same-label rows,
+    * Q·k·numPartitions candidates to the global rank; at 100 TB the
+    * candidate stage swaps to the IVF/LSH index family and the label
+    * filter rides the probe unchanged. Output carries the negative's
+    * label so a training-pair writer can stratify. */
+  def hardNegativesTopK(embs: DataFrame, idCol: String, vecCol: String,
+                        labelCol: String,
+                        queries: Array[(Long, Int, Array[Double])],
+                        k: Int): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val qb = spark.sparkContext.broadcast(
+      queries.map { case (qid, ql, v) =>
+        (qid, ql, v, math.sqrt(VectorOps.dotSeq(v, v))) })
+    val p = embs.select(col(idCol).cast("long").as("id"),
+      col(labelCol).cast("int").as("lbl"),
+      VectorOps.toDouble(col(vecCol)).as("v")).as[(Long, Int, Array[Double])]
+    val ord = Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long])
+    val partial = p.mapPartitions { iter =>
+      val qs = qb.value
+      val heaps = qs.map(_ => scala.collection.mutable.ArrayBuffer.empty[(Double, Long, Int)])
+      iter.foreach { case (id, lbl, v) =>
+        val n = math.sqrt(VectorOps.dotSeq(v, v))
+        var qi = 0
+        while (qi < qs.length) {
+          val (qid, ql, qv, qn) = qs(qi)
+          if (id != qid && lbl != ql) {
+            val c = VectorOps.dotSeq(qv, v) / (qn * n)
+            val h = heaps(qi)
+            if (h.length < k || ord.lt((c, id), (h.last._1, h.last._2))) {
+              h += ((c, id, lbl))
+              val sorted = h.sortBy(t => (t._1, t._2))(ord)
+              h.clear(); h ++= sorted.take(k)
+            }
+          }
+          qi += 1
+        }
+      }
+      qs.iterator.zipWithIndex.flatMap { case ((qid, _, _, _), qi) =>
+        heaps(qi).iterator.map { case (c, id, lbl) => (qid, id, lbl, c) }
+      }
+    }.toDF("query_id", "neighbor_id", "neighbor_label", "cosine")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    partial
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("neighbor_label"), col("cosine"))
+  }
+
   /** Exact top-k MAXIMUM-INNER-PRODUCT neighbors for each query
     * vector — the retrieval scoring used when embeddings are trained
     * with a dot-product objective (e.g. dual-encoder retrievers),

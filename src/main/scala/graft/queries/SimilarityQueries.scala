@@ -327,7 +327,26 @@ object SimilarityQueries {
        |  round(CAST(SUM(CAST(v[i1] * v[j1] AS DECIMAL(38,12))) AS DOUBLE), 6) AS s_xy
        |FROM e2 GROUP BY 1, 2 ORDER BY i, j""".stripMargin
 
+  /** Hard-negative mining ([[Similarity.hardNegativesTopK]]): per
+    * query, the k most-similar OTHER-label vectors — the contrastive-
+    * training candidate generator; first declared use of the
+    * embeddings fixture's `label` column. */
+  private def queryVecsLabeled(s: SparkSession, dir: String): Array[(Long, Int, Array[Double])] =
+    Tables.embeddings(s, dir)
+      .orderBy("vec_id").limit(Q)
+      .select(col("vec_id"), col("label"), VectorOps.toDouble(col("embedding")))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+
+  def hardNegatives(s: SparkSession, dir: String): DataFrame =
+    Similarity.hardNegativesTopK(Tables.embeddings(s, dir), "vec_id",
+        "embedding", "label", queryVecsLabeled(s, dir), K)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("neighbor_label"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("query_id", "rank")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_hard_negatives" -> (hardNegatives _),
     "ann_covariance" -> (covariance _),
     "ann_margin_mining" -> (marginMining _),
     "ann_vector_audit" -> (vectorAuditQ _),
@@ -688,6 +707,20 @@ object SimilarityQueries {
     // cell — products computed in DOUBLE (same per row both engines),
     // summed exactly in decimal, output round(double, 6)
     "ann_covariance" -> covarianceOracleSql,
+    // the bruteforce CTEs + labels: negatives must differ in label
+    "ann_hard_negatives" ->
+      s"""WITH p AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM p ORDER BY vec_id LIMIT $Q),
+         |d AS (SELECT q.query_id, p.vec_id AS neighbor_id, p.label AS neighbor_label,
+         |  list_sum(list_transform(generate_series(1, $Dim), i -> q.qv[i] * p.v[i])) /
+         |  (sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> q.qv[i] * q.qv[i]))) *
+         |   sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> p.v[i] * p.v[i])))) AS cosine
+         |  FROM q CROSS JOIN p WHERE p.vec_id <> q.query_id AND p.label <> q.qlabel),
+         |r AS (SELECT query_id, neighbor_id, neighbor_label, cosine,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM d)
+         |SELECT query_id, neighbor_id, rank, neighbor_label, round(cosine, 6) AS cosine
+         |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
     // margin mining: cosines via the proven bruteforce fold (X-side
     // vector first), k-NN rank on the RAW double, then all-integer
     // margin arithmetic — the +1-shifted micros keep every operand

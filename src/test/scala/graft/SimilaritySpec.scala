@@ -385,6 +385,31 @@ class SimilaritySpec extends SparkSpec {
     assert(fx.getLong(0) > 0L && fx.getLong(5) > 0L)
   }
 
+  test("hard negatives: never same-label, equals the label-filtered exhaustive top-k") {
+    val all = emb.select(col("vec_id"), col("label"), VectorOps.toDouble(col("embedding")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val qs = all.sortBy(_._1).take(5)
+    val got = Similarity.hardNegativesTopK(emb, "vec_id", "embedding", "label",
+        qs, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    val labels = all.map(t => t._1 -> t._2).toMap
+    val qlabels = qs.map(t => t._1 -> t._2).toMap
+    got.foreach { case (qid, nid, _, nlbl) =>
+      assert(nlbl !== qlabels(qid))
+      assert(labels(nid) === nlbl)
+    }
+    // exhaustive replica per query
+    qs.foreach { case (qid, ql, qv) =>
+      val qn = math.sqrt(VectorOps.dotSeq(qv, qv))
+      val expect = all.filter(t => t._1 != qid && t._2 != ql)
+        .map { case (id, _, v) =>
+          (id, VectorOps.dotSeq(qv, v) / (qn * math.sqrt(VectorOps.dotSeq(v, v)))) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSeq
+      val mine = got.filter(_._1 == qid).sortBy(_._3).map(_._2).toSeq
+      assert(mine === expect, s"query $qid")
+    }
+  }
+
   test("covarianceStats == driver replica; PCA power iteration recovers a planted axis") {
     import spark.implicits._
     // anisotropic toy: strong variance along dim 1, tiny along dim 3
