@@ -445,7 +445,37 @@ object DedupQueries {
     Dedup.chunkDedupRewrite(Tables.documents(s, dir), "doc_id", "text",
       RewriteChunkWords)
 
+  /** Per-SOURCE duplication observability — the report a pipeline
+    * owner watches per ingest source ("which feed is sending us
+    * copies"): per source, how many docs have an exact twin anywhere
+    * in the corpus and how many sit in the near-dup pair graph, as
+    * integer permille. Exact evidence is one digest-keyed window
+    * (32-byte keys, the dedup_exact idiom); near evidence is the
+    * memoized [[jaccardPairs]] graph's distinct endpoints —
+    * pair-bounded, nothing corpus-quadratic; the report is
+    * sources-bounded. */
+  def sourceReport(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val exact = docs.select(col("doc_id"), col("source"),
+        (count(lit(1)).over(Window.partitionBy(unhex(sha2(col("text"), 256)))) > 1)
+          .as("is_exact"))
+    val nearIds = jaccardPairs(s, dir)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+      .withColumn("is_near", lit(1))
+    exact.join(nearIds, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_exact"), 1L).otherwise(0L)).as("n_exact_dup"),
+        sum(when(col("is_near").isNotNull, 1L).otherwise(0L)).as("n_near_dup"))
+      .select(col("source"), col("n_docs"), col("n_exact_dup"), col("n_near_dup"),
+        expr("(1000 * n_exact_dup) DIV n_docs").as("exact_permille"),
+        expr("(1000 * n_near_dup) DIV n_docs").as("near_permille"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_source_report" -> (sourceReport _),
     "dedup_chunk_rewrite" -> (chunkRewrite _),
     "dedup_incremental" -> (incremental _),
     "dedup_incremental_probe" -> (incrementalProbe _),
@@ -654,6 +684,23 @@ object DedupQueries {
          |ORDER BY n.doc_id""".stripMargin)
 
   val oracles: Map[String, String] = Map(
+    // exact evidence: corpus-wide text window; near evidence: the
+    // jaccard jp CTE's distinct endpoints; sources-bounded report
+    "dedup_source_report" -> (shingleCte +
+      s""", jp AS (SELECT doc_a, doc_b
+         |      FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+         |      WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= $JaccardThreshold),
+         |ni AS (SELECT DISTINCT doc_id FROM (
+         |       SELECT doc_a AS doc_id FROM jp UNION ALL SELECT doc_b FROM jp)),
+         |ex AS (SELECT doc_id, source,
+         |       COUNT(*) OVER (PARTITION BY text) > 1 AS is_exact FROM documents)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN is_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+         |  CAST(SUM(CASE WHEN ni.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+         |  CAST((1000 * SUM(CASE WHEN is_exact THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS exact_permille,
+         |  CAST((1000 * SUM(CASE WHEN ni.doc_id IS NOT NULL THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS near_permille
+         |FROM ex LEFT JOIN ni ON ni.doc_id = ex.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
     // first occurrence = row_number 1 over (doc_id, cid) per chunk
     // text — the operator's min-struct election; string_agg skips the
     // CASE NULLs so only kept chunks rebuild, in cid order

@@ -674,6 +674,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("sourceReport: conservation laws against the fixture's own dedup queries") {
+    val rows = graft.queries.DedupQueries.sourceReport(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc conservation: per-source docs sum to the corpus
+    assert(rows.map(_._2).sum === 500L)
+    // exact-dup docs across sources = corpus docs minus distinct texts
+    val docs = graft.io.Tables.documents(spark, sf001)
+    val distinctTexts = docs.select("text").distinct().count()
+    val groups = docs.count() - distinctTexts // dropped copies
+    val exactDupDocs = rows.map(_._3).sum
+    // every dropped copy AND its survivor are exact-dup docs
+    assert(exactDupDocs >= 2 * groups && exactDupDocs <= 500L)
+    // near-dup docs = distinct endpoints of the jaccard pair graph
+    val nearIds = graft.queries.DedupQueries.queries("dedup_ngram_jaccard")(spark, sf001)
+      .select("doc_a", "doc_b").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct.length
+    assert(rows.map(_._4).sum === nearIds.toLong)
+  }
+
   test("chunkDedupRewrite: first occurrence survives, later carriers are cut, rebuild preserves order") {
     import spark.implicits._
     // width-3 chunks; the shared chunk "x y z" appears in docs 1, 2, 3
