@@ -659,6 +659,34 @@ object TextAnalysis {
       .select(col("doc_id"), col("c.chunk_id"), col("c.n_words"), col("c.chunk_fp"))
   }
 
+  /** OVERLAPPING sliding-window chunking — the RAG / long-context
+    * preprocessing cut ([[chunkStats]] is the disjoint form): windows
+    * of `windowWords` words every `stride` words (stride < window ⇒
+    * overlap keeps boundary-spanning context retrievable). Window i
+    * covers words [i·stride, i·stride + windowWords); a window exists
+    * while its start is inside the document, so nChunks = ⌈n/stride⌉
+    * and tail windows shorten. Zero shuffle: one per-row transform,
+    * fingerprints via the corpus-standard mod-P char fold. */
+  def chunksOverlap(docs: DataFrame, idCol: String, textCol: String,
+                    windowWords: Int, stride: Int): DataFrame = {
+    require(windowWords >= 1 && stride >= 1, "windowWords/stride >= 1")
+    val w = TextOps.words(col(textCol))
+    val nChunks = floor(((size(col("w")) + stride - 1)
+      / lit(stride.toDouble))).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1), i => struct(
+      i.as("chunk_id"),
+      (i * stride).as("start_word"),
+      least(lit(windowWords), size(col("w")) - i * stride).as("n_words"),
+      TextOps.rollingFingerprint(
+        concat_ws(" ", slice(col("w"), i * stride + 1, lit(windowWords))))
+        .as("chunk_fp")))
+    docs
+      .select(col(idCol).as("doc_id"), w.as("w"))
+      .select(col("doc_id"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("c.chunk_id"), col("c.start_word"),
+        col("c.n_words"), col("c.chunk_fp"))
+  }
+
   /** Corpus-level aggregate: per (lang, source) doc counts + token
     * totals — the group-by surface over the text stats. */
   /** BIGRAM COVERAGE against a REFERENCE slice — the integer-exact

@@ -200,6 +200,15 @@ object TextQueries {
     TextAnalysis.chunkStats(Tables.documents(s, dir), "doc_id", "text", ChunkWords)
       .orderBy("doc_id", "chunk_id")
 
+  /** Overlapping RAG windows ([[TextAnalysis.chunksOverlap]]):
+    * 32-word windows every 16 words (50% overlap). */
+  val OverlapWindow = 32
+  val OverlapStride = 16
+  def chunksOverlapQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunksOverlap(Tables.documents(s, dir), "doc_id", "text",
+        OverlapWindow, OverlapStride)
+      .orderBy("doc_id", "chunk_id")
+
   /** Sequence packing at 256 tokens per context window, stratified by
     * language (GPT-style concat-and-split; a document straddling a
     * boundary emits one span per sequence it overlaps). */
@@ -407,6 +416,7 @@ object TextQueries {
     "text_winnow" -> (winnow _),
     "text_pack" -> (pack _),
     "text_chunks" -> (chunks _),
+    "text_chunks_overlap" -> (chunksOverlapQ _),
     "text_repetition" -> (repetition _),
     "text_mix_sample" -> (mixSample _),
     "text_tokens" -> (tokens _),
@@ -690,6 +700,26 @@ object TextQueries {
          |          least((chunk_id + 1) * $ChunkWords, len(w))), ' ') AS ct
          |      FROM c)
          |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+         |  CAST(n_words AS INTEGER) AS n_words,
+         |  CASE WHEN length(ct) = 0 THEN 0 ELSE list_reduce(
+         |    list_transform(generate_series(1, length(ct)),
+         |                   i -> CAST(ascii(substr(ct, i, 1)) AS BIGINT)),
+         |    (a, b) -> (a * 31 + b) % ${graft.functions.TextOps.FingerprintMod}) END AS chunk_fp
+         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+    // the overlapping-window twin: start = chunk_id * stride, window
+    // width OverlapWindow, nChunks = ceil(n / stride)
+    "text_chunks_overlap" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |c AS (SELECT doc_id, w,
+         |        unnest(generate_series(0, CAST((len(w) + ${OverlapStride - 1}) // $OverlapStride AS BIGINT) - 1)) AS chunk_id
+         |      FROM t),
+         |s AS (SELECT doc_id, chunk_id, chunk_id * $OverlapStride AS start_word,
+         |        least($OverlapWindow, len(w) - chunk_id * $OverlapStride) AS n_words,
+         |        array_to_string(list_slice(w, chunk_id * $OverlapStride + 1,
+         |          least(chunk_id * $OverlapStride + $OverlapWindow, len(w))), ' ') AS ct
+         |      FROM c)
+         |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+         |  CAST(start_word AS INTEGER) AS start_word,
          |  CAST(n_words AS INTEGER) AS n_words,
          |  CASE WHEN length(ct) = 0 THEN 0 ELSE list_reduce(
          |    list_transform(generate_series(1, length(ct)),

@@ -924,6 +924,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(none.forall(r => r.getLong(3) === 0L && r.isNullAt(5)))
   }
 
+  test("chunksOverlap: coverage and overlap laws; stride == window degenerates to chunkStats") {
+    import spark.implicits._
+    val d = Seq((1L, (1 to 50).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val got = TextAnalysis.chunksOverlap(d, "doc_id", "text", 32, 16)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3)))
+    // ceil(50/16) = 4 windows at starts 0,16,32,48; tails shorten
+    assert(got.toSeq === Seq((0, 0, 32), (1, 16, 32), (2, 32, 18), (3, 48, 2)))
+    // every word index is covered by at least one window
+    val covered = got.flatMap { case (_, st, n) => st until (st + n) }.toSet
+    assert(covered === (0 until 50).toSet)
+    // stride == window: identical segmentation to the disjoint chunker
+    val disj = TextAnalysis.chunkStats(d, "doc_id", "text", 16)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+    val same = TextAnalysis.chunksOverlap(d, "doc_id", "text", 16, 16)
+      .collect().map(r => (r.getInt(1), r.getInt(3), r.getLong(4))).toSeq
+    assert(same === disj)
+  }
+
   test("temperatureMix: low-resource sources up-weighted; weights normalize; deeper alpha flattens") {
     import spark.implicits._
     // 90/9/1 token split across three sources
