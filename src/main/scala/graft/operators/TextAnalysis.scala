@@ -540,6 +540,9 @@ object TextAnalysis {
     * without ever grouping by stratum. */
   val SampleHashP = 1000000007L
   val SampleHashA = 2654435761L % SampleHashP
+  /** Second Lehmer multiplier, the epoch-salt stream for
+    * [[epochAdmission]] (MINSTD's own constant). */
+  val SampleHashB = 48271L
   def hashModSample(docs: DataFrame, idCol: String, k: Int): DataFrame =
     docs.filter(
       pmod(pmod(col(idCol).cast("bigint"), lit(SampleHashP)) * lit(SampleHashA),
@@ -1529,6 +1532,43 @@ object TextAnalysis {
         expr("(1000 * r) DIV _rs").as("weight_permille"),
         expr(s"($targetDocs * ((1000 * r) DIV _rs)) DIV 1000").as("target_docs"))
       .orderBy("source")
+  }
+
+  /** MULTI-EPOCH ADMISSION — [[temperatureMix]]'s weights turned into
+    * an actual per-epoch sampling plan: each source's admission rate
+    * is its mixing budget over its size (capped at 1000‰), and a
+    * document enters epoch e iff its epoch-salted Lehmer hash lands
+    * under the rate — so every epoch draws a DIFFERENT ≈rate-sized
+    * subset (the "sample fresh data each epoch" discipline that keeps
+    * repeated epochs from memorizing one fixed slice), deterministic
+    * and replayable from (doc_id, epoch) alone. The report counts
+    * admitted docs/tokens per (epoch, source) — what a training
+    * scheduler consumes.
+    *
+    * ZERO-shuffle admission (the hashModSample contract: a pure
+    * filter, exact integer arithmetic) + one (epoch, source)-bounded
+    * report aggregate; the rate frame (sources-bounded) broadcasts. */
+  def epochAdmission(docs: DataFrame, idCol: String, sourceCol: String,
+                     textCol: String, targetDocs: Long, epochs: Int,
+                     sqrtApplications: Int = 1): DataFrame = {
+    require(epochs >= 1, "epochs >= 1")
+    val rates = temperatureMix(docs, sourceCol, textCol, targetDocs, sqrtApplications)
+      .select(col("source"),
+        least(lit(1000L), expr("(target_docs * 1000) DIV n_docs")).as("rate_permille"))
+    val h = pmod(
+      pmod(pmod(col("doc_id"), lit(SampleHashP)) * lit(SampleHashA), lit(SampleHashP))
+        + col("epoch") * lit(SampleHashB), lit(SampleHashP))
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), col(sourceCol).as("source"),
+        size(TextOps.words(col(textCol))).cast("long").as("n_toks"))
+      .join(broadcast(rates), "source")
+      .withColumn("epoch", explode(sequence(lit(1), lit(epochs))))
+      .filter(h % 1000 < col("rate_permille"))
+      .groupBy("epoch", "source")
+      .agg(min("rate_permille").as("rate_permille"),
+        count(lit(1)).as("n_admitted"),
+        sum("n_toks").as("admitted_tokens"))
+      .orderBy("epoch", "source")
   }
 
   /** WINNOW-SAMPLED repeated spans — the dense-regime companion to

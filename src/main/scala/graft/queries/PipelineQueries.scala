@@ -138,8 +138,21 @@ object PipelineQueries {
     TextAnalysis.temperatureMix(Tables.documents(s, dir), "source", "text",
       MixTargetDocs)
 
+  /** Epoch admission ([[TextAnalysis.epochAdmission]]): the mix
+    * weights turned into 3 epochs of deterministic per-source
+    * sampling. The per-epoch target is sized so admission is LIVE at
+    * every fixture scale (sub-1000‰ rates, different subsets per
+    * epoch) — the 100 k manifest target would cap every rate at
+    * 1000‰ and admit everything. */
+  val MixEpochs = 3
+  val EpochTargetDocs = 100L
+  def epochAdmissionQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.epochAdmission(Tables.documents(s, dir), "doc_id", "source",
+      "text", EpochTargetDocs, MixEpochs)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_clean_corpus" -> (cleanCorpus _),
+    "pipeline_epoch_admission" -> (epochAdmissionQ _),
     "pipeline_mix_weights" -> (mixWeights _),
     "pipeline_shard_manifest" -> (shardManifest _),
     "pipeline_token_budget" -> (tokenBudget _),
@@ -149,6 +162,35 @@ object PipelineQueries {
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracles: Map[String, String] = Map(
+    // the mix CTEs + the epoch-salted Lehmer admission filter — all
+    // positive-integer arithmetic after the one floor(sqrt(...))
+    "pipeline_epoch_admission" ->
+      s"""WITH per AS (SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |t AS (SELECT SUM(n_tokens) AS tt FROM per),
+         |s AS (SELECT source, n_docs, n_tokens, tt,
+         |  CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / tt) * 1000000.0) AS BIGINT) AS r
+         |  FROM per CROSS JOIN t),
+         |d AS (SELECT SUM(r) AS rs FROM s),
+         |rt AS (SELECT source, least(1000,
+         |         ((($EpochTargetDocs * ((1000 * r) // rs)) // 1000) * 1000) // n_docs)
+         |         AS rate_permille
+         |       FROM s CROSS JOIN d),
+         |doc AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+         |        FROM documents),
+         |ep AS (SELECT unnest(generate_series(1, $MixEpochs)) AS epoch),
+         |adm AS (SELECT epoch, doc.source, n_toks, rate_permille
+         |        FROM doc JOIN rt USING (source) CROSS JOIN ep
+         |        WHERE ((doc_id % ${TextAnalysis.SampleHashP}) * ${TextAnalysis.SampleHashA}
+         |               % ${TextAnalysis.SampleHashP}
+         |               + epoch * ${TextAnalysis.SampleHashB}) % ${TextAnalysis.SampleHashP}
+         |              % 1000 < rate_permille)
+         |SELECT CAST(epoch AS INTEGER) AS epoch, source,
+         |  CAST(MIN(rate_permille) AS BIGINT) AS rate_permille,
+         |  COUNT(*) AS n_admitted,
+         |  CAST(SUM(n_toks) AS BIGINT) AS admitted_tokens
+         |FROM adm GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // sqrt is IEEE-correctly-rounded in both engines; everything
     // after the floor is positive-integer arithmetic (// == DIV)
     "pipeline_mix_weights" ->

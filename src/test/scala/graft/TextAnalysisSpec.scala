@@ -971,6 +971,49 @@ class TextAnalysisSpec extends SparkSpec {
       solo.head.getLong(5) === 1000L)
   }
 
+  test("epochAdmission: epochs draw different subsets; rates honor the mix budget; deterministic") {
+    import spark.implicits._
+    // 200 docs over two sources, 10 tokens each; a tight target keeps
+    // every rate well below 1000‰ so the epoch salt is actually live
+    val d = (
+      (1 to 150).map(i => (i.toLong, "big", "a b c d e f g h i j")) ++
+      (1 to 50).map(i => (1000L + i, "small", "a b c d e f g h i j")))
+      .toDF("doc_id", "source", "text")
+    def adm(target: Long, epochs: Int) =
+      TextAnalysis.epochAdmission(d, "doc_id", "source", "text", target, epochs)
+    val r = adm(40L, 3).collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+    // every (epoch, source) cell reports; tokens = 10 * docs (uniform fixture)
+    assert(r.map(t => (t._1, t._2)).toSet ===
+      (1 to 3).flatMap(e => Seq((e, "big"), (e, "small"))).toSet)
+    r.foreach { case (_, _, rate, n, toks) =>
+      assert(rate < 1000L && toks === 10L * n)
+    }
+    // rates are epoch-invariant (they come from the mix frame alone)
+    assert(r.groupBy(_._2).forall { case (_, rows) => rows.map(_._3).distinct.size === 1 })
+    // the salt gives each epoch a DIFFERENT admitted subset — recompute
+    // membership per epoch and compare sets, not just counts
+    def members(epoch: Int): Set[Long] = {
+      val rates = r.collect { case (e, s, rate, _, _) if e == 1 => s -> rate }.toMap
+      (1 to 150).map(_.toLong).filter { id =>
+        val h = ((id % TextAnalysis.SampleHashP) * TextAnalysis.SampleHashA
+          % TextAnalysis.SampleHashP + epoch * TextAnalysis.SampleHashB) %
+          TextAnalysis.SampleHashP
+        h % 1000 < rates("big")
+      }.toSet
+    }
+    assert(members(1) !== members(2))
+    // ...and the operator's per-epoch counts match the replayed filter
+    val bigCounts = r.collect { case (e, "big", _, n, _) => e -> n }.toMap
+    (1 to 3).foreach(e => assert(bigCounts(e) === members(e).size.toLong))
+    // a huge target caps every rate at 1000 and admits everything, every epoch
+    val full = adm(1000000L, 2).collect()
+    full.foreach { x => assert(x.getLong(2) === 1000L) }
+    assert(full.map(_.getLong(3)).sum === 2L * 200L)
+    // deterministic end to end
+    assert(adm(40L, 3).collect().toSeq === adm(40L, 3).collect().toSeq)
+  }
+
   test("tokenBudgetSelect: null/NaN-scored docs sort LAST, never first (r10 ADVICE)") {
     import spark.implicits._
     // an empty doc scores NaN (0/0 punct ratio); pinned to −1 it must
