@@ -309,7 +309,14 @@ object ScaleUp {
     // generation (timing an exact 100k × 100k cross would rehearse a
     // plan no one would run)
     "ann_covariance", "stream_covariance_parity", "stream_ann_parity",
-    "dedup_chunk_rewrite", "pipeline_mix_weights", "ann_margin_mining")
+    "dedup_chunk_rewrite", "pipeline_mix_weights", "ann_margin_mining",
+    // round 11 cohort 25: hard negatives is 10×-ONLY like margin
+    // mining (brute scan is the fixture path; at scale the label
+    // filter rides the IVF/LSH probe); the other three are linear —
+    // source report shares the jaccardPairs memo, chunk overlap is a
+    // stride-bounded explode, epoch admission is a pure filter ×3
+    "ann_hard_negatives", "dedup_source_report", "text_chunks_overlap",
+    "pipeline_epoch_admission")
 
   /** Rehearsal-only closures that are NOT declared queries: the
     * auto-parameter scale path of an operator whose declared form pins
@@ -536,7 +543,13 @@ object ScaleUp {
     "pipeline_token_budget", "stream_topic_parity", "ann_vector_audit",
     // round 11 cohort 24 (margin mining is 10×-only — see Timed)
     "ann_covariance", "stream_covariance_parity", "stream_ann_parity",
-    "dedup_chunk_rewrite", "pipeline_mix_weights")
+    "dedup_chunk_rewrite", "pipeline_mix_weights",
+    // round 11 cohort 25 (hard negatives is 10×-only — see Timed):
+    // the pair-graph-memoized source report, the stride-bounded
+    // overlap chunker over 500 k open-vocab docs, and the
+    // filter-shaped 3-epoch admission report
+    "dedup_source_report", "text_chunks_overlap",
+    "pipeline_epoch_admission")
 
   /** Dev-only rehearsal subset (comma-separated name prefixes, like
     * Bench's SPARK_GRAFT_BENCH_ONLY): lets a NEW operator's scale row

@@ -168,6 +168,87 @@ object Similarity {
         col("neighbor_label"), col("cosine"))
   }
 
+  /** kNN CLASSIFICATION — weak labeling by neighbor vote: each query
+    * vector (its own label withheld) is assigned the majority label
+    * of its k most-cosine-similar LABELED vectors, the
+    * semi-supervised filter a pipeline runs to extend a small labeled
+    * seed set over an unlabeled corpus (and, run over held-out
+    * labeled rows as here, the standard embedding-quality probe —
+    * "does the space cluster by label?"). The whole query batch is
+    * excluded from the voter pool, not just the self-match: in the
+    * weak-labeling setting the unlabeled rows must not vote.
+    *
+    * Same distributed shape as [[bruteForceTopK]] — queries + their
+    * id set broadcast, per-partition bounded heaps, Q·k·partitions
+    * candidate rows to the global rank; the vote is a Q·k-bounded
+    * aggregate, ties break toward the SMALLER label (deterministic).
+    * At 100 TB the candidate stage swaps to the IVF/LSH index family
+    * and the vote rides the probe output unchanged. Output:
+    * (query_id, true_label, pred_label, n_votes, match). */
+  def knnClassify(embs: DataFrame, idCol: String, vecCol: String,
+                  labelCol: String,
+                  queries: Array[(Long, Int, Array[Double])],
+                  k: Int): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val qidSet = queries.map(_._1).toSet
+    val qb = spark.sparkContext.broadcast(
+      queries.map { case (qid, ql, v) =>
+        (qid, ql, v, math.sqrt(VectorOps.dotSeq(v, v))) })
+    val qs2 = spark.sparkContext.broadcast(qidSet)
+    val p = embs.select(col(idCol).cast("long").as("id"),
+      col(labelCol).cast("int").as("lbl"),
+      VectorOps.toDouble(col(vecCol)).as("v")).as[(Long, Int, Array[Double])]
+    val ord = Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long])
+    val partial = p.mapPartitions { iter =>
+      val qs = qb.value
+      val excluded = qs2.value
+      val heaps = qs.map(_ => scala.collection.mutable.ArrayBuffer.empty[(Double, Long, Int)])
+      iter.foreach { case (id, lbl, v) =>
+        if (!excluded.contains(id)) {
+          val n = math.sqrt(VectorOps.dotSeq(v, v))
+          var qi = 0
+          while (qi < qs.length) {
+            val (_, _, qv, qn) = qs(qi)
+            val c = VectorOps.dotSeq(qv, v) / (qn * n)
+            val h = heaps(qi)
+            if (h.length < k || ord.lt((c, id), (h.last._1, h.last._2))) {
+              h += ((c, id, lbl))
+              val sorted = h.sortBy(t => (t._1, t._2))(ord)
+              h.clear(); h ++= sorted.take(k)
+            }
+            qi += 1
+          }
+        }
+      }
+      qs.iterator.zipWithIndex.flatMap { case ((qid, _, _, _), qi) =>
+        heaps(qi).iterator.map { case (c, id, lbl) => (qid, id, lbl, c) }
+      }
+    }.toDF("query_id", "neighbor_id", "neighbor_label", "cosine")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val votes = partial
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .groupBy("query_id", "neighbor_label")
+      .agg(count(lit(1)).as("n_votes"))
+    val pick = Window.partitionBy("query_id")
+      .orderBy(col("n_votes").desc, col("neighbor_label"))
+    val pred = votes
+      .withColumn("rk", row_number().over(pick))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("neighbor_label").as("pred_label"),
+        col("n_votes"))
+    val truth = spark.createDataset(
+      queries.toSeq.map { case (qid, ql, _) => (qid, ql) })
+      .toDF("query_id", "true_label")
+    pred.join(broadcast(truth), "query_id")
+      .select(col("query_id"), col("true_label"), col("pred_label"),
+        col("n_votes"),
+        (col("true_label") === col("pred_label")).cast("int").as("correct"))
+      .orderBy("query_id")
+  }
+
   /** Exact top-k MAXIMUM-INNER-PRODUCT neighbors for each query
     * vector — the retrieval scoring used when embeddings are trained
     * with a dot-product objective (e.g. dual-encoder retrievers),

@@ -540,9 +540,26 @@ object TextAnalysis {
     * without ever grouping by stratum. */
   val SampleHashP = 1000000007L
   val SampleHashA = 2654435761L % SampleHashP
-  /** Second Lehmer multiplier, the epoch-salt stream for
-    * [[epochAdmission]] (MINSTD's own constant). */
+  /** Second Lehmer base, the epoch-salt stream for [[epochAdmission]]
+    * (MINSTD's own constant). The per-epoch hash MULTIPLIES the doc
+    * residue by m_e = A·B^e mod P — an ADDITIVE salt (x + e·B) % P
+    * % 1000 is a mere rotation of the admission window by
+    * (B mod 1000)‰ per epoch (adjacent epochs overlap by exactly
+    * max(0, rate − 271)‰ and epochs two apart by max(0, rate − 542)‰
+    * — structurally correlated, the failure the epochOverlap audit
+    * exposes), while distinct multiplicative maps of the mod-P group
+    * scatter the %1000 classes like independent draws. */
   val SampleHashB = 48271L
+
+  /** (epoch, m_e = A·B^e mod P) for e in 1..epochs — exact Long
+    * arithmetic, every intermediate < P² < 2⁶³. */
+  def epochMultipliers(epochs: Int): Seq[(Int, Long)] = {
+    var b = 1L
+    (1 to epochs).map { e =>
+      b = b * SampleHashB % SampleHashP
+      (e, SampleHashA * b % SampleHashP)
+    }
+  }
   def hashModSample(docs: DataFrame, idCol: String, k: Int): DataFrame =
     docs.filter(
       pmod(pmod(col(idCol).cast("bigint"), lit(SampleHashP)) * lit(SampleHashA),
@@ -1550,25 +1567,65 @@ object TextAnalysis {
     * report aggregate; the rate frame (sources-bounded) broadcasts. */
   def epochAdmission(docs: DataFrame, idCol: String, sourceCol: String,
                      textCol: String, targetDocs: Long, epochs: Int,
-                     sqrtApplications: Int = 1): DataFrame = {
-    require(epochs >= 1, "epochs >= 1")
-    val rates = temperatureMix(docs, sourceCol, textCol, targetDocs, sqrtApplications)
-      .select(col("source"),
-        least(lit(1000L), expr("(target_docs * 1000) DIV n_docs")).as("rate_permille"))
-    val h = pmod(
-      pmod(pmod(col("doc_id"), lit(SampleHashP)) * lit(SampleHashA), lit(SampleHashP))
-        + col("epoch") * lit(SampleHashB), lit(SampleHashP))
-    docs
-      .select(col(idCol).cast("long").as("doc_id"), col(sourceCol).as("source"),
-        size(TextOps.words(col(textCol))).cast("long").as("n_toks"))
-      .join(broadcast(rates), "source")
-      .withColumn("epoch", explode(sequence(lit(1), lit(epochs))))
-      .filter(h % 1000 < col("rate_permille"))
+                     sqrtApplications: Int = 1): DataFrame =
+    admittedDocs(docs, idCol, sourceCol, textCol, targetDocs, epochs,
+        sqrtApplications)
       .groupBy("epoch", "source")
       .agg(min("rate_permille").as("rate_permille"),
         count(lit(1)).as("n_admitted"),
         sum("n_toks").as("admitted_tokens"))
       .orderBy("epoch", "source")
+
+  /** The admitted (doc, epoch) stream behind [[epochAdmission]] and
+    * [[epochOverlap]] — rate-bounded (≈ Σ rates · n rows), never
+    * corpus × epochs. */
+  private def admittedDocs(docs: DataFrame, idCol: String, sourceCol: String,
+                           textCol: String, targetDocs: Long, epochs: Int,
+                           sqrtApplications: Int): DataFrame = {
+    require(epochs >= 1, "epochs >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rates = temperatureMix(docs, sourceCol, textCol, targetDocs, sqrtApplications)
+      .select(col("source"),
+        least(lit(1000L), expr("(target_docs * 1000) DIV n_docs")).as("rate_permille"))
+    val mults = epochMultipliers(epochs).toDF("epoch", "m")
+    val h = pmod(pmod(col("doc_id"), lit(SampleHashP)) * col("m"), lit(SampleHashP))
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), col(sourceCol).as("source"),
+        size(TextOps.words(col(textCol))).cast("long").as("n_toks"))
+      .join(broadcast(rates), "source")
+      .crossJoin(broadcast(mults))
+      .filter(h % 1000 < col("rate_permille"))
+  }
+
+  /** CROSS-EPOCH overlap audit — the check that [[epochAdmission]]'s
+    * salt actually decorrelates epochs: for every epoch pair a < b,
+    * how many documents were admitted into BOTH, as a count and as
+    * Jaccard permille of the two admitted sets. An unsalted sampler
+    * scores 1000‰ on every pair (each epoch re-draws the same slice —
+    * the memorization failure mode); an independent per-epoch draw at
+    * rate r scores ≈ r/(2−r). Only the rate-bounded admitted stream
+    * is joined (doc-keyed, pair output epochs²-bounded). */
+  def epochOverlap(docs: DataFrame, idCol: String, sourceCol: String,
+                   textCol: String, targetDocs: Long, epochs: Int,
+                   sqrtApplications: Int = 1): DataFrame = {
+    val adm = admittedDocs(docs, idCol, sourceCol, textCol, targetDocs,
+      epochs, sqrtApplications).select("doc_id", "epoch")
+    val sizes = adm.groupBy("epoch").agg(count(lit(1)).as("n"))
+    val both = adm.as("a")
+      .join(adm.as("b"), col("a.doc_id") === col("b.doc_id") &&
+        col("a.epoch") < col("b.epoch"))
+      .groupBy(col("a.epoch").as("epoch_a"), col("b.epoch").as("epoch_b"))
+      .agg(count(lit(1)).as("n_both"))
+    both
+      .join(broadcast(sizes).withColumnRenamed("epoch", "epoch_a")
+        .withColumnRenamed("n", "n_a"), "epoch_a")
+      .join(broadcast(sizes).withColumnRenamed("epoch", "epoch_b")
+        .withColumnRenamed("n", "n_b"), "epoch_b")
+      .select(col("epoch_a"), col("epoch_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        expr("(1000 * n_both) DIV (n_a + n_b - n_both)").as("jaccard_permille"))
+      .orderBy("epoch_a", "epoch_b")
   }
 
   /** WINNOW-SAMPLED repeated spans — the dense-regime companion to

@@ -150,9 +150,20 @@ object PipelineQueries {
     TextAnalysis.epochAdmission(Tables.documents(s, dir), "doc_id", "source",
       "text", EpochTargetDocs, MixEpochs)
 
+  /** Cross-epoch overlap audit ([[TextAnalysis.epochOverlap]]): the
+    * Jaccard of every epoch pair's admitted sets — the salt
+    * decorrelation check (unsalted sampler = 1000‰ on every pair).
+    * The larger target keeps every pair's intersection non-empty at
+    * every fixture scale while rates stay below the cap at sf0.1. */
+  val OverlapTargetDocs = 2000L
+  def epochOverlapQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.epochOverlap(Tables.documents(s, dir), "doc_id", "source",
+      "text", OverlapTargetDocs, MixEpochs)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_clean_corpus" -> (cleanCorpus _),
     "pipeline_epoch_admission" -> (epochAdmissionQ _),
+    "pipeline_epoch_overlap" -> (epochOverlapQ _),
     "pipeline_mix_weights" -> (mixWeights _),
     "pipeline_shard_manifest" -> (shardManifest _),
     "pipeline_token_budget" -> (tokenBudget _),
@@ -161,9 +172,17 @@ object PipelineQueries {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** (epoch, A·B^e mod P) rows, exact Long arithmetic, inlined as a
+    * VALUES table in both epoch oracles. */
+  private def epochMultValues: String =
+    TextAnalysis.epochMultipliers(MixEpochs)
+      .map { case (e, m) => s"($e, $m)" }
+      .mkString(", ")
+
   val oracles: Map[String, String] = Map(
-    // the mix CTEs + the epoch-salted Lehmer admission filter — all
-    // positive-integer arithmetic after the one floor(sqrt(...))
+    // the mix CTEs + the multiplicative per-epoch admission filter
+    // (m_e = A·B^e mod P inlined as VALUES) — all positive-integer
+    // arithmetic after the one floor(sqrt(...))
     "pipeline_epoch_admission" ->
       s"""WITH per AS (SELECT source, COUNT(*) AS n_docs,
          |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
@@ -179,18 +198,48 @@ object PipelineQueries {
          |       FROM s CROSS JOIN d),
          |doc AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
          |        FROM documents),
-         |ep AS (SELECT unnest(generate_series(1, $MixEpochs)) AS epoch),
+         |ep AS (SELECT epoch, m FROM (VALUES $epochMultValues) t(epoch, m)),
          |adm AS (SELECT epoch, doc.source, n_toks, rate_permille
          |        FROM doc JOIN rt USING (source) CROSS JOIN ep
-         |        WHERE ((doc_id % ${TextAnalysis.SampleHashP}) * ${TextAnalysis.SampleHashA}
-         |               % ${TextAnalysis.SampleHashP}
-         |               + epoch * ${TextAnalysis.SampleHashB}) % ${TextAnalysis.SampleHashP}
-         |              % 1000 < rate_permille)
+         |        WHERE ((doc_id % ${TextAnalysis.SampleHashP}) * m)
+         |              % ${TextAnalysis.SampleHashP} % 1000 < rate_permille)
          |SELECT CAST(epoch AS INTEGER) AS epoch, source,
          |  CAST(MIN(rate_permille) AS BIGINT) AS rate_permille,
          |  COUNT(*) AS n_admitted,
          |  CAST(SUM(n_toks) AS BIGINT) AS admitted_tokens
          |FROM adm GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the admission CTEs at the overlap target, kept at doc grain,
+    // then the epoch-pair self-join + Jaccard in integer permille
+    "pipeline_epoch_overlap" ->
+      s"""WITH per AS (SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |t AS (SELECT SUM(n_tokens) AS tt FROM per),
+         |s AS (SELECT source, n_docs, n_tokens, tt,
+         |  CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / tt) * 1000000.0) AS BIGINT) AS r
+         |  FROM per CROSS JOIN t),
+         |d AS (SELECT SUM(r) AS rs FROM s),
+         |rt AS (SELECT source, least(1000,
+         |         ((($OverlapTargetDocs * ((1000 * r) // rs)) // 1000) * 1000) // n_docs)
+         |         AS rate_permille
+         |       FROM s CROSS JOIN d),
+         |ep AS (SELECT epoch, m FROM (VALUES $epochMultValues) t(epoch, m)),
+         |adm AS (SELECT epoch, doc_id
+         |        FROM documents JOIN rt USING (source) CROSS JOIN ep
+         |        WHERE ((doc_id % ${TextAnalysis.SampleHashP}) * m)
+         |              % ${TextAnalysis.SampleHashP} % 1000 < rate_permille),
+         |sz AS (SELECT epoch, COUNT(*) AS n FROM adm GROUP BY 1),
+         |pr AS (SELECT a.epoch AS epoch_a, b.epoch AS epoch_b, COUNT(*) AS n_both
+         |       FROM adm a JOIN adm b ON a.doc_id = b.doc_id AND a.epoch < b.epoch
+         |       GROUP BY 1, 2)
+         |SELECT CAST(pr.epoch_a AS INTEGER) AS epoch_a,
+         |  CAST(pr.epoch_b AS INTEGER) AS epoch_b,
+         |  sa.n AS n_a, sb.n AS n_b, pr.n_both,
+         |  CAST((1000 * pr.n_both) // (sa.n + sb.n - pr.n_both) AS BIGINT)
+         |    AS jaccard_permille
+         |FROM pr JOIN sz sa ON sa.epoch = pr.epoch_a
+         |        JOIN sz sb ON sb.epoch = pr.epoch_b
+         |ORDER BY epoch_a, epoch_b""".stripMargin,
     // sqrt is IEEE-correctly-rounded in both engines; everything
     // after the floor is positive-integer arithmetic (// == DIV)
     "pipeline_mix_weights" ->

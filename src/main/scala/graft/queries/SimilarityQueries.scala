@@ -345,7 +345,17 @@ object SimilarityQueries {
         col("neighbor_label"), round(col("cosine"), 6).as("cosine"))
       .orderBy("query_id", "rank")
 
+  /** kNN weak labeling ([[Similarity.knnClassify]]): the first Q
+    * vectors classified by the majority label of their 7 nearest
+    * LABELED neighbors (whole query batch excluded from the voter
+    * pool), tie → smaller label. */
+  val ClassifyK = 7
+  def knnClassifyQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnClassify(Tables.embeddings(s, dir), "vec_id",
+      "embedding", "label", queryVecsLabeled(s, dir), ClassifyK)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_knn_classify" -> (knnClassifyQ _),
     "ann_hard_negatives" -> (hardNegatives _),
     "ann_covariance" -> (covariance _),
     "ann_margin_mining" -> (marginMining _),
@@ -707,6 +717,28 @@ object SimilarityQueries {
     // cell — products computed in DOUBLE (same per row both engines),
     // summed exactly in decimal, output round(double, 6)
     "ann_covariance" -> covarianceOracleSql,
+    // the bruteforce CTEs + labels: majority vote over the top-k,
+    // whole query batch excluded from the voter pool, tie -> smaller
+    // label (the row_number orders match Spark's exactly)
+    "ann_knn_classify" ->
+      s"""WITH p AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, label AS true_label, v AS qv FROM p ORDER BY vec_id LIMIT $Q),
+         |d AS (SELECT q.query_id, p.vec_id AS neighbor_id, p.label AS neighbor_label,
+         |  list_sum(list_transform(generate_series(1, $Dim), i -> q.qv[i] * p.v[i])) /
+         |  (sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> q.qv[i] * q.qv[i]))) *
+         |   sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> p.v[i] * p.v[i])))) AS cosine
+         |  FROM q CROSS JOIN p WHERE p.vec_id NOT IN (SELECT query_id FROM q)),
+         |r AS (SELECT query_id, neighbor_label,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM d),
+         |v AS (SELECT query_id, neighbor_label, COUNT(*) AS n_votes
+         |  FROM r WHERE rank <= $ClassifyK GROUP BY 1, 2),
+         |pk AS (SELECT query_id, neighbor_label AS pred_label, n_votes,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, neighbor_label) AS rk
+         |  FROM v)
+         |SELECT q.query_id, q.true_label, pk.pred_label, pk.n_votes,
+         |  CAST(q.true_label = pk.pred_label AS INTEGER) AS correct
+         |FROM pk JOIN q USING (query_id) WHERE rk = 1 ORDER BY query_id""".stripMargin,
     // the bruteforce CTEs + labels: negatives must differ in label
     "ann_hard_negatives" ->
       s"""WITH p AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -410,6 +410,52 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knnClassify: equals exhaustive majority vote; query batch never votes; tie -> smaller label") {
+    import spark.implicits._
+    val all = emb.select(col("vec_id"), col("label"), VectorOps.toDouble(col("embedding")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val qs = all.sortBy(_._1).take(5)
+    val qids = qs.map(_._1).toSet
+    val k = 7
+    val got = Similarity.knnClassify(emb, "vec_id", "embedding", "label", qs, k)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getInt(4)))
+    assert(got.map(_._1).toSeq === qs.map(_._1).toSeq) // one row per query
+    // exhaustive replica: top-k over NON-query rows, majority vote,
+    // tie toward the smaller label
+    qs.foreach { case (qid, ql, qv) =>
+      val qn = math.sqrt(VectorOps.dotSeq(qv, qv))
+      val topk = all.filterNot(t => qids.contains(t._1))
+        .map { case (id, lbl, v) =>
+          (id, lbl, VectorOps.dotSeq(qv, v) / (qn * math.sqrt(VectorOps.dotSeq(v, v)))) }
+        .sortBy { case (id, _, c) => (-c, id) }.take(k)
+      val (predLbl, nVotes) = topk.groupBy(_._2).view.mapValues(_.length)
+        .toSeq.sortBy { case (lbl, n) => (-n, lbl) }.head
+      val mine = got.find(_._1 == qid).get
+      assert(mine._2 === ql)
+      assert(mine._3 === predLbl, s"query $qid")
+      assert(mine._4 === nVotes.toLong)
+      assert(mine._5 === (if (ql == predLbl) 1 else 0))
+    }
+    // a planted clone of a query OUTSIDE the batch votes; a clone
+    // INSIDE the batch must not (the weak-labeling exclusion rule)
+    val base = Array(1.0, 0, 0, 0, 0, 0, 0, 0)
+    val nearClone = Array(0.99, 0.01, 0, 0, 0, 0, 0, 0)
+    val ortho = Array(0.0, 1, 0, 0, 0, 0, 0, 0)
+    val toy = Seq(
+      (1L, 0, base), (2L, 0, nearClone), // batch: 1 queried, 2 excluded
+      (10L, 3, base.clone()), (11L, 7, ortho),
+      (12L, 7, ortho.clone()), (13L, 7, ortho.clone()))
+      .map { case (id, l, v) => (id, l, v.map(_.toFloat)) }
+      .toDF("vec_id", "label", "embedding")
+    val q1 = Array((1L, 0, base), (2L, 0, nearClone))
+    val toyGot = Similarity.knnClassify(toy, "vec_id", "embedding", "label", q1, 1)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    // nearest NON-batch row to vector 1 is its exact clone id=10 (label 3),
+    // not the in-batch near-clone id=2 (label 0) or the orthogonals
+    assert(toyGot(1L) === 3)
+  }
+
   test("covarianceStats == driver replica; PCA power iteration recovers a planted axis") {
     import spark.implicits._
     // anisotropic toy: strong variance along dim 1, tiny along dim 3

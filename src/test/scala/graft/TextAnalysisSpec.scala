@@ -991,15 +991,14 @@ class TextAnalysisSpec extends SparkSpec {
     }
     // rates are epoch-invariant (they come from the mix frame alone)
     assert(r.groupBy(_._2).forall { case (_, rows) => rows.map(_._3).distinct.size === 1 })
-    // the salt gives each epoch a DIFFERENT admitted subset — recompute
-    // membership per epoch and compare sets, not just counts
+    // the multiplicative salt gives each epoch a DIFFERENT admitted
+    // subset — recompute membership per epoch and compare sets
+    val mults = TextAnalysis.epochMultipliers(3).toMap
     def members(epoch: Int): Set[Long] = {
       val rates = r.collect { case (e, s, rate, _, _) if e == 1 => s -> rate }.toMap
       (1 to 150).map(_.toLong).filter { id =>
-        val h = ((id % TextAnalysis.SampleHashP) * TextAnalysis.SampleHashA
-          % TextAnalysis.SampleHashP + epoch * TextAnalysis.SampleHashB) %
-          TextAnalysis.SampleHashP
-        h % 1000 < rates("big")
+        (id % TextAnalysis.SampleHashP) * mults(epoch) %
+          TextAnalysis.SampleHashP % 1000 < rates("big")
       }.toSet
     }
     assert(members(1) !== members(2))
@@ -1012,6 +1011,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(full.map(_.getLong(3)).sum === 2L * 200L)
     // deterministic end to end
     assert(adm(40L, 3).collect().toSeq === adm(40L, 3).collect().toSeq)
+  }
+
+  test("epochOverlap: every pair overlaps like an independent draw, never rotation-structured") {
+    import spark.implicits._
+    // one source, 2000 docs: the mix gives rate = target*1000/n_docs
+    val d = (1 to 2000).map(i => (i.toLong, "s", "a b c d e f g h i j"))
+      .toDF("doc_id", "source", "text")
+    // target 600 -> rate 300 permille; the additive-salt bug made
+    // pair (1,3) overlap EXACTLY max(0, rate-542) = 0 and pair (1,2)
+    // exactly rate-271; the multiplicative salt must look like an
+    // independent draw (expected pairwise jaccard r/(2-r) ~ 176
+    // permille) on EVERY pair including the distance-2 one
+    val ov = TextAnalysis.epochOverlap(d, "doc_id", "source", "text", 600L, 3)
+      .collect().map(x => ((x.getInt(0), x.getInt(1)),
+        (x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5))))
+      .toMap
+    assert(ov.keySet === Set((1, 2), (1, 3), (2, 3)))
+    ov.foreach { case ((a, b), (na, nb, both, jac)) =>
+      // sizes ~ rate * n = 600 each; binomial-tight bounds
+      assert(na > 450 && na < 750 && nb > 450 && nb < 750, s"sizes ($a,$b)")
+      assert(both > 0L && both < math.min(na, nb), s"pair ($a,$b) overlap $both")
+      // independent-draw jaccard ~ 176 permille; rotation gives either
+      // ~0 (shift >= rate) or >= 1000*(r-shift)/(2r-(r-shift)) -- just
+      // pin a generous central band that both failure modes leave
+      assert(jac > 60L && jac < 400L, s"pair ($a,$b) jaccard $jac")
+    }
+    // cap regime: target >= n_docs admits everything -> all pairs 1000
+    val full = TextAnalysis.epochOverlap(d, "doc_id", "source", "text", 4000L, 2)
+      .collect()
+    assert(full.length === 1 && full(0).getLong(5) === 1000L)
   }
 
   test("tokenBudgetSelect: null/NaN-scored docs sort LAST, never first (r10 ADVICE)") {
