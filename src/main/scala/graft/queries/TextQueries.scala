@@ -323,6 +323,16 @@ object TextQueries {
       "text", TopicBuckets, TopicK, TopicIters,
       trained = Some(topicCenters(s, dir)))
 
+  /** Topic keywords ([[TextAnalysis.topicKeywords]]): top-5 tokens
+    * per cluster by integer lift, in-cluster count >= 5; reuses the
+    * memoized fixture centers. */
+  val KeywordMinCount = 5L
+  val KeywordTopM = 5
+  def topicKeywordsQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topicKeywords(Tables.documents(s, dir), "doc_id", "text",
+      TopicBuckets, TopicK, TopicIters, KeywordMinCount, KeywordTopM,
+      trained = Some(topicCenters(s, dir)))
+
   /** Per-source 5-gram novelty curve ([[TextAnalysis.noveltyCurve]]):
     * the marginal-contribution report of the source blend. */
   val NoveltyGram = 5
@@ -435,6 +445,7 @@ object TextQueries {
     "text_novelty_curve" -> (noveltyCurveQ _),
     "text_source_overlap" -> (sourceOverlapQ _),
     "text_topic_clusters" -> (topicClustersQ _),
+    "text_topic_keywords" -> (topicKeywordsQ _),
     "text_bigram_lm_score" -> (bigramLm _),
     "text_collocations" -> (collocationsQ _),
     "text_skipgram_counts" -> (skipgramsQ _),
@@ -867,6 +878,28 @@ object TextQueries {
          |SELECT CAST(sz.cid AS INTEGER) AS cluster_id, sz.n_docs,
          |  tp.lang AS top_lang, CAST(tp.n AS BIGINT) AS top_lang_docs
          |FROM sz JOIN tp ON tp.cid = sz.cid AND tp.rn = 1 ORDER BY 1""".stripMargin),
+    // the shared topic CTEs + token-occurrence lift: within-cluster
+    // rate over corpus rate in integer permille, rank (lift DESC,
+    // token) per cluster, in-cluster count >= minCount
+    "text_topic_keywords" -> (topicAsgCtes +
+      s""",
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |ckt AS (SELECT asg.cid, tok.w, COUNT(*) AS c_kt
+         |        FROM tok JOIN asg ON asg.vec_id = tok.doc_id GROUP BY 1, 2),
+         |nk AS (SELECT cid, CAST(SUM(c_kt) AS BIGINT) AS n_k FROM ckt GROUP BY 1),
+         |ctw AS (SELECT w, CAST(SUM(c_kt) AS BIGINT) AS c_t FROM ckt GROUP BY 1),
+         |ttl AS (SELECT CAST(SUM(c_t) AS BIGINT) AS tt FROM ctw),
+         |sc AS (SELECT ckt.cid, ckt.w, ckt.c_kt, ctw.c_t,
+         |       CAST((ckt.c_kt * 1000 * ttl.tt) // (nk.n_k * ctw.c_t) AS BIGINT) AS lift_permille
+         |       FROM ckt JOIN nk USING (cid) JOIN ctw USING (w) CROSS JOIN ttl
+         |       WHERE ckt.c_kt >= ${KeywordMinCount}),
+         |rk AS (SELECT cid, w, c_kt, c_t, lift_permille,
+         |       row_number() OVER (PARTITION BY cid ORDER BY lift_permille DESC, w) AS rank
+         |       FROM sc)
+         |SELECT CAST(cid AS INTEGER) AS cluster_id, CAST(rank AS INTEGER) AS rank,
+         |  w AS token, CAST(c_kt AS BIGINT) AS n_in_cluster,
+         |  c_t AS n_in_corpus, lift_permille
+         |FROM rk WHERE rank <= ${KeywordTopM} ORDER BY cluster_id, rank""".stripMargin),
     // distinct (source, 5-gram) set; first-source attribution by
     // min(source) — SET semantics, so the operator's per-doc distinct
     // shingles and the oracle's occurrence unnest agree after DISTINCT

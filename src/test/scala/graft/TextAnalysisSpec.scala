@@ -871,6 +871,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fx.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 8))
   }
 
+  test("topicKeywords: planted vocab tokens outrank shared stopwords; lift law; minCount gates") {
+    import spark.implicits._
+    // two disjoint topic vocabularies sharing the stopword "the":
+    // keyword lift should be ~2000 (concentrated in 1 of 2 equal
+    // clusters), stopword lift ~1000 (corpus-flat)
+    val ga = Seq("alpha the beta gamma the alpha", "beta the gamma alpha the beta",
+      "gamma the alpha beta the gamma")
+    val gb = Seq("zump the quor flig the zump", "quor the flig zump the quor",
+      "flig the zump quor the flig")
+    val d = (ga ++ ga).zip(gb ++ gb).zipWithIndex
+      .flatMap { case ((a, b), i) => Seq((2L * i, a), (2L * i + 1, b)) }
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.topicKeywords(d, "doc_id", "text",
+        buckets = 32, k = 2, iters = 5, minCount = 2L, topM = 4)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val byCluster = got.groupBy(_._1)
+    assert(byCluster.size === 2)
+    val vocabA = Set("alpha", "beta", "gamma")
+    val vocabB = Set("zump", "quor", "flig")
+    byCluster.values.foreach { rows =>
+      val tokens = rows.sortBy(_._2).map(_._3).toSeq
+      // rank 1..3 are the cluster's own vocab (lift ~2000); "the"
+      // (lift ~1000) can only appear after them
+      assert(tokens.take(3).toSet === vocabA || tokens.take(3).toSet === vocabB)
+      rows.foreach { case (_, rank, tok, ckt, ct, lift) =>
+        // lift law replayed exactly: each cluster holds 36 tokens,
+        // corpus 72; a vocab token appears 8 times, all in one
+        // cluster (twice in its home doc, once in each sibling, x2
+        // group copies) -> lift (8*1000*72)/(36*8) = 2000
+        if (vocabA(tok) || vocabB(tok)) {
+          assert(ckt === 8L && ct === 8L && lift === 2000L)
+        } else {
+          assert(tok === "the" && lift === 1000L && rank === 4)
+        }
+      }
+    }
+    // minCount above the vocab counts empties the report
+    assert(TextAnalysis.topicKeywords(d, "doc_id", "text", 32, 2, 5,
+      minCount = 100L, topM = 4).count() === 0L)
+  }
+
   test("noveltyCurve: attribution partitions the gram universe; clone source adds nothing") {
     import spark.implicits._
     val d = Seq(
