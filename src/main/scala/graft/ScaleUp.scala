@@ -316,7 +316,16 @@ object ScaleUp {
     // source report shares the jaccardPairs memo, chunk overlap is a
     // stride-bounded explode, epoch admission is a pure filter ×3
     "ann_hard_negatives", "dedup_source_report", "text_chunks_overlap",
-    "pipeline_epoch_admission")
+    "pipeline_epoch_admission",
+    // round 11 cohort 26: kNN weak labeling is 10×-ONLY (bruteforce
+    // shape, index-backed at scale); the overlap audit joins only the
+    // rate-bounded admitted stream; keywords add one (cid, token)
+    // exchange on the memoized topic centers
+    "ann_knn_classify", "pipeline_epoch_overlap", "text_topic_keywords",
+    // round 11 cohort 27: the distinct-key full-outer audit (one key
+    // exchange) and the stateless streaming admission twin (static
+    // rates broadcast onto the stream, report complete-mode)
+    "pipeline_integrity_audit", "stream_admission_parity")
 
   /** Rehearsal-only closures that are NOT declared queries: the
     * auto-parameter scale path of an operator whose declared form pins
@@ -549,7 +558,11 @@ object ScaleUp {
     // overlap chunker over 500 k open-vocab docs, and the
     // filter-shaped 3-epoch admission report
     "dedup_source_report", "text_chunks_overlap",
-    "pipeline_epoch_admission")
+    "pipeline_epoch_admission",
+    // round 11 cohort 26 (kNN classify is 10×-only — see Timed)
+    "pipeline_epoch_overlap", "text_topic_keywords",
+    // round 11 cohort 27
+    "pipeline_integrity_audit", "stream_admission_parity")
 
   /** Dev-only rehearsal subset (comma-separated name prefixes, like
     * Bench's SPARK_GRAFT_BENCH_ONLY): lets a NEW operator's scale row

@@ -102,6 +102,37 @@ object Integrity {
       .unionByName(upserts)
   }
 
+  /** REFERENTIAL AUDIT — the key-consistency gate between two tables
+    * a pipeline is about to join or co-publish (e.g. a document store
+    * and its embedding index: "does every doc have exactly one vector,
+    * and are there orphan vectors?"). One row out: left/right key
+    * counts, distinct-key counts (duplicate detection), matched keys,
+    * and each side's orphans.
+    *
+    * Scale shape: both key columns distinct-reduce map-side, then ONE
+    * key exchange (the full-outer join on distinct keys — the floor
+    * for set comparison); the report aggregate is a 1-row reduce.
+    * Bucketing both tables on the key would remove the exchange. */
+  def referentialAudit(left: DataFrame, leftKey: String,
+                       right: DataFrame, rightKey: String): DataFrame = {
+    val lk = left.select(col(leftKey).cast("long").as("k"))
+    val rk = right.select(col(rightKey).cast("long").as("k"))
+    val l = lk.groupBy("k").agg(count(lit(1)).as("_ln"))
+    val r = rk.groupBy("k").agg(count(lit(1)).as("_rn"))
+    l.join(r, Seq("k"), "full_outer")
+      .agg(
+        sum(coalesce(col("_ln"), lit(0L))).as("n_left"),
+        sum(coalesce(col("_rn"), lit(0L))).as("n_right"),
+        sum(when(col("_ln").isNotNull, 1L).otherwise(0L)).as("n_left_keys"),
+        sum(when(col("_rn").isNotNull, 1L).otherwise(0L)).as("n_right_keys"),
+        sum(when(col("_ln").isNotNull && col("_rn").isNotNull, 1L)
+          .otherwise(0L)).as("n_matched"),
+        sum(when(col("_rn").isNull, 1L).otherwise(0L)).as("n_left_orphans"),
+        sum(when(col("_ln").isNull, 1L).otherwise(0L)).as("n_right_orphans"),
+        sum(when(col("_ln") > 1L, 1L).otherwise(0L)).as("n_left_dup_keys"),
+        sum(when(col("_rn") > 1L, 1L).otherwise(0L)).as("n_right_dup_keys"))
+  }
+
   /** The oracle-side coefficient stream for [[tableChecksum]] — one
     * source of truth for query SQL generation. */
   def checksumCoeffs(nValues: Int, seed: Long = 101L): (Seq[Long], Long) = {

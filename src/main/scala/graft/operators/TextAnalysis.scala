@@ -1629,15 +1629,22 @@ object TextAnalysis {
   /** The admitted (doc, epoch) stream behind [[epochAdmission]] and
     * [[epochOverlap]] — rate-bounded (≈ Σ rates · n rows), never
     * corpus × epochs. */
+  /** (source, rate_permille) — [[temperatureMix]]'s budgets as
+    * admission rates, shared by the batch admission family and the
+    * streaming parity twin. */
+  def admissionRates(docs: DataFrame, sourceCol: String, textCol: String,
+                     targetDocs: Long, sqrtApplications: Int = 1): DataFrame =
+    temperatureMix(docs, sourceCol, textCol, targetDocs, sqrtApplications)
+      .select(col("source"),
+        least(lit(1000L), expr("(target_docs * 1000) DIV n_docs")).as("rate_permille"))
+
   private def admittedDocs(docs: DataFrame, idCol: String, sourceCol: String,
                            textCol: String, targetDocs: Long, epochs: Int,
                            sqrtApplications: Int): DataFrame = {
     require(epochs >= 1, "epochs >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
-    val rates = temperatureMix(docs, sourceCol, textCol, targetDocs, sqrtApplications)
-      .select(col("source"),
-        least(lit(1000L), expr("(target_docs * 1000) DIV n_docs")).as("rate_permille"))
+    val rates = admissionRates(docs, sourceCol, textCol, targetDocs, sqrtApplications)
     val mults = epochMultipliers(epochs).toDF("epoch", "m")
     val h = pmod(pmod(col("doc_id"), lit(SampleHashP)) * col("m"), lit(SampleHashP))
     docs

@@ -160,10 +160,18 @@ object PipelineQueries {
     TextAnalysis.epochOverlap(Tables.documents(s, dir), "doc_id", "source",
       "text", OverlapTargetDocs, MixEpochs)
 
+  /** Referential audit ([[Integrity.referentialAudit]]) between the
+    * document store and the embedding index — the key-consistency
+    * gate before any doc⋈vector join or co-publish. */
+  def integrityAuditQ(s: SparkSession, dir: String): DataFrame =
+    Integrity.referentialAudit(Tables.documents(s, dir), "doc_id",
+      Tables.embeddings(s, dir), "vec_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_clean_corpus" -> (cleanCorpus _),
     "pipeline_epoch_admission" -> (epochAdmissionQ _),
     "pipeline_epoch_overlap" -> (epochOverlapQ _),
+    "pipeline_integrity_audit" -> (integrityAuditQ _),
     "pipeline_mix_weights" -> (mixWeights _),
     "pipeline_shard_manifest" -> (shardManifest _),
     "pipeline_token_budget" -> (tokenBudget _),
@@ -208,6 +216,21 @@ object PipelineQueries {
          |  COUNT(*) AS n_admitted,
          |  CAST(SUM(n_toks) AS BIGINT) AS admitted_tokens
          |FROM adm GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // distinct-key full-outer comparison, 1-row report
+    "pipeline_integrity_audit" ->
+      """WITH l AS (SELECT doc_id AS k, COUNT(*) AS ln FROM documents GROUP BY 1),
+        |r AS (SELECT vec_id AS k, COUNT(*) AS rn FROM embeddings GROUP BY 1),
+        |j AS (SELECT l.ln, r.rn FROM l FULL OUTER JOIN r ON l.k = r.k)
+        |SELECT CAST(SUM(coalesce(ln, 0)) AS BIGINT) AS n_left,
+        |  CAST(SUM(coalesce(rn, 0)) AS BIGINT) AS n_right,
+        |  CAST(SUM(CASE WHEN ln IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_left_keys,
+        |  CAST(SUM(CASE WHEN rn IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_right_keys,
+        |  CAST(SUM(CASE WHEN ln IS NOT NULL AND rn IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |  CAST(SUM(CASE WHEN rn IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_left_orphans,
+        |  CAST(SUM(CASE WHEN ln IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_right_orphans,
+        |  CAST(SUM(CASE WHEN ln > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_left_dup_keys,
+        |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_right_dup_keys
+        |FROM j""".stripMargin,
     // the admission CTEs at the overlap target, kept at doc grain,
     // then the epoch-pair self-join + Jaccard in integer permille
     "pipeline_epoch_overlap" ->

@@ -227,6 +227,43 @@ object StreamQueries {
       .orderBy("doc_id")
   }
 
+  /** Streaming multi-epoch admission — the ingest face of the batch
+    * `pipeline_epoch_admission`: documents arrive as a stream, the
+    * admission RATES are the batch-trained static frame (the
+    * train-once/admit-forever pattern — stream-static broadcast
+    * join, like the topic-serving twin's centers), each row explodes
+    * its epochs statelessly, the multiplicative epoch hash filters
+    * per-row, and the (epoch, source)-bounded report accumulates in
+    * complete mode. Rides the batch oracle verbatim. */
+  def admissionParity(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val rates = TextAnalysis.admissionRates(
+      graft.io.Tables.documents(s, dir), "source", "text",
+      PipelineQueries.EpochTargetDocs)
+    val mults = {
+      import s.implicits._
+      TextAnalysis.epochMultipliers(PipelineQueries.MixEpochs).toDF("epoch", "m")
+    }
+    val docs = s.readStream
+      .schema("doc_id bigint, text string, lang string, source string, n_chars bigint")
+      .parquet(streamDir(dir, "documents"))
+    val h = pmod(pmod(col("doc_id"), lit(TextAnalysis.SampleHashP)) * col("m"),
+      lit(TextAnalysis.SampleHashP))
+    val out = docs
+      .select(col("doc_id"), col("source"),
+        size(graft.functions.TextOps.words(col("text"))).cast("long").as("n_toks"))
+      .join(broadcast(rates), "source")
+      .withColumn("epoch", explode(sequence(lit(1), lit(PipelineQueries.MixEpochs))))
+      .join(broadcast(mults), "epoch")
+      .filter(h % 1000 < col("rate_permille"))
+      .groupBy("epoch", "source")
+      .agg(min("rate_permille").as("rate_permille"),
+        count(lit(1)).as("n_admitted"),
+        sum("n_toks").as("admitted_tokens"))
+    runToMemory(s, "stream_admission_sink", out, "complete")
+      .orderBy("epoch", "source")
+  }
+
   /** Stateful streaming anomaly detection: the bounded-ring
     * flatMapGroupsWithState twin of the batch
     * `events_anomaly_zscore` — same BIGINT test, same oracle. */
@@ -584,7 +621,8 @@ object StreamQueries {
     "stream_anomaly_parity" -> (anomalyParity _),
     "stream_running_stats" -> (runningStats _),
     "stream_kmeans_parity" -> (kmeansParity _),
-    "stream_mix_parity" -> (mixParity _))
+    "stream_mix_parity" -> (mixParity _),
+    "stream_admission_parity" -> (admissionParity _))
 
   val oracles: Map[String, String] = Map(
     // the batch topic oracle's shared train+assign chain, read out
@@ -597,6 +635,10 @@ object StreamQueries {
     // the batch covariance oracle verbatim: accumulated decimal
     // streaming state must equal the batch cells exactly
     "stream_covariance_parity" -> SimilarityQueries.covarianceOracleSql,
+    // the batch epoch-admission oracle verbatim: static rates + the
+    // same multiplicative per-epoch hash, accumulated per micro-batch
+    "stream_admission_parity" ->
+      PipelineQueries.oracles("pipeline_epoch_admission"),
     "stream_topic_parity" -> (TextQueries.topicAsgCtes +
       """
         |SELECT vec_id AS doc_id, CAST(cid AS INTEGER) AS cluster_id

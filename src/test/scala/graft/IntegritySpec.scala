@@ -7,6 +7,27 @@ import graft.operators.Integrity
 class IntegritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("referentialAudit: orphans, duplicates and matches counted exactly; clean join audits clean") {
+    // left: keys 1,2,2,3 (2 duplicated); right: keys 2,4 (orphan 4)
+    val l = Seq(1L, 2L, 2L, 3L).toDF("doc_id")
+    val r = Seq(2L, 4L).toDF("vec_id")
+    val a = Integrity.referentialAudit(l, "doc_id", r, "vec_id").collect()(0)
+    assert(a.getLong(0) === 4L) // n_left rows
+    assert(a.getLong(1) === 2L) // n_right rows
+    assert(a.getLong(2) === 3L) // distinct left keys
+    assert(a.getLong(3) === 2L) // distinct right keys
+    assert(a.getLong(4) === 1L) // matched: key 2
+    assert(a.getLong(5) === 2L) // left orphans: 1, 3
+    assert(a.getLong(6) === 1L) // right orphans: 4
+    assert(a.getLong(7) === 1L) // left dup keys: 2
+    assert(a.getLong(8) === 0L)
+    // identical key sets audit clean
+    val c = Integrity.referentialAudit(l.distinct(), "doc_id",
+      l.distinct().withColumnRenamed("doc_id", "vec_id"), "vec_id").collect()(0)
+    assert(c.getLong(4) === 3L && c.getLong(5) === 0L && c.getLong(6) === 0L &&
+      c.getLong(7) === 0L && c.getLong(8) === 0L)
+  }
+
   test("snapshot diff classifies added/removed/changed and drops unchanged") {
     val before = Seq((1L, "O", 100L), (2L, "F", 200L), (3L, "O", 300L), (4L, "O", 400L))
       .toDF("k", "status", "cents")

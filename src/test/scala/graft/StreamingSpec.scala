@@ -415,6 +415,17 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.length === 64 * 65 / 2)
   }
 
+  test("streaming epoch admission equals the batch report row for row") {
+    val streamed = SparkEntry.queries("stream_admission_parity")(spark, sf001)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val batch = SparkEntry.queries("pipeline_epoch_admission")(spark, sf001)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming WAU (chained dedups) equals the batch contribution decomposition") {
     val streamed = SparkEntry.queries("stream_wau_parity")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
