@@ -28,6 +28,14 @@ import org.apache.spark.sql.SparkSession
   *    input instead of being pinned at harness scale. (Streaming
   *    aggregates don't use AQE and keep the fixed cap — their state
   *    store layout must be stable across micro-batches anyway.)
+  *  - `canChangeCachedPlanOutputPartitioning=true` (round 11): with
+  *    the wide initialPartitionNum above, a PERSISTED frame otherwise
+  *    materializes at the full 128 pre-coalesce partitions (the
+  *    default keeps cached-plan partitioning stable and skips AQE
+  *    coalescing), so every consumer of a memoized fixture frame — the
+  *    BM25 scored frame, the dedup pair graphs — scheduled 128 near-
+  *    empty tasks per read: text_bm25_topk steady reps were 2.0 s of
+  *    pure task overhead on a 30 k-row cache, 0.45 s once coalesced.
   */
 object GraftSession {
   def localPartitions(cpus: Int): Int = math.max(1, math.min(cpus, 8))
@@ -38,6 +46,7 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", localPartitions(cpus).toString)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         math.max(32, 4 * cpus).toString)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -1183,27 +1183,31 @@ object TextAnalysis {
     * slice. Tokens below `minCount` in-cluster occurrences are noise
     * and excluded.
     *
-    * Shape: one doc-keyed join of the token stream onto the k-bounded
-    * assignment, one (cid, token) exchange (map-side combined), then
-    * vocab-bounded arithmetic — cluster totals broadcast (k rows),
-    * corpus token counts join on the word key, the 1-row grand total
-    * broadcasts, rank is a window over the minCount-filtered
-    * survivors. The lift numerator c_kt·1000·T stays under 2⁶³ while
-    * T < 3·10⁹ tokens per run (document at the full-corpus scale the
-    * report would shard by source first). */
+    * Shape: the assignment is the PER-ROW compiled argmin over the
+    * broadcast centers (no doc-keyed join — cid is computed once per
+    * document in a projection BELOW the token explode, so the token
+    * stream never shuffles on doc_id), one (cid, token) exchange
+    * (map-side combined, vocab×k-bounded cells), then vocab-bounded
+    * arithmetic — cluster totals broadcast (k rows), corpus token
+    * counts join on the word key, the 1-row grand total broadcasts,
+    * rank is a window over the minCount-filtered survivors. The lift
+    * numerator c_kt·1000·T stays under 2⁶³ while T < 3·10⁹ tokens per
+    * run (document at the full-corpus scale the report would shard by
+    * source first). */
   def topicKeywords(docs: DataFrame, idCol: String, textCol: String,
                     buckets: Int, k: Int, iters: Int,
                     minCount: Long = 5L, topM: Int = 5,
                     trained: Option[Array[Array[Double]]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val vecs = docVectors(docs, idCol, textCol, buckets)
-    val centers = trained.getOrElse(trainTopicCenters(vecs, k, iters))
-    val asg = vecs.select(col("doc_id"),
-      graft.plans.expressions.vec_argmin(col("v"), centers)("cluster_id").as("cid"))
-    val occ = docs.select(col(idCol).as("doc_id"),
-      explode(TextOps.words(col(textCol))).as("w"))
-    val ckt = occ.join(asg, "doc_id").groupBy("cid", "w")
-      .agg(count(lit(1)).as("c_kt"))
+    val centers = trained.getOrElse(
+      trainTopicCenters(docVectors(docs, idCol, textCol, buckets), k, iters))
+    val ckt = docs
+      .select(graft.plans.expressions.vec_argmin(
+          graft.plans.expressions.hashed_bow(col(textCol), buckets),
+          centers)("cluster_id").as("cid"),
+        col(textCol).as("_t"))
+      .select(col("cid"), explode(TextOps.words(col("_t"))).as("w"))
+      .groupBy("cid", "w").agg(count(lit(1)).as("c_kt"))
     val nk = ckt.groupBy("cid").agg(sum("c_kt").as("n_k"))
     val ct = ckt.groupBy("w").agg(sum("c_kt").as("c_t"))
     val tt = ct.agg(sum("c_t").as("tt"))

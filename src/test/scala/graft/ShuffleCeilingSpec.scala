@@ -44,7 +44,15 @@ class ShuffleCeilingSpec extends SparkSpec {
     ("text_bigram_coverage", 44000L, "closed-vocab bigram space (10931)"),
     ("kmeans_average", 6000L, "k*d centroid partials (1280)"),
     ("kmeans_accumulate", 6000L, "k*d accumulator partials (1280)"),
-    ("text_collocations", 5000L, "minCount-pruned bigrams + top-k (962)"))
+    ("text_collocations", 5000L, "minCount-pruned bigrams + top-k (962)"),
+    // round 11 cohort: the keywords exchange is vocab x k cells (the
+    // doc-keyed token-stream join this plan REPLACED would measure
+    // ~1.9 M records here); admission ships only rate partials +
+    // (epoch, source) report cells; kNN classify ships Q*k heap
+    // partials + vote cells
+    ("text_topic_keywords", 8000L, "vocab x k lift cells + rank window (1897)"),
+    ("pipeline_epoch_admission", 1000L, "source partials + epoch x source report cells (162)"),
+    ("ann_knn_classify", 500L, "Q*k heap partials + vote cells (80)"))
 
   test("bounded-output queries shuffle bounded records at sf0.1") {
     val records = new LongAdder
