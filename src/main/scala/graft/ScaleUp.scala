@@ -325,7 +325,10 @@ object ScaleUp {
     // round 11 cohort 27: the distinct-key full-outer audit (one key
     // exchange) and the stateless streaming admission twin (static
     // rates broadcast onto the stream, report complete-mode)
-    "pipeline_integrity_audit", "stream_admission_parity")
+    "pipeline_integrity_audit", "stream_admission_parity",
+    // round 11 cohort 28: the sample-representativeness audit — two
+    // (source, bucket)-bounded aggregates + a cells-bounded join
+    "pipeline_sample_drift")
 
   /** Rehearsal-only closures that are NOT declared queries: the
     * auto-parameter scale path of an operator whose declared form pins
@@ -561,8 +564,9 @@ object ScaleUp {
     "pipeline_epoch_admission",
     // round 11 cohort 26 (kNN classify is 10×-only — see Timed)
     "pipeline_epoch_overlap", "text_topic_keywords",
-    // round 11 cohort 27
-    "pipeline_integrity_audit", "stream_admission_parity")
+    // round 11 cohort 27-28
+    "pipeline_integrity_audit", "stream_admission_parity",
+    "pipeline_sample_drift")
 
   /** Dev-only rehearsal subset (comma-separated name prefixes, like
     * Bench's SPARK_GRAFT_BENCH_ONLY): lets a NEW operator's scale row

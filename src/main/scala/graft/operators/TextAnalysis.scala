@@ -1659,6 +1659,44 @@ object TextAnalysis {
       .filter(h % 1000 < col("rate_permille"))
   }
 
+  /** SAMPLE-DRIFT audit — is the admitted sample REPRESENTATIVE?
+    * Hash admission is length-blind by construction; this is the
+    * audit that proves it (and catches any admission rule that
+    * isn't): per source, the token-length histogram of epoch 1's
+    * admitted set vs the full corpus, compared as an L1 distance over
+    * integer-permille bucket shares (Σ|p_b − q_b|, 0 = identical
+    * distributions, 2000 = disjoint). A biased sampler (e.g. one
+    * keyed on a length-correlated field) shows immediately; the
+    * Lehmer hash should sit near the binomial noise floor.
+    *
+    * Shape: two (source, bucket)-bounded aggregates over one corpus
+    * scan each (the admitted side is the rate-filtered scan), a
+    * sources×buckets-bounded full-outer join, and a sources-bounded
+    * report. Nothing corpus-sized ever shuffles. */
+  def sampleDrift(docs: DataFrame, idCol: String, sourceCol: String,
+                  textCol: String, targetDocs: Long, bucketWords: Int = 16,
+                  sqrtApplications: Int = 1): DataFrame = {
+    val adm = admittedDocs(docs, idCol, sourceCol, textCol, targetDocs,
+        epochs = 1, sqrtApplications)
+      .select(col("source"), (col("n_toks") / bucketWords).cast("long").as("b"))
+      .groupBy("source", "b").agg(count(lit(1)).as("c_s"))
+    val corp = docs
+      .select(col(sourceCol).as("source"),
+        (size(TextOps.words(col(textCol))) / bucketWords).cast("long").as("b"))
+      .groupBy("source", "b").agg(count(lit(1)).as("c_c"))
+    val tot = corp.groupBy("source").agg(sum("c_c").as("n_corpus"))
+      .join(adm.groupBy("source").agg(sum("c_s").as("n_sample")), "source")
+    corp.join(adm, Seq("source", "b"), "full_outer")
+      .join(broadcast(tot), "source")
+      .select(col("source"), col("n_corpus"), col("n_sample"),
+        abs(expr("(1000 * coalesce(c_c, 0)) DIV n_corpus") -
+          expr("(1000 * coalesce(c_s, 0)) DIV n_sample")).as("d"))
+      .groupBy("source")
+      .agg(min("n_corpus").as("n_corpus"), min("n_sample").as("n_sample"),
+        sum("d").as("l1_drift_permille"))
+      .orderBy("source")
+  }
+
   /** CROSS-EPOCH overlap audit — the check that [[epochAdmission]]'s
     * salt actually decorrelates epochs: for every epoch pair a < b,
     * how many documents were admitted into BOTH, as a count and as

@@ -160,6 +160,16 @@ object PipelineQueries {
     TextAnalysis.epochOverlap(Tables.documents(s, dir), "doc_id", "source",
       "text", OverlapTargetDocs, MixEpochs)
 
+  /** Sample-drift audit ([[TextAnalysis.sampleDrift]]): per source,
+    * the L1 distance between the admitted sample's and the corpus's
+    * token-length bucket shares — the representativeness gate on the
+    * hash sampler (binomial noise floor expected; a length-biased
+    * admission rule shows immediately). */
+  val DriftBucketWords = 16
+  def sampleDriftQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sampleDrift(Tables.documents(s, dir), "doc_id", "source",
+      "text", OverlapTargetDocs, DriftBucketWords)
+
   /** Referential audit ([[Integrity.referentialAudit]]) between the
     * document store and the embedding index — the key-consistency
     * gate before any doc⋈vector join or co-publish. */
@@ -172,6 +182,7 @@ object PipelineQueries {
     "pipeline_epoch_admission" -> (epochAdmissionQ _),
     "pipeline_epoch_overlap" -> (epochOverlapQ _),
     "pipeline_integrity_audit" -> (integrityAuditQ _),
+    "pipeline_sample_drift" -> (sampleDriftQ _),
     "pipeline_mix_weights" -> (mixWeights _),
     "pipeline_shard_manifest" -> (shardManifest _),
     "pipeline_token_budget" -> (tokenBudget _),
@@ -216,6 +227,45 @@ object PipelineQueries {
          |  COUNT(*) AS n_admitted,
          |  CAST(SUM(n_toks) AS BIGINT) AS admitted_tokens
          |FROM adm GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the admission CTEs at epoch 1 + per-(source, length-bucket)
+    // permille shares, L1 over the full-outer bucket join
+    "pipeline_sample_drift" ->
+      s"""WITH per AS (SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |t AS (SELECT SUM(n_tokens) AS tt FROM per),
+         |s AS (SELECT source, n_docs, n_tokens, tt,
+         |  CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / tt) * 1000000.0) AS BIGINT) AS r
+         |  FROM per CROSS JOIN t),
+         |d AS (SELECT SUM(r) AS rs FROM s),
+         |rt AS (SELECT source, least(1000,
+         |         ((($OverlapTargetDocs * ((1000 * r) // rs)) // 1000) * 1000) // n_docs)
+         |         AS rate_permille
+         |       FROM s CROSS JOIN d),
+         |doc AS (SELECT doc_id, source,
+         |        CAST(len(string_split(text, ' ')) AS BIGINT) // $DriftBucketWords AS b
+         |        FROM documents),
+         |adm AS (SELECT doc.source, b, COUNT(*) AS c_s
+         |        FROM doc JOIN rt USING (source)
+         |        WHERE ((doc_id % ${TextAnalysis.SampleHashP})
+         |               * ${TextAnalysis.epochMultipliers(1).head._2})
+         |              % ${TextAnalysis.SampleHashP} % 1000 < rate_permille
+         |        GROUP BY 1, 2),
+         |corp AS (SELECT source, b, COUNT(*) AS c_c FROM doc GROUP BY 1, 2),
+         |tot AS (SELECT c.source, CAST(SUM(c.n) AS BIGINT) AS n_corpus, a.n_sample
+         |        FROM (SELECT source, SUM(c_c) AS n FROM corp GROUP BY 1) c
+         |        JOIN (SELECT source, CAST(SUM(c_s) AS BIGINT) AS n_sample
+         |              FROM adm GROUP BY 1) a ON a.source = c.source
+         |        GROUP BY 1, 3),
+         |fj AS (SELECT coalesce(corp.source, adm.source) AS source,
+         |       coalesce(c_c, 0) AS c_c, coalesce(c_s, 0) AS c_s
+         |       FROM corp FULL OUTER JOIN adm
+         |         ON corp.source = adm.source AND corp.b = adm.b)
+         |SELECT fj.source, tot.n_corpus, tot.n_sample,
+         |  CAST(SUM(abs((1000 * c_c) // n_corpus - (1000 * c_s) // n_sample)) AS BIGINT)
+         |    AS l1_drift_permille
+         |FROM fj JOIN tot ON tot.source = fj.source
+         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     // distinct-key full-outer comparison, 1-row report
     "pipeline_integrity_audit" ->
       """WITH l AS (SELECT doc_id AS k, COUNT(*) AS ln FROM documents GROUP BY 1),

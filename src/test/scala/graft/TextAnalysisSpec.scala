@@ -1055,6 +1055,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(adm(40L, 3).collect().toSeq === adm(40L, 3).collect().toSeq)
   }
 
+  test("sampleDrift: cap-rate sample drifts 0; sub-cap drift equals the exact replica") {
+    import spark.implicits._
+    // bimodal lengths (1 vs 33 words -> buckets 0 and 2 at width 16)
+    val d = (1 to 400).map { i =>
+      val words = if (i % 3 == 0) Seq.fill(33)("w") else Seq("w")
+      (i.toLong, "s", words.mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    // target >= corpus: rate caps at 1000, sample == corpus, L1 == 0
+    val full = TextAnalysis.sampleDrift(d, "doc_id", "source", "text", 1000L)
+      .collect()
+    assert(full.length === 1 && full(0).getLong(3) === 0L &&
+      full(0).getLong(1) === full(0).getLong(2))
+    // sub-cap rate: replay the admission + bucket-share arithmetic
+    val got = TextAnalysis.sampleDrift(d, "doc_id", "source", "text", 120L)
+      .collect()(0)
+    val m1 = TextAnalysis.epochMultipliers(1).head._2
+    val rate = 120L * 1000L / 400L // single source: weight 1000, floor chain
+    val admitted = (1 to 400).filter { i =>
+      (i.toLong % TextAnalysis.SampleHashP) * m1 %
+        TextAnalysis.SampleHashP % 1000 < rate
+    }
+    def shares(ids: Seq[Int]): Map[Long, Long] = {
+      val bs = ids.groupBy(i => (if (i % 3 == 0) 33L else 1L) / 16L)
+        .view.mapValues(_.size.toLong).toMap
+      bs.map { case (b, c) => b -> 1000L * c / ids.size }
+    }
+    val (p, q) = (shares(1 to 400), shares(admitted))
+    val l1 = (p.keySet ++ q.keySet).toSeq
+      .map(b => math.abs(p.getOrElse(b, 0L) - q.getOrElse(b, 0L))).sum
+    assert(got.getLong(1) === 400L)
+    assert(got.getLong(2) === admitted.size.toLong)
+    assert(got.getLong(3) === l1)
+    // the hash sampler sits near the noise floor, far from disjoint
+    assert(l1 < 200L)
+  }
+
   test("epochOverlap: every pair overlaps like an independent draw, never rotation-structured") {
     import spark.implicits._
     // one source, 2000 docs: the mix gives rate = target*1000/n_docs
