@@ -328,7 +328,10 @@ object ScaleUp {
     "pipeline_integrity_audit", "stream_admission_parity",
     // round 11 cohort 28: the sample-representativeness audit — two
     // (source, bucket)-bounded aggregates + a cells-bounded join
-    "pipeline_sample_drift")
+    "pipeline_sample_drift",
+    // round 11 cohort 29: the zero-shuffle split manifest and the
+    // pair-memo-riding leakage audit
+    "pipeline_split_manifest", "dedup_split_leakage")
 
   /** Rehearsal-only closures that are NOT declared queries: the
     * auto-parameter scale path of an operator whose declared form pins
@@ -564,9 +567,10 @@ object ScaleUp {
     "pipeline_epoch_admission",
     // round 11 cohort 26 (kNN classify is 10×-only — see Timed)
     "pipeline_epoch_overlap", "text_topic_keywords",
-    // round 11 cohort 27-28
+    // round 11 cohort 27-29
     "pipeline_integrity_audit", "stream_admission_parity",
-    "pipeline_sample_drift")
+    "pipeline_sample_drift", "pipeline_split_manifest",
+    "dedup_split_leakage")
 
   /** Dev-only rehearsal subset (comma-separated name prefixes, like
     * Bench's SPARK_GRAFT_BENCH_ONLY): lets a NEW operator's scale row

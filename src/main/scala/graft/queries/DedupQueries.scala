@@ -245,6 +245,27 @@ object DedupQueries {
   def ccGroups(s: SparkSession, dir: String): DataFrame =
     ccGroupFrame(s, dir).orderBy("doc_id")
 
+  /** SPLIT-LEAKAGE audit — do near-duplicate pairs STRADDLE the
+    * train/val/test boundary? The dedup-before-split lesson made
+    * measurable: a near-dup of a held-out document sitting in train
+    * is eval contamination, and a random split of an undeduplicated
+    * corpus leaks ≈ 2·p·(1−p) of every dup cluster across the
+    * boundary. Per unordered split pair: pair count + a cross flag.
+    * Rides the memoized jaccard pair graph; the split is
+    * [[PipelineQueries.splitOf]]'s per-row hash — pair-bounded work,
+    * splits²-bounded output. */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val sa = PipelineQueries.splitOf(col("doc_a"))
+    val sb = PipelineQueries.splitOf(col("doc_b"))
+    jaccardPairs(s, dir)
+      .select(least(sa, sb).as("split_a"), greatest(sa, sb).as("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("split_a"), col("split_b"), col("n_pairs"),
+        (col("split_a") =!= col("split_b")).cast("int").as("is_leak"))
+      .orderBy("split_a", "split_b")
+  }
+
   /** CANONICAL PICK — the dedup pipeline's final decision, quality-
     * aware: within each near-dup group, keep the member with the
     * HIGHEST bigram-LM quality score (ties → smallest doc_id), not
@@ -499,6 +520,7 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_source_report" -> (sourceReport _),
+    "dedup_split_leakage" -> (splitLeakage _),
     "dedup_chunk_rewrite" -> (chunkRewrite _),
     "dedup_incremental" -> (incremental _),
     "dedup_incremental_probe" -> (incrementalProbe _),
@@ -709,6 +731,25 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     // exact evidence: corpus-wide text window; near evidence: the
     // jaccard jp CTE's distinct endpoints; sources-bounded report
+    // the shingle/pair CTEs + the split hash on both endpoints,
+    // unordered via least/greatest
+    "dedup_split_leakage" -> (shingleCte +
+      s""", jp AS (SELECT doc_a, doc_b
+         |      FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+         |      WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= $JaccardThreshold),
+         |sp AS (SELECT doc_a, doc_b,
+         |       CASE WHEN ha < 800 THEN 'train' WHEN ha < 900 THEN 'val' ELSE 'test' END AS sa,
+         |       CASE WHEN hb < 800 THEN 'train' WHEN hb < 900 THEN 'val' ELSE 'test' END AS sb
+         |       FROM (SELECT doc_a, doc_b,
+         |             (doc_a % ${graft.operators.TextAnalysis.SampleHashP}) * ${graft.operators.TextAnalysis.SampleHashA}
+         |               % ${graft.operators.TextAnalysis.SampleHashP} % 1000 AS ha,
+         |             (doc_b % ${graft.operators.TextAnalysis.SampleHashP}) * ${graft.operators.TextAnalysis.SampleHashA}
+         |               % ${graft.operators.TextAnalysis.SampleHashP} % 1000 AS hb
+         |             FROM jp))
+         |SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+         |  COUNT(*) AS n_pairs,
+         |  CAST(least(sa, sb) <> greatest(sa, sb) AS INTEGER) AS is_leak
+         |FROM sp GROUP BY 1, 2, 4 ORDER BY 1, 2""".stripMargin),
     "dedup_source_report" -> (shingleCte +
       s""", jp AS (SELECT doc_a, doc_b
          |      FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id

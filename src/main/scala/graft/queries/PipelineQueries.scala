@@ -160,6 +160,28 @@ object PipelineQueries {
     TextAnalysis.epochOverlap(Tables.documents(s, dir), "doc_id", "source",
       "text", OverlapTargetDocs, MixEpochs)
 
+  /** Deterministic 80/10/10 train/val/test assignment — the
+    * multiplicative doc-id hash mod 1000 against the [800, 900)
+    * boundaries, the split every downstream stage (and the leakage
+    * audit) replays from doc_id alone. */
+  def splitOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = pmod(pmod(c.cast("long"), lit(TextAnalysis.SampleHashP)) *
+      lit(TextAnalysis.SampleHashA), lit(TextAnalysis.SampleHashP)) % 1000
+    when(h < 800, "train").when(h < 900, "val").otherwise("test")
+  }
+
+  /** Train/val/test split manifest: per (split, lang), docs and exact
+    * token counts — the artifact a training job consumes. Zero-shuffle
+    * assignment (a pure per-row hash), one splits×langs-bounded
+    * report aggregate. */
+  def splitManifestQ(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(splitOf(col("doc_id")).as("split"), col("lang"),
+        size(TextOps.words(col("text"))).cast("long").as("n_toks"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+      .orderBy("split", "lang")
+
   /** Sample-drift audit ([[TextAnalysis.sampleDrift]]): per source,
     * the L1 distance between the admitted sample's and the corpus's
     * token-length bucket shares — the representativeness gate on the
@@ -183,6 +205,7 @@ object PipelineQueries {
     "pipeline_epoch_overlap" -> (epochOverlapQ _),
     "pipeline_integrity_audit" -> (integrityAuditQ _),
     "pipeline_sample_drift" -> (sampleDriftQ _),
+    "pipeline_split_manifest" -> (splitManifestQ _),
     "pipeline_mix_weights" -> (mixWeights _),
     "pipeline_shard_manifest" -> (shardManifest _),
     "pipeline_token_budget" -> (tokenBudget _),
@@ -227,6 +250,15 @@ object PipelineQueries {
          |  COUNT(*) AS n_admitted,
          |  CAST(SUM(n_toks) AS BIGINT) AS admitted_tokens
          |FROM adm GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the multiplicative split hash + a splits x langs report
+    "pipeline_split_manifest" ->
+      s"""SELECT CASE WHEN h < 800 THEN 'train' WHEN h < 900 THEN 'val' ELSE 'test' END AS split,
+         |  lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |FROM (SELECT lang, text,
+         |      (doc_id % ${TextAnalysis.SampleHashP}) * ${TextAnalysis.SampleHashA}
+         |      % ${TextAnalysis.SampleHashP} % 1000 AS h FROM documents)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the admission CTEs at epoch 1 + per-(source, length-bucket)
     // permille shares, L1 over the full-outer bucket join
     "pipeline_sample_drift" ->

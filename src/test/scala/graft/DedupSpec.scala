@@ -693,6 +693,41 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(_._4).sum === nearIds.toLong)
   }
 
+  test("splitLeakage: equals the driver replay of the pair graph; split manifest partitions the corpus") {
+    import graft.operators.TextAnalysis.{SampleHashA, SampleHashP}
+    def split(id: Long): String = {
+      val h = (id % SampleHashP) * SampleHashA % SampleHashP % 1000
+      if (h < 800) "train" else if (h < 900) "val" else "test"
+    }
+    // leakage rows equal a driver-side replay over the declared pair graph
+    val pairs = graft.queries.DedupQueries.queries("dedup_ngram_jaccard")(spark, sf001)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = pairs
+      .map { case (a, b) =>
+        val (sa, sb) = (split(a), split(b))
+        (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = graft.queries.DedupQueries.splitLeakage(spark, sf001)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getInt(3))))
+      .toMap
+    assert(got.view.mapValues(_._1).toMap === expect)
+    got.foreach { case ((a, b), (_, leak)) => assert(leak === (if (a == b) 0 else 1)) }
+    // an undeduplicated corpus leaks: with live pairs, at least one
+    // cross-split row exists at the fixture's 80/10/10
+    assert(pairs.isEmpty || got.keys.exists { case (a, b) => a != b })
+    // manifest partitions the corpus and is ~80/10/10 by split
+    val man = graft.queries.PipelineQueries.splitManifestQ(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(man.map(_._3).sum === 500L)
+    val bySplit = man.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(bySplit("train") > 350L && bySplit("train") < 450L)
+    assert(bySplit("val") + bySplit("test") === 500L - bySplit("train"))
+    // manifest counts equal a direct driver count per split
+    val ids = graft.io.Tables.documents(spark, sf001)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(bySplit === ids.groupBy(split).view.mapValues(_.length.toLong).toMap)
+  }
+
   test("chunkDedupRewrite: first occurrence survives, later carriers are cut, rebuild preserves order") {
     import spark.implicits._
     // width-3 chunks; the shared chunk "x y z" appears in docs 1, 2, 3
