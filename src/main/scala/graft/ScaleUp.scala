@@ -331,7 +331,10 @@ object ScaleUp {
     "pipeline_sample_drift",
     // round 11 cohort 29: the zero-shuffle split manifest and the
     // pair-memo-riding leakage audit
-    "pipeline_split_manifest", "dedup_split_leakage")
+    "pipeline_split_manifest", "dedup_split_leakage",
+    // round 11 cohort 30: the tau-tuning band report — same
+    // inverted-index candidate machinery at the 0.5 floor
+    "dedup_threshold_curve")
 
   /** Rehearsal-only closures that are NOT declared queries: the
     * auto-parameter scale path of an operator whose declared form pins
@@ -570,7 +573,7 @@ object ScaleUp {
     // round 11 cohort 27-29
     "pipeline_integrity_audit", "stream_admission_parity",
     "pipeline_sample_drift", "pipeline_split_manifest",
-    "dedup_split_leakage")
+    "dedup_split_leakage", "dedup_threshold_curve")
 
   /** Dev-only rehearsal subset (comma-separated name prefixes, like
     * Bench's SPARK_GRAFT_BENCH_ONLY): lets a NEW operator's scale row

@@ -245,6 +245,42 @@ object DedupQueries {
   def ccGroups(s: SparkSession, dir: String): DataFrame =
     ccGroupFrame(s, dir).orderBy("doc_id")
 
+  /** THRESHOLD-TUNING curve — how many near-dup pairs exist per
+    * Jaccard band, with the cumulative count a given threshold would
+    * keep: the report an operator reads BEFORE picking τ (the
+    * declared queries pin τ=0.8; this shows what 0.5/0.6/0.7/0.9
+    * would have done on the same candidate machinery). One extra
+    * pair frame at the lower τ=0.5 floor (same inverted-index /
+    * hot-shingle-cap plan — candidate-bounded, never corpus²),
+    * memoized like [[jaccardPairs]]; the report is ≤ 6 band rows.
+    * Band membership is floor(j·10) on the SAME IEEE division both
+    * engines compute from integer (inter, sizes) — identical bits,
+    * identical floor. */
+  val CurveFloor = 0.5
+  private def curvePairs(s: SparkSession, dir: String): DataFrame =
+    FixtureCache.memo(
+        s"curve_pairs:n=3:t=$CurveFloor:${graft.io.FixtureCache.sessionKey(s)}",
+        dir, "documents") {
+      val p = Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = CurveFloor).persist()
+      p.count()
+      p
+    }
+
+  def thresholdCurve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bands = curvePairs(s, dir)
+      .select(floor(col("jaccard") * 10).cast("int").as("band"))
+      .groupBy("band").agg(count(lit(1)).as("n_pairs"))
+    bands
+      .withColumn("n_pairs_ge", sum("n_pairs").over(
+        Window.orderBy(col("band").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("band"), (col("band") * 100L).as("threshold_permille"),
+        col("n_pairs"), col("n_pairs_ge"))
+      .orderBy("band")
+  }
+
   /** SPLIT-LEAKAGE audit — do near-duplicate pairs STRADDLE the
     * train/val/test boundary? The dedup-before-split lesson made
     * measurable: a near-dup of a held-out document sitting in train
@@ -521,6 +557,7 @@ object DedupQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_source_report" -> (sourceReport _),
     "dedup_split_leakage" -> (splitLeakage _),
+    "dedup_threshold_curve" -> (thresholdCurve _),
     "dedup_chunk_rewrite" -> (chunkRewrite _),
     "dedup_incremental" -> (incremental _),
     "dedup_incremental_probe" -> (incrementalProbe _),
@@ -731,6 +768,17 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     // exact evidence: corpus-wide text window; near evidence: the
     // jaccard jp CTE's distinct endpoints; sources-bounded report
+    // the shingle/pair CTEs at the curve floor + band floor(j*10),
+    // cumulative over <= 6 band rows
+    "dedup_threshold_curve" -> (shingleCte +
+      s""", jp AS (SELECT CAST(floor(10 * CAST(inter AS DOUBLE) / (ca.c + cb.c - inter)) AS INTEGER) AS band
+         |      FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+         |      WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= $CurveFloor),
+         |b AS (SELECT band, COUNT(*) AS n_pairs FROM jp GROUP BY 1)
+         |SELECT band, CAST(band * 100 AS BIGINT) AS threshold_permille, n_pairs,
+         |  CAST(SUM(n_pairs) OVER (ORDER BY band DESC
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_pairs_ge
+         |FROM b ORDER BY band""".stripMargin),
     // the shingle/pair CTEs + the split hash on both endpoints,
     // unordered via least/greatest
     "dedup_split_leakage" -> (shingleCte +

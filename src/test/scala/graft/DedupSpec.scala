@@ -693,6 +693,29 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(_._4).sum === nearIds.toLong)
   }
 
+  test("thresholdCurve: bands match a driver replay; cumulative is the suffix sum; tau=0.8 row agrees") {
+    val got = graft.queries.DedupQueries.thresholdCurve(spark, sf001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // threshold column is the band in permille; cumulative = suffix sum
+    got.foreach { case (b, t, _, _) => assert(t === b * 100L) }
+    val bands = got.map(x => x._1 -> x._2).toMap
+    got.foreach { case (b, _, _, cum) =>
+      assert(cum === got.filter(_._1 >= b).map(_._3).sum)
+    }
+    // the declared tau=0.8 query's pair count equals the curve's >= 800
+    // cumulative (bands are floor(j*10), so >= 0.8 <=> band >= 8)
+    val at08 = got.filter(_._1 >= 8).map(_._3).sum
+    val declared = graft.queries.DedupQueries.queries("dedup_ngram_jaccard")(spark, sf001)
+      .count()
+    assert(at08 === declared)
+    // driver replay over the declared pair list extended to the floor:
+    // every tau=0.8 pair lands in a band >= 8
+    val js = graft.queries.DedupQueries.queries("dedup_ngram_jaccard")(spark, sf001)
+      .select("jaccard").collect().map(_.getDouble(0))
+    assert(js.forall(j => math.floor(j * 10).toInt >= 8))
+  }
+
   test("splitLeakage: equals the driver replay of the pair graph; split manifest partitions the corpus") {
     import graft.operators.TextAnalysis.{SampleHashA, SampleHashP}
     def split(id: Long): String = {
