@@ -52,7 +52,9 @@ class ShuffleCeilingSpec extends SparkSpec {
     // partials + vote cells
     ("text_topic_keywords", 8000L, "vocab x k lift cells + rank window (1897)"),
     ("pipeline_epoch_admission", 1000L, "source partials + epoch x source report cells (162)"),
-    ("ann_knn_classify", 500L, "Q*k heap partials + vote cells (80)"))
+    ("ann_knn_classify", 500L, "Q*k heap partials + vote cells (80)"),
+    ("pipeline_split_manifest", 200L, "splits x langs report cells (30)"),
+    ("pipeline_sample_drift", 3000L, "source x length-bucket share cells x2 + rates (542)"))
 
   test("bounded-output queries shuffle bounded records at sf0.1") {
     val records = new LongAdder
