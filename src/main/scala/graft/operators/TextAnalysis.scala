@@ -1684,13 +1684,22 @@ object TextAnalysis {
       .select(col(sourceCol).as("source"),
         (size(TextOps.words(col(textCol))) / bucketWords).cast("long").as("b"))
       .groupBy("source", "b").agg(count(lit(1)).as("c_c"))
+    // LEFT join + zero-share fallback: a source whose rate floors to
+    // 0‰ admits nothing, and the audit must report it at maximal
+    // drift (every sample share 0 → L1 = Σ corpus shares ≈ 1000),
+    // not silently drop the row — the sampler being broken for a
+    // source is exactly what this gate exists to surface
     val tot = corp.groupBy("source").agg(sum("c_c").as("n_corpus"))
-      .join(adm.groupBy("source").agg(sum("c_s").as("n_sample")), "source")
+      .join(adm.groupBy("source").agg(sum("c_s").as("n_sample")),
+        Seq("source"), "left")
+      .na.fill(0L, Seq("n_sample"))
+    val sampleShare = when(col("n_sample") === 0L, lit(0L))
+      .otherwise(expr("(1000 * coalesce(c_s, 0)) DIV n_sample"))
     corp.join(adm, Seq("source", "b"), "full_outer")
       .join(broadcast(tot), "source")
       .select(col("source"), col("n_corpus"), col("n_sample"),
-        abs(expr("(1000 * coalesce(c_c, 0)) DIV n_corpus") -
-          expr("(1000 * coalesce(c_s, 0)) DIV n_sample")).as("d"))
+        abs(expr("(1000 * coalesce(c_c, 0)) DIV n_corpus") - sampleShare)
+          .as("d"))
       .groupBy("source")
       .agg(min("n_corpus").as("n_corpus"), min("n_sample").as("n_sample"),
         sum("d").as("l1_drift_permille"))

@@ -284,18 +284,19 @@ object PipelineQueries {
          |              % ${TextAnalysis.SampleHashP} % 1000 < rate_permille
          |        GROUP BY 1, 2),
          |corp AS (SELECT source, b, COUNT(*) AS c_c FROM doc GROUP BY 1, 2),
-         |tot AS (SELECT c.source, CAST(SUM(c.n) AS BIGINT) AS n_corpus, a.n_sample
+         |tot AS (SELECT c.source, CAST(c.n AS BIGINT) AS n_corpus,
+         |        CAST(coalesce(a.n_sample, 0) AS BIGINT) AS n_sample
          |        FROM (SELECT source, SUM(c_c) AS n FROM corp GROUP BY 1) c
-         |        JOIN (SELECT source, CAST(SUM(c_s) AS BIGINT) AS n_sample
-         |              FROM adm GROUP BY 1) a ON a.source = c.source
-         |        GROUP BY 1, 3),
+         |        LEFT JOIN (SELECT source, SUM(c_s) AS n_sample
+         |              FROM adm GROUP BY 1) a ON a.source = c.source),
          |fj AS (SELECT coalesce(corp.source, adm.source) AS source,
          |       coalesce(c_c, 0) AS c_c, coalesce(c_s, 0) AS c_s
          |       FROM corp FULL OUTER JOIN adm
          |         ON corp.source = adm.source AND corp.b = adm.b)
          |SELECT fj.source, tot.n_corpus, tot.n_sample,
-         |  CAST(SUM(abs((1000 * c_c) // n_corpus - (1000 * c_s) // n_sample)) AS BIGINT)
-         |    AS l1_drift_permille
+         |  CAST(SUM(abs((1000 * c_c) // n_corpus -
+         |    CASE WHEN tot.n_sample = 0 THEN 0 ELSE (1000 * c_s) // tot.n_sample END))
+         |    AS BIGINT) AS l1_drift_permille
          |FROM fj JOIN tot ON tot.source = fj.source
          |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     // distinct-key full-outer comparison, 1-row report

@@ -563,8 +563,18 @@ object StreamQueries {
         graft.plans.expressions.vec_dot(col("qv"), col("v")) /
           (col("qn") * sqrt(graft.plans.expressions.vec_dot(col("v"), col("v")))))
       .select("query_id", "id", "cosine")
+    // NaN cosines (a zero-norm corpus vector — the audit gate pins the
+    // fixture clean, but the twin must stay row-identical even off it):
+    // the batch probe's `cosine DESC` rank treats NaN as GREATEST
+    // (rank 1), while ascending array_sort on −cosine would order NaN
+    // LAST; mapping NaN → −∞ in the sort key reproduces the batch
+    // ordering (−∞ sorts first ascending), with the id tie-break
+    // unchanged
+    val sortKey = when(isnan(col("cosine")), lit(Double.NegativeInfinity))
+      .otherwise(-col("cosine"))
     val agg = joined.groupBy("query_id")
-      .agg(collect_list(struct((-col("cosine")).as("nc"), col("id").as("nid")))
+      .agg(collect_list(struct(sortKey.as("nc"), col("id").as("nid"),
+          col("cosine").as("c0")))
         .as("cand"))
     runToMemory(s, "stream_ann_sink", agg, "complete")
       .select(col("query_id"),
@@ -572,7 +582,7 @@ object StreamQueries {
           .as(Seq("p", "c")))
       .select(col("query_id"), col("c.nid").as("neighbor_id"),
         (col("p") + 1).cast("int").as("rank"),
-        round(-col("c.nc"), 6).as("cosine"))
+        round(col("c.c0"), 6).as("cosine"))
       .orderBy("query_id", "rank")
   }
 

@@ -682,10 +682,14 @@ class DedupSpec extends SparkSpec {
     // exact-dup docs across sources = corpus docs minus distinct texts
     val docs = graft.io.Tables.documents(spark, sf001)
     val distinctTexts = docs.select("text").distinct().count()
-    val groups = docs.count() - distinctTexts // dropped copies
+    val groups = docs.count() - distinctTexts // dropped copies = Σ(m−1)
     val exactDupDocs = rows.map(_._3).sum
-    // every dropped copy AND its survivor are exact-dup docs
-    assert(exactDupDocs >= 2 * groups && exactDupDocs <= 500L)
+    // exact-dup docs = Σm = groups + (number of duplicated texts), so
+    // strictly more than the dropped copies and at most 2·groups
+    // (equality iff every duplicated text appears exactly twice);
+    // a dup-free corpus reports zero
+    if (groups == 0) assert(exactDupDocs === 0L)
+    else assert(exactDupDocs > groups && exactDupDocs <= 2 * groups)
     // near-dup docs = distinct endpoints of the jaccard pair graph
     val nearIds = graft.queries.DedupQueries.queries("dedup_ngram_jaccard")(spark, sf001)
       .select("doc_a", "doc_b").collect()
@@ -699,7 +703,6 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty)
     // threshold column is the band in permille; cumulative = suffix sum
     got.foreach { case (b, t, _, _) => assert(t === b * 100L) }
-    val bands = got.map(x => x._1 -> x._2).toMap
     got.foreach { case (b, _, _, cum) =>
       assert(cum === got.filter(_._1 >= b).map(_._3).sum)
     }

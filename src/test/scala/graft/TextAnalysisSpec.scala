@@ -1089,6 +1089,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.getLong(3) === l1)
     // the hash sampler sits near the noise floor, far from disjoint
     assert(l1 < 200L)
+    // a source whose rate floors to 0 permille must still REPORT —
+    // n_sample 0 at maximal drift (sum of corpus shares), never a
+    // silently dropped row (the audit exists for exactly this case):
+    // with a tiny target, the small source's budget rounds to 0 docs
+    val d2 = ((1 to 390).map(i => (i.toLong, "big", "a b c d e f g h i j")) ++
+      (1 to 10).map(i => (1000L + i, "small", "a b c d e f g h i j")))
+      .toDF("doc_id", "source", "text")
+    val fl = TextAnalysis.sampleDrift(d2, "doc_id", "source", "text", 5L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(fl.keySet === Set("big", "small"))
+    assert(fl("small")._2 === 0L)
+    assert(fl("small")._3 >= 900L && fl("small")._3 <= 1000L)
   }
 
   test("epochOverlap: every pair overlaps like an independent draw, never rotation-structured") {
