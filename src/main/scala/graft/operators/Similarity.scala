@@ -65,7 +65,16 @@ object Similarity {
 
   /** Exact top-k cosine neighbors for each query vector.
     * Output: (query_id, neighbor_id, rank, cosine). Self-matches are
-    * excluded; ties break toward the lower neighbor id. */
+    * excluded; ties break toward the lower neighbor id.
+    *
+    * NOTE on the family: the broadcast-queries/bounded-heap partition
+    * scan below is intentionally REPEATED (not factored through a
+    * shared scorer/filter closure) in [[mipsTopK]],
+    * [[hardNegativesTopK]] and [[knnClassify]] — each variant keeps a
+    * monomorphic per-row loop, because a closure parameter would put
+    * a megamorphic call site inside the O(n·Q·d) hot path the JIT
+    * otherwise inlines; the variants differ only in the skip
+    * predicate and the emitted payload. */
   def bruteForceTopK(embs: DataFrame, idCol: String, vecCol: String,
                      queries: Array[(Long, Array[Double])], k: Int): DataFrame = {
     val spark = embs.sparkSession
