@@ -334,7 +334,10 @@ object ScaleUp {
     "pipeline_split_manifest", "dedup_split_leakage",
     // round 11 cohort 30: the tau-tuning band report — same
     // inverted-index candidate machinery at the 0.5 floor
-    "dedup_threshold_curve")
+    "dedup_threshold_curve",
+    // round 11 cohort 31: the one-scan stage-count dashboard (rides
+    // the jaccard memo for its loser set)
+    "pipeline_dedup_funnel")
 
   /** Rehearsal-only closures that are NOT declared queries: the
     * auto-parameter scale path of an operator whose declared form pins
@@ -573,7 +576,8 @@ object ScaleUp {
     // round 11 cohort 27-29
     "pipeline_integrity_audit", "stream_admission_parity",
     "pipeline_sample_drift", "pipeline_split_manifest",
-    "dedup_split_leakage", "dedup_threshold_curve")
+    "dedup_split_leakage", "dedup_threshold_curve",
+    "pipeline_dedup_funnel")
 
   /** Dev-only rehearsal subset (comma-separated name prefixes, like
     * Bench's SPARK_GRAFT_BENCH_ONLY): lets a NEW operator's scale row

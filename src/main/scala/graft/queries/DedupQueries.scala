@@ -585,7 +585,7 @@ object DedupQueries {
   // where the cap fires (the fixtures never trigger it — max shingle
   // frequency 25 — but the semantics must not silently diverge on data
   // that does).
-  private val shingleCte =
+  private[queries] val shingleCte =
     s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh0 AS (SELECT DISTINCT doc_id, s FROM (
       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),

@@ -160,6 +160,44 @@ object PipelineQueries {
     TextAnalysis.epochOverlap(Tables.documents(s, dir), "doc_id", "source",
       "text", OverlapTargetDocs, MixEpochs)
 
+  /** DEDUP FUNNEL — the pipeline dashboard row: how many documents
+    * (and exact tokens) survive each cleaning stage — raw → exact
+    * dedup → near-dedup (drop the higher-id side of every τ=0.8
+    * jaccard pair, the training-set rule) → quality gate (score ≥
+    * MinScore, tokens ∈ [MinTokens, MaxTokens]). The report every
+    * corpus-curation run opens with ("where did my data go?").
+    *
+    * ONE corpus scan carrying four per-doc verdict flags (exact
+    * survivor = min-id per digest; near loser = pair-graph higher
+    * endpoint, memoized; quality = the clean-corpus score) folded by
+    * a single partial+final aggregate into a 1-row report — never
+    * four separate scans. */
+  def dedupFunnelQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val base = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_toks"),
+        (col("score") >= MinScore &&
+          col("n_tokens").between(MinTokens, MaxTokens)).as("q_ok"))
+    val exactSurv = Dedup.exact(docs, "doc_id", "text")
+      .select(col("doc_id"), lit(1).as("_e"))
+    val nearLosers = DedupQueries.jaccardPairs(s, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("_l", lit(1))
+    def cnt(flag: org.apache.spark.sql.Column, n: String, t: String) = Seq(
+      sum(when(flag, 1L).otherwise(0L)).as(n),
+      sum(when(flag, col("n_toks")).otherwise(0L)).as(t))
+    val e = col("_e").isNotNull
+    val near = e && col("_l").isNull
+    val aggs = Seq(count(lit(1)).as("n_raw"), sum("n_toks").as("toks_raw")) ++
+      cnt(e, "n_exact", "toks_exact") ++
+      cnt(near, "n_near", "toks_near") ++
+      cnt(near && col("q_ok"), "n_quality", "toks_quality")
+    base
+      .join(exactSurv, Seq("doc_id"), "left")
+      .join(nearLosers, Seq("doc_id"), "left")
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Deterministic 80/10/10 train/val/test assignment — the
     * multiplicative doc-id hash mod 1000 against the [800, 900)
     * boundaries, the split every downstream stage (and the leakage
@@ -204,6 +242,7 @@ object PipelineQueries {
     "pipeline_epoch_admission" -> (epochAdmissionQ _),
     "pipeline_epoch_overlap" -> (epochOverlapQ _),
     "pipeline_integrity_audit" -> (integrityAuditQ _),
+    "pipeline_dedup_funnel" -> (dedupFunnelQ _),
     "pipeline_sample_drift" -> (sampleDriftQ _),
     "pipeline_split_manifest" -> (splitManifestQ _),
     "pipeline_mix_weights" -> (mixWeights _),
@@ -250,6 +289,35 @@ object PipelineQueries {
          |  COUNT(*) AS n_admitted,
          |  CAST(SUM(n_toks) AS BIGINT) AS admitted_tokens
          |FROM adm GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the exact-dedup surv CTE + the jaccard loser set (shingle/pair
+    // CTEs from the dedup family) + the clean-corpus score CTE,
+    // folded into one conditional-sum row
+    "pipeline_dedup_funnel" -> (DedupQueries.shingleCte +
+      s""", jp AS (SELECT doc_b
+         |      FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+         |      WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= ${DedupQueries.JaccardThreshold}),
+         |losers AS (SELECT DISTINCT doc_b AS doc_id FROM jp),
+         |surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         |t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+         |q AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_toks,
+         |  CAST(len(list_filter(w, x -> x IN ${inList(TextAnalysis.EnStopwords)})) AS DOUBLE) / len(w) * 0.3
+         |  + (1.0 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)) * 0.4
+         |  + least((CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w)) / 10.0, 1.0) * 0.3 AS score
+         |  FROM t),
+         |f AS (SELECT q.doc_id, q.n_toks,
+         |  surv.doc_id IS NOT NULL AS e,
+         |  surv.doc_id IS NOT NULL AND losers.doc_id IS NULL AS near,
+         |  q.score >= $MinScore AND q.n_toks BETWEEN $MinTokens AND $MaxTokens AS qok
+         |  FROM q LEFT JOIN surv ON surv.doc_id = q.doc_id
+         |         LEFT JOIN losers ON losers.doc_id = q.doc_id)
+         |SELECT COUNT(*) AS n_raw, CAST(SUM(n_toks) AS BIGINT) AS toks_raw,
+         |  CAST(SUM(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+         |  CAST(SUM(CASE WHEN e THEN n_toks ELSE 0 END) AS BIGINT) AS toks_exact,
+         |  CAST(SUM(CASE WHEN near THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+         |  CAST(SUM(CASE WHEN near THEN n_toks ELSE 0 END) AS BIGINT) AS toks_near,
+         |  CAST(SUM(CASE WHEN near AND qok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |  CAST(SUM(CASE WHEN near AND qok THEN n_toks ELSE 0 END) AS BIGINT) AS toks_quality
+         |FROM f""".stripMargin),
     // the multiplicative split hash + a splits x langs report
     "pipeline_split_manifest" ->
       s"""SELECT CASE WHEN h < 800 THEN 'train' WHEN h < 900 THEN 'val' ELSE 'test' END AS split,

@@ -697,6 +697,31 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(_._4).sum === nearIds.toLong)
   }
 
+  test("dedupFunnel: stages are monotone and agree with the constituent queries") {
+    val r = graft.queries.PipelineQueries.dedupFunnelQ(spark, sf001).collect()(0)
+    val (nRaw, tRaw) = (r.getLong(0), r.getLong(1))
+    val (nEx, tEx) = (r.getLong(2), r.getLong(3))
+    val (nNear, tNear) = (r.getLong(4), r.getLong(5))
+    val (nQ, tQ) = (r.getLong(6), r.getLong(7))
+    // funnel monotone in both docs and tokens
+    assert(nRaw >= nEx && nEx >= nNear && nNear >= nQ && nQ >= 0L)
+    assert(tRaw >= tEx && tEx >= tNear && tNear >= tQ && tQ >= 0L)
+    // stage agreements: raw and exact from the corpus's own queries
+    val docs = graft.io.Tables.documents(spark, sf001)
+    assert(nRaw === docs.count())
+    assert(nEx === docs.select("text").distinct().count())
+    // near stage: exact survivors minus the pair graph's higher sides
+    val losers = graft.queries.DedupQueries.queries("dedup_ngram_jaccard")(spark, sf001)
+      .select("doc_b").distinct().collect().map(_.getLong(0)).toSet
+    val exactSurvivors = docs.groupBy("text")
+      .agg(org.apache.spark.sql.functions.min("doc_id").as("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(nNear === (exactSurvivors -- losers).size.toLong)
+    // quality stage equals the clean-corpus rules applied to near
+    // survivors (cleanCorpus itself skips near-dedup, so bound only)
+    assert(nQ <= graft.queries.PipelineQueries.cleanCorpus(spark, sf001).count())
+  }
+
   test("thresholdCurve: bands match a driver replay; cumulative is the suffix sum; tau=0.8 row agrees") {
     val got = graft.queries.DedupQueries.thresholdCurve(spark, sf001)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
