@@ -337,7 +337,10 @@ object ScaleUp {
     "dedup_threshold_curve",
     // round 11 cohort 31: the one-scan stage-count dashboard (rides
     // the jaccard memo for its loser set)
-    "pipeline_dedup_funnel")
+    "pipeline_dedup_funnel",
+    // round 11 cohort 32: the pre-salting key-load report — one
+    // key exchange + TakeOrdered head over 750 k/7.5 M users
+    "events_skew_report")
 
   /** Rehearsal-only closures that are NOT declared queries: the
     * auto-parameter scale path of an operator whose declared form pins
@@ -577,7 +580,7 @@ object ScaleUp {
     "pipeline_integrity_audit", "stream_admission_parity",
     "pipeline_sample_drift", "pipeline_split_manifest",
     "dedup_split_leakage", "dedup_threshold_curve",
-    "pipeline_dedup_funnel")
+    "pipeline_dedup_funnel", "events_skew_report")
 
   /** Dev-only rehearsal subset (comma-separated name prefixes, like
     * Bench's SPARK_GRAFT_BENCH_ONLY): lets a NEW operator's scale row

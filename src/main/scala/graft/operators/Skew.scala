@@ -10,6 +10,34 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** KEY-SKEW report — the observability pass an operator runs BEFORE
+    * deciding to salt a join or aggregate: the k heaviest keys with
+    * each one's share of all rows and its ratio to the mean key load
+    * (both integer permille — ratio 1000 = perfectly uniform; the
+    * AQE skew-join threshold conversation starts around 5-10×).
+    *
+    * Scale shape: one map-side-combined key aggregate (the same
+    * exchange any group-by on the key pays), two 1-row totals
+    * broadcast, TakeOrdered for the head — per-partition heaps, no
+    * global sort, k rows out. */
+  def keySkewReport(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(keyCol).cast("long").as("key"))
+      .agg(count(lit(1)).as("n_rows"))
+    val tot = counts.agg(sum("n_rows").as("_total"),
+      count(lit(1)).as("_nkeys"))
+    val top = counts
+      .orderBy(col("n_rows").desc, col("key"))
+      .limit(k)
+    top.crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_rows").desc, col("key"))).cast("int"))
+      .select(col("rank"), col("key"), col("n_rows"),
+        expr("(1000 * n_rows) DIV _total").as("share_permille"),
+        expr("(1000 * n_rows * _nkeys) DIV _total").as("x_mean_permille"))
+      .orderBy("rank")
+  }
+
   /** Two-phase salted aggregation for algebraic aggregates: group on
     * (key, salt) first — spreading one hot key over `buckets` tasks —
     * then re-aggregate per key. `partials` maps each value column to

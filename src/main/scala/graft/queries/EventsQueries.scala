@@ -58,6 +58,13 @@ object EventsQueries {
         round(col("avg_k"), 6).as("avg_k"))
       .orderBy("event_type")
 
+  /** Key-skew report ([[graft.operators.Skew.keySkewReport]]) on the
+    * event stream's user_id — the pre-salting observability pass:
+    * heaviest 10 keys, their row share and their ratio to the mean
+    * key load, both integer permille. */
+  def skewReport(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.keySkewReport(Tables.events(s, dir), "user_id", 10)
+
   def topUsers(s: SparkSession, dir: String): DataFrame =
     Events.topUsers(Tables.events(s, dir))
       .select(col("user_id"), round(col("total_value"), 6).as("total_value"),
@@ -168,9 +175,20 @@ object EventsQueries {
     "events_sequence_match" -> (sequenceMatchQ _),
     "events_json" -> (json _),
     "events_topk_users" -> (topUsers _),
+    "events_skew_report" -> (skewReport _),
     "events_range_frame" -> (rangeFrame _))
 
   val oracles: Map[String, String] = Map(
+    // key counts -> totals -> rank (count DESC, key), integer shares
+    "events_skew_report" ->
+      """WITH c AS (SELECT user_id AS key, COUNT(*) AS n_rows FROM events GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total, COUNT(*) AS nkeys FROM c),
+        |r AS (SELECT key, n_rows,
+        |      row_number() OVER (ORDER BY n_rows DESC, key) AS rank FROM c)
+        |SELECT CAST(rank AS INTEGER) AS rank, key, n_rows,
+        |  CAST((1000 * n_rows) // total AS BIGINT) AS share_permille,
+        |  CAST((1000 * n_rows * nkeys) // total AS BIGINT) AS x_mean_permille
+        |FROM r CROSS JOIN t WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "events_markov_transitions" ->
       """WITH p AS (SELECT user_id, event_type,
         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type

@@ -12,6 +12,26 @@ class EventsSpec extends SparkSpec {
 
   private lazy val events = Tables.events(spark, sf001).cache()
 
+  test("keySkewReport: planted hot key ranks first with exact share and mean ratio; uniform ~1000") {
+    import spark.implicits._
+    // 9 keys x 10 rows + one hot key x 110 rows = 200 rows, 10 keys
+    val d = ((1 to 9).flatMap(k => (1 to 10).map(_ => k.toLong)) ++
+      Seq.fill(110)(99L)).toDF("user_id")
+    val r = graft.operators.Skew.keySkewReport(d, "user_id", 3)
+      .collect().map(x => (x.getInt(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4)))
+    assert(r.length === 3)
+    // hot key: 110/200 rows = 550 permille, 5.5x the mean key load
+    assert(r(0) === ((1, 99L, 110L, 550L, 5500L)))
+    // runners-up tie at 10 rows, break toward the smaller key
+    assert(r(1)._2 === 1L && r(2)._2 === 2L)
+    assert(r(1)._4 === 50L && r(1)._5 === 500L)
+    // uniform corpus: every key sits at the mean (1000 permille)
+    val u = (1 to 8).flatMap(k => (1 to 5).map(_ => k.toLong)).toDF("user_id")
+    graft.operators.Skew.keySkewReport(u, "user_id", 8).collect()
+      .foreach(x => assert(x.getLong(4) === 1000L))
+  }
+
   test("tumbling windows cover every event exactly once") {
     val t = Events.tumbling(events)
     assert(t.agg(sum("n")).collect()(0).getLong(0) === events.count())
