@@ -340,7 +340,10 @@ object ScaleUp {
     "pipeline_dedup_funnel",
     // round 11 cohort 32: the pre-salting key-load report — one
     // key exchange + TakeOrdered head over 750 k/7.5 M users
-    "events_skew_report")
+    "events_skew_report",
+    // round 11 cohort 33: the FK audit at 6 M lines / 1.5 M orders —
+    // distinct-reduced keys, one full-outer key exchange
+    "rel_fk_audit")
 
   /** Rehearsal-only closures that are NOT declared queries: the
     * auto-parameter scale path of an operator whose declared form pins
@@ -580,7 +583,7 @@ object ScaleUp {
     "pipeline_integrity_audit", "stream_admission_parity",
     "pipeline_sample_drift", "pipeline_split_manifest",
     "dedup_split_leakage", "dedup_threshold_curve",
-    "pipeline_dedup_funnel", "events_skew_report")
+    "pipeline_dedup_funnel", "events_skew_report", "rel_fk_audit")
 
   /** Dev-only rehearsal subset (comma-separated name prefixes, like
     * Bench's SPARK_GRAFT_BENCH_ONLY): lets a NEW operator's scale row

@@ -362,7 +362,18 @@ object RelationalQueries {
   def q22(s: SparkSession, dir: String): DataFrame =
     RelationalTpch.salesOpportunity(s, dir)
 
+  /** FK-consistency audit ([[graft.operators.Integrity
+    * .referentialAudit]]) on the fact-to-dim pair lineitem.l_orderkey
+    * → orders.o_orderkey — the relational face of the doc⋈embedding
+    * gate: fact rows per key, orphan facts (no parent order), orders
+    * with no lines, duplicate keys on either side. */
+  def fkAudit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Integrity.referentialAudit(
+      graft.io.Tables.lineitem(s, dir), "l_orderkey",
+      graft.io.Tables.orders(s, dir), "o_orderkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_fk_audit" -> (fkAudit _),
     "rel_q2_min_cost_supplier" -> (q2 _),
     "rel_q11_important_parts" -> (q11 _),
     "rel_q7_volume_shipping" -> (q7 _),
@@ -406,6 +417,21 @@ object RelationalQueries {
     "rel_skew_salted_join" -> (skewSaltedJoin _))
 
   val oracles: Map[String, String] = Map(
+    // the integrity-audit shape on the fact/dim key pair
+    "rel_fk_audit" ->
+      """WITH l AS (SELECT l_orderkey AS k, COUNT(*) AS ln FROM lineitem GROUP BY 1),
+        |r AS (SELECT o_orderkey AS k, COUNT(*) AS rn FROM orders GROUP BY 1),
+        |j AS (SELECT l.ln, r.rn FROM l FULL OUTER JOIN r ON l.k = r.k)
+        |SELECT CAST(SUM(coalesce(ln, 0)) AS BIGINT) AS n_left,
+        |  CAST(SUM(coalesce(rn, 0)) AS BIGINT) AS n_right,
+        |  CAST(SUM(CASE WHEN ln IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_left_keys,
+        |  CAST(SUM(CASE WHEN rn IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_right_keys,
+        |  CAST(SUM(CASE WHEN ln IS NOT NULL AND rn IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |  CAST(SUM(CASE WHEN rn IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_left_orphans,
+        |  CAST(SUM(CASE WHEN ln IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_right_orphans,
+        |  CAST(SUM(CASE WHEN ln > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_left_dup_keys,
+        |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_right_dup_keys
+        |FROM j""".stripMargin,
     "rel_q2_min_cost_supplier" ->
       """WITH sp AS (
         |  SELECT l_suppkey, l_partkey,
