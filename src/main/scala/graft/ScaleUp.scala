@@ -343,7 +343,10 @@ object ScaleUp {
     "events_skew_report",
     // round 11 cohort 33: the FK audit at 6 M lines / 1.5 M orders —
     // distinct-reduced keys, one full-outer key exchange
-    "rel_fk_audit")
+    "rel_fk_audit",
+    // round 11 cohort 34: the 17th streaming query — stateless
+    // per-row split hash + splits x langs complete-mode report
+    "stream_split_parity")
 
   /** Rehearsal-only closures that are NOT declared queries: the
     * auto-parameter scale path of an operator whose declared form pins
@@ -583,7 +586,8 @@ object ScaleUp {
     "pipeline_integrity_audit", "stream_admission_parity",
     "pipeline_sample_drift", "pipeline_split_manifest",
     "dedup_split_leakage", "dedup_threshold_curve",
-    "pipeline_dedup_funnel", "events_skew_report", "rel_fk_audit")
+    "pipeline_dedup_funnel", "events_skew_report", "rel_fk_audit",
+    "stream_split_parity")
 
   /** Dev-only rehearsal subset (comma-separated name prefixes, like
     * Bench's SPARK_GRAFT_BENCH_ONLY): lets a NEW operator's scale row

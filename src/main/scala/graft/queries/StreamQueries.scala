@@ -586,6 +586,25 @@ object StreamQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Streaming split manifest — the ingest face of
+    * `pipeline_split_manifest`: documents arrive as a stream, each
+    * row takes its train/val/test assignment from the same pure
+    * multiplicative doc-id hash (stateless, zero-shuffle per row),
+    * and the splits×langs report accumulates in complete mode. Rides
+    * the batch oracle verbatim. */
+  def splitParity(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.readStream
+      .schema("doc_id bigint, text string, lang string, source string, n_chars bigint")
+      .parquet(streamDir(dir, "documents"))
+    val out = docs
+      .select(PipelineQueries.splitOf(col("doc_id")).as("split"), col("lang"),
+        size(graft.functions.TextOps.words(col("text"))).cast("long").as("n_toks"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+    runToMemory(s, "stream_split_sink", out, "complete")
+      .orderBy("split", "lang")
+  }
+
   /** Streaming covariance — the DRIFT-MONITOR serving form of
     * `ann_covariance`: the same one-exchange cell aggregate
     * ([[graft.operators.Similarity.cellStats]]) as a stateful
@@ -632,7 +651,8 @@ object StreamQueries {
     "stream_running_stats" -> (runningStats _),
     "stream_kmeans_parity" -> (kmeansParity _),
     "stream_mix_parity" -> (mixParity _),
-    "stream_admission_parity" -> (admissionParity _))
+    "stream_admission_parity" -> (admissionParity _),
+    "stream_split_parity" -> (splitParity _))
 
   val oracles: Map[String, String] = Map(
     // the batch topic oracle's shared train+assign chain, read out
@@ -649,6 +669,9 @@ object StreamQueries {
     // same multiplicative per-epoch hash, accumulated per micro-batch
     "stream_admission_parity" ->
       PipelineQueries.oracles("pipeline_epoch_admission"),
+    // the batch split-manifest oracle verbatim (pure per-row hash)
+    "stream_split_parity" ->
+      PipelineQueries.oracles("pipeline_split_manifest"),
     "stream_topic_parity" -> (TextQueries.topicAsgCtes +
       """
         |SELECT vec_id AS doc_id, CAST(cid AS INTEGER) AS cluster_id

@@ -415,6 +415,17 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.length === 64 * 65 / 2)
   }
 
+  test("streaming split manifest equals the batch report row for row") {
+    val streamed = SparkEntry.queries("stream_split_parity")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val batch = SparkEntry.queries("pipeline_split_manifest")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming epoch admission equals the batch report row for row") {
     val streamed = SparkEntry.queries("stream_admission_parity")(spark, sf001)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
