@@ -346,7 +346,10 @@ object ScaleUp {
     "rel_fk_audit",
     // round 11 cohort 34: the 17th streaming query — stateless
     // per-row split hash + splits x langs complete-mode report
-    "stream_split_parity")
+    "stream_split_parity",
+    // round 11 cohort 35: the radius-tuning histogram on the
+    // memoized banded pair frame
+    "mm_ahash_distance_hist")
 
   /** Rehearsal-only closures that are NOT declared queries: the
     * auto-parameter scale path of an operator whose declared form pins
@@ -587,7 +590,7 @@ object ScaleUp {
     "pipeline_sample_drift", "pipeline_split_manifest",
     "dedup_split_leakage", "dedup_threshold_curve",
     "pipeline_dedup_funnel", "events_skew_report", "rel_fk_audit",
-    "stream_split_parity")
+    "stream_split_parity", "mm_ahash_distance_hist")
 
   /** Dev-only rehearsal subset (comma-separated name prefixes, like
     * Bench's SPARK_GRAFT_BENCH_ONLY): lets a NEW operator's scale row

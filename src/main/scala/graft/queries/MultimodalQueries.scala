@@ -97,6 +97,22 @@ object MultimodalQueries {
     ahashPairs(s, dir)
       .orderBy("doc_a", "doc_b")
 
+  /** Hamming-DISTANCE histogram over the near-dup pair graph — the
+    * radius-tuning report for the banded join (exact for d ≤ 3 by
+    * pigeonhole): per distance, the pair count and the cumulative
+    * pairs a radius-d dedup would merge. Rides the memoized pair
+    * frame; ≤ 4 rows out. */
+  def ahashDistanceHist(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ahashPairs(s, dir)
+      .groupBy(col("hamming").cast("int").as("hamming"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("n_pairs_le", sum("n_pairs").over(
+        Window.orderBy("hamming")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("hamming")
+  }
+
   /** Perceptual image CLUSTERS — connected components over the
     * banded-Hamming pair graph (nodes = distinct aHashes, identified
     * by their exemplar doc), each cluster reporting how many distinct
@@ -160,6 +176,7 @@ object MultimodalQueries {
     "mm_shared_frames" -> (sharedFramesQ _),
     "mm_ahash_groups" -> (ahashGroups _),
     "mm_ahash_near_pairs" -> (ahashNearPairs _),
+    "mm_ahash_distance_hist" -> (ahashDistanceHist _),
     "mm_decode_roundtrip" -> (decodeRoundtrip _))
 
   // pixels → block-mean mosaic → hash bits → distinct hashes → 16-bit
@@ -334,6 +351,15 @@ object MultimodalQueries {
       """
         |SELECT doc_a, doc_b, n_a, n_b, hamming FROM wp
         |ORDER BY doc_a, doc_b""".stripMargin),
+    // the pair CTE folded to a distance histogram + running total
+    "mm_ahash_distance_hist" -> (ahashPairCte +
+      """,
+        |hist AS (SELECT CAST(hamming AS INTEGER) AS hamming, COUNT(*) AS n_pairs
+        |        FROM wp GROUP BY 1)
+        |SELECT hamming, n_pairs,
+        |  CAST(SUM(n_pairs) OVER (ORDER BY hamming
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_pairs_le
+        |FROM hist ORDER BY hamming""".stripMargin),
     // 8×8 gray PNG of the first 64 text bytes (zero-padded): PNG is
     // lossless and gray luminance is the identity, so sum_lum is the
     // plain byte sum of the prefix; ASCII fixture ⇒ no NUL bytes ⇒

@@ -201,6 +201,20 @@ class MultimodalSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("ahashDistanceHist: bins partition the pair graph; cumulative is the prefix sum") {
+    val pairs = SparkEntry.queries("mm_ahash_near_pairs")(spark, sf001)
+      .select(col("hamming").cast("int")).collect().map(_.getInt(0))
+    val got = graft.queries.MultimodalQueries.ahashDistanceHist(spark, sf001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._2).sum === pairs.length.toLong)
+    val expect = pairs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    got.foreach { case (d, n, cum) =>
+      assert(d >= 0 && d <= 3)
+      assert(n === expect(d))
+      assert(cum === got.filter(_._1 <= d).map(_._2).sum)
+    }
+  }
+
   test("ahash banding refuses a radius the band split cannot guarantee") {
     intercept[IllegalArgumentException] {
       Multimodal.ahashNearDupPairs(Multimodal.averageHash(blobs), maxDist = 4)
