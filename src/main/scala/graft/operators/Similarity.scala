@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1059,6 +1059,18 @@ object Similarity {
       (topk(xs, xn, ys, yn, 0, xFirst = true) ++
         topk(ys, yn, xs, xn, 1, xFirst = false)).toSeq
     }.toDF("side", "id", "other", "cosine")
+    marginStage(partial, k)
+  }
+
+  /** The margin/mutuality stage shared by [[marginKnnMining]] and
+    * [[marginKnnMiningIvf]] — the arithmetic the operator scaladoc
+    * promises is candidate-kernel-independent: consumes the partial
+    * frame (side, id, other, cosine) — side 0 = x→y candidates,
+    * side 1 = y→x — ranks each id's top-k by the raw double cosine,
+    * then runs the all-integer margin formula and the best-partner /
+    * mutuality windows. Only k-bounded lists ever reach this stage,
+    * whatever kernel (exact tiles or IVF probes) generated them. */
+  private def marginStage(partial: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("side", "id")
       .orderBy(col("cosine").desc, col("other"))
     val knn = partial
@@ -1090,5 +1102,106 @@ object Similarity {
       .select(col("x_id"), col("y_id"), col("margin_permille"),
         col("_m").isNotNull.as("mutual"))
       .orderBy("x_id")
+  }
+
+  /** IVF-CANDIDATE margin mining — [[marginKnnMining]]'s 100 TB form
+    * (r11 verdict task 1): instead of the exact B²-tiled cross kernel
+    * (compute O(|X|·|Y|)), each side's k-NN candidates come from the
+    * PERSISTED IVF index ([[IvfIndex]] — the ann_ivfpq_topk
+    * composition pattern): a row's candidates are the OTHER side's
+    * vectors homed in its `nProbe` nearest cells, so total compute is
+    * Σ over probed cells of m_x,c·m_y,c (the SemDeDup within-cell
+    * law, nProbe-widened) — never the full cross product. The margin
+    * arithmetic is [[marginStage]] UNCHANGED — it only ever sees
+    * k-bounded candidate lists.
+    *
+    * Plan shape: probe-cell selection is per-row compiled arithmetic
+    * (nCells [[graft.plans.expressions.SqDist]] columns +
+    * `array_sort` over (d2, cid) structs — zero shuffle, the exact
+    * tie order of the oracle's `ORDER BY d2, cid`); ONE cell-keyed
+    * exchange co-locates each side's probe rows with the other
+    * side's home rows; the grouped kernel emits only per-row bounded
+    * top-k partials (≤ k per (row, probed cell)), so the post-kernel
+    * shuffle is (|X|+|Y|)·nProbe·k rows. On a cluster the home-row
+    * side of that exchange is the index's `cell`-partitioned parquet
+    * layout ([[writeIndex]]) — probes stream against pruned
+    * partitions and the index amortizes across every ann_ivf* probe
+    * batch AND this mining pass.
+    *
+    * `xPred`/`yPred` select the two sides out of the indexed corpus
+    * by predicates over the `id` column (the one-table layout a
+    * mined bitext / cross-modal corpus actually has); rows matching
+    * neither are ignored. Recall is the index's: a true neighbor
+    * outside the probed cells is not a candidate (the [[probe]]
+    * contract), which is why the declared query carries its own
+    * oracle replaying build + probe + margin end to end. */
+  def marginKnnMiningIvf(index: IvfIndex, xPred: Column, yPred: Column,
+                         k: Int = 4, nProbe: Int = 4): DataFrame = {
+    val spark = index.cells.sparkSession
+    import spark.implicits._
+    require(k >= 1 && nProbe >= 1, "k and nProbe must be >= 1")
+    val centers = index.centers
+    val nCells = centers.length
+    // per-row nProbe nearest cells: nCells compiled SqDist columns,
+    // sorted as (d2, cid) structs — all inside one codegen stage
+    def probeRows(df: DataFrame): DataFrame = {
+      val withD = (0 until nCells).foldLeft(df) { (d, c) =>
+        d.withColumn(s"_d$c",
+          graft.plans.expressions.vec_sqdist(col("v"), typedLit(centers(c).toSeq)))
+      }
+      val ranked = slice(array_sort(array((0 until nCells).map(c =>
+        struct(col(s"_d$c").as("d"), lit(c).as("c"))): _*)), 1, nProbe)
+      withD.select(col("id"), col("v"),
+        explode(transform(ranked, s => s.getField("c"))).as("cell"))
+    }
+    val base = index.cells.select(col("id").cast("long").as("id"), col("v"),
+      col("cell").cast("int").as("cell"))
+    val xs = base.filter(xPred)
+    val ys = base.filter(yPred)
+    // roles: 0 = x probe, 1 = y home, 2 = y probe, 3 = x home —
+    // one union, one cell-keyed exchange for both directions
+    val tagged =
+      probeRows(xs.select("id", "v"))
+        .select(col("cell"), lit(0).as("role"), col("id"), col("v"))
+        .union(ys.select(col("cell"), lit(1).as("role"), col("id"), col("v")))
+        .union(probeRows(ys.select("id", "v"))
+          .select(col("cell"), lit(2).as("role"), col("id"), col("v")))
+        .union(xs.select(col("cell"), lit(3).as("role"), col("id"), col("v")))
+        .as[(Int, Int, Long, Array[Double])]
+    val ord = Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long])
+    val partial = tagged.groupByKey(_._1).flatMapGroups { (_, iter) =>
+      val rows = iter.toArray
+      def part(role: Int) = rows.filter(_._2 == role).map(r => (r._3, r._4))
+      val xp = part(0); val yh = part(1); val yp = part(2); val xh = part(3)
+      val yhN = yh.map { case (_, v) => math.sqrt(VectorOps.dotSeq(v, v)) }
+      val xhN = xh.map { case (_, v) => math.sqrt(VectorOps.dotSeq(v, v)) }
+      def topk(from: Array[(Long, Array[Double])],
+               to: Array[(Long, Array[Double])], tn: Array[Double],
+               sideTag: Int, xFirst: Boolean) =
+        from.iterator.flatMap { case (fid, fv) =>
+          val fn = math.sqrt(VectorOps.dotSeq(fv, fv))
+          val h = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+          var ti = 0
+          while (ti < to.length) {
+            val (tid, tv) = to(ti)
+            // X-side vector folds first (the tile kernel's rule), so
+            // cos(x, y) is the SAME double in both directions and in
+            // the oracle
+            val c =
+              if (xFirst) VectorOps.dotSeq(fv, tv) / (fn * tn(ti))
+              else VectorOps.dotSeq(tv, fv) / (tn(ti) * fn)
+            if (h.length < k || ord.lt((c, tid), h.last)) {
+              h += ((c, tid))
+              val sorted = h.sorted(ord)
+              h.clear(); h ++= sorted.take(k)
+            }
+            ti += 1
+          }
+          h.iterator.map { case (c, tid) => (sideTag, fid, tid, c) }
+        }
+      (topk(xp, yh, yhN, 0, xFirst = true) ++
+        topk(yp, xh, xhN, 1, xFirst = false)).toSeq
+    }.toDF("side", "id", "other", "cosine")
+    marginStage(partial, k)
   }
 }

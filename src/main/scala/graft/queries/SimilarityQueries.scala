@@ -306,6 +306,18 @@ object SimilarityQueries {
       "vec_id", "embedding", k = MarginK)
   }
 
+  /** IVF-candidate margin mining
+    * ([[Similarity.marginKnnMiningIvf]]) — the 100 TB form of
+    * `ann_margin_mining` (r11 verdict task 1): candidates come from
+    * the SAME persisted IVF index every ann_ivf* query serves
+    * ([[ivfIndex]] — build once, probe many), the margin stage is
+    * shared code with the exact query. The oracle splices the proven
+    * IVF build CTEs with the proven margin CTEs. */
+  def marginMiningIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity.marginKnnMiningIvf(ivfIndex(s, dir),
+      pmod(col("id"), lit(2)) === 0, pmod(col("id"), lit(2)) === 1,
+      k = MarginK, nProbe = IvfNProbe)
+
   /** Exact covariance sufficient statistics
     * ([[Similarity.covarianceStats]]): d(d+1)/2 upper-triangle cells,
     * decimal-exact sums — the whitening/PCA/drift pass. */
@@ -359,6 +371,7 @@ object SimilarityQueries {
     "ann_hard_negatives" -> (hardNegatives _),
     "ann_covariance" -> (covariance _),
     "ann_margin_mining" -> (marginMining _),
+    "ann_margin_mining_ivf" -> (marginMiningIvf _),
     "ann_vector_audit" -> (vectorAuditQ _),
     "ann_hybrid_rrf" -> (hybridRrf _),
     "ann_bruteforce_topk" -> (bruteForce _),
@@ -597,7 +610,74 @@ object SimilarityQueries {
        |FROM qids q LEFT JOIN hits h ON h.query_id = q.query_id
        |ORDER BY q.query_id""".stripMargin
 
+  /** IVF-margin oracle: [[ivfBuildCtes]] (the proven build replay —
+    * arithmetic-hash sample, exact-decimal Lloyd rounds, corpus→cell
+    * assignment) + per-side probe-cell selection (`ORDER BY d2, cid`,
+    * the operator's struct-sort tie order) + candidate join against
+    * the other side's HOME cells + the margin CTEs of the proven
+    * `ann_margin_mining` oracle verbatim (kf/kb now rank IVF
+    * candidates instead of the full cross). */
+  private def marginIvfOracleSql: String = {
+    val cosXY =
+      s"""list_sum(list_transform(generate_series(1, $Dim), i -> x.v[i] * y.v[i])) /
+         |  (sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> x.v[i] * x.v[i]))) *
+         |   sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> y.v[i] * y.v[i]))))""".stripMargin
+    "WITH " + ivfBuildCtes +
+      s""",
+         |xs AS MATERIALIZED (SELECT ce.vec_id AS xid, p.v, ce.cell
+         |  FROM cells ce JOIN p ON p.vec_id = ce.vec_id WHERE ce.vec_id % 2 = 0),
+         |ys AS MATERIALIZED (SELECT ce.vec_id AS yid, p.v, ce.cell
+         |  FROM cells ce JOIN p ON p.vec_id = ce.vec_id WHERE ce.vec_id % 2 = 1),
+         |xpd AS (SELECT x.xid, c.cid,
+         |  list_sum(list_transform(generate_series(1, $Dim),
+         |           i -> (x.v[i] - c.v[i]) * (x.v[i] - c.v[i]))) AS d2
+         |  FROM xs x CROSS JOIN cent$IvfTrainIters c),
+         |xprobe AS (SELECT xid, cid FROM (
+         |  SELECT xid, cid, row_number() OVER (PARTITION BY xid ORDER BY d2, cid) AS rn
+         |  FROM xpd) WHERE rn <= $IvfNProbe),
+         |ypd AS (SELECT y.yid, c.cid,
+         |  list_sum(list_transform(generate_series(1, $Dim),
+         |           i -> (y.v[i] - c.v[i]) * (y.v[i] - c.v[i]))) AS d2
+         |  FROM ys y CROSS JOIN cent$IvfTrainIters c),
+         |yprobe AS (SELECT yid, cid FROM (
+         |  SELECT yid, cid, row_number() OVER (PARTITION BY yid ORDER BY d2, cid) AS rn
+         |  FROM ypd) WHERE rn <= $IvfNProbe),
+         |dxy AS (SELECT x.xid, y.yid, $cosXY AS c
+         |  FROM xprobe xp JOIN xs x ON x.xid = xp.xid JOIN ys y ON y.cell = xp.cid),
+         |dyx AS (SELECT x.xid, y.yid, $cosXY AS c
+         |  FROM yprobe yp JOIN ys y ON y.yid = yp.yid JOIN xs x ON x.cell = yp.cid),
+         |kf AS (SELECT xid, yid, c, CAST(floor((c + 1.0) * 500000.0) AS BIGINT) AS m FROM (
+         |       SELECT xid, yid, c, row_number() OVER (PARTITION BY xid ORDER BY c DESC, yid) AS rk
+         |       FROM dxy) WHERE rk <= $MarginK),
+         |kb AS (SELECT xid, yid, c, CAST(floor((c + 1.0) * 500000.0) AS BIGINT) AS m FROM (
+         |       SELECT xid, yid, c, row_number() OVER (PARTITION BY yid ORDER BY c DESC, xid) AS rk
+         |       FROM dyx) WHERE rk <= $MarginK),
+         |sx AS (SELECT xid, SUM(m) AS sxs FROM kf GROUP BY 1),
+         |sy AS (SELECT yid, SUM(m) AS sys FROM kb GROUP BY 1),
+         |mf AS (SELECT kf.xid, kf.yid, kf.c,
+         |       CASE WHEN sxs + sys = 0 THEN NULL
+         |            ELSE CAST((2 * $MarginK * 1000 * kf.m) // (sxs + sys) AS BIGINT) END AS margin_permille
+         |       FROM kf JOIN sx USING (xid) JOIN sy USING (yid)),
+         |mb AS (SELECT kb.xid, kb.yid, kb.c,
+         |       CASE WHEN sxs + sys = 0 THEN NULL
+         |            ELSE CAST((2 * $MarginK * 1000 * kb.m) // (sxs + sys) AS BIGINT) END AS margin_permille
+         |       FROM kb JOIN sx USING (xid) JOIN sy USING (yid)),
+         |bx AS (SELECT xid, yid, margin_permille FROM (
+         |       SELECT xid, yid, margin_permille,
+         |         row_number() OVER (PARTITION BY xid ORDER BY margin_permille DESC, c DESC, yid) AS rk
+         |       FROM mf) WHERE rk = 1),
+         |byy AS (SELECT xid, yid FROM (
+         |       SELECT xid, yid,
+         |         row_number() OVER (PARTITION BY yid ORDER BY margin_permille DESC, c DESC, xid) AS rk
+         |       FROM mb) WHERE rk = 1)
+         |SELECT bx.xid AS x_id, bx.yid AS y_id, bx.margin_permille,
+         |  (byy.xid IS NOT NULL) AS mutual
+         |FROM bx LEFT JOIN byy ON byy.yid = bx.yid AND byy.xid = bx.xid
+         |ORDER BY x_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "ann_margin_mining_ivf" -> marginIvfOracleSql,
     // same float→double cast, same left-fold sum of squares
     // (list_sum == the fold-order-matched dot — the cosine idiom),
     // floor micros; non-finite via isnan/isinf

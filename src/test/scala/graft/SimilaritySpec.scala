@@ -532,4 +532,55 @@ class SimilaritySpec extends SparkSpec {
       assert(rev(yid) === xid, s"mutual pair ($xid, $yid) not reciprocated")
     }
   }
+
+  test("margin mining (IVF candidates): planted clone pair survives the probe path") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    def noise() = Array.fill(32)((rng.nextDouble() - 0.5).toFloat)
+    val base = noise()
+    // one corpus, sides by parity: x=0 / y=1 near-clones land in the
+    // same (or adjacent-probed) cells BY CONSTRUCTION — d(x0, c) ≈
+    // d(y1, c) for every center, so y1's home cell is inside x0's
+    // probe set whenever nProbe ≥ 1 ties allow; the mined result must
+    // contain the clone pair, mutually, with the dominant margin
+    val corpus = ((0L, base.map(v => v + 0.001f)) +: (1L, base) +:
+      (2 to 23).map(i => (i.toLong, noise()))).toDF("vec_id", "embedding")
+    val idx = Similarity.buildIndex(corpus, "vec_id", "embedding",
+      nCells = 4, trainIters = 3, trainSample = 100, seed = 42L)
+    try {
+      val got = Similarity.marginKnnMiningIvf(idx,
+          pmod(col("id"), lit(2)) === 0, pmod(col("id"), lit(2)) === 1,
+          k = 3, nProbe = 2)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(3))))
+        .toMap
+      val (y0, m0, mut0) = got(0L)
+      assert(y0 === 1L && mut0)
+      assert(got.filter(_._1 != 0L).values.forall(_._2 < m0))
+      // structural law: every mined x appears once, partners are odd
+      assert(got.keySet.forall(_ % 2 == 0))
+      assert(got.values.forall(_._1 % 2 == 1))
+    } finally idx.unpersist()
+  }
+
+  test("margin mining (IVF candidates): full-coverage probes reproduce the exact kernel") {
+    // with nProbe = nCells every cell is probed, so the candidate set
+    // IS the full cross product and the IVF form must equal
+    // marginKnnMining row for row — pins that the probe kernel and
+    // the shared margin stage introduce no arithmetic drift
+    val e = emb
+    val idx = Similarity.buildIndex(e, "vec_id", "embedding",
+      nCells = 4, trainIters = 2, trainSample = 1000, seed = 42L)
+    try {
+      val ivf = Similarity.marginKnnMiningIvf(idx,
+          pmod(col("id"), lit(2)) === 0, pmod(col("id"), lit(2)) === 1,
+          k = 4, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+      val exact = Similarity.marginKnnMining(
+          e.filter(pmod(col("vec_id"), lit(2)) === 0),
+          e.filter(pmod(col("vec_id"), lit(2)) === 1),
+          "vec_id", "embedding", k = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+      assert(ivf === exact)
+    } finally idx.unpersist()
+  }
 }
