@@ -577,8 +577,12 @@ object ScaleUp {
     "dedup_embedding_groups",
     // round 10 cohort 16 at 100×: the two docs-linear text ops over
     // 500 k open-vocab docs — DSIR's exchanges stay bucket/doc-
-    // bounded; repeated-spans' nominate exchange stays 8 B/position
-    // and its verify stage is bounded by the ACTUAL repeat volume
+    // bounded; repeated-spans DENSITY-DISPATCHES since r12 (r11
+    // verdict task 2): the 10× corpus (115‰ winnow-repeat density)
+    // runs the exact cascade, the dense 100× corpus (242‰) crosses
+    // the 180‰ threshold and runs the winnow-sampled cascade — the
+    // ratio must land inside the ≤12 budget where the exact default
+    // measured 15×
     "text_dsir_weights", "text_repeated_spans", "text_bpe_merges",
     "text_bpe_encode", "text_novelty_curve",
     // round 10 cohorts 19/20: topic k-means over hashed doc vectors

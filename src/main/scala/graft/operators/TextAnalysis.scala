@@ -1761,19 +1761,91 @@ object TextAnalysis {
   def repeatedSpansSampled(docs: DataFrame, idCol: String, textCol: String,
                            gramLen: Int = 25, window: Int = 8,
                            maxBroadcastNominees: Long = 8000000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val pos1 = winnowedPositions(d, gramLen, window)
+    val nom = pos1.groupBy("fp").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("fp")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nNom = nom.count()
+    sampledSpanCascade(d, nom, nNom, gramLen, window, maxBroadcastNominees)
+  }
+
+  /** The winnow-selected (pos, fp) stream — [[repeatedSpansSampled]]'s
+    * pass 1, also the density probe [[repeatedSpansAuto]] dispatches
+    * on. Zero shuffle: selection happens inside the compiled kernel. */
+  private def winnowedPositions(d: DataFrame, gramLen: Int, window: Int): DataFrame = {
+    val packed = graft.plans.expressions.gram_winnowed_pos(col("text"), gramLen, window)
+    d.select(col("doc_id"), explode(packed).as("pk"))
+      .withColumn("pos", shiftright(col("pk"), 31).cast("int"))
+      .withColumn("fp", col("pk").bitwiseAND(lit((1L << 31) - 1)))
+      .drop("pk")
+  }
+
+  /** DENSITY-DISPATCHED repeated spans (r11 verdict task 2 — the
+    * [[graft.operators.Dedup.embeddingCosineAuto]] idiom applied to
+    * ExactSubstr): measure the corpus's position-repeat density on
+    * the winnow-SELECTED gram stream (~2/(w+1) of the positions — one
+    * fp-keyed count exchange, the sampled twin's own pass 1), then
+    *  - density ≤ `denseThresholdPermille` (repetition-SPARSE, the
+    *    real-pretraining-corpus regime): run [[repeatedSpans]] — the
+    *    EXACT cascade; the probe's cost is the bounded ~2/(w+1)
+    *    overhead on top of the full nominate it precedes;
+    *  - density above it (repetition-DENSE — boilerplate floods,
+    *    synthetic/closed-vocabulary corpora): the exact nominate's
+    *    8 B/EVERY-position exchange is the whole cost (15× wall at
+    *    the 100× rehearsal), so continue with the SAMPLED cascade,
+    *    REUSING the already-persisted nominee frame — in the regime
+    *    where cost matters, the probe is not overhead but pass 1.
+    *
+    * Density = Σ{c>1} c / Σ c over selected-fp counts, in permille —
+    * selection is a pure content function, so repeated content
+    * selects content-identical grams and the selected-stream density
+    * tracks the all-position density (measured: driver fixtures
+    * 93–120‰, 10× rehearsals 115–154‰, the dense 100× corpus 242‰ —
+    * the default threshold 180 splits exactly there). Both branches
+    * are deterministic pure functions of the corpus; the dispatch
+    * law (exact below, sampled above, identical where the branches
+    * agree by construction) is spec-pinned. */
+  def repeatedSpansAuto(docs: DataFrame, idCol: String, textCol: String,
+                        gramLen: Int = 25, window: Int = 8,
+                        denseThresholdPermille: Long = 180L,
+                        maxBroadcastNominees: Long = 8000000L): DataFrame = {
+    val d = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val counts = winnowedPositions(d, gramLen, window)
+      .groupBy("fp").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probe = counts.agg(sum("c").as("t"),
+      sum(when(col("c") > 1, col("c")).otherwise(0L)).as("r")).first
+    val total = if (probe.isNullAt(0)) 0L else probe.getLong(0)
+    val repeated = if (probe.isNullAt(1)) 0L else probe.getLong(1)
+    val densityPermille = if (total == 0L) 0L else 1000L * repeated / total
+    if (densityPermille <= denseThresholdPermille) {
+      counts.unpersist()
+      repeatedSpans(docs, idCol, textCol, gramLen, maxBroadcastNominees)
+    } else {
+      val nom = counts.filter(col("c") > 1).select("fp")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nNom = nom.count()
+      counts.unpersist()
+      sampledSpanCascade(d, nom, nNom, gramLen, window, maxBroadcastNominees)
+    }
+  }
+
+  /** The sampled-span cascade below the nominate exchange — shared by
+    * [[repeatedSpansSampled]] and [[repeatedSpansAuto]]'s dense
+    * branch: nominee dispatch (broadcast vs shuffle), substring
+    * verify, widened-gap islands, per-doc report. */
+  private def sampledSpanCascade(d: DataFrame, nom: DataFrame, nNom: Long,
+                                 gramLen: Int, window: Int,
+                                 maxBroadcastNominees: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val packed = graft.plans.expressions.gram_winnowed_pos(col("text"), gramLen, window)
     def unpack(df: DataFrame): DataFrame = df
       .select(col("*"), explode(col("_pk")).as("pk")).drop("_pk")
       .withColumn("pos", shiftright(col("pk"), 31).cast("int"))
       .withColumn("fp", col("pk").bitwiseAND(lit((1L << 31) - 1)))
       .drop("pk")
-    val pos1 = unpack(d.select(col("doc_id"), packed.as("_pk")))
-    val nom = pos1.groupBy("fp").agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).select("fp")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nNom = nom.count()
+    val pos1 = winnowedPositions(d, gramLen, window)
     val cand =
       if (nNom <= maxBroadcastNominees)
         unpack(d.select(col("doc_id"), col("text"), packed.as("_pk")))

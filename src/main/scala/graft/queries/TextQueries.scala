@@ -249,14 +249,17 @@ object TextQueries {
       targetFilter = col("lang") === "en",
       buckets = DsirBuckets, topK = DsirTopK)
 
-  /** Exact repeated-substring spans at 25 chars
-    * ([[TextAnalysis.repeatedSpans]]) — the per-doc ExactSubstr
-    * budget: positions whose 25-gram recurs anywhere in the corpus,
-    * merged into maximal spans. */
+  /** Repeated-substring spans at 25 chars — since r12 the declared
+    * query is the DENSITY-DISPATCHED form
+    * ([[TextAnalysis.repeatedSpansAuto]], r11 verdict task 2): the
+    * winnow-probe measures position-repeat density and runs the EXACT
+    * cascade below 180‰ (every driver fixture: 93–120‰ measured — so
+    * the oracle stays the exact all-substrings replay), the sampled
+    * cascade above it (the dense 100× rehearsal corpus: 242‰). */
   val RepSpanGram = 25
   def repeatedSpansQ(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.repeatedSpans(Tables.documents(s, dir), "doc_id", "text",
-      RepSpanGram)
+    TextAnalysis.repeatedSpansAuto(Tables.documents(s, dir), "doc_id", "text",
+      RepSpanGram, RepSpanWindow)
 
   /** The dense-regime sampled twin (r10 verdict task 5): winnow-
     * selected positions only reach the nominate exchange (~2/(w+1)

@@ -1210,6 +1210,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(viaBroadcast.toSeq === viaShuffle.toSeq && viaBroadcast.nonEmpty)
   }
 
+  test("repeatedSpansAuto dispatch law: exact below the density threshold, sampled above (r11 verdict task 2)") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // the driver fixtures' winnow-selected repeat density (93–120‰
+    // measured at sf0.01/sf0.1) sits well under the default 180‰, so
+    // the DEFAULT dispatch must reproduce the EXACT operator row for
+    // row — this is what keeps the declared text_repeated_spans on
+    // its exact all-substrings oracle
+    val auto = rows(TextAnalysis.repeatedSpansAuto(docs, "doc_id", "text", 25, 8))
+    val exact = rows(TextAnalysis.repeatedSpans(docs, "doc_id", "text", 25))
+    assert(auto === exact && auto.nonEmpty)
+    // threshold 0 pushes the SAME corpus onto the dense branch — must
+    // reproduce the sampled twin row for row (the reused nominee
+    // frame is the sampled cascade's own, not an approximation of it)
+    val forced = rows(TextAnalysis.repeatedSpansAuto(docs, "doc_id", "text", 25, 8,
+      denseThresholdPermille = 0L))
+    val sampled = rows(TextAnalysis.repeatedSpansSampled(docs, "doc_id", "text", 25, 8))
+    assert(forced === sampled && forced.nonEmpty)
+    assert(exact !== sampled) // the two branches are genuinely different statistics
+  }
+
   test("dsirImportance == driver replica of the hashed-ratio arithmetic; target outranks raw") {
     import spark.implicits._
     val b = 64
