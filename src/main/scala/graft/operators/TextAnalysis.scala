@@ -838,10 +838,16 @@ object TextAnalysis {
     // value (min over the multiset of the 3·topN largest counts)
     // regardless of which tied buckets the limit observes, and it
     // rides the plan as a broadcast 1-row frame — no collect. The
-    // bucket-count exchange appears on both branches with an
-    // identical subtree, so ReuseExchange serves the second read.
+    // bucket-count frame feeds BOTH the threshold branch and the
+    // nominee join; it is PERSISTED (hash-bounded: one 16-byte row
+    // per distinct pair hash — the exchange output we would otherwise
+    // recompute) because the threshold's broadcast subquery executes
+    // as a separate job, where ReuseExchange cannot serve the second
+    // read and the whole pair scan + exchange ran twice (the r11
+    // driver-measured 1.49 → 2.26 s regression, r11 verdict task 3).
     val bucketCounts = pairs.groupBy(xxhash64(col("pair")).as("h"))
       .agg(count(lit(1)).as("hn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val thr = bucketCounts.orderBy(col("hn").desc).limit(3 * topN)
       .agg(min("hn").as("_thr"))
     val nominees = bucketCounts.join(broadcast(thr), col("hn") >= col("_thr"))
