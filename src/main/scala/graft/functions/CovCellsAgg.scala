@@ -1,6 +1,6 @@
 package graft.functions
 
-import java.math.{BigDecimal => JBig, RoundingMode}
+import java.math.{BigDecimal => JBig, BigInteger, RoundingMode}
 
 import org.apache.spark.sql.{Column, Encoder}
 import org.apache.spark.sql.expressions.Aggregator
@@ -8,8 +8,8 @@ import org.apache.spark.sql.functions.udaf
 
 /** Typed `Aggregator` computing the exact covariance sufficient
   * statistic — n, per-dim sums Σvᵢ and upper-triangle product sums
-  * Σvᵢvⱼ — in ONE buffer per partition (d + d(d+1)/2 decimals), the
-  * UDAF twin of [[graft.operators.Similarity.cellStats]].
+  * Σvᵢvⱼ — in ONE buffer per partition, the UDAF twin of
+  * [[graft.operators.Similarity.cellStats]].
   *
   * Why it exists: the declarative cell plan explodes rows ×d(d+1)/2
   * before the aggregate. In BATCH that partial-aggregates map-side
@@ -24,33 +24,76 @@ import org.apache.spark.sql.functions.udaf
   * Exactness contract (what lets the streaming twin ride the batch
   * DuckDB oracle): each element/product is converted EXACTLY the way
   * `CAST(double AS DECIMAL(38,12))` converts — shortest-round-trip
-  * string, then scale 12 HALF_UP — and decimal addition is exact and
-  * associative, so any partial/merge order lands on the identical
-  * cells. `finish` applies the same `round(CAST(… AS DOUBLE), 6)` the
-  * batch query emits. */
+  * string, then scale 12 HALF_UP ([[CovCellsAgg.d12Long]], the
+  * allocation-free long form of `new JBig(Double.toString(x))
+  * .setScale(12, HALF_UP)`, spec-pinned equal) — and fixed-point
+  * addition at one scale is exact and associative, so any
+  * partial/merge order lands on the identical cells. `finish`
+  * applies the same `round(CAST(… AS DOUBLE), 6)` the batch query
+  * emits.
+  *
+  * r12 (r11 verdict task 6): sums accumulate as 128-bit (hi, lo)
+  * long pairs instead of per-row `BigDecimal.add` — the adds were
+  * allocation-dominant (4.45 s driver rep; the board's heaviest
+  * query). Capacity bound (documented, the topicKeywords
+  * convention): a scale-12 term of a |v| ≤ 1 component is ≤ 10¹²,
+  * so signed-128 overflow needs ~1.7·10²⁶/10¹² ≈ 10¹⁴ unit-bounded
+  * rows — far past any corpus this engine addresses (10¹⁴ rows of a
+  * 256-byte embedding is ~25 PB of vectors alone). Inputs must be
+  * FINITE (the [[graft.operators.Similarity.vectorAudit]] gate —
+  * `n_nonfinite` = 0 — is the precondition, as for every decimal
+  * bridge in the repo).
+  *
+  * Off-fixture rows (r11 ADVICE): a NULL embedding or a wrong-dim
+  * row is SKIPPED whole — the streaming query must not crash on the
+  * rows the vector audit exists to flag. This matches the batch
+  * plan's posexplode-of-NULL semantics (zero rows contributed); for
+  * RAGGED dims the batch explode would contribute the partial cells
+  * a short row has, which a fixed-d monitor cannot represent — the
+  * parity contract is therefore defined on audit-clean input
+  * (n_null = n_wrong_dim = 0), and off it the twin degrades by
+  * skipping instead of dying. */
 class CovCellsAgg(dim: Int)
-    extends Aggregator[Seq[Double], (Long, Array[JBig], Array[JBig]),
+    extends Aggregator[Seq[Double], (Long, Array[Long], Array[Long]),
       Seq[(Int, Int, Long, Double, Double, Double)]] {
   private val nPairs = dim * (dim + 1) / 2
 
-  private def d12(x: Double): JBig =
-    new JBig(java.lang.Double.toString(x)).setScale(12, RoundingMode.HALF_UP)
+  // (hi, lo) 128-bit pairs: sums(2k) = hi, sums(2k+1) = lo (unsigned limb)
+  override def zero: (Long, Array[Long], Array[Long]) =
+    (0L, new Array[Long](2 * dim), new Array[Long](2 * nPairs))
 
-  override def zero: (Long, Array[JBig], Array[JBig]) =
-    (0L, Array.fill(dim)(JBig.ZERO), Array.fill(nPairs)(JBig.ZERO))
+  /** 128-bit two's-complement add of a signed 64-bit term. */
+  @inline private def add128(a: Array[Long], k: Int, v: Long): Unit = {
+    val lo = a(2 * k + 1)
+    val sum = lo + v
+    // unsigned carry out of the low limb
+    val carry = ((lo & v) | ((lo | v) & ~sum)) >>> 63
+    a(2 * k + 1) = sum
+    a(2 * k) = a(2 * k) + (v >> 63) + carry
+  }
 
-  override def reduce(b: (Long, Array[JBig], Array[JBig]),
-                      row: Seq[Double]): (Long, Array[JBig], Array[JBig]) = {
-    require(row.length == dim, s"expected dim $dim, got ${row.length}")
+  /** 128-bit add of another accumulator's (hi, lo) at the same slot. */
+  @inline private def add128Pair(a: Array[Long], b: Array[Long], k: Int): Unit = {
+    val lo = a(2 * k + 1)
+    val v = b(2 * k + 1)
+    val sum = lo + v
+    val carry = ((lo & v) | ((lo | v) & ~sum)) >>> 63
+    a(2 * k + 1) = sum
+    a(2 * k) = a(2 * k) + b(2 * k) + carry
+  }
+
+  override def reduce(b: (Long, Array[Long], Array[Long]),
+                      row: Seq[Double]): (Long, Array[Long], Array[Long]) = {
+    if (row == null || row.length != dim) return b // audit-flagged rows skip whole
     val v = row.toArray
     val (n, s, p) = b
     var i = 0
     var idx = 0
     while (i < dim) {
-      s(i) = s(i).add(d12(v(i)))
+      add128(s, i, CovCellsAgg.d12Long(v(i)))
       var j = i
       while (j < dim) {
-        p(idx) = p(idx).add(d12(v(i) * v(j)))
+        add128(p, idx, CovCellsAgg.d12Long(v(i) * v(j)))
         idx += 1; j += 1
       }
       i += 1
@@ -58,12 +101,12 @@ class CovCellsAgg(dim: Int)
     (n + 1, s, p)
   }
 
-  override def merge(a: (Long, Array[JBig], Array[JBig]),
-                     b: (Long, Array[JBig], Array[JBig])): (Long, Array[JBig], Array[JBig]) = {
+  override def merge(a: (Long, Array[Long], Array[Long]),
+                     b: (Long, Array[Long], Array[Long])): (Long, Array[Long], Array[Long]) = {
     var i = 0
-    while (i < dim) { a._2(i) = a._2(i).add(b._2(i)); i += 1 }
+    while (i < dim) { add128Pair(a._2, b._2, i); i += 1 }
     i = 0
-    while (i < nPairs) { a._3(i) = a._3(i).add(b._3(i)); i += 1 }
+    while (i < nPairs) { add128Pair(a._3, b._3, i); i += 1 }
     (a._1 + b._1, a._2, a._3)
   }
 
@@ -71,7 +114,14 @@ class CovCellsAgg(dim: Int)
     new JBig(java.lang.Double.toString(x.doubleValue))
       .setScale(6, RoundingMode.HALF_UP).doubleValue
 
-  override def finish(b: (Long, Array[JBig], Array[JBig])): Seq[(Int, Int, Long, Double, Double, Double)] = {
+  /** (hi, lo) → the exact scale-12 decimal it accumulates. */
+  private def dec(a: Array[Long], k: Int): JBig = {
+    val unscaled = BigInteger.valueOf(a(2 * k)).shiftLeft(64)
+      .add(new BigInteger(java.lang.Long.toUnsignedString(a(2 * k + 1))))
+    new JBig(unscaled, 12)
+  }
+
+  override def finish(b: (Long, Array[Long], Array[Long])): Seq[(Int, Int, Long, Double, Double, Double)] = {
     val (n, s, p) = b
     val out = Seq.newBuilder[(Int, Int, Long, Double, Double, Double)]
     var i = 0
@@ -79,7 +129,7 @@ class CovCellsAgg(dim: Int)
     while (i < dim) {
       var j = i
       while (j < dim) {
-        out += ((i, j, n, r6(s(i)), r6(s(j)), r6(p(idx))))
+        out += ((i, j, n, r6(dec(s, i)), r6(dec(s, j)), r6(dec(p, idx))))
         idx += 1; j += 1
       }
       i += 1
@@ -87,8 +137,8 @@ class CovCellsAgg(dim: Int)
     out.result()
   }
 
-  override def bufferEncoder: Encoder[(Long, Array[JBig], Array[JBig])] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Array[JBig], Array[JBig])]()
+  override def bufferEncoder: Encoder[(Long, Array[Long], Array[Long])] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Array[Long], Array[Long])]()
   override def outputEncoder: Encoder[Seq[(Int, Int, Long, Double, Double, Double)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Int, Int, Long, Double, Double, Double)]]()
 }
@@ -96,4 +146,53 @@ class CovCellsAgg(dim: Int)
 object CovCellsAgg {
   /** Column-usable aggregate: `df.groupBy().agg(cov_cells(dim)(col))`. */
   def cov_cells(dim: Int)(c: Column): Column = udaf(new CovCellsAgg(dim)).apply(c)
+
+  private val Pow10: Array[Long] = {
+    val a = new Array[Long](19)
+    a(0) = 1L
+    var i = 1
+    while (i < 19) { a(i) = a(i - 1) * 10L; i += 1 }
+    a
+  }
+
+  /** The scale-12 unscaled long of a FINITE double with |x| ≤ ~9·10⁶,
+    * with the EXACT semantics of
+    * `new JBig(Double.toString(x)).setScale(12, HALF_UP)
+    * .unscaledValue.longValueExact` — but allocation-free past the
+    * `Double.toString` the contract itself is defined on: parse the
+    * shortest-round-trip digits straight into a long (≤ 17
+    * significant digits always fits) and rescale to 12 with HALF_UP
+    * (round half away from zero, on the magnitude — JBig semantics).
+    * Spec-pinned equal to the JBig path over adversarial doubles
+    * (subnormals, E-notation magnitudes, exact halves at the 12th
+    * decimal). */
+  def d12Long(x: Double): Long = {
+    if (x == 0.0) return 0L // covers -0.0 ("−0.0" parses to 0 either way)
+    val s = java.lang.Double.toString(x)
+    var i = 0
+    var neg = false
+    if (s.charAt(0) == '-') { neg = true; i = 1 }
+    var unscaled = 0L
+    var scale = 0
+    var seenDot = false
+    var exp = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '.') seenDot = true
+      else if (ch == 'E') { exp = Integer.parseInt(s.substring(i + 1)); i = s.length }
+      else { unscaled = unscaled * 10L + (ch - '0'); if (seenDot) scale += 1 }
+      i += 1
+    }
+    val effScale = scale - exp // value = ±unscaled / 10^effScale
+    val mag =
+      if (effScale <= 12) unscaled * Pow10(12 - effScale)
+      else if (effScale - 12 > 18) 0L // < 10¹⁷ ≪ half of 10^(effScale−12): rounds to 0
+      else {
+        val d = Pow10(effScale - 12)
+        val q = unscaled / d
+        val r = unscaled % d
+        if (r >= d - r) q + 1 else q // HALF_UP on the magnitude
+      }
+    if (neg) -mag else mag
+  }
 }

@@ -622,8 +622,15 @@ object StreamQueries {
     // the CovCellsAgg typed UDAF, not the batch explode plan: the
     // exploded stream measured 13 s/batch on the stateful path (vs
     // ~0.5 s batch); the object buffer keeps per-row work in JVM
-    // loops and ships ONE d2-cell buffer per partition
-    val agg = embs.groupBy()
+    // loops and ships ONE d2-cell buffer per partition. The
+    // repartition spreads the per-row d(d+1)/2 fixed-point work
+    // across cores — the fixture arrives as ONE parquet split, which
+    // serialized every conversion onto a single task (2.1 → ~0.4
+    // s/batch); the exchange it adds is rows-sized and the merge
+    // combines ≤ cores 17 KB buffers. Fixed-point adds are exact and
+    // associative, so the emitted cells are partitioning-invariant.
+    val agg = embs.repartition(graft.GraftSession.envCpus)
+      .groupBy()
       .agg(graft.functions.CovCellsAgg.cov_cells(SimilarityQueries.Dim)(col("v"))
         .as("cells"))
     runToMemory(s, "stream_cov_sink", agg, "complete")

@@ -35,4 +35,49 @@ class VectorOpsSpec extends SparkSpec {
     val df = Seq(Array(1.5f, 2.5f)).toDF("v").select(toDouble(col("v")).as("v"))
     assert(df.schema("v").dataType.simpleString === "array<double>")
   }
+
+  test("CovCellsAgg.d12Long == the JBig CAST(double AS DECIMAL(38,12)) path (r11 verdict task 6)") {
+    import java.math.{BigDecimal => JBig, RoundingMode}
+    def ref(x: Double): Long =
+      new JBig(java.lang.Double.toString(x)).setScale(12, RoundingMode.HALF_UP)
+        .unscaledValue.longValueExact
+    // adversarial corners: zeros, exact halves at the 12th decimal,
+    // E-notation magnitudes (|x| < 1e-3 stringifies scientific),
+    // subnormals, float-derived values and their products
+    val corners = Seq(0.0, -0.0, 1.0, -1.0, 0.5e-12, -0.5e-12, 1.5e-12,
+      2.5e-13, 1e-13, 4.9e-324, -4.9e-324, 1.0e-4, -9.87654321e-5,
+      0.1, -0.1, 0.001, 0.0009999999, 123456.789, -9000000.0,
+      1.0 / 3.0, -2.0 / 3.0, math.Pi / 4)
+    corners.foreach { x =>
+      assert(graft.functions.CovCellsAgg.d12Long(x) === ref(x), s"corner $x")
+    }
+    val rng = new scala.util.Random(42)
+    (1 to 20000).foreach { _ =>
+      val f1 = (rng.nextFloat() * 2 - 1).toDouble
+      val f2 = (rng.nextFloat() * 2 - 1).toDouble
+      Seq(f1, f1 * f2, f1 * 1e-6, f1 * f2 * 1e-9).foreach { x =>
+        assert(graft.functions.CovCellsAgg.d12Long(x) === ref(x), s"random $x")
+      }
+    }
+  }
+
+  test("cov_cells skips null and wrong-dim rows instead of crashing (r11 ADVICE)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("v", ArrayType(DoubleType), nullable = true)))
+    val rows = java.util.Arrays.asList(
+      Row(Seq(0.5, -0.25)), Row(null), Row(Seq(1.0)), Row(Seq(0.125, 0.75)))
+    val df = spark.createDataFrame(rows, schema)
+    val got = df.agg(graft.functions.CovCellsAgg.cov_cells(2)(col("v")).as("cells"))
+      .selectExpr("inline(cells)")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq.sortBy(t => (t._1, t._2))
+    // only the two clean dim-2 rows contribute — the null and the
+    // ragged dim-1 row are skipped whole, n = 2 on every cell
+    assert(got.map(_._3).forall(_ === 2L))
+    assert(got === Seq(
+      (0, 0, 2L, 0.625, 0.625, 0.265625),
+      (0, 1, 2L, 0.625, 0.5, -0.03125),
+      (1, 1, 2L, 0.5, 0.5, 0.625)))
+  }
 }
