@@ -98,6 +98,15 @@ object Bench {
     // the full board.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    // a leaked filter in a recording run must not masquerade as a full
+    // sweep (r11 ADVICE): warn loudly AND stamp the filter into every
+    // emitted JSON object, so a partial artifact is self-identifying
+    only.foreach { f =>
+      System.err.println(s"[bench] WARNING: SPARK_GRAFT_BENCH_ONLY=${f.mkString(",")} " +
+        "— this run records a PARTIAL board and its artifacts are stamped \"filtered\"")
+    }
+    val filteredStamp = only
+      .map(f => s""","filtered":"${f.mkString(",")}"""").getOrElse("")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
       only.forall(_.exists(name.startsWith))
     }
@@ -116,7 +125,7 @@ object Bench {
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + dp3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${dp3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${dp3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$filteredStamp}"""
     // stdout for the driver's line scraper AND a file, so a log-prefix
     // wrapper (sbt's [info]) can't make the JSON unparseable again
     // (round-1 BENCH had "parsed": null from exactly that). The FILE
@@ -164,7 +173,7 @@ object Bench {
     // tail window, which cuts the line's HEAD (where metric/value
     // live). A compact line printed LAST survives any tail truncation
     // intact; bench.json stays the authoritative per-query record.
-    println(s"""{"metric":"total","value":${dp3(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","detail":"bench.json"}""")
+    println(s"""{"metric":"total","value":${dp3(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","detail":"bench.json"$filteredStamp}""")
     Files.writeString(Paths.get("bench.json"), fileLine + "\n")
     spark.stop()
   }

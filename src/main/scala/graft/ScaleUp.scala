@@ -516,6 +516,7 @@ object ScaleUp {
       spark.read.parquet(s"$out10/documents.parquet").groupBy("lang").count().count()
       spark.range(1000).selectExpr("sum(id)").count()
     } catch { case _: Throwable => () }
+    warnIfFiltered()
     println(f"${"query"}%-26s ${"sec10x"}%8s ${"sec100x"}%9s ${"ratio"}%7s ${"rows100x"}%10s")
     def timeBoth(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       def t(dir: String): (Double, Long) = {
@@ -629,6 +630,13 @@ object ScaleUp {
     .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
   private def scaleSelected(name: String): Boolean =
     scaleOnly.forall(_.exists(name.startsWith))
+  /** A leaked filter must not masquerade as a full sweep (r11
+    * ADVICE): every run with the filter active says so up front, and
+    * the table header carries the marker a scraped artifact keeps. */
+  private def warnIfFiltered(): Unit = scaleOnly.foreach { f =>
+    println(s"[scaleup] WARNING: SPARK_GRAFT_SCALE_ONLY=${f.mkString(",")} " +
+      "— this is a PARTIAL (FILTERED) rehearsal, not a recordable full sweep")
+  }
 
   def main(args: Array[String]): Unit = {
     val mode100 = args.contains("100")
@@ -655,6 +663,7 @@ object ScaleUp {
       spark.read.parquet(s"$out/nation.parquet").groupBy("n_name").count().count()
       spark.range(1000).selectExpr("sum(id)").count()
     } catch { case _: Throwable => () }
+    warnIfFiltered()
     println(f"${"query"}%-26s ${"sec"}%8s ${"rows"}%10s")
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()

@@ -193,7 +193,8 @@ object Similarity {
     * aggregate, ties break toward the SMALLER label (deterministic).
     * At 100 TB the candidate stage swaps to the IVF/LSH index family
     * and the vote rides the probe output unchanged. Output:
-    * (query_id, true_label, pred_label, n_votes, match). */
+    * (query_id, true_label, pred_label, n_votes, correct) — `correct`
+    * an Int flag (1 iff true_label = pred_label), not a boolean. */
   def knnClassify(embs: DataFrame, idCol: String, vecCol: String,
                   labelCol: String,
                   queries: Array[(Long, Int, Array[Double])],

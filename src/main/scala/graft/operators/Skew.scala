@@ -34,7 +34,14 @@ object Skew {
         Window.orderBy(col("n_rows").desc, col("key"))).cast("int"))
       .select(col("rank"), col("key"), col("n_rows"),
         expr("(1000 * n_rows) DIV _total").as("share_permille"),
-        expr("(1000 * n_rows * _nkeys) DIV _total").as("x_mean_permille"))
+        // the 1000·n_rows·nkeys product goes through DECIMAL(38,0)
+        // (r11 ADVICE): in BIGINT it silently overflows once
+        // n_rows·nkeys passes ~9.2e15 — reachable at target scale
+        // (1e12 events over 1e7 keys); the decimal intermediate is
+        // exact to 38 digits and DIV truncates identically in both
+        // engines (the oracle rides HUGEINT)
+        expr("CAST((CAST(n_rows AS DECIMAL(38,0)) * _nkeys * 1000) DIV _total AS BIGINT)")
+          .as("x_mean_permille"))
       .orderBy("rank")
   }
 

@@ -187,7 +187,7 @@ object EventsQueries {
         |      row_number() OVER (ORDER BY n_rows DESC, key) AS rank FROM c)
         |SELECT CAST(rank AS INTEGER) AS rank, key, n_rows,
         |  CAST((1000 * n_rows) // total AS BIGINT) AS share_permille,
-        |  CAST((1000 * n_rows * nkeys) // total AS BIGINT) AS x_mean_permille
+        |  CAST((CAST(1000 AS HUGEINT) * n_rows * nkeys) // total AS BIGINT) AS x_mean_permille
         |FROM r CROSS JOIN t WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "events_markov_transitions" ->
       """WITH p AS (SELECT user_id, event_type,
