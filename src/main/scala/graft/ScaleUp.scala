@@ -312,18 +312,22 @@ object ScaleUp {
     "ann_covariance", "stream_covariance_parity", "stream_ann_parity",
     "dedup_chunk_rewrite", "pipeline_mix_weights", "ann_margin_mining",
     "ann_margin_mining_ivf",
-    // round 11 cohort 25: hard negatives is 10×-ONLY like margin
-    // mining (brute scan is the fixture path; at scale the label
-    // filter rides the IVF/LSH probe); the other three are linear —
-    // source report shares the jaccardPairs memo, chunk overlap is a
-    // stride-bounded explode, epoch admission is a pure filter ×3
-    "ann_hard_negatives", "dedup_source_report", "text_chunks_overlap",
-    "pipeline_epoch_admission",
-    // round 11 cohort 26: kNN weak labeling is 10×-ONLY (bruteforce
-    // shape, index-backed at scale); the overlap audit joins only the
+    // round 11 cohort 25: the exact hard-negative brute scan stays
+    // 10×-only (like the exact margin kernel); since r12 the declared
+    // IVF-probed form — the label filter riding the persisted index's
+    // probe — rehearses at both scales in Timed100. The other three
+    // are linear — source report shares the jaccardPairs memo, chunk
+    // overlap is a stride-bounded explode, epoch admission is a pure
+    // filter ×3
+    "ann_hard_negatives", "ann_hard_negatives_ivf", "dedup_source_report",
+    "text_chunks_overlap", "pipeline_epoch_admission",
+    // round 11 cohort 26: exact kNN weak labeling stays 10×-only
+    // (bruteforce shape); its IVF-probed form rehearses at both
+    // scales since r12. The overlap audit joins only the
     // rate-bounded admitted stream; keywords add one (cid, token)
     // exchange on the memoized topic centers
-    "ann_knn_classify", "pipeline_epoch_overlap", "text_topic_keywords",
+    "ann_knn_classify", "ann_knn_classify_ivf", "pipeline_epoch_overlap",
+    "text_topic_keywords",
     // round 11 cohort 27: the distinct-key full-outer audit (one key
     // exchange) and the stateless streaming admission twin (static
     // rates broadcast onto the stream, report complete-mode)
@@ -490,7 +494,10 @@ object ScaleUp {
             / lit(1000.0)) +
             when(col("vec_id") =!= col("_eff"),
               (pmod(xxhash64(col("vec_id"), i.cast("long"), lit(9)), lit(41)) - 20)
-                / lit(1000.0)).otherwise(lit(0.0))).cast("float")).as("embedding"))
+                / lit(1000.0)).otherwise(lit(0.0))).cast("float")).as("embedding"),
+        // r12: label (the 10× generator's formula) so the labeled IVF
+        // probes — hard negatives, kNN weak labeling — rehearse at 100×
+        pmod(xxhash64(col("vec_id"), lit(8)), lit(10)).cast("int").as("label"))
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
 
@@ -500,12 +507,14 @@ object ScaleUp {
   def run100(spark: SparkSession, out: String): Unit = {
     val out10 = out + "-base10"
     for ((dir, m) <- Seq((out10, 1), (out, 10))) {
-      // guard on the NEWEST schema addition (embeddings, r9) so a dir
-      // generated by an older harness version is refreshed
+      // guard on the NEWEST schema addition (embeddings.label, r12) so
+      // a dir generated by an older harness version is refreshed
       val stale100 = !new java.io.File(s"$dir/orders.parquet").exists ||
         !new java.io.File(s"$dir/embeddings.parquet").exists ||
         (try !spark.read.parquet(s"$dir/lineitem.parquet")
-          .schema.fieldNames.contains("l_suppkey")
+          .schema.fieldNames.contains("l_suppkey") ||
+          !spark.read.parquet(s"$dir/embeddings.parquet")
+            .schema.fieldNames.contains("label")
         catch { case _: Throwable => true })
       if (stale100) {
         println(s"[scaleup] generating open-vocab ${m}0x fixture under $dir")
@@ -613,7 +622,14 @@ object ScaleUp {
     // filter-shaped 3-epoch admission report
     "dedup_source_report", "text_chunks_overlap",
     "pipeline_epoch_admission",
-    // round 11 cohort 26 (kNN classify is 10×-only — see Timed)
+    // r12 (r11 verdict task 5): the labeled IVF probes at both scales
+    // — the query batch is Q-bounded, so probe work is
+    // Q·(nProbe/nCells)·corpus: LINEAR at fixed nCells, unlike the
+    // 10×-only exact brute scans these replace at scale (the timed
+    // number includes the shared index build at each scale's first
+    // touch; the ann family's other rows amortize it)
+    "ann_hard_negatives_ivf", "ann_knn_classify_ivf",
+    // round 11 cohort 26 (exact kNN classify is 10×-only — see Timed)
     "pipeline_epoch_overlap", "text_topic_keywords",
     // round 11 cohort 27-29
     "pipeline_integrity_audit", "stream_admission_parity",

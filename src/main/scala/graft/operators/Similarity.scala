@@ -596,6 +596,111 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** LABELED IVF probe candidates — the shared candidate stage of
+    * [[hardNegativesIvf]] and [[knnClassifyIvf]] (r11 verdict task 5:
+    * both exact operators' scaladocs promise "at scale the label
+    * filter rides the IVF/LSH probe"; this IS that probe): [[probe]]'s
+    * exact shape — driver-side nProbe-nearest-cell selection for the
+    * Q-bounded query batch, cell-pruned candidate scan, broadcast
+    * query frame — plus the corpus label attached by an id-keyed join
+    * (on a cluster, `label` would be a column OF the persisted index,
+    * making the join a no-op; the plan is unchanged by that swap).
+    * Emits every candidate with both labels so each caller applies
+    * its own filter — work is Q·(nProbe/nCells)·corpus, linear at any
+    * scale because the query batch is bounded. */
+  private def labeledProbeCands(index: IvfIndex, labels: DataFrame,
+                                idCol: String, labelCol: String,
+                                queries: Array[(Long, Int, Array[Double])],
+                                nProbe: Int): DataFrame = {
+    val spark = index.cells.sparkSession
+    import spark.implicits._
+    val probes = queries.flatMap { case (qid, ql, qv) =>
+      index.centers.zipWithIndex
+        .map { case (c, cid) => (VectorOps.sqdistSeq(qv, c), cid) }
+        .sortBy { case (d, cid) => (d, cid) }
+        .take(nProbe)
+        .map { case (_, cid) => (qid, ql, qv, math.sqrt(VectorOps.dotSeq(qv, qv)), cid) }
+    }.toSeq
+    val qdf = probes.toDF("query_id", "qlabel", "qv", "qn", "cell")
+    val neededCells = probes.map(_._5).distinct
+    val lb = labels.select(col(idCol).cast("long").as("id"),
+      col(labelCol).cast("int").as("lbl"))
+    index.cells
+      .filter(col("cell").isin(neededCells: _*))
+      .join(lb, "id")
+      .join(broadcast(qdf), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("qlabel"), col("qv"), col("qn"),
+        col("id"), col("lbl"), col("v"))
+      .as[(Long, Int, Array[Double], Double, Long, Int, Array[Double])]
+      .map { case (qid, ql, qv, qn, id, lbl, v) =>
+        (qid, ql, id, lbl,
+          VectorOps.dotSeq(qv, v) / (qn * math.sqrt(VectorOps.dotSeq(v, v))))
+      }.toDF("query_id", "qlabel", "neighbor_id", "neighbor_label", "cosine")
+  }
+
+  /** HARD-NEGATIVE mining through the PERSISTED IVF index — the scale
+    * form [[hardNegativesTopK]]'s scaladoc promises: candidates come
+    * from each query's nProbe nearest cells ([[labeledProbeCands]]),
+    * the label filter rides the probe, the rank stage is unchanged.
+    * Recall is the index's (a negative outside the probed cells is
+    * not a candidate), so the declared query carries its own oracle
+    * replaying build + probe + filter end to end. Same output shape
+    * as the exact operator. */
+  def hardNegativesIvf(index: IvfIndex, labels: DataFrame, idCol: String,
+                       labelCol: String,
+                       queries: Array[(Long, Int, Array[Double])],
+                       k: Int, nProbe: Int = 4): DataFrame = {
+    val cand = labeledProbeCands(index, labels, idCol, labelCol, queries, nProbe)
+      .filter(col("neighbor_label") =!= col("qlabel"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("neighbor_label"), col("cosine"))
+  }
+
+  /** kNN weak labeling through the PERSISTED IVF index — the scale
+    * form [[knnClassify]]'s scaladoc promises: the voter pool is the
+    * probed cells' occupants minus the whole query batch (unlabeled
+    * rows must not vote, exactly as in the exact operator), the
+    * majority vote rides the k-bounded probe output unchanged. Output:
+    * (query_id, true_label, pred_label, n_votes, correct). */
+  def knnClassifyIvf(index: IvfIndex, labels: DataFrame, idCol: String,
+                     labelCol: String,
+                     queries: Array[(Long, Int, Array[Double])],
+                     k: Int, nProbe: Int = 4): DataFrame = {
+    val spark = index.cells.sparkSession
+    import spark.implicits._
+    val qids = queries.map(q => java.lang.Long.valueOf(q._1)).toSeq
+    val cand = labeledProbeCands(index, labels, idCol, labelCol, queries, nProbe)
+      .filter(!col("neighbor_id").isin(qids: _*))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val votes = cand
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .groupBy("query_id", "neighbor_label")
+      .agg(count(lit(1)).as("n_votes"))
+    val pick = Window.partitionBy("query_id")
+      .orderBy(col("n_votes").desc, col("neighbor_label"))
+    val pred = votes
+      .withColumn("rk", row_number().over(pick))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("neighbor_label").as("pred_label"),
+        col("n_votes"))
+    val truth = spark.createDataset(
+      queries.toSeq.map { case (qid, ql, _) => (qid, ql) })
+      .toDF("query_id", "true_label")
+    pred.join(broadcast(truth), "query_id")
+      .select(col("query_id"), col("true_label"), col("pred_label"),
+        col("n_votes"),
+        (col("true_label") === col("pred_label")).cast("int").as("correct"))
+      .orderBy("query_id")
+  }
+
   /** IVF-PQ probe — the production pairing: IVF bounds WHICH vectors
     * a query touches (nProbe cells), PQ bounds the BYTES per touched
     * vector (m codes instead of dim floats). Candidate generation is

@@ -357,6 +357,26 @@ object SimilarityQueries {
         col("neighbor_label"), round(col("cosine"), 6).as("cosine"))
       .orderBy("query_id", "rank")
 
+  /** Hard negatives through the persisted IVF index
+    * ([[Similarity.hardNegativesIvf]], r11 verdict task 5) — the
+    * scale form the exact operator's scaladoc promises: the label
+    * filter rides the probe of the SAME index every ann_ivf* query
+    * serves. Oracle = the proven IVF build CTEs + label-filtered
+    * probe ranking. */
+  def hardNegativesIvfQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.hardNegativesIvf(ivfIndex(s, dir), Tables.embeddings(s, dir),
+        "vec_id", "label", queryVecsLabeled(s, dir), K, IvfNProbe)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("neighbor_label"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("query_id", "rank")
+
+  /** kNN weak labeling through the persisted IVF index
+    * ([[Similarity.knnClassifyIvf]]): voters = probed cells minus the
+    * query batch, majority vote unchanged. */
+  def knnClassifyIvfQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnClassifyIvf(ivfIndex(s, dir), Tables.embeddings(s, dir),
+      "vec_id", "label", queryVecsLabeled(s, dir), ClassifyK, IvfNProbe)
+
   /** kNN weak labeling ([[Similarity.knnClassify]]): the first Q
     * vectors classified by the majority label of their 7 nearest
     * LABELED neighbors (whole query batch excluded from the voter
@@ -368,7 +388,9 @@ object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_knn_classify" -> (knnClassifyQ _),
+    "ann_knn_classify_ivf" -> (knnClassifyIvfQ _),
     "ann_hard_negatives" -> (hardNegatives _),
+    "ann_hard_negatives_ivf" -> (hardNegativesIvfQ _),
     "ann_covariance" -> (covariance _),
     "ann_margin_mining" -> (marginMining _),
     "ann_margin_mining_ivf" -> (marginMiningIvf _),
@@ -676,8 +698,58 @@ object SimilarityQueries {
          |ORDER BY x_id""".stripMargin
   }
 
+  /** Shared labeled-IVF-probe CTE block (r11 verdict task 5): the
+    * proven [[ivfBuildCtes]] + the labeled query batch + per-query
+    * nProbe nearest cells + every probed candidate with BOTH labels
+    * and the exact cosine — the two consumers apply their own filter
+    * (label-differs for hard negatives, batch-excluded for the vote). */
+  private def labeledIvfProbeCtes: String =
+    "WITH " + ivfBuildCtes +
+      s""",
+         |qv AS (SELECT p.vec_id AS query_id, e.label AS qlabel, p.v
+         |  FROM p JOIN embeddings e ON e.vec_id = p.vec_id
+         |  ORDER BY p.vec_id LIMIT $Q),
+         |qd AS (SELECT q.query_id, c.cid,
+         |  list_sum(list_transform(generate_series(1, $Dim),
+         |           i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS d2
+         |  FROM qv q CROSS JOIN cent$IvfTrainIters c),
+         |probes AS (SELECT query_id, cid FROM (
+         |  SELECT query_id, cid, row_number() OVER (PARTITION BY query_id ORDER BY d2, cid) AS rn
+         |  FROM qd) WHERE rn <= $IvfNProbe),
+         |cand AS (SELECT DISTINCT pr.query_id, ce.vec_id AS neighbor_id
+         |  FROM probes pr JOIN cells ce ON ce.cell = pr.cid AND ce.vec_id <> pr.query_id),
+         |d AS (SELECT c.query_id, q.qlabel, c.neighbor_id, e.label AS neighbor_label,
+         |  list_sum(list_transform(generate_series(1, $Dim), i -> q.v[i] * nb.v[i])) /
+         |  (sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> q.v[i] * q.v[i]))) *
+         |   sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> nb.v[i] * nb.v[i])))) AS cosine
+         |  FROM cand c JOIN qv q ON q.query_id = c.query_id
+         |    JOIN p nb ON nb.vec_id = c.neighbor_id
+         |    JOIN embeddings e ON e.vec_id = c.neighbor_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ann_margin_mining_ivf" -> marginIvfOracleSql,
+    "ann_hard_negatives_ivf" ->
+      (labeledIvfProbeCtes +
+        s""",
+           |r AS (SELECT query_id, neighbor_id, neighbor_label, cosine,
+           |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+           |  FROM d WHERE neighbor_label <> qlabel)
+           |SELECT query_id, neighbor_id, rank, neighbor_label, round(cosine, 6) AS cosine
+           |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin),
+    "ann_knn_classify_ivf" ->
+      (labeledIvfProbeCtes +
+        s""",
+           |r AS (SELECT query_id, neighbor_label,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+           |  FROM d WHERE neighbor_id NOT IN (SELECT query_id FROM qv)),
+           |v AS (SELECT query_id, neighbor_label, COUNT(*) AS n_votes
+           |  FROM r WHERE rank <= $ClassifyK GROUP BY 1, 2),
+           |pk AS (SELECT query_id, neighbor_label AS pred_label, n_votes,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, neighbor_label) AS rk
+           |  FROM v)
+           |SELECT q.query_id, q.qlabel AS true_label, pk.pred_label, pk.n_votes,
+           |  CAST(q.qlabel = pk.pred_label AS INTEGER) AS correct
+           |FROM pk JOIN qv q USING (query_id) WHERE rk = 1 ORDER BY query_id""".stripMargin),
     // same float→double cast, same left-fold sum of squares
     // (list_sum == the fold-order-matched dot — the cosine idiom),
     // floor micros; non-finite via isnan/isinf
