@@ -324,6 +324,69 @@ object SimilarityQueries {
   def covariance(s: SparkSession, dir: String): DataFrame =
     Similarity.covarianceStats(Tables.embeddings(s, dir), "vec_id", "embedding")
 
+  /** Declared PCA hand-off (r11 verdict task 9): the top principal
+    * component of the embedding covariance, as integer-micros
+    * loadings + eigenvalue. The distributed part is the PROVEN
+    * `ann_covariance` cell pass; only the d²-bounded cells cross to
+    * the driver (the k·d-centers discipline), where
+    * [[Similarity.pcaTopComponent]] runs [[PcaIters]] deterministic
+    * power iterations from the all-ones start — every fold is
+    * left-to-right over the cell order, every op one
+    * correctly-rounded IEEE double op, so the oracle replays the
+    * identical trajectory through [[PcaIters]] unrolled CTEs over the
+    * same rounded cells. floor-micros emission (no round ties). */
+  val PcaIters = 50
+  def pcaComponent(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stats = covariance(s, dir).collect().map(r =>
+      (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val (lambda, vec) = Similarity.pcaTopComponent(stats, PcaIters)
+    vec.zipWithIndex.map { case (v, i) =>
+      (i, math.floor(v * 1000000.0).toLong, math.floor(lambda * 1000000.0).toLong)
+    }.toSeq.toDF("i", "loading_micros", "eigenvalue_micros").orderBy("i")
+  }
+
+  /** The `ann_pca_component` oracle: the proven covariance cells →
+    * symmetric matrix rows as ORDERED lists (so every fold is the
+    * driver's left-to-right order) → [[PcaIters]] unrolled
+    * power-iteration CTEs (matvec by list_sum over generate_series,
+    * norm over the i order, unconditional normalize — the fixture's
+    * norms are strictly positive, as the driver's `nm > 0` branch
+    * requires) → floor-micros loadings + final-iteration norm as the
+    * eigenvalue. */
+  private def pcaOracleSql: String = {
+    val iters = (1 to PcaIters).map { k =>
+      s"""r$k AS (SELECT wr, sqrt(list_sum(list_transform(wr, y -> y * y))) AS nm FROM (
+         |  SELECT list_transform(generate_series(1, $Dim), i ->
+         |    list_sum(list_transform(generate_series(1, $Dim), j -> m.mat[i][j] * w${k - 1}.w[j]))) AS wr
+         |  FROM m, w${k - 1})),
+         |w$k AS (SELECT list_transform(wr, x -> x / nm) AS w, nm FROM r$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |e AS (SELECT v, unnest(generate_series(1, $Dim)) AS i1 FROM p),
+       |e2 AS (SELECT v, i1, unnest(generate_series(i1, $Dim)) AS j1 FROM e),
+       |cells AS (SELECT i1 - 1 AS i, j1 - 1 AS j,
+       |  COUNT(*) AS n,
+       |  round(CAST(SUM(CAST(v[i1] AS DECIMAL(38,12))) AS DOUBLE), 6) AS s_i,
+       |  round(CAST(SUM(CAST(v[j1] AS DECIMAL(38,12))) AS DOUBLE), 6) AS s_j,
+       |  round(CAST(SUM(CAST(v[i1] * v[j1] AS DECIMAL(38,12))) AS DOUBLE), 6) AS s_xy
+       |  FROM e2 GROUP BY 1, 2),
+       |cm AS (SELECT i, j,
+       |  (CAST(n AS DOUBLE) * s_xy - s_i * s_j) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS c
+       |  FROM cells),
+       |sym AS (SELECT i, j, c FROM cm UNION ALL SELECT j AS i, i AS j, c FROM cm WHERE i <> j),
+       |mrows AS (SELECT i, list(c ORDER BY j) AS cr FROM sym GROUP BY i),
+       |m AS MATERIALIZED (SELECT list(cr ORDER BY i) AS mat FROM mrows),
+       |w0 AS (SELECT list_transform(generate_series(1, $Dim), x -> 1.0 / sqrt(CAST($Dim AS DOUBLE))) AS w),
+       |$iters
+       |SELECT CAST(ix - 1 AS INTEGER) AS i,
+       |  CAST(floor(w$PcaIters.w[ix] * 1000000.0) AS BIGINT) AS loading_micros,
+       |  CAST(floor(w$PcaIters.nm * 1000000.0) AS BIGINT) AS eigenvalue_micros
+       |FROM w$PcaIters, (SELECT unnest(generate_series(1, $Dim)) AS ix)
+       |ORDER BY i""".stripMargin
+  }
+
   /** One oracle for the batch query AND its streaming parity twin —
     * the kmeans_accumulate DECIMAL(38,12) idiom cell for cell:
     * products computed in DOUBLE (same per row both engines), summed
@@ -392,6 +455,7 @@ object SimilarityQueries {
     "ann_hard_negatives" -> (hardNegatives _),
     "ann_hard_negatives_ivf" -> (hardNegativesIvfQ _),
     "ann_covariance" -> (covariance _),
+    "ann_pca_component" -> (pcaComponent _),
     "ann_margin_mining" -> (marginMining _),
     "ann_margin_mining_ivf" -> (marginMiningIvf _),
     "ann_vector_audit" -> (vectorAuditQ _),
@@ -869,6 +933,7 @@ object SimilarityQueries {
     // cell — products computed in DOUBLE (same per row both engines),
     // summed exactly in decimal, output round(double, 6)
     "ann_covariance" -> covarianceOracleSql,
+    "ann_pca_component" -> pcaOracleSql,
     // the bruteforce CTEs + labels: majority vote over the top-k,
     // whole query batch excluded from the voter pool, tie -> smaller
     // label (the row_number orders match Spark's exactly)
