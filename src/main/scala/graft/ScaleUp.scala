@@ -336,8 +336,10 @@ object ScaleUp {
     // (source, bucket)-bounded aggregates + a cells-bounded join
     "pipeline_sample_drift",
     // round 11 cohort 29: the zero-shuffle split manifest and the
-    // pair-memo-riding leakage audit
-    "pipeline_split_manifest", "dedup_split_leakage",
+    // pair-memo-riding leakage audit; r12 adds the split-drift audit
+    // (one scan into a splits×langs×buckets cell frame, then
+    // cells-bounded share grids — closes the split-audit triangle)
+    "pipeline_split_manifest", "dedup_split_leakage", "pipeline_split_drift",
     // round 11 cohort 30: the tau-tuning band report — same
     // inverted-index candidate machinery at the 0.5 floor
     "dedup_threshold_curve",
@@ -634,6 +636,7 @@ object ScaleUp {
     // round 11 cohort 27-29
     "pipeline_integrity_audit", "stream_admission_parity",
     "pipeline_sample_drift", "pipeline_split_manifest",
+    "pipeline_split_drift",
     "dedup_split_leakage", "dedup_threshold_curve",
     "pipeline_dedup_funnel", "events_skew_report", "rel_fk_audit",
     "stream_split_parity", "mm_ahash_distance_hist")

@@ -1712,6 +1712,56 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** SPLIT-DRIFT audit (r11 verdict task 10 — the adversarial-audit
+    * habit applied to the train/val/test split): is each split
+    * REPRESENTATIVE of the corpus? A doc-id hash split is blind to
+    * content by construction; this is the audit that proves it — and
+    * catches any split rule that isn't (a split keyed on a
+    * length-correlated field lights up `l1_len_permille`; one keyed
+    * on — or leaking — language lights up `l1_lang_permille`). Per
+    * split: the L1 distance between the split's and the corpus's
+    * token-length-bucket shares, and between their language shares,
+    * both as integer permille (0 = identical, 2000 = disjoint; an
+    * honest hash split sits at the binomial noise floor, shrinking
+    * with corpus size). Together with `pipeline_split_manifest` (the
+    * sizes) and `dedup_split_leakage` (near-dup containment across
+    * splits) this closes the split-audit triangle.
+    *
+    * Shape: ONE corpus scan into a (split × lang × bucket)-bounded
+    * cell frame (persisted — every downstream branch is a
+    * re-aggregation of those few hundred rows, never a re-scan); the
+    * share grids are splits×buckets / splits×langs crossJoins of
+    * broadcast-sized frames. All-integer DIV arithmetic — hash-exact
+    * across engines. `split` is any deterministic assignment Column,
+    * so the audit can gate a proposed split rule BEFORE it ships. */
+  def splitDrift(docs: DataFrame, langCol: String, textCol: String,
+                 split: Column, bucketWords: Int = 16): DataFrame = {
+    val cells = docs
+      .select(split.as("split"), col(langCol).as("lang"),
+        (size(TextOps.words(col(textCol))) / bucketWords).cast("long").as("b"))
+      .groupBy("split", "lang", "b").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val splitTot = cells.groupBy("split").agg(sum("c").as("n_split"))
+    val nTot = cells.agg(sum("c").as("n_all"))
+    def l1Over(dim: String, outCol: String): DataFrame = {
+      val corp = cells.groupBy(dim).agg(sum("c").as("c_all"))
+      val per = cells.groupBy("split", dim).agg(sum("c").as("c_s"))
+      splitTot.crossJoin(corp)
+        .join(per, Seq("split", dim), "left")
+        .crossJoin(broadcast(nTot))
+        .select(col("split"),
+          abs(expr("(1000 * coalesce(c_s, 0)) DIV n_split") -
+            expr("(1000 * c_all) DIV n_all")).as("d"))
+        .groupBy("split").agg(sum("d").as(outCol))
+    }
+    splitTot
+      .join(l1Over("b", "l1_len_permille"), "split")
+      .join(l1Over("lang", "l1_lang_permille"), "split")
+      .select(col("split"), col("n_split").as("n_docs"),
+        col("l1_len_permille"), col("l1_lang_permille"))
+      .orderBy("split")
+  }
+
   /** CROSS-EPOCH overlap audit — the check that [[epochAdmission]]'s
     * salt actually decorrelates epochs: for every epoch pair a < b,
     * how many documents were admitted into BOTH, as a count and as

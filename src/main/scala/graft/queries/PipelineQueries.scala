@@ -220,6 +220,18 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
       .orderBy("split", "lang")
 
+  /** Split-drift audit ([[TextAnalysis.splitDrift]], r11 verdict task
+    * 10): per split, the L1 distance of its token-length-bucket and
+    * language shares from the corpus's — the representativeness gate
+    * on [[splitOf]] that closes the split-audit triangle with the
+    * manifest (sizes) and the leakage audit (near-dup containment).
+    * A planted length- or lang-keyed split rule lights up its column
+    * (spec-pinned); the honest hash sits at the binomial noise
+    * floor. */
+  def splitDriftQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.splitDrift(Tables.documents(s, dir), "lang", "text",
+      splitOf(col("doc_id")), DriftBucketWords)
+
   /** Sample-drift audit ([[TextAnalysis.sampleDrift]]): per source,
     * the L1 distance between the admitted sample's and the corpus's
     * token-length bucket shares — the representativeness gate on the
@@ -245,6 +257,7 @@ object PipelineQueries {
     "pipeline_dedup_funnel" -> (dedupFunnelQ _),
     "pipeline_sample_drift" -> (sampleDriftQ _),
     "pipeline_split_manifest" -> (splitManifestQ _),
+    "pipeline_split_drift" -> (splitDriftQ _),
     "pipeline_mix_weights" -> (mixWeights _),
     "pipeline_shard_manifest" -> (shardManifest _),
     "pipeline_token_budget" -> (tokenBudget _),
@@ -318,6 +331,36 @@ object PipelineQueries {
          |  CAST(SUM(CASE WHEN near AND qok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
          |  CAST(SUM(CASE WHEN near AND qok THEN n_toks ELSE 0 END) AS BIGINT) AS toks_quality
          |FROM f""".stripMargin),
+    // the split hash + one (split, lang, bucket) cell frame, then
+    // integer-permille share grids and L1 sums per split — the
+    // operator's exact re-aggregation cascade
+    "pipeline_split_drift" ->
+      s"""WITH doc AS (SELECT CASE WHEN h < 800 THEN 'train' WHEN h < 900 THEN 'val' ELSE 'test' END AS split,
+         |  lang, CAST(len(string_split(text, ' ')) AS BIGINT) // $DriftBucketWords AS b
+         |  FROM (SELECT lang, text,
+         |        (doc_id % ${TextAnalysis.SampleHashP}) * ${TextAnalysis.SampleHashA}
+         |        % ${TextAnalysis.SampleHashP} % 1000 AS h FROM documents)),
+         |cells AS (SELECT split, lang, b, COUNT(*) AS c FROM doc GROUP BY 1, 2, 3),
+         |st AS (SELECT split, SUM(c) AS n_split FROM cells GROUP BY 1),
+         |nt AS (SELECT SUM(c) AS n_all FROM cells),
+         |lc AS (SELECT b, SUM(c) AS c_all FROM cells GROUP BY 1),
+         |ls AS (SELECT split, b, SUM(c) AS c_s FROM cells GROUP BY 1, 2),
+         |l1len AS (SELECT st.split,
+         |  SUM(abs((1000 * coalesce(ls.c_s, 0)) // st.n_split - (1000 * lc.c_all) // nt.n_all)) AS l1_len_permille
+         |  FROM st CROSS JOIN lc CROSS JOIN nt
+         |  LEFT JOIN ls ON ls.split = st.split AND ls.b = lc.b GROUP BY 1),
+         |gc AS (SELECT lang, SUM(c) AS c_all FROM cells GROUP BY 1),
+         |gs AS (SELECT split, lang, SUM(c) AS c_s FROM cells GROUP BY 1, 2),
+         |l1lang AS (SELECT st.split,
+         |  SUM(abs((1000 * coalesce(gs.c_s, 0)) // st.n_split - (1000 * gc.c_all) // nt.n_all)) AS l1_lang_permille
+         |  FROM st CROSS JOIN gc CROSS JOIN nt
+         |  LEFT JOIN gs ON gs.split = st.split AND gs.lang = gc.lang GROUP BY 1)
+         |SELECT st.split, CAST(st.n_split AS BIGINT) AS n_docs,
+         |  CAST(l1len.l1_len_permille AS BIGINT) AS l1_len_permille,
+         |  CAST(l1lang.l1_lang_permille AS BIGINT) AS l1_lang_permille
+         |FROM st JOIN l1len ON l1len.split = st.split
+         |JOIN l1lang ON l1lang.split = st.split
+         |ORDER BY st.split""".stripMargin,
     // the multiplicative split hash + a splits x langs report
     "pipeline_split_manifest" ->
       s"""SELECT CASE WHEN h < 800 THEN 'train' WHEN h < 900 THEN 'val' ELSE 'test' END AS split,

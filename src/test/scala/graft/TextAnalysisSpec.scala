@@ -1232,6 +1232,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(exact !== sampled) // the two branches are genuinely different statistics
   }
 
+  test("splitDrift: planted length- and lang-keyed split defects light up their column (r11 verdict task 10)") {
+    val d = Tables.documents(spark, sf01)
+    def drift(split: org.apache.spark.sql.Column) =
+      TextAnalysis.splitDrift(d, "lang", "text", split)
+        .collect().map(r => (r.getString(0), (r.getLong(2), r.getLong(3)))).toMap
+    // honest doc-id hash split: both drifts sit at the binomial noise
+    // floor (measured ≤ 279‰ at sf0.01 — the small val/test splits
+    // are the noisy ones)
+    val honest = drift(graft.queries.PipelineQueries.splitOf(col("doc_id")))
+    assert(honest.values.forall { case (l, g) => l < 400 && g < 400 })
+    // PLANTED DEFECT 1 — a length-keyed split (short half trains,
+    // long half tests): the length column must light up far past the
+    // floor
+    val med = d.stat.approxQuantile("n_chars", Array(0.5), 0.0)(0)
+    val byLen = drift(when(col("n_chars") < med, "train").otherwise("test"))
+    assert(byLen("train")._1 >= 600, s"length defect undetected: $byLen")
+    // PLANTED DEFECT 2 — a lang-keyed split (en trains, rest tests):
+    // the lang column must light up, and harder than its len column
+    // (lang is hash-assigned on the fixture, so length stays noise)
+    val byLang = drift(when(col("lang") === "en", "train").otherwise("test"))
+    assert(byLang("train")._2 >= 800, s"lang defect undetected: $byLang")
+    assert(byLang("train")._2 > byLang("train")._1)
+  }
+
   test("dsirImportance == driver replica of the hashed-ratio arithmetic; target outranks raw") {
     import spark.implicits._
     val b = 64
