@@ -54,7 +54,34 @@ class ShuffleCeilingSpec extends SparkSpec {
     ("pipeline_epoch_admission", 1000L, "source partials + epoch x source report cells (162)"),
     ("ann_knn_classify", 500L, "Q*k heap partials + vote cells (80)"),
     ("pipeline_split_manifest", 200L, "splits x langs report cells (30)"),
-    ("pipeline_sample_drift", 3000L, "source x length-bucket share cells x2 + rates (542)"))
+    ("pipeline_sample_drift", 3000L, "source x length-bucket share cells x2 + rates (542)"),
+    // r12 cohort (r11 verdict task 8): the moment pass ships only
+    // d(d+1)/2 cells x partials; chunk rewrite's exchange is
+    // chunk-digest-keyed (~5 chunks/doc, never bodies); the overlap
+    // audit joins only the rate-bounded admitted stream; the distance
+    // hist rides the banded pair frame; split drift is share cells;
+    // the PCA query re-runs the covariance cells and hands d^2 rows
+    // to the driver
+    ("ann_covariance", 17000L, "d(d+1)/2 moment cells x partials (4160)"),
+    ("dedup_chunk_rewrite", 100000L, "chunk-digest exchange + doc-bounded reassembly (25050)"),
+    ("pipeline_epoch_overlap", 24000L, "rate-bounded admitted stream x epochs + pair cells (6008)"),
+    ("mm_ahash_distance_hist", 30000L, "banded-pair frame + 3 hist cells (7429)"),
+    ("pipeline_split_drift", 1000L, "splits x langs x length-bucket cells + share grids (163)"),
+    ("ann_pca_component", 17000L, "the covariance cells again - driver gets d^2 rows (4224)"),
+    // TWO-SCAN SHAPE PIN (r11 verdict task 3): the bucket-count
+    // exchange is persisted and must be paid ONCE — the regression
+    // this guards against (threshold + nominee branches each
+    // recomputing the pair scan + exchange) would land at ~2x the
+    // measured records, above this deliberately tight ceiling
+    ("text_skipgram_counts", 2400L, "ONE distinct-pair-hash exchange + nominee recount (1234)"),
+    // r12: the labeled IVF probes ship Q-bounded candidate partials;
+    // IVF margin mining ships (|X|+|Y|)x(nProbe+1) tagged rows + k
+    // partials per probed row — corpus-linear by design, never
+    // pair-quadratic (the exact kernel this replaces at scale would
+    // measure ~|X|x|Y| here)
+    ("ann_hard_negatives_ivf", 1000L, "Q-bounded labeled probe partials (210)"),
+    ("ann_knn_classify_ivf", 1000L, "Q-bounded probe partials + vote cells (234)"),
+    ("ann_margin_mining_ivf", 120000L, "(|X|+|Y|)x(nProbe+1) tagged rows + kxnProbe partials (28256)"))
 
   test("bounded-output queries shuffle bounded records at sf0.1") {
     val records = new LongAdder
