@@ -312,6 +312,9 @@ object ScaleUp {
     "ann_covariance", "stream_covariance_parity", "stream_ann_parity",
     "dedup_chunk_rewrite", "pipeline_mix_weights", "ann_margin_mining",
     "ann_margin_mining_ivf",
+    // r12: the declared PCA hand-off — the covariance pass + a
+    // d²-bounded driver power iteration
+    "ann_pca_component",
     // round 11 cohort 25: the exact hard-negative brute scan stays
     // 10×-only (like the exact margin kernel); since r12 the declared
     // IVF-probed form — the label filter riding the persisted index's
@@ -617,7 +620,7 @@ object ScaleUp {
     // the corpus, rehearsed by ann_margin_mining_ivf_auto in
     // TimedCustom at both scales)
     "ann_covariance", "stream_covariance_parity", "stream_ann_parity",
-    "dedup_chunk_rewrite", "pipeline_mix_weights",
+    "dedup_chunk_rewrite", "pipeline_mix_weights", "ann_pca_component",
     // round 11 cohort 25 (hard negatives is 10×-only — see Timed):
     // the pair-graph-memoized source report, the stride-bounded
     // overlap chunker over 500 k open-vocab docs, and the

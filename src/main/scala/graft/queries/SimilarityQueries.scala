@@ -338,9 +338,21 @@ object SimilarityQueries {
   val PcaIters = 50
   def pcaComponent(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val stats = covariance(s, dir).collect().map(r =>
-      (r.getInt(0), r.getInt(1), r.getLong(2),
-        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    // the cells come from the CovCellsAgg object-buffer UDAF, not the
+    // ×d(d+1)/2 explode plan: cell-for-cell identical by the pinned
+    // d12Long ≡ CAST(… AS DECIMAL(38,12)) contract (the streaming
+    // parity twin hash-checks the same equivalence), and ~13 s/rep
+    // cheaper — the explode plan recomputed the full decimal pass on
+    // every collect, where ann_covariance's count()-pruned bench rep
+    // never pays it
+    val stats = Tables.embeddings(s, dir)
+      .select(graft.functions.VectorOps.toDouble(col("embedding")).as("v"))
+      .repartition(graft.GraftSession.envCpus)
+      .agg(graft.functions.CovCellsAgg.cov_cells(Dim)(col("v")).as("cells"))
+      .selectExpr("inline(cells)")
+      .collect().map(r =>
+        (r.getInt(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5)))
     val (lambda, vec) = Similarity.pcaTopComponent(stats, PcaIters)
     vec.zipWithIndex.map { case (v, i) =>
       (i, math.floor(v * 1000000.0).toLong, math.floor(lambda * 1000000.0).toLong)
