@@ -284,7 +284,8 @@ object ScaleUp {
     // (8-byte fp nominate → substring verify; the 40-word synthetic
     // vocabulary makes ~5-word grams recur, so the verify stage is
     // LIVE here, not empty)
-    "dedup_semantic", "text_dsir_weights", "text_repeated_spans",
+    "dedup_semantic", "dedup_semantic_probe", "text_dsir_weights",
+    "text_repeated_spans",
     // round 10 cohort 17: BPE training — one corpus token-count
     // exchange, then 10 vocab-bounded rounds with 1-row argmax
     // collects (the Lloyd hand-off) — and the encode twin (one
@@ -404,6 +405,27 @@ object ScaleUp {
       graft.operators.Similarity.marginKnnMiningIvf(idx,
         pmod(col("id"), lit(2)) === 0, pmod(col("id"), lit(2)) === 1,
         k = 4, nProbe = 4)
+    }),
+    // r12: both SemDeDup forms in their PRODUCTION configuration —
+    // nCells ∝ corpus (constant ~1250 occupancy, the paper's k ∝ n
+    // law), so Σm² within-cell work stays linear; the declared
+    // queries pin nCells=16 for their oracle replays. Per-call index
+    // build included at both scales.
+    "dedup_semantic_probe_auto" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val nCells = math.max(16L, e.count() / 1250L).toInt
+      val idx = graft.operators.Similarity.buildIndex(
+        e, "vec_id", "embedding", nCells = nCells)
+      graft.operators.Dedup.semanticProbeVerdicts(idx.cells,
+        pmod(col("id"), lit(5)) === 0, threshold = 0.35)
+    }),
+    "dedup_semantic_auto" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val nCells = math.max(16L, e.count() / 1250L).toInt
+      val idx = graft.operators.Similarity.buildIndex(
+        e, "vec_id", "embedding", nCells = nCells)
+      graft.operators.Dedup.embeddingCosineWithin(
+        idx.cells, "id", "v", "cell", threshold = 0.35)
     }))
 
   /** 100×-bench-scale fixture (round-6 rehearsal): ONLY the tables the

@@ -1188,6 +1188,43 @@ object Dedup {
     }.toDF("id_a", "id_b", "cosine")
   }
 
+  /** INGEST-SHAPED semantic dedup verdicts (r12 — the
+    * incrementalNearPairs pattern for the embedding family): `cells`
+    * is an IVF-assigned frame (id, v, cell) — typically
+    * [[graft.operators.Similarity.IvfIndex]].cells — and `isNew`
+    * marks the arriving batch. Each new vector is joined ONLY to the
+    * settled rows of its own cell (Σ_c m_new,c·m_corpus,c work — the
+    * SemDeDup within-cell law with the ingest batch on one side) and
+    * receives a verdict: `semantic_dup` of its max-cosine (tie → min
+    * id) corpus partner at cosine ≥ `threshold`, else `kept`. The
+    * cosine folds new-vector-first, the oracle's orientation. No
+    * retrain, nothing corpus-quadratic; on a cluster the corpus side
+    * is the index's cell-partitioned parquet layout. */
+  def semanticProbeVerdicts(cells: DataFrame, isNew: Column,
+                            threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val newB = cells.filter(isNew)
+      .select(col("cell"), col("id").as("new_id"), col("v").as("nv"))
+    val corpus = cells.filter(!isNew)
+      .select(col("cell"), col("id").as("corp_id"), col("v").as("cv"))
+    val scored = newB.join(corpus, Seq("cell"))
+      .select(col("new_id"), col("corp_id"),
+        graft.functions.VectorOps.cosine(col("nv"), col("cv")).as("cos"))
+    val best = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("new_id").orderBy(col("cos").desc, col("corp_id"))))
+      .where(col("rn") === 1)
+      .select(col("new_id"), col("corp_id"), col("cos"))
+    newB.select(col("new_id"))
+      .join(best, Seq("new_id"), "left")
+      .select(col("new_id").as("vec_id"),
+        when(col("cos") >= threshold, lit("semantic_dup"))
+          .otherwise(lit("kept")).as("verdict"),
+        when(col("cos") >= threshold, col("corp_id")).as("dup_of"),
+        round(col("cos"), 6).as("best_cosine"))
+      .orderBy("vec_id")
+  }
+
   /** Within-group exact cosine pairs — the pair stage of SemDeDup
     * (Abbas et al., "SemDeDup: Data-efficient learning at web-scale
     * through semantic deduplication", arXiv:2303.09540): a coarse

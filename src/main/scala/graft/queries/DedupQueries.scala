@@ -443,6 +443,24 @@ object DedupQueries {
       .orderBy("component")
   }
 
+  /** INGEST-SHAPED SemDeDup (r12 — the dedup_incremental_probe
+    * pattern applied to the semantic family): every 5th vector plays
+    * the NEW batch arriving at an embedding store whose IVF index is
+    * already built; each new vector probes ONLY its assigned cell of
+    * the SAME persisted index ([[SimilarityQueries.ivfIndex]]) for
+    * settled-corpus neighbors with cosine ≥ τ, and gets a verdict —
+    * `semantic_dup` of its best (max-cosine, tie → min id) corpus
+    * partner, or `kept`. No retrain, no corpus×corpus pair stage:
+    * work is Σ_c m_new,c·m_corpus,c — the within-cell law with the
+    * ingest batch on one side, which is exactly what a streaming
+    * vector-store dedup pays per batch at 100 TB (the production
+    * quantizer is sized nCells ∝ corpus for constant occupancy —
+    * rehearsed by dedup_semantic_probe_auto). The oracle replays the
+    * shared IVF build CTEs + the cell join + the ranked verdict. */
+  def semanticProbe(s: SparkSession, dir: String): DataFrame =
+    Dedup.semanticProbeVerdicts(SimilarityQueries.ivfIndex(s, dir).cells,
+      pmod(col("id"), lit(5)) === 0, CosineThreshold)
+
   /** Eval-set decontamination: the 20 lowest-doc_id documents play
     * the benchmark set; every other document reports its 5-gram
     * overlap with them (pretraining hygiene as a declared surface). */
@@ -576,6 +594,7 @@ object DedupQueries {
     "dedup_embedding_groups" -> (embeddingGroups _),
     "dedup_embedding_recall" -> (embeddingRecall _),
     "dedup_semantic" -> (semantic _),
+    "dedup_semantic_probe" -> (semanticProbe _),
     "dedup_cc_groups" -> (ccGroups _),
     "dedup_canonical_pick" -> (canonicalPick _))
 
@@ -1043,6 +1062,29 @@ object DedupQueries {
          |SELECT n_exact, n_banded, n_common,
          |  CAST(floor(1000.0 * n_common / greatest(n_exact, 1)) AS BIGINT) AS recall_permille
          |FROM st""".stripMargin,
+    // the ingest-shaped SemDeDup: the SHARED IVF training replay, the
+    // new-batch/corpus cell join (new-vector-first cosine fold), the
+    // (cos DESC, corp_id) best-partner rank, and the threshold verdict
+    "dedup_semantic_probe" -> ("WITH " + SimilarityQueries.ivfBuildCtes +
+      s""",
+         |pe AS (SELECT c.vec_id, c.cell, p.v FROM cells c JOIN p USING (vec_id)),
+         |nb AS (SELECT vec_id AS new_id, cell, v FROM pe WHERE vec_id % 5 = 0),
+         |cb AS (SELECT vec_id AS corp_id, cell, v FROM pe WHERE vec_id % 5 <> 0),
+         |sc AS (SELECT n.new_id, c.corp_id,
+         |  list_sum(list_transform(generate_series(1, ${SimilarityQueries.Dim}), i -> n.v[i] * c.v[i])) /
+         |  (sqrt(list_sum(list_transform(generate_series(1, ${SimilarityQueries.Dim}), i -> n.v[i] * n.v[i]))) *
+         |   sqrt(list_sum(list_transform(generate_series(1, ${SimilarityQueries.Dim}), i -> c.v[i] * c.v[i])))) AS cos
+         |  FROM nb n JOIN cb c ON c.cell = n.cell),
+         |best AS (SELECT new_id, corp_id, cos FROM (
+         |  SELECT new_id, corp_id, cos,
+         |    row_number() OVER (PARTITION BY new_id ORDER BY cos DESC, corp_id) AS rn
+         |  FROM sc) WHERE rn = 1)
+         |SELECT n.new_id AS vec_id,
+         |  CASE WHEN b.cos >= $CosineThreshold THEN 'semantic_dup' ELSE 'kept' END AS verdict,
+         |  CASE WHEN b.cos >= $CosineThreshold THEN b.corp_id END AS dup_of,
+         |  round(b.cos, 6) AS best_cosine
+         |FROM nb n LEFT JOIN best b ON b.new_id = n.new_id
+         |ORDER BY vec_id""".stripMargin),
     // SemDeDup end-to-end: the SHARED IVF training replay
     // (SimilarityQueries.ivfBuildCtes — the same CTEs the proven
     // ann_ivf* oracles use, because the query clusters through the

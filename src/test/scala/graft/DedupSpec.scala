@@ -446,6 +446,49 @@ class DedupSpec extends SparkSpec {
     assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("semanticProbeVerdicts: planted clone flagged against its cell, isolated vector kept") {
+    val mk: (Double, Double) => Array[Float] =
+      (x, y) => Array.tabulate(8)(i => (if (i == 0) x else if (i == 1) y else 0.05).toFloat)
+    val vecs = Seq(
+      1L -> mk(10.0, 0.1), 2L -> mk(10.0, 0.12), // 2 is a clone of corpus vector 1
+      3L -> mk(0.1, 10.0), 4L -> mk(0.12, 10.0),
+      5L -> mk(-8.0, -8.0)) // isolated — alone in its cell
+    val cells = Seq(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 2).toDF("id", "cell")
+    val pe = vecs.toDF("id", "embedding")
+      .select(col("id"), graft.functions.VectorOps.toDouble(col("embedding")).as("v"))
+      .join(cells, "id")
+    // new batch = {2, 5}: 2 must be a semantic_dup of 1 (its cell-mate
+    // clone); 5 has NO corpus neighbor in its cell → kept, null cosine
+    val got = Dedup.semanticProbeVerdicts(pe, col("id").isin(2L, 5L), 0.9)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.isNullAt(3))).toSeq
+    assert(got === Seq((2L, "semantic_dup", 1L, false), (5L, "kept", -1L, true)))
+  }
+
+  test("dedup_semantic_probe: verdicts consistent with the within-cell pair graph") {
+    val τ = graft.queries.DedupQueries.CosineThreshold
+    val rep = graft.queries.DedupQueries.semanticProbe(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+    assert(rep.nonEmpty && rep.forall(_._1 % 5 == 0))
+    // dup rows: a settled-corpus partner at >= τ; kept rows below τ
+    rep.foreach { case (_, verdict, dupOf, cos) =>
+      if (verdict == "semantic_dup") assert(dupOf % 5 != 0 && cos >= τ - 5e-7)
+      else assert(cos.isNaN || cos < τ)
+    }
+    // restriction law: every dup verdict is an edge of the SAME
+    // within-cell pair graph dedup_semantic walks (the probe finds a
+    // subset of the batch pairs — its best partner edge)
+    val idx = graft.queries.SimilarityQueries.ivfIndex(spark, sf001)
+    val within = Dedup.embeddingCosineWithin(idx.cells, "id", "v", "cell", τ)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rep.filter(_._2 == "semantic_dup").foreach { case (n, _, c, _) =>
+      assert(within.contains((math.min(n, c), math.max(n, c))),
+        s"probe dup ($n, $c) not in the within-cell pair graph")
+    }
+  }
+
   test("dedup_semantic declared query: groups disjoint, kept member minimizes (ccos, id)") {
     val rep = graft.queries.DedupQueries.semantic(spark, sf001).collect()
     assert(rep.nonEmpty, "fixture should contain within-cell semantic dups")

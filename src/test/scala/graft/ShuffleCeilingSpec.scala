@@ -81,7 +81,10 @@ class ShuffleCeilingSpec extends SparkSpec {
     // measure ~|X|x|Y| here)
     ("ann_hard_negatives_ivf", 1000L, "Q-bounded labeled probe partials (210)"),
     ("ann_knn_classify_ivf", 1000L, "Q-bounded probe partials + vote cells (234)"),
-    ("ann_margin_mining_ivf", 120000L, "(|X|+|Y|)x(nProbe+1) tagged rows + kxnProbe partials (28256)"))
+    ("ann_margin_mining_ivf", 120000L, "(|X|+|Y|)x(nProbe+1) tagged rows + kxnProbe partials (28256)"),
+    // the ingest-shaped SemDeDup: new-batch rows into their home
+    // cells + batch-sized best-partner window — never pair-sized
+    ("dedup_semantic_probe", 6000L, "batch-bounded cell join + best-partner partials (1200)"))
 
   test("bounded-output queries shuffle bounded records at sf0.1") {
     val records = new LongAdder
