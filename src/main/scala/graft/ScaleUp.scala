@@ -284,8 +284,8 @@ object ScaleUp {
     // (8-byte fp nominate → substring verify; the 40-word synthetic
     // vocabulary makes ~5-word grams recur, so the verify stage is
     // LIVE here, not empty)
-    "dedup_semantic", "dedup_semantic_probe", "text_dsir_weights",
-    "text_repeated_spans",
+    "dedup_semantic", "dedup_semantic_probe", "stream_semantic_probe_parity",
+    "text_dsir_weights", "text_repeated_spans",
     // round 10 cohort 17: BPE training — one corpus token-count
     // exchange, then 10 vocab-bounded rounds with 1-row argmax
     // collects (the Lloyd hand-off) — and the encode twin (one
@@ -664,7 +664,10 @@ object ScaleUp {
     "pipeline_split_drift",
     "dedup_split_leakage", "dedup_threshold_curve",
     "pipeline_dedup_funnel", "events_skew_report", "rel_fk_audit",
-    "stream_split_parity", "mm_ahash_distance_hist")
+    "stream_split_parity", "mm_ahash_distance_hist",
+    // r12: the 18th streaming query — stream-static cell probe, one
+    // struct of state per new vector (batch-bounded at any corpus)
+    "stream_semantic_probe_parity")
 
   /** Dev-only rehearsal subset (comma-separated name prefixes, like
     * Bench's SPARK_GRAFT_BENCH_ONLY): lets a NEW operator's scale row

@@ -359,6 +359,36 @@ object SimilarityQueries {
     }.toSeq.toDF("i", "loading_micros", "eigenvalue_micros").orderBy("i")
   }
 
+  /** PCA APPLIED — `ann_pca_project` (r12): the train→apply half of
+    * the whitening hand-off. [[Similarity.pcaTopComponent]] trains on
+    * the d²-bounded cells (identical trajectory to
+    * `ann_pca_component`); the learned component then broadcasts
+    * back as a literal and EVERY vector gets its projection score
+    * `⌊dot(v, w)·10⁶⌋` in one zero-shuffle compiled scan — the shape
+    * of any apply-a-learned-linear-map stage (whitening, dimension
+    * drop, probe direction) at 100 TB: k·d driver doubles out, one
+    * corpus pass back. The dot is the fold-order-matched
+    * [[graft.functions.VectorOps.dot]], so the oracle replays
+    * training through the same [[PcaIters]] CTEs and scores with one
+    * list_sum fold. */
+  def pcaProject(s: SparkSession, dir: String): DataFrame = {
+    val stats = Tables.embeddings(s, dir)
+      .select(graft.functions.VectorOps.toDouble(col("embedding")).as("v"))
+      .repartition(graft.GraftSession.envCpus)
+      .agg(graft.functions.CovCellsAgg.cov_cells(Dim)(col("v")).as("cells"))
+      .selectExpr("inline(cells)")
+      .collect().map(r =>
+        (r.getInt(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val (_, w) = Similarity.pcaTopComponent(stats, PcaIters)
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        floor(graft.functions.VectorOps.dot(
+          graft.functions.VectorOps.toDouble(col("embedding")),
+          typedLit(w.toSeq)) * 1000000.0d).cast("long").as("score_micros"))
+      .orderBy("vec_id")
+  }
+
   /** The `ann_pca_component` oracle: the proven covariance cells →
     * symmetric matrix rows as ORDERED lists (so every fold is the
     * driver's left-to-right order) → [[PcaIters]] unrolled
@@ -367,7 +397,11 @@ object SimilarityQueries {
     * norms are strictly positive, as the driver's `nm > 0` branch
     * requires) → floor-micros loadings + final-iteration norm as the
     * eigenvalue. */
-  private def pcaOracleSql: String = {
+  /** The shared power-iteration training CTEs (everything up to the
+    * final-iteration vector `w$PcaIters`) — used by both the
+    * component and the projection oracle, so apply cannot drift from
+    * train. */
+  private def pcaTrainCtes: String = {
     val iters = (1 to PcaIters).map { k =>
       s"""r$k AS (SELECT wr, sqrt(list_sum(list_transform(wr, y -> y * y))) AS nm FROM (
          |  SELECT list_transform(generate_series(1, $Dim), i ->
@@ -391,13 +425,29 @@ object SimilarityQueries {
        |mrows AS (SELECT i, list(c ORDER BY j) AS cr FROM sym GROUP BY i),
        |m AS MATERIALIZED (SELECT list(cr ORDER BY i) AS mat FROM mrows),
        |w0 AS (SELECT list_transform(generate_series(1, $Dim), x -> 1.0 / sqrt(CAST($Dim AS DOUBLE))) AS w),
-       |$iters
-       |SELECT CAST(ix - 1 AS INTEGER) AS i,
-       |  CAST(floor(w$PcaIters.w[ix] * 1000000.0) AS BIGINT) AS loading_micros,
-       |  CAST(floor(w$PcaIters.nm * 1000000.0) AS BIGINT) AS eigenvalue_micros
-       |FROM w$PcaIters, (SELECT unnest(generate_series(1, $Dim)) AS ix)
-       |ORDER BY i""".stripMargin
+       |$iters""".stripMargin
   }
+
+  private def pcaOracleSql: String =
+    pcaTrainCtes +
+      s"""
+         |SELECT CAST(ix - 1 AS INTEGER) AS i,
+         |  CAST(floor(w$PcaIters.w[ix] * 1000000.0) AS BIGINT) AS loading_micros,
+         |  CAST(floor(w$PcaIters.nm * 1000000.0) AS BIGINT) AS eigenvalue_micros
+         |FROM w$PcaIters, (SELECT unnest(generate_series(1, $Dim)) AS ix)
+         |ORDER BY i""".stripMargin
+
+  /** Projection oracle: the SAME training CTEs + one list_sum fold
+    * per vector against the final component. */
+  private def pcaProjectOracleSql: String =
+    pcaTrainCtes +
+      s"""
+         |SELECT p2.vec_id,
+         |  CAST(floor(list_sum(list_transform(generate_series(1, $Dim),
+         |    i -> p2.v[i] * w$PcaIters.w[i])) * 1000000.0) AS BIGINT) AS score_micros
+         |FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |      FROM embeddings) p2, w$PcaIters
+         |ORDER BY p2.vec_id""".stripMargin
 
   /** One oracle for the batch query AND its streaming parity twin —
     * the kmeans_accumulate DECIMAL(38,12) idiom cell for cell:
@@ -468,6 +518,7 @@ object SimilarityQueries {
     "ann_hard_negatives_ivf" -> (hardNegativesIvfQ _),
     "ann_covariance" -> (covariance _),
     "ann_pca_component" -> (pcaComponent _),
+    "ann_pca_project" -> (pcaProject _),
     "ann_margin_mining" -> (marginMining _),
     "ann_margin_mining_ivf" -> (marginMiningIvf _),
     "ann_vector_audit" -> (vectorAuditQ _),
@@ -946,6 +997,7 @@ object SimilarityQueries {
     // summed exactly in decimal, output round(double, 6)
     "ann_covariance" -> covarianceOracleSql,
     "ann_pca_component" -> pcaOracleSql,
+    "ann_pca_project" -> pcaProjectOracleSql,
     // the bruteforce CTEs + labels: majority vote over the top-k,
     // whole query batch excluded from the voter pool, tie -> smaller
     // label (the row_number orders match Spark's exactly)

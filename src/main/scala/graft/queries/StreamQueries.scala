@@ -586,6 +586,58 @@ object StreamQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Streaming SEMANTIC-DEDUP INGEST — the serving form of
+    * `dedup_semantic_probe` (18th streaming query): new vectors
+    * arrive as a stream at an embedding store whose IVF index is
+    * already built; each row re-derives its home cell PER ROW with
+    * the compiled argmin against the broadcast centroid literals
+    * (identical to the index's stored assignment — same centers,
+    * same lowest-cid tie rule), candidates come from a stream-STATIC
+    * join against the settled corpus rows of that one cell, and the
+    * best partner is a complete-mode `min(struct(−cos, id))`
+    * aggregate (streaming forbids rank windows; negation is
+    * IEEE-exact, NaN → −∞ reproduces the batch `cos DESC` NaN-first
+    * order — the stream_ann_parity idiom). Per-new-vector state is
+    * ONE struct. Kept-with-empty-cell rows are restored by a
+    * post-sink left join from the static new-id frame, so the twin
+    * is row-identical to the batch query — and rides its DuckDB
+    * oracle verbatim. */
+  def semanticProbeParity(s: SparkSession, dir: String): DataFrame = {
+    val idx = SimilarityQueries.ivfIndex(s, dir)
+    val tau = DedupQueries.CosineThreshold
+    val corpus = idx.cells.filter(pmod(col("id"), lit(5)) =!= 0)
+      .select(col("cell"), col("id").as("corp_id"), col("v").as("cv"))
+    val stream = s.readStream
+      .schema("vec_id bigint, embedding array<float>, label int")
+      .parquet(streamDir(dir, "embeddings"))
+      .filter(pmod(col("vec_id"), lit(5)) === 0)
+      .select(col("vec_id").as("new_id"),
+        graft.functions.VectorOps.toDouble(col("embedding")).as("nv"))
+    val probes = stream.withColumn("cell",
+      graft.plans.expressions.vec_argmin(col("nv"), idx.centers)("cluster_id")
+        .cast("int"))
+    val joined = probes.join(corpus, Seq("cell"))
+      .withColumn("cos",
+        graft.plans.expressions.vec_dot(col("nv"), col("cv")) /
+          (sqrt(graft.plans.expressions.vec_dot(col("nv"), col("nv"))) *
+           sqrt(graft.plans.expressions.vec_dot(col("cv"), col("cv")))))
+    val sortKey = when(isnan(col("cos")), lit(Double.NegativeInfinity))
+      .otherwise(-col("cos"))
+    val agg = joined.groupBy("new_id")
+      .agg(min(struct(sortKey.as("k"), col("corp_id").as("cid"),
+        col("cos").as("c0"))).as("best"))
+    val sunk = runToMemory(s, "stream_semprobe_sink", agg, "complete")
+    idx.cells.filter(pmod(col("id"), lit(5)) === 0)
+      .select(col("id").as("new_id"))
+      .join(sunk, Seq("new_id"), "left")
+      .select(col("new_id").as("vec_id"),
+        when(col("best.c0") >= tau, lit("semantic_dup"))
+          .otherwise(lit("kept")).as("verdict"),
+        when(col("best.c0") >= tau, col("best.cid")).as("dup_of"),
+        round(col("best.c0"), 6).as("best_cosine"))
+      .orderBy("vec_id")
+  }
+
   /** Streaming split manifest — the ingest face of
     * `pipeline_split_manifest`: documents arrive as a stream, each
     * row takes its train/val/test assignment from the same pure
@@ -642,6 +694,7 @@ object StreamQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_ann_parity" -> (annServeParity _),
+    "stream_semantic_probe_parity" -> (semanticProbeParity _),
     "stream_covariance_parity" -> (covarianceParity _),
     "stream_topic_parity" -> (topicParity _),
     "stream_attribution_parity" -> (attributionParity _),
@@ -669,6 +722,11 @@ object StreamQueries {
     // ORDER BY vec_id LIMIT Q set
     "stream_ann_parity" ->
       SimilarityQueries.ivfOracleSql(s"LIMIT ${SimilarityQueries.Q}"),
+    // the batch ingest-dedup oracle verbatim: per-row re-derived cells
+    // equal the index's stored assignment, so the stream twin is
+    // row-identical to dedup_semantic_probe by construction
+    "stream_semantic_probe_parity" ->
+      DedupQueries.oracles("dedup_semantic_probe"),
     // the batch covariance oracle verbatim: accumulated decimal
     // streaming state must equal the batch cells exactly
     "stream_covariance_parity" -> SimilarityQueries.covarianceOracleSql,
