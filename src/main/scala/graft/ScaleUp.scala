@@ -315,7 +315,7 @@ object ScaleUp {
     "ann_margin_mining_ivf",
     // r12: the declared PCA hand-off — the covariance pass + a
     // d²-bounded driver power iteration
-    "ann_pca_component",
+    "ann_pca_component", "ann_pca_project",
     // round 11 cohort 25: the exact hard-negative brute scan stays
     // 10×-only (like the exact margin kernel); since r12 the declared
     // IVF-probed form — the label filter riding the persisted index's
@@ -643,6 +643,7 @@ object ScaleUp {
     // TimedCustom at both scales)
     "ann_covariance", "stream_covariance_parity", "stream_ann_parity",
     "dedup_chunk_rewrite", "pipeline_mix_weights", "ann_pca_component",
+    "ann_pca_project",
     // round 11 cohort 25 (hard negatives is 10×-only — see Timed):
     // the pair-graph-memoized source report, the stride-bounded
     // overlap chunker over 500 k open-vocab docs, and the
@@ -664,10 +665,12 @@ object ScaleUp {
     "pipeline_split_drift",
     "dedup_split_leakage", "dedup_threshold_curve",
     "pipeline_dedup_funnel", "events_skew_report", "rel_fk_audit",
-    "stream_split_parity", "mm_ahash_distance_hist",
-    // r12: the 18th streaming query — stream-static cell probe, one
-    // struct of state per new vector (batch-bounded at any corpus)
-    "stream_semantic_probe_parity")
+    "stream_split_parity", "mm_ahash_distance_hist")
+    // (the 18th streaming query, stream_semantic_probe_parity, is
+    // 10×-only here like its batch twin's declared form: both pin the
+    // oracle's nCells=16, and the production configuration is
+    // rehearsed at both scales by dedup_semantic_probe_auto — the
+    // stream twin shares that plan shape row for row)
 
   /** Dev-only rehearsal subset (comma-separated name prefixes, like
     * Bench's SPARK_GRAFT_BENCH_ONLY): lets a NEW operator's scale row
