@@ -251,7 +251,7 @@ object ScaleUp {
     // round 10 (r9 verdict task 7): cohort-15 cross-payload shared
     // frames — frame fingerprints per payload, then a fingerprint-
     // keyed dup-count exchange (shared-fps-only output)
-    "mm_shared_frames",
+    "mm_shared_frames", "mm_scene_changes",
     // round 8 cohort 10: the journey transition matrix and last-touch
     // attribution over 1 M events (one user_id window exchange each),
     // Dice collocations over 5 M tokens (bigram-count shuffle, then
@@ -665,7 +665,7 @@ object ScaleUp {
     "pipeline_split_drift",
     "dedup_split_leakage", "dedup_threshold_curve",
     "pipeline_dedup_funnel", "events_skew_report", "rel_fk_audit",
-    "stream_split_parity", "mm_ahash_distance_hist")
+    "stream_split_parity", "mm_ahash_distance_hist", "mm_scene_changes")
     // (the 18th streaming query, stream_semantic_probe_parity, is
     // 10×-only here like its batch twin's declared form: both pin the
     // oracle's nCells=16, and the production configuration is

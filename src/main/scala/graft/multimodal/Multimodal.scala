@@ -176,6 +176,51 @@ object Multimodal {
         min("id").as("first_doc"), max("id").as("last_doc"))
       .filter(col("n_docs") > 1)
 
+  /** SCENE-CHANGE SEGMENTATION over a payload's ordered frame stream
+    * (r12) — the shot-boundary pass a video pipeline runs before
+    * frame-sampling training data (sample k frames PER SCENE, not per
+    * second, or you oversample static shots): frames are the same
+    * stride-`stride` windows [[frameSample]] cuts, each summarized by
+    * its exact integer byte sum (the content feature — a rolling HASH
+    * flips entirely on any byte change, so hash inequality cannot
+    * grade change magnitude; the sum is the stand-in for a real
+    * frame-histogram distance, per the repo's stubbed-decode
+    * doctrine), and a scene boundary falls wherever the absolute
+    * difference between consecutive frame sums exceeds `threshold`.
+    * Output per payload: n_frames, n_scenes, max_scene_frames.
+    *
+    * Scale: the frame stream is bytes/stride rows; ONE id-keyed
+    * window exchange (lag + running scene id — the sessionize shape),
+    * then payload-bounded aggregates. All integer arithmetic —
+    * hash-exact in any engine. */
+  def sceneChanges(blobs: DataFrame, frameLen: Int = 16, stride: Int = 64,
+                   threshold: Long = 200L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    val feats = blobs.select(col("id").cast("long"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, blob) =>
+        Iterator.range(0, blob.length, stride).zipWithIndex.map { case (off, k) =>
+          val end = math.min(off + frameLen, blob.length)
+          var s = 0L
+          var i = off
+          while (i < end) { s += (blob(i) & 0xff); i += 1 }
+          (id, k, s)
+        }
+      }.toDF("id", "frame_idx", "fsum")
+    val w = Window.partitionBy("id").orderBy("frame_idx")
+    val scenes = feats
+      .withColumn("nw", when(lag("fsum", 1).over(w).isNull ||
+        abs(col("fsum") - lag("fsum", 1).over(w)) > threshold, 1L).otherwise(0L))
+      .withColumn("scene", sum("nw").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("id", "scene").agg(count(lit(1)).as("nf"))
+    scenes.groupBy("id")
+      .agg(sum("nf").as("n_frames"), count(lit(1)).as("n_scenes"),
+        max("nf").as("max_scene_frames"))
+  }
+
   /** Encode the first `side`² payload bytes as a `side`×`side`
     * grayscale PNG (zero-padded) — a REAL ImageIO encode producing
     * blobs the real decode path reads back. Gray pixels make the

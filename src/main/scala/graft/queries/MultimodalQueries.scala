@@ -32,6 +32,15 @@ object MultimodalQueries {
       .select(col("id").as("doc_id"), col("frame_idx"), col("frame_fp"))
       .orderBy("doc_id", "frame_idx")
 
+  /** Scene-change segmentation ([[Multimodal.sceneChanges]]) — the
+    * shot-boundary report per payload over the same frame windows
+    * mm_frame_fingerprints cuts; boundary = |Δ byte-sum| > 200. */
+  def sceneChangesQ(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sceneChanges(blobs(s, dir))
+      .select(col("id").as("doc_id"), col("n_frames"), col("n_scenes"),
+        col("max_scene_frames"))
+      .orderBy("doc_id")
+
   /** Cross-payload shared frames ([[Multimodal.sharedFrames]]) —
     * copy/syndication detection without pairwise comparison; output
     * is shared-fingerprints-only. */
@@ -173,6 +182,7 @@ object MultimodalQueries {
     "mm_patch_knn" -> (patchKnnQ _),
     "mm_byte_histogram" -> (histogram _),
     "mm_frame_fingerprints" -> (frames _),
+    "mm_scene_changes" -> (sceneChangesQ _),
     "mm_shared_frames" -> (sharedFramesQ _),
     "mm_ahash_groups" -> (ahashGroups _),
     "mm_ahash_near_pairs" -> (ahashNearPairs _),
@@ -297,6 +307,31 @@ object MultimodalQueries {
          |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          |FROM fp GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1
          |ORDER BY frame_fp""".stripMargin,
+    // the frame windows of mm_frame_fingerprints summarized by exact
+    // byte sums, lag-diff boundaries at > 200, island scene ids, and
+    // the per-payload report — all integer
+    "mm_scene_changes" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, CAST(t.k AS INTEGER) AS frame_idx,
+         |    substr(text, CAST(t.k AS INTEGER) * 64 + 1, 16) AS frame
+         |  FROM documents,
+         |    (SELECT unnest(generate_series(0, 1000)) AS k) t
+         |  WHERE t.k * 64 < length(text)),
+         |s AS (SELECT doc_id, frame_idx,
+         |  list_sum(list_transform(generate_series(1, length(frame)),
+         |    i -> CAST(ascii(substr(frame, i, 1)) AS BIGINT))) AS fsum
+         |  FROM f),
+         |m AS (SELECT doc_id, frame_idx, fsum,
+         |  CASE WHEN lag(fsum) OVER w IS NULL
+         |         OR abs(fsum - lag(fsum) OVER w) > 200 THEN 1 ELSE 0 END AS nw
+         |  FROM s WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
+         |sc AS (SELECT doc_id, frame_idx,
+         |  SUM(nw) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS scene FROM m),
+         |g AS (SELECT doc_id, scene, COUNT(*) AS nf FROM sc GROUP BY 1, 2)
+         |SELECT doc_id, CAST(SUM(nf) AS BIGINT) AS n_frames,
+         |  CAST(COUNT(*) AS BIGINT) AS n_scenes,
+         |  CAST(MAX(nf) AS BIGINT) AS max_scene_frames
+         |FROM g GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "mm_frame_fingerprints" ->
       s"""WITH f AS (
          |  SELECT doc_id, CAST(t.k AS INTEGER) AS frame_idx,

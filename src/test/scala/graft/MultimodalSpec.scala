@@ -313,4 +313,23 @@ class MultimodalSpec extends SparkSpec {
       .map { case (q, rows) => q -> rows.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq }
     assert(got === expected)
   }
+
+  test("sceneChanges: planted two-shot payload splits at the boundary; constant payload is one scene") {
+    import spark.implicits._
+    // payload 1: 4 frames of byte 10, then 4 frames of byte 200 — one
+    // boundary exactly at frame 4 (|Δsum| = 16·190 ≫ 200); payload 2:
+    // a constant byte stream — a single scene however many frames
+    val twoShot = Array.fill(4 * 64)(10.toByte) ++ Array.fill(4 * 64)(200.toByte)
+    val constant = Array.fill(6 * 64)(42.toByte)
+    val blobs = Seq((1L, twoShot), (2L, constant)).toDF("id", "blob")
+    val got = Multimodal.sceneChanges(blobs)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) === ((8L, 2L, 4L)), s"two-shot payload: ${got(1L)}")
+    assert(got(2L) === ((6L, 1L, 6L)), s"constant payload: ${got(2L)}")
+    // threshold monotonicity: an impossibly high bar yields one scene
+    val one = Multimodal.sceneChanges(blobs, threshold = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(one.values.forall(_ === 1L))
+  }
 }
