@@ -158,7 +158,7 @@ object ScaleUp {
     // plan), the real-codec round-trip (zero-shuffle scan; 50 k
     // PNG encodes + decodes per run), the mergeable histogram
     // quantile sketch, and PQ over 20 k vectors (train+encode+rank)
-    "text_bigram_lm_score", "mm_decode_roundtrip",
+    "text_bigram_lm_score", "text_lm_heldout_score", "mm_decode_roundtrip",
     "rel_quantiles_sketch", "ann_pq_topk", "ann_ivfpq_topk",
     // round 5c: heavy hitters (bounded-state MG + recount over 5M
     // tokens), bloom pruning against 10× orders, int8 ANN over 20k
@@ -629,6 +629,7 @@ object ScaleUp {
     // dedup_ngram_jaccard row above has already built at each scale),
     // and the sources²-bounded overlap matrix on the novelty exchange
     "text_topic_clusters", "dedup_incremental", "text_source_overlap",
+    "text_lm_heldout_score",
     // round 11: the sampled span twin at 100× — the dense-regime
     // relief (the exact row above carries the full 8 B/position
     // exchange; this one ~2/(w+1) of it), the probe-form incremental

@@ -779,6 +779,41 @@ object TextAnalysis {
         expr("_sp DIV n_bigrams").as("lm_score_permille"))
   }
 
+  /** HELD-OUT bigram LM scoring (r12) — the actual CCNet shape: the
+    * reference LM is trained on a TRUSTED subset (CCNet uses a
+    * Wikipedia-trained model; here any `trainDocs` frame) and scores
+    * a DIFFERENT corpus, so a document's score measures similarity
+    * to the reference domain, not to the corpus's own average (the
+    * in-corpus [[bigramLmScore]] can't flag a corpus that is
+    * uniformly junk). Unseen bigrams contribute probability 0 and
+    * unseen head words score 0 — integer-exact OOV handling, no
+    * smoothing constant to round differently across engines. Same
+    * integer arithmetic as the in-corpus scorer: p = (1000·c_bg) DIV
+    * c_w1 over TRAIN counts, doc score = Σp DIV n_bigrams.
+    *
+    * Scale shape: the train counts are vocab-bounded exchanges over
+    * the (smaller) reference corpus; scoring is the same token-linear
+    * two-join plan as [[bigramLmScore]] — LEFT joins so OOV rows
+    * survive to the aggregate. */
+  def bigramLmScoreHeldOut(trainDocs: DataFrame, scoreDocs: DataFrame,
+                           idCol: String, textCol: String): DataFrame = {
+    val occT = trainDocs.select(explode(TextOps.shinglesAll(col(textCol), 2)).as("bg"))
+    val c2 = occT.groupBy("bg").agg(count(lit(1)).as("c_bg"))
+    val c1 = trainDocs.select(explode(TextOps.words(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c_w1"))
+    val occ = scoreDocs.select(col(idCol).as("doc_id"),
+        explode(TextOps.shinglesAll(col(textCol), 2)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    occ.join(c2, Seq("bg"), "left")
+      .join(c1, occ("w1") === c1("t"), "left")
+      .withColumn("p", when(col("c_w1").isNull || col("c_w1") === 0L, 0L)
+        .otherwise(expr("(1000 * coalesce(c_bg, 0)) DIV c_w1")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p")).as("_sp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("_sp DIV n_bigrams").as("lm_score_permille"))
+  }
+
   /** SKIP-GRAM CO-OCCURRENCE COUNTS — the word2vec/GloVe
     * preprocessing table: for every ordered token pair (w₁, w₂) with
     * w₂ at most `window` positions after w₁ in the same document, the

@@ -60,6 +60,20 @@ object TextQueries {
     TextAnalysis.bigramLmScore(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Held-out LM scoring ([[TextAnalysis.bigramLmScoreHeldOut]], r12)
+    * — the real CCNet shape: the reference bigram LM trains on the
+    * trusted English stratum (the wiki-LM analogy; the same reference
+    * filter `text_dsir_weights` targets) and scores EVERY document,
+    * so scores measure similarity to the reference domain rather than
+    * to the corpus's own average; OOV bigrams/heads score 0,
+    * integer-exact. */
+  def lmHeldOut(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.bigramLmScoreHeldOut(
+        docs.filter(col("lang") === "en"), docs, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** Per-language quality terciles (CCNet-style head/middle/tail):
     * bigram-LM score × predicted language × funnel-free exact NTILE. */
   def qualityBuckets(s: SparkSession, dir: String): DataFrame =
@@ -450,6 +464,7 @@ object TextQueries {
     "text_topic_clusters" -> (topicClustersQ _),
     "text_topic_keywords" -> (topicKeywordsQ _),
     "text_bigram_lm_score" -> (bigramLm _),
+    "text_lm_heldout_score" -> (lmHeldOut _),
     "text_collocations" -> (collocationsQ _),
     "text_skipgram_counts" -> (skipgramsQ _),
     "text_quality_buckets" -> (qualityBuckets _),
@@ -1066,6 +1081,27 @@ object TextQueries {
          |  MIN(lm_score_permille) AS min_permille,
          |  MAX(lm_score_permille) AS max_permille
          |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the in-corpus LM oracle with TRAIN counts restricted to the
+    // English reference stratum, LEFT joins and 0-probability OOV —
+    // the held-out scorer replayed
+    "text_lm_heldout_score" ->
+      """WITH tr AS (SELECT string_split(text, ' ') AS w FROM documents WHERE lang = 'en'),
+        |tocc AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+        |          i -> w[i] || ' ' || w[i+1])) AS bg FROM tr),
+        |c2 AS (SELECT bg, COUNT(*) AS c_bg FROM tocc GROUP BY 1),
+        |c1 AS (SELECT t, COUNT(*) AS c_w1 FROM (
+        |        SELECT unnest(w) AS t FROM tr) GROUP BY 1),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |occ AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+        |          i -> w[i] || ' ' || w[i+1])) AS bg FROM d),
+        |o2 AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM occ),
+        |sc AS (SELECT o.doc_id,
+        |       CASE WHEN c1.c_w1 IS NULL OR c1.c_w1 = 0 THEN 0
+        |            ELSE (1000 * coalesce(c2.c_bg, 0)) // c1.c_w1 END AS p
+        |       FROM o2 o LEFT JOIN c2 USING (bg) LEFT JOIN c1 ON c1.t = o.w1)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(p) // COUNT(*) AS BIGINT) AS lm_score_permille
+        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "text_bigram_lm_score" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |occ AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),

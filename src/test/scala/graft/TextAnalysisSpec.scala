@@ -288,6 +288,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(mean > 0.0 && mean < 1000.0, s"mean permille out of range: $mean")
   }
 
+  test("held-out bigram LM: reference-domain docs outscore OOV docs; full OOV scores exactly 0") {
+    import spark.implicits._
+    // reference corpus: "a b" dominates; scoring corpus has an
+    // in-domain doc, a half-domain doc ("a x": head 'a' known, bigram
+    // unseen -> p=0), and a fully-OOV doc (must score EXACTLY 0, not
+    // drop — OOV is the signal a domain filter keys on)
+    val ref = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val scoreMe = Seq((10L, "a b"), (11L, "a x"), (12L, "z q")).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramLmScoreHeldOut(ref, scoreMe, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(10L) === ((1L, 666L))) // P(b|a) = 1000*2 DIV 3 (c1("a") = 3)
+    assert(r(11L) === ((1L, 0L)))   // head known, bigram unseen
+    assert(r(12L) === ((1L, 0L)))   // fully OOV — scored, not dropped
+    // fixture direction check: the en-trained reference LM must score
+    // the en stratum strictly above the non-en strata on average (the
+    // domain signal the held-out form exists to expose — the
+    // in-corpus scorer cannot distinguish strata this way)
+    val docs = Tables.documents(spark, sf001)
+    val scored = TextAnalysis.bigramLmScoreHeldOut(
+        docs.filter(col("lang") === "en"), docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val byLang = scored.groupBy(col("lang") === "en")
+      .agg(avg("lm_score_permille").as("m"))
+      .collect().map(x => x.getBoolean(0) -> x.getDouble(1)).toMap
+    assert(byLang(true) > byLang(false),
+      s"en-trained LM must prefer en docs: $byLang")
+  }
+
   test("pii scrub counts and redacts emails and phones, leaves clean text alone") {
     import spark.implicits._
     val docs = Seq(
