@@ -285,6 +285,7 @@ object ScaleUp {
     // vocabulary makes ~5-word grams recur, so the verify stage is
     // LIVE here, not empty)
     "dedup_semantic", "dedup_semantic_probe", "stream_semantic_probe_parity",
+    "ann_knn_graph",
     "text_dsir_weights", "text_repeated_spans",
     // round 10 cohort 17: BPE training — one corpus token-count
     // exchange, then 10 vocab-bounded rounds with 1-row argmax

@@ -596,6 +596,57 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** CORPUS-WIDE kNN GRAPH, cell-bounded (r12): every vector's top-k
+    * cosine neighbors WITHIN its IVF cell — the neighbor-graph
+    * substrate diversity sampling, graph clustering and NN-descent
+    * refinement start from, built without an all-pairs stage: work is
+    * Σ_c m_c² (the SemDeDup within-cell law; production sizes
+    * nCells ∝ n for constant occupancy), ONE cell-keyed group pass,
+    * and each vector emits at most k edges from a bounded heap — a
+    * vector's cell-mates are its whole candidate set, so the heap IS
+    * the final top-k and the output shuffle is ≤ n·k rows. Vectors
+    * alone in their cell emit nothing (no neighbors at this
+    * quantization — the caller's re-probe signal). Cosines fold
+    * source-vector-first, the oracle's orientation; ties break toward
+    * the lower neighbor id. */
+  def knnGraphWithin(cells: DataFrame, k: Int): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    require(k >= 1, "k must be >= 1")
+    val p = cells.select(col("cell").cast("int"), col("id").cast("long"), col("v"))
+      .as[(Int, Long, Array[Double])]
+    val ord = Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long])
+    val edges = p.groupByKey(_._1).flatMapGroups { (_, iter) =>
+      val rows = iter.map { case (_, id, v) => (id, v) }.toArray
+      val norms = rows.map(r => math.sqrt(VectorOps.dotSeq(r._2, r._2)))
+      rows.indices.iterator.flatMap { i =>
+        val (sid, sv) = rows(i)
+        val h = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+        var j = 0
+        while (j < rows.length) {
+          if (j != i) {
+            val (nid, nv) = rows(j)
+            val c = VectorOps.dotSeq(sv, nv) / (norms(i) * norms(j))
+            if (h.length < k || ord.lt((c, nid), h.last)) {
+              h += ((c, nid))
+              val sorted = h.sorted(ord)
+              h.clear(); h ++= sorted.take(k)
+            }
+          }
+          j += 1
+        }
+        h.iterator.map { case (c, nid) => (sid, nid, c) }
+      }
+    }.toDF("vec_id", "neighbor_id", "cosine")
+    // the heap is already the exact per-vector top-k; the window only
+    // assigns rank numbers over ≤ k rows per vector
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    edges
+      .withColumn("rank", row_number().over(w))
+      .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
   /** LABELED IVF probe candidates — the shared candidate stage of
     * [[hardNegativesIvf]] and [[knnClassifyIvf]] (r11 verdict task 5:
     * both exact operators' scaladocs promise "at scale the label

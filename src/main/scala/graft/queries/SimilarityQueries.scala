@@ -359,6 +359,32 @@ object SimilarityQueries {
     }.toSeq.toDF("i", "loading_micros", "eigenvalue_micros").orderBy("i")
   }
 
+  /** Corpus-wide kNN graph ([[Similarity.knnGraphWithin]], r12): each
+    * vector's top-[[GraphK]] cell-mates in the SAME persisted IVF
+    * index, Σm_c² work, ≤ n·k edges out. */
+  val GraphK = 3
+  def knnGraph(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraphWithin(ivfIndex(s, dir).cells, GraphK)
+      .select(col("vec_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("vec_id", "rank")
+
+  /** kNN-graph oracle: the IVF build CTEs + within-cell rank. */
+  private def knnGraphOracleSql: String =
+    "WITH " + ivfBuildCtes +
+      s""",
+         |pe AS (SELECT c.vec_id, c.cell, p.v FROM cells c JOIN p USING (vec_id)),
+         |d AS (SELECT a.vec_id AS src, b.vec_id AS nb,
+         |  list_sum(list_transform(generate_series(1, $Dim), i -> a.v[i] * b.v[i])) /
+         |  (sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> a.v[i] * a.v[i]))) *
+         |   sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> b.v[i] * b.v[i])))) AS cosine
+         |  FROM pe a JOIN pe b ON b.cell = a.cell AND b.vec_id <> a.vec_id),
+         |r AS (SELECT src, nb, cosine,
+         |  CAST(row_number() OVER (PARTITION BY src ORDER BY cosine DESC, nb) AS INTEGER) AS rank
+         |  FROM d)
+         |SELECT src AS vec_id, nb AS neighbor_id, rank, round(cosine, 6) AS cosine
+         |FROM r WHERE rank <= $GraphK ORDER BY vec_id, rank""".stripMargin
+
   /** PCA APPLIED — `ann_pca_project` (r12): the train→apply half of
     * the whitening hand-off. [[Similarity.pcaTopComponent]] trains on
     * the d²-bounded cells (identical trajectory to
@@ -519,6 +545,7 @@ object SimilarityQueries {
     "ann_covariance" -> (covariance _),
     "ann_pca_component" -> (pcaComponent _),
     "ann_pca_project" -> (pcaProject _),
+    "ann_knn_graph" -> (knnGraph _),
     "ann_margin_mining" -> (marginMining _),
     "ann_margin_mining_ivf" -> (marginMiningIvf _),
     "ann_vector_audit" -> (vectorAuditQ _),
@@ -998,6 +1025,7 @@ object SimilarityQueries {
     "ann_covariance" -> covarianceOracleSql,
     "ann_pca_component" -> pcaOracleSql,
     "ann_pca_project" -> pcaProjectOracleSql,
+    "ann_knn_graph" -> knnGraphOracleSql,
     // the bruteforce CTEs + labels: majority vote over the top-k,
     // whole query batch excluded from the voter pool, tie -> smaller
     // label (the row_number orders match Spark's exactly)

@@ -533,6 +533,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knnGraphWithin == driver exhaustive within-cell ranking; lone vectors emit nothing") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    def noise() = Array.fill(16)(rng.nextDouble() - 0.5)
+    // 3 cells: sizes 5, 3, 1 — the singleton must emit no edges
+    val rows = (0 until 9).map(i =>
+      (i.toLong, noise(), if (i < 5) 0 else if (i < 8) 1 else 2))
+    val cells = rows.toDF("id", "v", "cell")
+    val k = 2
+    val got = Similarity.knnGraphWithin(cells, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSeq.sortBy(t => (t._1, t._3))
+    val byCell = rows.groupBy(_._3)
+    val expected = rows.flatMap { case (sid, sv, c) =>
+      val mates = byCell(c).filter(_._1 != sid)
+      mates.map { case (nid, nv, _) =>
+        val cos = graft.functions.VectorOps.dotSeq(sv, nv) /
+          (math.sqrt(graft.functions.VectorOps.dotSeq(sv, sv)) *
+           math.sqrt(graft.functions.VectorOps.dotSeq(nv, nv)))
+        (sid, nid, cos)
+      }.sortBy { case (_, nid, cos) => (-cos, nid) }.take(k).zipWithIndex
+        .map { case ((s, n, c), r) => (s, n, r + 1, c) }
+    }.sortBy(t => (t._1, t._3))
+    assert(got === expected)
+    assert(!got.exists(_._1 == 8L)) // the singleton cell
+  }
+
   test("margin mining (IVF candidates): planted clone pair survives the probe path") {
     import spark.implicits._
     val rng = new scala.util.Random(11)
