@@ -427,6 +427,16 @@ object ScaleUp {
         e, "vec_id", "embedding", nCells = nCells)
       graft.operators.Dedup.embeddingCosineWithin(
         idx.cells, "id", "v", "cell", threshold = 0.35)
+    }),
+    // r12: the corpus kNN graph under the same constant-occupancy law
+    // (the declared query pins the oracle's nCells=16) — Σm² work per
+    // cell stays occupancy-bounded, edges out stay ≤ n·k
+    "ann_knn_graph_auto" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val nCells = math.max(16L, e.count() / 1250L).toInt
+      val idx = graft.operators.Similarity.buildIndex(
+        e, "vec_id", "embedding", nCells = nCells)
+      graft.operators.Similarity.knnGraphWithin(idx.cells, k = 3)
     }))
 
   /** 100×-bench-scale fixture (round-6 rehearsal): ONLY the tables the
