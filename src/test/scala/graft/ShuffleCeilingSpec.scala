@@ -84,7 +84,18 @@ class ShuffleCeilingSpec extends SparkSpec {
     ("ann_margin_mining_ivf", 120000L, "(|X|+|Y|)x(nProbe+1) tagged rows + kxnProbe partials (28256)"),
     // the ingest-shaped SemDeDup: new-batch rows into their home
     // cells + batch-sized best-partner window — never pair-sized
-    ("dedup_semantic_probe", 6000L, "batch-bounded cell join + best-partner partials (1200)"))
+    ("dedup_semantic_probe", 6000L, "batch-bounded cell join + best-partner partials (1200)"),
+    // r12 second wave: the kNN graph ships corpus rows into cells +
+    // ≤ n·k edge partials (a pair-sized join would measure millions
+    // here); PCA-apply ships only UDAF buffers + the d² hand-off and
+    // scores in a zero-shuffle scan; scene changes shuffle the
+    // bytes/stride frame stream once into the id window (frame-
+    // linear, like the chunk rewrite); held-out LM counts are
+    // train-vocab-bounded
+    ("ann_knn_graph", 60000L, "corpus rows into cells + <= n*k edge partials (14000)"),
+    ("ann_pca_project", 17000L, "CovCellsAgg buffers + d^2 hand-off, zero-shuffle scoring (4008)"),
+    ("mm_scene_changes", 150000L, "bytes/stride frame stream into the id window (30699)"),
+    ("text_lm_heldout_score", 44000L, "train-vocab bigram/unigram counts + doc report (10962)"))
 
   test("bounded-output queries shuffle bounded records at sf0.1") {
     val records = new LongAdder
