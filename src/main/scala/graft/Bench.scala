@@ -105,8 +105,12 @@ object Bench {
       System.err.println(s"[bench] WARNING: SPARK_GRAFT_BENCH_ONLY=${f.mkString(",")} " +
         "— this run records a PARTIAL board and its artifacts are stamped \"filtered\"")
     }
+    // escape the env-sourced value: a quote/backslash in a typo'd
+    // filter must not make the three emitted JSON artifacts
+    // unparseable (the round-1 "parsed": null failure mode)
     val filteredStamp = only
-      .map(f => s""","filtered":"${f.mkString(",")}"""").getOrElse("")
+      .map(f => f.mkString(",").replace("\\", "\\\\").replace("\"", "\\\""))
+      .map(v => s""","filtered":"$v"""").getOrElse("")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
       only.forall(_.exists(name.startsWith))
     }

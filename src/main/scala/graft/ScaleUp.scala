@@ -382,6 +382,28 @@ object ScaleUp {
     * `dedup_embedding_groups` in [[Timed100]] rehearses the OTHER
     * half since r10: [[graft.operators.Dedup.embeddingCosineAuto]]'s
     * size dispatch — exact tiled kernel at 20 k, banded above.) */
+  /** One-shot auto-rehearsal wrapper: build the constant-occupancy
+    * index, run the op, MATERIALIZE its output inside the timed
+    * closure, then release the index's persisted corpus frame and the
+    * output cache — without this, each timed call pinned a
+    * corpus-sized cells frame (>100 MB at 100×) in executor storage
+    * for the rest of the sweep, skewing every later row (r12 review).
+    * The returned frame is a row-count stand-in: the heavy lineage is
+    * already executed (and timed — the harness times the whole
+    * closure + count), and counting the released lineage again would
+    * re-run the entire pipeline inside the same timing. */
+  private def autoIndexed(s: SparkSession, dir: String)(
+      op: graft.operators.Similarity.IvfIndex => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val nCells = math.max(16L, e.count() / 1250L).toInt
+    val idx = graft.operators.Similarity.buildIndex(
+      e, "vec_id", "embedding", nCells = nCells)
+    val out = op(idx).persist()
+    val n = out.count()
+    idx.unpersist(); out.unpersist()
+    s.range(n).toDF("row")
+  }
+
   val TimedCustom: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
     "dedup_embedding_auto" -> ((s: SparkSession, dir: String) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
@@ -398,46 +420,30 @@ object ScaleUp {
     // `ann_margin_mining_ivf` pins nCells=16 for its oracle replay;
     // the timed build here is per-call (index build + mining, both
     // corpus-linear), so the ratio reflects the whole pipeline.
-    "ann_margin_mining_ivf_auto" -> ((s: SparkSession, dir: String) => {
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val nCells = math.max(16L, e.count() / 1250L).toInt
-      val idx = graft.operators.Similarity.buildIndex(
-        e, "vec_id", "embedding", nCells = nCells)
-      graft.operators.Similarity.marginKnnMiningIvf(idx,
-        pmod(col("id"), lit(2)) === 0, pmod(col("id"), lit(2)) === 1,
-        k = 4, nProbe = 4)
-    }),
+    "ann_margin_mining_ivf_auto" -> ((s: SparkSession, dir: String) =>
+      autoIndexed(s, dir)(idx =>
+        graft.operators.Similarity.marginKnnMiningIvf(idx,
+          pmod(col("id"), lit(2)) === 0, pmod(col("id"), lit(2)) === 1,
+          k = 4, nProbe = 4))),
     // r12: both SemDeDup forms in their PRODUCTION configuration —
     // nCells ∝ corpus (constant ~1250 occupancy, the paper's k ∝ n
     // law), so Σm² within-cell work stays linear; the declared
     // queries pin nCells=16 for their oracle replays. Per-call index
     // build included at both scales.
-    "dedup_semantic_probe_auto" -> ((s: SparkSession, dir: String) => {
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val nCells = math.max(16L, e.count() / 1250L).toInt
-      val idx = graft.operators.Similarity.buildIndex(
-        e, "vec_id", "embedding", nCells = nCells)
-      graft.operators.Dedup.semanticProbeVerdicts(idx.cells,
-        pmod(col("id"), lit(5)) === 0, threshold = 0.35)
-    }),
-    "dedup_semantic_auto" -> ((s: SparkSession, dir: String) => {
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val nCells = math.max(16L, e.count() / 1250L).toInt
-      val idx = graft.operators.Similarity.buildIndex(
-        e, "vec_id", "embedding", nCells = nCells)
-      graft.operators.Dedup.embeddingCosineWithin(
-        idx.cells, "id", "v", "cell", threshold = 0.35)
-    }),
+    "dedup_semantic_probe_auto" -> ((s: SparkSession, dir: String) =>
+      autoIndexed(s, dir)(idx =>
+        graft.operators.Dedup.semanticProbeVerdicts(idx.cells,
+          pmod(col("id"), lit(5)) === 0, threshold = 0.35))),
+    "dedup_semantic_auto" -> ((s: SparkSession, dir: String) =>
+      autoIndexed(s, dir)(idx =>
+        graft.operators.Dedup.embeddingCosineWithin(
+          idx.cells, "id", "v", "cell", threshold = 0.35))),
     // r12: the corpus kNN graph under the same constant-occupancy law
     // (the declared query pins the oracle's nCells=16) — Σm² work per
     // cell stays occupancy-bounded, edges out stay ≤ n·k
-    "ann_knn_graph_auto" -> ((s: SparkSession, dir: String) => {
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val nCells = math.max(16L, e.count() / 1250L).toInt
-      val idx = graft.operators.Similarity.buildIndex(
-        e, "vec_id", "embedding", nCells = nCells)
-      graft.operators.Similarity.knnGraphWithin(idx.cells, k = 3)
-    }))
+    "ann_knn_graph_auto" -> ((s: SparkSession, dir: String) =>
+      autoIndexed(s, dir)(idx =>
+        graft.operators.Similarity.knnGraphWithin(idx.cells, k = 3))))
 
   /** 100×-bench-scale fixture (round-6 rehearsal): ONLY the tables the
     * five heaviest shuffle producers touch — documents 500 k, lineitem

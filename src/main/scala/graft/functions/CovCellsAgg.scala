@@ -36,13 +36,15 @@ import org.apache.spark.sql.functions.udaf
   * long pairs instead of per-row `BigDecimal.add` — the adds were
   * allocation-dominant (4.45 s driver rep; the board's heaviest
   * query). Capacity bound (documented, the topicKeywords
-  * convention): a scale-12 term of a |v| ≤ 1 component is ≤ 10¹²,
-  * so signed-128 overflow needs ~1.7·10²⁶/10¹² ≈ 10¹⁴ unit-bounded
-  * rows — far past any corpus this engine addresses (10¹⁴ rows of a
-  * 256-byte embedding is ~25 PB of vectors alone). Inputs must be
-  * FINITE (the [[graft.operators.Similarity.vectorAudit]] gate —
-  * `n_nonfinite` = 0 — is the precondition, as for every decimal
-  * bridge in the repo).
+  * convention): signed-128 holds ±2¹²⁷ ≈ 1.7·10³⁸; a scale-12 term
+  * of a |v| ≤ 1 component is ≤ 10¹², so overflow needs
+  * ~1.7·10³⁸/10¹² ≈ 1.7·10²⁶ unit-bounded rows — unreachable by
+  * any corpus. Non-finite terms THROW in [[CovCellsAgg.d12Long]]
+  * (as the BigDecimal constructor this replaces did) — the
+  * [[graft.operators.Similarity.vectorAudit]] gate (`n_nonfinite` =
+  * 0) is the precondition, as for every decimal bridge in the
+  * repo, and a violation fails loudly rather than corrupting the
+  * exact cells.
   *
   * Off-fixture rows (r11 ADVICE): a NULL embedding or a wrong-dim
   * row is SKIPPED whole — the streaming query must not crash on the
@@ -167,6 +169,13 @@ object CovCellsAgg {
     * (subnormals, E-notation magnitudes, exact halves at the 12th
     * decimal). */
   def d12Long(x: Double): Long = {
+    // the JBig path this replaces THREW NumberFormatException on
+    // NaN/Infinity — a silent digit-parse of "NaN" here would fold
+    // garbage into exact sums instead; fail as loudly as before.
+    // The magnitude bound guards the multiply branch below (past
+    // ~9.2e6 the scaled long overflows silently).
+    require(java.lang.Double.isFinite(x), s"non-finite covariance term: $x")
+    require(math.abs(x) < 9.2e6, s"|x| out of the scale-12 long domain: $x")
     if (x == 0.0) return 0L // covers -0.0 ("−0.0" parses to 0 either way)
     val s = java.lang.Double.toString(x)
     var i = 0

@@ -1291,7 +1291,15 @@ object Similarity {
     * neither are ignored. Recall is the index's: a true neighbor
     * outside the probed cells is not a candidate (the [[probe]]
     * contract), which is why the declared query carries its own
-    * oracle replaying build + probe + margin end to end. */
+    * oracle replaying build + probe + margin end to end. One
+    * asymmetry the exact kernel can never produce: a pair (x, y)
+    * where y's OWN probe cells contain no x-side rows gives y no
+    * reverse neighborhood, so the ratio margin — which normalizes by
+    * BOTH endpoints' k-NN means — is undefined for it and the pair
+    * is dropped by [[marginStage]]'s neighborhood joins (if it was
+    * x's only candidate, x emits nothing). The oracle drops it
+    * identically; at mining densities a probed-but-unreciprocated
+    * cell is a re-probe signal, not a minable pair. */
   def marginKnnMiningIvf(index: IvfIndex, xPred: Column, yPred: Column,
                          k: Int = 4, nProbe: Int = 4): DataFrame = {
     val spark = index.cells.sparkSession

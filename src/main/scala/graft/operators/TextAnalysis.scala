@@ -880,6 +880,10 @@ object TextAnalysis {
     // as a separate job, where ReuseExchange cannot serve the second
     // read and the whole pair scan + exchange ran twice (the r11
     // driver-measured 1.49 → 2.26 s regression, r11 verdict task 3).
+    // Per-invocation frame, never unpersisted by the builder (it
+    // feeds the returned lazy plan): MEMORY_AND_DISK is LRU-evictable
+    // — the repeatedSpans nominee convention — so repeated Bench reps
+    // accumulate evictable copies, not pinned ones.
     val bucketCounts = pairs.groupBy(xxhash64(col("pair")).as("h"))
       .agg(count(lit(1)).as("hn"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
