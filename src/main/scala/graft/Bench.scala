@@ -105,11 +105,14 @@ object Bench {
       System.err.println(s"[bench] WARNING: SPARK_GRAFT_BENCH_ONLY=${f.mkString(",")} " +
         "— this run records a PARTIAL board and its artifacts are stamped \"filtered\"")
     }
-    // escape the env-sourced value: a quote/backslash in a typo'd
-    // filter must not make the three emitted JSON artifacts
-    // unparseable (the round-1 "parsed": null failure mode)
+    // escape the env-sourced value: a quote/backslash/control char in
+    // a typo'd filter must not make the three emitted JSON artifacts
+    // unparseable (the round-1 "parsed": null failure mode; r12
+    // ADVICE added the control-char strip — a newline in the env var
+    // was the one residual way to split an emitted line)
     val filteredStamp = only
-      .map(f => f.mkString(",").replace("\\", "\\\\").replace("\"", "\\\""))
+      .map(f => f.mkString(",").replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\x00-\\x1f]", ""))
       .map(v => s""","filtered":"$v"""").getOrElse("")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
       only.forall(_.exists(name.startsWith))

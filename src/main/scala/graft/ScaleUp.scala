@@ -307,10 +307,12 @@ object ScaleUp {
     // agg), its streaming UDAF twin, online ANN serving, CCNet chunk
     // rewrite, temperature mixing — and margin mining. The EXACT
     // tiled cross kernel stays 10×-ONLY (timing an exact 100k × 100k
-    // cross would rehearse a plan no one would run); since round 12
-    // the declared IVF-candidate form (ann_margin_mining_ivf — the
-    // 100-TB composition the r11 verdict asked for) rehearses at
-    // BOTH scales in Timed100
+    // cross would rehearse a plan no one would run); the declared
+    // IVF-candidate form (ann_margin_mining_ivf) also runs 10×-only
+    // HERE — both-scales coverage is ann_margin_mining_ivf_auto in
+    // TimedCustom, the production auto-nCells configuration (r12
+    // ADVICE: this comment previously claimed the declared form rode
+    // Timed100; it never did)
     "ann_covariance", "stream_covariance_parity", "stream_ann_parity",
     "dedup_chunk_rewrite", "pipeline_mix_weights", "ann_margin_mining",
     "ann_margin_mining_ivf",

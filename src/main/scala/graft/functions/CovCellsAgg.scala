@@ -46,6 +46,18 @@ import org.apache.spark.sql.functions.udaf
   * repo, and a violation fails loudly rather than corrupting the
   * exact cells.
   *
+  * Term domain (r12 ADVICE): the allocation-free long fast path
+  * covers |term| < 9.2·10⁶ (its scale-12 unscaled value must fit a
+  * signed 64-bit long); past it the term takes the exact-BigDecimal
+  * WIDE path ([[CovCellsAgg.d12Wide]]) and lands in the accumulator
+  * as a full (hi, lo) 128-bit addend — so the aggregator's accepted
+  * domain is the 128-bit representation's own: |term| < ~1.7·10²⁶,
+  * i.e. components up to ~1.3·10¹³ before the squared term crosses.
+  * That matches `DECIMAL(38,12)`'s value range (38−12 integer
+  * digits), so every input the batch decimal plan itself can sum,
+  * the UDAF sums to the identical cells; only inputs the decimal
+  * bridge could never carry throw, and they throw loudly.
+  *
   * Off-fixture rows (r11 ADVICE): a NULL embedding or a wrong-dim
   * row is SKIPPED whole — the streaming query must not crash on the
   * rows the vector audit exists to flag. This matches the batch
@@ -54,15 +66,21 @@ import org.apache.spark.sql.functions.udaf
   * a short row has, which a fixed-d monitor cannot represent — the
   * parity contract is therefore defined on audit-clean input
   * (n_null = n_wrong_dim = 0), and off it the twin degrades by
-  * skipping instead of dying. */
+  * skipping instead of dying. Skips are OBSERVABLE (r12 ADVICE): the
+  * buffer carries a skip counter and `finish` logs a warning with
+  * the count, so off-contract input leaves a signal instead of
+  * silently diverging from the batch explode plan's partial-cell
+  * semantics. The counter rides the buffer, not the output — the
+  * cells schema every declared query inlines is unchanged. */
 class CovCellsAgg(dim: Int)
-    extends Aggregator[Seq[Double], (Long, Array[Long], Array[Long]),
+    extends Aggregator[Seq[Double], (Long, Long, Array[Long], Array[Long]),
       Seq[(Int, Int, Long, Double, Double, Double)]] {
   private val nPairs = dim * (dim + 1) / 2
 
-  // (hi, lo) 128-bit pairs: sums(2k) = hi, sums(2k+1) = lo (unsigned limb)
-  override def zero: (Long, Array[Long], Array[Long]) =
-    (0L, new Array[Long](2 * dim), new Array[Long](2 * nPairs))
+  // (n, skipped, sums, pairs); sums/pairs are (hi, lo) 128-bit pairs:
+  // a(2k) = hi, a(2k+1) = lo (unsigned limb)
+  override def zero: (Long, Long, Array[Long], Array[Long]) =
+    (0L, 0L, new Array[Long](2 * dim), new Array[Long](2 * nPairs))
 
   /** 128-bit two's-complement add of a signed 64-bit term. */
   @inline private def add128(a: Array[Long], k: Int, v: Long): Unit = {
@@ -84,32 +102,47 @@ class CovCellsAgg(dim: Int)
     a(2 * k) = a(2 * k) + b(2 * k) + carry
   }
 
-  override def reduce(b: (Long, Array[Long], Array[Long]),
-                      row: Seq[Double]): (Long, Array[Long], Array[Long]) = {
-    if (row == null || row.length != dim) return b // audit-flagged rows skip whole
+  /** Add one scale-12 term: long fast path inside the domain, exact
+    * BigDecimal wide path past it (r12 ADVICE — the old total-function
+    * behavior, up to what 128 bits can represent at all). */
+  @inline private def addTerm(a: Array[Long], k: Int, x: Double): Unit =
+    if (x > -9.2e6 && x < 9.2e6) add128(a, k, CovCellsAgg.d12Long(x))
+    else {
+      val (hi, lo) = CovCellsAgg.d12Wide(x)
+      val l = a(2 * k + 1)
+      val sum = l + lo
+      val carry = ((l & lo) | ((l | lo) & ~sum)) >>> 63
+      a(2 * k + 1) = sum
+      a(2 * k) = a(2 * k) + hi + carry
+    }
+
+  override def reduce(b: (Long, Long, Array[Long], Array[Long]),
+                      row: Seq[Double]): (Long, Long, Array[Long], Array[Long]) = {
+    val (n, sk, s, p) = b
+    // audit-flagged rows skip whole, counted in the buffer
+    if (row == null || row.length != dim) return (n, sk + 1, s, p)
     val v = row.toArray
-    val (n, s, p) = b
     var i = 0
     var idx = 0
     while (i < dim) {
-      add128(s, i, CovCellsAgg.d12Long(v(i)))
+      addTerm(s, i, v(i))
       var j = i
       while (j < dim) {
-        add128(p, idx, CovCellsAgg.d12Long(v(i) * v(j)))
+        addTerm(p, idx, v(i) * v(j))
         idx += 1; j += 1
       }
       i += 1
     }
-    (n + 1, s, p)
+    (n + 1, sk, s, p)
   }
 
-  override def merge(a: (Long, Array[Long], Array[Long]),
-                     b: (Long, Array[Long], Array[Long])): (Long, Array[Long], Array[Long]) = {
+  override def merge(a: (Long, Long, Array[Long], Array[Long]),
+                     b: (Long, Long, Array[Long], Array[Long])): (Long, Long, Array[Long], Array[Long]) = {
     var i = 0
-    while (i < dim) { add128Pair(a._2, b._2, i); i += 1 }
+    while (i < dim) { add128Pair(a._3, b._3, i); i += 1 }
     i = 0
-    while (i < nPairs) { add128Pair(a._3, b._3, i); i += 1 }
-    (a._1 + b._1, a._2, a._3)
+    while (i < nPairs) { add128Pair(a._4, b._4, i); i += 1 }
+    (a._1 + b._1, a._2 + b._2, a._3, a._4)
   }
 
   private def r6(x: JBig): Double =
@@ -123,8 +156,12 @@ class CovCellsAgg(dim: Int)
     new JBig(unscaled, 12)
   }
 
-  override def finish(b: (Long, Array[Long], Array[Long])): Seq[(Int, Int, Long, Double, Double, Double)] = {
-    val (n, s, p) = b
+  override def finish(b: (Long, Long, Array[Long], Array[Long])): Seq[(Int, Int, Long, Double, Double, Double)] = {
+    val (n, sk, s, p) = b
+    if (sk > 0)
+      CovCellsAgg.log.warn(
+        s"CovCellsAgg(dim=$dim) skipped $sk null/wrong-dim rows of ${n + sk} " +
+          "— input is off the audit-clean parity contract (run vectorAudit)")
     val out = Seq.newBuilder[(Int, Int, Long, Double, Double, Double)]
     var i = 0
     var idx = 0
@@ -139,15 +176,35 @@ class CovCellsAgg(dim: Int)
     out.result()
   }
 
-  override def bufferEncoder: Encoder[(Long, Array[Long], Array[Long])] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Array[Long], Array[Long])]()
+  override def bufferEncoder: Encoder[(Long, Long, Array[Long], Array[Long])] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long, Array[Long], Array[Long])]()
   override def outputEncoder: Encoder[Seq[(Int, Int, Long, Double, Double, Double)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Int, Int, Long, Double, Double, Double)]]()
 }
 
 object CovCellsAgg {
+  private[functions] val log = org.slf4j.LoggerFactory.getLogger(classOf[CovCellsAgg])
+
   /** Column-usable aggregate: `df.groupBy().agg(cov_cells(dim)(col))`. */
   def cov_cells(dim: Int)(c: Column): Column = udaf(new CovCellsAgg(dim)).apply(c)
+
+  /** The scale-12 unscaled value of a finite double as a signed
+    * 128-bit (hi, lo) pair — the WIDE twin of [[d12Long]] for
+    * magnitudes whose unscaled value no longer fits a long (r12
+    * ADVICE). Runs the exact `new JBig(Double.toString(x))` contract
+    * itself (allocation is fine here: real embedding components never
+    * reach this branch; it exists so the aggregator stays a total
+    * function over everything `DECIMAL(38,12)` can carry). Past 126
+    * bits the term is unrepresentable in the 128-bit accumulator at
+    * all — throws, as loudly as the non-finite gate. */
+  def d12Wide(x: Double): (Long, Long) = {
+    require(java.lang.Double.isFinite(x), s"non-finite covariance term: $x")
+    val unscaled = new JBig(java.lang.Double.toString(x))
+      .setScale(12, RoundingMode.HALF_UP).unscaledValue()
+    require(unscaled.bitLength() <= 127,
+      s"|x| exceeds the 128-bit scale-12 accumulator domain (~1.7e26): $x")
+    (unscaled.shiftRight(64).longValue(), unscaled.longValue())
+  }
 
   private val Pow10: Array[Long] = {
     val a = new Array[Long](19)
@@ -173,7 +230,8 @@ object CovCellsAgg {
     // NaN/Infinity — a silent digit-parse of "NaN" here would fold
     // garbage into exact sums instead; fail as loudly as before.
     // The magnitude bound guards the multiply branch below (past
-    // ~9.2e6 the scaled long overflows silently).
+    // ~9.2e6 the scaled long overflows silently); callers past the
+    // bound dispatch to [[d12Wide]] (the aggregator's addTerm does).
     require(java.lang.Double.isFinite(x), s"non-finite covariance term: $x")
     require(math.abs(x) < 9.2e6, s"|x| out of the scale-12 long domain: $x")
     if (x == 0.0) return 0L // covers -0.0 ("−0.0" parses to 0 either way)

@@ -269,7 +269,12 @@ object TextQueries {
     * winnow-probe measures position-repeat density and runs the EXACT
     * cascade below 180‰ (every driver fixture: 93–120‰ measured — so
     * the oracle stays the exact all-substrings replay), the sampled
-    * cascade above it (the dense 100× rehearsal corpus: 242‰). */
+    * cascade above it (the dense 100× rehearsal corpus: 242‰).
+    * Caching note (r12 ADVICE): on the DENSE branch the nominee frame
+    * stays persisted (MEMORY_AND_DISK) to serve the returned lazy
+    * plan — it is evictable but not explicitly unpersisted, the
+    * repo's stated memo convention; repeated invocations replace it
+    * under memory pressure rather than accumulate without bound. */
   val RepSpanGram = 25
   def repeatedSpansQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repeatedSpansAuto(Tables.documents(s, dir), "doc_id", "text",

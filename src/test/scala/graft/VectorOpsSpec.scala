@@ -80,4 +80,53 @@ class VectorOpsSpec extends SparkSpec {
       (0, 1, 2L, 0.625, 0.5, -0.03125),
       (1, 1, 2L, 0.5, 0.5, 0.625)))
   }
+
+  test("CovCellsAgg.d12Wide == the JBig 128-bit path past the long domain (r12 ADVICE)") {
+    import java.math.{BigDecimal => JBig, BigInteger, RoundingMode}
+    def ref(x: Double): BigInteger =
+      new JBig(java.lang.Double.toString(x)).setScale(12, RoundingMode.HALF_UP)
+        .unscaledValue
+    def recompose(hi: Long, lo: Long): BigInteger =
+      BigInteger.valueOf(hi).shiftLeft(64)
+        .add(new BigInteger(java.lang.Long.toUnsignedString(lo)))
+    // magnitudes past the 9.2e6 long fast path, up to the 128-bit rim
+    val wides = Seq(9.3e6, -9.3e6, 1.0e7, 3033.7 * 3033.7, 1.23456789e12,
+      -9.87654321e15, 1.0e20, -1.0e25, 1.6e26)
+    wides.foreach { x =>
+      val (hi, lo) = graft.functions.CovCellsAgg.d12Wide(x)
+      assert(recompose(hi, lo) === ref(x), s"wide $x")
+    }
+    // past the 128-bit accumulator: loud failure, not silent overflow
+    intercept[IllegalArgumentException] {
+      graft.functions.CovCellsAgg.d12Wide(1.8e26)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.CovCellsAgg.d12Wide(Double.NaN)
+    }
+  }
+
+  test("cov_cells matches the DECIMAL(38,12) explode plan on wide-domain components (r12 ADVICE)") {
+    // components whose SQUARES cross the old 9.2e6 throw bound — the
+    // r12 fast path rejected these; the wide fallback must land on
+    // the exact decimal cells the batch explode plan computes
+    val vecs = Seq(Seq(3500.0, -0.25), Seq(-4096.5, 12345.0), Seq(0.125, 9999.75))
+    val df = vecs.toDF("v")
+    val udafCells = df
+      .agg(graft.functions.CovCellsAgg.cov_cells(2)(col("v")).as("cells"))
+      .selectExpr("inline(cells)")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq.sortBy(t => (t._1, t._2))
+    val explodeCells = df
+      .select(posexplode(col("v")).as(Seq("i", "vi")), col("v"))
+      .select(col("i"), col("vi"), posexplode(col("v")).as(Seq("j", "vj")))
+      .filter(col("j") >= col("i"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("vi").cast("decimal(38,12)")).cast("double"), 6).as("s_i"),
+        round(sum(col("vj").cast("decimal(38,12)")).cast("double"), 6).as("s_j"),
+        round(sum((col("vi") * col("vj")).cast("decimal(38,12)")).cast("double"), 6).as("s_xy"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq.sortBy(t => (t._1, t._2))
+    assert(udafCells === explodeCells)
+  }
 }
