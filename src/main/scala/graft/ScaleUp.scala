@@ -397,7 +397,7 @@ object ScaleUp {
   private def autoIndexed(s: SparkSession, dir: String)(
       op: graft.operators.Similarity.IvfIndex => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val e = s.read.parquet(s"$dir/embeddings.parquet")
-    val nCells = math.max(16L, e.count() / 1250L).toInt
+    val nCells = graft.operators.Similarity.autoNCells(e.count())
     val idx = graft.operators.Similarity.buildIndex(
       e, "vec_id", "embedding", nCells = nCells)
     val out = op(idx).persist()
@@ -427,6 +427,31 @@ object ScaleUp {
         graft.operators.Similarity.marginKnnMiningIvf(idx,
           pmod(col("id"), lit(2)) === 0, pmod(col("id"), lit(2)) === 1,
           k = 4, nProbe = 4))),
+    // r13 (r12 verdict task 1): the DECLARED margin surface's size
+    // dispatch end to end — count probe, then the exact tiled kernel
+    // at 20 k (10×) / the auto-nCells IVF composition at 200 k
+    // (100×). The row above times the pure IVF production path at
+    // both scales; this one times what a user calling
+    // ann_margin_mining actually gets. Index handle kept via the
+    // `index` hook for autoIndexed-style cache hygiene.
+    "ann_margin_mining_dispatch" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      var built: Option[graft.operators.Similarity.IvfIndex] = None
+      val out = graft.operators.Similarity.marginKnnMiningAuto(
+        e, "vec_id", "embedding",
+        pmod(col("id"), lit(2)) === 0, pmod(col("id"), lit(2)) === 1,
+        k = 4, nProbe = 4,
+        index = Some { n =>
+          val idx = graft.operators.Similarity.buildIndex(
+            e, "vec_id", "embedding",
+            nCells = graft.operators.Similarity.autoNCells(n))
+          built = Some(idx)
+          idx
+        }).persist()
+      val n = out.count()
+      built.foreach(_.unpersist()); out.unpersist()
+      s.range(n).toDF("row")
+    }),
     // r12: both SemDeDup forms in their PRODUCTION configuration —
     // nCells ∝ corpus (constant ~1250 occupancy, the paper's k ∝ n
     // law), so Σm² within-cell work stays linear; the declared

@@ -1369,4 +1369,70 @@ object Similarity {
     }.toDF("side", "id", "other", "cosine")
     marginStage(partial, k)
   }
+
+  /** Production constant-occupancy law for auto-built IVF indexes:
+    * nCells = max(16, n / [[AutoCellOccupancy]]), so mean cell
+    * occupancy stays ~1250 and within-cell work Σm² is
+    * occupancy-bounded — TOTAL work ∝ nCells ∝ n, the linear scale
+    * path every ScaleUp `*_auto` rehearsal times (nCells = 16 at the
+    * 20 k 10× corpus, 160 at the 200 k 100× corpus). The floor is the
+    * declared fixture constant [[graft.queries.SimilarityQueries
+    * .IvfCells]] — at every fixture scale (≤ 20 k vectors) the law
+    * lands exactly on the oracle-replayed nCells = 16, which is what
+    * lets auto-law queries ride the same build CTEs. */
+  val AutoCellOccupancy = 1250L
+  def autoNCells(n: Long): Int = math.max(16L, n / AutoCellOccupancy).toInt
+
+  /** Exact-kernel cutover for [[marginKnnMiningAuto]]: below it the
+    * B²-tiled exact cross kernel finds the TRUE margin-best partner
+    * for every row and its compute (|X|·|Y| cosines ≈ n²/4) is cheap;
+    * above it the quadratic term dominates everything and the
+    * IVF-candidate path (compute Σ_cells m_x·m_y·nProbe) is the only
+    * shape that survives — the [[graft.operators.Dedup
+    * .ExactEmbMaxVectors]] constant for the same reason at the same
+    * magnitude. */
+  val ExactMarginMaxVectors = 50000L
+
+  /** The DECLARED margin-mining entry (r12 verdict task 1 — the
+    * [[graft.operators.Dedup.embeddingCosineAuto]] /
+    * [[graft.operators.TextAnalysis.repeatedSpansAuto]] size-dispatch
+    * idiom, third application): one corpus over both sides, split by
+    * `xPred`/`yPred` over the normalized `id` column (the
+    * [[marginKnnMiningIvf]] contract).
+    *
+    *  - n ≤ `exactMaxVectors`: the exact B²-tiled kernel
+    *    ([[marginKnnMining]]) — every fixture sits here, so the
+    *    declared query's oracle replays the exact side unchanged;
+    *  - above: the IVF-candidate path ([[marginKnnMiningIvf]])
+    *    against a constant-occupancy index — by default built
+    *    in-place under the [[autoNCells]] production law (ScaleUp's
+    *    `ann_margin_mining_dispatch` row measures this whole
+    *    composition: count probe + build + mining); callers holding a
+    *    persisted index pass it via `index` (also how rehearsal
+    *    harnesses keep the unpersist handle).
+    *
+    * Both branches emit the same (x_id, y_id, margin_permille,
+    * mutual) schema from the SAME [[marginStage]] arithmetic, so the
+    * dispatch is invisible to consumers; candidate RECALL differs by
+    * construction (the IVF side only sees probed cells — the
+    * [[probe]] contract, measured by `ann_recall_eval` /
+    * `dedup_embedding_recall`). The size probe is one column-pruned
+    * count (parquet row-group metadata only). Dispatch law
+    * spec-pinned branch-for-branch in SimilaritySpec. */
+  def marginKnnMiningAuto(embs: DataFrame, idCol: String, vecCol: String,
+                          xPred: Column, yPred: Column,
+                          k: Int = 4, nProbe: Int = 4,
+                          exactMaxVectors: Long = ExactMarginMaxVectors,
+                          index: Option[Long => IvfIndex] = None): DataFrame = {
+    val n = embs.select(col(idCol)).count()
+    if (n <= exactMaxVectors) {
+      val base = embs.select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("v"))
+      marginKnnMining(base.filter(xPred), base.filter(yPred), "id", "v", k)
+    } else {
+      val idx = index.map(_(n)).getOrElse(
+        buildIndex(embs, idCol, vecCol, nCells = autoNCells(n)))
+      marginKnnMiningIvf(idx, xPred, yPred, k, nProbe)
+    }
+  }
 }

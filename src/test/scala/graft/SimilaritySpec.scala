@@ -610,4 +610,56 @@ class SimilaritySpec extends SparkSpec {
       assert(ivf === exact)
     } finally idx.unpersist()
   }
+
+  test("margin mining auto: dispatch law — exact branch below the cutover (r12 verdict task 1)") {
+    // the fixture (500 vectors) sits below ExactMarginMaxVectors, so
+    // the auto form must be the exact tiled kernel row for row — the
+    // branch the declared ann_margin_mining oracle replays
+    val auto = Similarity.marginKnnMiningAuto(emb, "vec_id", "embedding",
+        pmod(col("id"), lit(2)) === 0, pmod(col("id"), lit(2)) === 1, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    val exact = Similarity.marginKnnMining(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+        "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(auto === exact)
+  }
+
+  test("margin mining auto: dispatch law — IVF branch above the cutover") {
+    // exactMaxVectors = 0 forces the scale branch on the fixture: the
+    // auto form must equal marginKnnMiningIvf against the SAME
+    // autoNCells production-law index — each branch ≡ its standalone
+    // operator, so the dispatch itself adds no arithmetic
+    val n = emb.count()
+    val idx = Similarity.buildIndex(emb, "vec_id", "embedding",
+      nCells = Similarity.autoNCells(n))
+    try {
+      var hookedN = -1L
+      val auto = Similarity.marginKnnMiningAuto(emb, "vec_id", "embedding",
+          pmod(col("id"), lit(2)) === 0, pmod(col("id"), lit(2)) === 1,
+          k = 4, nProbe = 4, exactMaxVectors = 0L,
+          index = Some { nn => hookedN = nn; idx })
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+      assert(hookedN === n) // the hook sees the probed corpus size
+      val ivf = Similarity.marginKnnMiningIvf(idx,
+          pmod(col("id"), lit(2)) === 0, pmod(col("id"), lit(2)) === 1,
+          k = 4, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+      assert(auto === ivf)
+    } finally idx.unpersist()
+  }
+
+  test("autoNCells: the constant-occupancy law and its fixture floor") {
+    // floor = the declared IvfCells = 16 at every fixture scale, so
+    // auto-law queries ride the same oracle build CTEs; production
+    // growth is linear past 16 * 1250 = 20 k vectors
+    assert(Similarity.autoNCells(500L) === 16)
+    assert(Similarity.autoNCells(2000L) === 16)
+    assert(Similarity.autoNCells(20000L) === 16)
+    assert(Similarity.autoNCells(200000L) === 160)
+    assert(Similarity.autoNCells(2000000L) === 1600)
+    assert(Similarity.autoNCells(16L * Similarity.AutoCellOccupancy) === 16)
+    assert(Similarity.autoNCells(16L * Similarity.AutoCellOccupancy + Similarity.AutoCellOccupancy) === 17)
+  }
 }
