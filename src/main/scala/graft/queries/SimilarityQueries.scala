@@ -323,11 +323,48 @@ object SimilarityQueries {
       pmod(col("id"), lit(2)) === 0, pmod(col("id"), lit(2)) === 1,
       k = MarginK, nProbe = IvfNProbe)
 
-  /** Exact covariance sufficient statistics
-    * ([[Similarity.covarianceStats]]): d(d+1)/2 upper-triangle cells,
-    * decimal-exact sums — the whitening/PCA/drift pass. */
-  def covariance(s: SparkSession, dir: String): DataFrame =
-    Similarity.covarianceStats(Tables.embeddings(s, dir), "vec_id", "embedding")
+  /** The d²-bounded covariance-cells memo (r12 verdict task 2 — the
+    * [[ivfIndex]] memo pattern applied to the cells RESULT): ONE
+    * corpus-wide `cov_cells` UDAF pass per fixture file serves
+    * `ann_covariance`, `ann_pca_component` AND `ann_pca_project` —
+    * each used to re-run the identical full-corpus aggregate per
+    * invocation (3 × 416 M d12Long conversions per 100× board for
+    * identical output). What's memoized is plain DRIVER-SIDE data
+    * (≤ d(d+1)/2 = 2 080 tuples, ~100 KB), not a session-bound
+    * DataFrame, so unlike [[ivfCache]] there is no stopped-session
+    * pinning hazard; the file-identity key ((path, mtime, size), the
+    * ivfCache key) still invalidates on any fixture change. The
+    * UDAF's cells are cell-for-cell identical to the batch decimal
+    * explode plan by the pinned d12Long ≡ CAST(… AS DECIMAL(38,12))
+    * contract (VectorOpsSpec), and memo ≡ per-invocation pass is
+    * spec-pinned in SimilaritySpec. */
+  private val covCellsCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, Long), Array[(Int, Int, Long, Double, Double, Double)]]
+
+  private[graft] def covCells(s: SparkSession, dir: String): Array[(Int, Int, Long, Double, Double, Double)] = {
+    val f = new java.io.File(Tables.path(dir, "embeddings"))
+    covCellsCache.getOrElseUpdate((f.getAbsolutePath, f.lastModified, f.length),
+      Tables.embeddings(s, dir)
+        .select(graft.functions.VectorOps.toDouble(col("embedding")).as("v"))
+        .repartition(graft.GraftSession.envCpus)
+        .agg(graft.functions.CovCellsAgg.cov_cells(Dim)(col("v")).as("cells"))
+        .selectExpr("inline(cells)")
+        .collect().map(r =>
+          (r.getInt(0), r.getInt(1), r.getLong(2),
+            r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+  }
+
+  /** Exact covariance sufficient statistics: d(d+1)/2 upper-triangle
+    * cells, decimal-exact sums — the whitening/PCA/drift pass. Since
+    * r13 the declared frame is materialized from the [[covCells]]
+    * memo (one corpus pass per fixture, shared with the PCA family);
+    * values are pinned identical to [[Similarity.covarianceStats]]'s
+    * explode plan, and the oracle is unchanged. */
+  def covariance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    covCells(s, dir).toSeq
+      .toDF("i", "j", "n", "s_i", "s_j", "s_xy").orderBy("i", "j")
+  }
 
   /** Declared PCA hand-off (r11 verdict task 9): the top principal
     * component of the embedding covariance, as integer-micros
@@ -343,21 +380,11 @@ object SimilarityQueries {
   val PcaIters = 50
   def pcaComponent(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // the cells come from the CovCellsAgg object-buffer UDAF, not the
-    // ×d(d+1)/2 explode plan: cell-for-cell identical by the pinned
-    // d12Long ≡ CAST(… AS DECIMAL(38,12)) contract (the streaming
-    // parity twin hash-checks the same equivalence), and ~13 s/rep
-    // cheaper — the explode plan recomputed the full decimal pass on
-    // every collect, where ann_covariance's count()-pruned bench rep
-    // never pays it
-    val stats = Tables.embeddings(s, dir)
-      .select(graft.functions.VectorOps.toDouble(col("embedding")).as("v"))
-      .repartition(graft.GraftSession.envCpus)
-      .agg(graft.functions.CovCellsAgg.cov_cells(Dim)(col("v")).as("cells"))
-      .selectExpr("inline(cells)")
-      .collect().map(r =>
-        (r.getInt(0), r.getInt(1), r.getLong(2),
-          r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    // the cells come from the shared covCells memo (one CovCellsAgg
+    // object-buffer pass per fixture, r12 verdict task 2): cell-for-
+    // cell identical to the ×d(d+1)/2 decimal explode plan by the
+    // pinned d12Long ≡ CAST(… AS DECIMAL(38,12)) contract
+    val stats = covCells(s, dir)
     val (lambda, vec) = Similarity.pcaTopComponent(stats, PcaIters)
     vec.zipWithIndex.map { case (v, i) =>
       (i, math.floor(v * 1000000.0).toLong, math.floor(lambda * 1000000.0).toLong)
@@ -403,15 +430,7 @@ object SimilarityQueries {
     * training through the same [[PcaIters]] CTEs and scores with one
     * list_sum fold. */
   def pcaProject(s: SparkSession, dir: String): DataFrame = {
-    val stats = Tables.embeddings(s, dir)
-      .select(graft.functions.VectorOps.toDouble(col("embedding")).as("v"))
-      .repartition(graft.GraftSession.envCpus)
-      .agg(graft.functions.CovCellsAgg.cov_cells(Dim)(col("v")).as("cells"))
-      .selectExpr("inline(cells)")
-      .collect().map(r =>
-        (r.getInt(0), r.getInt(1), r.getLong(2),
-          r.getDouble(3), r.getDouble(4), r.getDouble(5)))
-    val (_, w) = Similarity.pcaTopComponent(stats, PcaIters)
+    val (_, w) = Similarity.pcaTopComponent(covCells(s, dir), PcaIters)
     Tables.embeddings(s, dir)
       .select(col("vec_id"),
         floor(graft.functions.VectorOps.dot(

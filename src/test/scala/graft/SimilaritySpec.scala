@@ -650,6 +650,20 @@ class SimilaritySpec extends SparkSpec {
     } finally idx.unpersist()
   }
 
+  test("covCells memo == the per-invocation covarianceStats explode plan (r12 verdict task 2)") {
+    // the memoized UDAF cells must be cell-for-cell the decimal
+    // explode plan's output — the contract that lets ann_covariance /
+    // ann_pca_component / ann_pca_project share ONE corpus pass
+    val memo = graft.queries.SimilarityQueries.covCells(spark, sf001).toSeq
+    val direct = Similarity.covarianceStats(emb, "vec_id", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(memo === direct)
+    // second call is the SAME driver array instance — no recompute
+    assert(graft.queries.SimilarityQueries.covCells(spark, sf001) eq
+      graft.queries.SimilarityQueries.covCells(spark, sf001))
+  }
+
   test("autoNCells: the constant-occupancy law and its fixture floor") {
     // floor = the declared IvfCells = 16 at every fixture scale, so
     // auto-law queries ride the same oracle build CTEs; production
