@@ -1383,6 +1383,69 @@ object Similarity {
   val AutoCellOccupancy = 1250L
   def autoNCells(n: Long): Int = math.max(16L, n / AutoCellOccupancy).toInt
 
+  /** IVF index occupancy-drift audit (r12 verdict task 4 — the
+    * `events_skew_report` idiom applied to the engine's OWN index):
+    * the probe family ([[probe]], semantic probes, the `ann_*_ivf`
+    * queries) reads a frozen index forever, so a drifting ingest
+    * distribution silently degrades cell balance — probes of hot
+    * cells scan ever-larger candidate lists, and new vectors landing
+    * in cells with no settled content probe into nothing. This is the
+    * retrain trigger: per occupied cell, the settled-corpus occupancy
+    * vs the new batch's landing distribution, all-integer so the
+    * report is hash-checkable cross-engine.
+    *
+    * Input is an IVF-ASSIGNED frame (id, v, cell) — typically
+    * [[IvfIndex]].cells — with `isNew` marking the arriving batch
+    * (the [[graft.operators.Dedup.semanticProbeVerdicts]] ingest
+    * convention). Columns:
+    *  - `n_settled` / `n_new`: per-cell counts of each stratum;
+    *  - `settled_permille` / `new_permille`: each stratum's share of
+    *    its own total (integer DIV — deterministic);
+    *  - `drift_permille`: |new − settled| share gap, the per-cell
+    *    total-variation contribution;
+    *  - `new_over_mean_permille`: the new batch's occupancy vs the
+    *    uniform mean (1000 = exactly mean load; the skew-report
+    *    ratio);
+    *  - `orphan`: new rows landed where the index holds NO settled
+    *    rows — probes there return nothing and the cell is invisible
+    *    to every settled-side consumer;
+    *  - `retrain`: drift past `retrainThresholdPermille`, or an
+    *    orphan cell — the boolean a scheduled ingest job alerts on.
+    *
+    * Plan shape: ONE cell-keyed partial-aggregated exchange (≤ nCells
+    * rows out of the map side) + a 1-row broadcast of the totals —
+    * cost is a corpus scan however large the index, the same as any
+    * occupancy report. Cells the quantizer trained but nothing ever
+    * landed in carry no row (they appear in no assignment and no
+    * probe cost); the report covers every OCCUPIED cell. */
+  def indexDrift(cells: DataFrame, isNew: Column,
+                 retrainThresholdPermille: Long = 50L): DataFrame = {
+    val per = cells
+      .select(col("cell").cast("int").as("cell"),
+        when(isNew, 1L).otherwise(0L).as("is_new"))
+      .groupBy("cell")
+      .agg(sum(lit(1L) - col("is_new")).as("n_settled"),
+        sum(col("is_new")).as("n_new"))
+    val tot = per.agg(sum("n_settled").as("t_settled"),
+      sum("n_new").as("t_new"), count(lit(1)).as("n_cells"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("settled_permille",
+        expr("(1000 * n_settled) DIV greatest(t_settled, 1)"))
+      .withColumn("new_permille",
+        expr("(1000 * n_new) DIV greatest(t_new, 1)"))
+      .withColumn("drift_permille",
+        abs(col("new_permille") - col("settled_permille")))
+      .withColumn("new_over_mean_permille",
+        expr("(1000 * n_new * n_cells) DIV greatest(t_new, 1)"))
+      .withColumn("orphan", col("n_new") > 0L && col("n_settled") === 0L)
+      .withColumn("retrain",
+        col("drift_permille") > retrainThresholdPermille || col("orphan"))
+      .select("cell", "n_settled", "n_new", "settled_permille",
+        "new_permille", "drift_permille", "new_over_mean_permille",
+        "orphan", "retrain")
+      .orderBy("cell")
+  }
+
   /** Exact-kernel cutover for [[marginKnnMiningAuto]]: below it the
     * B²-tiled exact cross kernel finds the TRUE margin-best partner
     * for every row and its compute (|X|·|Y| cosines ≈ n²/4) is cheap;

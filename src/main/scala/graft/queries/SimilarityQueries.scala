@@ -401,6 +401,41 @@ object SimilarityQueries {
         round(col("cosine"), 6).as("cosine"))
       .orderBy("vec_id", "rank")
 
+  /** IVF index drift audit ([[Similarity.indexDrift]], r12 verdict
+    * task 4): the persisted index's settled occupancy vs the landing
+    * distribution of the `dedup_semantic_probe` family's new-batch
+    * stratum (vec_id % 5 = 0 — the shared ingest convention), with
+    * the retrain flag a scheduled ingest job alerts on. Closes the
+    * ingest lifecycle the probe family opened: build → probe →
+    * DRIFT-AUDIT → retrain. */
+  val DriftThresholdPermille = 50L
+  def indexDriftQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.indexDrift(ivfIndex(s, dir).cells,
+      pmod(col("id"), lit(5)) === 0, DriftThresholdPermille)
+
+  /** Drift-audit oracle: the shared IVF build CTEs + the per-cell
+    * stratum counts and integer share arithmetic. */
+  private def indexDriftOracleSql: String =
+    "WITH " + ivfBuildCtes +
+      s""",
+         |per AS (SELECT CAST(cell AS INTEGER) AS cell,
+         |  COUNT(*) FILTER (WHERE vec_id % 5 <> 0) AS n_settled,
+         |  COUNT(*) FILTER (WHERE vec_id % 5 = 0) AS n_new
+         |  FROM cells GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n_settled) AS BIGINT) AS t_settled,
+         |  CAST(SUM(n_new) AS BIGINT) AS t_new, COUNT(*) AS n_cells FROM per),
+         |j AS (SELECT p.cell, p.n_settled, p.n_new,
+         |  (1000 * p.n_settled) // greatest(t.t_settled, 1) AS settled_permille,
+         |  (1000 * p.n_new) // greatest(t.t_new, 1) AS new_permille,
+         |  (1000 * p.n_new * t.n_cells) // greatest(t.t_new, 1) AS new_over_mean_permille,
+         |  (p.n_new > 0 AND p.n_settled = 0) AS orphan
+         |  FROM per p CROSS JOIN tot t)
+         |SELECT cell, n_settled, n_new, settled_permille, new_permille,
+         |  abs(new_permille - settled_permille) AS drift_permille,
+         |  new_over_mean_permille, orphan,
+         |  (abs(new_permille - settled_permille) > $DriftThresholdPermille OR orphan) AS retrain
+         |FROM j ORDER BY cell""".stripMargin
+
   /** kNN-graph oracle: the IVF build CTEs + within-cell rank. */
   private def knnGraphOracleSql: String =
     "WITH " + ivfBuildCtes +
@@ -570,6 +605,7 @@ object SimilarityQueries {
     "ann_pca_component" -> (pcaComponent _),
     "ann_pca_project" -> (pcaProject _),
     "ann_knn_graph" -> (knnGraph _),
+    "ann_index_drift" -> (indexDriftQ _),
     "ann_margin_mining" -> (marginMining _),
     "ann_margin_mining_ivf" -> (marginMiningIvf _),
     "ann_vector_audit" -> (vectorAuditQ _),
@@ -1050,6 +1086,7 @@ object SimilarityQueries {
     "ann_pca_component" -> pcaOracleSql,
     "ann_pca_project" -> pcaProjectOracleSql,
     "ann_knn_graph" -> knnGraphOracleSql,
+    "ann_index_drift" -> indexDriftOracleSql,
     // the bruteforce CTEs + labels: majority vote over the top-k,
     // whole query batch excluded from the voter pool, tie -> smaller
     // label (the row_number orders match Spark's exactly)

@@ -650,6 +650,37 @@ class SimilaritySpec extends SparkSpec {
     } finally idx.unpersist()
   }
 
+  test("indexDrift: a skewed new batch lights the retrain flag; a proportional one doesn't (r12 verdict task 4)") {
+    import spark.implicits._
+    // 4 cells, settled uniform at 10 rows each; the "drifting" ingest
+    // lands its whole 10-row batch in cell 0, plus 2 rows in a cell
+    // the index holds NO settled content for (the orphan case)
+    def frame(rows: Seq[(Long, Int, Boolean)]) =
+      rows.map { case (id, c, n) => (id, Array(0.0), c, n) }
+        .toDF("id", "v", "cell", "nw")
+    val settled = (0L until 40L).map(i => (i, (i % 4).toInt, false))
+    val skewed = frame(settled ++
+      (100L until 110L).map(i => (i, 0, true)) ++
+      Seq((110L, 4, true), (111L, 4, true)))
+    val got = Similarity.indexDrift(skewed, col("nw"), retrainThresholdPermille = 300L)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(5),
+        r.getBoolean(7), r.getBoolean(8))).toSeq
+    // cell 0: settled 250‰ vs new 833‰ -> drift 583 > 300 -> retrain;
+    // cells 1-3: 250‰ vs 0 -> drift 250, quiet; cell 4: orphan -> retrain
+    assert(got === Seq(
+      (0, 10L, 10L, 583L, false, true),
+      (1, 10L, 0L, 250L, false, false),
+      (2, 10L, 0L, 250L, false, false),
+      (3, 10L, 0L, 250L, false, false),
+      (4, 0L, 2L, 166L, true, true)))
+    // a batch proportional to the settled occupancy raises nothing
+    val calm = frame(settled ++ (100L until 108L).map(i => (i, (i % 4).toInt, true)))
+    val calmGot = Similarity.indexDrift(calm, col("nw"), retrainThresholdPermille = 300L)
+      .collect()
+    assert(calmGot.forall(r => !r.getBoolean(8)))
+    assert(calmGot.forall(r => r.getLong(6) === 1000L)) // exactly mean load
+  }
+
   test("covCells memo == the per-invocation covarianceStats explode plan (r12 verdict task 2)") {
     // the memoized UDAF cells must be cell-for-cell the decimal
     // explode plan's output — the contract that lets ann_covariance /
