@@ -401,6 +401,36 @@ object SimilarityQueries {
         round(col("cosine"), 6).as("cosine"))
       .orderBy("vec_id", "rank")
 
+  /** PRODUCTION-CONFIGURATION kNN graph (r12 verdict task 5): the
+    * same within-cell graph as `ann_knn_graph`, but nCells follows
+    * the [[Similarity.autoNCells]] constant-occupancy law instead of
+    * a pinned constant — the declared surface a 100 TB user calls.
+    * Oracle constraint, disclosed: at every fixture scale (≤ 20 k
+    * vectors) the law's FLOOR lands exactly on the declared
+    * [[IvfCells]] = 16 (spec-pinned in SimilaritySpec), so the index
+    * IS the shared persisted fixture index and the oracle replays the
+    * same build CTEs as `ann_knn_graph`; past 20 k the same call
+    * builds nCells = n/1250 through the content-addressed disk layout
+    * (160 cells at the 200 k rehearsal corpus — the law ScaleUp's
+    * per-call-build row measures at ratio 1.02). */
+  def knnGraphAuto(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddings(s, dir).count()
+    val nCells = Similarity.autoNCells(n)
+    val idx =
+      if (nCells == IvfCells) ivfIndex(s, dir)
+      else {
+        val f = new java.io.File(Tables.path(dir, "embeddings"))
+        Similarity.loadOrBuildIndex(Tables.embeddings(s, dir), "vec_id",
+          "embedding",
+          Similarity.indexDirFor(f, nCells, IvfTrainIters, IvfTrainSample, IvfSeed),
+          nCells, IvfTrainIters, IvfTrainSample, IvfSeed)
+      }
+    Similarity.knnGraphWithin(idx.cells, GraphK)
+      .select(col("vec_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("vec_id", "rank")
+  }
+
   /** IVF index drift audit ([[Similarity.indexDrift]], r12 verdict
     * task 4): the persisted index's settled occupancy vs the landing
     * distribution of the `dedup_semantic_probe` family's new-batch
@@ -605,6 +635,7 @@ object SimilarityQueries {
     "ann_pca_component" -> (pcaComponent _),
     "ann_pca_project" -> (pcaProject _),
     "ann_knn_graph" -> (knnGraph _),
+    "ann_knn_graph_auto" -> (knnGraphAuto _),
     "ann_index_drift" -> (indexDriftQ _),
     "ann_margin_mining" -> (marginMining _),
     "ann_margin_mining_ivf" -> (marginMiningIvf _),
@@ -1086,6 +1117,10 @@ object SimilarityQueries {
     "ann_pca_component" -> pcaOracleSql,
     "ann_pca_project" -> pcaProjectOracleSql,
     "ann_knn_graph" -> knnGraphOracleSql,
+    // the auto form's oracle is the SAME build replay: autoNCells
+    // floors to the declared IvfCells = 16 at every fixture scale
+    // (disclosed constraint; the law itself is spec-pinned)
+    "ann_knn_graph_auto" -> knnGraphOracleSql,
     "ann_index_drift" -> indexDriftOracleSql,
     // the bruteforce CTEs + labels: majority vote over the top-k,
     // whole query batch excluded from the voter pool, tie -> smaller

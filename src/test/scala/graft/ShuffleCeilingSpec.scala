@@ -97,6 +97,9 @@ class ShuffleCeilingSpec extends SparkSpec {
     // stratum partials + the 1-row totals broadcast — a corpus-sized
     // exchange here would mean the partial agg was lost
     ("ann_index_drift", 200L, "nCells stratum partials + 1-row totals (33)"),
+    // the declared auto-law graph rides the SAME fixture index here
+    // (autoNCells floor = 16), so its bound is ann_knn_graph's
+    ("ann_knn_graph_auto", 60000L, "corpus rows into cells + <= n*k edge partials (14000)"),
     ("ann_pca_project", 17000L, "CovCellsAgg buffers + d^2 hand-off, zero-shuffle scoring (4008)"),
     ("mm_scene_changes", 150000L, "bytes/stride frame stream into the id window (30699)"),
     ("text_lm_heldout_score", 44000L, "train-vocab bigram/unigram counts + doc report (10962)"))

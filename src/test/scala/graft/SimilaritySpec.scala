@@ -681,6 +681,14 @@ class SimilaritySpec extends SparkSpec {
     assert(calmGot.forall(r => r.getLong(6) === 1000L)) // exactly mean load
   }
 
+  test("knnGraphAuto == knnGraph at fixture scale — the autoNCells floor IS the declared constant (r12 verdict task 5)") {
+    val auto = graft.queries.SimilarityQueries.knnGraphAuto(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    val pinned = graft.queries.SimilarityQueries.knnGraph(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(auto === pinned)
+  }
+
   test("covCells memo == the per-invocation covarianceStats explode plan (r12 verdict task 2)") {
     // the memoized UDAF cells must be cell-for-cell the decimal
     // explode plan's output — the contract that lets ann_covariance /
