@@ -448,8 +448,8 @@ object Multimodal {
       .as[(Long, Array[Long])]
     val partial = p.mapPartitions { iter =>
       val qs = qb.value
-      val heaps = qs.map(_ => scala.collection.mutable.ArrayBuffer.empty[(Long, Long)])
       val ord = Ordering.Tuple2(Ordering[Long], Ordering[Long])
+      val heaps = qs.map(_ => new graft.functions.BoundedTopK[(Long, Long)](k, ord))
       iter.foreach { case (id, v) =>
         var qi = 0
         while (qi < qs.length) {
@@ -457,13 +457,7 @@ object Multimodal {
           if (id != qid) {
             var d = 0L; var i = 0
             while (i < qv.length) { val t = qv(i) - v(i); d += t * t; i += 1 }
-            val h = heaps(qi)
-            if (h.length < k || ord.lt((d, id), h.last)) {
-              h += ((d, id))
-              val sorted = h.sorted(ord)
-              h.clear()
-              h ++= sorted.take(k)
-            }
+            heaps(qi).offer((d, id))
           }
           qi += 1
         }

@@ -202,14 +202,10 @@ object Relational {
     val ord = Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long])
     val partial = joined.mapPartitions { iter =>
       val best = scala.collection.mutable.HashMap
-        .empty[String, scala.collection.mutable.ArrayBuffer[(Double, Long)]]
+        .empty[String, graft.functions.BoundedTopK[(Double, Long)]]
       iter.foreach { case (seg, okey, price) =>
-        val h = best.getOrElseUpdate(seg, scala.collection.mutable.ArrayBuffer.empty)
-        if (h.length < k || ord.lt((price, okey), h.last)) {
-          h += ((price, okey))
-          val top = h.sorted(ord).take(k)
-          h.clear(); h ++= top
-        }
+        best.getOrElseUpdate(seg, new graft.functions.BoundedTopK(k, ord))
+          .offer((price, okey))
       }
       best.iterator.flatMap { case (seg, h) =>
         h.iterator.map { case (price, okey) => (seg, okey, price) }

@@ -87,24 +87,16 @@ object Similarity {
     // partition; global rank then runs over Q·k·numPartitions rows.
     val partial = p.mapPartitions { iter =>
       val qs = qb.value
-      // per query: sorted buffer of (cosine, id), worst last
-      val heaps = qs.map(_ => scala.collection.mutable.ArrayBuffer.empty[(Double, Long)])
+      // per query: bounded heap of (cosine, id) — worst at the root
       val ord = Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long])
+      val heaps = qs.map(_ => new graft.functions.BoundedTopK[(Double, Long)](k, ord))
       iter.foreach { case (id, v) =>
         val n = math.sqrt(VectorOps.dotSeq(v, v))
         var qi = 0
         while (qi < qs.length) {
           val (qid, qv, qn) = qs(qi)
-          if (id != qid) {
-            val c = VectorOps.dotSeq(qv, v) / (qn * n)
-            val h = heaps(qi)
-            if (h.length < k || ord.lt((c, id), h.last)) {
-              h += ((c, id))
-              val sorted = h.sorted(ord)
-              h.clear()
-              h ++= sorted.take(k)
-            }
-          }
+          if (id != qid)
+            heaps(qi).offer((VectorOps.dotSeq(qv, v) / (qn * n), id))
           qi += 1
         }
       }
@@ -280,22 +272,13 @@ object Similarity {
       VectorOps.toDouble(col(vecCol)).as("v")).as[(Long, Array[Double])]
     val partial = p.mapPartitions { iter =>
       val qs = qb.value
-      val heaps = qs.map(_ => scala.collection.mutable.ArrayBuffer.empty[(Double, Long)])
       val ord = Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long])
+      val heaps = qs.map(_ => new graft.functions.BoundedTopK[(Double, Long)](k, ord))
       iter.foreach { case (id, v) =>
         var qi = 0
         while (qi < qs.length) {
           val (qid, qv) = qs(qi)
-          if (id != qid) {
-            val d = VectorOps.dotSeq(qv, v)
-            val h = heaps(qi)
-            if (h.length < k || ord.lt((d, id), h.last)) {
-              h += ((d, id))
-              val sorted = h.sorted(ord)
-              h.clear()
-              h ++= sorted.take(k)
-            }
-          }
+          if (id != qid) heaps(qi).offer((VectorOps.dotSeq(qv, v), id))
           qi += 1
         }
       }
@@ -354,8 +337,8 @@ object Similarity {
       VectorOps.toDouble(col(vecCol)).as("v")).as[(Long, Array[Double])]
     val partial = p.mapPartitions { iter =>
       val qs = qb.value
-      val heaps = qs.map(_ => scala.collection.mutable.ArrayBuffer.empty[(Long, Long)])
       val ord = Ordering.Tuple2(Ordering[Long].reverse, Ordering[Long])
+      val heaps = qs.map(_ => new graft.functions.BoundedTopK[(Long, Long)](k, ord))
       iter.foreach { case (id, v) =>
         val qv = quantizeInt8(v)
         var qi = 0
@@ -365,13 +348,7 @@ object Similarity {
             var s = 0L
             var j = 0
             while (j < qq.length) { s += qq(j) * qv(j); j += 1 }
-            val h = heaps(qi)
-            if (h.length < k || ord.lt((s, id), h.last)) {
-              h += ((s, id))
-              val sorted = h.sorted(ord)
-              h.clear()
-              h ++= sorted.take(k)
-            }
+            heaps(qi).offer((s, id))
           }
           qi += 1
         }
@@ -621,17 +598,12 @@ object Similarity {
       val norms = rows.map(r => math.sqrt(VectorOps.dotSeq(r._2, r._2)))
       rows.indices.iterator.flatMap { i =>
         val (sid, sv) = rows(i)
-        val h = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+        val h = new graft.functions.BoundedTopK[(Double, Long)](k, ord)
         var j = 0
         while (j < rows.length) {
           if (j != i) {
             val (nid, nv) = rows(j)
-            val c = VectorOps.dotSeq(sv, nv) / (norms(i) * norms(j))
-            if (h.length < k || ord.lt((c, nid), h.last)) {
-              h += ((c, nid))
-              val sorted = h.sorted(ord)
-              h.clear(); h ++= sorted.take(k)
-            }
+            h.offer((VectorOps.dotSeq(sv, nv) / (norms(i) * norms(j)), nid))
           }
           j += 1
         }
@@ -1195,7 +1167,7 @@ object Similarity {
                to: Array[(Long, Array[Double])], tn: Array[Double],
                side: Int, xFirst: Boolean) =
         from.iterator.zipWithIndex.flatMap { case ((fid, fv), fi) =>
-          val h = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+          val h = new graft.functions.BoundedTopK[(Double, Long)](k, ord)
           var ti = 0
           while (ti < to.length) {
             val (tid, tv) = to(ti)
@@ -1204,11 +1176,7 @@ object Similarity {
             val c =
               if (xFirst) VectorOps.dotSeq(fv, tv) / (fn(fi) * tn(ti))
               else VectorOps.dotSeq(tv, fv) / (tn(ti) * fn(fi))
-            if (h.length < k || ord.lt((c, tid), h.last)) {
-              h += ((c, tid))
-              val sorted = h.sorted(ord)
-              h.clear(); h ++= sorted.take(k)
-            }
+            h.offer((c, tid))
             ti += 1
           }
           h.iterator.map { case (c, tid) => (side, fid, tid, c) }
@@ -1345,7 +1313,7 @@ object Similarity {
                sideTag: Int, xFirst: Boolean) =
         from.iterator.flatMap { case (fid, fv) =>
           val fn = math.sqrt(VectorOps.dotSeq(fv, fv))
-          val h = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+          val h = new graft.functions.BoundedTopK[(Double, Long)](k, ord)
           var ti = 0
           while (ti < to.length) {
             val (tid, tv) = to(ti)
@@ -1355,11 +1323,7 @@ object Similarity {
             val c =
               if (xFirst) VectorOps.dotSeq(fv, tv) / (fn * tn(ti))
               else VectorOps.dotSeq(tv, fv) / (tn(ti) * fn)
-            if (h.length < k || ord.lt((c, tid), h.last)) {
-              h += ((c, tid))
-              val sorted = h.sorted(ord)
-              h.clear(); h ++= sorted.take(k)
-            }
+            h.offer((c, tid))
             ti += 1
           }
           h.iterator.map { case (c, tid) => (sideTag, fid, tid, c) }

@@ -81,6 +81,30 @@ class VectorOpsSpec extends SparkSpec {
       (1, 1, 2L, 0.5, 0.5, 0.625)))
   }
 
+  test("BoundedTopK == the sorted-buffer idiom it replaces, k in {1, 4, 64} (r12 verdict task 7)") {
+    val ord = Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long])
+    val rng = new scala.util.Random(7)
+    for (k <- Seq(1, 4, 64); trial <- 1 to 5) {
+      val stream = Array.fill(2000)((rng.nextDouble() * 2 - 1, rng.nextLong()))
+      // the replaced idiom, verbatim
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+      stream.foreach { x =>
+        if (buf.length < k || ord.lt(x, buf.last)) {
+          buf += x
+          val sorted = buf.sorted(ord)
+          buf.clear(); buf ++= sorted.take(k)
+        }
+      }
+      val heap = new graft.functions.BoundedTopK[(Double, Long)](k, ord)
+      stream.foreach(heap.offer)
+      assert(heap.iterator.toSeq === buf.toSeq, s"k=$k trial=$trial")
+    }
+    // short streams: heap not yet full
+    val h2 = new graft.functions.BoundedTopK[(Double, Long)](8, ord)
+    Seq((0.5, 3L), (0.9, 1L), (0.5, 2L)).foreach(h2.offer)
+    assert(h2.iterator.toSeq === Seq((0.9, 1L), (0.5, 2L), (0.5, 3L)))
+  }
+
   test("CovCellsAgg.d12Wide == the JBig 128-bit path past the long domain (r12 ADVICE)") {
     import java.math.{BigDecimal => JBig, BigInteger, RoundingMode}
     def ref(x: Double): BigInteger =
