@@ -1865,6 +1865,31 @@ object TextAnalysis {
     sampledSpanCascade(d, nom, nNom, gramLen, window, maxBroadcastNominees)
   }
 
+  /** Density = Σ{c>1} c / Σ c over a selected-fp counts frame, in
+    * permille — the single arithmetic both [[repeatedSpansAuto]]'s
+    * dispatch and the standalone probe below compute, so the spec's
+    * boundary measurements and the dispatch cannot drift. */
+  private def repeatDensityPermille(counts: DataFrame): Long = {
+    val probe = counts.agg(sum("c").as("t"),
+      sum(when(col("c") > 1, col("c")).otherwise(0L)).as("r")).first
+    val total = if (probe.isNullAt(0)) 0L else probe.getLong(0)
+    val repeated = if (probe.isNullAt(1)) 0L else probe.getLong(1)
+    if (total == 0L) 0L else 1000L * repeated / total
+  }
+
+  /** Standalone winnow-repeat density probe (r12 verdict task 9): the
+    * exact number [[repeatedSpansAuto]] dispatches on, as a
+    * measurable surface — the boundary spec measures a corpus with
+    * this, then pins the dispatch's ≤/> semantics AT that measured
+    * threshold. One fp-keyed count exchange, like the dispatch's own
+    * pass 1. */
+  private[graft] def winnowRepeatDensityPermille(docs: DataFrame, idCol: String,
+      textCol: String, gramLen: Int = 25, window: Int = 8): Long = {
+    val d = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    repeatDensityPermille(
+      winnowedPositions(d, gramLen, window).groupBy("fp").agg(count(lit(1)).as("c")))
+  }
+
   /** The winnow-selected (pos, fp) stream — [[repeatedSpansSampled]]'s
     * pass 1, also the density probe [[repeatedSpansAuto]] dispatches
     * on. Zero shuffle: selection happens inside the compiled kernel. */
@@ -1909,11 +1934,7 @@ object TextAnalysis {
     val counts = winnowedPositions(d, gramLen, window)
       .groupBy("fp").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val probe = counts.agg(sum("c").as("t"),
-      sum(when(col("c") > 1, col("c")).otherwise(0L)).as("r")).first
-    val total = if (probe.isNullAt(0)) 0L else probe.getLong(0)
-    val repeated = if (probe.isNullAt(1)) 0L else probe.getLong(1)
-    val densityPermille = if (total == 0L) 0L else 1000L * repeated / total
+    val densityPermille = repeatDensityPermille(counts)
     if (densityPermille <= denseThresholdPermille) {
       counts.unpersist()
       repeatedSpans(docs, idCol, textCol, gramLen, maxBroadcastNominees)

@@ -1260,6 +1260,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(exact !== sampled) // the two branches are genuinely different statistics
   }
 
+  test("repeatedSpansAuto boundary: dispatch is <=/> exactly AT the measured density (r12 verdict task 9)") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // measure the corpus's winnow-repeat density through the SAME
+    // arithmetic the dispatch computes (shared repeatDensityPermille),
+    // then pin the boundary semantics at that exact value: density is
+    // a pure content function, so on a threshold-straddling corpus the
+    // branch is decided by <= vs >, never by run-to-run noise
+    val d = TextAnalysis.winnowRepeatDensityPermille(docs, "doc_id", "text", 25, 8)
+    assert(d > 0L, "fixture must have genuine repeats for the boundary to be live")
+    // threshold == density: <= keeps the corpus on the EXACT branch
+    val atBoundary = rows(TextAnalysis.repeatedSpansAuto(docs, "doc_id", "text", 25, 8,
+      denseThresholdPermille = d))
+    assert(atBoundary === rows(TextAnalysis.repeatedSpans(docs, "doc_id", "text", 25)))
+    // threshold == density - 1: strictly above -> the SAMPLED branch
+    val justOver = rows(TextAnalysis.repeatedSpansAuto(docs, "doc_id", "text", 25, 8,
+      denseThresholdPermille = d - 1))
+    assert(justOver === rows(TextAnalysis.repeatedSpansSampled(docs, "doc_id", "text", 25, 8)))
+    // same corpus, same threshold, second run: identical branch and
+    // identical report — the dispatch cannot flip between runs
+    assert(atBoundary === rows(TextAnalysis.repeatedSpansAuto(docs, "doc_id", "text", 25, 8,
+      denseThresholdPermille = d)))
+  }
+
   test("splitDrift: planted length- and lang-keyed split defects light up their column (r11 verdict task 10)") {
     val d = Tables.documents(spark, sf01)
     def drift(split: org.apache.spark.sql.Column) =
