@@ -465,6 +465,23 @@ object ScaleUp {
       autoIndexed(s, dir)(idx =>
         graft.operators.Dedup.embeddingCosineWithin(
           idx.cells, "id", "v", "cell", threshold = 0.35))),
+    // r13 (r12 verdict task 6): the STREAMING serve path of the
+    // semantic probe under the same production law — the batch twin
+    // has dedup_semantic_probe_auto above; this times the per-batch
+    // stream-static join against the constant-occupancy index (160
+    // cells at 100×), per-call index build included like its batch
+    // row. The declared stream_semantic_probe_parity stays 10×-only
+    // on the fixture-pinned nCells=16 for its oracle replay.
+    "stream_semantic_probe_auto" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val idx = graft.operators.Similarity.buildIndex(e, "vec_id", "embedding",
+        nCells = graft.operators.Similarity.autoNCells(e.count()))
+      val out = graft.queries.StreamQueries
+        .semanticProbeParityWith(s, dir, idx).persist()
+      val n = out.count()
+      idx.unpersist(); out.unpersist()
+      s.range(n).toDF("row")
+    }),
     // r12: the corpus kNN graph under the same constant-occupancy law
     // — Σm² work per cell stays occupancy-bounded, edges out stay
     // ≤ n·k. Renamed _percall in r13 when the auto law became the
@@ -723,9 +740,10 @@ object ScaleUp {
     "ann_knn_graph_auto", "ann_index_drift")
     // (the 18th streaming query, stream_semantic_probe_parity, is
     // 10×-only here like its batch twin's declared form: both pin the
-    // oracle's nCells=16, and the production configuration is
-    // rehearsed at both scales by dedup_semantic_probe_auto — the
-    // stream twin shares that plan shape row for row)
+    // oracle's nCells=16; since r13 BOTH production configurations
+    // rehearse at both scales in TimedCustom —
+    // dedup_semantic_probe_auto for the batch plan and
+    // stream_semantic_probe_auto for the streaming serve path)
 
   /** Dev-only rehearsal subset (comma-separated name prefixes, like
     * Bench's SPARK_GRAFT_BENCH_ONLY): lets a NEW operator's scale row

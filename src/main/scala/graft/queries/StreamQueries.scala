@@ -602,8 +602,18 @@ object StreamQueries {
     * post-sink left join from the static new-id frame, so the twin
     * is row-identical to the batch query — and rides its DuckDB
     * oracle verbatim. */
-  def semanticProbeParity(s: SparkSession, dir: String): DataFrame = {
-    val idx = SimilarityQueries.ivfIndex(s, dir)
+  def semanticProbeParity(s: SparkSession, dir: String): DataFrame =
+    semanticProbeParityWith(s, dir, SimilarityQueries.ivfIndex(s, dir))
+
+  /** The same streaming serve plan against a CALLER-SUPPLIED index —
+    * how ScaleUp's `stream_semantic_probe_auto` row rehearses the
+    * production auto-nCells law (r12 verdict task 6): the declared
+    * query above pins the fixture index (nCells = 16, the oracle
+    * replay); at scale the stream-static join runs against the
+    * constant-occupancy index, so per-batch work stays
+    * Σ_c m_new,c·m_corpus,c with occupancy-bounded cells. */
+  private[graft] def semanticProbeParityWith(s: SparkSession, dir: String,
+      idx: graft.operators.Similarity.IvfIndex): DataFrame = {
     val tau = DedupQueries.CosineThreshold
     val corpus = idx.cells.filter(pmod(col("id"), lit(5)) =!= 0)
       .select(col("cell"), col("id").as("corp_id"), col("v").as("cv"))
