@@ -734,10 +734,11 @@ object ScaleUp {
     "stream_split_parity", "mm_ahash_distance_hist", "mm_scene_changes",
     // r13 (r12 verdict task 5): the DECLARED production-law kNN graph
     // — autoNCells floors to 16 at 10x (the fixture index), builds
-    // the 160-cell content-addressed disk index at 100x; and the
-    // index drift audit (one cell-keyed partial-agg exchange, nCells
-    // rows — scan-shaped at any corpus)
-    "ann_knn_graph_auto", "ann_index_drift")
+    // the 160-cell content-addressed disk index at 100x; the index
+    // drift audit (one cell-keyed partial-agg exchange, nCells rows —
+    // scan-shaped at any corpus); and the retrain action (two
+    // sample-bounded trains + two corpus-linear assignment scans)
+    "ann_knn_graph_auto", "ann_index_drift", "ann_index_retrain")
     // (the 18th streaming query, stream_semantic_probe_parity, is
     // 10×-only here like its batch twin's declared form: both pin the
     // oracle's nCells=16; since r13 BOTH production configurations

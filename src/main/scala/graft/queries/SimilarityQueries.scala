@@ -466,6 +466,80 @@ object SimilarityQueries {
          |  (abs(new_permille - settled_permille) > $DriftThresholdPermille OR orphan) AS retrain
          |FROM j ORDER BY cell""".stripMargin
 
+  /** INDEX RETRAIN — the drift audit's ACTION (r13, closing the last
+    * edge of the ingest lifecycle: build → probe → drift-audit →
+    * RETRAIN): the BEFORE state is an index trained only on the
+    * settled stratum (what a store whose quantizer predates the new
+    * batch actually serves — vec_id % 5 ≠ 0, the probe family's
+    * convention) with the FULL current corpus assigned against its
+    * centers; the AFTER state is the retrained full-corpus index —
+    * the SAME build every ann_ivf* query serves, so the retrained
+    * side rides the shared persisted index and the proven build
+    * replay. Per-cell report: old vs retrained occupancy and each
+    * side's integer load-vs-mean ratio — the number that shows
+    * retraining re-absorbing the ingest distribution. The before
+    * index is built per invocation (train is sample-bounded, the
+    * Lloyd hand-off is k·d driver doubles, its cells frame is never
+    * materialized — only the centers cross back); nothing about the
+    * BEFORE state is persisted, because it is the state being
+    * retired. At 100 TB the trigger is `ann_index_drift`'s retrain
+    * column; this surface is what the scheduled job then runs. */
+  def indexRetrainQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val idx0 = Similarity.buildIndex(
+      e.filter(pmod(col("vec_id"), lit(5)) =!= 0), "vec_id", "embedding",
+      IvfCells, IvfTrainIters, IvfTrainSample, IvfSeed)
+    idx0.unpersist() // only the driver-side centers are consumed
+    val pts = e.select(col("vec_id").cast("long").as("id"),
+      graft.functions.VectorOps.toDouble(col("embedding")).as("v"))
+    val oldCounts = graft.cluster.KMeansNative.assigned(pts, col("v"), idx0.centers)
+      .groupBy(col("cluster_id").cast("int").as("cell"))
+      .agg(count(lit(1)).as("n_old"))
+    val newCounts = ivfIndex(s, dir).cells
+      .groupBy(col("cell").cast("int").as("cell"))
+      .agg(count(lit(1)).as("n_retrained"))
+    val joined = oldCounts.join(newCounts, Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_retrained"), lit(0L)).as("n_retrained"))
+    val tot = joined.agg(sum("n_old").as("t_old"),
+      sum("n_retrained").as("t_new"),
+      sum(when(col("n_old") > 0, 1L).otherwise(0L)).as("c_old"),
+      sum(when(col("n_retrained") > 0, 1L).otherwise(0L)).as("c_new"))
+    joined.crossJoin(broadcast(tot))
+      .withColumn("old_over_mean_permille",
+        expr("(1000 * n_old * c_old) DIV greatest(t_old, 1)"))
+      .withColumn("retrained_over_mean_permille",
+        expr("(1000 * n_retrained * c_new) DIV greatest(t_new, 1)"))
+      .select("cell", "n_old", "n_retrained",
+        "old_over_mean_permille", "retrained_over_mean_permille")
+      .orderBy("cell")
+  }
+
+  /** Retrain oracle: TWO build replays in one chain — the
+    * settled-trained BEFORE index ([[ivfBuildCtesFor]] with the
+    * stratum filter, full-corpus assignment) and the classic
+    * full-corpus build — then the per-cell occupancy comparison. */
+  private def indexRetrainOracleSql: String =
+    "WITH p AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),\n" +
+      ivfBuildCtesFor("", "") + ",\n" +
+      ivfBuildCtesFor("s", "WHERE vec_id % 5 <> 0") +
+      s""",
+         |oc AS (SELECT CAST(cell AS INTEGER) AS cell, COUNT(*) AS n_old FROM scells GROUP BY 1),
+         |nc AS (SELECT CAST(cell AS INTEGER) AS cell, COUNT(*) AS n_retrained FROM cells GROUP BY 1),
+         |j AS (SELECT coalesce(oc.cell, nc.cell) AS cell,
+         |  coalesce(oc.n_old, 0) AS n_old,
+         |  coalesce(nc.n_retrained, 0) AS n_retrained
+         |  FROM oc FULL JOIN nc ON nc.cell = oc.cell),
+         |tot AS (SELECT CAST(SUM(n_old) AS BIGINT) AS t_old,
+         |  CAST(SUM(n_retrained) AS BIGINT) AS t_new,
+         |  CAST(COUNT(*) FILTER (WHERE n_old > 0) AS BIGINT) AS c_old,
+         |  CAST(COUNT(*) FILTER (WHERE n_retrained > 0) AS BIGINT) AS c_new FROM j)
+         |SELECT j.cell, j.n_old, j.n_retrained,
+         |  (1000 * j.n_old * t.c_old) // greatest(t.t_old, 1) AS old_over_mean_permille,
+         |  (1000 * j.n_retrained * t.c_new) // greatest(t.t_new, 1) AS retrained_over_mean_permille
+         |FROM j CROSS JOIN tot t ORDER BY cell""".stripMargin
+
   /** kNN-graph oracle: the IVF build CTEs + within-cell rank. */
   private def knnGraphOracleSql: String =
     "WITH " + ivfBuildCtes +
@@ -637,6 +711,7 @@ object SimilarityQueries {
     "ann_knn_graph" -> (knnGraph _),
     "ann_knn_graph_auto" -> (knnGraphAuto _),
     "ann_index_drift" -> (indexDriftQ _),
+    "ann_index_retrain" -> (indexRetrainQ _),
     "ann_margin_mining" -> (marginMining _),
     "ann_margin_mining_ivf" -> (marginMiningIvf _),
     "ann_vector_audit" -> (vectorAuditQ _),
@@ -705,22 +780,35 @@ object SimilarityQueries {
     * ann_ivf* oracles here and by DedupQueries' `dedup_semantic`
     * oracle, which clusters through the SAME persisted index. */
   private[queries] def ivfBuildCtes: String = {
+    s"""p AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"""
+      .stripMargin + ",\n" + ivfBuildCtesFor("", "")
+  }
+
+  /** The PARAMETERIZED build replay behind [[ivfBuildCtes]] (r13, for
+    * the retrain oracle): trains on `p` restricted by `trainWhere`,
+    * ASSIGNS the full `p` (an index serves whatever arrives, however
+    * it was trained), and prefixes every CTE name with `pfx` so two
+    * builds — e.g. the settled-trained BEFORE index and the
+    * full-corpus retrained one — can coexist in one WITH chain.
+    * `pfx = "", trainWhere = ""` is the classic chain every ann_ivf*
+    * / dedup_semantic oracle splices. Expects a `p` CTE
+    * (vec_id, v) to be defined by the caller. */
+  private[queries] def ivfBuildCtesFor(pfx: String, trainWhere: String): String = {
     val (ra, rb) = Similarity.sampleRankCoeffs(IvfSeed)
     val P = Similarity.SampleRankP
-    s"""p AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       |samp AS MATERIALIZED (SELECT vec_id, v FROM p
+    s"""${pfx}samp AS MATERIALIZED (SELECT vec_id, v FROM p $trainWhere
        |  ORDER BY (((vec_id % $P) + $P) % $P * $ra + $rb) % $P, vec_id LIMIT $IvfTrainSample),
-       |cent0 AS MATERIALIZED (
+       |${pfx}cent0 AS MATERIALIZED (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v
-       |  FROM samp ORDER BY vec_id LIMIT $IvfCells)""".stripMargin +
-      KMeansQueries.lloydRoundsCte("samp", Dim, IvfTrainIters, "") +
-      s""", ad AS (SELECT p.vec_id, c.cid,
+       |  FROM ${pfx}samp ORDER BY vec_id LIMIT $IvfCells)""".stripMargin +
+      KMeansQueries.lloydRoundsCte(s"${pfx}samp", Dim, IvfTrainIters, pfx) +
+      s""", ${pfx}ad AS (SELECT p.vec_id, c.cid,
          |  list_sum(list_transform(generate_series(1, $Dim),
          |           i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i]))) AS d2
-         |  FROM p CROSS JOIN cent$IvfTrainIters c),
-         |cells AS MATERIALIZED (SELECT vec_id, cid AS cell FROM (
+         |  FROM p CROSS JOIN ${pfx}cent$IvfTrainIters c),
+         |${pfx}cells AS MATERIALIZED (SELECT vec_id, cid AS cell FROM (
          |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-         |  FROM ad) WHERE rn = 1)""".stripMargin
+         |  FROM ${pfx}ad) WHERE rn = 1)""".stripMargin
   }
 
   /** Full IVF oracle: [[ivfBuildCtes]] + each query's nProbe nearest
@@ -1122,6 +1210,7 @@ object SimilarityQueries {
     // (disclosed constraint; the law itself is spec-pinned)
     "ann_knn_graph_auto" -> knnGraphOracleSql,
     "ann_index_drift" -> indexDriftOracleSql,
+    "ann_index_retrain" -> indexRetrainOracleSql,
     // the bruteforce CTEs + labels: majority vote over the top-k,
     // whole query batch excluded from the voter pool, tie -> smaller
     // label (the row_number orders match Spark's exactly)

@@ -97,6 +97,9 @@ class ShuffleCeilingSpec extends SparkSpec {
     // stratum partials + the 1-row totals broadcast — a corpus-sized
     // exchange here would mean the partial agg was lost
     ("ann_index_drift", 200L, "nCells stratum partials + 1-row totals (33)"),
+    // the retrain action: two trains (sample-bounded driver hand-off)
+    // + two assignment scans whose per-cell counts partial-aggregate
+    ("ann_index_retrain", 400L, "2 x nCells occupancy partials + totals (57)"),
     // the declared auto-law graph rides the SAME fixture index here
     // (autoNCells floor = 16), so its bound is ann_knn_graph's
     ("ann_knn_graph_auto", 60000L, "corpus rows into cells + <= n*k edge partials (14000)"),

@@ -689,6 +689,30 @@ class SimilaritySpec extends SparkSpec {
     assert(auto === pinned)
   }
 
+  test("indexRetrain: retrained side == the shared index's occupancy; both sides conserve the corpus (r13)") {
+    val got = graft.queries.SimilarityQueries.indexRetrainQ(spark, sf001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val corpus = emb.count()
+    // occupancy conservation: every current row is assigned on BOTH
+    // sides — the old (settled-trained) index serves the full corpus,
+    // the retrained one re-homes the same rows
+    assert(got.map(_._2).sum === corpus)
+    assert(got.map(_._3).sum === corpus)
+    // the retrained side IS the shared persisted index's occupancy
+    val shared = graft.queries.SimilarityQueries.ivfIndex(spark, sf001).cells
+      .groupBy("cell").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    got.foreach { case (cell, _, nRetrained, _, _) =>
+      assert(shared.getOrElse(cell, 0L) === nRetrained, s"cell $cell")
+    }
+    // pure function of the corpus: a second invocation is identical
+    val again = graft.queries.SimilarityQueries.indexRetrainQ(spark, sf001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(again === got)
+  }
+
   test("covCells memo == the per-invocation covarianceStats explode plan (r12 verdict task 2)") {
     // the memoized UDAF cells must be cell-for-cell the decimal
     // explode plan's output — the contract that lets ann_covariance /
