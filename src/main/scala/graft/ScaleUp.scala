@@ -316,6 +316,10 @@ object ScaleUp {
     "ann_covariance", "stream_covariance_parity", "stream_ann_parity",
     "dedup_chunk_rewrite", "pipeline_mix_weights", "ann_margin_mining",
     "ann_margin_mining_ivf",
+    // r13: the margin recall eval runs BOTH kernels, so it inherits
+    // the exact side's 10×-only constraint (the ann_recall_eval
+    // precedent); the streaming drift twin is nCells-bounded state
+    "ann_margin_recall", "stream_index_drift_parity",
     // r12: the declared PCA hand-off — the covariance pass + a
     // d²-bounded driver power iteration
     "ann_pca_component", "ann_pca_project",

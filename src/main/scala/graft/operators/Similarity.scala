@@ -1390,6 +1390,17 @@ object Similarity {
       .groupBy("cell")
       .agg(sum(lit(1L) - col("is_new")).as("n_settled"),
         sum(col("is_new")).as("n_new"))
+    driftReport(per, retrainThresholdPermille)
+  }
+
+  /** The drift-report arithmetic over a per-cell counts frame
+    * (cell, n_settled, n_new) — shared by [[indexDrift]] and the
+    * streaming serve twin (`stream_index_drift_parity`), which
+    * accumulates the new-batch counts in a complete-mode stream
+    * aggregate and joins the static settled counts post-sink; both
+    * callers are row-identical by construction and ride one oracle. */
+  private[graft] def driftReport(per: DataFrame,
+                                 retrainThresholdPermille: Long): DataFrame = {
     val tot = per.agg(sum("n_settled").as("t_settled"),
       sum("n_new").as("t_new"), count(lit(1)).as("n_cells"))
     per.crossJoin(broadcast(tot))

@@ -354,6 +354,37 @@ object SimilarityQueries {
             r.getDouble(3), r.getDouble(4), r.getDouble(5))))
   }
 
+  /** Margin-mining RECALL eval (r13 — the `dedup_embedding_recall` /
+    * `ann_recall_eval` idiom applied to the mining surface): mined
+    * (x, y) pairs of the IVF-candidate form vs the exact kernel, as a
+    * 1-row report. This is the measured answer to the probe
+    * contract's effect on MINING specifically — a candidate outside
+    * the probed cells can cost a mined pair or flip a margin-best
+    * partner, which top-k recall alone doesn't price. Both sides are
+    * the declared operators verbatim; the oracle wraps both PROVEN
+    * margin oracle pipelines as derived tables and counts the
+    * overlap, so the eval cannot drift from either surface. */
+  def marginRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val exact = Similarity.marginKnnMining(
+        e.filter(pmod(col("vec_id"), lit(2)) === 0),
+        e.filter(pmod(col("vec_id"), lit(2)) === 1),
+        "vec_id", "embedding", k = MarginK)
+      .select(col("x_id"), col("y_id"))
+    val ivf = Similarity.marginKnnMiningIvf(ivfIndex(s, dir),
+        pmod(col("id"), lit(2)) === 0, pmod(col("id"), lit(2)) === 1,
+        k = MarginK, nProbe = IvfNProbe)
+      .select(col("x_id"), col("y_id"))
+    val ne = exact.agg(count(lit(1)).as("n_exact"))
+    val ni = ivf.agg(count(lit(1)).as("n_ivf"))
+    val nc = ivf.join(exact, Seq("x_id", "y_id"))
+      .agg(count(lit(1)).as("n_common"))
+    ne.crossJoin(ni).crossJoin(nc)
+      .select(col("n_exact"), col("n_ivf"), col("n_common"),
+        floor(lit(1000.0) * col("n_common") / greatest(col("n_exact"), lit(1)))
+          .cast("long").as("recall_permille"))
+  }
+
   /** Exact covariance sufficient statistics: d(d+1)/2 upper-triangle
     * cells, decimal-exact sums — the whitening/PCA/drift pass. Since
     * r13 the declared frame is materialized from the [[covCells]]
@@ -714,6 +745,7 @@ object SimilarityQueries {
     "ann_index_retrain" -> (indexRetrainQ _),
     "ann_margin_mining" -> (marginMining _),
     "ann_margin_mining_ivf" -> (marginMiningIvf _),
+    "ann_margin_recall" -> (marginRecall _),
     "ann_vector_audit" -> (vectorAuditQ _),
     "ann_hybrid_rrf" -> (hybridRrf _),
     "ann_bruteforce_topk" -> (bruteForce _),
@@ -972,6 +1004,65 @@ object SimilarityQueries {
     * the other side's HOME cells + the margin CTEs of the proven
     * `ann_margin_mining` oracle verbatim (kf/kb now rank IVF
     * candidates instead of the full cross). */
+  /** The exact-kernel margin oracle: cosines via the proven
+    * bruteforce fold (X-side vector first), k-NN rank on the RAW
+    * double, then all-integer margin arithmetic — the +1-shifted
+    * micros keep every operand non-negative so // (floor) == Spark's
+    * DIV (truncation). Also a derived table of the recall eval. */
+  private def marginExactOracleSql: String =
+    s"""WITH p AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |xs AS (SELECT vec_id AS xid, v FROM p WHERE vec_id % 2 = 0),
+         |ys AS (SELECT vec_id AS yid, v FROM p WHERE vec_id % 2 = 1),
+         |d AS (SELECT x.xid, y.yid,
+         |  list_sum(list_transform(generate_series(1, $Dim), i -> x.v[i] * y.v[i])) /
+         |  (sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> x.v[i] * x.v[i]))) *
+         |   sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> y.v[i] * y.v[i])))) AS c
+         |  FROM xs x CROSS JOIN ys y),
+         |kf AS (SELECT xid, yid, c, CAST(floor((c + 1.0) * 500000.0) AS BIGINT) AS m FROM (
+         |       SELECT xid, yid, c, row_number() OVER (PARTITION BY xid ORDER BY c DESC, yid) AS rk
+         |       FROM d) WHERE rk <= $MarginK),
+         |kb AS (SELECT xid, yid, c, CAST(floor((c + 1.0) * 500000.0) AS BIGINT) AS m FROM (
+         |       SELECT xid, yid, c, row_number() OVER (PARTITION BY yid ORDER BY c DESC, xid) AS rk
+         |       FROM d) WHERE rk <= $MarginK),
+         |sx AS (SELECT xid, SUM(m) AS sxs FROM kf GROUP BY 1),
+         |sy AS (SELECT yid, SUM(m) AS sys FROM kb GROUP BY 1),
+         |mf AS (SELECT kf.xid, kf.yid, kf.c,
+         |       CASE WHEN sxs + sys = 0 THEN NULL
+         |            ELSE CAST((2 * $MarginK * 1000 * kf.m) // (sxs + sys) AS BIGINT) END AS margin_permille
+         |       FROM kf JOIN sx USING (xid) JOIN sy USING (yid)),
+         |mb AS (SELECT kb.xid, kb.yid, kb.c,
+         |       CASE WHEN sxs + sys = 0 THEN NULL
+         |            ELSE CAST((2 * $MarginK * 1000 * kb.m) // (sxs + sys) AS BIGINT) END AS margin_permille
+         |       FROM kb JOIN sx USING (xid) JOIN sy USING (yid)),
+         |bx AS (SELECT xid, yid, margin_permille FROM (
+         |       SELECT xid, yid, margin_permille,
+         |         row_number() OVER (PARTITION BY xid ORDER BY margin_permille DESC, c DESC, yid) AS rk
+         |       FROM mf) WHERE rk = 1),
+         |byy AS (SELECT xid, yid FROM (
+         |       SELECT xid, yid,
+         |         row_number() OVER (PARTITION BY yid ORDER BY margin_permille DESC, c DESC, xid) AS rk
+         |       FROM mb) WHERE rk = 1)
+         |SELECT bx.xid AS x_id, bx.yid AS y_id, bx.margin_permille,
+         |  (byy.xid IS NOT NULL) AS mutual
+         |FROM bx LEFT JOIN byy ON byy.yid = bx.yid AND byy.xid = bx.xid
+         |ORDER BY x_id""".stripMargin
+
+  /** Margin-recall oracle: BOTH proven margin pipelines verbatim as
+    * derived tables (DuckDB allows a full WITH…SELECT inside a
+    * derived table), then the 1-row overlap count — the eval can
+    * never drift from either declared surface because it IS their
+    * oracle text. */
+  private def marginRecallOracleSql: String =
+    s"""WITH e AS (SELECT x_id, y_id FROM ($marginExactOracleSql) t1),
+       |i AS (SELECT x_id, y_id FROM ($marginIvfOracleSql) t2),
+       |st AS (SELECT
+       |  (SELECT COUNT(*) FROM e) AS n_exact,
+       |  (SELECT COUNT(*) FROM i) AS n_ivf,
+       |  (SELECT COUNT(*) FROM i JOIN e ON e.x_id = i.x_id AND e.y_id = i.y_id) AS n_common)
+       |SELECT n_exact, n_ivf, n_common,
+       |  CAST(floor(1000.0 * n_common / greatest(n_exact, 1)) AS BIGINT) AS recall_permille
+       |FROM st""".stripMargin
+
   private def marginIvfOracleSql: String = {
     val cosXY =
       s"""list_sum(list_transform(generate_series(1, $Dim), i -> x.v[i] * y.v[i])) /
@@ -1061,6 +1152,7 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "ann_margin_mining_ivf" -> marginIvfOracleSql,
+    "ann_margin_recall" -> marginRecallOracleSql,
     "ann_hard_negatives_ivf" ->
       (labeledIvfProbeCtes +
         s""",
@@ -1251,43 +1343,7 @@ object SimilarityQueries {
     // vector first), k-NN rank on the RAW double, then all-integer
     // margin arithmetic — the +1-shifted micros keep every operand
     // non-negative so // (floor) == Spark's DIV (truncation)
-    "ann_margin_mining" ->
-      s"""WITH p AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |xs AS (SELECT vec_id AS xid, v FROM p WHERE vec_id % 2 = 0),
-         |ys AS (SELECT vec_id AS yid, v FROM p WHERE vec_id % 2 = 1),
-         |d AS (SELECT x.xid, y.yid,
-         |  list_sum(list_transform(generate_series(1, $Dim), i -> x.v[i] * y.v[i])) /
-         |  (sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> x.v[i] * x.v[i]))) *
-         |   sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> y.v[i] * y.v[i])))) AS c
-         |  FROM xs x CROSS JOIN ys y),
-         |kf AS (SELECT xid, yid, c, CAST(floor((c + 1.0) * 500000.0) AS BIGINT) AS m FROM (
-         |       SELECT xid, yid, c, row_number() OVER (PARTITION BY xid ORDER BY c DESC, yid) AS rk
-         |       FROM d) WHERE rk <= $MarginK),
-         |kb AS (SELECT xid, yid, c, CAST(floor((c + 1.0) * 500000.0) AS BIGINT) AS m FROM (
-         |       SELECT xid, yid, c, row_number() OVER (PARTITION BY yid ORDER BY c DESC, xid) AS rk
-         |       FROM d) WHERE rk <= $MarginK),
-         |sx AS (SELECT xid, SUM(m) AS sxs FROM kf GROUP BY 1),
-         |sy AS (SELECT yid, SUM(m) AS sys FROM kb GROUP BY 1),
-         |mf AS (SELECT kf.xid, kf.yid, kf.c,
-         |       CASE WHEN sxs + sys = 0 THEN NULL
-         |            ELSE CAST((2 * $MarginK * 1000 * kf.m) // (sxs + sys) AS BIGINT) END AS margin_permille
-         |       FROM kf JOIN sx USING (xid) JOIN sy USING (yid)),
-         |mb AS (SELECT kb.xid, kb.yid, kb.c,
-         |       CASE WHEN sxs + sys = 0 THEN NULL
-         |            ELSE CAST((2 * $MarginK * 1000 * kb.m) // (sxs + sys) AS BIGINT) END AS margin_permille
-         |       FROM kb JOIN sx USING (xid) JOIN sy USING (yid)),
-         |bx AS (SELECT xid, yid, margin_permille FROM (
-         |       SELECT xid, yid, margin_permille,
-         |         row_number() OVER (PARTITION BY xid ORDER BY margin_permille DESC, c DESC, yid) AS rk
-         |       FROM mf) WHERE rk = 1),
-         |byy AS (SELECT xid, yid FROM (
-         |       SELECT xid, yid,
-         |         row_number() OVER (PARTITION BY yid ORDER BY margin_permille DESC, c DESC, xid) AS rk
-         |       FROM mb) WHERE rk = 1)
-         |SELECT bx.xid AS x_id, bx.yid AS y_id, bx.margin_permille,
-         |  (byy.xid IS NOT NULL) AS mutual
-         |FROM bx LEFT JOIN byy ON byy.yid = bx.yid AND byy.xid = bx.xid
-         |ORDER BY x_id""".stripMargin,
+    "ann_margin_mining" -> marginExactOracleSql,
     "ann_bruteforce_topk" ->
       s"""WITH p AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM p ORDER BY vec_id LIMIT $Q),

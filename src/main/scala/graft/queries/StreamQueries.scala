@@ -605,6 +605,45 @@ object StreamQueries {
   def semanticProbeParity(s: SparkSession, dir: String): DataFrame =
     semanticProbeParityWith(s, dir, SimilarityQueries.ivfIndex(s, dir))
 
+  /** Streaming INDEX-DRIFT audit — the serving form of
+    * `ann_index_drift` (19th streaming query, r13): the new batch
+    * arrives as a stream at the same settled index, each row
+    * re-derives its home cell PER ROW with the compiled argmin
+    * against the broadcast centroid literals (identical to the
+    * stored assignment — the semantic-probe twin's pinned rule), and
+    * the per-cell landing counts accumulate in ONE complete-mode
+    * count aggregate — the smallest state of any serve twin: ≤
+    * nCells count rows, whatever the corpus. The report arithmetic
+    * runs post-sink against the static settled occupancy through
+    * [[graft.operators.Similarity.driftReport]] — the SAME code the
+    * batch audit runs — so the twin is row-identical and rides the
+    * batch DuckDB oracle verbatim. This is the monitor a streaming
+    * ingest job keeps resident: the retrain flag flips mid-stream
+    * the moment a batch's landing distribution leaves the settled
+    * band. */
+  def indexDriftParity(s: SparkSession, dir: String): DataFrame = {
+    val idx = SimilarityQueries.ivfIndex(s, dir)
+    val settled = idx.cells.filter(pmod(col("id"), lit(5)) =!= 0)
+      .groupBy(col("cell").cast("int").as("cell"))
+      .agg(count(lit(1)).as("n_settled"))
+    val stream = s.readStream
+      .schema("vec_id bigint, embedding array<float>, label int")
+      .parquet(streamDir(dir, "embeddings"))
+      .filter(pmod(col("vec_id"), lit(5)) === 0)
+      .select(graft.functions.VectorOps.toDouble(col("embedding")).as("nv"))
+    val cellsNew = stream.withColumn("cell",
+        graft.plans.expressions.vec_argmin(col("nv"), idx.centers)("cluster_id")
+          .cast("int"))
+      .groupBy("cell").agg(count(lit(1)).as("n_new"))
+    val sunk = runToMemory(s, "stream_idxdrift_sink", cellsNew, "complete")
+    val per = settled.join(sunk, Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("n_settled"), lit(0L)).as("n_settled"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    graft.operators.Similarity.driftReport(per,
+      SimilarityQueries.DriftThresholdPermille)
+  }
+
   /** The same streaming serve plan against a CALLER-SUPPLIED index —
     * how ScaleUp's `stream_semantic_probe_auto` row rehearses the
     * production auto-nCells law (r12 verdict task 6): the declared
@@ -705,6 +744,7 @@ object StreamQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_ann_parity" -> (annServeParity _),
     "stream_semantic_probe_parity" -> (semanticProbeParity _),
+    "stream_index_drift_parity" -> (indexDriftParity _),
     "stream_covariance_parity" -> (covarianceParity _),
     "stream_topic_parity" -> (topicParity _),
     "stream_attribution_parity" -> (attributionParity _),
@@ -737,6 +777,11 @@ object StreamQueries {
     // row-identical to dedup_semantic_probe by construction
     "stream_semantic_probe_parity" ->
       DedupQueries.oracles("dedup_semantic_probe"),
+    // the batch drift-audit oracle verbatim: the complete-mode
+    // landing counts + static settled occupancy run through the SAME
+    // driftReport arithmetic as the batch audit
+    "stream_index_drift_parity" ->
+      SimilarityQueries.oracles("ann_index_drift"),
     // the batch covariance oracle verbatim: accumulated decimal
     // streaming state must equal the batch cells exactly
     "stream_covariance_parity" -> SimilarityQueries.covarianceOracleSql,
