@@ -1088,6 +1088,14 @@ object Similarity {
     * unit eigenvector of the covariance matrix). */
   def pcaTopComponent(stats: Array[(Int, Int, Long, Double, Double, Double)],
                       iters: Int = 50): (Double, Array[Double]) = {
+    val (lambda, v) = powerIteration(covMatrixOf(stats), iters)
+    (lambda, v)
+  }
+
+  /** The covariance matrix the moment cells encode — shared by the
+    * top-1 and top-2 trainers so the matrix every component sees is
+    * ONE arithmetic. */
+  private def covMatrixOf(stats: Array[(Int, Int, Long, Double, Double, Double)]): Array[Array[Double]] = {
     require(stats.nonEmpty, "empty covariance stats")
     val d = stats.map(_._2).max + 1
     val n = stats.head._3.toDouble
@@ -1096,6 +1104,14 @@ object Similarity {
       val c = (n * sxy - si * sj) / (n * n)
       cov(i)(j) = c; cov(j)(i) = c
     }
+    cov
+  }
+
+  /** Deterministic power iteration from the all-ones start — every
+    * fold left-to-right, every op one correctly-rounded IEEE double
+    * op, so any engine replays the identical trajectory. */
+  private def powerIteration(cov: Array[Array[Double]], iters: Int): (Double, Array[Double]) = {
+    val d = cov.length
     var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
     var lambda = 0.0
     var it = 0
@@ -1106,6 +1122,24 @@ object Similarity {
       it += 1
     }
     (lambda, v)
+  }
+
+  /** TOP-2 principal components by HOTELLING DEFLATION (r13): train
+    * component 1 exactly as [[pcaTopComponent]], deflate the matrix —
+    * C₂(i,j) = C(i,j) − λ₁·v₁(i)·v₁(j), each term the left-to-right
+    * IEEE product `λ₁ * v₁(i) * v₁(j)` so the oracle's
+    * `nm * w[i] * w[j]` lands on the identical double — and run the
+    * same power iteration on C₂. The d²-bounded hand-off discipline
+    * is unchanged: only moment cells cross to the driver, components
+    * are k·d doubles back. Returns ((λ₁, v₁), (λ₂, v₂)). */
+  def pcaTop2(stats: Array[(Int, Int, Long, Double, Double, Double)],
+              iters: Int = 50): ((Double, Array[Double]), (Double, Array[Double])) = {
+    val cov = covMatrixOf(stats)
+    val (l1, v1) = powerIteration(cov, iters)
+    val d = cov.length
+    val cov2 = Array.tabulate(d, d)((i, j) => cov(i)(j) - l1 * v1(i) * v1(j))
+    val (l2, v2) = powerIteration(cov2, iters)
+    ((l1, v1), (l2, v2))
   }
 
   /** MARGIN-BASED cross-set pair mining (Artetxe & Schwenk, "Margin-

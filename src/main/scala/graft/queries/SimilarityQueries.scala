@@ -638,14 +638,24 @@ object SimilarityQueries {
     * final-iteration vector `w$PcaIters`) — used by both the
     * component and the projection oracle, so apply cannot drift from
     * train. */
-  private def pcaTrainCtes: String = {
+  /** One unrolled power-iteration chain over matrix CTE `matName`,
+    * CTE names prefixed with `pfx` (the lloydRoundsCte discipline) —
+    * leaves `${pfx}w$PcaIters` defined. Shared by the component /
+    * projection oracles (pfx = "") and the top-2 oracle's deflated
+    * second chain (pfx = "b" over the deflated `m2`). */
+  private def powerIterCtes(matName: String, pfx: String): String = {
     val iters = (1 to PcaIters).map { k =>
-      s"""r$k AS (SELECT wr, sqrt(list_sum(list_transform(wr, y -> y * y))) AS nm FROM (
+      s"""${pfx}r$k AS (SELECT wr, sqrt(list_sum(list_transform(wr, y -> y * y))) AS nm FROM (
          |  SELECT list_transform(generate_series(1, $Dim), i ->
-         |    list_sum(list_transform(generate_series(1, $Dim), j -> m.mat[i][j] * w${k - 1}.w[j]))) AS wr
-         |  FROM m, w${k - 1})),
-         |w$k AS (SELECT list_transform(wr, x -> x / nm) AS w, nm FROM r$k)""".stripMargin
+         |    list_sum(list_transform(generate_series(1, $Dim), j -> m.mat[i][j] * ${pfx}w${k - 1}.w[j]))) AS wr
+         |  FROM $matName m, ${pfx}w${k - 1})),
+         |${pfx}w$k AS (SELECT list_transform(wr, x -> x / nm) AS w, nm FROM ${pfx}r$k)""".stripMargin
     }.mkString(",\n")
+    s"""${pfx}w0 AS (SELECT list_transform(generate_series(1, $Dim), x -> 1.0 / sqrt(CAST($Dim AS DOUBLE))) AS w),
+       |$iters""".stripMargin
+  }
+
+  private def pcaTrainCtes: String = {
     s"""WITH p AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |e AS (SELECT v, unnest(generate_series(1, $Dim)) AS i1 FROM p),
        |e2 AS (SELECT v, i1, unnest(generate_series(i1, $Dim)) AS j1 FROM e),
@@ -661,9 +671,49 @@ object SimilarityQueries {
        |sym AS (SELECT i, j, c FROM cm UNION ALL SELECT j AS i, i AS j, c FROM cm WHERE i <> j),
        |mrows AS (SELECT i, list(c ORDER BY j) AS cr FROM sym GROUP BY i),
        |m AS MATERIALIZED (SELECT list(cr ORDER BY i) AS mat FROM mrows),
-       |w0 AS (SELECT list_transform(generate_series(1, $Dim), x -> 1.0 / sqrt(CAST($Dim AS DOUBLE))) AS w),
-       |$iters""".stripMargin
+       |""".stripMargin + powerIterCtes("m", "")
   }
+
+  /** TOP-2 PCA — `ann_pca_top2` (r13): the whitening hand-off past
+    * one direction, by HOTELLING DEFLATION ([[Similarity.pcaTop2]]):
+    * component 1 trains exactly as `ann_pca_component` on the shared
+    * [[covCells]] memo, the matrix deflates C − λ₁v₁v₁ᵀ with
+    * left-to-right IEEE products, and the same 50-iteration power
+    * trajectory runs again. Still the k·d-centers discipline: the
+    * d²-bounded cells are the only distributed hand-off, both
+    * components are driver arithmetic the oracle replays through two
+    * unrolled CTE chains ([[powerIterCtes]] prefixes "" and "b"). */
+  def pcaTop2Q(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ((l1, v1), (l2, v2)) = Similarity.pcaTop2(covCells(s, dir), PcaIters)
+    Seq((1, l1, v1), (2, l2, v2)).flatMap { case (c, l, v) =>
+      v.zipWithIndex.map { case (x, i) =>
+        (c, i, math.floor(x * 1000000.0).toLong, math.floor(l * 1000000.0).toLong)
+      }
+    }.toDF("component", "i", "loading_micros", "eigenvalue_micros")
+      .orderBy("component", "i")
+  }
+
+  private def pcaTop2OracleSql: String =
+    pcaTrainCtes +
+      s""",
+         |m2 AS MATERIALIZED (SELECT list_transform(generate_series(1, $Dim), i ->
+         |  list_transform(generate_series(1, $Dim), j ->
+         |    m.mat[i][j] - w$PcaIters.nm * w$PcaIters.w[i] * w$PcaIters.w[j])) AS mat
+         |  FROM m, w$PcaIters),
+         |""".stripMargin + powerIterCtes("m2", "b") +
+      s"""
+         |SELECT component, i, loading_micros, eigenvalue_micros FROM (
+         |  SELECT 1 AS component, CAST(ix - 1 AS INTEGER) AS i,
+         |    CAST(floor(w$PcaIters.w[ix] * 1000000.0) AS BIGINT) AS loading_micros,
+         |    CAST(floor(w$PcaIters.nm * 1000000.0) AS BIGINT) AS eigenvalue_micros
+         |  FROM w$PcaIters, (SELECT unnest(generate_series(1, $Dim)) AS ix)
+         |  UNION ALL
+         |  SELECT 2, CAST(ix - 1 AS INTEGER),
+         |    CAST(floor(bw$PcaIters.w[ix] * 1000000.0) AS BIGINT),
+         |    CAST(floor(bw$PcaIters.nm * 1000000.0) AS BIGINT)
+         |  FROM bw$PcaIters, (SELECT unnest(generate_series(1, $Dim)) AS ix))
+         |ORDER BY component, i""".stripMargin
 
   private def pcaOracleSql: String =
     pcaTrainCtes +
@@ -755,6 +805,7 @@ object SimilarityQueries {
     "ann_hard_negatives_ivf" -> (hardNegativesIvfQ _),
     "ann_covariance" -> (covariance _),
     "ann_pca_component" -> (pcaComponent _),
+    "ann_pca_top2" -> (pcaTop2Q _),
     "ann_pca_project" -> (pcaProject _),
     "ann_knn_graph" -> (knnGraph _),
     "ann_knn_graph_auto" -> (knnGraphAuto _),
@@ -1312,6 +1363,7 @@ object SimilarityQueries {
     // summed exactly in decimal, output round(double, 6)
     "ann_covariance" -> covarianceOracleSql,
     "ann_pca_component" -> pcaOracleSql,
+    "ann_pca_top2" -> pcaTop2OracleSql,
     "ann_pca_project" -> pcaProjectOracleSql,
     "ann_knn_graph" -> knnGraphOracleSql,
     // the auto form's oracle is the SAME build replay: autoNCells

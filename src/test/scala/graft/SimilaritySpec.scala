@@ -727,6 +727,25 @@ class SimilaritySpec extends SparkSpec {
       graft.queries.SimilarityQueries.covCells(spark, sf001))
   }
 
+  test("pcaTop2: component 1 == pcaTopComponent; deflated component is near-orthogonal and smaller (r13)") {
+    val stats = graft.queries.SimilarityQueries.covCells(spark, sf001)
+    val ((l1, v1), (l2, v2)) = Similarity.pcaTop2(stats)
+    val (l1solo, v1solo) = Similarity.pcaTopComponent(stats)
+    // the first component's trajectory is untouched by the deflation
+    assert(l1 === l1solo)
+    assert(v1.toSeq === v1solo.toSeq)
+    // Hotelling deflation: the second direction is orthogonal to the
+    // first UP TO POWER-ITERATION CONVERGENCE — the declared
+    // semantics is the deterministic 50-iteration trajectory (what
+    // the oracle replays), not the infinite-iteration limit, and the
+    // fixture's flat-ish spectrum leaves a ~5e-3 v₁ residual in v₂
+    // (measured 0.0055 at sf0.01); the spec pins the ORDER of that
+    // residual, the eigenvalue ordering, and unit norm
+    assert(math.abs(VectorOps.dotSeq(v1, v2)) < 0.02)
+    assert(l2 > 0.0 && l2 <= l1)
+    assert(math.abs(math.sqrt(VectorOps.dotSeq(v2, v2)) - 1.0) < 1e-12)
+  }
+
   test("autoNCells: the constant-occupancy law and its fixture floor") {
     // floor = the declared IvfCells = 16 at every fixture scale, so
     // auto-law queries ride the same oracle build CTEs; production
