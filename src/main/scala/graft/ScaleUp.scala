@@ -714,6 +714,9 @@ object ScaleUp {
     "ann_covariance", "stream_covariance_parity", "stream_ann_parity",
     "dedup_chunk_rewrite", "pipeline_mix_weights", "ann_pca_component",
     "ann_pca_project",
+    // r13: top-2 deflation rides the covCells memo — after the
+    // family's first touch its marginal cost is driver arithmetic
+    "ann_pca_top2",
     // round 11 cohort 25 (hard negatives is 10×-only — see Timed):
     // the pair-graph-memoized source report, the stride-bounded
     // overlap chunker over 500 k open-vocab docs, and the
