@@ -745,7 +745,10 @@ object ScaleUp {
     // drift audit (one cell-keyed partial-agg exchange, nCells rows —
     // scan-shaped at any corpus); and the retrain action (two
     // sample-bounded trains + two corpus-linear assignment scans)
-    "ann_knn_graph_auto", "ann_index_drift", "ann_index_retrain")
+    "ann_knn_graph_auto", "ann_index_drift", "ann_index_retrain",
+    // r13: semantic eval decontamination — Q-bounded probes against
+    // the amortized disk index, corpus work (nProbe/nCells)-pruned
+    "dedup_semantic_decontam")
     // (the 18th streaming query, stream_semantic_probe_parity, is
     // 10×-only here like its batch twin's declared form: both pin the
     // oracle's nCells=16; since r13 BOTH production configurations

@@ -1455,6 +1455,55 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** SEMANTIC EVAL-SET DECONTAMINATION through the persisted index
+    * (r13) — the embedding-space twin of the n-gram
+    * [[graft.operators.Dedup.decontamOverlap]] surface: held-out eval
+    * items leak into training data as PARAPHRASES that share no
+    * n-grams, so the decontamination pass a pretraining pipeline runs
+    * needs a semantic arm. Each eval vector probes its `nProbe`
+    * nearest cells of the SAME persisted [[IvfIndex]] every other
+    * query serves; every corpus vector in a probed cell with cosine ≥
+    * `threshold` is flagged with its best-matching (max cosine, tie →
+    * min eval id) eval item. Work is Q·(nProbe/nCells)·corpus — the
+    * labeled-probe law, never corpus × eval brute — and on the disk
+    * layout the cell filter is partition pruning. Eval rows that are
+    * themselves corpus members are excluded by id (self-similarity is
+    * not contamination). Recall is the index's ([[probe]] contract):
+    * a paraphrase homed outside the probed cells is missed, the
+    * trade `ann_margin_recall` prices for the mining surface. */
+  def semanticDecontam(index: IvfIndex, evals: Array[(Long, Array[Double])],
+                       threshold: Double, nProbe: Int = 4): DataFrame = {
+    val spark = index.cells.sparkSession
+    import spark.implicits._
+    val probes = evals.flatMap { case (qid, qv) =>
+      index.centers.zipWithIndex
+        .map { case (c, cid) => (VectorOps.sqdistSeq(qv, c), cid) }
+        .sortBy { case (d, cid) => (d, cid) }
+        .take(nProbe)
+        .map { case (_, cid) => (qid, qv, math.sqrt(VectorOps.dotSeq(qv, qv)), cid) }
+    }.toSeq
+    val qdf = probes.toDF("eval_id", "qv", "qn", "cell")
+    val neededCells = probes.map(_._4).distinct
+    // a corpus row lives in ONE cell and an eval's probed cells are
+    // distinct, so every (eval, corpus) pair meets at most once
+    val scored = index.cells
+      .filter(col("cell").isin(neededCells: _*))
+      .join(broadcast(qdf), Seq("cell"))
+      .filter(col("id") =!= col("eval_id"))
+      .select(col("eval_id"), col("qv"), col("qn"), col("id"), col("v"))
+      .as[(Long, Array[Double], Double, Long, Array[Double])]
+      .map { case (qid, qv, qn, id, v) =>
+        // eval vector folds first — the probe/oracle fold order
+        (id, qid, VectorOps.dotSeq(qv, v) / (qn * math.sqrt(VectorOps.dotSeq(v, v))))
+      }.toDF("vec_id", "eval_id", "cosine")
+      .filter(col("cosine") >= threshold)
+    val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("eval_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("eval_id").as("matched_eval_id"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("vec_id")
+  }
+
   /** Exact-kernel cutover for [[marginKnnMiningAuto]]: below it the
     * B²-tiled exact cross kernel finds the TRUE margin-best partner
     * for every row and its compute (|X|·|Y| cosines ≈ n²/4) is cheap;

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.{FixtureCache, Tables}
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 
 /** Declared dedup queries over the `documents` / `embeddings` fixture
   * tables (north-star extension surface; SURVEY.md §2.2). ALL six are
@@ -461,6 +461,25 @@ object DedupQueries {
     Dedup.semanticProbeVerdicts(SimilarityQueries.ivfIndex(s, dir).cells,
       pmod(col("id"), lit(5)) === 0, CosineThreshold)
 
+  /** SEMANTIC eval-set decontamination
+    * ([[graft.operators.Similarity.semanticDecontam]], r13): the
+    * embedding-space arm of `dedup_decontam` — the 20 lowest-vec_id
+    * embeddings play the held-out benchmark (the n-gram query's
+    * convention on the documents table), each probes its nProbe
+    * nearest cells of the SAME persisted IVF index, and every corpus
+    * vector within cosine ≥ τ of an eval item is flagged with its
+    * best match. Q·(nProbe/nCells)·corpus work — the decontamination
+    * pass a pretraining pipeline actually schedules at 100 TB. */
+  def semanticDecontamQ(s: SparkSession, dir: String): DataFrame = {
+    val evals = Tables.embeddings(s, dir).orderBy("vec_id")
+      .limit(DecontamEvalBelow)
+      .select(col("vec_id"), graft.functions.VectorOps.toDouble(col("embedding")))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    Similarity.semanticDecontam(SimilarityQueries.ivfIndex(s, dir), evals,
+      CosineThreshold, SimilarityQueries.IvfNProbe)
+  }
+
   /** Eval-set decontamination: the 20 lowest-doc_id documents play
     * the benchmark set; every other document reports its 5-gram
     * overlap with them (pretraining hygiene as a declared surface). */
@@ -595,6 +614,7 @@ object DedupQueries {
     "dedup_embedding_recall" -> (embeddingRecall _),
     "dedup_semantic" -> (semantic _),
     "dedup_semantic_probe" -> (semanticProbe _),
+    "dedup_semantic_decontam" -> (semanticDecontamQ _),
     "dedup_cc_groups" -> (ccGroups _),
     "dedup_canonical_pick" -> (canonicalPick _))
 
@@ -1085,6 +1105,32 @@ object DedupQueries {
          |  round(b.cos, 6) AS best_cosine
          |FROM nb n LEFT JOIN best b ON b.new_id = n.new_id
          |ORDER BY vec_id""".stripMargin),
+    // semantic eval decontamination: the SHARED IVF build replay, the
+    // eval batch's nProbe nearest cells (the proven probe CTEs), the
+    // threshold filter, and the best-eval-per-corpus-row rank
+    "dedup_semantic_decontam" -> ("WITH " + SimilarityQueries.ivfBuildCtes +
+      s""",
+         |qv AS (SELECT vec_id AS eval_id, v FROM p ORDER BY vec_id LIMIT $DecontamEvalBelow),
+         |qd AS (SELECT q.eval_id, c.cid,
+         |  list_sum(list_transform(generate_series(1, ${SimilarityQueries.Dim}),
+         |           i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS d2
+         |  FROM qv q CROSS JOIN cent${SimilarityQueries.IvfTrainIters} c),
+         |probes AS (SELECT eval_id, cid FROM (
+         |  SELECT eval_id, cid, row_number() OVER (PARTITION BY eval_id ORDER BY d2, cid) AS rn
+         |  FROM qd) WHERE rn <= ${SimilarityQueries.IvfNProbe}),
+         |cand AS (SELECT pr.eval_id, ce.vec_id
+         |  FROM probes pr JOIN cells ce ON ce.cell = pr.cid AND ce.vec_id <> pr.eval_id),
+         |d AS (SELECT c.vec_id, c.eval_id,
+         |  list_sum(list_transform(generate_series(1, ${SimilarityQueries.Dim}), i -> qa.v[i] * nb.v[i])) /
+         |  (sqrt(list_sum(list_transform(generate_series(1, ${SimilarityQueries.Dim}), i -> qa.v[i] * qa.v[i]))) *
+         |   sqrt(list_sum(list_transform(generate_series(1, ${SimilarityQueries.Dim}), i -> nb.v[i] * nb.v[i])))) AS cosine
+         |  FROM cand c JOIN p qa ON qa.vec_id = c.eval_id
+         |    JOIN p nb ON nb.vec_id = c.vec_id),
+         |f AS (SELECT vec_id, eval_id, cosine,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, eval_id) AS rn
+         |  FROM d WHERE cosine >= $CosineThreshold)
+         |SELECT vec_id, eval_id AS matched_eval_id, round(cosine, 6) AS cosine
+         |FROM f WHERE rn = 1 ORDER BY vec_id""".stripMargin),
     // SemDeDup end-to-end: the SHARED IVF training replay
     // (SimilarityQueries.ivfBuildCtes — the same CTEs the proven
     // ann_ivf* oracles use, because the query clusters through the

@@ -100,6 +100,9 @@ class ShuffleCeilingSpec extends SparkSpec {
     // the retrain action: two trains (sample-bounded driver hand-off)
     // + two assignment scans whose per-cell counts partial-aggregate
     ("ann_index_retrain", 400L, "2 x nCells occupancy partials + totals (57)"),
+    // the semantic decontam flags ride a Q-bounded broadcast probe
+    // join + a flagged-rows-only best-match window
+    ("dedup_semantic_decontam", 2000L, "Q-bounded probe partials + flagged-row window (156)"),
     // the declared auto-law graph rides the SAME fixture index here
     // (autoNCells floor = 16), so its bound is ann_knn_graph's
     ("ann_knn_graph_auto", 60000L, "corpus rows into cells + <= n*k edge partials (14000)"),

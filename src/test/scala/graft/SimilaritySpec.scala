@@ -746,6 +746,28 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(math.sqrt(VectorOps.dotSeq(v2, v2)) - 1.0) < 1e-12)
   }
 
+  test("semanticDecontam: a planted paraphrase of an eval item is flagged, self and dissimilar rows are not (r13)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    def noise() = Array.fill(32)((rng.nextDouble() - 0.5).toFloat)
+    val base = noise()
+    // id 1 is the eval item (also a corpus member); id 23 is its
+    // planted paraphrase (cosine ~0.9998); the rest is noise
+    val corpus = ((1L, base) +: (23L, base.map(v => v + 0.001f)) +:
+      (2 to 22).map(i => (i.toLong, noise()))).toDF("vec_id", "embedding")
+    val idx = Similarity.buildIndex(corpus, "vec_id", "embedding",
+      nCells = 4, trainIters = 3, trainSample = 100, seed = 42L)
+    try {
+      val evals = Array((1L, base.map(_.toDouble)))
+      // nProbe = nCells: every cell probed, so this is the exact
+      // radius answer and the assertion is recall-free
+      val got = Similarity.semanticDecontam(idx, evals, threshold = 0.9, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got.map(g => (g._1, g._2)) === Seq((23L, 1L))) // the paraphrase, nothing else
+      assert(got.head._3 > 0.99)
+    } finally idx.unpersist()
+  }
+
   test("autoNCells: the constant-occupancy law and its fixture floor") {
     // floor = the declared IvfCells = 16 at every fixture scale, so
     // auto-law queries ride the same oracle build CTEs; production
