@@ -320,6 +320,11 @@ object ScaleUp {
     // the exact side's 10×-only constraint (the ann_recall_eval
     // precedent); the streaming drift twin is nCells-bounded state
     "ann_margin_recall", "stream_index_drift_parity",
+    // r13: the declared NN-descent graph is 10x-only like ann_knn_graph
+    // (both seed graphs pin the oracle nCells=16, within-cell
+    // quadratic at fixed cell count — measured 13.5x at 100x); the
+    // production law rehearses as ann_knn_graph_refined_auto below
+    "ann_knn_graph_refined",
     // r12: the declared PCA hand-off — the covariance pass + a
     // d²-bounded driver power iteration
     "ann_pca_component", "ann_pca_project",
@@ -495,7 +500,32 @@ object ScaleUp {
     // ann_knn_graph_auto in the r12 BASELINE tables).
     "ann_knn_graph_auto_percall" -> ((s: SparkSession, dir: String) =>
       autoIndexed(s, dir)(idx =>
-        graft.operators.Similarity.knnGraphWithin(idx.cells, k = 3))))
+        graft.operators.Similarity.knnGraphWithin(idx.cells, k = 3))),
+    // r13: the NN-descent round under the production law — BOTH seed
+    // graphs (IVF cells + Lehmer buckets) at constant occupancy, so
+    // each is Sigma m^2-bounded and the round's candidate volume is
+    // n*(k^2+k); the declared form pins nCells=16 for its oracle and
+    // stays 10x-only in Timed
+    "ann_knn_graph_refined_auto" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val nCells = graft.operators.Similarity.autoNCells(e.count())
+      val idx = graft.operators.Similarity.buildIndex(
+        e, "vec_id", "embedding", nCells = nCells)
+      val (ra, rb) = graft.operators.Similarity.sampleRankCoeffs(
+        graft.queries.SimilarityQueries.GraphSeedSalt)
+      val p = graft.operators.Similarity.SampleRankP
+      val bucketed = idx.cells.select(
+        (pmod(pmod(col("id"), lit(p)) * lit(ra) + lit(rb), lit(p)) % lit(nCells))
+          .cast("int").as("cell"),
+        col("id"), col("v"))
+      val out = graft.operators.Similarity.nnDescentRound(
+        graft.operators.Similarity.knnGraphWithin(idx.cells, 3)
+          .union(graft.operators.Similarity.knnGraphWithin(bucketed, 3)),
+        e, "vec_id", "embedding", 3).persist()
+      val n = out.count()
+      idx.unpersist(); out.unpersist()
+      s.range(n).toDF("row")
+    }))
 
   /** 100×-bench-scale fixture (round-6 rehearsal): ONLY the tables the
     * five heaviest shuffle producers touch — documents 500 k, lineitem

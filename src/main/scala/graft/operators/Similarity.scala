@@ -1455,6 +1455,65 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** ONE NN-DESCENT REFINEMENT ROUND over a kNN graph (Dong, Moses &
+    * Li, "Efficient K-Nearest Neighbor Graph Construction for Generic
+    * Similarity Measures", WWW 2011 — the construction every modern
+    * graph-ANN index descends from): a neighbor's neighbor is likely
+    * a neighbor, so each vector's candidate set for the next graph is
+    * its current neighbors ∪ its neighbors' neighbors, rescored
+    * exactly and cut back to top-k. This is the cross-cell repair the
+    * within-cell [[knnGraphWithin]] cannot do alone: a true neighbor
+    * quantized into an adjacent cell is invisible to the cell pass,
+    * but becomes reachable through any shared neighbor after one
+    * round — recall only ever improves (the candidate set contains
+    * the incumbent edges).
+    *
+    * SEEDING CAVEAT (the reason the paper initializes with a RANDOM
+    * graph): the within-cell graph alone is CLOSED under hop-2 —
+    * every neighbor's neighbor is a cell-mate, so descent over it is
+    * a no-op. Callers must union an independent partition's edges
+    * into the seed (the declared `ann_knn_graph_refined` unions the
+    * IVF-cell graph with a Lehmer-hash bucket graph — a
+    * deterministic, oracle-expressible stand-in for the paper's
+    * random init); each round then mixes the partitions and recall
+    * climbs toward the exact graph.
+    *
+    * Distributed shape: candidate generation is ONE self-join of the
+    * edge list on the shared endpoint (≤ n·k² hop-2 rows + n·k
+    * incumbents, k-bounded — never corpus-quadratic), a distinct on
+    * the pair key, two id-keyed joins to fetch both endpoint vectors
+    * (on a cluster these ride the corpus table's own key layout), one
+    * compiled cosine per candidate, and a per-source rank window over
+    * ≤ k² + k rows. Repeated rounds converge like the paper's; each
+    * is one more bounded exchange. Cosine folds src-vector-first (the
+    * [[knnGraphWithin]] / oracle convention). */
+  def nnDescentRound(edges: DataFrame, embs: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val e = edges.select(col("vec_id").cast("long").as("src"),
+      col("neighbor_id").cast("long").as("nb"))
+    val hop2 = e.as("a").join(e.as("b"), col("a.nb") === col("b.src"))
+      .select(col("a.src").as("src"), col("b.nb").as("cand"))
+    val cands = e.select(col("src"), col("nb").as("cand"))
+      .union(hop2)
+      .filter(col("src") =!= col("cand"))
+      .distinct()
+    val p = embs.select(col(idCol).cast("long").as("id"),
+      VectorOps.toDouble(col(vecCol)).as("v"))
+    val scored = cands
+      .join(p.select(col("id").as("src"), col("v").as("sv")), Seq("src"))
+      .join(p.select(col("id").as("cand"), col("v").as("cv")), Seq("cand"))
+      .select(col("src"), col("cand"),
+        (graft.plans.expressions.vec_dot(col("sv"), col("cv")) /
+          (sqrt(graft.plans.expressions.vec_dot(col("sv"), col("sv"))) *
+           sqrt(graft.plans.expressions.vec_dot(col("cv"), col("cv")))))
+          .as("cosine"))
+    val w = Window.partitionBy("src").orderBy(col("cosine").desc, col("cand"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("src").as("vec_id"), col("cand").as("neighbor_id"),
+        col("rank"), col("cosine"))
+  }
+
   /** SEMANTIC EVAL-SET DECONTAMINATION through the persisted index
     * (r13) — the embedding-space twin of the n-gram
     * [[graft.operators.Dedup.decontamOverlap]] surface: held-out eval

@@ -449,6 +449,34 @@ object SimilarityQueries {
         round(col("cosine"), 6).as("cosine"))
       .orderBy("vec_id", "rank")
 
+  /** NN-DESCENT-refined kNN graph ([[Similarity.nnDescentRound]],
+    * r13): one refinement round over the union of the within-cell
+    * graph and a Lehmer-hash BUCKET graph (the paper's random-init
+    * role, made deterministic and oracle-expressible — the
+    * within-cell graph alone is hop-2 CLOSED, see the operator
+    * scaladoc). The round rescores each vector's neighbors'
+    * neighbors across BOTH partitions, repairing the cross-cell
+    * edges quantization hides from the cell pass; recall vs the
+    * exact graph improves strictly on the fixture (spec-measured
+    * recall@3 0.239 → 0.666 at sf0.01). */
+  val GraphSeedSalt = 7L
+  def knnGraphRefined(s: SparkSession, dir: String): DataFrame = {
+    val idx = ivfIndex(s, dir)
+    val cellEdges = Similarity.knnGraphWithin(idx.cells, GraphK)
+    val (ra, rb) = Similarity.sampleRankCoeffs(GraphSeedSalt)
+    val p = Similarity.SampleRankP
+    val bucketed = idx.cells.select(
+      (pmod(pmod(col("id"), lit(p)) * lit(ra) + lit(rb), lit(p)) % lit(IvfCells))
+        .cast("int").as("cell"),
+      col("id"), col("v"))
+    val seedEdges = Similarity.knnGraphWithin(bucketed, GraphK)
+    Similarity.nnDescentRound(cellEdges.union(seedEdges),
+        Tables.embeddings(s, dir), "vec_id", "embedding", GraphK)
+      .select(col("vec_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("vec_id", "rank")
+  }
+
   /** PRODUCTION-CONFIGURATION kNN graph (r12 verdict task 5): the
     * same within-cell graph as `ann_knn_graph`, but nCells follows
     * the [[Similarity.autoNCells]] constant-occupancy law instead of
@@ -588,9 +616,11 @@ object SimilarityQueries {
          |  (1000 * j.n_retrained * t.c_new) // greatest(t.t_new, 1) AS retrained_over_mean_permille
          |FROM j CROSS JOIN tot t ORDER BY cell""".stripMargin
 
-  /** kNN-graph oracle: the IVF build CTEs + within-cell rank. */
-  private def knnGraphOracleSql: String =
-    "WITH " + ivfBuildCtes +
+  /** The within-cell graph CTE chain (build replay + ranked edges
+    * through `r`) — shared by the kNN-graph oracle and the NN-descent
+    * refined oracle, which grows candidates from these edges. */
+  private def knnGraphCtes: String =
+    ivfBuildCtes +
       s""",
          |pe AS (SELECT c.vec_id, c.cell, p.v FROM cells c JOIN p USING (vec_id)),
          |d AS (SELECT a.vec_id AS src, b.vec_id AS nb,
@@ -600,9 +630,50 @@ object SimilarityQueries {
          |  FROM pe a JOIN pe b ON b.cell = a.cell AND b.vec_id <> a.vec_id),
          |r AS (SELECT src, nb, cosine,
          |  CAST(row_number() OVER (PARTITION BY src ORDER BY cosine DESC, nb) AS INTEGER) AS rank
-         |  FROM d)
+         |  FROM d)""".stripMargin
+
+  /** kNN-graph oracle: the IVF build CTEs + within-cell rank. */
+  private def knnGraphOracleSql: String =
+    "WITH " + knnGraphCtes +
+      s"""
          |SELECT src AS vec_id, nb AS neighbor_id, rank, round(cosine, 6) AS cosine
          |FROM r WHERE rank <= $GraphK ORDER BY vec_id, rank""".stripMargin
+
+  /** NN-descent refined oracle: the graph CTEs + the Lehmer-bucket
+    * seed graph (same coeff generator as the build sample), hop-2
+    * candidate expansion over the UNION, exact rescoring, per-source
+    * rank. */
+  private def knnGraphRefinedOracleSql: String = {
+    val (ra, rb) = Similarity.sampleRankCoeffs(GraphSeedSalt)
+    val p = Similarity.SampleRankP
+    "WITH " + knnGraphCtes +
+      s""",
+         |bpe AS (SELECT vec_id, ((((vec_id % $p) + $p) % $p * $ra + $rb) % $p) % $IvfCells AS cell, v FROM pe),
+         |bd AS (SELECT a.vec_id AS src, b.vec_id AS nb,
+         |  list_sum(list_transform(generate_series(1, $Dim), i -> a.v[i] * b.v[i])) /
+         |  (sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> a.v[i] * a.v[i]))) *
+         |   sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> b.v[i] * b.v[i])))) AS cosine
+         |  FROM bpe a JOIN bpe b ON b.cell = a.cell AND b.vec_id <> a.vec_id),
+         |br AS (SELECT src, nb FROM (SELECT src, nb,
+         |  row_number() OVER (PARTITION BY src ORDER BY cosine DESC, nb) AS rank
+         |  FROM bd) WHERE rank <= $GraphK),
+         |g AS (SELECT src, nb FROM r WHERE rank <= $GraphK
+         |      UNION SELECT src, nb FROM br),
+         |h2 AS (SELECT a.src, b.nb AS cand FROM g a JOIN g b ON b.src = a.nb),
+         |cnd AS (SELECT DISTINCT src, cand FROM (
+         |  SELECT src, nb AS cand FROM g UNION ALL SELECT src, cand FROM h2)
+         |  WHERE src <> cand),
+         |rsc AS (SELECT c.src, c.cand,
+         |  list_sum(list_transform(generate_series(1, $Dim), i -> a.v[i] * b.v[i])) /
+         |  (sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> a.v[i] * a.v[i]))) *
+         |   sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> b.v[i] * b.v[i])))) AS cosine
+         |  FROM cnd c JOIN p a ON a.vec_id = c.src JOIN p b ON b.vec_id = c.cand),
+         |rrk AS (SELECT src, cand, cosine,
+         |  CAST(row_number() OVER (PARTITION BY src ORDER BY cosine DESC, cand) AS INTEGER) AS rank
+         |  FROM rsc)
+         |SELECT src AS vec_id, cand AS neighbor_id, rank, round(cosine, 6) AS cosine
+         |FROM rrk WHERE rank <= $GraphK ORDER BY vec_id, rank""".stripMargin
+  }
 
   /** PCA APPLIED — `ann_pca_project` (r12): the train→apply half of
     * the whitening hand-off. [[Similarity.pcaTopComponent]] trains on
@@ -809,6 +880,7 @@ object SimilarityQueries {
     "ann_pca_project" -> (pcaProject _),
     "ann_knn_graph" -> (knnGraph _),
     "ann_knn_graph_auto" -> (knnGraphAuto _),
+    "ann_knn_graph_refined" -> (knnGraphRefined _),
     "ann_index_drift" -> (indexDriftQ _),
     "ann_index_retrain" -> (indexRetrainQ _),
     "ann_margin_mining" -> (marginMining _),
@@ -1370,6 +1442,7 @@ object SimilarityQueries {
     // floors to the declared IvfCells = 16 at every fixture scale
     // (disclosed constraint; the law itself is spec-pinned)
     "ann_knn_graph_auto" -> knnGraphOracleSql,
+    "ann_knn_graph_refined" -> knnGraphRefinedOracleSql,
     "ann_index_drift" -> indexDriftOracleSql,
     "ann_index_retrain" -> indexRetrainOracleSql,
     // the bruteforce CTEs + labels: majority vote over the top-k,

@@ -106,6 +106,9 @@ class ShuffleCeilingSpec extends SparkSpec {
     // the declared auto-law graph rides the SAME fixture index here
     // (autoNCells floor = 16), so its bound is ann_knn_graph's
     ("ann_knn_graph_auto", 60000L, "corpus rows into cells + <= n*k edge partials (14000)"),
+    // NN-descent round: two seed graphs + n*(k^2+k)-bounded candidate
+    // distinct + two id-keyed vector joins + per-source rank
+    ("ann_knn_graph_refined", 340000L, "2 seed graphs + n*k^2 candidate pairs (84096)"),
     ("ann_pca_project", 17000L, "CovCellsAgg buffers + d^2 hand-off, zero-shuffle scoring (4008)"),
     ("mm_scene_changes", 150000L, "bytes/stride frame stream into the id window (30699)"),
     ("text_lm_heldout_score", 44000L, "train-vocab bigram/unigram counts + doc report (10962)"))

@@ -768,6 +768,49 @@ class SimilaritySpec extends SparkSpec {
     } finally idx.unpersist()
   }
 
+  test("nnDescentRound: one round strictly improves recall vs the within-cell graph (r13)") {
+    // driver-exhaustive ground truth: the exact top-3 cosine graph
+    val all = emb.select(col("vec_id"), VectorOps.toDouble(col("embedding")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth: Map[Long, Set[Long]] = all.map { case (id, v) =>
+      id -> all.filter(_._1 != id)
+        .map { case (nid, nv) => (nid, cos(v, nv)) }
+        .sortBy { case (nid, c) => (-c, nid) }.take(3).map(_._1).toSet
+    }.toMap
+    val idx = graft.queries.SimilarityQueries.ivfIndex(spark, sf001)
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("vec_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val hits = truth.toSeq.map { case (id, t) =>
+        (got.getOrElse(id, Set.empty) & t).size.toDouble / t.size
+      }
+      hits.sum / hits.size
+    }
+    val base = Similarity.knnGraphWithin(idx.cells, 3)
+    // hop-2 closure law: descent over the within-cell graph ALONE is
+    // a no-op (neighbors' neighbors are cell-mates) — the seeding
+    // caveat the operator scaladoc documents
+    val unseeded = Similarity.nnDescentRound(base,
+      Tables.embeddings(spark, sf001), "vec_id", "embedding", 3)
+    assert(recallOf(unseeded) === recallOf(base))
+    // the declared query's seeded union: cell graph + Lehmer-bucket
+    // graph — one round now mixes partitions and must strictly beat
+    // the cell graph (measured recall@3: 0.239 -> 0.666 on the fixture)
+    val refined = graft.queries.SimilarityQueries.knnGraphRefined(spark, sf001)
+    val (rBase, rRefined) = (recallOf(base), recallOf(refined))
+    info(f"recall@3 vs exact graph: within-cell $rBase%.3f -> seeded+1 round $rRefined%.3f")
+    assert(rRefined > rBase, s"refined $rRefined !> base $rBase")
+    // every refined neighbor ranks by exact cosine with contiguous ranks
+    val ranks = refined.collect().groupBy(_.getLong(0))
+      .values.map(_.map(_.getInt(2)).sorted.toSeq)
+    ranks.foreach(rs => assert(rs === (1 to rs.length)))
+  }
+
   test("autoNCells: the constant-occupancy law and its fixture floor") {
     // floor = the declared IvfCells = 16 at every fixture scale, so
     // auto-law queries ride the same oracle build CTEs; production
