@@ -194,9 +194,10 @@ object CovCellsAgg {
     * ADVICE). Runs the exact `new JBig(Double.toString(x))` contract
     * itself (allocation is fine here: real embedding components never
     * reach this branch; it exists so the aggregator stays a total
-    * function over everything `DECIMAL(38,12)` can carry). Past 126
-    * bits the term is unrepresentable in the 128-bit accumulator at
-    * all — throws, as loudly as the non-finite gate. */
+    * function over everything `DECIMAL(38,12)` can carry). Past 127
+    * bits of unscaled magnitude the term is unrepresentable in the
+    * signed-128 accumulator at all — throws, as loudly as the
+    * non-finite gate. */
   def d12Wide(x: Double): (Long, Long) = {
     require(java.lang.Double.isFinite(x), s"non-finite covariance term: $x")
     val unscaled = new JBig(java.lang.Double.toString(x))
