@@ -71,7 +71,16 @@ import org.apache.spark.sql.functions.udaf
   * the count, so off-contract input leaves a signal instead of
   * silently diverging from the batch explode plan's partial-cell
   * semantics. The counter rides the buffer, not the output — the
-  * cells schema every declared query inlines is unchanged. */
+  * cells schema every declared query inlines is unchanged.
+  *
+  * STREAMING STATE-FORMAT BREAK (r13 ADVICE): adding the skip
+  * counter widened the buffer tuple from (n, sums, pairs) to
+  * (n, skipped, sums, pairs). A Structured Streaming checkpoint
+  * written by the 3-tuple build (any resident covariance serve twin
+  * started before r13) carries the OLD buffer encoding in its state
+  * store and will fail to restore under this class — restart such
+  * streams with a fresh checkpoint directory rather than resuming;
+  * there is no in-place state migration for UDAF buffer schemas. */
 class CovCellsAgg(dim: Int)
     extends Aggregator[Seq[Double], (Long, Long, Array[Long], Array[Long]),
       Seq[(Int, Int, Long, Double, Double, Double)]] {

@@ -22,13 +22,40 @@ object FixtureCache {
     * Unlike `System.identityHashCode`, a UUID is never reused — an
     * identity hash can collide with a fresh session after the old one
     * is GC'd, serving a cached frame bound to a stopped session
-    * (r9 ADVICE). (Spark's own `sessionUUID` is `private[sql]`.) */
+    * (r9 ADVICE). (Spark's own `sessionUUID` is `private[sql]`.)
+    *
+    * EVICTION (r13 ADVICE): a session-bound memo value strongly
+    * references its SparkSession, so the entry must not outlive the
+    * session — otherwise stopped-session frames accumulate for the
+    * process lifetime (and pin their sessions against GC). Callers
+    * embed this key IN the memo tag (the `dedup_sem_pairs` /
+    * `ann_margin_*_pairs` convention); the first mint for a session
+    * registers a listener on its SparkContext that drops every entry
+    * whose tag embeds the key when the context stops (the frames
+    * themselves die with the context — only the map references need
+    * releasing). */
   def sessionKey(s: org.apache.spark.sql.SparkSession): String =
     sessionKeys.synchronized {
       var k = sessionKeys.get(s)
-      if (k == null) { k = java.util.UUID.randomUUID.toString; sessionKeys.put(s, k) }
+      if (k == null) {
+        k = java.util.UUID.randomUUID.toString
+        sessionKeys.put(s, k)
+        val minted = k
+        s.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+              evictSession(minted)
+          })
+      }
       k
     }
+
+  /** Drop every memo entry whose tag embeds `key` (minted by
+    * [[sessionKey]]). Idempotent; also callable directly by tests. */
+  def evictSession(key: String): Unit =
+    cache.keys.foreach { k => if (k._1.contains(key)) cache.remove(k) }
+
   private val sessionKeys =
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]
 }

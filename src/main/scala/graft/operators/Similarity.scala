@@ -1379,7 +1379,14 @@ object Similarity {
     * lands exactly on the oracle-replayed nCells = 16, which is what
     * lets auto-law queries ride the same build CTEs. */
   val AutoCellOccupancy = 1250L
-  def autoNCells(n: Long): Int = math.max(16L, n / AutoCellOccupancy).toInt
+  def autoNCells(n: Long): Int = {
+    // r13 ADVICE: fail loudly instead of silently truncating/wrapping
+    // past Int range (≈ 2.7e12 rows at occupancy 1250) — a negative or
+    // garbage nCells would otherwise reach buildIndex unchecked
+    require(n >= 0L && n / AutoCellOccupancy <= Int.MaxValue.toLong,
+      s"autoNCells: corpus size $n out of range (nCells must fit in Int)")
+    math.max(16L, n / AutoCellOccupancy).toInt
+  }
 
   /** IVF index occupancy-drift audit (r12 verdict task 4 — the
     * `events_skew_report` idiom applied to the engine's OWN index):
@@ -1486,7 +1493,17 @@ object Similarity {
     * compiled cosine per candidate, and a per-source rank window over
     * ≤ k² + k rows. Repeated rounds converge like the paper's; each
     * is one more bounded exchange. Cosine folds src-vector-first (the
-    * [[knnGraphWithin]] / oracle convention). */
+    * [[knnGraphWithin]] / oracle convention).
+    *
+    * Kernel note (r13 verdict task — norm hoisting): the cosine's two
+    * self-dots are per-id CONSTANTS, so each endpoint's norm is
+    * computed once in the vector frame and carried through the two
+    * id-keyed joins as one extra double column, instead of re-folding
+    * both d-length self-dots per candidate row (~3× the necessary
+    * kernel compute at n·k² candidates). Bit-identical to the inline
+    * form — `sqrt(dot(v,v))` is the same correctly-rounded double
+    * wherever it is evaluated and the denominator multiplies in the
+    * same sn·cn order — pinned in SimilaritySpec. */
   def nnDescentRound(edges: DataFrame, embs: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
@@ -1500,13 +1517,16 @@ object Similarity {
       .distinct()
     val p = embs.select(col(idCol).cast("long").as("id"),
       VectorOps.toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm",
+        sqrt(graft.plans.expressions.vec_dot(col("v"), col("v"))))
     val scored = cands
-      .join(p.select(col("id").as("src"), col("v").as("sv")), Seq("src"))
-      .join(p.select(col("id").as("cand"), col("v").as("cv")), Seq("cand"))
+      .join(p.select(col("id").as("src"), col("v").as("sv"),
+        col("nrm").as("sn")), Seq("src"))
+      .join(p.select(col("id").as("cand"), col("v").as("cv"),
+        col("nrm").as("cn")), Seq("cand"))
       .select(col("src"), col("cand"),
         (graft.plans.expressions.vec_dot(col("sv"), col("cv")) /
-          (sqrt(graft.plans.expressions.vec_dot(col("sv"), col("sv"))) *
-           sqrt(graft.plans.expressions.vec_dot(col("cv"), col("cv")))))
+          (col("sn") * col("cn")))
           .as("cosine"))
     val w = Window.partitionBy("src").orderBy(col("cosine").desc, col("cand"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -1598,7 +1618,17 @@ object Similarity {
     * [[probe]] contract, measured by `ann_recall_eval` /
     * `dedup_embedding_recall`). The size probe is one column-pruned
     * count (parquet row-group metadata only). Dispatch law
-    * spec-pinned branch-for-branch in SimilaritySpec. */
+    * spec-pinned branch-for-branch in SimilaritySpec.
+    *
+    * CACHE-HANDLE CAVEAT (r13 ADVICE): when the IVF branch builds its
+    * index in-place (`index` = None), the index's persisted cells
+    * frame has no handle the caller can unpersist — the returned plan
+    * references it lazily, so it cannot be dropped inside this call
+    * either. At-scale callers that invoke the IVF branch repeatedly
+    * in one session MUST pass the `index` hook (build or load the
+    * index themselves and manage its lifetime — the ScaleUp harness
+    * pattern); the default in-place build is for one-shot jobs where
+    * the session ends with the query. */
   def marginKnnMiningAuto(embs: DataFrame, idCol: String, vecCol: String,
                           xPred: Column, yPred: Column,
                           k: Int = 4, nProbe: Int = 4,

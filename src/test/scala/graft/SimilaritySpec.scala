@@ -811,6 +811,72 @@ class SimilaritySpec extends SparkSpec {
     ranks.foreach(rs => assert(rs === (1 to rs.length)))
   }
 
+  test("nnDescentRound: hoisted per-id norms == the inline self-dot kernel, bit for bit (r13 verdict task 4)") {
+    // the declared query's seed union, rebuilt here so both kernels
+    // score the identical candidate set
+    val idx = graft.queries.SimilarityQueries.ivfIndex(spark, sf001)
+    val nCells = graft.queries.SimilarityQueries.IvfCells
+    val cellEdges = Similarity.knnGraphWithin(idx.cells, 3)
+    val (ra, rb) = Similarity.sampleRankCoeffs(
+      graft.queries.SimilarityQueries.GraphSeedSalt)
+    val mp = Similarity.SampleRankP
+    val bucketed = idx.cells.select(
+      (pmod(pmod(col("id"), lit(mp)) * lit(ra) + lit(rb), lit(mp)) % lit(nCells))
+        .cast("int").as("cell"),
+      col("id"), col("v"))
+    val edges = cellEdges.union(Similarity.knnGraphWithin(bucketed, 3))
+    val got = Similarity.nnDescentRound(edges, emb, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+    // the pre-hoist kernel verbatim: both endpoint self-dots
+    // re-folded per candidate row — sqrt(dot(v,v)) is the same
+    // correctly-rounded double either way, so raw cosines must match
+    // bit for bit
+    val e = edges.select(col("vec_id").cast("long").as("src"),
+      col("neighbor_id").cast("long").as("nb"))
+    val hop2 = e.as("a").join(e.as("b"), col("a.nb") === col("b.src"))
+      .select(col("a.src").as("src"), col("b.nb").as("cand"))
+    val cands = e.select(col("src"), col("nb").as("cand")).union(hop2)
+      .filter(col("src") =!= col("cand")).distinct()
+    val pv = emb.select(col("vec_id").cast("long").as("id"),
+      VectorOps.toDouble(col("embedding")).as("v"))
+    val scored = cands
+      .join(pv.select(col("id").as("src"), col("v").as("sv")), Seq("src"))
+      .join(pv.select(col("id").as("cand"), col("v").as("cv")), Seq("cand"))
+      .select(col("src"), col("cand"),
+        (graft.plans.expressions.vec_dot(col("sv"), col("cv")) /
+          (sqrt(graft.plans.expressions.vec_dot(col("sv"), col("sv"))) *
+           sqrt(graft.plans.expressions.vec_dot(col("cv"), col("cv")))))
+          .as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("cosine").desc, col("cand"))
+    val twin = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("src"), col("cand"), col("rank"), col("cosine"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+    assert(got === twin)
+  }
+
+  test("FixtureCache: session-keyed entries evict when the owning session key is dropped (r13 ADVICE)") {
+    val fakeSession = java.util.UUID.randomUUID.toString
+    var computes = 0
+    def one() = graft.io.FixtureCache.memo(s"spec_evict:$fakeSession",
+      sf001, "embeddings") { computes += 1; computes }
+    assert(one() === 1); assert(one() === 1) // memoized
+    graft.io.FixtureCache.evictSession(fakeSession)
+    assert(one() === 2) // recomputed after eviction
+    // unrelated tags survive the eviction
+    var other = 0
+    def keep() = graft.io.FixtureCache.memo("spec_evict_keep",
+      sf001, "embeddings") { other += 1; other }
+    assert(keep() === 1)
+    graft.io.FixtureCache.evictSession(fakeSession)
+    assert(keep() === 1)
+    graft.io.FixtureCache.evictSession("spec_evict_keep") // cleanup
+    graft.io.FixtureCache.evictSession("spec_evict")
+  }
+
   test("autoNCells: the constant-occupancy law and its fixture floor") {
     // floor = the declared IvfCells = 16 at every fixture scale, so
     // auto-law queries ride the same oracle build CTEs; production
@@ -822,5 +888,10 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.autoNCells(2000000L) === 1600)
     assert(Similarity.autoNCells(16L * Similarity.AutoCellOccupancy) === 16)
     assert(Similarity.autoNCells(16L * Similarity.AutoCellOccupancy + Similarity.AutoCellOccupancy) === 17)
+    // r13 ADVICE: out-of-Int-range corpus sizes fail loudly instead of
+    // wrapping into a negative/garbage nCells
+    intercept[IllegalArgumentException](Similarity.autoNCells(-1L))
+    intercept[IllegalArgumentException](
+      Similarity.autoNCells((Int.MaxValue.toLong + 1L) * Similarity.AutoCellOccupancy))
   }
 }
