@@ -1645,4 +1645,124 @@ object Similarity {
       marginKnnMiningIvf(idx, xPred, yPred, k, nProbe)
     }
   }
+
+  /** SAMPLE-BOUNDED exact margin ground truth (r13 verdict task 1 —
+    * the `ann_recall_eval` / queryVecs idiom applied to the mining
+    * eval): the exact margin-best partner for each of the first
+    * `sampleQ` x-side rows, computed WITHOUT the O(|X|·|Y|) cross
+    * kernel. This is what lets the one query that MEASURES the probe
+    * contract's mining price (`ann_margin_recall`) run at the scale
+    * where the number is the decision input — the full-corpus exact
+    * kernel ([[marginKnnMining]]) was the last quadratic compute
+    * reachable from a declared surface.
+    *
+    * Why a sample suffices: recall is an ESTIMATE by definition — the
+    * mined-pair hit rate over sampleQ independent x-rows has the same
+    * binomial error bars whether the denominator is the sample or the
+    * corpus, and the sampled ground truth is EXACT per sampled row
+    * (identical to the full kernel's bestX output restricted to the
+    * sample — spec-pinned in SimilaritySpec).
+    *
+    * Linear shape, two broadcast scans + driver arithmetic:
+    *  1. the sampleQ x vectors broadcast against a scan of ALL of Y
+    *     (per-partition [[graft.functions.BoundedTopK]] heaps, the
+    *     bruteForceTopK law) — each sampled x's true k-NN;
+    *  2. those ≤ sampleQ·k candidate y vectors broadcast against a
+    *     scan of ALL of X — each candidate's true reverse k-NN, which
+    *     the ratio margin needs for its y-side neighborhood mean;
+    *  3. the margin formula + best-partner selection on the driver
+    *     over ≤ sampleQ·k rows (all-integer, [[marginStage]]'s exact
+    *     arithmetic: m = ⌊(cos+1)·5·10⁵⌋, margin = (2k·1000·m) DIV
+    *     (Σₖx + Σₖy), best by margin desc / cosine desc / y id —
+    *     nulls-last like the window it mirrors).
+    *
+    * Total compute sampleQ·|Y| + sampleQ·k·|X| cosines — corpus-LINEAR
+    * at fixed sampleQ, vs |X|·|Y| for the full kernel. Cosines fold
+    * x-vector-first everywhere (the margin-family rule), so every
+    * double is the one the full kernel and the oracle compute. */
+  def marginMiningSampledExact(embs: DataFrame, idCol: String,
+                               vecCol: String, xPred: Column, yPred: Column,
+                               k: Int, sampleQ: Int): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    require(k >= 1 && sampleQ >= 1, "k and sampleQ must be >= 1")
+    val base = embs.select(col(idCol).cast("long").as("id"),
+      VectorOps.toDouble(col(vecCol)).as("v"))
+    val xs = base.filter(xPred)
+    val ys = base.filter(yPred)
+    val qx = xs.orderBy("id").limit(sampleQ)
+      .as[(Long, Array[Double])].collect()
+    // stage 1: sampled x's exact top-k among ALL of Y (x folds first)
+    val xk = sampledTopK(ys, qx, k, queryFoldsFirst = true)
+    // stage 2: each mined candidate y's exact top-k among ALL of X —
+    // the candidate set is Q·k-bounded, so collecting its vectors is
+    // the k·d-centers discipline, not a corpus collect
+    val candIds = xk.map(_._2).distinct.toSeq
+    val candVecs = ys.filter(col("id").isin(candIds: _*))
+      .as[(Long, Array[Double])].collect()
+    val yk = sampledTopK(xs, candVecs, k, queryFoldsFirst = false)
+    // stage 3: driver margin arithmetic over the bounded lists —
+    // marginStage's integer formulas verbatim
+    def mOf(c: Double): Long = math.floor((c + 1.0d) * 500000.0d).toLong
+    val sx = xk.groupBy(_._1).map { case (x, rs) => x -> rs.map(r => mOf(r._3)).sum }
+    val sy = yk.groupBy(_._1).map { case (y, rs) => y -> rs.map(r => mOf(r._3)).sum }
+    val best = xk.groupBy(_._1).toSeq.map { case (xid, rows) =>
+      val scored = rows.map { case (_, yid, c) =>
+        val denom = sx(xid) + sy.getOrElse(yid, 0L)
+        val margin: Option[Long] =
+          if (denom == 0L) None else Some(2L * k * 1000L * mOf(c) / denom)
+        (yid, c, margin)
+      }
+      // the bestX window order: margin desc (nulls last), cosine
+      // desc, y id asc
+      val (yid, _, margin) = scored.minBy { case (y, c, m) =>
+        (if (m.isDefined) 0 else 1, -m.getOrElse(0L), -c, y)
+      }
+      (xid, yid, margin)
+    }.sortBy(_._1)
+    best.toDF("x_id", "y_id", "margin_permille")
+  }
+
+  /** Broadcast-queries exact top-k kernel for the sampled margin
+    * ground truth: per query, its k max-cosine rows of `corpus`,
+    * returned as driver rows (query, corpus-row, cosine) — callers'
+    * query sets are Q- or Q·k-bounded. `queryFoldsFirst` preserves
+    * the margin family's x-vector-folds-first rule on both call
+    * sites (queries = x-side in stage 1, corpus = x-side in stage
+    * 2), so every cosine is the exact double of the full kernel and
+    * the oracle. No self-exclusion — the two sides come from
+    * disjoint predicates ([[marginKnnMining]]'s contract). */
+  private def sampledTopK(corpus: DataFrame,
+                          queries: Array[(Long, Array[Double])], k: Int,
+                          queryFoldsFirst: Boolean): Array[(Long, Long, Double)] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qb = spark.sparkContext.broadcast(
+      queries.map { case (qid, v) => (qid, v, math.sqrt(VectorOps.dotSeq(v, v))) })
+    val qFirst = queryFoldsFirst
+    val partial = corpus.as[(Long, Array[Double])].mapPartitions { iter =>
+      val qs = qb.value
+      val ord = Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long])
+      val heaps = qs.map(_ => new graft.functions.BoundedTopK[(Double, Long)](k, ord))
+      iter.foreach { case (id, v) =>
+        val n = math.sqrt(VectorOps.dotSeq(v, v))
+        var qi = 0
+        while (qi < qs.length) {
+          val (_, qv, qn) = qs(qi)
+          val c =
+            if (qFirst) VectorOps.dotSeq(qv, v) / (qn * n)
+            else VectorOps.dotSeq(v, qv) / (n * qn)
+          heaps(qi).offer((c, id))
+          qi += 1
+        }
+      }
+      qs.iterator.zipWithIndex.flatMap { case ((qid, _, _), qi) =>
+        heaps(qi).iterator.map { case (c, id) => (qid, id, c) }
+      }
+    }.toDF("qid", "id", "cosine")
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
+    partial.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("id"), col("cosine"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+  }
 }

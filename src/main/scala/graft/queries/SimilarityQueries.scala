@@ -354,32 +354,42 @@ object SimilarityQueries {
             r.getDouble(3), r.getDouble(4), r.getDouble(5))))
   }
 
-  /** Margin-mining RECALL eval (r13 — the `dedup_embedding_recall` /
-    * `ann_recall_eval` idiom applied to the mining surface): mined
-    * (x, y) pairs of the IVF-candidate form vs the exact kernel, as a
-    * 1-row report. This is the measured answer to the probe
-    * contract's effect on MINING specifically — a candidate outside
-    * the probed cells can cost a mined pair or flip a margin-best
-    * partner, which top-k recall alone doesn't price. Both sides are
-    * the declared operators verbatim; the oracle wraps both PROVEN
-    * margin oracle pipelines as derived tables and counts the
+  /** Margin-mining RECALL eval (r13; SAMPLE-BOUNDED since r14 — r13
+    * verdict task 1): mined (x, y) pairs of the IVF-candidate form vs
+    * the EXACT margin-best partner, for a [[MarginSampleQ]]-bounded
+    * x-side sample, as a 1-row report. This is the measured answer to
+    * the probe contract's effect on MINING specifically — a candidate
+    * outside the probed cells can cost a mined pair or flip a
+    * margin-best partner, which top-k recall alone doesn't price.
+    *
+    * The ground truth is [[Similarity.marginMiningSampledExact]]: the
+    * full kernel's bestX output restricted to the sample (spec-pinned
+    * equal), at sampleQ·|Y| + sampleQ·k·|X| compute instead of
+    * |X|·|Y| — so the one query that MEASURES recall now runs at the
+    * scale where recall matters most, and no declared surface
+    * anywhere runs an O(n²) kernel. The exact side's memo is plain
+    * driver rows (the covCells discipline — no session-bound frame);
+    * the IVF side keeps its per-(fixture, session) frame memo so
+    * bench reps price the sample filter + overlap join, not a mining
+    * rebuild. The oracle replays the sampled exact pipeline + the
+    * proven IVF margin pipeline as derived tables and counts the
     * overlap, so the eval cannot drift from either surface. */
+  val MarginSampleQ = 32
   def marginRecall(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    // both mined-pair frames memoized per (fixture, session) — the
-    // dedup_embedding_recall discipline: bench reps measure the
-    // recall JOIN, not a rebuild of both mining cascades (2.58 s/rep
-    // as the board's heaviest before the memo)
-    val exact = graft.io.FixtureCache.memo(
-        s"ann_margin_exact_pairs:k=$MarginK:" + graft.io.FixtureCache.sessionKey(s),
+    import s.implicits._
+    val (sampleIds, exactPairs) = graft.io.FixtureCache.memo(
+        s"ann_margin_sampled_exact:k=$MarginK:q=$MarginSampleQ",
         dir, "embeddings") {
-      val f = Similarity.marginKnnMining(
-          e.filter(pmod(col("vec_id"), lit(2)) === 0),
-          e.filter(pmod(col("vec_id"), lit(2)) === 1),
-          "vec_id", "embedding", k = MarginK)
-        .select(col("x_id"), col("y_id")).persist()
-      f.count()
-      f
+      val e = Tables.embeddings(s, dir)
+      val ids = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+        .orderBy("vec_id").limit(MarginSampleQ)
+        .select(col("vec_id")).collect().map(_.getLong(0))
+      val pairs = Similarity.marginMiningSampledExact(e, "vec_id", "embedding",
+          pmod(col("id"), lit(2)) === 0, pmod(col("id"), lit(2)) === 1,
+          k = MarginK, sampleQ = MarginSampleQ)
+        .select(col("x_id"), col("y_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      (ids, pairs)
     }
     val ivf = graft.io.FixtureCache.memo(
         s"ann_margin_ivf_pairs:k=$MarginK:np=$IvfNProbe:" +
@@ -392,13 +402,16 @@ object SimilarityQueries {
       f.count()
       f
     }
-    val ne = exact.agg(count(lit(1)).as("n_exact"))
-    val ni = ivf.agg(count(lit(1)).as("n_ivf"))
-    val nc = ivf.join(exact, Seq("x_id", "y_id"))
+    val exactDf = exactPairs.toSeq.toDF("x_id", "y_id")
+    val ivfSampled = ivf.filter(col("x_id").isin(sampleIds.map(Long.box): _*))
+    val ni = ivfSampled.agg(count(lit(1)).as("n_ivf"))
+    val nc = ivfSampled.join(broadcast(exactDf), Seq("x_id", "y_id"))
       .agg(count(lit(1)).as("n_common"))
-    ne.crossJoin(ni).crossJoin(nc)
-      .select(col("n_exact"), col("n_ivf"), col("n_common"),
-        floor(lit(1000.0) * col("n_common") / greatest(col("n_exact"), lit(1)))
+    ni.crossJoin(nc)
+      .select(lit(sampleIds.length.toLong).as("n_sample"),
+        lit(exactPairs.length.toLong).as("n_exact"),
+        col("n_ivf"), col("n_common"),
+        floor(lit(1000.0) * col("n_common") / greatest(lit(exactPairs.length.toLong), lit(1L)))
           .cast("long").as("recall_permille"))
   }
 
@@ -460,13 +473,19 @@ object SimilarityQueries {
     * exact graph improves strictly on the fixture (spec-measured
     * recall@3 0.239 → 0.666 at sf0.01). */
   val GraphSeedSalt = 7L
-  def knnGraphRefined(s: SparkSession, dir: String): DataFrame = {
-    val idx = ivfIndex(s, dir)
+
+  /** The shared refined-graph pipeline: within-cell edges of `idx` ∪
+    * Lehmer-bucket edges at `nBuckets` buckets, one NN-descent round,
+    * rounded-rank emission — parameterized over the index/bucket
+    * count so the pinned declared form and the production-law auto
+    * form are the SAME code path (the knnGraphAuto discipline). */
+  private def refinedGraphOf(s: SparkSession, dir: String,
+                             idx: Similarity.IvfIndex, nBuckets: Int): DataFrame = {
     val cellEdges = Similarity.knnGraphWithin(idx.cells, GraphK)
     val (ra, rb) = Similarity.sampleRankCoeffs(GraphSeedSalt)
     val p = Similarity.SampleRankP
     val bucketed = idx.cells.select(
-      (pmod(pmod(col("id"), lit(p)) * lit(ra) + lit(rb), lit(p)) % lit(IvfCells))
+      (pmod(pmod(col("id"), lit(p)) * lit(ra) + lit(rb), lit(p)) % lit(nBuckets))
         .cast("int").as("cell"),
       col("id"), col("v"))
     val seedEdges = Similarity.knnGraphWithin(bucketed, GraphK)
@@ -475,6 +494,38 @@ object SimilarityQueries {
       .select(col("vec_id"), col("neighbor_id"), col("rank"),
         round(col("cosine"), 6).as("cosine"))
       .orderBy("vec_id", "rank")
+  }
+
+  def knnGraphRefined(s: SparkSession, dir: String): DataFrame =
+    refinedGraphOf(s, dir, ivfIndex(s, dir), IvfCells)
+
+  /** PRODUCTION-CONFIGURATION refined kNN graph (r13 verdict task 2 —
+    * the [[knnGraphAuto]] precedent applied to the NN-descent
+    * surface): the same seed-union + descent-round pipeline as
+    * `ann_knn_graph_refined`, with BOTH seed partitions (IVF cells
+    * and Lehmer buckets) sized by the [[Similarity.autoNCells]]
+    * constant-occupancy law — so each seed graph's within-cell work
+    * stays Σm²-bounded at ~1250 occupancy and the whole composition
+    * is corpus-linear (the rehearsed 2.07 production law, now a
+    * declared hash-checked surface). Oracle constraint, disclosed: at
+    * every fixture scale the law floors to the declared [[IvfCells]]
+    * = 16 (spec-pinned auto == pinned), so the oracle replays the
+    * same build + seed + descent CTEs as the pinned form; past 20 k
+    * the same call rides the content-addressed disk index and
+    * nCells = n/1250 buckets. */
+  def knnGraphRefinedAuto(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddings(s, dir).count()
+    val nCells = Similarity.autoNCells(n)
+    val idx =
+      if (nCells == IvfCells) ivfIndex(s, dir)
+      else {
+        val f = new java.io.File(Tables.path(dir, "embeddings"))
+        Similarity.loadOrBuildIndex(Tables.embeddings(s, dir), "vec_id",
+          "embedding",
+          Similarity.indexDirFor(f, nCells, IvfTrainIters, IvfTrainSample, IvfSeed),
+          nCells, IvfTrainIters, IvfTrainSample, IvfSeed)
+      }
+    refinedGraphOf(s, dir, idx, nCells)
   }
 
   /** PRODUCTION-CONFIGURATION kNN graph (r12 verdict task 5): the
@@ -890,6 +941,7 @@ object SimilarityQueries {
     "ann_knn_graph" -> (knnGraph _),
     "ann_knn_graph_auto" -> (knnGraphAuto _),
     "ann_knn_graph_refined" -> (knnGraphRefined _),
+    "ann_knn_graph_refined_auto" -> (knnGraphRefinedAuto _),
     "ann_index_drift" -> (indexDriftQ _),
     "ann_index_retrain" -> (indexRetrainQ _),
     "ann_margin_mining" -> (marginMining _),
@@ -1196,19 +1248,66 @@ object SimilarityQueries {
          |FROM bx LEFT JOIN byy ON byy.yid = bx.yid AND byy.xid = bx.xid
          |ORDER BY x_id""".stripMargin
 
-  /** Margin-recall oracle: BOTH proven margin pipelines verbatim as
+  /** The SAMPLED exact margin pipeline (r14 — the declared
+    * [[Similarity.marginMiningSampledExact]] replayed): the first
+    * [[MarginSampleQ]] x-side rows' true k-NN among ALL of Y, the
+    * mined candidates' true reverse k-NN among ALL of X, then the
+    * margin CTEs of the proven full-exact oracle verbatim — kf/kb are
+    * the same formulas, just fed the sample-bounded candidate sets.
+    * Linear compute (sampleQ·|Y| + sampleQ·k·|X| cosines), the
+    * operator's own law. */
+  private def marginSampledExactSql: String =
+    s"""WITH p AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |xs AS (SELECT vec_id AS xid, v FROM p WHERE vec_id % 2 = 0),
+       |ys AS (SELECT vec_id AS yid, v FROM p WHERE vec_id % 2 = 1),
+       |qx AS (SELECT xid, v FROM xs ORDER BY xid LIMIT $MarginSampleQ),
+       |dq AS (SELECT q.xid, y.yid,
+       |  list_sum(list_transform(generate_series(1, $Dim), i -> q.v[i] * y.v[i])) /
+       |  (sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> q.v[i] * q.v[i]))) *
+       |   sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> y.v[i] * y.v[i])))) AS c
+       |  FROM qx q CROSS JOIN ys y),
+       |kf AS (SELECT xid, yid, c, CAST(floor((c + 1.0) * 500000.0) AS BIGINT) AS m FROM (
+       |       SELECT xid, yid, c, row_number() OVER (PARTITION BY xid ORDER BY c DESC, yid) AS rk
+       |       FROM dq) WHERE rk <= $MarginK),
+       |cy AS (SELECT y.yid, y.v FROM ys y JOIN (SELECT DISTINCT yid FROM kf) c USING (yid)),
+       |dyx AS (SELECT x.xid, y.yid,
+       |  list_sum(list_transform(generate_series(1, $Dim), i -> x.v[i] * y.v[i])) /
+       |  (sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> x.v[i] * x.v[i]))) *
+       |   sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> y.v[i] * y.v[i])))) AS c
+       |  FROM cy y CROSS JOIN xs x),
+       |kb AS (SELECT xid, yid, c, CAST(floor((c + 1.0) * 500000.0) AS BIGINT) AS m FROM (
+       |       SELECT xid, yid, c, row_number() OVER (PARTITION BY yid ORDER BY c DESC, xid) AS rk
+       |       FROM dyx) WHERE rk <= $MarginK),
+       |sx AS (SELECT xid, SUM(m) AS sxs FROM kf GROUP BY 1),
+       |sy AS (SELECT yid, SUM(m) AS sys FROM kb GROUP BY 1),
+       |mf AS (SELECT kf.xid, kf.yid, kf.c,
+       |       CASE WHEN sxs + sys = 0 THEN NULL
+       |            ELSE CAST((2 * $MarginK * 1000 * kf.m) // (sxs + sys) AS BIGINT) END AS margin_permille
+       |       FROM kf JOIN sx USING (xid) JOIN sy USING (yid)),
+       |bx AS (SELECT xid, yid FROM (
+       |       SELECT xid, yid,
+       |         row_number() OVER (PARTITION BY xid ORDER BY margin_permille DESC, c DESC, yid) AS rk
+       |       FROM mf) WHERE rk = 1)
+       |SELECT xid AS x_id, yid AS y_id FROM bx""".stripMargin
+
+  /** Margin-recall oracle (sample-bounded since r14): the sampled
+    * exact pipeline + the proven IVF margin pipeline verbatim as
     * derived tables (DuckDB allows a full WITH…SELECT inside a
-    * derived table), then the 1-row overlap count — the eval can
-    * never drift from either declared surface because it IS their
-    * oracle text. */
+    * derived table), IVF side restricted to the same sample, then the
+    * 1-row overlap count — the eval can never drift from either
+    * declared surface because it IS their oracle text. */
   private def marginRecallOracleSql: String =
-    s"""WITH e AS (SELECT x_id, y_id FROM ($marginExactOracleSql) t1),
-       |i AS (SELECT x_id, y_id FROM ($marginIvfOracleSql) t2),
+    s"""WITH e AS (SELECT x_id, y_id FROM ($marginSampledExactSql) t1),
+       |qxids AS (SELECT vec_id AS xid FROM embeddings WHERE vec_id % 2 = 0
+       |          ORDER BY vec_id LIMIT $MarginSampleQ),
+       |i AS (SELECT x_id, y_id FROM ($marginIvfOracleSql) t2
+       |      WHERE x_id IN (SELECT xid FROM qxids)),
        |st AS (SELECT
+       |  (SELECT COUNT(*) FROM qxids) AS n_sample,
        |  (SELECT COUNT(*) FROM e) AS n_exact,
        |  (SELECT COUNT(*) FROM i) AS n_ivf,
        |  (SELECT COUNT(*) FROM i JOIN e ON e.x_id = i.x_id AND e.y_id = i.y_id) AS n_common)
-       |SELECT n_exact, n_ivf, n_common,
+       |SELECT n_sample, n_exact, n_ivf, n_common,
        |  CAST(floor(1000.0 * n_common / greatest(n_exact, 1)) AS BIGINT) AS recall_permille
        |FROM st""".stripMargin
 
@@ -1452,6 +1551,9 @@ object SimilarityQueries {
     // (disclosed constraint; the law itself is spec-pinned)
     "ann_knn_graph_auto" -> knnGraphOracleSql,
     "ann_knn_graph_refined" -> knnGraphRefinedOracleSql,
+    // the auto-law refined form floors to the same pinned CTEs at
+    // fixture scale (the ann_knn_graph_auto precedent)
+    "ann_knn_graph_refined_auto" -> knnGraphRefinedOracleSql,
     "ann_index_drift" -> indexDriftOracleSql,
     "ann_index_retrain" -> indexRetrainOracleSql,
     // the bruteforce CTEs + labels: majority vote over the top-k,

@@ -689,6 +689,14 @@ class SimilaritySpec extends SparkSpec {
     assert(auto === pinned)
   }
 
+  test("knnGraphRefinedAuto == knnGraphRefined at fixture scale — the autoNCells floor IS the declared constant (r13 verdict task 2)") {
+    val auto = graft.queries.SimilarityQueries.knnGraphRefinedAuto(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    val pinned = graft.queries.SimilarityQueries.knnGraphRefined(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    assert(auto === pinned)
+  }
+
   test("indexRetrain: retrained side == the shared index's occupancy; both sides conserve the corpus (r13)") {
     val got = graft.queries.SimilarityQueries.indexRetrainQ(spark, sf001)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
@@ -809,6 +817,27 @@ class SimilaritySpec extends SparkSpec {
     val ranks = refined.collect().groupBy(_.getLong(0))
       .values.map(_.map(_.getInt(2)).sorted.toSeq)
     ranks.foreach(rs => assert(rs === (1 to rs.length)))
+  }
+
+  test("marginMiningSampledExact == the full exact kernel's bestX restricted to the sample (r13 verdict task 1)") {
+    val xs = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val ys = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    def opt(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    val full = Similarity.marginKnnMining(xs, ys, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), opt(r, 2)))
+    val sampleQ = 7
+    val sampleIds = xs.orderBy("vec_id").limit(sampleQ)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // the sampled ground truth must be the full kernel's bestX rows
+    // for exactly the sampled x ids — partner, margin and all (the
+    // linear two-scan path computes the same neighborhoods)
+    val sampled = Similarity.marginMiningSampledExact(emb, "vec_id",
+        "embedding", pmod(col("id"), lit(2)) === 0,
+        pmod(col("id"), lit(2)) === 1, k = 4, sampleQ = sampleQ)
+      .collect().map(r => (r.getLong(0), r.getLong(1), opt(r, 2)))
+    assert(sampled.length === sampleQ)
+    assert(sampled.toSeq === full.filter(t => sampleIds(t._1)).toSeq)
   }
 
   test("nnDescentRound: hoisted per-id norms == the inline self-dot kernel, bit for bit (r13 verdict task 4)") {
