@@ -1462,6 +1462,45 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** DRIFT-GATED INDEX MAINTENANCE (r13 verdict task 8 — the
+    * composition both the drift and retrain scaladocs describe):
+    * the scheduled-job surface. Runs [[indexDrift]] over the served
+    * index; if ANY cell flags `retrain` (share drift past the
+    * threshold, or an orphan cell), performs the retrain ACTION — a
+    * full-current-corpus quantizer rebuild, the state
+    * `ann_index_retrain`'s AFTER side reports on — otherwise does
+    * nothing and the original index is untouched.
+    *
+    * Returns (audit + `action` column, the retrained index if one was
+    * built). The gate is driver-side over the ≤ nCells-row audit (the
+    * k·d-centers collect discipline); `rebuild` injects the retrain
+    * strategy so a caller holding a shared/persisted full-corpus
+    * index (the declared query; a production job with a
+    * content-addressed [[loadOrBuildIndex]] layout) supplies its own
+    * handle and an un-hooked caller gets a fresh [[buildIndex]] of
+    * `embs` with the index's own cell count. The returned index's
+    * lifetime belongs to the caller (the buildIndex contract); the
+    * planted-drift gating — skewed batch → rebuild invoked and
+    * row-identical to the full-corpus build, proportional batch →
+    * no-op, rebuild never invoked — is spec-pinned in
+    * SimilaritySpec. */
+  def maintainIndex(embs: DataFrame, idCol: String, vecCol: String,
+                    index: IvfIndex, isNew: Column,
+                    retrainThresholdPermille: Long = 50L,
+                    rebuild: Option[() => IvfIndex] = None): (DataFrame, Option[IvfIndex]) = {
+    val audit = indexDrift(index.cells, isNew, retrainThresholdPermille)
+    // nCells-bounded collect: the audit has one row per occupied cell
+    val flagged = audit.select(col("retrain")).collect().exists(_.getBoolean(0))
+    val action = if (flagged) "retrain" else "noop"
+    val retrained =
+      if (flagged)
+        Some(rebuild.map(_())
+          .getOrElse(buildIndex(embs, idCol, vecCol,
+            nCells = index.centers.length)))
+      else None
+    (audit.withColumn("action", lit(action)), retrained)
+  }
+
   /** ONE NN-DESCENT REFINEMENT ROUND over a kNN graph (Dong, Moses &
     * Li, "Efficient K-Nearest Neighbor Graph Construction for Generic
     * Similarity Measures", WWW 2011 — the construction every modern
@@ -1532,6 +1571,43 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("src").as("vec_id"), col("cand").as("neighbor_id"),
         col("rank"), col("cosine"))
+  }
+
+  /** MULTI-ROUND NN-DESCENT (r13 verdict task — the paper iterates
+    * to convergence; one [[nnDescentRound]] only reaches hop-2 of the
+    * seed): a driver loop of descent rounds, the [[graft.cluster
+    * .KMeansNative.fit]] idiom applied to graph refinement. Each
+    * round's candidate set contains the incumbent edges, so the
+    * retained per-source top-k only ever improves and recall vs the
+    * exact graph climbs monotonically (fixture trajectory measured in
+    * SimilaritySpec / BASELINE.md); rounds reach hop-2^r of the seed.
+    *
+    * Materialization (the cached-plan discipline): round r's plan
+    * references round r−1's output THREE times (the hop-2 self-join's
+    * two sides + the incumbent union), so a lazy chain recomputes
+    * upstream rounds ~3^r times. Each intermediate round is therefore
+    * persisted and counted before the next builds on it, then
+    * released once its successor is materialized; the FINAL round is
+    * returned persisted and MATERIALIZED — the caller owns its
+    * unpersist (the buildIndex contract). On executor loss the final
+    * frame's lineage would recompute through released intermediates;
+    * at 100 TB a scheduled graph job checkpoints rounds to the table
+    * layout instead (one k-bounded parquet per round). */
+  def nnDescent(seed: DataFrame, embs: DataFrame, idCol: String,
+                vecCol: String, k: Int, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    var cur = seed
+    var curHandle: Option[DataFrame] = None
+    var i = 0
+    while (i < rounds) {
+      val next = nnDescentRound(cur, embs, idCol, vecCol, k).persist()
+      next.count()
+      curHandle.foreach(_.unpersist())
+      curHandle = Some(next)
+      cur = next
+      i += 1
+    }
+    cur
   }
 
   /** SEMANTIC EVAL-SET DECONTAMINATION through the persisted index

@@ -689,6 +689,41 @@ class SimilaritySpec extends SparkSpec {
     assert(auto === pinned)
   }
 
+  test("maintainIndex: planted skew retrains row-identically; a proportional batch is a no-op with the rebuild never invoked (r13 verdict task 8)") {
+    val idx = graft.queries.SimilarityQueries.ivfIndex(spark, sf001)
+    var rebuilt = 0
+    def hook(): Similarity.IvfIndex = { rebuilt += 1
+      Similarity.buildIndex(emb, "vec_id", "embedding") }
+    // planted SKEW: the arriving batch is exactly one cell's whole
+    // population — that cell has no settled rows (orphan), the
+    // strongest retrain signal
+    val c0 = idx.cells.select("cell").orderBy("cell").first().getInt(0)
+    val (audit1, retrained1) = Similarity.maintainIndex(emb, "vec_id",
+      "embedding", idx, col("cell") === c0,
+      retrainThresholdPermille = 999L, rebuild = Some(() => hook()))
+    val rows1 = audit1.collect()
+    assert(rows1.forall(_.getString(9) === "retrain"))
+    assert(rows1.filter(_.getInt(0) == c0).forall(_.getBoolean(7))) // orphan
+    assert(rebuilt === 1 && retrained1.isDefined)
+    // the retrain action IS the full-current-corpus build: its cell
+    // assignment is row-identical to the shared index's
+    val got = retrained1.get.cells.select("id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val shared = idx.cells.select("id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(got === shared)
+    retrained1.get.unpersist()
+    // PROPORTIONAL batch (every 5th id, the ingest convention) under
+    // a threshold no share gap can cross: no flag, no rebuild, the
+    // served index untouched
+    val (audit2, retrained2) = Similarity.maintainIndex(emb, "vec_id",
+      "embedding", idx, pmod(col("id"), lit(5)) === 0,
+      retrainThresholdPermille = 999L, rebuild = Some(() => hook()))
+    val rows2 = audit2.collect()
+    assert(rows2.forall(_.getString(9) === "noop"))
+    assert(rebuilt === 1 && retrained2.isEmpty)
+  }
+
   test("knnGraphRefinedAuto == knnGraphRefined at fixture scale — the autoNCells floor IS the declared constant (r13 verdict task 2)") {
     val auto = graft.queries.SimilarityQueries.knnGraphRefinedAuto(spark, sf001)
       .collect().map(_.toSeq).toSeq
@@ -817,6 +852,35 @@ class SimilaritySpec extends SparkSpec {
     val ranks = refined.collect().groupBy(_.getLong(0))
       .values.map(_.map(_.getInt(2)).sorted.toSeq)
     ranks.foreach(rs => assert(rs === (1 to rs.length)))
+
+    // multi-round trajectory (r13 verdict task 7): each round's
+    // candidate set contains the incumbents, so recall climbs
+    // monotonically toward the exact graph; measured values recorded
+    // in BASELINE.md r14
+    val nCells = graft.queries.SimilarityQueries.IvfCells
+    val (ra, rb) = Similarity.sampleRankCoeffs(
+      graft.queries.SimilarityQueries.GraphSeedSalt)
+    val mp = Similarity.SampleRankP
+    val bucketed = idx.cells.select(
+      (pmod(pmod(col("id"), lit(mp)) * lit(ra) + lit(rb), lit(mp)) % lit(nCells))
+        .cast("int").as("cell"),
+      col("id"), col("v"))
+    val seed = base.union(Similarity.knnGraphWithin(bucketed, 3))
+    val embsDf = Tables.embeddings(spark, sf001)
+    val rounds = (1 to 3).map { r =>
+      val g = Similarity.nnDescent(seed, embsDf, "vec_id", "embedding", 3, r)
+      val rec = recallOf(g)
+      g.unpersist()
+      rec
+    }
+    info(f"recall@3 trajectory: seeded rounds 1-3 = ${rounds(0)}%.3f -> ${rounds(1)}%.3f -> ${rounds(2)}%.3f")
+    assert(rounds(0) === rRefined) // nnDescent(1) IS the declared refined round
+    assert(rounds(1) >= rounds(0))
+    assert(rounds(2) >= rounds(1))
+    // the declared 2-round query rides the same trajectory and its
+    // session memo returns the identical frame on a second call
+    val refined2 = graft.queries.SimilarityQueries.knnGraphRefined2(spark, sf001)
+    assert(recallOf(refined2) === rounds(1))
   }
 
   test("marginMiningSampledExact == the full exact kernel's bestX restricted to the sample (r13 verdict task 1)") {
