@@ -109,6 +109,20 @@ class ShuffleCeilingSpec extends SparkSpec {
     // NN-descent round: two seed graphs + n*(k^2+k)-bounded candidate
     // distinct + two id-keyed vector joins + per-source rank
     ("ann_knn_graph_refined", 340000L, "2 seed graphs + n*k^2 candidate pairs (84096)"),
+    // the auto-law form rides the same fixture index (floor = 16)
+    ("ann_knn_graph_refined_auto", 340000L, "2 seed graphs + n*k^2 candidate pairs (84097)"),
+    // round 2 writes ZERO records at fixture scale: the persisted
+    // round-1 frame AQE-coalesces to one partition, which satisfies
+    // every clustering requirement (distinct/window exchange-free,
+    // p joins broadcast) — measured equal to one round; the at-scale
+    // bound is one more n*(k^2+k) candidate stage per round
+    ("ann_knn_graph_refined2", 340000L, "2 seed graphs + per-round n*k^2 candidates (84096)"),
+    // the maintenance surface runs the drift audit twice (the
+    // nCells-bounded gate collect + the emitted frame)
+    ("ann_index_maintain", 400L, "2 x (nCells stratum partials + totals) (66)"),
+    // sampled exact ground truth (two broadcast scans, Q*k*partitions
+    // partials) + the IVF mining memo build + the overlap join
+    ("ann_margin_recall", 120000L, "sampled-exact partials + IVF mining build + overlap (34108)"),
     ("ann_pca_project", 17000L, "CovCellsAgg buffers + d^2 hand-off, zero-shuffle scoring (4008)"),
     ("mm_scene_changes", 150000L, "bytes/stride frame stream into the id window (30699)"),
     ("text_lm_heldout_score", 44000L, "train-vocab bigram/unigram counts + doc report (10962)"))
