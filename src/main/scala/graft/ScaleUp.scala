@@ -332,6 +332,15 @@ object ScaleUp {
     // for the same reason; its production law is
     // ann_knn_graph_refined2_auto in TimedCustom
     "ann_knn_graph_refined", "ann_knn_graph_refined2",
+    // r14 second wave: the declared graph-search family rides the
+    // pinned refined edges (oracle nCells=16) so it is 10×-only here;
+    // its production composition + the corpus-free serving split
+    // rehearse at both scales as ann_graph_search_auto in
+    // TimedCustom. The truncation eval is two Q-bounded heap kernels
+    // over linear scans; the streaming twin re-runs the same bounded
+    // search per micro-batch
+    "ann_graph_search", "ann_graph_search_recall",
+    "ann_dim_truncate_recall", "stream_graph_search_parity",
     // r12: the declared PCA hand-off — the covariance pass + a
     // d²-bounded driver power iteration
     "ann_pca_component", "ann_pca_project",
@@ -544,7 +553,47 @@ object ScaleUp {
     // should track the 1-round row; the declared 2-round form pins
     // nCells=16 for its oracle and stays 10×-only in Timed
     "ann_knn_graph_refined2_auto" -> ((s: SparkSession, dir: String) =>
-      refinedAutoRounds(s, dir, rounds = 2)))
+      refinedAutoRounds(s, dir, rounds = 2)),
+    // r14: graph-navigated search under the production law — the
+    // auto-nCells refined graph (the refined_auto pipeline above)
+    // plus the serving composition the declared ann_graph_search
+    // pins at nCells=16: nProbe=1 entry probe + 3 undirected beam
+    // rounds. The row's ratio is graph-build-dominated (corpus-
+    // linear); the probe+search-only wall is printed separately —
+    // per-query work is Q·beam·deg lookups + Q·|visited| rescores,
+    // CORPUS-FREE by construction, so it should sit near-flat
+    // between 10× and 100×.
+    "ann_graph_search_auto" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val nCells = graft.operators.Similarity.autoNCells(e.count())
+      val idx = graft.operators.Similarity.buildIndex(
+        e, "vec_id", "embedding", nCells = nCells)
+      val (ra, rb) = graft.operators.Similarity.sampleRankCoeffs(
+        graft.queries.SimilarityQueries.GraphSeedSalt)
+      val p = graft.operators.Similarity.SampleRankP
+      val bucketed = idx.cells.select(
+        (pmod(pmod(col("id"), lit(p)) * lit(ra) + lit(rb), lit(p)) % lit(nCells))
+          .cast("int").as("cell"),
+        col("id"), col("v"))
+      val seed = graft.operators.Similarity.knnGraphWithin(idx.cells, 3)
+        .union(graft.operators.Similarity.knnGraphWithin(bucketed, 3))
+      val edges = graft.operators.Similarity.nnDescentRound(
+        seed, e, "vec_id", "embedding", 3).persist()
+      edges.count()
+      val qv = e.orderBy("vec_id").limit(10)
+        .select(col("vec_id"), graft.functions.VectorOps.toDouble(col("embedding")))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val t0 = System.nanoTime()
+      val entries = graft.operators.Similarity.probe(idx, qv, 4, nProbe = 1)
+        .select(col("query_id"), col("neighbor_id").as("node"))
+      val res = graft.operators.Similarity.graphSearch(
+        edges, e, "vec_id", "embedding", qv, entries, 5, 4, 3)
+      val n = res.count()
+      println(f"[scaleup] ann_graph_search_auto: probe+search only " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s (graph build excluded)")
+      res.unpersist(); edges.unpersist(); idx.unpersist()
+      s.range(n).toDF("row")
+    }))
 
   /** Shared production-law NN-descent rehearsal body: auto-nCells
     * index, both seed graphs at the law's bucket count, `rounds`
@@ -813,6 +862,9 @@ object ScaleUp {
     "dedup_split_leakage", "dedup_threshold_curve",
     "pipeline_dedup_funnel", "events_skew_report", "rel_fk_audit",
     "stream_split_parity", "mm_ahash_distance_hist", "mm_scene_changes",
+    // r14 second wave: the audio VAD front-end — frame stream is
+    // bytes/frameLen rows, one payload-keyed partial/final agg
+    "mm_audio_activity",
     // r13 (r12 verdict task 5): the DECLARED production-law kNN graph
     // — autoNCells floors to 16 at 10x (the fixture index), builds
     // the 160-cell content-addressed disk index at 100x; the index

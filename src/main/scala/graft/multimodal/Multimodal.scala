@@ -221,6 +221,63 @@ object Multimodal {
         max("nf").as("max_scene_frames"))
   }
 
+  /** AUDIO ACTIVITY PROFILE over an opaque payload — the framing +
+    * energy + zero-crossing front-end every speech/audio ingest
+    * pipeline runs before anything else (VAD gating, silence
+    * trimming, frame sampling for training). Decode is the repo's
+    * stubbed-decode doctrine ([[decodeStub]]): payload bytes are
+    * read as unsigned 8-bit samples CENTERED AT 64 — real PCM
+    * centers at 128, but the fixture payloads are ASCII text bytes
+    * (all < 128), so a 128 midline would make the crossing feature
+    * identically zero on every payload; the 64 midline is part of
+    * the stub contract (disclosed), keeping both features live while
+    * every op stays exact integer arithmetic any engine replays.
+    *
+    * Per non-overlapping `frameLen`-sample frame: energy = Σ(sample −
+    * 64)² (≤ 191²·frameLen — BIGINT-safe by orders of magnitude) and
+    * crossings = #{i : (sᵢ ≥ 64) ≠ (sᵢ₊₁ ≥ 64)} within the frame.
+    * Per payload: frame count, active-frame count (energy >
+    * `energyThreshold` — the VAD decision), total/max energy, total
+    * crossings.
+    *
+    * Scale: the frame stream is bytes/frameLen rows computed in one
+    * codegen-friendly pass over the payload column (no shuffle until
+    * the payload-keyed partial/final aggregate — map-side combine
+    * collapses each payload's frames before the exchange, so ≤ one
+    * row per payload per partition moves). */
+  def audioActivity(blobs: DataFrame, frameLen: Int = 16,
+                    energyThreshold: Long = 29000L): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    val feats = blobs.select(col("id").cast("long"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, blob) =>
+        Iterator.range(0, blob.length, frameLen).map { off =>
+          val end = math.min(off + frameLen, blob.length)
+          var energy = 0L
+          var zcr = 0L
+          var i = off
+          while (i < end) {
+            val s = (blob(i) & 0xff) - 64
+            energy += s.toLong * s
+            if (i + 1 < end) {
+              val a = (blob(i) & 0xff) >= 64
+              val b = (blob(i + 1) & 0xff) >= 64
+              if (a != b) zcr += 1
+            }
+            i += 1
+          }
+          (id, energy, zcr)
+        }
+      }.toDF("id", "energy", "zcr")
+    feats.groupBy("id").agg(
+      count(lit(1)).as("n_frames"),
+      sum(when(col("energy") > energyThreshold, 1L).otherwise(0L)).as("n_active"),
+      sum(col("energy")).as("energy_total"),
+      max(col("energy")).as("energy_max"),
+      sum(col("zcr")).as("zcr_total"))
+  }
+
   /** Encode the first `side`² payload bytes as a `side`×`side`
     * grayscale PNG (zero-padded) — a REAL ImageIO encode producing
     * blobs the real decode path reads back. Gray pixels make the

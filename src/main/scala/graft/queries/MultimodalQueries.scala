@@ -41,6 +41,21 @@ object MultimodalQueries {
         col("max_scene_frames"))
       .orderBy("doc_id")
 
+  /** Audio activity profile ([[Multimodal.audioActivity]]) — the
+    * framing + energy + zero-crossing VAD front-end over the stub
+    * decode, per payload; the audio modality's first-pass report
+    * (the byte-histogram / frame-fingerprint family's third member).
+    * The activity threshold (29 000, string-shared with the oracle)
+    * sits at the fixture frame-energy median — the corpus-calibrated
+    * noise floor a real VAD is tuned to (fixture quartiles 27.2 k /
+    * 29.0 k / 30.6 k, so the declared split is genuinely binary, not
+    * 96 %-active as a generic low threshold measured). */
+  def audioActivityQ(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioActivity(blobs(s, dir))
+      .select(col("id").as("doc_id"), col("n_frames"), col("n_active"),
+        col("energy_total"), col("energy_max"), col("zcr_total"))
+      .orderBy("doc_id")
+
   /** Cross-payload shared frames ([[Multimodal.sharedFrames]]) —
     * copy/syndication detection without pairwise comparison; output
     * is shared-fingerprints-only. */
@@ -183,6 +198,7 @@ object MultimodalQueries {
     "mm_byte_histogram" -> (histogram _),
     "mm_frame_fingerprints" -> (frames _),
     "mm_scene_changes" -> (sceneChangesQ _),
+    "mm_audio_activity" -> (audioActivityQ _),
     "mm_shared_frames" -> (sharedFramesQ _),
     "mm_ahash_groups" -> (ahashGroups _),
     "mm_ahash_near_pairs" -> (ahashNearPairs _),
@@ -310,6 +326,29 @@ object MultimodalQueries {
     // the frame windows of mm_frame_fingerprints summarized by exact
     // byte sums, lag-diff boundaries at > 200, island scene ids, and
     // the per-payload report — all integer
+    // the audio VAD report: 16-char frames, energy = sum of squared
+    // (byte − 64) deviations, crossings counted within the frame
+    // (consecutive-sample midline flips), active = energy > threshold
+    "mm_audio_activity" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, CAST(t.k AS INTEGER) AS frame_idx,
+         |    substr(text, CAST(t.k AS INTEGER) * 16 + 1, 16) AS frame
+         |  FROM documents,
+         |    (SELECT unnest(generate_series(0, 63)) AS k) t
+         |  WHERE t.k * 16 < length(text)),
+         |e AS (SELECT doc_id, frame_idx,
+         |  list_sum(list_transform(generate_series(1, length(frame)),
+         |    i -> CAST((ascii(substr(frame, i, 1)) - 64) * (ascii(substr(frame, i, 1)) - 64) AS BIGINT))) AS energy,
+         |  coalesce(list_sum(list_transform(generate_series(1, length(frame) - 1),
+         |    i -> CASE WHEN (ascii(substr(frame, i, 1)) >= 64) <> (ascii(substr(frame, i + 1, 1)) >= 64)
+         |              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)), 0) AS zcr
+         |  FROM f)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+         |  CAST(SUM(CASE WHEN energy > 29000 THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+         |  CAST(SUM(energy) AS BIGINT) AS energy_total,
+         |  CAST(MAX(energy) AS BIGINT) AS energy_max,
+         |  CAST(SUM(zcr) AS BIGINT) AS zcr_total
+         |FROM e GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "mm_scene_changes" ->
       s"""WITH f AS (
          |  SELECT doc_id, CAST(t.k AS INTEGER) AS frame_idx,

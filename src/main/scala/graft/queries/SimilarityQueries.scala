@@ -493,16 +493,38 @@ object SimilarityQueries {
     cellEdges.union(Similarity.knnGraphWithin(bucketed, GraphK))
   }
 
-  private def refinedGraphOf(s: SparkSession, dir: String,
-                             idx: Similarity.IvfIndex, nBuckets: Int): DataFrame =
-    Similarity.nnDescentRound(seedUnionOf(idx, nBuckets),
-        Tables.embeddings(s, dir), "vec_id", "embedding", GraphK)
-      .select(col("vec_id"), col("neighbor_id"), col("rank"),
+  /** The pinned-form 1-round refined EDGE LIST, memoized per
+    * (fixture, session) — the iterative-walk-results discipline
+    * (r13/r14): the descent round is materialized once and shared by
+    * the declared refined graph, the refined_auto floor branch, and
+    * the graph-search family (which navigates these edges every rep).
+    * Persisted frame, evicted with the session (FixtureCache's
+    * context-end listener); values are pinned by the declared
+    * queries' unchanged oracles. */
+  private[queries] def refinedEdges(s: SparkSession, dir: String): DataFrame =
+    graft.io.FixtureCache.memo(
+        "ann_graph_refined_edges:" + graft.io.FixtureCache.sessionKey(s),
+        dir, "embeddings") {
+      val out = Similarity.nnDescentRound(
+        seedUnionOf(ivfIndex(s, dir), IvfCells),
+        Tables.embeddings(s, dir), "vec_id", "embedding", GraphK).persist()
+      out.count()
+      out
+    }
+
+  /** The graph family's shared emission: rounded cosine, rank order. */
+  private def emitGraph(edges: DataFrame): DataFrame =
+    edges.select(col("vec_id"), col("neighbor_id"), col("rank"),
         round(col("cosine"), 6).as("cosine"))
       .orderBy("vec_id", "rank")
 
+  private def refinedGraphOf(s: SparkSession, dir: String,
+                             idx: Similarity.IvfIndex, nBuckets: Int): DataFrame =
+    emitGraph(Similarity.nnDescentRound(seedUnionOf(idx, nBuckets),
+      Tables.embeddings(s, dir), "vec_id", "embedding", GraphK))
+
   def knnGraphRefined(s: SparkSession, dir: String): DataFrame =
-    refinedGraphOf(s, dir, ivfIndex(s, dir), IvfCells)
+    emitGraph(refinedEdges(s, dir))
 
   /** TWO-ROUND NN-descent graph (r13 verdict task 7 — the paper
     * iterates; one round reaches hop-2 of the seed, round r reaches
@@ -553,16 +575,146 @@ object SimilarityQueries {
   def knnGraphRefinedAuto(s: SparkSession, dir: String): DataFrame = {
     val n = Tables.embeddings(s, dir).count()
     val nCells = Similarity.autoNCells(n)
-    val idx =
-      if (nCells == IvfCells) ivfIndex(s, dir)
-      else {
-        val f = new java.io.File(Tables.path(dir, "embeddings"))
-        Similarity.loadOrBuildIndex(Tables.embeddings(s, dir), "vec_id",
-          "embedding",
-          Similarity.indexDirFor(f, nCells, IvfTrainIters, IvfTrainSample, IvfSeed),
-          nCells, IvfTrainIters, IvfTrainSample, IvfSeed)
-      }
-    refinedGraphOf(s, dir, idx, nCells)
+    if (nCells == IvfCells) emitGraph(refinedEdges(s, dir))
+    else {
+      val f = new java.io.File(Tables.path(dir, "embeddings"))
+      val idx = Similarity.loadOrBuildIndex(Tables.embeddings(s, dir), "vec_id",
+        "embedding",
+        Similarity.indexDirFor(f, nCells, IvfTrainIters, IvfTrainSample, IvfSeed),
+        nCells, IvfTrainIters, IvfTrainSample, IvfSeed)
+      refinedGraphOf(s, dir, idx, nCells)
+    }
+  }
+
+  /** GRAPH-NAVIGATED ANN SEARCH — the declared serving half of the
+    * graph-ANN lifecycle (build `ann_knn_graph` → refine
+    * `ann_knn_graph_refined*` → SEARCH, the HNSW/DiskANN family;
+    * [[Similarity.graphSearch]]): [[SearchRounds]] synchronous beam
+    * rounds at beam [[SearchBeam]] over the memoized 1-round refined
+    * edges (navigated undirected — the NSW bidirectional-link
+    * convention), seeded per query by the top-[[SearchBeam]] members
+    * of its SINGLE nearest IVF cell (the coarse-quantizer entry of
+    * every hybrid IVF+graph system — one [[Similarity.probe]] call
+    * at nProbe = 1 against the same persisted index every other
+    * query serves), top-[[K]] of the visited set out.
+    *
+    * The composition this declares: the nProbe = 1 probe alone pays
+    * the probe contract's full price (a neighbor quantized into any
+    * other cell is invisible); each graph round then recovers
+    * cross-cell neighbors through the refined edges — the build-time
+    * cross-cell repair ([[Similarity.nnDescentRound]]) applied at
+    * query time, WITHOUT probing more cells. Per round the work is
+    * Q·beam edge lookups + Q·|visited| rescores — corpus size
+    * appears nowhere, the property that makes graph search the
+    * query-serving path at 100 TB. The oracle replays the
+    * refined-graph CTEs + the probe entry + the same fixed-round
+    * expansion, so the trajectory cannot drift. Recall vs exact is
+    * the separately-declared `ann_graph_search_recall` (the
+    * margin_recall discipline: the contract's price is a measured,
+    * hash-checked number — alongside the probe-only baseline it
+    * beats). */
+  val SearchBeam = 4
+  val SearchRounds = 3
+
+  /** The search result, memoized per (fixture, session) and
+    * persisted + counted here ([[Similarity.graphSearch]] returns a
+    * lazy bounded plan), so bench reps price the emission. */
+  private def searchResult(s: SparkSession, dir: String): DataFrame =
+    graft.io.FixtureCache.memo(
+        s"ann_graph_search:b=$SearchBeam:r=$SearchRounds:" +
+          graft.io.FixtureCache.sessionKey(s),
+        dir, "embeddings") {
+      val entries = Similarity.probe(ivfIndex(s, dir), queryVecs(s, dir),
+          SearchBeam, nProbe = 1)
+        .select(col("query_id"), col("neighbor_id").as("node"))
+      val out = Similarity.graphSearch(refinedEdges(s, dir),
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryVecs(s, dir), entries, K, SearchBeam, SearchRounds).persist()
+      out.count()
+      out
+    }
+
+  def graphSearchQ(s: SparkSession, dir: String): DataFrame =
+    searchResult(s, dir)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("query_id", "rank")
+
+  /** Graph-search RECALL eval — the measured price of the fixed
+    * (beam, rounds) contract vs the exact top-[[K]], as a 1-row
+    * report (the margin_recall discipline): found/exact id-set
+    * overlap in integer arithmetic, recall in permille. Both sides
+    * exclude the query's own vertex, so the sets compare directly.
+    * The exact side is one [[Similarity.bruteForceTopK]] pass
+    * (broadcast queries, bounded heaps — Q·n, linear); the oracle
+    * replays the search CTEs + the bruteforce rank and counts the
+    * overlap, so the eval cannot drift from either surface. */
+  def graphSearchRecallQ(s: SparkSession, dir: String): DataFrame = {
+    val g = searchResult(s, dir).select(col("query_id"), col("neighbor_id"))
+    val exact = Similarity.bruteForceTopK(Tables.embeddings(s, dir), "vec_id",
+        "embedding", queryVecs(s, dir), K)
+      .select(col("query_id"), col("neighbor_id"))
+    val ne = exact.agg(count(lit(1)).as("n_exact"))
+    val nf = g.agg(count(lit(1)).as("n_found"))
+    val nc = g.join(exact, Seq("query_id", "neighbor_id"))
+      .agg(count(lit(1)).as("n_common"))
+    ne.crossJoin(nf).crossJoin(nc)
+      .select(lit(Q.toLong).as("n_queries"), col("n_exact"), col("n_found"),
+        col("n_common"),
+        floor(lit(1000.0) * col("n_common") / greatest(col("n_exact"), lit(1L)))
+          .cast("long").as("recall_permille"))
+  }
+
+  /** DIMENSION-TRUNCATION recall eval — the measured price of
+    * aggressive dimensionality reduction (the Matryoshka/short-
+    * embedding serving trade: Kusupati et al., "Matryoshka
+    * Representation Learning", NeurIPS 2022 — serve retrieval from a
+    * d'-dim prefix/projection and pay a recall, not a correctness,
+    * cost): every vector projects onto the SAME top-2 principal
+    * components `ann_pca_top2` trains (the [[covCells]] memo + the
+    * deflation trajectory, so train cannot drift from this eval),
+    * the top-[[K]] by projected COSINE ([[Similarity.bruteForceTopK]]
+    * over the 2-d table — the re-normalized serving the Matryoshka
+    * setting prescribes; ranking raw projected DOT against full-dim
+    * cosine would score norm bias, not truncation, as the spec's
+    * planted-plane case demonstrates) is compared to the full-dim
+    * exact cosine top-[[K]], as a 1-row id-set-overlap report (the
+    * margin_recall form). Projected vectors of EXACTLY zero norm
+    * (cosine undefined in the collapsed space) are excluded by a
+    * deterministic `> 0` filter replayed by the oracle. This closes
+    * the PCA family's loop: train (`ann_pca_component`/`_top2`) →
+    * apply (`ann_pca_project`) → PRICE (this query). The projection
+    * is the zero-shuffle broadcast-literal scan of
+    * `ann_pca_project`; both rank sides are broadcast-queries
+    * bounded-heap kernels — Q·n compute, Q·k·partitions shuffle,
+    * linear at any corpus. */
+  def dimTruncRecallQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ((_, w1), (_, w2)) = Similarity.pcaTop2(covCells(s, dir), PcaIters)
+    val e = Tables.embeddings(s, dir)
+    val proj = e.select(col("vec_id"),
+      array(
+        VectorOps.dot(VectorOps.toDouble(col("embedding")), typedLit(w1.toSeq)),
+        VectorOps.dot(VectorOps.toDouble(col("embedding")), typedLit(w2.toSeq)))
+        .as("pv"))
+      .filter(graft.plans.expressions.vec_dot(col("pv"), col("pv")) > 0.0)
+    val qv = queryVecs(s, dir)
+    val qproj = qv.map { case (qid, v) =>
+      (qid, Array(VectorOps.dotSeq(v, w1), VectorOps.dotSeq(v, w2)))
+    }
+    val trunc = Similarity.bruteForceTopK(proj, "vec_id", "pv", qproj, K)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding", qv, K)
+      .select(col("query_id"), col("neighbor_id"))
+    val ne = exact.agg(count(lit(1)).as("n_exact"))
+    val nt = trunc.agg(count(lit(1)).as("n_trunc"))
+    val nc = trunc.join(exact, Seq("query_id", "neighbor_id"))
+      .agg(count(lit(1)).as("n_common"))
+    ne.crossJoin(nt).crossJoin(nc)
+      .select(lit(Q.toLong).as("n_queries"), col("n_exact"), col("n_trunc"),
+        col("n_common"),
+        floor(lit(1000.0) * col("n_common") / greatest(col("n_exact"), lit(1L)))
+          .cast("long").as("recall_permille"))
   }
 
   /** PRODUCTION-CONFIGURATION kNN graph (r12 verdict task 5): the
@@ -789,7 +941,12 @@ object SimilarityQueries {
     * as the build sample), then per round hop-2 candidate expansion
     * over the previous round's k-cut edges, exact rescoring,
     * per-source rank. */
-  private def knnGraphRefinedOracleSqlRounds(rounds: Int): String = {
+  /** The refined-graph CTE PREFIX through `rounds` descent rounds —
+    * everything up to (and leaving defined) `d${rounds}rrk`, no
+    * leading WITH / trailing comma — factored out (r14) so the
+    * graph-search oracle navigates the IDENTICAL edge CTEs the
+    * refined-graph oracles emit. */
+  private def refinedGraphCtes(rounds: Int): String = {
     val (ra, rb) = Similarity.sampleRankCoeffs(GraphSeedSalt)
     val p = Similarity.SampleRankP
     val roundChain = (1 to rounds).map { i =>
@@ -799,7 +956,7 @@ object SimilarityQueries {
              |g${i + 1} AS (SELECT src, nb FROM d${i}rrk WHERE rank <= $GraphK),""".stripMargin
         else "")
     }.mkString("")
-    "WITH " + knnGraphCtes +
+    knnGraphCtes +
       s""",
          |bpe AS (SELECT vec_id, ((((vec_id % $p) + $p) % $p * $ra + $rb) % $p) % $IvfCells AS cell, v FROM pe),
          |bd AS (SELECT a.vec_id AS src, b.vec_id AS nb,
@@ -812,11 +969,106 @@ object SimilarityQueries {
          |  FROM bd) WHERE rank <= $GraphK),
          |g1 AS (SELECT src, nb FROM r WHERE rank <= $GraphK
          |      UNION SELECT src, nb FROM br),
-         |""".stripMargin + roundChain +
+         |""".stripMargin + roundChain
+  }
+
+  private def knnGraphRefinedOracleSqlRounds(rounds: Int): String =
+    "WITH " + refinedGraphCtes(rounds) +
       s"""
          |SELECT src AS vec_id, nb AS neighbor_id, rank, round(cosine, 6) AS cosine
          |FROM d${rounds}rrk WHERE rank <= $GraphK ORDER BY vec_id, rank""".stripMargin
+
+  /** One graph-search scoring CTE: every (query_id, node) row of
+    * visited CTE `inV` gets its exact cosine — query vector folds
+    * first (the bruteforce convention [[Similarity.graphSearch]]
+    * matches bit-for-bit). */
+  private def searchScoreCte(name: String, inV: String): String =
+    s"""$name AS (SELECT vs.query_id, vs.node,
+       |  list_sum(list_transform(generate_series(1, $Dim), i -> q.qv[i] * pp.v[i])) /
+       |  (sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> q.qv[i] * q.qv[i]))) *
+       |   sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> pp.v[i] * pp.v[i])))) AS cosine
+       |  FROM $inV vs JOIN p pp ON pp.vec_id = vs.node JOIN sq q ON q.query_id = vs.query_id)""".stripMargin
+
+  /** The graph-search CTE chain: the refined-graph prefix (the SAME
+    * edges the declared graph emits) navigated undirected, the
+    * nProbe = 1 probe entry (the ivfOracleSql probe CTEs at one
+    * cell, cut to [[SearchBeam]]), then [[SearchRounds]] fixed beam
+    * rounds — score visited, cut to [[SearchBeam]], expand along the
+    * edges, union-distinct — leaving `ssf` (the final visited set,
+    * scored) defined. */
+  private def graphSearchCtes: String = {
+    val rnds = (1 to SearchRounds).map { r =>
+      searchScoreCte(s"ss$r", s"sv${r - 1}") +
+        s""",
+           |sf$r AS (SELECT query_id, node FROM (SELECT query_id, node,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, node) AS rk
+           |  FROM ss$r) WHERE rk <= $SearchBeam),
+           |sv$r AS (SELECT DISTINCT query_id, node FROM (
+           |  SELECT query_id, node FROM sv${r - 1}
+           |  UNION ALL SELECT f.query_id, ge.nb AS node FROM sf$r f JOIN ge ON ge.src = f.node))""".stripMargin
+    }.mkString(",\n")
+    refinedGraphCtes(1) +
+      s""",
+         |ge AS (SELECT src, nb FROM d1rrk WHERE rank <= $GraphK
+         |       UNION ALL
+         |       SELECT nb AS src, src AS nb FROM d1rrk WHERE rank <= $GraphK),
+         |sq AS (SELECT vec_id AS query_id, v AS qv FROM p ORDER BY vec_id LIMIT $Q),
+         |sqd AS (SELECT q.query_id, c.cid,
+         |  list_sum(list_transform(generate_series(1, $Dim),
+         |           i -> (q.qv[i] - c.v[i]) * (q.qv[i] - c.v[i]))) AS d2
+         |  FROM sq q CROSS JOIN cent$IvfTrainIters c),
+         |sprobe AS (SELECT query_id, cid FROM (
+         |  SELECT query_id, cid, row_number() OVER (PARTITION BY query_id ORDER BY d2, cid) AS rn
+         |  FROM sqd) WHERE rn <= 1),
+         |scand AS (SELECT pr.query_id, ce.vec_id AS node
+         |  FROM sprobe pr JOIN cells ce ON ce.cell = pr.cid AND ce.vec_id <> pr.query_id),
+         |""".stripMargin +
+      searchScoreCte("ss0", "scand") +
+      s""",
+         |sv0 AS (SELECT query_id, node FROM (SELECT query_id, node,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, node) AS rk
+         |  FROM ss0) WHERE rk <= $SearchBeam),
+         |""".stripMargin + rnds + ",\n" +
+      searchScoreCte("ssf", s"sv$SearchRounds")
   }
+
+  private def graphSearchOracleSql: String =
+    "WITH " + graphSearchCtes +
+      s"""
+         |SELECT query_id, node AS neighbor_id, rank, round(cosine, 6) AS cosine FROM (
+         |  SELECT query_id, node, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, node) AS INTEGER) AS rank
+         |  FROM ssf WHERE node <> query_id) WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin
+
+  /** Recall oracle: the search CTEs' final ranked ids vs the
+    * bruteforce oracle's rank over the same `sq` query batch,
+    * id-set overlap in integer arithmetic (the marginRecall form). */
+  private def graphSearchRecallOracleSql: String =
+    "WITH " + graphSearchCtes +
+      s""",
+         |gres AS (SELECT query_id, node AS neighbor_id FROM (
+         |  SELECT query_id, node,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, node) AS rank
+         |  FROM ssf WHERE node <> query_id) WHERE rank <= $K),
+         |xd AS (SELECT q.query_id, pp.vec_id AS neighbor_id,
+         |  list_sum(list_transform(generate_series(1, $Dim), i -> q.qv[i] * pp.v[i])) /
+         |  (sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> q.qv[i] * q.qv[i]))) *
+         |   sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> pp.v[i] * pp.v[i])))) AS cosine
+         |  FROM sq q CROSS JOIN p pp WHERE pp.vec_id <> q.query_id),
+         |xres AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM xd) WHERE rank <= $K),
+         |sst AS (SELECT
+         |  (SELECT COUNT(*) FROM sq) AS n_queries,
+         |  (SELECT COUNT(*) FROM xres) AS n_exact,
+         |  (SELECT COUNT(*) FROM gres) AS n_found,
+         |  (SELECT COUNT(*) FROM gres g JOIN xres x
+         |     ON x.query_id = g.query_id AND x.neighbor_id = g.neighbor_id) AS n_common)
+         |SELECT n_queries, n_exact, n_found, n_common,
+         |  CAST(floor(1000.0 * n_common / greatest(n_exact, 1)) AS BIGINT) AS recall_permille
+         |FROM sst""".stripMargin
 
   private def knnGraphRefinedOracleSql: String =
     knnGraphRefinedOracleSqlRounds(1)
@@ -910,6 +1162,59 @@ object SimilarityQueries {
     }.toDF("component", "i", "loading_micros", "eigenvalue_micros")
       .orderBy("component", "i")
   }
+
+  /** The truncation-eval oracle: the top-2 training CTEs (identical
+    * trajectory to `ann_pca_top2`), corpus + query batch projected
+    * onto the FULL-PRECISION w/bw vectors (the pcaProject
+    * literal-broadcast precedent), dot-ranked truncated top-K vs the
+    * bruteforce cosine top-K, integer overlap (the marginRecall
+    * form). */
+  private def dimTruncRecallOracleSql: String =
+    pcaTrainCtes +
+      s""",
+         |m2 AS MATERIALIZED (SELECT list_transform(generate_series(1, $Dim), i ->
+         |  list_transform(generate_series(1, $Dim), j ->
+         |    m.mat[i][j] - w$PcaIters.nm * w$PcaIters.w[i] * w$PcaIters.w[j])) AS mat
+         |  FROM m, w$PcaIters),
+         |""".stripMargin + powerIterCtes("m2", "b") +
+      s""",
+         |pid AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |tq AS (SELECT vec_id AS query_id, v AS qv FROM pid ORDER BY vec_id LIMIT $Q),
+         |tproj AS (SELECT pid.vec_id,
+         |  list_sum(list_transform(generate_series(1, $Dim), i -> pid.v[i] * w.w[i])) AS s1,
+         |  list_sum(list_transform(generate_series(1, $Dim), i -> pid.v[i] * b.w[i])) AS s2
+         |  FROM pid, w$PcaIters w, bw$PcaIters b),
+         |tqp AS (SELECT q.query_id,
+         |  list_sum(list_transform(generate_series(1, $Dim), i -> q.qv[i] * w.w[i])) AS q1,
+         |  list_sum(list_transform(generate_series(1, $Dim), i -> q.qv[i] * b.w[i])) AS q2
+         |  FROM tq q, w$PcaIters w, bw$PcaIters b),
+         |td AS (SELECT q.query_id, t.vec_id AS neighbor_id,
+         |  (q.q1 * t.s1 + q.q2 * t.s2) /
+         |  (sqrt(q.q1 * q.q1 + q.q2 * q.q2) * sqrt(t.s1 * t.s1 + t.s2 * t.s2)) AS tcos
+         |  FROM tqp q CROSS JOIN tproj t
+         |  WHERE t.vec_id <> q.query_id AND t.s1 * t.s1 + t.s2 * t.s2 > 0),
+         |tres AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY tcos DESC, neighbor_id) AS rank
+         |  FROM td) WHERE rank <= $K),
+         |xd AS (SELECT q.query_id, pp.vec_id AS neighbor_id,
+         |  list_sum(list_transform(generate_series(1, $Dim), i -> q.qv[i] * pp.v[i])) /
+         |  (sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> q.qv[i] * q.qv[i]))) *
+         |   sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> pp.v[i] * pp.v[i])))) AS cosine
+         |  FROM tq q CROSS JOIN pid pp WHERE pp.vec_id <> q.query_id),
+         |xres AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM xd) WHERE rank <= $K),
+         |tst AS (SELECT
+         |  (SELECT COUNT(*) FROM tq) AS n_queries,
+         |  (SELECT COUNT(*) FROM xres) AS n_exact,
+         |  (SELECT COUNT(*) FROM tres) AS n_trunc,
+         |  (SELECT COUNT(*) FROM tres t JOIN xres x
+         |     ON x.query_id = t.query_id AND x.neighbor_id = t.neighbor_id) AS n_common)
+         |SELECT n_queries, n_exact, n_trunc, n_common,
+         |  CAST(floor(1000.0 * n_common / greatest(n_exact, 1)) AS BIGINT) AS recall_permille
+         |FROM tst""".stripMargin
 
   private def pcaTop2OracleSql: String =
     pcaTrainCtes +
@@ -1029,6 +1334,9 @@ object SimilarityQueries {
     "ann_knn_graph_refined" -> (knnGraphRefined _),
     "ann_knn_graph_refined_auto" -> (knnGraphRefinedAuto _),
     "ann_knn_graph_refined2" -> (knnGraphRefined2 _),
+    "ann_graph_search" -> (graphSearchQ _),
+    "ann_graph_search_recall" -> (graphSearchRecallQ _),
+    "ann_dim_truncate_recall" -> (dimTruncRecallQ _),
     "ann_index_drift" -> (indexDriftQ _),
     "ann_index_maintain" -> (indexMaintainQ _),
     "ann_index_retrain" -> (indexRetrainQ _),
@@ -1643,6 +1951,9 @@ object SimilarityQueries {
     // fixture scale (the ann_knn_graph_auto precedent)
     "ann_knn_graph_refined_auto" -> knnGraphRefinedOracleSql,
     "ann_knn_graph_refined2" -> knnGraphRefinedOracleSqlRounds(DescentRounds),
+    "ann_graph_search" -> graphSearchOracleSql,
+    "ann_graph_search_recall" -> graphSearchRecallOracleSql,
+    "ann_dim_truncate_recall" -> dimTruncRecallOracleSql,
     "ann_index_drift" -> indexDriftOracleSql,
     "ann_index_maintain" -> indexMaintainOracleSql,
     "ann_index_retrain" -> indexRetrainOracleSql,

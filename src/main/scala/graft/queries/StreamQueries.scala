@@ -621,6 +621,84 @@ object StreamQueries {
     * ingest job keeps resident: the retrain flag flips mid-stream
     * the moment a batch's landing distribution leaves the settled
     * band. */
+  /** STREAMING GRAPH-SEARCH SERVING — the 20th streaming query: the
+    * serving half of the graph-ANN lifecycle as a RESIDENT stream.
+    * Query vectors ARRIVE as a micro-batched stream at an embedding
+    * store whose refined kNN graph and IVF index are already built;
+    * each micro-batch runs the SAME composition the batch
+    * `ann_graph_search` declares — nProbe = 1 coarse entry
+    * ([[graft.operators.Similarity.probe]]) + the fixed
+    * beam rounds ([[graft.operators.Similarity.graphSearch]]) — via
+    * `foreachBatch` + the Q-bounded driver beam state (the
+    * [[graft.streaming.StreamingKMeans]] idiom: an iterative driver
+    * loop is a per-batch job, not a streaming plan; rank windows
+    * never enter a streaming query). Because graph search is
+    * PER-QUERY independent, the twin is batching-invariant EXACTLY —
+    * not just in aggregate: any micro-batch split of the query set
+    * produces row-identical results (StreamingSpec's 3-batch law) —
+    * the property that makes it a deploy-anywhere serving stream.
+    * Oracle = the batch search oracle verbatim; the streamed queries
+    * (vec_id < Q, dense 0-based ids) ARE the batch's ORDER BY vec_id
+    * LIMIT Q set. */
+  def graphSearchParity(s: SparkSession, dir: String): DataFrame =
+    graphSearchParityWith(s, dir, maxFilesPerTrigger = None)
+
+  private[graft] def graphSearchParityWith(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int],
+      srcDir: Option[String] = None): DataFrame = {
+    val edges = SimilarityQueries.refinedEdges(s, dir)
+    val idx = SimilarityQueries.ivfIndex(s, dir)
+    val embs = graft.io.Tables.embeddings(s, dir)
+    val reader = maxFilesPerTrigger.foldLeft(
+      s.readStream.schema("vec_id bigint, embedding array<float>, label int")) {
+      (r, n) => r.option("maxFilesPerTrigger", n)
+    }
+    val stream = reader.parquet(srcDir.getOrElse(streamDir(dir, "embeddings")))
+      .filter(col("vec_id") < SimilarityQueries.Q)
+      .select(col("vec_id"),
+        graft.functions.VectorOps.toDouble(col("embedding")).as("qv"))
+    val acc = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    @volatile var schema: org.apache.spark.sql.types.StructType = null
+    val q = stream.writeStream.queryName("stream_graph_search_q")
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val qs = batch.collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          .sortBy(_._1)
+        if (qs.nonEmpty) {
+          val entries = graft.operators.Similarity.probe(idx, qs,
+              SimilarityQueries.SearchBeam, nProbe = 1)
+            .select(col("query_id"), col("neighbor_id").as("node"))
+          val res = graft.operators.Similarity.graphSearch(edges, embs,
+            "vec_id", "embedding", qs, entries, SimilarityQueries.K,
+            SimilarityQueries.SearchBeam, SimilarityQueries.SearchRounds)
+          val rows = res.collect()
+          acc.synchronized { schema = res.schema; acc ++= rows }
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = acc.synchronized { acc.toArray }
+    // no arriving queries → a well-typed empty result, not an NPE
+    val outSchema =
+      if (schema != null) schema
+      else org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("neighbor_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("cosine",
+          org.apache.spark.sql.types.DoubleType)))
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   def indexDriftParity(s: SparkSession, dir: String): DataFrame = {
     val idx = SimilarityQueries.ivfIndex(s, dir)
     val settled = idx.cells.filter(pmod(col("id"), lit(5)) =!= 0)
@@ -743,6 +821,7 @@ object StreamQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_ann_parity" -> (annServeParity _),
+    "stream_graph_search_parity" -> (graphSearchParity _),
     "stream_semantic_probe_parity" -> (semanticProbeParity _),
     "stream_index_drift_parity" -> (indexDriftParity _),
     "stream_covariance_parity" -> (covarianceParity _),
@@ -772,6 +851,11 @@ object StreamQueries {
     // ORDER BY vec_id LIMIT Q set
     "stream_ann_parity" ->
       SimilarityQueries.ivfOracleSql(s"LIMIT ${SimilarityQueries.Q}"),
+    // the batch graph-search oracle verbatim: per-query independence
+    // makes the foreachBatch twin row-identical to ann_graph_search
+    // under ANY micro-batch split
+    "stream_graph_search_parity" ->
+      SimilarityQueries.oracles("ann_graph_search"),
     // the batch ingest-dedup oracle verbatim: per-row re-derived cells
     // equal the index's stored assignment, so the stream twin is
     // row-identical to dedup_semantic_probe by construction

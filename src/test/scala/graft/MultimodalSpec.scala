@@ -332,4 +332,32 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
     assert(one.values.forall(_ === 1L))
   }
+
+  test("audioActivity: hand-computed energy/zcr on planted payloads; fixture VAD split is binary (r14)") {
+    import spark.implicits._
+    // payload 1: 16 bytes alternating 32/96 around the 64 midline —
+    // per-sample deviation ±32, energy 16·1024 = 16384, crossings at
+    // every adjacent pair (15); payload 2: constant 64 — deviation 0,
+    // energy 0, zcr 0; payload 3: 20 bytes of 200 — two frames (16+4),
+    // energy (200−64)²·16 = 295936 then ·4 = 73984, zero crossings
+    val alt = Array.tabulate(16)(i => (if (i % 2 == 0) 32 else 96).toByte)
+    val mid = Array.fill(16)(64.toByte)
+    val loud = Array.fill(20)(200.toByte)
+    val planted = Seq((1L, alt), (2L, mid), (3L, loud)).toDF("id", "blob")
+    val got = Multimodal.audioActivity(planted)
+      .collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got(1L) === ((1L, 0L, 16384L, 16384L, 15L)), s"alternating: ${got(1L)}")
+    assert(got(2L) === ((1L, 0L, 0L, 0L, 0L)), s"midline: ${got(2L)}")
+    assert(got(3L) === ((2L, 2L, 369920L, 295936L, 0L)), s"loud: ${got(3L)}")
+    // the declared threshold is calibrated at the fixture median: the
+    // VAD split must be genuinely binary, not all-active/all-silent
+    val fx = Multimodal.audioActivity(blobs)
+      .agg(sum("n_active").as("a"), sum("n_frames").as("f")).collect()(0)
+    val share = fx.getLong(0).toDouble / fx.getLong(1)
+    info(f"fixture active-frame share at threshold 29000: $share%.3f")
+    assert(share > 0.2 && share < 0.8, s"degenerate VAD split: $share")
+  }
 }

@@ -117,6 +117,16 @@ class ShuffleCeilingSpec extends SparkSpec {
     // p joins broadcast) — measured equal to one round; the at-scale
     // bound is one more n*(k^2+k) candidate stage per round
     ("ann_knn_graph_refined2", 340000L, "2 seed graphs + per-round n*k^2 candidates (84096)"),
+    // first touch pays the shared refined-edges build (the 2-seed-
+    // graph + n*k^2 descent stage above); the probe entry and the
+    // beam rounds themselves are Q-bounded
+    ("ann_graph_search", 340000L, "refined-edges build + Q-bounded probe/beam stages (78548)"),
+    // rides the search memo: bruteforce Q*k*partitions partials +
+    // the overlap-count partials
+    ("ann_graph_search_recall", 400L, "exact-side partials + overlap counts (84)"),
+    // two bounded-heap rank kernels (Q*k*partitions partials each)
+    // over the zero-shuffle projection scan + overlap counts
+    ("ann_dim_truncate_recall", 9000L, "2 bounded-heap rank kernels + overlap counts (2107)"),
     // the maintenance surface runs the drift audit twice (the
     // nCells-bounded gate collect + the emitted frame)
     ("ann_index_maintain", 400L, "2 x (nCells stratum partials + totals) (66)"),
@@ -125,6 +135,9 @@ class ShuffleCeilingSpec extends SparkSpec {
     ("ann_margin_recall", 120000L, "sampled-exact partials + IVF mining build + overlap (34108)"),
     ("ann_pca_project", 17000L, "CovCellsAgg buffers + d^2 hand-off, zero-shuffle scoring (4008)"),
     ("mm_scene_changes", 150000L, "bytes/stride frame stream into the id window (30699)"),
+    // map-side combine collapses each payload's frames before the
+    // exchange: <= one row per payload per partition moves
+    ("mm_audio_activity", 40000L, "payload-keyed partial agg rows (10000)"),
     ("text_lm_heldout_score", 44000L, "train-vocab bigram/unigram counts + doc report (10962)"))
 
   test("bounded-output queries shuffle bounded records at sf0.1") {

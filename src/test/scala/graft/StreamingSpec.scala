@@ -299,6 +299,21 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming graph search over 3 real micro-batches is row-identical to the batch search (r14)") {
+    // per-query independence makes the serving twin batching-
+    // invariant EXACTLY: any micro-batch split of the query set must
+    // reproduce the batch ann_graph_search rows bit-for-bit
+    val e = graft.io.Tables.embeddings(spark, sf001)
+    val dir = java.nio.file.Files.createTempDirectory("graft-gs-stream").toString
+    e.repartition(3).write.mode("overwrite").parquet(dir)
+    val streamed = graft.queries.StreamQueries
+      .graphSearchParityWith(spark, sf001, maxFilesPerTrigger = Some(1), Some(dir))
+      .collect().toSeq
+    val batch = SparkEntry.queries("ann_graph_search")(spark, sf001)
+      .collect().toSeq
+    assert(streamed === batch)
+  }
+
   test("streaming anomaly alerts equal the batch z-score operator row-for-row") {
     val streamed = graft.queries.StreamQueries.anomalyParity(spark, sf001)
       .collect()
