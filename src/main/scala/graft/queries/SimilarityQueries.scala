@@ -665,6 +665,77 @@ object SimilarityQueries {
           .cast("long").as("recall_permille"))
   }
 
+  /** GRAPH INSERT — the INGEST stage of the graph-ANN lifecycle
+    * (HNSW's insert, batch form: Malkov & Yashunin §4 — a new
+    * element's neighbors are FOUND BY SEARCHING the existing graph,
+    * then linked): the held-out new batch (`vec_id % 5 = 0`, the
+    * indexDrift / dedup_incremental fixture convention) arrives at a
+    * store whose index and refined graph were built on the SETTLED
+    * corpus only; each new vector runs the declared search
+    * composition against the settled graph (nProbe = 1 entry on the
+    * settled-trained index + the same beam rounds) and its
+    * top-[[GraphK]] found settled neighbors become its inserted
+    * edges.
+    *
+    * The 100 TB property this declares: graph ingest is APPEND-ONLY.
+    * Because navigation is UNDIRECTED (the search reverses edges on
+    * the fly), forward edges from the new vector suffice to make it
+    * reachable — no settled row is rewritten, no reverse-link
+    * maintenance pass runs; the insert batch writes |new|·k rows and
+    * touches the settled corpus only through the search's
+    * `IN`-pruned point lookups. Work: |new| searches, each
+    * corpus-free (the graph-search serving law) — the batch twin of
+    * one HNSW insert loop, embarrassingly parallel over new rows.
+    * Oracle: the settled-side build + refined-graph + beam-round
+    * CTEs (the SAME parameterized text the search oracle navigates,
+    * restricted to the settled corpus) with the query batch = the
+    * new vectors. */
+  private def settledEmb(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).filter(pmod(col("vec_id"), lit(5)) =!= 0)
+
+  /** Settled-side index + refined edges, memoized per (fixture,
+    * session) — the insert's standing serving state (at scale:
+    * the content-addressed disk layout the drift/retrain family
+    * already manages). */
+  private def settledGraph(s: SparkSession, dir: String): (Similarity.IvfIndex, DataFrame) =
+    graft.io.FixtureCache.memo(
+        "ann_graph_insert_settled:" + graft.io.FixtureCache.sessionKey(s),
+        dir, "embeddings") {
+      val se = settledEmb(s, dir)
+      val idx = Similarity.buildIndex(se, "vec_id", "embedding",
+        nCells = IvfCells, trainIters = IvfTrainIters,
+        trainSample = IvfTrainSample, seed = IvfSeed)
+      val edges = Similarity.nnDescentRound(seedUnionOf(idx, IvfCells),
+        se, "vec_id", "embedding", GraphK).persist()
+      edges.count()
+      (idx, edges)
+    }
+
+  private def insertResult(s: SparkSession, dir: String): DataFrame =
+    graft.io.FixtureCache.memo(
+        s"ann_graph_insert:b=$SearchBeam:r=$SearchRounds:" +
+          graft.io.FixtureCache.sessionKey(s),
+        dir, "embeddings") {
+      val (idx, edges) = settledGraph(s, dir)
+      val newQ = Tables.embeddings(s, dir)
+        .filter(pmod(col("vec_id"), lit(5)) === 0)
+        .select(col("vec_id"), VectorOps.toDouble(col("embedding")))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val entries = Similarity.probe(idx, newQ, SearchBeam, nProbe = 1)
+        .select(col("query_id"), col("neighbor_id").as("node"))
+      val out = Similarity.graphSearch(edges, settledEmb(s, dir),
+        "vec_id", "embedding", newQ, entries,
+        GraphK, SearchBeam, SearchRounds).persist()
+      out.count()
+      out
+    }
+
+  def graphInsertQ(s: SparkSession, dir: String): DataFrame =
+    insertResult(s, dir)
+      .select(col("query_id").as("vec_id"), col("neighbor_id"),
+        col("rank"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("vec_id", "rank")
+
   /** DIMENSION-TRUNCATION recall eval — the measured price of
     * aggressive dimensionality reduction (the Matryoshka/short-
     * embedding serving trade: Kusupati et al., "Matryoshka
@@ -896,8 +967,10 @@ object SimilarityQueries {
   /** The within-cell graph CTE chain (build replay + ranked edges
     * through `r`) — shared by the kNN-graph oracle and the NN-descent
     * refined oracle, which grows candidates from these edges. */
-  private def knnGraphCtes: String =
-    ivfBuildCtes +
+  private def knnGraphCtes: String = knnGraphCtes("")
+
+  private def knnGraphCtes(where: String): String =
+    ivfBuildCtes(where) +
       s""",
          |pe AS (SELECT c.vec_id, c.cell, p.v FROM cells c JOIN p USING (vec_id)),
          |d AS (SELECT a.vec_id AS src, b.vec_id AS nb,
@@ -946,7 +1019,9 @@ object SimilarityQueries {
     * leading WITH / trailing comma — factored out (r14) so the
     * graph-search oracle navigates the IDENTICAL edge CTEs the
     * refined-graph oracles emit. */
-  private def refinedGraphCtes(rounds: Int): String = {
+  private def refinedGraphCtes(rounds: Int): String = refinedGraphCtes(rounds, "")
+
+  private def refinedGraphCtes(rounds: Int, where: String): String = {
     val (ra, rb) = Similarity.sampleRankCoeffs(GraphSeedSalt)
     val p = Similarity.SampleRankP
     val roundChain = (1 to rounds).map { i =>
@@ -956,7 +1031,7 @@ object SimilarityQueries {
              |g${i + 1} AS (SELECT src, nb FROM d${i}rrk WHERE rank <= $GraphK),""".stripMargin
         else "")
     }.mkString("")
-    knnGraphCtes +
+    knnGraphCtes(where) +
       s""",
          |bpe AS (SELECT vec_id, ((((vec_id % $p) + $p) % $p * $ra + $rb) % $p) % $IvfCells AS cell, v FROM pe),
          |bd AS (SELECT a.vec_id AS src, b.vec_id AS nb,
@@ -996,7 +1071,15 @@ object SimilarityQueries {
     * rounds — score visited, cut to [[SearchBeam]], expand along the
     * edges, union-distinct — leaving `ssf` (the final visited set,
     * scored) defined. */
-  private def graphSearchCtes: String = {
+  private def graphSearchCtes: String =
+    graphSearchCtesFor("",
+      s"sq AS (SELECT vec_id AS query_id, v AS qv FROM p ORDER BY vec_id LIMIT $Q)")
+
+  /** Parameterized over the corpus restriction (`where` — the
+    * settled side for the insert oracle) and the query-batch CTE
+    * (`sqSql`, defining `sq (query_id, qv)`), so the search and
+    * insert oracles navigate the IDENTICAL beam-round text. */
+  private def graphSearchCtesFor(where: String, sqSql: String): String = {
     val rnds = (1 to SearchRounds).map { r =>
       searchScoreCte(s"ss$r", s"sv${r - 1}") +
         s""",
@@ -1007,12 +1090,12 @@ object SimilarityQueries {
            |  SELECT query_id, node FROM sv${r - 1}
            |  UNION ALL SELECT f.query_id, ge.nb AS node FROM sf$r f JOIN ge ON ge.src = f.node))""".stripMargin
     }.mkString(",\n")
-    refinedGraphCtes(1) +
+    refinedGraphCtes(1, where) +
       s""",
          |ge AS (SELECT src, nb FROM d1rrk WHERE rank <= $GraphK
          |       UNION ALL
          |       SELECT nb AS src, src AS nb FROM d1rrk WHERE rank <= $GraphK),
-         |sq AS (SELECT vec_id AS query_id, v AS qv FROM p ORDER BY vec_id LIMIT $Q),
+         |$sqSql,
          |sqd AS (SELECT q.query_id, c.cid,
          |  list_sum(list_transform(generate_series(1, $Dim),
          |           i -> (q.qv[i] - c.v[i]) * (q.qv[i] - c.v[i]))) AS d2
@@ -1040,6 +1123,23 @@ object SimilarityQueries {
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, node) AS INTEGER) AS rank
          |  FROM ssf WHERE node <> query_id) WHERE rank <= $K
          |ORDER BY query_id, rank""".stripMargin
+
+  /** Graph-insert oracle: the settled-side (`vec_id % 5 <> 0`)
+    * build + refined-graph + beam-round CTEs — the IDENTICAL
+    * parameterized text the search oracle navigates — with the query
+    * batch = the new vectors; each new vector's top-[[GraphK]] found
+    * settled neighbors are its inserted edges. No self-exclusion is
+    * needed (new ∉ settled by the fixture split). */
+  private def graphInsertOracleSql: String =
+    "WITH " + graphSearchCtesFor("WHERE vec_id % 5 <> 0",
+      "sq AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv " +
+        "FROM embeddings WHERE vec_id % 5 = 0)") +
+      s"""
+         |SELECT query_id AS vec_id, node AS neighbor_id, rank, round(cosine, 6) AS cosine FROM (
+         |  SELECT query_id, node, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, node) AS INTEGER) AS rank
+         |  FROM ssf) WHERE rank <= $GraphK
+         |ORDER BY vec_id, rank""".stripMargin
 
   /** Recall oracle: the search CTEs' final ranked ids vs the
     * bruteforce oracle's rank over the same `sq` query batch,
@@ -1336,6 +1436,7 @@ object SimilarityQueries {
     "ann_knn_graph_refined2" -> (knnGraphRefined2 _),
     "ann_graph_search" -> (graphSearchQ _),
     "ann_graph_search_recall" -> (graphSearchRecallQ _),
+    "ann_graph_insert" -> (graphInsertQ _),
     "ann_dim_truncate_recall" -> (dimTruncRecallQ _),
     "ann_index_drift" -> (indexDriftQ _),
     "ann_index_maintain" -> (indexMaintainQ _),
@@ -1408,10 +1509,16 @@ object SimilarityQueries {
     * `cent0`..`cent$IvfTrainIters` and `cells`; shared by the three
     * ann_ivf* oracles here and by DedupQueries' `dedup_semantic`
     * oracle, which clusters through the SAME persisted index. */
-  private[queries] def ivfBuildCtes: String = {
-    s"""p AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"""
-      .stripMargin + ",\n" + ivfBuildCtesFor("", "")
-  }
+  /** The shared corpus CTE `p`, optionally restricted (r14 — the
+    * graph-insert oracle builds its settled-side index/graph over
+    * `WHERE vec_id % 5 <> 0`; every other oracle passes ""). */
+  private def pCte(where: String): String =
+    s"""p AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings $where)"""
+
+  private[queries] def ivfBuildCtes: String = ivfBuildCtes("")
+
+  private[queries] def ivfBuildCtes(where: String): String =
+    pCte(where) + ",\n" + ivfBuildCtesFor("", "")
 
   /** The PARAMETERIZED build replay behind [[ivfBuildCtes]] (r13, for
     * the retrain oracle): trains on `p` restricted by `trainWhere`,
@@ -1953,6 +2060,7 @@ object SimilarityQueries {
     "ann_knn_graph_refined2" -> knnGraphRefinedOracleSqlRounds(DescentRounds),
     "ann_graph_search" -> graphSearchOracleSql,
     "ann_graph_search_recall" -> graphSearchRecallOracleSql,
+    "ann_graph_insert" -> graphInsertOracleSql,
     "ann_dim_truncate_recall" -> dimTruncRecallOracleSql,
     "ann_index_drift" -> indexDriftOracleSql,
     "ann_index_maintain" -> indexMaintainOracleSql,

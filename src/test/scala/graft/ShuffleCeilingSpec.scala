@@ -124,6 +124,10 @@ class ShuffleCeilingSpec extends SparkSpec {
     // rides the search memo: bruteforce Q*k*partitions partials +
     // the overlap-count partials
     ("ann_graph_search_recall", 400L, "exact-side partials + overlap counts (84)"),
+    // first touch pays the settled-side build + refined edges (the
+    // same 2-seed-graph + n*k^2 descent stage); the |new| searches
+    // themselves are frontier/visited-bounded
+    ("ann_graph_insert", 340000L, "settled graph build + bounded insert searches (77632)"),
     // two bounded-heap rank kernels (Q*k*partitions partials each)
     // over the zero-shuffle projection scan + overlap counts
     ("ann_dim_truncate_recall", 9000L, "2 bounded-heap rank kernels + overlap counts (2107)"),

@@ -937,6 +937,48 @@ class SimilaritySpec extends SparkSpec {
       (SimilarityQueries.Q * SimilarityQueries.K).toLong)
   }
 
+  test("graphInsert: append-only ingest — endpoints settled, every new vector linked, planted clone links at rank 1 (r14)") {
+    import graft.queries.SimilarityQueries
+    val ins = SparkEntry.queries("ann_graph_insert")(spark, sf001)
+    val rows = ins.collect()
+    // every inserted edge leaves a NEW vector and lands on a SETTLED
+    // one (append-only: no settled row is rewritten)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 5 === 0, s"edge source not in the new batch: $r")
+      assert(r.getLong(1) % 5 !== 0, s"edge endpoint not settled: $r")
+    }
+    // every new vector is linked with contiguous ranks <= GraphK
+    val nNew = emb.filter(pmod(col("vec_id"), lit(5)) === 0).count()
+    val byNew = rows.groupBy(_.getLong(0))
+    assert(byNew.size.toLong === nNew, s"${byNew.size} linked of $nNew new")
+    byNew.values.foreach { es =>
+      assert(es.map(_.getInt(2)).sorted.toSeq === (1 to es.length))
+      assert(es.length <= SimilarityQueries.GraphK)
+    }
+    // the memo serves identical rows on re-invocation
+    assert(SparkEntry.queries("ann_graph_insert")(spark, sf001)
+      .collect().toSeq === rows.toSeq)
+    // planted clone: a new vector equal to a settled one must find it
+    // at rank 1 through the settled graph (entry probe lands in the
+    // clone's own cell; cosine 1 dominates)
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val settled = (1L to 60L).filter(_ % 5 != 0)
+      .map(id => (id, Array.fill(8)(rnd.nextGaussian())))
+    val cloneOf = settled.find(_._1 == 7L).get._2
+    val sdf = settled.toDF("vec_id", "embedding")
+    val idx = Similarity.buildIndex(sdf, "vec_id", "embedding", nCells = 4)
+    val edges = Similarity.knnGraphWithin(idx.cells, 3)
+    val entries = Similarity.probe(idx, Array((60L, cloneOf)), 4, nProbe = 1)
+      .select(col("query_id"), col("neighbor_id").as("node"))
+    val linked = Similarity.graphSearch(edges, sdf, "vec_id", "embedding",
+        Array((60L, cloneOf)), entries, 1, 4, 2)
+      .collect()
+    assert(linked.length === 1 && linked(0).getLong(1) === 7L,
+      s"clone not linked to its settled twin: ${linked.toSeq}")
+    idx.unpersist()
+  }
+
   test("dimTruncRecall: the projected ranking equals a driver replica; report counts the exact overlap (r14)") {
     import graft.queries.SimilarityQueries
     val qv = emb.orderBy("vec_id").limit(SimilarityQueries.Q)
