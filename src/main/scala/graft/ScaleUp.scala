@@ -567,19 +567,7 @@ object ScaleUp {
     // CORPUS-FREE by construction, so it should sit near-flat
     // between 10× and 100×.
     "ann_graph_search_auto" -> ((s: SparkSession, dir: String) => {
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val nCells = graft.operators.Similarity.autoNCells(e.count())
-      val idx = graft.operators.Similarity.buildIndex(
-        e, "vec_id", "embedding", nCells = nCells)
-      val (ra, rb) = graft.operators.Similarity.sampleRankCoeffs(
-        graft.queries.SimilarityQueries.GraphSeedSalt)
-      val p = graft.operators.Similarity.SampleRankP
-      val bucketed = idx.cells.select(
-        (pmod(pmod(col("id"), lit(p)) * lit(ra) + lit(rb), lit(p)) % lit(nCells))
-          .cast("int").as("cell"),
-        col("id"), col("v"))
-      val seed = graft.operators.Similarity.knnGraphWithin(idx.cells, 3)
-        .union(graft.operators.Similarity.knnGraphWithin(bucketed, 3))
+      val (e, idx, seed) = autoSeedUnion(s, dir)
       val edges = graft.operators.Similarity.nnDescentRound(
         seed, e, "vec_id", "embedding", 3).persist()
       edges.count()
@@ -598,11 +586,15 @@ object ScaleUp {
       s.range(n).toDF("row")
     }))
 
-  /** Shared production-law NN-descent rehearsal body: auto-nCells
-    * index, both seed graphs at the law's bucket count, `rounds`
-    * descent rounds via the driver loop. */
-  private def refinedAutoRounds(s: SparkSession, dir: String,
-                                rounds: Int): org.apache.spark.sql.DataFrame = {
+  /** Shared production-law seed construction (ONE copy — r14 review:
+    * the pmod bucket formula and the autoNCells law must not fork
+    * between the descent and graph-search rehearsals): auto-nCells
+    * index + both seed graphs at the law's bucket count. Caller owns
+    * `idx.unpersist`. */
+  private def autoSeedUnion(s: SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame,
+         graft.operators.Similarity.IvfIndex,
+         org.apache.spark.sql.DataFrame) = {
     val e = s.read.parquet(s"$dir/embeddings.parquet")
     val nCells = graft.operators.Similarity.autoNCells(e.count())
     val idx = graft.operators.Similarity.buildIndex(
@@ -616,6 +608,14 @@ object ScaleUp {
       col("id"), col("v"))
     val seed = graft.operators.Similarity.knnGraphWithin(idx.cells, 3)
       .union(graft.operators.Similarity.knnGraphWithin(bucketed, 3))
+    (e, idx, seed)
+  }
+
+  /** Shared production-law NN-descent rehearsal body: the auto seed
+    * union + `rounds` descent rounds via the driver loop. */
+  private def refinedAutoRounds(s: SparkSession, dir: String,
+                                rounds: Int): org.apache.spark.sql.DataFrame = {
+    val (e, idx, seed) = autoSeedUnion(s, dir)
     val out = graft.operators.Similarity.nnDescent(
       seed, e, "vec_id", "embedding", 3, rounds)
     val n = out.count()

@@ -1931,7 +1931,14 @@ object Similarity {
     var visited: Array[(Long, Long)] = entries
       .select(col("query_id").cast("long"), col("node").cast("long"))
       .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
-    require(visited.nonEmpty, "entries must seed at least one (query, node) pair")
+    // a query whose entry probe found nothing (e.g. it is the sole
+    // member of its nearest cell) simply emits no rows; a batch where
+    // EVERY query is entry-less returns a well-typed empty frame —
+    // the streaming twin relies on this being uniform with the batch
+    // surface under any micro-batch split (r14 review)
+    if (visited.isEmpty)
+      return Seq.empty[(Long, Long, Int, Double)]
+        .toDF("query_id", "neighbor_id", "rank", "cosine")
     var r = 0
     while (r < rounds) {
       val frontier = scored(visited)

@@ -45,13 +45,19 @@ object MultimodalQueries {
     * framing + energy + zero-crossing VAD front-end over the stub
     * decode, per payload; the audio modality's first-pass report
     * (the byte-histogram / frame-fingerprint family's third member).
-    * The activity threshold (29 000, string-shared with the oracle)
-    * sits at the fixture frame-energy median — the corpus-calibrated
-    * noise floor a real VAD is tuned to (fixture quartiles 27.2 k /
-    * 29.0 k / 30.6 k, so the declared split is genuinely binary, not
-    * 96 %-active as a generic low threshold measured). */
+    * The activity threshold ([[AudioEnergyThreshold]], interpolated
+    * into the oracle — one definition for both sides, the IvfCells
+    * doctrine) sits at the fixture frame-energy median — the
+    * corpus-calibrated noise floor a real VAD is tuned to (fixture
+    * quartiles 27.2 k / 29.0 k / 30.6 k, so the declared split is
+    * genuinely binary, not 96 %-active as a generic low threshold
+    * measured). */
+  val AudioFrameLen = 16
+  val AudioEnergyThreshold = 29000L
+
   def audioActivityQ(s: SparkSession, dir: String): DataFrame =
-    Multimodal.audioActivity(blobs(s, dir))
+    Multimodal.audioActivity(blobs(s, dir),
+        frameLen = AudioFrameLen, energyThreshold = AudioEnergyThreshold)
       .select(col("id").as("doc_id"), col("n_frames"), col("n_active"),
         col("energy_total"), col("energy_max"), col("zcr_total"))
       .orderBy("doc_id")
@@ -326,16 +332,21 @@ object MultimodalQueries {
     // the frame windows of mm_frame_fingerprints summarized by exact
     // byte sums, lag-diff boundaries at > 200, island scene ids, and
     // the per-payload report — all integer
-    // the audio VAD report: 16-char frames, energy = sum of squared
-    // (byte − 64) deviations, crossings counted within the frame
-    // (consecutive-sample midline flips), active = energy > threshold
+    // the audio VAD report: AudioFrameLen-char frames, energy = sum
+    // of squared (byte − 64) deviations, crossings counted within the
+    // frame (consecutive-sample midline flips), active = energy >
+    // AudioEnergyThreshold — frame/threshold constants interpolated
+    // from the single Scala definitions. The frame-index series bound
+    // (4095 → 64 KiB of payload at frameLen 16) tracks the sibling
+    // frame oracles' convention of covering far past any fixture
+    // length rather than silently truncating
     "mm_audio_activity" ->
       s"""WITH f AS (
          |  SELECT doc_id, CAST(t.k AS INTEGER) AS frame_idx,
-         |    substr(text, CAST(t.k AS INTEGER) * 16 + 1, 16) AS frame
+         |    substr(text, CAST(t.k AS INTEGER) * $AudioFrameLen + 1, $AudioFrameLen) AS frame
          |  FROM documents,
-         |    (SELECT unnest(generate_series(0, 63)) AS k) t
-         |  WHERE t.k * 16 < length(text)),
+         |    (SELECT unnest(generate_series(0, 4095)) AS k) t
+         |  WHERE t.k * $AudioFrameLen < length(text)),
          |e AS (SELECT doc_id, frame_idx,
          |  list_sum(list_transform(generate_series(1, length(frame)),
          |    i -> CAST((ascii(substr(frame, i, 1)) - 64) * (ascii(substr(frame, i, 1)) - 64) AS BIGINT))) AS energy,
@@ -344,7 +355,7 @@ object MultimodalQueries {
          |              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)), 0) AS zcr
          |  FROM f)
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
-         |  CAST(SUM(CASE WHEN energy > 29000 THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+         |  CAST(SUM(CASE WHEN energy > $AudioEnergyThreshold THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
          |  CAST(SUM(energy) AS BIGINT) AS energy_total,
          |  CAST(MAX(energy) AS BIGINT) AS energy_max,
          |  CAST(SUM(zcr) AS BIGINT) AS zcr_total

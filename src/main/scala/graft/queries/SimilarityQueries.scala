@@ -1266,9 +1266,11 @@ object SimilarityQueries {
   /** The truncation-eval oracle: the top-2 training CTEs (identical
     * trajectory to `ann_pca_top2`), corpus + query batch projected
     * onto the FULL-PRECISION w/bw vectors (the pcaProject
-    * literal-broadcast precedent), dot-ranked truncated top-K vs the
-    * bruteforce cosine top-K, integer overlap (the marginRecall
-    * form). */
+    * literal-broadcast precedent), the truncated side ranked by 2-d
+    * COSINE (re-normalized, matching the declared surface — raw dot
+    * would score norm bias, the failure the planted-plane spec
+    * guards) vs the bruteforce cosine top-K, integer overlap (the
+    * marginRecall form). */
   private def dimTruncRecallOracleSql: String =
     pcaTrainCtes +
       s""",

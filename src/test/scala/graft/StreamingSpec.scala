@@ -304,14 +304,23 @@ class StreamingSpec extends SparkSpec {
     // invariant EXACTLY: any micro-batch split of the query set must
     // reproduce the batch ann_graph_search rows bit-for-bit
     val e = graft.io.Tables.embeddings(spark, sf001)
-    val dir = java.nio.file.Files.createTempDirectory("graft-gs-stream").toString
-    e.repartition(3).write.mode("overwrite").parquet(dir)
-    val streamed = graft.queries.StreamQueries
-      .graphSearchParityWith(spark, sf001, maxFilesPerTrigger = Some(1), Some(dir))
-      .collect().toSeq
-    val batch = SparkEntry.queries("ann_graph_search")(spark, sf001)
-      .collect().toSeq
-    assert(streamed === batch)
+    val dir = java.nio.file.Files.createTempDirectory("graft-gs-stream")
+    try {
+      e.repartition(3).write.mode("overwrite").parquet(dir.toString)
+      val streamed = graft.queries.StreamQueries
+        .graphSearchParityWith(spark, sf001, maxFilesPerTrigger = Some(1),
+          Some(dir.toString))
+        .collect().toSeq
+      val batch = SparkEntry.queries("ann_graph_search")(spark, sf001)
+        .collect().toSeq
+      assert(streamed === batch)
+    } finally {
+      // the fixture copy is 3 parquet files + markers — delete rather
+      // than leak one copy per run (the streamDir deleteOnExit rule)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   test("streaming anomaly alerts equal the batch z-score operator row-for-row") {
