@@ -342,8 +342,10 @@ object ScaleUp {
     "ann_graph_search", "ann_graph_search_recall",
     "ann_dim_truncate_recall", "stream_graph_search_parity",
     // r14: graph ingest — settled-side build + |new| bounded
-    // searches, append-only edges out (pinned nCells=16 oracle)
-    "ann_graph_insert",
+    // searches, append-only edges out (pinned nCells=16 oracle);
+    // the ingest stream twin re-runs the same bounded composition
+    // per micro-batch
+    "ann_graph_insert", "stream_graph_insert_parity",
     // r12: the declared PCA hand-off — the covariance pass + a
     // d²-bounded driver power iteration
     "ann_pca_component", "ann_pca_project",

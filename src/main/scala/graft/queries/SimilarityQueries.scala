@@ -697,7 +697,7 @@ object SimilarityQueries {
     * session) — the insert's standing serving state (at scale:
     * the content-addressed disk layout the drift/retrain family
     * already manages). */
-  private def settledGraph(s: SparkSession, dir: String): (Similarity.IvfIndex, DataFrame) =
+  private[queries] def settledGraph(s: SparkSession, dir: String): (Similarity.IvfIndex, DataFrame) =
     graft.io.FixtureCache.memo(
         "ann_graph_insert_settled:" + graft.io.FixtureCache.sessionKey(s),
         dir, "embeddings") {

@@ -699,6 +699,78 @@ object StreamQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** STREAMING GRAPH INSERT — the 21st streaming query: the ingest
+    * stage of the graph-ANN lifecycle as a RESIDENT stream. NEW
+    * vectors (`vec_id % 5 = 0`, the indexDrift arrival convention)
+    * stream into a store whose settled-side index and refined graph
+    * are already built; each micro-batch runs the batch
+    * `ann_graph_insert` composition — settled-trained nProbe = 1
+    * entry + beam rounds + top-GraphK links — via `foreachBatch` +
+    * the bounded driver beam state (the [[graphSearchParityWith]]
+    * idiom). Insertion is PER-ROW independent AND append-only
+    * (forward edges only; reachability rides the undirected
+    * navigation), so the twin is batching-invariant exactly and
+    * never rewrites settled state — the property that lets the
+    * ingest stream run beside the serving stream against the same
+    * store. Oracle = the batch insert oracle verbatim. */
+  def graphInsertParity(s: SparkSession, dir: String): DataFrame =
+    graphInsertParityWith(s, dir, maxFilesPerTrigger = None)
+
+  private[graft] def graphInsertParityWith(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int],
+      srcDir: Option[String] = None): DataFrame = {
+    val (idx, edges) = SimilarityQueries.settledGraph(s, dir)
+    val settled = graft.io.Tables.embeddings(s, dir)
+      .filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val reader = maxFilesPerTrigger.foldLeft(
+      s.readStream.schema("vec_id bigint, embedding array<float>, label int")) {
+      (r, n) => r.option("maxFilesPerTrigger", n)
+    }
+    val stream = reader.parquet(srcDir.getOrElse(streamDir(dir, "embeddings")))
+      .filter(pmod(col("vec_id"), lit(5)) === 0)
+      .select(col("vec_id"),
+        graft.functions.VectorOps.toDouble(col("embedding")).as("qv"))
+    val acc = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    @volatile var schema: org.apache.spark.sql.types.StructType = null
+    val q = stream.writeStream.queryName("stream_graph_insert_q")
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val qs = batch.collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          .sortBy(_._1)
+        if (qs.nonEmpty) {
+          val entries = graft.operators.Similarity.probe(idx, qs,
+              SimilarityQueries.SearchBeam, nProbe = 1)
+            .select(col("query_id"), col("neighbor_id").as("node"))
+          val res = graft.operators.Similarity.graphSearch(edges, settled,
+            "vec_id", "embedding", qs, entries, SimilarityQueries.GraphK,
+            SimilarityQueries.SearchBeam, SimilarityQueries.SearchRounds)
+          val rows = res.collect()
+          acc.synchronized { schema = res.schema; acc ++= rows }
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = acc.synchronized { acc.toArray }
+    val outSchema =
+      if (schema != null) schema
+      else org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("neighbor_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("cosine",
+          org.apache.spark.sql.types.DoubleType)))
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+      .select(col("query_id").as("vec_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("vec_id", "rank")
+  }
+
   def indexDriftParity(s: SparkSession, dir: String): DataFrame = {
     val idx = SimilarityQueries.ivfIndex(s, dir)
     val settled = idx.cells.filter(pmod(col("id"), lit(5)) =!= 0)
@@ -822,6 +894,7 @@ object StreamQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_ann_parity" -> (annServeParity _),
     "stream_graph_search_parity" -> (graphSearchParity _),
+    "stream_graph_insert_parity" -> (graphInsertParity _),
     "stream_semantic_probe_parity" -> (semanticProbeParity _),
     "stream_index_drift_parity" -> (indexDriftParity _),
     "stream_covariance_parity" -> (covarianceParity _),
@@ -856,6 +929,11 @@ object StreamQueries {
     // under ANY micro-batch split
     "stream_graph_search_parity" ->
       SimilarityQueries.oracles("ann_graph_search"),
+    // the batch insert oracle verbatim: per-row independence +
+    // append-only edges make the ingest twin row-identical to
+    // ann_graph_insert under any micro-batch split
+    "stream_graph_insert_parity" ->
+      SimilarityQueries.oracles("ann_graph_insert"),
     // the batch ingest-dedup oracle verbatim: per-row re-derived cells
     // equal the index's stored assignment, so the stream twin is
     // row-identical to dedup_semantic_probe by construction

@@ -323,6 +323,28 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming graph insert over 3 real micro-batches is row-identical to the batch insert (r14)") {
+    // ingest is per-row independent and append-only, so any
+    // micro-batch split of the arriving new vectors must reproduce
+    // the batch ann_graph_insert edge set bit-for-bit
+    val e = graft.io.Tables.embeddings(spark, sf001)
+    val dir = java.nio.file.Files.createTempDirectory("graft-gi-stream")
+    try {
+      e.repartition(3).write.mode("overwrite").parquet(dir.toString)
+      val streamed = graft.queries.StreamQueries
+        .graphInsertParityWith(spark, sf001, maxFilesPerTrigger = Some(1),
+          Some(dir.toString))
+        .collect().toSeq
+      val batch = SparkEntry.queries("ann_graph_insert")(spark, sf001)
+        .collect().toSeq
+      assert(streamed === batch)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("streaming anomaly alerts equal the batch z-score operator row-for-row") {
     val streamed = graft.queries.StreamQueries.anomalyParity(spark, sf001)
       .collect()
