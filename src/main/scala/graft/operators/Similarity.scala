@@ -1898,9 +1898,19 @@ object Similarity {
     * query-vector-first (dot(q,v)/(qn·vn) — the [[bruteForceTopK]] /
     * oracle fold), so scores are bit-identical to the exact
     * baseline's. */
+  /** Above this many distinct ids the per-round pruning predicate
+    * switches from an IN pushdown to a plain broadcast join —
+    * a several-thousand-literal In expression costs more in
+    * planning/serialization than the one corpus scan it avoids, and
+    * a bulk-ingest batch amortizes that scan over all its queries
+    * (measured at the 10× insert: 4 000 queries → ~16 k visited ids;
+    * the In-literal plans dominated the loop). */
+  val IsinPushdownMaxIds = 1024
+
   def graphSearch(edges: DataFrame, embs: DataFrame, idCol: String,
                   vecCol: String, queries: Array[(Long, Array[Double])],
-                  entries: DataFrame, k: Int, beam: Int, rounds: Int): DataFrame = {
+                  entries: DataFrame, k: Int, beam: Int, rounds: Int,
+                  isinMaxIds: Int = IsinPushdownMaxIds): DataFrame = {
     require(k >= 1 && beam >= 1 && rounds >= 1,
       "k, beam and rounds must all be >= 1")
     val spark = embs.sparkSession
@@ -1916,11 +1926,22 @@ object Similarity {
       (qid, qv, math.sqrt(VectorOps.dotSeq(qv, qv)))
     }.toSeq.toDF("query_id", "qv", "qn")
     // score the driver-held visited pairs: broadcast the bounded
-    // state, prune the corpus scan to exactly the visited ids
+    // state; the corpus access dispatches on the DISTINCT-ID count
+    // (the size-dispatch idiom, fourth application): a small id set
+    // becomes an IN predicate pushed into the scan (row-group-pruned
+    // point lookups — the Q≈10 serving path), while a large batch's
+    // ids (bulk ingest: thousands of queries) would make a
+    // several-thousand-literal In expression the planner chokes on —
+    // there the plain broadcast join is the right plan, its one
+    // corpus scan amortized over the whole batch
+    def prunedBy(df: DataFrame, idCol2: String, ids: Array[Long]): DataFrame =
+      if (ids.length <= isinMaxIds)
+        df.filter(col(idCol2).isin(ids.map(Long.box): _*))
+      else df
     def scored(visited: Array[(Long, Long)]): DataFrame = {
-      val ids = visited.map(_._2).distinct.map(Long.box)
+      val ids = visited.map(_._2).distinct
       visited.toSeq.toDF("query_id", "node")
-        .join(p.filter(col("node").isin(ids: _*)), Seq("node"))
+        .join(prunedBy(p, "node", ids), Seq("node"))
         .join(broadcast(qdf), Seq("query_id"))
         .select(col("query_id"), col("node"),
           (graft.plans.expressions.vec_dot(col("qv"), col("v")) /
@@ -1945,10 +1966,9 @@ object Similarity {
         .withColumn("rk", row_number().over(w)).filter(col("rk") <= beam)
         .select(col("query_id"), col("node"))
         .collect().map(row => (row.getLong(0), row.getLong(1)))
-      val fIds = frontier.map(_._2).distinct.map(Long.box)
+      val fIds = frontier.map(_._2).distinct
       val expansion = frontier.toSeq.toDF("query_id", "node")
-        .join(e.filter(col("src").isin(fIds: _*)),
-          col("node") === col("src"))
+        .join(prunedBy(e, "src", fIds), col("node") === col("src"))
         .select(col("query_id"), col("nb").as("node"))
         .collect().map(row => (row.getLong(0), row.getLong(1)))
       visited = (visited ++ expansion).distinct

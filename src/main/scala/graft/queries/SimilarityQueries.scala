@@ -501,7 +501,7 @@ object SimilarityQueries {
     * Persisted frame, evicted with the session (FixtureCache's
     * context-end listener); values are pinned by the declared
     * queries' unchanged oracles. */
-  private[queries] def refinedEdges(s: SparkSession, dir: String): DataFrame =
+  private[graft] def refinedEdges(s: SparkSession, dir: String): DataFrame =
     graft.io.FixtureCache.memo(
         "ann_graph_refined_edges:" + graft.io.FixtureCache.sessionKey(s),
         dir, "embeddings") {

@@ -979,6 +979,28 @@ class SimilaritySpec extends SparkSpec {
     idx.unpersist()
   }
 
+  test("graphSearch: the pruning dispatch's two branches are row-identical (r14)") {
+    // the corpus access dispatches on distinct-id count (IN pushdown
+    // for small serving batches, broadcast join for bulk ingest); the
+    // branches must be pure plan choices — same rows, bit for bit.
+    // isinMaxIds = 0 forces the join branch on the same inputs the
+    // declared (IN-branch) search takes at fixture scale
+    import graft.queries.SimilarityQueries
+    val qv = emb.orderBy("vec_id").limit(SimilarityQueries.Q)
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val idx = SimilarityQueries.ivfIndex(spark, sf001)
+    val edges = SimilarityQueries.refinedEdges(spark, sf001)
+    val entries = Similarity.probe(idx, qv, SimilarityQueries.SearchBeam, nProbe = 1)
+      .select(col("query_id"), col("neighbor_id").as("node"))
+    def run(maxIds: Int) = Similarity.graphSearch(edges,
+        Tables.embeddings(spark, sf001), "vec_id", "embedding", qv, entries,
+        SimilarityQueries.K, SimilarityQueries.SearchBeam,
+        SimilarityQueries.SearchRounds, isinMaxIds = maxIds)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(run(0) === run(Int.MaxValue))
+  }
+
   test("dimTruncRecall: the projected ranking equals a driver replica; report counts the exact overlap (r14)") {
     import graft.queries.SimilarityQueries
     val qv = emb.orderBy("vec_id").limit(SimilarityQueries.Q)
