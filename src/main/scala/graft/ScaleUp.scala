@@ -340,6 +340,7 @@ object ScaleUp {
     // over linear scans; the streaming twin re-runs the same bounded
     // search per micro-batch
     "ann_graph_search", "ann_graph_search_recall",
+    "ann_graph_search_curve",
     "ann_dim_truncate_recall", "stream_graph_search_parity",
     // r14: graph ingest — settled-side build + |new| bounded
     // searches, append-only edges out (pinned nCells=16 oracle);

@@ -665,6 +665,49 @@ object SimilarityQueries {
           .cast("long").as("recall_permille"))
   }
 
+  /** BEAM-WIDTH RECALL CURVE — the serving knob's tuning report (the
+    * dedup_threshold_curve discipline applied to graph search): the
+    * declared composition at beam ∈ [[CurveBeams]], each width's
+    * top-[[K]] overlapped with the exact cosine top-[[K]], one row
+    * per width. Beam is THE quality/latency dial of every deployed
+    * graph-ANN system (HNSW's ef); this query turns "pick ef" from a
+    * guess into a measured, hash-checked curve on the corpus itself.
+    * The entry probe re-runs per width (entries = the width's
+    * top-beam cell members — the knob changes the seed too, as in
+    * production). Work: |CurveBeams| bounded searches over the
+    * shared memoized edges + one exact side; all counts integer. */
+  val CurveBeams = Seq(2, 4, 8)
+
+  def graphSearchCurveQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = graft.io.FixtureCache.memo(
+        s"ann_graph_search_curve:r=$SearchRounds:" +
+          graft.io.FixtureCache.sessionKey(s),
+        dir, "embeddings") {
+      val idx = ivfIndex(s, dir)
+      val edges = refinedEdges(s, dir)
+      val e = Tables.embeddings(s, dir)
+      val qv = queryVecs(s, dir)
+      val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding", qv, K)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      CurveBeams.map { b =>
+        val entries = Similarity.probe(idx, qv, b, nProbe = 1)
+          .select(col("query_id"), col("neighbor_id").as("node"))
+        val found = Similarity.graphSearch(edges, e, "vec_id", "embedding",
+            qv, entries, K, b, SearchRounds)
+          .select(col("query_id"), col("neighbor_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        (b, exact.size.toLong, found.size.toLong,
+          (found & exact).size.toLong)
+      }
+    }
+    rows.map { case (b, ne, nf, nc) =>
+      (b, ne, nf, nc, math.floor(1000.0 * nc / math.max(ne, 1L)).toLong)
+    }.toDF("beam", "n_exact", "n_found", "n_common", "recall_permille")
+      .orderBy("beam")
+  }
+
   /** GRAPH INSERT — the INGEST stage of the graph-ANN lifecycle
     * (HNSW's insert, batch form: Malkov & Yashunin §4 — a new
     * element's neighbors are FOUND BY SEARCHING the existing graph,
@@ -1075,45 +1118,55 @@ object SimilarityQueries {
     graphSearchCtesFor("",
       s"sq AS (SELECT vec_id AS query_id, v AS qv FROM p ORDER BY vec_id LIMIT $Q)")
 
+  /** One complete search chain — nProbe = 1 entry + [[SearchRounds]]
+    * beam rounds — with every chain-local CTE name prefixed and the
+    * beam width a parameter, so several chains (the beam CURVE's
+    * widths) can share one WITH block's `p`/`cells`/`cent*`/`ge`/
+    * `sq`. `pfx = "", beam = SearchBeam` is the declared search's
+    * exact text. Leaves `${pfx}ssf` (final visited, scored)
+    * defined. */
+  private def searchChainCtes(pfx: String, beam: Int): String = {
+    val rnds = (1 to SearchRounds).map { r =>
+      searchScoreCte(s"${pfx}ss$r", s"${pfx}sv${r - 1}") +
+        s""",
+           |${pfx}sf$r AS (SELECT query_id, node FROM (SELECT query_id, node,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, node) AS rk
+           |  FROM ${pfx}ss$r) WHERE rk <= $beam),
+           |${pfx}sv$r AS (SELECT DISTINCT query_id, node FROM (
+           |  SELECT query_id, node FROM ${pfx}sv${r - 1}
+           |  UNION ALL SELECT f.query_id, ge.nb AS node FROM ${pfx}sf$r f JOIN ge ON ge.src = f.node))""".stripMargin
+    }.mkString(",\n")
+    s"""${pfx}sqd AS (SELECT q.query_id, c.cid,
+       |  list_sum(list_transform(generate_series(1, $Dim),
+       |           i -> (q.qv[i] - c.v[i]) * (q.qv[i] - c.v[i]))) AS d2
+       |  FROM sq q CROSS JOIN cent$IvfTrainIters c),
+       |${pfx}sprobe AS (SELECT query_id, cid FROM (
+       |  SELECT query_id, cid, row_number() OVER (PARTITION BY query_id ORDER BY d2, cid) AS rn
+       |  FROM ${pfx}sqd) WHERE rn <= 1),
+       |${pfx}scand AS (SELECT pr.query_id, ce.vec_id AS node
+       |  FROM ${pfx}sprobe pr JOIN cells ce ON ce.cell = pr.cid AND ce.vec_id <> pr.query_id),
+       |""".stripMargin +
+      searchScoreCte(s"${pfx}ss0", s"${pfx}scand") +
+      s""",
+         |${pfx}sv0 AS (SELECT query_id, node FROM (SELECT query_id, node,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, node) AS rk
+         |  FROM ${pfx}ss0) WHERE rk <= $beam),
+         |""".stripMargin + rnds + ",\n" +
+      searchScoreCte(s"${pfx}ssf", s"${pfx}sv$SearchRounds")
+  }
+
   /** Parameterized over the corpus restriction (`where` — the
     * settled side for the insert oracle) and the query-batch CTE
     * (`sqSql`, defining `sq (query_id, qv)`), so the search and
     * insert oracles navigate the IDENTICAL beam-round text. */
-  private def graphSearchCtesFor(where: String, sqSql: String): String = {
-    val rnds = (1 to SearchRounds).map { r =>
-      searchScoreCte(s"ss$r", s"sv${r - 1}") +
-        s""",
-           |sf$r AS (SELECT query_id, node FROM (SELECT query_id, node,
-           |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, node) AS rk
-           |  FROM ss$r) WHERE rk <= $SearchBeam),
-           |sv$r AS (SELECT DISTINCT query_id, node FROM (
-           |  SELECT query_id, node FROM sv${r - 1}
-           |  UNION ALL SELECT f.query_id, ge.nb AS node FROM sf$r f JOIN ge ON ge.src = f.node))""".stripMargin
-    }.mkString(",\n")
+  private def graphSearchCtesFor(where: String, sqSql: String): String =
     refinedGraphCtes(1, where) +
       s""",
          |ge AS (SELECT src, nb FROM d1rrk WHERE rank <= $GraphK
          |       UNION ALL
          |       SELECT nb AS src, src AS nb FROM d1rrk WHERE rank <= $GraphK),
          |$sqSql,
-         |sqd AS (SELECT q.query_id, c.cid,
-         |  list_sum(list_transform(generate_series(1, $Dim),
-         |           i -> (q.qv[i] - c.v[i]) * (q.qv[i] - c.v[i]))) AS d2
-         |  FROM sq q CROSS JOIN cent$IvfTrainIters c),
-         |sprobe AS (SELECT query_id, cid FROM (
-         |  SELECT query_id, cid, row_number() OVER (PARTITION BY query_id ORDER BY d2, cid) AS rn
-         |  FROM sqd) WHERE rn <= 1),
-         |scand AS (SELECT pr.query_id, ce.vec_id AS node
-         |  FROM sprobe pr JOIN cells ce ON ce.cell = pr.cid AND ce.vec_id <> pr.query_id),
-         |""".stripMargin +
-      searchScoreCte("ss0", "scand") +
-      s""",
-         |sv0 AS (SELECT query_id, node FROM (SELECT query_id, node,
-         |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, node) AS rk
-         |  FROM ss0) WHERE rk <= $SearchBeam),
-         |""".stripMargin + rnds + ",\n" +
-      searchScoreCte("ssf", s"sv$SearchRounds")
-  }
+         |""".stripMargin + searchChainCtes("", SearchBeam)
 
   private def graphSearchOracleSql: String =
     "WITH " + graphSearchCtes +
@@ -1123,6 +1176,48 @@ object SimilarityQueries {
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, node) AS INTEGER) AS rank
          |  FROM ssf WHERE node <> query_id) WHERE rank <= $K
          |ORDER BY query_id, rank""".stripMargin
+
+  /** Beam-curve oracle: ONE refined-graph prefix + one chain per
+    * [[CurveBeams]] width (prefixed `c<b>_` — the parameterized
+    * [[searchChainCtes]], so every chain is the declared search's
+    * text at its width), each ranked to [[K]] and overlapped with
+    * the shared bruteforce side; integer counts per beam. */
+  private def graphSearchCurveOracleSql: String = {
+    val chains = CurveBeams.map(b => searchChainCtes(s"c${b}_", b)).mkString(",\n")
+    val resCtes = CurveBeams.map { b =>
+      s"""c${b}_res AS (SELECT query_id, node AS neighbor_id FROM (
+         |  SELECT query_id, node,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, node) AS rank
+         |  FROM c${b}_ssf WHERE node <> query_id) WHERE rank <= $K)""".stripMargin
+    }.mkString(",\n")
+    val rows = CurveBeams.map { b =>
+      s"""SELECT CAST($b AS INTEGER) AS beam,
+         |  (SELECT COUNT(*) FROM xres) AS n_exact,
+         |  (SELECT COUNT(*) FROM c${b}_res) AS n_found,
+         |  (SELECT COUNT(*) FROM c${b}_res g JOIN xres x
+         |     ON x.query_id = g.query_id AND x.neighbor_id = g.neighbor_id) AS n_common""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    "WITH " + refinedGraphCtes(1) +
+      s""",
+         |ge AS (SELECT src, nb FROM d1rrk WHERE rank <= $GraphK
+         |       UNION ALL
+         |       SELECT nb AS src, src AS nb FROM d1rrk WHERE rank <= $GraphK),
+         |sq AS (SELECT vec_id AS query_id, v AS qv FROM p ORDER BY vec_id LIMIT $Q),
+         |""".stripMargin + chains + ",\n" + resCtes +
+      s""",
+         |xd AS (SELECT q.query_id, pp.vec_id AS neighbor_id,
+         |  list_sum(list_transform(generate_series(1, $Dim), i -> q.qv[i] * pp.v[i])) /
+         |  (sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> q.qv[i] * q.qv[i]))) *
+         |   sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> pp.v[i] * pp.v[i])))) AS cosine
+         |  FROM sq q CROSS JOIN p pp WHERE pp.vec_id <> q.query_id),
+         |xres AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM xd) WHERE rank <= $K)
+         |SELECT beam, n_exact, n_found, n_common,
+         |  CAST(floor(1000.0 * n_common / greatest(n_exact, 1)) AS BIGINT) AS recall_permille
+         |FROM ($rows) ORDER BY beam""".stripMargin
+  }
 
   /** Graph-insert oracle: the settled-side (`vec_id % 5 <> 0`)
     * build + refined-graph + beam-round CTEs — the IDENTICAL
@@ -1439,6 +1534,7 @@ object SimilarityQueries {
     "ann_graph_search" -> (graphSearchQ _),
     "ann_graph_search_recall" -> (graphSearchRecallQ _),
     "ann_graph_insert" -> (graphInsertQ _),
+    "ann_graph_search_curve" -> (graphSearchCurveQ _),
     "ann_dim_truncate_recall" -> (dimTruncRecallQ _),
     "ann_index_drift" -> (indexDriftQ _),
     "ann_index_maintain" -> (indexMaintainQ _),
@@ -2063,6 +2159,7 @@ object SimilarityQueries {
     "ann_graph_search" -> graphSearchOracleSql,
     "ann_graph_search_recall" -> graphSearchRecallOracleSql,
     "ann_graph_insert" -> graphInsertOracleSql,
+    "ann_graph_search_curve" -> graphSearchCurveOracleSql,
     "ann_dim_truncate_recall" -> dimTruncRecallOracleSql,
     "ann_index_drift" -> indexDriftOracleSql,
     "ann_index_maintain" -> indexMaintainOracleSql,

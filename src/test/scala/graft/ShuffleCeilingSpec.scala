@@ -128,6 +128,9 @@ class ShuffleCeilingSpec extends SparkSpec {
     // same 2-seed-graph + n*k^2 descent stage); the |new| searches
     // themselves are frontier/visited-bounded
     ("ann_graph_insert", 340000L, "settled graph build + bounded insert searches (77632)"),
+    // rides the shared edges memo: |CurveBeams| bounded searches +
+    // the exact-side partials
+    ("ann_graph_search_curve", 4000L, "3 bounded searches + exact-side partials (713)"),
     // two bounded-heap rank kernels (Q*k*partitions partials each)
     // over the zero-shuffle projection scan + overlap counts
     ("ann_dim_truncate_recall", 9000L, "2 bounded-heap rank kernels + overlap counts (2107)"),

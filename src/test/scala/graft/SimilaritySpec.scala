@@ -1001,6 +1001,26 @@ class SimilaritySpec extends SparkSpec {
     assert(run(0) === run(Int.MaxValue))
   }
 
+  test("graphSearchCurve: the declared-beam row equals the recall report (r14)") {
+    import graft.queries.SimilarityQueries
+    val curve = SparkEntry.queries("ann_graph_search_curve")(spark, sf001)
+      .collect()
+    assert(curve.map(_.getInt(0)).toSeq === SimilarityQueries.CurveBeams)
+    curve.foreach { r =>
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000L)
+      assert(r.getLong(3) <= r.getLong(2) && r.getLong(3) <= r.getLong(1))
+    }
+    // the curve at the DECLARED beam must count exactly what the
+    // declared recall report counts — one composition, two readouts
+    val rep = SparkEntry.queries("ann_graph_search_recall")(spark, sf001)
+      .collect()(0)
+    val at = curve.find(_.getInt(0) === SimilarityQueries.SearchBeam).get
+    assert(at.getLong(3) === rep.getAs[Long]("n_common"))
+    assert(at.getLong(4) === rep.getAs[Long]("recall_permille"))
+    info(curve.map(r => s"beam ${r.getInt(0)}: ${r.getLong(4)} permille")
+      .mkString(", "))
+  }
+
   test("dimTruncRecall: the projected ranking equals a driver replica; report counts the exact overlap (r14)") {
     import graft.queries.SimilarityQueries
     val qv = emb.orderBy("vec_id").limit(SimilarityQueries.Q)
