@@ -585,7 +585,7 @@ object ScaleUp {
       val n = res.count()
       println(f"[scaleup] ann_graph_search_auto: probe+search only " +
         f"${(System.nanoTime() - t0) / 1e9}%.2f s (graph build excluded)")
-      res.unpersist(); edges.unpersist(); idx.unpersist()
+      edges.unpersist(); idx.unpersist()
       s.range(n).toDF("row")
     }))
 

@@ -247,6 +247,7 @@ object Multimodal {
     * row per payload per partition moves). */
   def audioActivity(blobs: DataFrame, frameLen: Int = 16,
                     energyThreshold: Long = 29000L): DataFrame = {
+    require(frameLen >= 1, s"frameLen must be >= 1, got $frameLen")
     val spark = blobs.sparkSession
     import spark.implicits._
     val feats = blobs.select(col("id").cast("long"), col("blob"))
@@ -276,6 +277,54 @@ object Multimodal {
       sum(col("energy")).as("energy_total"),
       max(col("energy")).as("energy_max"),
       sum(col("zcr")).as("zcr_total"))
+  }
+
+  /** AUDIO FRAME-ENERGY VECTORS — the fixed-width feature hand-off
+    * from the VAD front-end ([[audioActivity]]) into the similarity
+    * family (r14 verdict task 6; the image family's trajectory:
+    * decode → [[mosaicVectors]] → [[patchKnn]], now decode →
+    * frame energies → kNN for the audio modality). Per payload: the
+    * energies of its first `nFrames` non-overlapping
+    * `frameLen`-sample frames — energy = Σ(sample − 64)², the VAD's
+    * exact integer feature, the same midline-64 stub-decode contract
+    * — as a fixed `nFrames`-long BIGINT vector; a partial trailing
+    * frame sums its remaining samples and frames past the payload
+    * end contribute 0 (the [[mosaicVectors]] zero-padded-prefix
+    * discipline applied to the time axis: at frameLen 16 × 64 frames
+    * the window is the payload's first 1 KiB).
+    *
+    * Scale: one codegen-friendly pass over the payload column, no
+    * shuffle, nFrames longs out per payload — embarrassingly
+    * parallel feature extraction whose output feeds the
+    * broadcast/bounded-heap kNN kernel ([[patchKnn]]) or any ANN
+    * family member. Every value is exact integer arithmetic any
+    * engine replays. */
+  def audioFrameVectors(blobs: DataFrame, frameLen: Int = 16,
+                        nFrames: Int = 64): DataFrame = {
+    require(frameLen >= 1, s"frameLen must be >= 1, got $frameLen")
+    require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("id").cast("long"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, blob) =>
+        val v = new Array[Long](nFrames)
+        var k = 0
+        while (k < nFrames) {
+          val off = k * frameLen
+          val end = math.min(off + frameLen, blob.length)
+          var e = 0L
+          var i = off
+          while (i < end) {
+            val s = (blob(i) & 0xff) - 64
+            e += s.toLong * s
+            i += 1
+          }
+          v(k) = e
+          k += 1
+        }
+        (id, v)
+      }.toDF("id", "v")
   }
 
   /** Encode the first `side`² payload bytes as a `side`×`side`
@@ -497,11 +546,11 @@ object Multimodal {
     * story — distances are BIGINT sums of squared byte-scale ints
     * (≤ 64·255² per pair), so there is no float to round anywhere. */
   def patchKnn(mosaics: DataFrame, queries: Array[(Long, Array[Long])],
-               k: Int): DataFrame = {
+               k: Int, vecCol: String = "mosaic"): DataFrame = {
     val spark = mosaics.sparkSession
     import spark.implicits._
     val qb = spark.sparkContext.broadcast(queries)
-    val p = mosaics.select(col("id").cast("long"), col("mosaic"))
+    val p = mosaics.select(col("id").cast("long"), col(vecCol))
       .as[(Long, Array[Long])]
     val partial = p.mapPartitions { iter =>
       val qs = qb.value

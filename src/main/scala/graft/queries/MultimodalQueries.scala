@@ -198,9 +198,46 @@ object MultimodalQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** The audio feature window: [[AudioKnnFrames]] frame energies of
+    * [[AudioFrameLen]] samples each — the payload's first 1 KiB, the
+    * time-axis twin of the mosaic's 16×16 pixel prefix. One
+    * definition for the extractor call AND the oracle text. */
+  val AudioKnnFrames = 64
+
+  /** The audio vector frame shares the [[mosaicFrame]] memo
+    * discipline: one extraction pass per fixture + session,
+    * [[AudioKnnFrames]] longs per doc persisted. */
+  private def audioVecFrame(s: SparkSession, dir: String): DataFrame =
+    graft.io.FixtureCache.memo(
+        s"mm_audio_vec:${graft.io.FixtureCache.sessionKey(s)}", dir, "documents") {
+      val m = Multimodal.audioFrameVectors(blobs(s, dir),
+        frameLen = AudioFrameLen, nFrames = AudioKnnFrames).persist()
+      m.count()
+      m
+    }
+
+  /** AUDIO k-NN — the VAD front-end's active-frame features handed to
+    * the similarity family (r14 verdict task 6; the [[patchKnnQ]]
+    * precedent one modality over): the KnnQ lowest doc_ids query the
+    * corpus for their KnnK nearest payloads by INTEGER squared
+    * distance over [[Multimodal.audioFrameVectors]] — audio feature
+    * extraction composed with the broadcast/bounded-heap kernel,
+    * BIGINT-exact end to end (no floats anywhere; per-frame energy
+    * ≤ 191²·16 < 6·10⁵, squared diffs × 64 frames < 2.2·10¹³ —
+    * BIGINT-safe by five orders). A planted near-clone payload ranks
+    * first by construction (MultimodalSpec pins it). */
+  def audioKnnQ(s: SparkSession, dir: String): DataFrame = {
+    val m = audioVecFrame(s, dir)
+    val qs = m.orderBy("id").limit(KnnQ)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    Multimodal.patchKnn(m, qs, KnnK, vecCol = "v")
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_ahash_clusters" -> (ahashClusters _),
     "mm_patch_knn" -> (patchKnnQ _),
+    "mm_audio_knn" -> (audioKnnQ _),
     "mm_byte_histogram" -> (histogram _),
     "mm_frame_fingerprints" -> (frames _),
     "mm_scene_changes" -> (sceneChangesQ _),
@@ -285,6 +322,29 @@ object MultimodalQueries {
          |  FROM d)
          |SELECT query_id, neighbor_id, rank, sqdist
          |FROM r WHERE rank <= $KnnK ORDER BY query_id, rank""".stripMargin),
+    // the audio frame-energy vectors (the VAD oracle's exact energy
+    // arithmetic, fixed AudioKnnFrames-wide: partial trailing frame
+    // sums its remaining chars, frames past the payload end are 0 —
+    // generate_series(a, b) with a > b is empty, list_sum(empty) is
+    // NULL, coalesced to 0), then the same exact BIGINT sqdist top-k
+    // as mm_patch_knn
+    "mm_audio_knn" ->
+      s"""WITH av AS (SELECT doc_id, list_transform(generate_series(0, ${AudioKnnFrames - 1}), k ->
+         |  CAST(coalesce(list_sum(list_transform(
+         |    generate_series(k * $AudioFrameLen + 1,
+         |                    least((k + 1) * $AudioFrameLen, length(text))),
+         |    i -> CAST((ascii(substr(text, i, 1)) - 64) * (ascii(substr(text, i, 1)) - 64) AS BIGINT))), 0) AS BIGINT)) AS v
+         |  FROM documents),
+         |q AS (SELECT doc_id AS query_id, v AS qv FROM av ORDER BY doc_id LIMIT $KnnQ),
+         |d AS (SELECT q.query_id, m.doc_id AS neighbor_id,
+         |  CAST(list_sum(list_transform(generate_series(1, $AudioKnnFrames),
+         |    i -> (q.qv[i] - m.v[i]) * (q.qv[i] - m.v[i]))) AS BIGINT) AS sqdist
+         |  FROM q CROSS JOIN av m WHERE m.doc_id <> q.query_id),
+         |r AS (SELECT query_id, neighbor_id, sqdist,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sqdist, neighbor_id) AS INTEGER) AS rank
+         |  FROM d)
+         |SELECT query_id, neighbor_id, rank, sqdist
+         |FROM r WHERE rank <= $KnnK ORDER BY query_id, rank""".stripMargin,
     // the shared pair CTE + the recursive min-label walk (the
     // dedup_cc_groups oracle pattern) + member counts from dh
     "mm_ahash_clusters" -> (ahashPairCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +

@@ -360,4 +360,25 @@ class MultimodalSpec extends SparkSpec {
     info(f"fixture active-frame share at threshold 29000: $share%.3f")
     assert(share > 0.2 && share < 0.8, s"degenerate VAD split: $share")
   }
+
+  test("audioActivity: oracle frame-series bound covers the corpus; frameLen guard (r14 ADVICE)") {
+    import spark.implicits._
+    // the mm_audio_activity oracle enumerates frame indexes 0..4095
+    // (64 KiB of payload at frameLen 16) while the surface iterates
+    // the whole blob — the 'covering far past any fixture length'
+    // promise must be ENFORCED, not assumed: a longer payload would
+    // silently diverge surface from oracle. Checked at both spec
+    // scales (the driver gate runs the oracle at sf0.01).
+    for (dir <- Seq(sf001, sf01)) {
+      val maxLen = Tables.documents(spark, dir)
+        .agg(max(length(col("text")))).collect()(0).getInt(0)
+      assert(maxLen <= 65536,
+        s"$dir: max payload $maxLen bytes exceeds the oracle's 64 KiB frame series")
+    }
+    // parameter validation matches the graphSearch convention
+    intercept[IllegalArgumentException] {
+      Multimodal.audioActivity(Seq((1L, Array[Byte](1))).toDF("id", "blob"),
+        frameLen = 0)
+    }
+  }
 }

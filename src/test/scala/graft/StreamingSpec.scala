@@ -450,6 +450,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("embedding vec_ids are dense and 0-based (stream-parity query selection invariant)") {
+    // the vector-serving stream twins (annServeParity,
+    // graphSearchParityWith) select the query batch via `vec_id < Q`
+    // while the batch surfaces and oracles use ORDER BY vec_id LIMIT
+    // Q — row-identity silently depends on the fixture's vec_ids
+    // being dense 0-based (r14 ADVICE). Fail loudly here if a future
+    // fixture introduces gaps or an offset in the first Q ids.
+    val Q = graft.queries.SimilarityQueries.Q
+    for (dir <- Seq(sf001, sf01)) {
+      val firstQ = graft.io.Tables.embeddings(spark, dir)
+        .orderBy("vec_id").limit(Q)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(firstQ === (0L until Q.toLong),
+        s"$dir: first $Q vec_ids not dense 0-based: $firstQ")
+    }
+  }
+
   test("streaming covariance cells equal the batch moment pass exactly") {
     val streamed = SparkEntry.queries("stream_covariance_parity")(spark, sf001)
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
