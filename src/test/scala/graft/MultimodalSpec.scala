@@ -361,6 +361,44 @@ class MultimodalSpec extends SparkSpec {
     assert(share > 0.2 && share < 0.8, s"degenerate VAD split: $share")
   }
 
+  test("audioFrameVectors: fixed width, exact energies, planted near-clone ranks first through patchKnn (r15)") {
+    import spark.implicits._
+    // hand-computed: 16 bytes alternating 32/96 -> frame-0 energy
+    // 16·32² = 16384; a 20-byte payload of 200s -> frame 0 = 16·136²
+    // = 295936, frame 1 (partial, 4 samples) = 4·136² = 73984; every
+    // frame past the payload end = 0 and the vector is ALWAYS
+    // AudioKnnFrames wide
+    val alt = Array.tabulate(16)(i => (if (i % 2 == 0) 32 else 96).toByte)
+    val loud = Array.fill(20)(200.toByte)
+    val fv = Multimodal.audioFrameVectors(
+        Seq((1L, alt), (2L, loud)).toDF("id", "blob"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    assert(fv(1L).length === 64 && fv(2L).length === 64)
+    assert(fv(1L).head === 16384L && fv(1L).drop(1).forall(_ === 0L))
+    assert(fv(2L).take(2) === Seq(295936L, 73984L))
+    assert(fv(2L).drop(2).forall(_ === 0L))
+    // planted near-clone: base payload, a clone differing by ONE
+    // sample, and two noise payloads — the clone must rank 1 for the
+    // base query by integer sqdist
+    val rnd = new scala.util.Random(31)
+    val base = Array.fill(200)((rnd.nextInt(96) + 32).toByte)
+    val clone = base.clone(); clone(37) = (clone(37) + 2).toByte
+    val noise = Array.fill(2)(Array.fill(200)((rnd.nextInt(96) + 32).toByte))
+    val planted = Seq((10L, base), (11L, clone), (12L, noise(0)),
+      (13L, noise(1))).toDF("id", "blob")
+    val vecs = Multimodal.audioFrameVectors(planted)
+    val q = vecs.filter(col("id") === 10L)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val top = Multimodal.patchKnn(vecs, q, 3, vecCol = "v")
+      .orderBy("rank").collect()
+    assert(top(0).getLong(1) === 11L,
+      s"near-clone did not rank first: ${top.toSeq}")
+    // the fixture-declared query is deterministic across invocations
+    val a = graft.queries.MultimodalQueries.audioKnnQ(spark, sf001).collect().toSeq
+    val b = graft.queries.MultimodalQueries.audioKnnQ(spark, sf001).collect().toSeq
+    assert(a === b && a.nonEmpty)
+  }
+
   test("audioActivity: oracle frame-series bound covers the corpus; frameLen guard (r14 ADVICE)") {
     import spark.implicits._
     // the mm_audio_activity oracle enumerates frame indexes 0..4095

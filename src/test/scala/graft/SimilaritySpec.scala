@@ -1021,6 +1021,144 @@ class SimilaritySpec extends SparkSpec {
       .mkString(", "))
   }
 
+  test("graphSearchBulk: any chunking is row-identical to the one-batch search (r14 verdict task 1/8)") {
+    import graft.queries.SimilarityQueries
+    // the insert composition on a 10-query new batch, driven through
+    // the chunked bulk path at three chunkings (4 chunks / 2 chunks /
+    // one batch) and through plain graphSearch directly — per-query
+    // independence must make all four row-identical, so the declared
+    // insert hashes cannot move when BulkChunkQ is retuned
+    val settled = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val newBatch = emb.filter(pmod(col("vec_id"), lit(5)) === 0 &&
+      col("vec_id") < 50)
+    val idx = Similarity.buildIndex(settled, "vec_id", "embedding", nCells = 8)
+    val edges = Similarity.knnGraphWithin(idx.cells, 3)
+    def entriesOf(chunk: Array[(Long, Array[Double])]) =
+      Similarity.probe(idx, chunk, 4, nProbe = 1)
+        .select(col("query_id"), col("neighbor_id").as("node"))
+    def bulk(chunkQ: Int) = Similarity.graphSearchBulk(edges, settled,
+        "vec_id", "embedding", newBatch, "vec_id", "embedding", entriesOf _,
+        SimilarityQueries.GraphK, 4, 2, chunkQ = chunkQ)
+      .orderBy("query_id", "rank").collect().toSeq
+    val oneBatchQ = newBatch
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val direct = Similarity.graphSearch(edges, settled, "vec_id", "embedding",
+        oneBatchQ, entriesOf(oneBatchQ), SimilarityQueries.GraphK, 4, 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    val chunked4 = bulk(3)
+    assert(chunked4 === direct, "chunkQ=3 diverged from the one-batch search")
+    assert(bulk(5) === direct, "chunkQ=5 diverged from the one-batch search")
+    assert(bulk(Int.MaxValue) === direct, "single-chunk bulk diverged")
+    assert(direct.nonEmpty)
+    // the empty batch is a well-typed empty frame (the streaming
+    // twin's empty-trigger contract)
+    assert(Similarity.graphSearchBulk(edges, settled, "vec_id", "embedding",
+      newBatch.filter(lit(false)), "vec_id", "embedding", entriesOf _,
+      3, 4, 2).count() === 0L)
+    idx.unpersist()
+  }
+
+  test("graphInsert contract: a new vector links to SETTLED nodes even when its true nearest is another NEW vector (r14 verdict task 8)") {
+    // the batch-boundary adversary: by construction inserts navigate
+    // the settled-only graph, so a new vector whose best neighbor is
+    // another new vector in the SAME batch must still link settled —
+    // this pins the append-only contract so a future "link to new
+    // nodes too" change diverges loudly from the oracle instead of
+    // silently.
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val settled = (1L to 40L).filterNot(_ % 5 == 0)
+      .map(id => (id, Array.fill(8)(rnd.nextGaussian())))
+    // two new vectors, near-identical to each OTHER and unlike any
+    // settled vector's direction
+    val axis = Array.fill(8)(0.0); axis(7) = 100.0
+    val nearAxis = axis.clone(); nearAxis(6) = 0.5
+    val all = (settled ++ Seq((45L, axis), (50L, nearAxis)))
+      .toDF("vec_id", "embedding")
+    val settledDf = all.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val idx = Similarity.buildIndex(settledDf, "vec_id", "embedding", nCells = 4)
+    val edges = Similarity.knnGraphWithin(idx.cells, 3)
+    val out = Similarity.graphSearchBulk(edges, settledDf, "vec_id", "embedding",
+      all.filter(pmod(col("vec_id"), lit(5)) === 0), "vec_id", "embedding",
+      chunk => Similarity.probe(idx, chunk, 4, nProbe = 1)
+        .select(col("query_id"), col("neighbor_id").as("node")),
+      3, 4, 2).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(0) % 5 === 0, s"source not new: $r")
+      assert(r.getLong(1) % 5 !== 0,
+        s"inserted edge landed on a NEW vector — the settled-only contract broke: $r")
+    }
+    idx.unpersist()
+  }
+
+  test("disk-persisted graph: load skips rebuild, edges identical (r14 verdict task 2)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-graph-test")
+      .resolve("g").toString
+    val idx = Similarity.buildIndex(emb, "vec_id", "embedding", nCells = 8)
+    def build = Similarity.nnDescentRound(
+      Similarity.knnGraphWithin(idx.cells, 3), emb, "vec_id", "embedding", 3)
+    val written = Similarity.loadOrBuildGraph(spark, dir)(build)
+    val marker = new java.io.File(dir, "edges/_SUCCESS")
+    assert(marker.exists, "graph must persist to disk")
+    val mtime = marker.lastModified
+    val first = written.orderBy("vec_id", "rank").collect().toSeq
+    val loaded = Similarity.loadOrBuildGraph(spark, dir) {
+      fail("second call must load, not rebuild"); build
+    }
+    assert(marker.lastModified === mtime, "second call must load, not rebuild")
+    assert(loaded.orderBy("vec_id", "rank").collect().toSeq === first,
+      "parquet round-trip changed the edge list")
+    // the loaded frame is value-identical to the in-memory build
+    assert(first === build.orderBy("vec_id", "rank").collect().toSeq)
+    idx.unpersist()
+  }
+
+  test("declared graph probe-only reuses the disk graph and serves a disjoint batch (r14 verdict task 2)") {
+    import graft.queries.SimilarityQueries
+    val first = SparkEntry.queries("ann_graph_search")(spark, sf001)
+      .select("query_id").distinct().collect().map(_.getLong(0)).toSet
+    val marker = new java.io.File(graft.operators.Similarity.graphDirFor(
+      new java.io.File(Tables.path(sf001, "embeddings")),
+      SimilarityQueries.GraphK, SimilarityQueries.IvfCells,
+      SimilarityQueries.GraphSeedSalt, 1, SimilarityQueries.IvfCells,
+      SimilarityQueries.IvfTrainIters, SimilarityQueries.IvfTrainSample,
+      SimilarityQueries.IvfSeed), "edges/_SUCCESS")
+    assert(marker.exists, "ann_graph_search must have persisted the graph")
+    val mtime = marker.lastModified
+    val probeOnly = SparkEntry.queries("ann_graph_probe_only")(spark, sf001)
+    val second = probeOnly.select("query_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(marker.lastModified === mtime,
+      "probe-only must not rebuild the graph")
+    assert(second.nonEmpty && (first & second).isEmpty,
+      s"query batches must be disjoint: $first vs $second")
+    val ranks = probeOnly.collect().groupBy(_.getLong(0))
+      .values.map(_.map(_.getInt(2)).sorted.toSeq)
+    ranks.foreach(rs => assert(rs === (1 to rs.length)))
+  }
+
+  test("graphEntryCurve: the nProbe=1 row equals the recall report; counts bounded (r14 verdict task 5)") {
+    import graft.queries.SimilarityQueries
+    val curve = SparkEntry.queries("ann_graph_entry_curve")(spark, sf001)
+      .collect()
+    assert(curve.map(_.getInt(0)).toSeq === SimilarityQueries.EntryProbes)
+    curve.foreach { r =>
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000L)
+      assert(r.getLong(3) <= r.getLong(2) && r.getLong(3) <= r.getLong(1))
+    }
+    // the nProbe=1 entry IS the declared composition — its counts
+    // must equal ann_graph_search_recall's exactly
+    val rep = SparkEntry.queries("ann_graph_search_recall")(spark, sf001)
+      .collect()(0)
+    val at = curve.find(_.getInt(0) === 1).get
+    assert(at.getLong(3) === rep.getAs[Long]("n_common"))
+    assert(at.getLong(4) === rep.getAs[Long]("recall_permille"))
+    info(curve.map(r => s"nProbe ${r.getInt(0)}: ${r.getLong(4)} permille")
+      .mkString(", "))
+  }
+
   test("dimTruncRecall: the projected ranking equals a driver replica; report counts the exact overlap (r14)") {
     import graft.queries.SimilarityQueries
     val qv = emb.orderBy("vec_id").limit(SimilarityQueries.Q)
