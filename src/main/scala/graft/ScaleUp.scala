@@ -341,6 +341,12 @@ object ScaleUp {
     // search per micro-batch
     "ann_graph_search", "ann_graph_search_recall",
     "ann_graph_search_curve",
+    // r15: the probe-only serving reboot and the entry-probe curve
+    // ride the same pinned refined edges (oracle nCells=16), 10×-only
+    // like the rest of the declared search family; the disk-resident
+    // production lifecycle rehearses at both scales as
+    // ann_graph_lifecycle_auto in TimedCustom
+    "ann_graph_probe_only", "ann_graph_entry_curve",
     "ann_dim_truncate_recall", "stream_graph_search_parity",
     // r14: graph ingest — settled-side build + |new| bounded
     // searches, append-only edges out (pinned nCells=16 oracle);
@@ -587,6 +593,65 @@ object ScaleUp {
         f"${(System.nanoTime() - t0) / 1e9}%.2f s (graph build excluded)")
       edges.unpersist(); idx.unpersist()
       s.range(n).toDF("row")
+    }),
+    // r15 (r14 verdict task 7): the graph lifecycle END TO END under
+    // the production law, against the DISK layout — build (auto-nCells
+    // settled index + both seed graphs) → refine (2 descent rounds) →
+    // PERSIST to a content-addressed dir → INSERT a 10% held-out
+    // batch through the chunked bulk path (bounded-Q driver chunks,
+    // the declared ann_graph_insert's code) → SERVE a 10-query batch,
+    // both against the disk-RESIDENT edges. The row's single number is
+    // build-dominated by construction; the printed split is the law
+    // being priced: ingest ≈ ms/vector flat in corpus size, serve
+    // near-flat between 10× and 100×.
+    "ann_graph_lifecycle_auto" -> ((s: SparkSession, dir: String) => {
+      val Sim = graft.operators.Similarity
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val settled = e.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+      val newBatch = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+      val t0 = System.nanoTime()
+      val nCells = Sim.autoNCells(settled.count())
+      val idx = Sim.buildIndex(settled, "vec_id", "embedding", nCells = nCells)
+      val (ra, rb) = Sim.sampleRankCoeffs(
+        graft.queries.SimilarityQueries.GraphSeedSalt)
+      val p = Sim.SampleRankP
+      val bucketed = idx.cells.select(
+        (pmod(pmod(col("id"), lit(p)) * lit(ra) + lit(rb), lit(p)) % lit(nCells))
+          .cast("int").as("cell"),
+        col("id"), col("v"))
+      val seed = Sim.knnGraphWithin(idx.cells, 3)
+        .union(Sim.knnGraphWithin(bucketed, 3))
+      val refined = Sim.nnDescent(seed, settled, "vec_id", "embedding", 3, 2)
+      val gDir = java.nio.file.Files.createTempDirectory("graft-lifecycle")
+        .resolve("g").toString
+      Sim.writeGraph(refined, gDir)
+      refined.unpersist()
+      val edges = Sim.readGraph(s, gDir)
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val nNew = newBatch.count()
+      val inserted = Sim.graphSearchBulk(edges, settled, "vec_id", "embedding",
+        newBatch, "vec_id", "embedding",
+        chunk => Sim.probe(idx, chunk, 4, nProbe = 1)
+          .select(col("query_id"), col("neighbor_id").as("node")),
+        3, 4, 3)
+      val nIns = inserted.count()
+      val tIns = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val qv = settled.orderBy("vec_id").limit(10)
+        .select(col("vec_id"), graft.functions.VectorOps.toDouble(col("embedding")))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val entries = Sim.probe(idx, qv, 4, nProbe = 1)
+        .select(col("query_id"), col("neighbor_id").as("node"))
+      val nServe = Sim.graphSearch(edges, settled, "vec_id", "embedding",
+        qv, entries, 5, 4, 3).count()
+      val tServe = (System.nanoTime() - t2) / 1e9
+      println(f"[scaleup] ann_graph_lifecycle_auto: build+refine2+persist " +
+        f"$tBuild%.2f s, ingest ($nNew vectors -> $nIns edges) $tIns%.2f s " +
+        f"(${tIns * 1000.0 / math.max(nNew, 1L)}%.2f ms/vector), " +
+        f"serve (Q=10, $nServe rows) $tServe%.2f s")
+      idx.unpersist()
+      s.range(nIns).toDF("row")
     }))
 
   /** Shared production-law seed construction (ONE copy — r14 review:
@@ -871,6 +936,9 @@ object ScaleUp {
     // r14 second wave: the audio VAD front-end — frame stream is
     // bytes/frameLen rows, one payload-keyed partial/final agg
     "mm_audio_activity",
+    // r15: the audio kNN — a zero-shuffle frame-energy extraction
+    // pass + the Q*k bounded-heap kernel (the mm_patch_knn shape)
+    "mm_audio_knn",
     // r13 (r12 verdict task 5): the DECLARED production-law kNN graph
     // — autoNCells floors to 16 at 10x (the fixture index), builds
     // the 160-cell content-addressed disk index at 100x; the index

@@ -131,6 +131,16 @@ class ShuffleCeilingSpec extends SparkSpec {
     // rides the shared edges memo: |CurveBeams| bounded searches +
     // the exact-side partials
     ("ann_graph_search_curve", 4000L, "3 bounded searches + exact-side partials (713)"),
+    // cold first touch pays the full-graph build (the same 2-seed +
+    // n*k^2 descent stage as ann_graph_search); the disjoint batch's
+    // probe/beam stages are Q-bounded (warm-disk: 261)
+    ("ann_graph_probe_only", 340000L, "graph build + Q-bounded probe/beam stages (84357)"),
+    // one chain per EntryProbes count over the shared edges + the
+    // exact side; cold first touch pays the graph build
+    ("ann_graph_entry_curve", 340000L, "graph build + 3 bounded searches + exact side (84940)"),
+    // the frame-energy extraction is a zero-shuffle payload pass;
+    // only Q*k*partitions heap partials + the rank window move
+    ("mm_audio_knn", 300L, "Q*k bounded-heap partials + rank window (51)"),
     // two bounded-heap rank kernels (Q*k*partitions partials each)
     // over the zero-shuffle projection scan + overlap counts
     ("ann_dim_truncate_recall", 9000L, "2 bounded-heap rank kernels + overlap counts (2107)"),
