@@ -353,6 +353,12 @@ object ScaleUp {
     // the ingest stream twin re-runs the same bounded composition
     // per micro-batch
     "ann_graph_insert", "stream_graph_insert_parity",
+    // r15: the compaction round (insert pipeline + one k-bounded
+    // descent round over the reversed-insert union) and the n·k
+    // pair-key structure audit — both ride the pinned-nCells
+    // settled/full graphs, 10×-only like the rest of the family;
+    // the per-round production law is ann_knn_graph_refined2_auto's
+    "ann_graph_consolidate", "ann_graph_audit",
     // r12: the declared PCA hand-off — the covariance pass + a
     // d²-bounded driver power iteration
     "ann_pca_component", "ann_pca_project",

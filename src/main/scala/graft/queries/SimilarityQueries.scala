@@ -912,6 +912,88 @@ object SimilarityQueries {
       .orderBy("nprobe")
   }
 
+  /** GRAPH CONSOLIDATE — the COMPACTION stage that completes the
+    * graph lifecycle (build → refine → search → serve → insert →
+    * CONSOLIDATE): the insert path is append-only BY CONTRACT — new
+    * vectors carry out-edges to settled nodes only, no settled row
+    * is rewritten, and new-to-new edges cannot exist — so after
+    * enough ingest the settled side has never considered the new
+    * vectors as neighbors and the new cohort is invisible to itself.
+    * Consolidation folds the accumulated inserts back into a
+    * first-class graph: ONE NN-descent round over the union (settled
+    * refined edges ∪ inserted edges ∪ the inserted edges REVERSED)
+    * against the FULL corpus. Reversing exactly the inserted links is
+    * the deferred reverse-link maintenance the append-only contract
+    * skipped, now paid once at compaction time: the reversed edges
+    * make new nodes DIRECT candidates of their settled anchors, and
+    * the round's directed hop-2 (new→settled→new) reaches new-to-new
+    * pairs through them — without the reversal, no edge points AT a
+    * new node and the round could never propose one (the descent
+    * round's candidate set is direct ∪ directed hop-2). Exact
+    * rescore, per-source rank. The LSM discipline applied to a
+    * serving store: cheap append-only writes between merges, a
+    * periodic k-bounded compaction (one n·(k²+k)-candidate round, the
+    * [[Similarity.nnDescentRound]] law rehearsed at 1.95–3.49 per
+    * round at 100×); at scale it runs where `ann_index_maintain`'s
+    * drift gate fires, and the output replaces the settled edge list
+    * in the content-addressed layout. Oracle: the settled build +
+    * insert-search CTE chain (the proven generators, verbatim) + the
+    * reversed-insert union + one [[descentRoundCtes]] over a
+    * full-corpus vector CTE. */
+  private def consolidateResult(s: SparkSession, dir: String): DataFrame =
+    graft.io.FixtureCache.memo(
+        "ann_graph_consolidate:" + graft.io.FixtureCache.sessionKey(s),
+        dir, "embeddings") {
+      val (_, settledEdges) = settledGraph(s, dir)
+      val inserted = insertResult(s, dir)
+        .select(col("query_id").as("vec_id"), col("neighbor_id"))
+      val unioned = settledEdges.select(col("vec_id"), col("neighbor_id"))
+        .union(inserted)
+        .union(inserted.select(col("neighbor_id").as("vec_id"),
+          col("vec_id").as("neighbor_id")))
+      val out = Similarity.nnDescentRound(unioned,
+        Tables.embeddings(s, dir), "vec_id", "embedding", GraphK).persist()
+      out.count()
+      out
+    }
+
+  def graphConsolidateQ(s: SparkSession, dir: String): DataFrame =
+    emitGraph(consolidateResult(s, dir))
+
+  /** GRAPH STRUCTURE AUDIT — the ops-grade quality report for the
+    * navigable graph (the `ann_vector_audit`/`ann_index_drift`
+    * discipline applied to the store's second half): one row of
+    * integer facts a serving fleet alerts on — node/edge counts,
+    * RECIPROCITY (the share of edges whose reverse also exists; the
+    * measured number behind the undirected-navigation design — the
+    * non-reciprocal share is exactly what reversing edges on the fly
+    * recovers, hub navigability), the max out-degree (the k bound a
+    * degree-capped store must hold), and the total edge cosine in
+    * floor-micros (per-edge floor THEN integer sum, so the value is
+    * fold-order-free and engine-exact — a double SUM would be
+    * order-dependent; total/n_edges is the consumer's mean). Work:
+    * one n·k edge-list self-join on the (src, nb) pair key + two
+    * bounded aggregates — the corpus appears nowhere. */
+  def graphAuditQ(s: SparkSession, dir: String): DataFrame = {
+    val e = refinedEdges(s, dir)
+      .select(col("vec_id"), col("neighbor_id"),
+        floor(col("cosine") * lit(1000000.0d)).cast("long").as("cmic"))
+    val rev = e.select(col("neighbor_id").as("vec_id"),
+      col("vec_id").as("neighbor_id"))
+    val recip = e.join(rev, Seq("vec_id", "neighbor_id"))
+      .agg(count(lit(1)).as("n_reciprocal"))
+    val degs = e.groupBy("vec_id").agg(count(lit(1)).as("d"))
+      .agg(count(lit(1)).as("n_nodes"), max(col("d")).as("max_out_degree"))
+    val tot = e.agg(count(lit(1)).as("n_edges"),
+      sum(col("cmic")).as("cosine_micros_total"))
+    degs.crossJoin(tot).crossJoin(recip)
+      .select(col("n_nodes"), col("n_edges"), col("n_reciprocal"),
+        floor(lit(1000.0) * col("n_reciprocal") /
+          greatest(col("n_edges"), lit(1L))).cast("long")
+          .as("reciprocal_permille"),
+        col("max_out_degree"), col("cosine_micros_total"))
+  }
+
   /** DIMENSION-TRUNCATION recall eval — the measured price of
     * aggressive dimensionality reduction (the Matryoshka/short-
     * embedding serving trade: Kusupati et al., "Matryoshka
@@ -1171,7 +1253,8 @@ object SimilarityQueries {
     * cosine, rank) defined. Chained once per round (the
     * powerIterCtes prefix discipline), so the 1-round and 2-round
     * declared oracles are the SAME text generator. */
-  private def descentRoundCtes(inEdges: String, pfx: String): String =
+  private def descentRoundCtes(inEdges: String, pfx: String,
+                               vecs: String = "p"): String =
     s"""${pfx}h2 AS (SELECT a.src, b.nb AS cand FROM $inEdges a JOIN $inEdges b ON b.src = a.nb),
        |${pfx}cnd AS (SELECT DISTINCT src, cand FROM (
        |  SELECT src, nb AS cand FROM $inEdges UNION ALL SELECT src, cand FROM ${pfx}h2)
@@ -1180,7 +1263,7 @@ object SimilarityQueries {
        |  list_sum(list_transform(generate_series(1, $Dim), i -> a.v[i] * b.v[i])) /
        |  (sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> a.v[i] * a.v[i]))) *
        |   sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> b.v[i] * b.v[i])))) AS cosine
-       |  FROM ${pfx}cnd c JOIN p a ON a.vec_id = c.src JOIN p b ON b.vec_id = c.cand),
+       |  FROM ${pfx}cnd c JOIN $vecs a ON a.vec_id = c.src JOIN $vecs b ON b.vec_id = c.cand),
        |${pfx}rrk AS (SELECT src, cand AS nb, cosine,
        |  CAST(row_number() OVER (PARTITION BY src ORDER BY cosine DESC, cand) AS INTEGER) AS rank
        |  FROM ${pfx}rsc)""".stripMargin
@@ -1426,6 +1509,48 @@ object SimilarityQueries {
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, node) AS INTEGER) AS rank
          |  FROM ssf) WHERE rank <= $GraphK
          |ORDER BY vec_id, rank""".stripMargin
+
+  /** Audit oracle: the refined-graph prefix (the SAME edges the
+    * declared graph emits), pair-keyed reciprocity self-join,
+    * degree/total aggregates — all integer. */
+  private def graphAuditOracleSql: String =
+    "WITH " + refinedGraphCtes(1) +
+      s""",
+         |g AS (SELECT src, nb, CAST(floor(cosine * 1000000.0) AS BIGINT) AS cmic
+         |      FROM d1rrk WHERE rank <= $GraphK),
+         |deg AS (SELECT src, COUNT(*) AS d FROM g GROUP BY 1),
+         |rec AS (SELECT COUNT(*) AS n FROM g a JOIN g b ON b.src = a.nb AND b.nb = a.src)
+         |SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+         |  CAST((SELECT COUNT(*) FROM g) AS BIGINT) AS n_edges,
+         |  CAST((SELECT n FROM rec) AS BIGINT) AS n_reciprocal,
+         |  CAST(floor(1000.0 * (SELECT n FROM rec) / greatest((SELECT COUNT(*) FROM g), 1)) AS BIGINT) AS reciprocal_permille,
+         |  CAST((SELECT MAX(d) FROM deg) AS BIGINT) AS max_out_degree,
+         |  CAST((SELECT SUM(cmic) FROM g) AS BIGINT) AS cosine_micros_total""".stripMargin
+
+  /** Consolidate oracle: the settled-side build + insert-search CTE
+    * chain (the IDENTICAL parameterized text the insert oracle
+    * navigates — `ssf` over the settled corpus with the new vectors
+    * as queries), the inserted edges cut to [[GraphK]], the union
+    * with the settled refined edges, then ONE descent round rescored
+    * against a FULL-corpus vector CTE (`pf` — the chain's `p` is
+    * settled-restricted). */
+  private def graphConsolidateOracleSql: String =
+    "WITH " + graphSearchCtesFor("WHERE vec_id % 5 <> 0",
+      "sq AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv " +
+        "FROM embeddings WHERE vec_id % 5 = 0)") +
+      s""",
+         |pf AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |ins AS (SELECT query_id AS src, node AS nb FROM (
+         |  SELECT query_id, node,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, node) AS rank
+         |  FROM ssf) WHERE rank <= $GraphK),
+         |gu AS (SELECT src, nb FROM d1rrk WHERE rank <= $GraphK
+         |       UNION ALL SELECT src, nb FROM ins
+         |       UNION ALL SELECT nb AS src, src AS nb FROM ins),
+         |""".stripMargin + descentRoundCtes("gu", "c1", "pf") +
+      s"""
+         |SELECT src AS vec_id, nb AS neighbor_id, rank, round(cosine, 6) AS cosine
+         |FROM c1rrk WHERE rank <= $GraphK ORDER BY vec_id, rank""".stripMargin
 
   /** Recall oracle: the search CTEs' final ranked ids vs the
     * bruteforce oracle's rank over the same `sq` query batch,
@@ -1725,6 +1850,8 @@ object SimilarityQueries {
     "ann_graph_search" -> (graphSearchQ _),
     "ann_graph_search_recall" -> (graphSearchRecallQ _),
     "ann_graph_insert" -> (graphInsertQ _),
+    "ann_graph_consolidate" -> (graphConsolidateQ _),
+    "ann_graph_audit" -> (graphAuditQ _),
     "ann_graph_probe_only" -> (graphProbeOnlyQ _),
     "ann_graph_search_curve" -> (graphSearchCurveQ _),
     "ann_graph_entry_curve" -> (graphEntryCurveQ _),
@@ -2352,6 +2479,8 @@ object SimilarityQueries {
     "ann_graph_search" -> graphSearchOracleSql,
     "ann_graph_search_recall" -> graphSearchRecallOracleSql,
     "ann_graph_insert" -> graphInsertOracleSql,
+    "ann_graph_consolidate" -> graphConsolidateOracleSql,
+    "ann_graph_audit" -> graphAuditOracleSql,
     "ann_graph_probe_only" -> graphProbeOnlyOracleSql,
     "ann_graph_search_curve" -> graphSearchCurveOracleSql,
     "ann_graph_entry_curve" -> graphEntryCurveOracleSql,

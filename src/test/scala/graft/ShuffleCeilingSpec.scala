@@ -135,6 +135,13 @@ class ShuffleCeilingSpec extends SparkSpec {
     // n*k^2 descent stage as ann_graph_search); the disjoint batch's
     // probe/beam stages are Q-bounded (warm-disk: 261)
     ("ann_graph_probe_only", 340000L, "graph build + Q-bounded probe/beam stages (84357)"),
+    // cold first touch pays the settled build + insert searches (the
+    // ann_graph_insert stage) + ONE more n*(k^2+k) candidate round
+    // over the reversed-insert union — the compaction law
+    ("ann_graph_consolidate", 480000L, "settled build + insert + 1 descent round (115714)"),
+    // rides the disk graph: one n*k edge self-join on the pair key +
+    // two bounded aggregates; cold first touch pays the graph build
+    ("ann_graph_audit", 340000L, "graph build + n*k pair-key self-join partials (86100)"),
     // one chain per EntryProbes count over the shared edges + the
     // exact side; cold first touch pays the graph build
     ("ann_graph_entry_curve", 340000L, "graph build + 3 bounded searches + exact side (84940)"),

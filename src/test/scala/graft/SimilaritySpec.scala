@@ -1093,6 +1093,82 @@ class SimilaritySpec extends SparkSpec {
     idx.unpersist()
   }
 
+  test("graphConsolidate: new nodes become first-class; a planted new-new clone pair becomes mutual (r15)") {
+    import graft.queries.SimilarityQueries
+    // declared surface: every new vector is a source, and each new
+    // vector's best neighbor can only improve on its insert edges
+    // (descent candidates ⊇ incumbents — rescoring is monotone)
+    val cons = SparkEntry.queries("ann_graph_consolidate")(spark, sf001).collect()
+    val ins = SparkEntry.queries("ann_graph_insert")(spark, sf001).collect()
+    val newIds = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val consBest = cons.filter(_.getInt(2) == 1)
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(newIds.subsetOf(consBest.keySet),
+      "a new vector vanished from the consolidated graph")
+    ins.filter(_.getInt(2) == 1).foreach { r =>
+      assert(consBest(r.getLong(0)) >= r.getDouble(3) - 1e-9,
+        s"consolidation worsened new node ${r.getLong(0)}'s best neighbor")
+    }
+    // the planted case consolidation EXISTS for: two near-identical
+    // NEW vectors in the same batch — insert links both settled-only
+    // (the append-only contract), consolidation's reversed-insert
+    // union makes them each other's rank-1 via directed hop-2
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val settled = (1L to 40L).filterNot(_ % 5 == 0)
+      .map(id => (id, Array.fill(8)(rnd.nextGaussian())))
+    val axis = Array.fill(8)(0.0); axis(7) = 100.0
+    val nearAxis = axis.clone(); nearAxis(6) = 0.5
+    val all = (settled ++ Seq((45L, axis), (50L, nearAxis)))
+      .toDF("vec_id", "embedding")
+    val settledDf = all.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val idx = Similarity.buildIndex(settledDf, "vec_id", "embedding", nCells = 4)
+    val settledEdges = Similarity.knnGraphWithin(idx.cells, 3)
+    val inserted = Similarity.graphSearchBulk(settledEdges, settledDf,
+        "vec_id", "embedding",
+        all.filter(pmod(col("vec_id"), lit(5)) === 0), "vec_id", "embedding",
+        chunk => Similarity.probe(idx, chunk, 4, nProbe = 1)
+          .select(col("query_id"), col("neighbor_id").as("node")),
+        3, 4, 2)
+      .select(col("query_id").as("vec_id"), col("neighbor_id"))
+    // insert output: NO new-to-new edges (the contract)
+    assert(inserted.filter(pmod(col("vec_id"), lit(5)) === 0 &&
+      pmod(col("neighbor_id"), lit(5)) === 0).count() === 0L)
+    val unioned = settledEdges.select(col("vec_id"), col("neighbor_id"))
+      .union(inserted)
+      .union(inserted.select(col("neighbor_id").as("vec_id"),
+        col("vec_id").as("neighbor_id")))
+    val merged = Similarity.nnDescentRound(unioned, all,
+      "vec_id", "embedding", 3).collect()
+    val r1 = merged.filter(_.getInt(2) == 1)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1(45L) === 50L && r1(50L) === 45L,
+      s"planted new-new clone pair not mutual after consolidation: $r1")
+    idx.unpersist()
+  }
+
+  test("graphAudit: counts equal a driver replica; degree bounded by GraphK (r15)") {
+    import graft.queries.SimilarityQueries
+    val a = SparkEntry.queries("ann_graph_audit")(spark, sf001).collect()(0)
+    val edges = SimilarityQueries.refinedEdges(spark, sf001)
+      .select("vec_id", "neighbor_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairs = edges.map(e => (e._1, e._2)).toSet
+    val nRecip = edges.count(e => pairs.contains((e._2, e._1)))
+    val maxDeg = edges.groupBy(_._1).values.map(_.length).max
+    assert(a.getAs[Long]("n_nodes") === edges.map(_._1).distinct.length.toLong)
+    assert(a.getAs[Long]("n_edges") === edges.length.toLong)
+    assert(a.getAs[Long]("n_reciprocal") === nRecip.toLong)
+    assert(a.getAs[Long]("max_out_degree") === maxDeg.toLong)
+    assert(maxDeg <= SimilarityQueries.GraphK)
+    assert(a.getAs[Long]("cosine_micros_total") ===
+      edges.map(e => math.floor(e._3 * 1000000.0).toLong).sum)
+    val rp = a.getAs[Long]("reciprocal_permille")
+    assert(rp >= 0L && rp <= 1000L)
+    info(s"graph reciprocity: $rp permille over ${edges.length} edges")
+  }
+
   test("disk-persisted graph: load skips rebuild, edges identical (r14 verdict task 2)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-graph-test")
       .resolve("g").toString
