@@ -359,6 +359,9 @@ object ScaleUp {
     // settled/full graphs, 10×-only like the rest of the family;
     // the per-round production law is ann_knn_graph_refined2_auto's
     "ann_graph_consolidate", "ann_graph_audit",
+    // r15 third wave: the incremental-vs-rebuild serving gap —
+    // bounded search over the merged graph + one exact side
+    "ann_graph_consolidated_recall",
     // r12: the declared PCA hand-off — the covariance pass + a
     // d²-bounded driver power iteration
     "ann_pca_component", "ann_pca_project",
@@ -652,10 +655,23 @@ object ScaleUp {
       val nServe = Sim.graphSearch(edges, settled, "vec_id", "embedding",
         qv, entries, 5, 4, 3).count()
       val tServe = (System.nanoTime() - t2) / 1e9
+      // the compaction stage (r15): fold the ingested batch back into
+      // a first-class graph — settled ∪ inserted ∪ REVERSED inserted,
+      // one descent round over the full corpus (the declared
+      // ann_graph_consolidate composition at the production law)
+      val t3 = System.nanoTime()
+      val unioned = edges.select(col("vec_id"), col("neighbor_id"))
+        .union(inserted.select(col("query_id").as("vec_id"), col("neighbor_id")))
+        .union(inserted.select(col("neighbor_id").as("vec_id"),
+          col("query_id").as("neighbor_id")))
+      val merged = Sim.nnDescentRound(unioned, e, "vec_id", "embedding", 3)
+      val nMerged = merged.count()
+      val tCons = (System.nanoTime() - t3) / 1e9
       println(f"[scaleup] ann_graph_lifecycle_auto: build+refine2+persist " +
         f"$tBuild%.2f s, ingest ($nNew vectors -> $nIns edges) $tIns%.2f s " +
         f"(${tIns * 1000.0 / math.max(nNew, 1L)}%.2f ms/vector), " +
-        f"serve (Q=10, $nServe rows) $tServe%.2f s")
+        f"serve (Q=10, $nServe rows) $tServe%.2f s, " +
+        f"consolidate ($nMerged edges) $tCons%.2f s")
       idx.unpersist()
       s.range(nIns).toDF("row")
     }))

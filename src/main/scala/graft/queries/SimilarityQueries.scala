@@ -960,6 +960,45 @@ object SimilarityQueries {
   def graphConsolidateQ(s: SparkSession, dir: String): DataFrame =
     emitGraph(consolidateResult(s, dir))
 
+  /** CONSOLIDATED-SERVE RECALL — the capstone number for the whole
+    * lifecycle: does INCREMENTAL maintenance (append-only insert +
+    * one compaction round) serve as well as a from-scratch rebuild?
+    * The declared composition (nProbe = 1 entry + beam rounds) runs
+    * against the CONSOLIDATED graph over the FULL corpus — entry via
+    * the SETTLED index (the store hasn't retrained; the realistic
+    * post-compaction state) — and its top-[[K]] is overlapped with
+    * the full-corpus exact cosine top-[[K]], the
+    * `ann_graph_search_recall` report form. Compare directly against
+    * that query's number (the from-scratch refined graph): at 100 TB
+    * a rebuild is corpus-priced while insert+compact is
+    * batch-priced + one k-bounded round, so this measured gap is THE
+    * incremental-maintenance decision number. */
+  private def consolidatedRecall(s: SparkSession, dir: String): DataFrame = {
+    val (idx, _) = settledGraph(s, dir)
+    val merged = consolidateResult(s, dir)
+    val e = Tables.embeddings(s, dir)
+    val qv = queryVecs(s, dir)
+    val entries = Similarity.probe(idx, qv, SearchBeam, nProbe = 1)
+      .select(col("query_id"), col("neighbor_id").as("node"))
+    val g = Similarity.graphSearch(merged, e, "vec_id", "embedding",
+        qv, entries, K, SearchBeam, SearchRounds)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding", qv, K)
+      .select(col("query_id"), col("neighbor_id"))
+    val ne = exact.agg(count(lit(1)).as("n_exact"))
+    val nf = g.agg(count(lit(1)).as("n_found"))
+    val nc = g.join(exact, Seq("query_id", "neighbor_id"))
+      .agg(count(lit(1)).as("n_common"))
+    ne.crossJoin(nf).crossJoin(nc)
+      .select(lit(Q.toLong).as("n_queries"), col("n_exact"), col("n_found"),
+        col("n_common"),
+        floor(lit(1000.0) * col("n_common") / greatest(col("n_exact"), lit(1L)))
+          .cast("long").as("recall_permille"))
+  }
+
+  def graphConsolidatedRecallQ(s: SparkSession, dir: String): DataFrame =
+    consolidatedRecall(s, dir)
+
   /** GRAPH STRUCTURE AUDIT — the ops-grade quality report for the
     * navigable graph (the `ann_vector_audit`/`ann_index_drift`
     * discipline applied to the store's second half): one row of
@@ -1316,12 +1355,13 @@ object SimilarityQueries {
     * visited CTE `inV` gets its exact cosine — query vector folds
     * first (the bruteforce convention [[Similarity.graphSearch]]
     * matches bit-for-bit). */
-  private def searchScoreCte(name: String, inV: String): String =
+  private def searchScoreCte(name: String, inV: String,
+                             vecs: String = "p", qTab: String = "sq"): String =
     s"""$name AS (SELECT vs.query_id, vs.node,
        |  list_sum(list_transform(generate_series(1, $Dim), i -> q.qv[i] * pp.v[i])) /
        |  (sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> q.qv[i] * q.qv[i]))) *
        |   sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> pp.v[i] * pp.v[i])))) AS cosine
-       |  FROM $inV vs JOIN p pp ON pp.vec_id = vs.node JOIN sq q ON q.query_id = vs.query_id)""".stripMargin
+       |  FROM $inV vs JOIN $vecs pp ON pp.vec_id = vs.node JOIN $qTab q ON q.query_id = vs.query_id)""".stripMargin
 
   /** The graph-search CTE chain: the refined-graph prefix (the SAME
     * edges the declared graph emits) navigated undirected, the
@@ -1342,34 +1382,36 @@ object SimilarityQueries {
     * `pfx = "", beam = SearchBeam, nProbe = 1` is the declared
     * search's exact text. Leaves `${pfx}ssf` (final visited, scored)
     * defined. */
-  private def searchChainCtes(pfx: String, beam: Int, nProbe: Int = 1): String = {
+  private def searchChainCtes(pfx: String, beam: Int, nProbe: Int = 1,
+                              vecs: String = "p", qTab: String = "sq",
+                              edgeTab: String = "ge"): String = {
     val rnds = (1 to SearchRounds).map { r =>
-      searchScoreCte(s"${pfx}ss$r", s"${pfx}sv${r - 1}") +
+      searchScoreCte(s"${pfx}ss$r", s"${pfx}sv${r - 1}", vecs, qTab) +
         s""",
            |${pfx}sf$r AS (SELECT query_id, node FROM (SELECT query_id, node,
            |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, node) AS rk
            |  FROM ${pfx}ss$r) WHERE rk <= $beam),
            |${pfx}sv$r AS (SELECT DISTINCT query_id, node FROM (
            |  SELECT query_id, node FROM ${pfx}sv${r - 1}
-           |  UNION ALL SELECT f.query_id, ge.nb AS node FROM ${pfx}sf$r f JOIN ge ON ge.src = f.node))""".stripMargin
+           |  UNION ALL SELECT f.query_id, $edgeTab.nb AS node FROM ${pfx}sf$r f JOIN $edgeTab ON $edgeTab.src = f.node))""".stripMargin
     }.mkString(",\n")
     s"""${pfx}sqd AS (SELECT q.query_id, c.cid,
        |  list_sum(list_transform(generate_series(1, $Dim),
        |           i -> (q.qv[i] - c.v[i]) * (q.qv[i] - c.v[i]))) AS d2
-       |  FROM sq q CROSS JOIN cent$IvfTrainIters c),
+       |  FROM $qTab q CROSS JOIN cent$IvfTrainIters c),
        |${pfx}sprobe AS (SELECT query_id, cid FROM (
        |  SELECT query_id, cid, row_number() OVER (PARTITION BY query_id ORDER BY d2, cid) AS rn
        |  FROM ${pfx}sqd) WHERE rn <= $nProbe),
        |${pfx}scand AS (SELECT pr.query_id, ce.vec_id AS node
        |  FROM ${pfx}sprobe pr JOIN cells ce ON ce.cell = pr.cid AND ce.vec_id <> pr.query_id),
        |""".stripMargin +
-      searchScoreCte(s"${pfx}ss0", s"${pfx}scand") +
+      searchScoreCte(s"${pfx}ss0", s"${pfx}scand", vecs, qTab) +
       s""",
          |${pfx}sv0 AS (SELECT query_id, node FROM (SELECT query_id, node,
          |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, node) AS rk
          |  FROM ${pfx}ss0) WHERE rk <= $beam),
          |""".stripMargin + rnds + ",\n" +
-      searchScoreCte(s"${pfx}ssf", s"${pfx}sv$SearchRounds")
+      searchScoreCte(s"${pfx}ssf", s"${pfx}sv$SearchRounds", vecs, qTab)
   }
 
   /** Parameterized over the corpus restriction (`where` — the
@@ -1534,8 +1576,12 @@ object SimilarityQueries {
     * with the settled refined edges, then ONE descent round rescored
     * against a FULL-corpus vector CTE (`pf` — the chain's `p` is
     * settled-restricted). */
-  private def graphConsolidateOracleSql: String =
-    "WITH " + graphSearchCtesFor("WHERE vec_id % 5 <> 0",
+  /** The consolidate CTE PREFIX — everything through `c1rrk` (the
+    * merged graph's ranked edges over the full-corpus `pf`) — shared
+    * by the consolidate oracle and the consolidated-serve recall
+    * oracle, so serve cannot drift from compact. */
+  private def consolidateCtes: String =
+    graphSearchCtesFor("WHERE vec_id % 5 <> 0",
       "sq AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv " +
         "FROM embeddings WHERE vec_id % 5 = 0)") +
       s""",
@@ -1547,10 +1593,53 @@ object SimilarityQueries {
          |gu AS (SELECT src, nb FROM d1rrk WHERE rank <= $GraphK
          |       UNION ALL SELECT src, nb FROM ins
          |       UNION ALL SELECT nb AS src, src AS nb FROM ins),
-         |""".stripMargin + descentRoundCtes("gu", "c1", "pf") +
+         |""".stripMargin + descentRoundCtes("gu", "c1", "pf")
+
+  private def graphConsolidateOracleSql: String =
+    "WITH " + consolidateCtes +
       s"""
          |SELECT src AS vec_id, nb AS neighbor_id, rank, round(cosine, 6) AS cosine
          |FROM c1rrk WHERE rank <= $GraphK ORDER BY vec_id, rank""".stripMargin
+
+  /** Consolidated-serve recall oracle: the consolidate prefix, the
+    * merged edges navigated undirected, the SETTLED index's cells as
+    * the entry (the chain's `cells`/`cent` ARE the settled index —
+    * the store hasn't retrained, the realistic post-compaction
+    * state), the parameterized search chain over the FULL-corpus
+    * vectors, overlap vs the full-corpus exact top-[[K]]. */
+  private def graphConsolidatedRecallOracleSql: String =
+    "WITH " + consolidateCtes +
+      s""",
+         |cg AS MATERIALIZED (SELECT src, nb FROM c1rrk WHERE rank <= $GraphK),
+         |cge AS MATERIALIZED (SELECT src, nb FROM cg
+         |        UNION ALL SELECT nb AS src, src AS nb FROM cg),
+         |csq AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM pf ORDER BY vec_id LIMIT $Q),
+         |""".stripMargin +
+      searchChainCtes("cs_", SearchBeam, nProbe = 1,
+        vecs = "pf", qTab = "csq", edgeTab = "cge") +
+      s""",
+         |cgres AS (SELECT query_id, node AS neighbor_id FROM (
+         |  SELECT query_id, node,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, node) AS rank
+         |  FROM cs_ssf WHERE node <> query_id) WHERE rank <= $K),
+         |cxd AS (SELECT q.query_id, pp.vec_id AS neighbor_id,
+         |  list_sum(list_transform(generate_series(1, $Dim), i -> q.qv[i] * pp.v[i])) /
+         |  (sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> q.qv[i] * q.qv[i]))) *
+         |   sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> pp.v[i] * pp.v[i])))) AS cosine
+         |  FROM csq q CROSS JOIN pf pp WHERE pp.vec_id <> q.query_id),
+         |cxres AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM cxd) WHERE rank <= $K),
+         |cst AS (SELECT
+         |  (SELECT COUNT(*) FROM csq) AS n_queries,
+         |  (SELECT COUNT(*) FROM cxres) AS n_exact,
+         |  (SELECT COUNT(*) FROM cgres) AS n_found,
+         |  (SELECT COUNT(*) FROM cgres g JOIN cxres x
+         |     ON x.query_id = g.query_id AND x.neighbor_id = g.neighbor_id) AS n_common)
+         |SELECT n_queries, n_exact, n_found, n_common,
+         |  CAST(floor(1000.0 * n_common / greatest(n_exact, 1)) AS BIGINT) AS recall_permille
+         |FROM cst""".stripMargin
 
   /** Recall oracle: the search CTEs' final ranked ids vs the
     * bruteforce oracle's rank over the same `sq` query batch,
@@ -1851,6 +1940,7 @@ object SimilarityQueries {
     "ann_graph_search_recall" -> (graphSearchRecallQ _),
     "ann_graph_insert" -> (graphInsertQ _),
     "ann_graph_consolidate" -> (graphConsolidateQ _),
+    "ann_graph_consolidated_recall" -> (graphConsolidatedRecallQ _),
     "ann_graph_audit" -> (graphAuditQ _),
     "ann_graph_probe_only" -> (graphProbeOnlyQ _),
     "ann_graph_search_curve" -> (graphSearchCurveQ _),
@@ -2480,6 +2570,7 @@ object SimilarityQueries {
     "ann_graph_search_recall" -> graphSearchRecallOracleSql,
     "ann_graph_insert" -> graphInsertOracleSql,
     "ann_graph_consolidate" -> graphConsolidateOracleSql,
+    "ann_graph_consolidated_recall" -> graphConsolidatedRecallOracleSql,
     "ann_graph_audit" -> graphAuditOracleSql,
     "ann_graph_probe_only" -> graphProbeOnlyOracleSql,
     "ann_graph_search_curve" -> graphSearchCurveOracleSql,

@@ -139,6 +139,9 @@ class ShuffleCeilingSpec extends SparkSpec {
     // ann_graph_insert stage) + ONE more n*(k^2+k) candidate round
     // over the reversed-insert union — the compaction law
     ("ann_graph_consolidate", 480000L, "settled build + insert + 1 descent round (115714)"),
+    // cold first touch pays the consolidate pipeline; the serve +
+    // exact sides are Q-bounded heap/beam stages
+    ("ann_graph_consolidated_recall", 480000L, "consolidate pipeline + Q-bounded serve/exact (109977)"),
     // rides the disk graph: one n*k edge self-join on the pair key +
     // two bounded aggregates; cold first touch pays the graph build
     ("ann_graph_audit", 340000L, "graph build + n*k pair-key self-join partials (86100)"),

@@ -1148,6 +1148,24 @@ class SimilaritySpec extends SparkSpec {
     idx.unpersist()
   }
 
+  test("graphConsolidatedRecall: sane counts; the incremental-vs-rebuild gap is measured, not assumed (r15)") {
+    val rep = SparkEntry.queries("ann_graph_consolidated_recall")(spark, sf001)
+      .collect()(0)
+    val rebuild = SparkEntry.queries("ann_graph_search_recall")(spark, sf001)
+      .collect()(0)
+    assert(rep.getAs[Long]("n_queries") === 10L)
+    assert(rep.getAs[Long]("n_found") === rep.getAs[Long]("n_exact"))
+    val rp = rep.getAs[Long]("recall_permille")
+    assert(rp >= 0L && rp <= 1000L)
+    assert(rep.getAs[Long]("n_common") <= rep.getAs[Long]("n_exact"))
+    // the incremental store must remain genuinely useful — well above
+    // the ~random floor — while the measured gap vs the from-scratch
+    // rebuild is the query's whole point (fixture: 740 vs 860 permille)
+    assert(rp >= 500L, s"consolidated serve degenerated: $rp permille")
+    info(s"consolidated serve $rp permille vs rebuild " +
+      s"${rebuild.getAs[Long]("recall_permille")} permille")
+  }
+
   test("graphAudit: counts equal a driver replica; degree bounded by GraphK (r15)") {
     import graft.queries.SimilarityQueries
     val a = SparkEntry.queries("ann_graph_audit")(spark, sf001).collect()(0)
