@@ -673,8 +673,20 @@ object ScaleUp {
         f"serve (Q=10, $nServe rows) $tServe%.2f s, " +
         f"consolidate ($nMerged edges) $tCons%.2f s")
       idx.unpersist()
+      merged.unpersist()
+      // the rehearsal's temp graph dir is per-invocation scratch, not
+      // the content-addressed serving layout — delete it so repeated
+      // reps don't accumulate tmp-disk parquet (r15 ADVICE); the bulk
+      // sink behind `inserted` is Similarity-owned and removed at JVM
+      // exit
+      deleteTree(java.nio.file.Paths.get(gDir).getParent.toFile)
       s.range(nIns).toDF("row")
     }))
+
+  private def deleteTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteTree)
+    f.delete()
+  }
 
   /** Shared production-law seed construction (ONE copy — r14 review:
     * the pmod bucket formula and the autoNCells law must not fork

@@ -2007,19 +2007,29 @@ object Similarity {
     * twin's micro-batch row-identity is the same fact observed from
     * the other side).
     *
-    * Chunks are `id % nChunks` — deterministic, data-independent,
-    * ≈ |batch|/nChunks rows each for any roughly-uniform id stream.
-    * The loop collects ONE chunk's ids+vectors at a time (≤ ~chunkQ
-    * rows; the previous chunk's arrays are garbage by then), runs the
-    * fixed-round search, and PERSISTS the chunk's k-bounded result
-    * before moving on — at any moment the driver holds one bounded
-    * chunk's state and the executors hold only settled k·chunk rows.
+    * Chunks are the partitions of ONE round-robin repartition of the
+    * batch (r15 verdict task 5 + ADVICE): round-robin spreads ANY id
+    * distribution — stride-structured residue classes included, where
+    * the previous `id % nChunks` key left only nChunks/gcd chunks
+    * populated and could collapse the whole batch into one chunk —
+    * into nChunks near-equal partitions (≤ ⌈|batch|/nChunks⌉ +
+    * #source-partitions rows each). The shuffle map stage runs ONCE;
+    * each chunk's `runJob` then fetches exactly one reduce partition,
+    * so the new batch is scanned once total instead of once per chunk
+    * (the old per-chunk filter rescanned O(|batch|²/chunkQ) rows).
+    * The loop holds ONE chunk's ids+vectors on the driver at a time
+    * (the previous chunk's arrays are garbage by then), runs the
+    * fixed-round search, and APPENDS the chunk's k-bounded result to
+    * one parquet sink — at any moment the driver holds one bounded
+    * chunk's state and nothing is pinned in executor storage memory.
     * Eager by contract (each chunk materializes on its own — the
-    * ingest loop IS the work); returns the lazy union of the
-    * persisted chunk frames. Each chunk's corpus/expansion scans
-    * amortize over its chunkQ queries through [[graphSearch]]'s size
-    * dispatch (chunkQ > [[IsinPushdownMaxIds]] visited ids → the
-    * broadcast-join branch). */
+    * ingest loop IS the work); returns the scan of the sink, so the
+    * plan has ONE leaf however many chunks ran (no nChunks-leg union)
+    * and callers own no persist/unpersist contract — sink dirs are
+    * JVM-lifetime artifacts removed by a shutdown hook. Each chunk's
+    * corpus/expansion scans amortize over its chunkQ queries through
+    * [[graphSearch]]'s size dispatch (chunkQ > [[IsinPushdownMaxIds]]
+    * visited ids → the broadcast-join branch). */
   def graphSearchBulk(edges: DataFrame, embs: DataFrame, idCol: String,
                       vecCol: String, newBatch: DataFrame,
                       batchIdCol: String, batchVecCol: String,
@@ -2035,16 +2045,54 @@ object Similarity {
     if (total == 0L)
       return Seq.empty[(Long, Long, Int, Double)]
         .toDF("query_id", "neighbor_id", "rank", "cosine")
-    val nChunks = (total + chunkQ - 1) / chunkQ
-    val parts = (0L until nChunks).map { c =>
-      val chunk = src.filter(pmod(col("qid"), lit(nChunks)) === c)
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      val part = graphSearch(edges, embs, idCol, vecCol, chunk,
-        entriesOf(chunk), k, beam, rounds).persist()
-      part.count()
-      part
+    val nChunks = math.min((total + chunkQ - 1) / chunkQ,
+      Int.MaxValue.toLong).toInt
+    val chunked = src.repartition(nChunks).rdd
+    val sink = newBulkSink()
+    var wrote = false
+    var c = 0
+    while (c < nChunks) {
+      val chunk = spark.sparkContext.runJob(chunked,
+        (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toArray,
+        Seq(c)).head
+      if (chunk.nonEmpty) {
+        val part = graphSearch(edges, embs, idCol, vecCol, chunk,
+          entriesOf(chunk), k, beam, rounds).persist()
+        if (part.count() > 0L) {
+          part.write.mode("append").parquet(sink)
+          wrote = true
+        }
+        part.unpersist()
+      }
+      c += 1
     }
-    parts.reduce(_ union _)
+    if (!wrote)
+      Seq.empty[(Long, Long, Int, Double)]
+        .toDF("query_id", "neighbor_id", "rank", "cosine")
+    else spark.read.parquet(sink)
+  }
+
+  /** The bulk-ingest sinks are JVM-lifetime artifacts (the returned
+    * scan must outlive the call; FixtureCache memos and downstream
+    * consolidates read them for the session), removed at JVM exit —
+    * so repeated in-process runs (Bench reps, ScaleUp rehearsals)
+    * cannot accumulate tmp-disk parquet across processes (r15
+    * ADVICE). */
+  private val bulkSinks = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  private lazy val bulkSinkHookInstalled: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val it = bulkSinks.iterator()
+      while (it.hasNext) deleteRecursively(it.next())
+    }))
+    true
+  }
+
+  private def newBulkSink(): String = {
+    require(bulkSinkHookInstalled)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bulk-")
+    bulkSinks.add(dir.toFile)
+    dir.resolve("out").toString
   }
 
   /** Content-addressed GRAPH directory for (corpus file, build-param
