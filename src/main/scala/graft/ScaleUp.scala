@@ -673,7 +673,6 @@ object ScaleUp {
         f"serve (Q=10, $nServe rows) $tServe%.2f s, " +
         f"consolidate ($nMerged edges) $tCons%.2f s")
       idx.unpersist()
-      merged.unpersist()
       // the rehearsal's temp graph dir is per-invocation scratch, not
       // the content-addressed serving layout — delete it so repeated
       // reps don't accumulate tmp-disk parquet (r15 ADVICE); the bulk

@@ -327,6 +327,42 @@ object Multimodal {
       }.toDF("id", "v")
   }
 
+  /** AUDIO FINGERPRINT — the [[averageHash]] thresholding discipline
+    * applied to the TIME axis (r15 verdict task 4): bit j of a 64-bit
+    * fingerprint is set when frame j's energy ([[audioFrameVectors]]'s
+    * exact integer feature) exceeds the payload's mean frame energy
+    * (integer floor of sum/nFrames — the aHash mean rule). Two
+    * payloads whose loud/quiet frame PATTERN matches fingerprint
+    * alike even when absolute levels differ — the shape a re-encoded
+    * or gain-shifted copy keeps. Emitted as two non-negative BIGINT
+    * halves (lo = bits 0–31, hi = bits 32–63), the [[averageHash]]
+    * convention, so the SAME banded-Hamming join
+    * ([[ahashNearDupPairs]] — the 4×16-bit pigeonhole split, exact
+    * for distance ≤ 3) serves both modalities unchanged.
+    *
+    * Scale: a per-row integer kernel over the already-extracted
+    * frame-energy vectors, zero shuffle; 2 longs out per payload.
+    * Mean-sum bound: ≤ 64 frames × 191²·16 < 2.4·10⁹ — five orders
+    * inside BIGINT. */
+  def audioFingerprint(vecs: DataFrame): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    vecs.select(col("id").cast("long"), col("v"))
+      .as[(Long, Array[Long])]
+      .map { case (id, v) =>
+        val mean = v.sum / v.length
+        var lo = 0L; var hi = 0L
+        var j = 0
+        while (j < v.length && j < 64) {
+          if (v(j) > mean) {
+            if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+          }
+          j += 1
+        }
+        (id, hi, lo)
+      }.toDF("id", "ahash_hi", "ahash_lo")
+  }
+
   /** Encode the first `side`² payload bytes as a `side`×`side`
     * grayscale PNG (zero-padded) — a REAL ImageIO encode producing
     * blobs the real decode path reads back. Gray pixels make the

@@ -934,16 +934,24 @@ object SimilarityQueries {
     * serving store: cheap append-only writes between merges, a
     * periodic k-bounded compaction (one n·(k²+k)-candidate round, the
     * [[Similarity.nnDescentRound]] law rehearsed at 1.95–3.49 per
-    * round at 100×); at scale it runs where `ann_index_maintain`'s
-    * drift gate fires, and the output replaces the settled edge list
-    * in the content-addressed layout. Oracle: the settled build +
-    * insert-search CTE chain (the proven generators, verbatim) + the
-    * reversed-insert union + one [[descentRoundCtes]] over a
-    * full-corpus vector CTE. */
+    * round at 100×), run where the `ann_graph_maintain` gate fires.
+    * Since r16 the output is PUBLISHED: the merged edge list persists
+    * to the content-addressed layout under [[ConsolidatedVariant]]
+    * ([[diskGraph]] — the same write-once/serve-many contract the
+    * refined and settled graphs hold), so a serving fleet that
+    * compacts and reboots comes back up on the POST-compaction edges;
+    * every consolidated-serve surface reads the published artifact.
+    * Oracle: the settled build + insert-search CTE chain (the proven
+    * generators, verbatim) + the reversed-insert union + one
+    * [[descentRoundCtes]] over a full-corpus vector CTE. */
+  /** Content-address tag for the published consolidated graph: the
+    * merge is a function of the settled store AND the insert-search
+    * parameters, so both are part of the identity. */
+  private[graft] val ConsolidatedVariant =
+    s"consolidated-$SettledVariant-b$SearchBeam-r$SearchRounds"
+
   private def consolidateResult(s: SparkSession, dir: String): DataFrame =
-    graft.io.FixtureCache.memo(
-        "ann_graph_consolidate:" + graft.io.FixtureCache.sessionKey(s),
-        dir, "embeddings") {
+    diskGraph(s, dir, variant = ConsolidatedVariant) {
       val (_, settledEdges) = settledGraph(s, dir)
       val inserted = insertResult(s, dir)
         .select(col("query_id").as("vec_id"), col("neighbor_id"))
@@ -951,10 +959,8 @@ object SimilarityQueries {
         .union(inserted)
         .union(inserted.select(col("neighbor_id").as("vec_id"),
           col("vec_id").as("neighbor_id")))
-      val out = Similarity.nnDescentRound(unioned,
-        Tables.embeddings(s, dir), "vec_id", "embedding", GraphK).persist()
-      out.count()
-      out
+      Similarity.nnDescentRound(unioned,
+        Tables.embeddings(s, dir), "vec_id", "embedding", GraphK)
     }
 
   def graphConsolidateQ(s: SparkSession, dir: String): DataFrame =
@@ -973,22 +979,27 @@ object SimilarityQueries {
     * a rebuild is corpus-priced while insert+compact is
     * batch-priced + one k-bounded round, so this measured gap is THE
     * incremental-maintenance decision number. */
-  private def consolidatedRecall(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    // Q·K-bounded id sets, memoized per (fixture, session) — the
-    // curve queries' discipline: the driver-loop search and the exact
-    // side run once, bench reps price the 1-row emission
-    val (ne, nf, nc) = graft.io.FixtureCache.memo(
-        s"ann_graph_consolidated_recall:b=$SearchBeam:r=$SearchRounds:" +
+  /** Shared consolidated-serve recall harness (r16 — the gap-
+    * attribution family runs the SAME composition with ONE dial moved
+    * per variant): the declared serving composition — nProbe = 1
+    * entry via `entryIdx` + [[SearchRounds]] beam rounds over `edges`
+    * against the FULL corpus — overlapped with the full-corpus exact
+    * cosine top-[[K]]. Q·K-bounded id sets, memoized per (variant,
+    * fixture, session) — the curve queries' discipline: the
+    * driver-loop search and the exact side run once, bench reps price
+    * the 1-row emission. */
+  private def servedRecallCounts(s: SparkSession, dir: String, key: String,
+                                 edges: => DataFrame,
+                                 entryIdx: => Similarity.IvfIndex): (Long, Long, Long) =
+    graft.io.FixtureCache.memo(
+        s"$key:b=$SearchBeam:r=$SearchRounds:" +
           graft.io.FixtureCache.sessionKey(s),
         dir, "embeddings") {
-      val (idx, _) = settledGraph(s, dir)
-      val merged = consolidateResult(s, dir)
       val e = Tables.embeddings(s, dir)
       val qv = queryVecs(s, dir)
-      val entries = Similarity.probe(idx, qv, SearchBeam, nProbe = 1)
+      val entries = Similarity.probe(entryIdx, qv, SearchBeam, nProbe = 1)
         .select(col("query_id"), col("neighbor_id").as("node"))
-      val found = Similarity.graphSearch(merged, e, "vec_id", "embedding",
+      val found = Similarity.graphSearch(edges, e, "vec_id", "embedding",
           qv, entries, K, SearchBeam, SearchRounds)
         .select(col("query_id"), col("neighbor_id"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -997,13 +1008,131 @@ object SimilarityQueries {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       (exact.size.toLong, found.size.toLong, (found & exact).size.toLong)
     }
+
+  private def recallRow(s: SparkSession,
+                        counts: (Long, Long, Long)): DataFrame = {
+    import s.implicits._
+    val (ne, nf, nc) = counts
     Seq((Q.toLong, ne, nf, nc,
         math.floor(1000.0 * nc / math.max(ne, 1L)).toLong))
       .toDF("n_queries", "n_exact", "n_found", "n_common", "recall_permille")
   }
 
   def graphConsolidatedRecallQ(s: SparkSession, dir: String): DataFrame =
-    consolidatedRecall(s, dir)
+    recallRow(s, servedRecallCounts(s, dir, "ann_graph_consolidated_recall",
+      consolidateResult(s, dir), settledGraph(s, dir)._1))
+
+  /** GAP ATTRIBUTION, entry arm (r15 verdict task 2): the
+    * consolidated store's measured 120–200 ‰ recall gap vs a
+    * from-scratch rebuild has two candidate causes — the STALE ENTRY
+    * (the settled-trained quantizer homes queries into cells that no
+    * longer reflect the corpus) and the GRAPH QUALITY (one compaction
+    * round isn't a full rebuild). This variant moves ONLY the entry
+    * dial: the same consolidated edges served with the RETRAINED
+    * full-corpus index (the identical build every ann_ivf* query
+    * serves — what `ann_index_retrain` publishes) as the nProbe = 1
+    * seed. Compare against `ann_graph_consolidated_recall` (settled
+    * entry, same edges): the delta IS the entry's share of the gap,
+    * and it decides whether the maintain gate's action should include
+    * a quantizer retrain. */
+  def graphRetrainedRecallQ(s: SparkSession, dir: String): DataFrame =
+    recallRow(s, servedRecallCounts(s, dir, "ann_graph_retrained_recall",
+      consolidateResult(s, dir), ivfIndex(s, dir)))
+
+  /** GAP ATTRIBUTION, graph arm (r15 verdict task 2): moves ONLY the
+    * graph dial — a SECOND descent round over the consolidated edges
+    * (the `ann_knn_graph_refined2` precedent applied to the merged
+    * store; published to the content-addressed layout like its input)
+    * served with the same settled entry as the declared consolidated
+    * recall. The delta vs `ann_graph_consolidated_recall` is the
+    * graph quality's share of the gap — if this row closes most of
+    * the distance to the rebuild's 860–900 ‰, the maintain gate
+    * should schedule a second compaction round instead of (or before)
+    * a retrain. */
+  private def consolidate2Result(s: SparkSession, dir: String): DataFrame =
+    diskGraph(s, dir, variant = ConsolidatedVariant + "-round2") {
+      Similarity.nnDescentRound(
+        consolidateResult(s, dir).select(col("vec_id"), col("neighbor_id")),
+        Tables.embeddings(s, dir), "vec_id", "embedding", GraphK)
+    }
+
+  def graphConsolidate2RecallQ(s: SparkSession, dir: String): DataFrame =
+    recallRow(s, servedRecallCounts(s, dir, "ann_graph_consolidate2_recall",
+      consolidate2Result(s, dir), settledGraph(s, dir)._1))
+
+  /** DEGREE-CAPPED consolidated store (r15 verdict task 7 — the
+    * DiskANN R-parameter decision, made on data): a production
+    * serving store bounds the adjacency it holds per node, but the
+    * consolidated graph's UNDIRECTED view (the edges navigation
+    * actually uses) carries up to ~2·[[GraphK]] neighbors per node
+    * (forward top-k plus whoever chose the node). The capped store
+    * keeps the top-[[CapR]] by cosine per node over the undirected
+    * merged edges (one window over the k-bounded edge list — dedup
+    * first: a reciprocal pair appears in both directions with the
+    * bit-identical symmetric cosine) and serves the declared
+    * composition from it. The recall row vs the uncapped 740 ‰ is
+    * the cap's measured serve price. */
+  val CapR = GraphK
+
+  private[graft] def cappedEdges(s: SparkSession, dir: String): DataFrame = {
+    val c = consolidateResult(s, dir)
+    val und = c.select(col("vec_id"), col("neighbor_id"), col("cosine"))
+      .union(c.select(col("neighbor_id").as("vec_id"),
+        col("vec_id").as("neighbor_id"), col("cosine")))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    und.withColumn("rk", row_number().over(w)).filter(col("rk") <= CapR)
+      .select(col("vec_id"), col("neighbor_id"))
+  }
+
+  def graphCappedRecallQ(s: SparkSession, dir: String): DataFrame = {
+    val (ne, nf, nc) = servedRecallCounts(s, dir, "ann_graph_capped_recall",
+      cappedEdges(s, dir), settledGraph(s, dir)._1)
+    import s.implicits._
+    Seq((CapR.toLong, Q.toLong, ne, nf, nc,
+        math.floor(1000.0 * nc / math.max(ne, 1L)).toLong))
+      .toDF("cap_r", "n_queries", "n_exact", "n_found", "n_common",
+        "recall_permille")
+  }
+
+  /** GRAPH MAINTAIN GATE (r15 verdict task 1 — the
+    * [[Similarity.maintainIndex]] precedent applied to the graph
+    * half): the scheduled job a serving fleet runs. The signal is
+    * the unconsolidated-ingest share — the fraction of the corpus
+    * the append-only insert path has accumulated since the last
+    * compaction (the fixture's held-out `vec_id % 5 = 0` cohort) —
+    * in integer permille. When it reaches
+    * [[MaintainNewSharePermille]], the gate FIRES: the compaction
+    * round runs and the merged edge list is PUBLISHED to the
+    * content-addressed layout ([[consolidateResult]]'s [[diskGraph]]
+    * write — publish-once/serve-many, dir-mtime spec-pinned); below
+    * threshold it holds and the serving store stays on the settled
+    * refined edges. One row out: the signal, the threshold, the
+    * action taken, and the published store's edge count — all
+    * integers the oracle replays (both branch counts come from the
+    * same consolidate CTE chain, so the oracle prices the decision
+    * without branching). */
+  val MaintainNewSharePermille = 100L
+
+  private[graft] def graphMaintainReport(s: SparkSession, dir: String,
+                                         thresholdPermille: Long): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val nTotal = e.count()
+    val nNew = e.filter(pmod(col("vec_id"), lit(5)) === 0).count()
+    val share = 1000L * nNew / math.max(nTotal, 1L)
+    val fires = share >= thresholdPermille
+    val store = if (fires) consolidateResult(s, dir)
+                else settledGraph(s, dir)._2
+    Seq((nTotal, nNew, share, thresholdPermille,
+        if (fires) "consolidate" else "noop", store.count()))
+      .toDF("n_total", "n_new", "new_share_permille", "threshold_permille",
+        "action", "n_store_edges")
+  }
+
+  def graphMaintainQ(s: SparkSession, dir: String): DataFrame =
+    graphMaintainReport(s, dir, MaintainNewSharePermille)
 
   /** GRAPH STRUCTURE AUDIT — the ops-grade quality report for the
     * navigable graph (the `ann_vector_audit`/`ann_index_drift`
@@ -1390,7 +1519,9 @@ object SimilarityQueries {
     * defined. */
   private def searchChainCtes(pfx: String, beam: Int, nProbe: Int = 1,
                               vecs: String = "p", qTab: String = "sq",
-                              edgeTab: String = "ge"): String = {
+                              edgeTab: String = "ge",
+                              centTab: String = s"cent$IvfTrainIters",
+                              cellsTab: String = "cells"): String = {
     val rnds = (1 to SearchRounds).map { r =>
       searchScoreCte(s"${pfx}ss$r", s"${pfx}sv${r - 1}", vecs, qTab) +
         s""",
@@ -1404,12 +1535,12 @@ object SimilarityQueries {
     s"""${pfx}sqd AS (SELECT q.query_id, c.cid,
        |  list_sum(list_transform(generate_series(1, $Dim),
        |           i -> (q.qv[i] - c.v[i]) * (q.qv[i] - c.v[i]))) AS d2
-       |  FROM $qTab q CROSS JOIN cent$IvfTrainIters c),
+       |  FROM $qTab q CROSS JOIN $centTab c),
        |${pfx}sprobe AS (SELECT query_id, cid FROM (
        |  SELECT query_id, cid, row_number() OVER (PARTITION BY query_id ORDER BY d2, cid) AS rn
        |  FROM ${pfx}sqd) WHERE rn <= $nProbe),
        |${pfx}scand AS (SELECT pr.query_id, ce.vec_id AS node
-       |  FROM ${pfx}sprobe pr JOIN cells ce ON ce.cell = pr.cid AND ce.vec_id <> pr.query_id),
+       |  FROM ${pfx}sprobe pr JOIN $cellsTab ce ON ce.cell = pr.cid AND ce.vec_id <> pr.query_id),
        |""".stripMargin +
       searchScoreCte(s"${pfx}ss0", s"${pfx}scand", vecs, qTab) +
       s""",
@@ -1607,6 +1738,57 @@ object SimilarityQueries {
          |SELECT src AS vec_id, nb AS neighbor_id, rank, round(cosine, 6) AS cosine
          |FROM c1rrk WHERE rank <= $GraphK ORDER BY vec_id, rank""".stripMargin
 
+  /** The consolidated edge hand-offs every consolidated-serve oracle
+    * shares: the merged k-cut edges (MATERIALIZED — DuckDB inlines
+    * multi-referenced CTEs and would re-evaluate the whole consolidate
+    * pipeline per beam round otherwise, the r15 >10 min lesson), the
+    * undirected navigation view, and the full-corpus query batch. */
+  private def consolidatedEdgeCtes: String =
+    s"""cg AS MATERIALIZED (SELECT src, nb FROM c1rrk WHERE rank <= $GraphK),
+       |cge AS MATERIALIZED (SELECT src, nb FROM cg
+       |        UNION ALL SELECT nb AS src, src AS nb FROM cg),
+       |$csqCte,
+       |""".stripMargin
+
+  private def csqCte: String =
+    s"csq AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM pf ORDER BY vec_id LIMIT $Q)"
+
+  /** The served top-[[K]] rank cut over a search chain's final scored
+    * visited set — one text for every consolidated-serve variant. */
+  private def servedResCte(name: String, ssf: String): String =
+    s"""$name AS (SELECT query_id, node AS neighbor_id FROM (
+       |  SELECT query_id, node,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, node) AS rank
+       |  FROM $ssf WHERE node <> query_id) WHERE rank <= $K)""".stripMargin
+
+  /** The full-corpus exact side + the 1-row overlap emission vs
+    * result CTE `resCte` — shared verbatim by the consolidated /
+    * retrained / round-2 / capped recall oracles so the exact side
+    * and report form cannot drift between the gap-attribution
+    * variants. `extraCols` prepends literal columns (the capped
+    * row's cap_r). Expects `pf` and `csq` defined. */
+  private def consolidatedOverlapSql(resCte: String,
+                                     extraCols: String = ""): String =
+    s""",
+       |cxd AS (SELECT q.query_id, pp.vec_id AS neighbor_id,
+       |  list_sum(list_transform(generate_series(1, $Dim), i -> q.qv[i] * pp.v[i])) /
+       |  (sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> q.qv[i] * q.qv[i]))) *
+       |   sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> pp.v[i] * pp.v[i])))) AS cosine
+       |  FROM csq q CROSS JOIN pf pp WHERE pp.vec_id <> q.query_id),
+       |cxres AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM cxd) WHERE rank <= $K),
+       |cst AS (SELECT
+       |  (SELECT COUNT(*) FROM csq) AS n_queries,
+       |  (SELECT COUNT(*) FROM cxres) AS n_exact,
+       |  (SELECT COUNT(*) FROM $resCte) AS n_found,
+       |  (SELECT COUNT(*) FROM $resCte g JOIN cxres x
+       |     ON x.query_id = g.query_id AND x.neighbor_id = g.neighbor_id) AS n_common)
+       |SELECT ${extraCols}n_queries, n_exact, n_found, n_common,
+       |  CAST(floor(1000.0 * n_common / greatest(n_exact, 1)) AS BIGINT) AS recall_permille
+       |FROM cst""".stripMargin
+
   /** Consolidated-serve recall oracle: the consolidate prefix, the
     * merged edges navigated undirected, the SETTLED index's cells as
     * the entry (the chain's `cells`/`cent` ARE the settled index —
@@ -1615,37 +1797,95 @@ object SimilarityQueries {
     * vectors, overlap vs the full-corpus exact top-[[K]]. */
   private def graphConsolidatedRecallOracleSql: String =
     "WITH " + consolidateCtes +
-      s""",
-         |cg AS MATERIALIZED (SELECT src, nb FROM c1rrk WHERE rank <= $GraphK),
-         |cge AS MATERIALIZED (SELECT src, nb FROM cg
-         |        UNION ALL SELECT nb AS src, src AS nb FROM cg),
-         |csq AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM pf ORDER BY vec_id LIMIT $Q),
-         |""".stripMargin +
+      ",\n" + consolidatedEdgeCtes +
       searchChainCtes("cs_", SearchBeam, nProbe = 1,
         vecs = "pf", qTab = "csq", edgeTab = "cge") +
+      ",\n" + servedResCte("cgres", "cs_ssf") +
+      consolidatedOverlapSql("cgres")
+
+  /** Retrained-entry recall oracle (gap attribution, entry arm): the
+    * identical consolidated-serve chain with the entry probe's
+    * centroids/cells swapped to a FULL-corpus build ([[
+    * ivfBuildCtesFor]] over `pf`, prefix `f` — byte-identical to the
+    * build every ann_ivf* oracle replays). Only the entry dial
+    * moves. */
+  private def graphRetrainedRecallOracleSql: String =
+    "WITH " + consolidateCtes +
+      ",\n" + ivfBuildCtesFor("f", "", srcTab = "pf") +
+      ",\n" + consolidatedEdgeCtes +
+      searchChainCtes("rt_", SearchBeam, nProbe = 1,
+        vecs = "pf", qTab = "csq", edgeTab = "cge",
+        centTab = s"fcent$IvfTrainIters", cellsTab = "fcells") +
+      ",\n" + servedResCte("rtres", "rt_ssf") +
+      consolidatedOverlapSql("rtres")
+
+  /** Second-round recall oracle (gap attribution, graph arm): the
+    * consolidate prefix + ONE MORE [[descentRoundCtes]] over the
+    * merged k-cut edges against the full corpus, served with the
+    * same settled entry as the declared consolidated recall. Only
+    * the graph dial moves. */
+  private def graphConsolidate2RecallOracleSql: String =
+    "WITH " + consolidateCtes +
       s""",
-         |cgres AS (SELECT query_id, node AS neighbor_id FROM (
-         |  SELECT query_id, node,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, node) AS rank
-         |  FROM cs_ssf WHERE node <> query_id) WHERE rank <= $K),
-         |cxd AS (SELECT q.query_id, pp.vec_id AS neighbor_id,
-         |  list_sum(list_transform(generate_series(1, $Dim), i -> q.qv[i] * pp.v[i])) /
-         |  (sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> q.qv[i] * q.qv[i]))) *
-         |   sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> pp.v[i] * pp.v[i])))) AS cosine
-         |  FROM csq q CROSS JOIN pf pp WHERE pp.vec_id <> q.query_id),
-         |cxres AS (SELECT query_id, neighbor_id FROM (
-         |  SELECT query_id, neighbor_id,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-         |  FROM cxd) WHERE rank <= $K),
-         |cst AS (SELECT
-         |  (SELECT COUNT(*) FROM csq) AS n_queries,
-         |  (SELECT COUNT(*) FROM cxres) AS n_exact,
-         |  (SELECT COUNT(*) FROM cgres) AS n_found,
-         |  (SELECT COUNT(*) FROM cgres g JOIN cxres x
-         |     ON x.query_id = g.query_id AND x.neighbor_id = g.neighbor_id) AS n_common)
-         |SELECT n_queries, n_exact, n_found, n_common,
-         |  CAST(floor(1000.0 * n_common / greatest(n_exact, 1)) AS BIGINT) AS recall_permille
-         |FROM cst""".stripMargin
+         |c1g AS MATERIALIZED (SELECT src, nb FROM c1rrk WHERE rank <= $GraphK),
+         |""".stripMargin +
+      descentRoundCtes("c1g", "c2", "pf") +
+      s""",
+         |cg2 AS MATERIALIZED (SELECT src, nb FROM c2rrk WHERE rank <= $GraphK),
+         |cge2 AS MATERIALIZED (SELECT src, nb FROM cg2
+         |        UNION ALL SELECT nb AS src, src AS nb FROM cg2),
+         |$csqCte,
+         |""".stripMargin +
+      searchChainCtes("c2s_", SearchBeam, nProbe = 1,
+        vecs = "pf", qTab = "csq", edgeTab = "cge2") +
+      ",\n" + servedResCte("c2res", "c2s_ssf") +
+      consolidatedOverlapSql("c2res")
+
+  /** Degree-capped recall oracle: the consolidate prefix, the
+    * undirected dedup (a reciprocal pair carries the bit-identical
+    * symmetric cosine in both directions, so DISTINCT collapses it),
+    * the per-node top-[[CapR]] window, and the same settled-entry
+    * serve chain over the capped store. */
+  private def graphCappedRecallOracleSql: String =
+    "WITH " + consolidateCtes +
+      s""",
+         |ck AS MATERIALIZED (SELECT src, nb, cosine FROM c1rrk WHERE rank <= $GraphK),
+         |cu AS (SELECT DISTINCT src, nb, cosine FROM (
+         |  SELECT src, nb, cosine FROM ck
+         |  UNION ALL SELECT nb AS src, src AS nb, cosine FROM ck)),
+         |ccap AS MATERIALIZED (SELECT src, nb FROM (
+         |  SELECT src, nb, row_number() OVER (PARTITION BY src ORDER BY cosine DESC, nb) AS rk
+         |  FROM cu) WHERE rk <= $CapR),
+         |cge AS MATERIALIZED (SELECT src, nb FROM ccap
+         |        UNION ALL SELECT nb AS src, src AS nb FROM ccap),
+         |$csqCte,
+         |""".stripMargin +
+      searchChainCtes("cp_", SearchBeam, nProbe = 1,
+        vecs = "pf", qTab = "csq", edgeTab = "cge") +
+      ",\n" + servedResCte("cpres", "cp_ssf") +
+      consolidatedOverlapSql("cpres", s"CAST($CapR AS BIGINT) AS cap_r, ")
+
+  /** Maintain-gate oracle: the ingest-share signal in integer
+    * permille, the CASE decision, and BOTH branch counts from the
+    * same consolidate chain (the settled refined edges are `d1rrk`,
+    * the merged edges `c1rrk` — no SQL branching needed to price
+    * either action). */
+  private def graphMaintainOracleSql: String =
+    "WITH " + consolidateCtes +
+      s""",
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+         |  CAST(COUNT(*) FILTER (WHERE vec_id % 5 = 0) AS BIGINT) AS n_new FROM embeddings),
+         |sig AS (SELECT n_total, n_new,
+         |  (1000 * n_new) // greatest(n_total, 1) AS new_share_permille FROM tot),
+         |stc AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n_cons FROM c1rrk WHERE rank <= $GraphK),
+         |std AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n_set FROM d1rrk WHERE rank <= $GraphK)
+         |SELECT n_total, n_new, new_share_permille,
+         |  CAST($MaintainNewSharePermille AS BIGINT) AS threshold_permille,
+         |  CASE WHEN new_share_permille >= $MaintainNewSharePermille
+         |       THEN 'consolidate' ELSE 'noop' END AS action,
+         |  CASE WHEN new_share_permille >= $MaintainNewSharePermille
+         |       THEN (SELECT n_cons FROM stc) ELSE (SELECT n_set FROM std) END AS n_store_edges
+         |FROM sig""".stripMargin
 
   /** Recall oracle: the search CTEs' final ranked ids vs the
     * bruteforce oracle's rank over the same `sq` query batch,
@@ -1947,6 +2187,10 @@ object SimilarityQueries {
     "ann_graph_insert" -> (graphInsertQ _),
     "ann_graph_consolidate" -> (graphConsolidateQ _),
     "ann_graph_consolidated_recall" -> (graphConsolidatedRecallQ _),
+    "ann_graph_retrained_recall" -> (graphRetrainedRecallQ _),
+    "ann_graph_consolidate2_recall" -> (graphConsolidate2RecallQ _),
+    "ann_graph_capped_recall" -> (graphCappedRecallQ _),
+    "ann_graph_maintain" -> (graphMaintainQ _),
     "ann_graph_audit" -> (graphAuditQ _),
     "ann_graph_probe_only" -> (graphProbeOnlyQ _),
     "ann_graph_search_curve" -> (graphSearchCurveQ _),
@@ -2043,10 +2287,11 @@ object SimilarityQueries {
     * `pfx = "", trainWhere = ""` is the classic chain every ann_ivf*
     * / dedup_semantic oracle splices. Expects a `p` CTE
     * (vec_id, v) to be defined by the caller. */
-  private[queries] def ivfBuildCtesFor(pfx: String, trainWhere: String): String = {
+  private[queries] def ivfBuildCtesFor(pfx: String, trainWhere: String,
+                                       srcTab: String = "p"): String = {
     val (ra, rb) = Similarity.sampleRankCoeffs(IvfSeed)
     val P = Similarity.SampleRankP
-    s"""${pfx}samp AS MATERIALIZED (SELECT vec_id, v FROM p $trainWhere
+    s"""${pfx}samp AS MATERIALIZED (SELECT vec_id, v FROM $srcTab $trainWhere
        |  ORDER BY (((vec_id % $P) + $P) % $P * $ra + $rb) % $P, vec_id LIMIT $IvfTrainSample),
        |${pfx}cent0 AS MATERIALIZED (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v
@@ -2055,7 +2300,7 @@ object SimilarityQueries {
       s""", ${pfx}ad AS (SELECT p.vec_id, c.cid,
          |  list_sum(list_transform(generate_series(1, $Dim),
          |           i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i]))) AS d2
-         |  FROM p CROSS JOIN ${pfx}cent$IvfTrainIters c),
+         |  FROM $srcTab p CROSS JOIN ${pfx}cent$IvfTrainIters c),
          |${pfx}cells AS MATERIALIZED (SELECT vec_id, cid AS cell FROM (
          |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
          |  FROM ${pfx}ad) WHERE rn = 1)""".stripMargin
@@ -2577,6 +2822,10 @@ object SimilarityQueries {
     "ann_graph_insert" -> graphInsertOracleSql,
     "ann_graph_consolidate" -> graphConsolidateOracleSql,
     "ann_graph_consolidated_recall" -> graphConsolidatedRecallOracleSql,
+    "ann_graph_retrained_recall" -> graphRetrainedRecallOracleSql,
+    "ann_graph_consolidate2_recall" -> graphConsolidate2RecallOracleSql,
+    "ann_graph_capped_recall" -> graphCappedRecallOracleSql,
+    "ann_graph_maintain" -> graphMaintainOracleSql,
     "ann_graph_audit" -> graphAuditOracleSql,
     "ann_graph_probe_only" -> graphProbeOnlyOracleSql,
     "ann_graph_search_curve" -> graphSearchCurveOracleSql,

@@ -419,4 +419,82 @@ class MultimodalSpec extends SparkSpec {
         frameLen = 0)
     }
   }
+
+  test("audioFingerprint: hand-computed mean-threshold bits; banding is lossless at Hamming <= 3 over the fixture (r16)") {
+    import spark.implicits._
+    import graft.queries.MultimodalQueries
+    // hand-built vector: the bit rule is v(j) > floor(sum/64), halves
+    // non-negative
+    val v = Array.tabulate(64)(j => if (j % 7 == 0) 1000L else 10L)
+    val mean = v.sum / 64
+    val fp = Multimodal.audioFingerprint(Seq((1L, v)).toDF("id", "v"))
+      .collect()(0)
+    var lo = 0L; var hi = 0L
+    (0 until 64).foreach { j =>
+      if (v(j) > mean) { if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32) }
+    }
+    assert(fp.getLong(1) === hi && fp.getLong(2) === lo)
+    assert(fp.getLong(1) >= 0L && fp.getLong(2) >= 0L)
+    // losslessness law on the fixture family: the banded join equals
+    // brute force over the distinct-fingerprint frame (the image
+    // family's pigeonhole guarantee, same code path)
+    val hashes = Multimodal.audioFingerprint(Multimodal.audioFrameVectors(
+      blobs, frameLen = MultimodalQueries.AudioFrameLen,
+      nFrames = MultimodalQueries.AudioKnnFrames))
+    val got = Multimodal.ahashNearDupPairs(hashes).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .sortBy(t => (t._1, t._2))
+    val dh = hashes.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(t => (t._2, t._3))
+      .map { case ((h2, l2), g) => (h2, l2, g.length.toLong, g.map(_._1).min) }
+      .toArray
+    val expected = (for {
+      a <- dh; b <- dh
+      if a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+      d = java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+      if d <= 3
+    } yield (a._4, b._4, a._3, b._3, d)).sortBy(t => (t._1, t._2))
+    assert(got.toSeq === expected.toSeq)
+    assert(got.nonEmpty)
+  }
+
+  test("audio near-dup: planted near-pattern pair found, far pattern excluded; groups equal a union-find (r16)") {
+    import spark.implicits._
+    // planted: A and B's loud-frame patterns differ in 2 threshold
+    // bits (inside the exact radius), C's in ~50 (far outside)
+    def vec(bits: Set[Int]) = Array.tabulate(64)(j => if (bits(j)) 1000L else 0L)
+    val a = (0 until 20).toSet
+    val b = a - 0 + 25
+    val c = (30 until 60).toSet
+    val fps = Multimodal.audioFingerprint(
+      Seq((1L, vec(a)), (2L, vec(b)), (3L, vec(c))).toDF("id", "v"))
+    val planted = Multimodal.ahashNearDupPairs(fps).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(4)))
+    assert(planted.map(p => Set(p._1, p._2)).toSet === Set(Set(1L, 2L)),
+      s"planted pair set wrong: ${planted.toSeq}")
+    assert(planted.head._3 === 2)
+    // declared groups reconcile with the declared pairs: driver
+    // union-find with min-label components (the ahash clusters law)
+    val pairs = SparkEntry.queries("mm_audio_near_pairs")(spark, sf001)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assume(pairs.nonEmpty)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (x, y) =>
+      val (rx, ry) = (find(x), find(y))
+      if (rx != ry) { val (l, h) = (math.min(rx, ry), math.max(rx, ry))
+        parent(h) = l }
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expect = nodes.groupBy(find).map { case (_, ns) =>
+      (ns.min, ns.length.toLong) }.toMap
+    val got = SparkEntry.queries("mm_audio_groups")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(g => g._1 -> g._2).toMap === expect)
+    // member counts ride along: payloads >= fingerprints per cluster
+    got.foreach { case (_, nf, np) => assert(np >= nf) }
+  }
 }

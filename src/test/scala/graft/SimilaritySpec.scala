@@ -1447,4 +1447,83 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Similarity.autoNCells((Int.MaxValue.toLong + 1L) * Similarity.AutoCellOccupancy))
   }
+
+  test("graphMaintain: gate fires at the fixture share and publishes once; the noop branch holds the settled store (r16)") {
+    import graft.queries.SimilarityQueries
+    val rep = SparkEntry.queries("ann_graph_maintain")(spark, sf001).collect()(0)
+    assert(rep.getAs[Long]("new_share_permille") === 200L)
+    assert(rep.getAs[Long]("threshold_permille") ===
+      SimilarityQueries.MaintainNewSharePermille)
+    assert(rep.getAs[String]("action") === "consolidate")
+    assert(rep.getAs[Long]("n_store_edges") ===
+      SparkEntry.queries("ann_graph_consolidate")(spark, sf001).count())
+    // the published artifact: content-addressed dir written once;
+    // every consolidated-serve surface reloads instead of republishing
+    val marker = new java.io.File(graft.operators.Similarity.graphDirFor(
+      new java.io.File(Tables.path(sf001, "embeddings")),
+      SimilarityQueries.GraphK, SimilarityQueries.IvfCells,
+      SimilarityQueries.GraphSeedSalt, 1, SimilarityQueries.IvfCells,
+      SimilarityQueries.IvfTrainIters, SimilarityQueries.IvfTrainSample,
+      SimilarityQueries.IvfSeed, SimilarityQueries.ConsolidatedVariant),
+      "edges/_SUCCESS")
+    assert(marker.exists, "maintain must publish the consolidated graph")
+    val mtime = marker.lastModified
+    SparkEntry.queries("ann_graph_consolidated_recall")(spark, sf001).collect()
+    SparkEntry.queries("ann_graph_capped_recall")(spark, sf001).collect()
+    SparkEntry.queries("ann_graph_maintain")(spark, sf001).collect()
+    assert(marker.lastModified === mtime,
+      "consolidated serving must reload the published graph, not republish")
+    // planted gate-hold: a threshold above the fixture's 200 permille
+    // share -> noop, and the store stays on the settled refined edges
+    val hold = SimilarityQueries.graphMaintainReport(spark, sf001, 300L)
+      .collect()(0)
+    assert(hold.getAs[String]("action") === "noop")
+    assert(hold.getAs[Long]("new_share_permille") === 200L)
+    assert(hold.getAs[Long]("n_store_edges") !==
+      rep.getAs[Long]("n_store_edges"),
+      "the noop branch must serve the settled store, not the merged one")
+  }
+
+  test("gap attribution: retrained entry recovers the incremental-serve gap; second round and degree cap measured (r16)") {
+    import graft.queries.SimilarityQueries
+    val cons = SparkEntry.queries("ann_graph_consolidated_recall")(spark, sf001)
+      .collect()(0)
+    val rt = SparkEntry.queries("ann_graph_retrained_recall")(spark, sf001)
+      .collect()(0)
+    val c2 = SparkEntry.queries("ann_graph_consolidate2_recall")(spark, sf001)
+      .collect()(0)
+    val cap = SparkEntry.queries("ann_graph_capped_recall")(spark, sf001)
+      .collect()(0)
+    Seq(rt, c2, cap).foreach { r =>
+      assert(r.getAs[Long]("n_queries") === 10L)
+      val p = r.getAs[Long]("recall_permille")
+      assert(p >= 0L && p <= 1000L)
+      assert(r.getAs[Long]("n_common") <= r.getAs[Long]("n_exact"))
+    }
+    assert(cap.getAs[Long]("cap_r") === SimilarityQueries.CapR.toLong)
+    // the story the family exists to measure, pinned at the fixture:
+    // the stale entry is the WHOLE gap — swapping in the retrained
+    // quantizer serves at (or above) the from-scratch rebuild's level,
+    // while a second compaction round buys nothing
+    val rebuild = SparkEntry.queries("ann_graph_search_recall")(spark, sf001)
+      .collect()(0)
+    assert(rt.getAs[Long]("recall_permille") >
+      cons.getAs[Long]("recall_permille"),
+      "retrained entry must improve on the settled entry at the fixture")
+    assert(rt.getAs[Long]("recall_permille") >=
+      rebuild.getAs[Long]("recall_permille"),
+      "fixture: the retrained entry reaches the rebuild's serving level")
+    assert(cap.getAs[Long]("recall_permille") >= 500L,
+      "the degree-capped store degenerated")
+    // the capped store honors its own bound: no node holds more than
+    // CapR out-edges after the cap window
+    val maxDeg = SimilarityQueries.cappedEdges(spark, sf001)
+      .groupBy("vec_id").count().agg(max("count")).collect()(0).getLong(0)
+    assert(maxDeg <= SimilarityQueries.CapR.toLong)
+    info(s"consolidated ${cons.getAs[Long]("recall_permille")} / retrained " +
+      s"${rt.getAs[Long]("recall_permille")} / 2-round " +
+      s"${c2.getAs[Long]("recall_permille")} / capped " +
+      s"${cap.getAs[Long]("recall_permille")} vs rebuild " +
+      s"${rebuild.getAs[Long]("recall_permille")} permille")
+  }
 }

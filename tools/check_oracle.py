@@ -26,6 +26,11 @@ import decimal
 
 sf, out = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
+# Cap DuckDB below the default 80%-of-RAM limit: the heavy graph
+# oracles (double-referenced descent chains) otherwise grow the
+# buffer pool past physical memory before spilling kicks in and die
+# on a system-level bad_alloc instead of spilling (r16).
+con.execute("SET memory_limit='48GiB'")
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     p = f"{sf}/{t}.parquet"
