@@ -362,6 +362,19 @@ object ScaleUp {
     // r15 third wave: the incremental-vs-rebuild serving gap —
     // bounded search over the merged graph + one exact side
     "ann_graph_consolidated_recall",
+    // r16: the maintain gate (two counts + the published-store count
+    // off the same chain), the gap-attribution pair (retrained entry /
+    // second descent round — each one bounded serve + exact side over
+    // the shared merged edges), and the degree-capped serve (one
+    // window over the k-bounded undirected merge + the same serve) —
+    // all ride the published consolidated artifact, 10×-only like the
+    // rest of the pinned-nCells family
+    "ann_graph_maintain", "ann_graph_retrained_recall",
+    "ann_graph_consolidate2_recall", "ann_graph_capped_recall",
+    // r16: audio near-dup parity — fingerprint kernel is a zero-
+    // shuffle pass over the frame-energy vectors; the banded join and
+    // CC walk are distinct-fingerprint-bounded (the mm_ahash shapes)
+    "mm_audio_near_pairs", "mm_audio_groups",
     // r12: the declared PCA hand-off — the covariance pass + a
     // d²-bounded driver power iteration
     "ann_pca_component", "ann_pca_project",
@@ -972,6 +985,9 @@ object ScaleUp {
     // r15: the audio kNN — a zero-shuffle frame-energy extraction
     // pass + the Q*k bounded-heap kernel (the mm_patch_knn shape)
     "mm_audio_knn",
+    // r16: the real-container WAV round-trip — a per-row encode+parse
+    // kernel, zero shuffle, embarrassingly parallel like the PNG twin
+    "mm_audio_roundtrip",
     // r13 (r12 verdict task 5): the DECLARED production-law kNN graph
     // — autoNCells floors to 16 at 10x (the fixture index), builds
     // the 160-cell content-addressed disk index at 100x; the index

@@ -363,6 +363,122 @@ object Multimodal {
       }.toDF("id", "ahash_hi", "ahash_lo")
   }
 
+  /** Minimal RIFF/WAVE encoder — 16-bit PCM mono, little-endian
+    * (r15 verdict task 8: the audio modality's REAL container
+    * format, the [[encodeGrayPng]] role one modality over): each
+    * payload byte b becomes the sample (b − 64)·256 — the midline-64
+    * stub-decode contract lifted into a real signal, so everything
+    * the parser reads back is exact integer arithmetic an SQL oracle
+    * replays. Truncated/zero-padded to `nSamples` (the
+    * [[encodeGrayPng]] prefix discipline on the time axis). */
+  def encodeWav(bytes: Array[Byte], nSamples: Int,
+                sampleRate: Int = 8000): Array[Byte] = {
+    require(nSamples >= 0, s"nSamples must be >= 0, got $nSamples")
+    val data = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = if (i < bytes.length) ((bytes(i) & 0xff) - 64) * 256 else 0
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + data.length)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1) // PCM, mono
+    bb.putInt(sampleRate); bb.putInt(sampleRate * 2) // byte rate
+    bb.putShort(2); bb.putShort(16) // block align, bits/sample
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(data.length); bb.put(data)
+    bb.array()
+  }
+
+  /** True when the blob carries the RIFF/WAVE magic — the audio
+    * twin of the PNG/JPEG sniff [[decode]] dispatches on. */
+  def isWav(b: Array[Byte]): Boolean =
+    b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** RIFF/WAVE parser — a REAL container decode in pure JVM (header
+    * sniff + chunk walk + little-endian 16-bit PCM sample read; no
+    * codec library). Returns (sampleRate, nChannels, samples).
+    * Unknown chunks are skipped by their declared size (the RIFF
+    * contract), so files with LIST/fact chunks parse too. Throws on
+    * non-RIFF input — callers dispatch on [[isWav]] first, the
+    * [[decode]] magic-byte discipline. */
+  def decodeWav(wav: Array[Byte]): (Int, Int, Array[Int]) = {
+    require(isWav(wav), "not a RIFF/WAVE container")
+    val bb = java.nio.ByteBuffer.wrap(wav)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var sampleRate = 0
+    var nChannels = 0
+    var bitsPerSample = 0
+    var samples: Array[Int] = null
+    while (pos + 8 <= wav.length) {
+      val id = new String(wav, pos, 4, "US-ASCII")
+      val size = bb.getInt(pos + 4)
+      if (id == "fmt " && pos + 8 + 16 <= wav.length) {
+        nChannels = bb.getShort(pos + 10).toInt
+        sampleRate = bb.getInt(pos + 12)
+        bitsPerSample = bb.getShort(pos + 22).toInt
+      } else if (id == "data") {
+        require(bitsPerSample == 16,
+          s"only 16-bit PCM supported, got $bitsPerSample-bit")
+        val n = math.min(size, wav.length - pos - 8) / 2
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          out(i) = bb.getShort(pos + 8 + 2 * i).toInt
+          i += 1
+        }
+        samples = out
+      }
+      pos += 8 + size + (size & 1) // RIFF chunks are 2-byte aligned
+    }
+    require(samples != null, "RIFF/WAVE container has no data chunk")
+    (sampleRate, nChannels, samples)
+  }
+
+  /** Real-container audio round-trip kernel (the [[decodeRoundtrip]]
+    * discipline for the audio modality): per row, WAV-ENCODE the
+    * payload prefix ([[encodeWav]]) and parse it back through the
+    * magic-dispatched [[decodeWav]] — the sniff selects the real
+    * parser path by construction, so the declared query exercises
+    * encode AND decode of a real container with an exact DuckDB
+    * oracle (sample i = (byte_i − 64)·256; energy divides the ·256
+    * back out, so it equals the VAD's Σ(b − 64)² exactly). Output:
+    * (id, sample_rate, n_channels, n_samples, sum_samples, energy).
+    * Batched, zero shuffle — blobs never leave their partition. */
+  def audioRoundtrip(blobs: DataFrame, nSamples: Int = 256,
+                     sampleRate: Int = 8000,
+                     batchSize: Int = DefaultBatchSize): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("id").cast("long"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, blob) =>
+            val (sr, nc, s) = decodeWav(encodeWav(blob, nSamples, sampleRate))
+            var sum = 0L; var energy = 0L
+            var i = 0
+            while (i < s.length) {
+              sum += s(i)
+              val v = (s(i) / 256).toLong
+              energy += v * v
+              i += 1
+            }
+            (id, sr, nc, s.length, sum, energy)
+          }
+        }
+      }
+      .toDF("id", "sample_rate", "n_channels", "n_samples",
+        "sum_samples", "energy")
+  }
+
   /** Encode the first `side`² payload bytes as a `side`×`side`
     * grayscale PNG (zero-padded) — a REAL ImageIO encode producing
     * blobs the real decode path reads back. Gray pixels make the

@@ -298,12 +298,27 @@ object MultimodalQueries {
       .orderBy("cluster_id")
   }
 
+  /** REAL-container audio round-trip (r15 verdict task 8, the full
+    * path): every fixture payload is RIFF/WAV-encoded (16-bit PCM
+    * mono) and parsed back through the magic-dispatched pure-JVM
+    * parser — the audio modality's `mm_decode_roundtrip`: the first
+    * declared query where a REAL audio container (header walk +
+    * little-endian sample read) is DuckDB-hash-checked. Sample i is
+    * (byte − 64)·256 by the encode contract, so the emitted energy
+    * equals the VAD family's Σ(b − 64)² exactly. */
+  def audioRoundtripQ(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioRoundtrip(blobs(s, dir))
+      .select(col("id").as("doc_id"), col("sample_rate"), col("n_channels"),
+        col("n_samples"), col("sum_samples"), col("energy"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_ahash_clusters" -> (ahashClusters _),
     "mm_patch_knn" -> (patchKnnQ _),
     "mm_audio_knn" -> (audioKnnQ _),
     "mm_audio_near_pairs" -> (audioNearPairsQ _),
     "mm_audio_groups" -> (audioGroupsQ _),
+    "mm_audio_roundtrip" -> (audioRoundtripQ _),
     "mm_byte_histogram" -> (histogram _),
     "mm_frame_fingerprints" -> (frames _),
     "mm_scene_changes" -> (sceneChangesQ _),
@@ -619,6 +634,23 @@ object MultimodalQueries {
         |  CAST(SUM(n_pairs) OVER (ORDER BY hamming
         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_pairs_le
         |FROM hist ORDER BY hamming""".stripMargin),
+    // the WAV round-trip replayed in byte arithmetic: sample i is
+    // (byte − 64)·256 over the first min(len, 256) chars, zero-padded
+    // — sum_samples is 256·Σ(b − 64), energy divides the ·256 back
+    // out to the VAD's exact Σ(b − 64)²; header fields are the
+    // encoder's constants
+    "mm_audio_roundtrip" ->
+      """SELECT doc_id,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS n_channels,
+        |  CAST(256 AS INTEGER) AS n_samples,
+        |  CAST(256 * coalesce(list_sum(list_transform(
+        |    generate_series(1, least(length(text), 256)),
+        |    i -> CAST(ascii(substr(text, i, 1)) - 64 AS BIGINT))), 0) AS BIGINT) AS sum_samples,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    generate_series(1, least(length(text), 256)),
+        |    i -> CAST((ascii(substr(text, i, 1)) - 64) * (ascii(substr(text, i, 1)) - 64) AS BIGINT))), 0) AS BIGINT) AS energy
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // 8×8 gray PNG of the first 64 text bytes (zero-padded): PNG is
     // lossless and gray luminance is the identity, so sum_lum is the
     // plain byte sum of the prefix; ASCII fixture ⇒ no NUL bytes ⇒

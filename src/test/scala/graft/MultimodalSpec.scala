@@ -458,6 +458,45 @@ class MultimodalSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("WAV round-trip: real RIFF parse equals the encode contract; sniff dispatch; chunk-walk robustness (r16)") {
+    val bytes = Array.tabulate(10)(i => (60 + i * 7).toByte)
+    val wav = Multimodal.encodeWav(bytes, 16)
+    assert(Multimodal.isWav(wav))
+    val (sr, nc, s) = Multimodal.decodeWav(wav)
+    assert(sr === 8000 && nc === 1 && s.length === 16)
+    (0 until 16).foreach { i =>
+      val expect = if (i < bytes.length) ((bytes(i) & 0xff) - 64) * 256 else 0
+      assert(s(i) === expect)
+    }
+    // negative samples survive the 16-bit little-endian round-trip
+    assert(s(0) === (60 - 64) * 256)
+    // the sniff dispatch: a PNG is not a WAV; garbage fails loudly
+    assert(!Multimodal.isWav(Multimodal.encodeGrayPng(bytes, 8)))
+    intercept[IllegalArgumentException](
+      Multimodal.decodeWav(Array.fill(44)(0.toByte)))
+    // the RIFF contract: an unknown odd-sized chunk between fmt and
+    // data is skipped by its declared size + pad byte
+    val pre = wav.take(36)
+    val post = wav.drop(36)
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ Array[Byte](1, 2, 3, 4, 5) ++ Array[Byte](0)
+    val (sr2, _, s2) = Multimodal.decodeWav(pre ++ list ++ post)
+    assert(sr2 === 8000 && s2.toSeq === s.toSeq)
+    // declared surface: header constants, non-negative energy,
+    // deterministic across invocations
+    val rt = graft.queries.MultimodalQueries.audioRoundtripQ(spark, sf001)
+    val rows = rt.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("sample_rate") === 8000)
+      assert(r.getAs[Int]("n_channels") === 1)
+      assert(r.getAs[Int]("n_samples") === 256)
+      assert(r.getAs[Long]("energy") >= 0L)
+    }
+    assert(graft.queries.MultimodalQueries.audioRoundtripQ(spark, sf001)
+      .collect().toSeq === rows.toSeq)
+  }
+
   test("audio near-dup: planted near-pattern pair found, far pattern excluded; groups equal a union-find (r16)") {
     import spark.implicits._
     // planted: A and B's loud-frame patterns differ in 2 threshold

@@ -142,6 +142,19 @@ class ShuffleCeilingSpec extends SparkSpec {
     // cold first touch pays the consolidate pipeline; the serve +
     // exact sides are Q-bounded heap/beam stages
     ("ann_graph_consolidated_recall", 480000L, "consolidate pipeline + Q-bounded serve/exact (109977)"),
+    // r16: the maintain/attribution family rides the same consolidate
+    // chain — the gate adds two counts (116118), the retrained entry
+    // adds the full-corpus index build's sample/assign partials
+    // (116375), the second round adds one more k-bounded descent
+    // (148428), the cap adds the undirected dedup + window (171667)
+    ("ann_graph_maintain", 480000L, "consolidate chain + gate counts (116118)"),
+    ("ann_graph_retrained_recall", 480000L, "consolidate chain + retrained entry + serve (116375)"),
+    ("ann_graph_consolidate2_recall", 600000L, "consolidate chain + 1 more descent round + serve (148428)"),
+    ("ann_graph_capped_recall", 700000L, "consolidate chain + undirected dedup/cap window + serve (171667)"),
+    // r16: audio near-dup — fingerprint pass is zero-shuffle; the
+    // banded join and CC walk ship distinct-fingerprint-bounded rows
+    ("mm_audio_near_pairs", 1000L, "distinct-fp bands + verified pairs (166)"),
+    ("mm_audio_groups", 3000L, "pair frame + CC rounds + member counts (694)"),
     // rides the disk graph: one n*k edge self-join on the pair key +
     // two bounded aggregates; cold first touch pays the graph build
     ("ann_graph_audit", 340000L, "graph build + n*k pair-key self-join partials (86100)"),
