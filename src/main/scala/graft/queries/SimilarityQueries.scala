@@ -1722,12 +1722,12 @@ object SimilarityQueries {
       "sq AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv " +
         "FROM embeddings WHERE vec_id % 5 = 0)") +
       s""",
-         |pf AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |pf AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |ins AS (SELECT query_id AS src, node AS nb FROM (
          |  SELECT query_id, node,
          |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, node) AS rank
          |  FROM ssf) WHERE rank <= $GraphK),
-         |gu AS (SELECT src, nb FROM d1rrk WHERE rank <= $GraphK
+         |gu AS MATERIALIZED (SELECT src, nb FROM d1rrk WHERE rank <= $GraphK
          |       UNION ALL SELECT src, nb FROM ins
          |       UNION ALL SELECT nb AS src, src AS nb FROM ins),
          |""".stripMargin + descentRoundCtes("gu", "c1", "pf")

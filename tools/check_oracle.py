@@ -25,17 +25,24 @@ import datetime
 import decimal
 
 sf, out = sys.argv[1], sys.argv[2]
-con = duckdb.connect()
-# Cap DuckDB below the default 80%-of-RAM limit: the heavy graph
-# oracles (double-referenced descent chains) otherwise grow the
-# buffer pool past physical memory before spilling kicks in and die
-# on a system-level bad_alloc instead of spilling (r16).
-con.execute("SET memory_limit='48GiB'")
-for t in ["region","nation","customer","supplier","part","orders",
-          "lineitem","events","documents","embeddings"]:
-    p = f"{sf}/{t}.parquet"
-    if os.path.exists(p):
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+
+def fresh_con():
+    """One connection PER QUERY (r16): the heavy graph-chain oracles
+    leave tens of GiB of buffer-pool/scratch residue behind; on a
+    shared connection that residue accumulates across queries until a
+    later heavy chain dies on a system-level bad_alloc even though it
+    passes standalone. A fresh connection gives every query the full
+    headroom; the 48 GiB cap keeps any single query spilling instead
+    of exhausting physical memory."""
+    c = duckdb.connect()
+    c.execute("SET memory_limit='48GiB'")
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        p = f"{sf}/{t}.parquet"
+        if os.path.exists(p):
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return c
 
 
 def canon(x):
@@ -102,6 +109,7 @@ for name in sorted(os.listdir(out)):
         if nrows == 0:
             fails += 1
         continue
+    con = fresh_con()
     res = con.sql(oracle[name])
     duck_types = [str(t) for t in res.types]
     # DECIMAL + the HUGEINT/unsigned class (uncast SUM / // in DuckDB
@@ -117,6 +125,7 @@ for name in sorted(os.listdir(out)):
         continue
     exp_rows = res.fetchall()
     exp_cols = res.columns
+    con.close()  # release the heavy chain's buffer pool before the next query
     # pyarrow to_pylist keeps native Python types: ints stay ints,
     # nulls stay None (to_pandas would coerce nullable int64 → float64
     # NaN, a false diff the driver's reader does not have).
