@@ -371,6 +371,13 @@ object ScaleUp {
     // rest of the pinned-nCells family
     "ann_graph_maintain", "ann_graph_retrained_recall",
     "ann_graph_consolidate2_recall", "ann_graph_capped_recall",
+    // r16 second wave: the DELETE stage — tombstone-serve is the
+    // classic bounded search + one emission predicate; the
+    // delete-compaction is a k-bounded bridge self-join + one
+    // descent round over the remaining corpus; the recall row is the
+    // bounded serve + exact side
+    "ann_graph_tombstone_search", "ann_graph_delete_compact",
+    "ann_graph_deleted_recall",
     // r16: audio near-dup parity — fingerprint kernel is a zero-
     // shuffle pass over the frame-energy vectors; the banded join and
     // CC walk are distinct-fingerprint-bounded (the mm_ahash shapes)
@@ -644,8 +651,8 @@ object ScaleUp {
       val seed = Sim.knnGraphWithin(idx.cells, 3)
         .union(Sim.knnGraphWithin(bucketed, 3))
       val refined = Sim.nnDescent(seed, settled, "vec_id", "embedding", 3, 2)
-      val gDir = java.nio.file.Files.createTempDirectory("graft-lifecycle")
-        .resolve("g").toString
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft-lifecycle")
+      val gDir = tmpRoot.resolve("g").toString
       Sim.writeGraph(refined, gDir)
       refined.unpersist()
       val edges = Sim.readGraph(s, gDir)
@@ -678,20 +685,48 @@ object ScaleUp {
         .union(inserted.select(col("neighbor_id").as("vec_id"),
           col("query_id").as("neighbor_id")))
       val merged = Sim.nnDescentRound(unioned, e, "vec_id", "embedding", 3)
+        .persist()
       val nMerged = merged.count()
       val tCons = (System.nanoTime() - t3) / 1e9
+      // r16: the rest of the MEASURED maintenance policy — the gap
+      // attribution showed the incremental-serve recall gap is pure
+      // entry staleness (retrained entry 900/880/920 permille vs the
+      // settled entry's 740/740/700; a second descent round and the
+      // degree cap are both free), so the gate's action is
+      // compact-and-RETRAIN: publish the merge to the store layout,
+      // retrain the quantizer on the full corpus (sample-bounded
+      // train + one assignment scan), and serve from the PUBLISHED
+      // edges with the retrained entry.
+      val t4 = System.nanoTime()
+      val gcDir = tmpRoot.resolve("gc").toString
+      Sim.writeGraph(merged, gcDir)
+      merged.unpersist()
+      val published = Sim.readGraph(s, gcDir)
+      val tPub = (System.nanoTime() - t4) / 1e9
+      val t5 = System.nanoTime()
+      val idx2 = Sim.buildIndex(e, "vec_id", "embedding",
+        nCells = Sim.autoNCells(e.count()))
+      val tRetrain = (System.nanoTime() - t5) / 1e9
+      val t6 = System.nanoTime()
+      val entries2 = Sim.probe(idx2, qv, 4, nProbe = 1)
+        .select(col("query_id"), col("neighbor_id").as("node"))
+      val nServe2 = Sim.graphSearch(published, e, "vec_id", "embedding",
+        qv, entries2, 5, 4, 3).count()
+      val tServe2 = (System.nanoTime() - t6) / 1e9
       println(f"[scaleup] ann_graph_lifecycle_auto: build+refine2+persist " +
         f"$tBuild%.2f s, ingest ($nNew vectors -> $nIns edges) $tIns%.2f s " +
         f"(${tIns * 1000.0 / math.max(nNew, 1L)}%.2f ms/vector), " +
         f"serve (Q=10, $nServe rows) $tServe%.2f s, " +
-        f"consolidate ($nMerged edges) $tCons%.2f s")
-      idx.unpersist()
-      // the rehearsal's temp graph dir is per-invocation scratch, not
-      // the content-addressed serving layout — delete it so repeated
-      // reps don't accumulate tmp-disk parquet (r15 ADVICE); the bulk
-      // sink behind `inserted` is Similarity-owned and removed at JVM
-      // exit
-      deleteTree(java.nio.file.Paths.get(gDir).getParent.toFile)
+        f"consolidate ($nMerged edges) $tCons%.2f s, " +
+        f"publish $tPub%.2f s, retrain $tRetrain%.2f s, " +
+        f"serve-published-retrained (Q=10, $nServe2 rows) $tServe2%.2f s")
+      idx.unpersist(); idx2.unpersist()
+      // the rehearsal's temp graph dirs are per-invocation scratch,
+      // not the content-addressed serving layout — delete them so
+      // repeated reps don't accumulate tmp-disk parquet (r15 ADVICE);
+      // the bulk sink behind `inserted` is Similarity-owned and
+      // removed at JVM exit
+      deleteTree(tmpRoot.toFile)
       s.range(nIns).toDF("row")
     }))
 

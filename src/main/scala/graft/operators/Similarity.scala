@@ -1911,10 +1911,19 @@ object Similarity {
     * query-vector-first (dot(q,v)/(qn·vn) — the [[bruteForceTopK]] /
     * oracle fold), so scores are bit-identical to the exact
     * baseline's. */
+  /** `emitFilter` (r16, the DELETE stage): a predicate applied to the
+    * final ranked emission ONLY — navigation is untouched, so
+    * tombstoned nodes keep ROUTING the walk (the FreshDiskANN
+    * discipline: a deleted point stays a navigable waypoint until
+    * compaction physically removes it) but never leave the store as
+    * answers; the top-k ranks over the passing nodes. The default
+    * `lit(true)` is the classic search — existing callers and hashes
+    * unchanged. */
   def graphSearch(edges: DataFrame, embs: DataFrame, idCol: String,
                   vecCol: String, queries: Array[(Long, Array[Double])],
                   entries: DataFrame, k: Int, beam: Int, rounds: Int,
-                  isinMaxIds: Int = IsinPushdownMaxIds): DataFrame = {
+                  isinMaxIds: Int = IsinPushdownMaxIds,
+                  emitFilter: Column = lit(true)): DataFrame = {
     require(k >= 1 && beam >= 1 && rounds >= 1,
       "k, beam and rounds must all be >= 1")
     val spark = embs.sparkSession
@@ -1980,6 +1989,7 @@ object Similarity {
     }
     scored(visited)
       .filter(col("node") =!= col("query_id"))
+      .filter(emitFilter)
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("node").as("neighbor_id"),
         col("rank"), col("cosine"))
@@ -1987,11 +1997,20 @@ object Similarity {
 
   /** Per-chunk query bound for [[graphSearchBulk]]: the largest number
     * of in-flight queries whose beam state one [[graphSearch]] loop
-    * may hold on the driver. 1024 queries × ~(|entries| +
-    * rounds·beam·deg) visited pairs ≈ a few hundred thousand
-    * (Long, Long) pairs — megabytes, INDEPENDENT of how large the
-    * ingest batch is. */
-  val BulkChunkQ = 1024
+    * may hold on the driver. 4096 queries × ~(|entries| +
+    * rounds·beam·deg) visited pairs ≈ one-to-two million
+    * (Long, Long) pairs — tens of megabytes, INDEPENDENT of how large
+    * the ingest batch is. Sized from the r16 rehearsal: the per-chunk
+    * cost is FIXED (~8 s of driver-loop jobs — 3 rounds × 2 bounded
+    * collects + scoring joins — regardless of chunk width between 1 k
+    * and 10 k queries), so a wider chunk amortizes it linearly; 1024
+    * priced ingest at ~7.5 ms/vector where 4096 reaches ~2 ms/vector
+    * with the driver bound still flat in corpus AND batch size.
+    * (r15's headline 1.7 ms/vector predated the stride fix: the
+    * `id % nChunks` chunk key silently collapsed the mod-10 rehearsal
+    * batch into TWO 10 k-query chunks — the bound this constant
+    * exists to enforce was not actually being held.) */
+  val BulkChunkQ = 4096
 
   /** BULK [[graphSearch]] for CORPUS-PROPORTIONAL query batches — the
     * ingest path (r14 verdict task 1). [[graphSearch]]'s driver-held

@@ -1134,6 +1134,135 @@ object SimilarityQueries {
   def graphMaintainQ(s: SparkSession, dir: String): DataFrame =
     graphMaintainReport(s, dir, MaintainNewSharePermille)
 
+  /** ——— THE DELETE STAGE (r16) — the serving store's missing CRUD
+    * quadrant: tombstone-serve between compactions, then a
+    * delete-compaction that physically removes the cohort and
+    * repairs routing through it (the FreshDiskANN discipline:
+    * Singh et al., "FreshDiskANN", arXiv:2105.09613 §4 — deleted
+    * points keep ROUTING until consolidation, which splices each
+    * deleted node's in-neighbors to its out-neighbors). ——— */
+
+  /** Deleted-cohort convention: `vec_id % 7 = 0` (~14% — a different
+    * stratum than the insert family's % 5, so the delete and ingest
+    * lifecycles compose without aliasing). */
+  val DeletedMod = 7
+
+  private def remainingEmb(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .filter(pmod(col("vec_id"), lit(DeletedMod)) =!= 0)
+
+  /** TOMBSTONE SEARCH — the store between a delete and its
+    * compaction: the declared composition over the UNCHANGED refined
+    * graph and full corpus (tombstoned nodes still score into beams
+    * and route the walk — removing them from navigation would
+    * orphan regions whose only paths pass through them), with the
+    * deleted cohort excluded at the final ranked emission only
+    * ([[Similarity.graphSearch]]'s `emitFilter`). The top-[[K]]
+    * ranks over the passing nodes, so every query still gets K
+    * answers. Work is the classic serve — the tombstone check is
+    * one predicate on the k-bounded emission. */
+  private def tombstoneResult(s: SparkSession, dir: String): DataFrame =
+    graft.io.FixtureCache.memo(
+        s"ann_graph_tombstone_search:b=$SearchBeam:r=$SearchRounds:" +
+          graft.io.FixtureCache.sessionKey(s),
+        dir, "embeddings") {
+      val entries = Similarity.probe(ivfIndex(s, dir), queryVecs(s, dir),
+          SearchBeam, nProbe = 1)
+        .select(col("query_id"), col("neighbor_id").as("node"))
+      val out = Similarity.graphSearch(refinedEdges(s, dir),
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryVecs(s, dir), entries, K, SearchBeam, SearchRounds,
+        emitFilter = pmod(col("node"), lit(DeletedMod)) =!= 0).persist()
+      out.count()
+      out
+    }
+
+  def graphTombstoneSearchQ(s: SparkSession, dir: String): DataFrame =
+    tombstoneResult(s, dir)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("query_id", "rank")
+
+  /** The delete-compaction's edge repair: keep every edge between
+    * surviving nodes, and for every deleted waypoint splice its
+    * surviving in-neighbors to its surviving out-neighbors (the
+    * hop-2 bridge THROUGH the tombstone — without it, a region whose
+    * only links ran through deleted nodes would disconnect). One
+    * k-bounded self-join; output feeds a descent round that rescores
+    * and re-ranks over the remaining corpus. */
+  private[graft] def tombstoneBridge(edges: DataFrame,
+                                     deletedMod: Int): DataFrame = {
+    val e = edges.select(col("vec_id"), col("neighbor_id"))
+    val kept = e.filter(pmod(col("vec_id"), lit(deletedMod)) =!= 0 &&
+      pmod(col("neighbor_id"), lit(deletedMod)) =!= 0)
+    val into = e.filter(pmod(col("neighbor_id"), lit(deletedMod)) === 0 &&
+        pmod(col("vec_id"), lit(deletedMod)) =!= 0)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("d"))
+    val outof = e.filter(pmod(col("vec_id"), lit(deletedMod)) === 0 &&
+        pmod(col("neighbor_id"), lit(deletedMod)) =!= 0)
+      .select(col("vec_id").as("d"), col("neighbor_id").as("nb2"))
+    val bridge = into.join(outof, Seq("d"))
+      .filter(col("src") =!= col("nb2"))
+      .select(col("src").as("vec_id"), col("nb2").as("neighbor_id"))
+    kept.union(bridge)
+  }
+
+  /** DELETE-COMPACTION — the physical removal: bridge-repaired edges
+    * + one [[Similarity.nnDescentRound]] over the REMAINING corpus
+    * (exact rescore, per-node rank; deleted nodes appear in neither
+    * endpoints nor candidates), PUBLISHED to the content-addressed
+    * layout like every other graph artifact. At 100 TB this runs
+    * where the maintain gate fires with a delete backlog: the repair
+    * join is k-bounded (never corpus²) and the round is the
+    * rehearsed corpus-linear descent law. */
+  private def deleteCompactResult(s: SparkSession, dir: String): DataFrame =
+    diskGraph(s, dir, variant = s"delete-compact-mod$DeletedMod") {
+      Similarity.nnDescentRound(
+        tombstoneBridge(refinedEdges(s, dir), DeletedMod),
+        remainingEmb(s, dir), "vec_id", "embedding", GraphK)
+    }
+
+  def graphDeleteCompactQ(s: SparkSession, dir: String): DataFrame =
+    emitGraph(deleteCompactResult(s, dir))
+
+  /** POST-DELETE SERVE RECALL — does the compacted store still serve?
+    * The declared composition over the compacted graph and remaining
+    * corpus, entry via the STALE pre-delete quantizer with COMPACTED
+    * postings (centers unchanged — the store hasn't retrained, the
+    * consolidated-recall convention — but the delete-compaction drops
+    * tombstoned ids from the cell lists, a filter on the postings
+    * scan, so the entry yields the top-beam of the SURVIVING cell
+    * members), queries = the Q lowest SURVIVING vec_ids, overlap vs
+    * the exact top-[[K]] over the remaining corpus. */
+  private def queryVecsRemaining(s: SparkSession, dir: String): Array[(Long, Array[Double])] =
+    remainingEmb(s, dir).orderBy("vec_id").limit(Q)
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+  def graphDeletedRecallQ(s: SparkSession, dir: String): DataFrame = {
+    val counts = graft.io.FixtureCache.memo(
+        s"ann_graph_deleted_recall:b=$SearchBeam:r=$SearchRounds:" +
+          graft.io.FixtureCache.sessionKey(s),
+        dir, "embeddings") {
+      val e = remainingEmb(s, dir)
+      val qv = queryVecsRemaining(s, dir)
+      val idx = ivfIndex(s, dir)
+      val compacted = idx.copy(cells = idx.cells
+        .filter(pmod(col("id"), lit(DeletedMod)) =!= 0))
+      val entries = Similarity.probe(compacted, qv, SearchBeam, nProbe = 1)
+        .select(col("query_id"), col("neighbor_id").as("node"))
+      val found = Similarity.graphSearch(deleteCompactResult(s, dir), e,
+          "vec_id", "embedding", qv, entries, K, SearchBeam, SearchRounds)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding", qv, K)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact.size.toLong, found.size.toLong, (found & exact).size.toLong)
+    }
+    recallRow(s, counts)
+  }
+
   /** GRAPH STRUCTURE AUDIT — the ops-grade quality report for the
     * navigable graph (the `ann_vector_audit`/`ann_index_drift`
     * discipline applied to the store's second half): one row of
@@ -1768,19 +1897,21 @@ object SimilarityQueries {
     * variants. `extraCols` prepends literal columns (the capped
     * row's cap_r). Expects `pf` and `csq` defined. */
   private def consolidatedOverlapSql(resCte: String,
-                                     extraCols: String = ""): String =
+                                     extraCols: String = "",
+                                     vecs: String = "pf",
+                                     qTab: String = "csq"): String =
     s""",
        |cxd AS (SELECT q.query_id, pp.vec_id AS neighbor_id,
        |  list_sum(list_transform(generate_series(1, $Dim), i -> q.qv[i] * pp.v[i])) /
        |  (sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> q.qv[i] * q.qv[i]))) *
        |   sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> pp.v[i] * pp.v[i])))) AS cosine
-       |  FROM csq q CROSS JOIN pf pp WHERE pp.vec_id <> q.query_id),
+       |  FROM $qTab q CROSS JOIN $vecs pp WHERE pp.vec_id <> q.query_id),
        |cxres AS (SELECT query_id, neighbor_id FROM (
        |  SELECT query_id, neighbor_id,
        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
        |  FROM cxd) WHERE rank <= $K),
        |cst AS (SELECT
-       |  (SELECT COUNT(*) FROM csq) AS n_queries,
+       |  (SELECT COUNT(*) FROM $qTab) AS n_queries,
        |  (SELECT COUNT(*) FROM cxres) AS n_exact,
        |  (SELECT COUNT(*) FROM $resCte) AS n_found,
        |  (SELECT COUNT(*) FROM $resCte g JOIN cxres x
@@ -1886,6 +2017,63 @@ object SimilarityQueries {
          |  CASE WHEN new_share_permille >= $MaintainNewSharePermille
          |       THEN (SELECT n_cons FROM stc) ELSE (SELECT n_set FROM std) END AS n_store_edges
          |FROM sig""".stripMargin
+
+  /** Tombstone-search oracle: the IDENTICAL search chain (full
+    * corpus, full graph — tombstones route), with the deleted
+    * cohort excluded in the final ranked emission only. */
+  private def graphTombstoneSearchOracleSql: String =
+    "WITH " + graphSearchCtes +
+      s"""
+         |SELECT query_id, node AS neighbor_id, rank, round(cosine, 6) AS cosine FROM (
+         |  SELECT query_id, node, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, node) AS INTEGER) AS rank
+         |  FROM ssf WHERE node <> query_id AND node % $DeletedMod <> 0) WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin
+
+  /** The delete-compaction CTE prefix — the refined full-corpus
+    * edges, the kept/bridge repair, the remaining-corpus vectors,
+    * and one descent round — shared by the compact oracle and the
+    * post-delete recall oracle so serve cannot drift from compact
+    * (the consolidate-prefix discipline). Leaves `x1rrk` and `prem`
+    * defined. */
+  private def deleteCompactCtes: String =
+    refinedGraphCtes(1) +
+      s""",
+         |dk AS (SELECT src, nb FROM d1rrk WHERE rank <= $GraphK),
+         |dkeep AS (SELECT src, nb FROM dk
+         |          WHERE src % $DeletedMod <> 0 AND nb % $DeletedMod <> 0),
+         |dbr AS (SELECT a.src, b.nb FROM dk a JOIN dk b ON b.src = a.nb
+         |        WHERE a.nb % $DeletedMod = 0 AND a.src % $DeletedMod <> 0
+         |          AND b.nb % $DeletedMod <> 0 AND a.src <> b.nb),
+         |dg AS MATERIALIZED (SELECT src, nb FROM dkeep
+         |       UNION ALL SELECT src, nb FROM dbr),
+         |prem AS MATERIALIZED (SELECT vec_id, v FROM p WHERE vec_id % $DeletedMod <> 0),
+         |""".stripMargin + descentRoundCtes("dg", "x1", "prem")
+
+  private def graphDeleteCompactOracleSql: String =
+    "WITH " + deleteCompactCtes +
+      s"""
+         |SELECT src AS vec_id, nb AS neighbor_id, rank, round(cosine, 6) AS cosine
+         |FROM x1rrk WHERE rank <= $GraphK ORDER BY vec_id, rank""".stripMargin
+
+  /** Post-delete recall oracle: the compact prefix, the compacted
+    * edges navigated undirected, the STALE full-corpus quantizer as
+    * the entry (the chain's `cells`/`cent` are the pre-delete build;
+    * deleted entry candidates drop at scoring against `prem`), the
+    * surviving query batch, overlap vs exact over the remaining
+    * corpus. */
+  private def graphDeletedRecallOracleSql: String =
+    "WITH " + deleteCompactCtes +
+      s""",
+         |xg AS MATERIALIZED (SELECT src, nb FROM x1rrk WHERE rank <= $GraphK),
+         |dge AS MATERIALIZED (SELECT src, nb FROM xg
+         |        UNION ALL SELECT nb AS src, src AS nb FROM xg),
+         |dsq AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM prem ORDER BY vec_id LIMIT $Q),
+         |""".stripMargin +
+      searchChainCtes("dl_", SearchBeam, nProbe = 1,
+        vecs = "prem", qTab = "dsq", edgeTab = "dge") +
+      ",\n" + servedResCte("dlres", "dl_ssf") +
+      consolidatedOverlapSql("dlres", vecs = "prem", qTab = "dsq")
 
   /** Recall oracle: the search CTEs' final ranked ids vs the
     * bruteforce oracle's rank over the same `sq` query batch,
@@ -2191,6 +2379,9 @@ object SimilarityQueries {
     "ann_graph_consolidate2_recall" -> (graphConsolidate2RecallQ _),
     "ann_graph_capped_recall" -> (graphCappedRecallQ _),
     "ann_graph_maintain" -> (graphMaintainQ _),
+    "ann_graph_tombstone_search" -> (graphTombstoneSearchQ _),
+    "ann_graph_delete_compact" -> (graphDeleteCompactQ _),
+    "ann_graph_deleted_recall" -> (graphDeletedRecallQ _),
     "ann_graph_audit" -> (graphAuditQ _),
     "ann_graph_probe_only" -> (graphProbeOnlyQ _),
     "ann_graph_search_curve" -> (graphSearchCurveQ _),
@@ -2826,6 +3017,9 @@ object SimilarityQueries {
     "ann_graph_consolidate2_recall" -> graphConsolidate2RecallOracleSql,
     "ann_graph_capped_recall" -> graphCappedRecallOracleSql,
     "ann_graph_maintain" -> graphMaintainOracleSql,
+    "ann_graph_tombstone_search" -> graphTombstoneSearchOracleSql,
+    "ann_graph_delete_compact" -> graphDeleteCompactOracleSql,
+    "ann_graph_deleted_recall" -> graphDeletedRecallOracleSql,
     "ann_graph_audit" -> graphAuditOracleSql,
     "ann_graph_probe_only" -> graphProbeOnlyOracleSql,
     "ann_graph_search_curve" -> graphSearchCurveOracleSql,

@@ -1484,6 +1484,51 @@ class SimilaritySpec extends SparkSpec {
       "the noop branch must serve the settled store, not the merged one")
   }
 
+  test("delete stage: tombstones route but never serve; compaction bridges through them; post-delete serve holds (r16)") {
+    import graft.queries.SimilarityQueries
+    val dm = SimilarityQueries.DeletedMod
+    // tombstone serve: no deleted id in any answer, and the SET law —
+    // navigation unchanged means the surviving rows of the classic
+    // search appear in the tombstone result at ranks <= their old ones
+    val full = SparkEntry.queries("ann_graph_search")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val tomb = SparkEntry.queries("ann_graph_tombstone_search")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(tomb.nonEmpty)
+    tomb.foreach { case (_, nb, _) =>
+      assert(nb % dm !== 0L, s"tombstoned node served: $nb")
+    }
+    val tombRank = tomb.map(t => (t._1, t._2) -> t._3).toMap
+    full.filter(_._2 % dm != 0L).foreach { case (q, nb, rk) =>
+      assert(tombRank.get((q, nb)).exists(_ <= rk),
+        s"surviving answer ($q, $nb) lost or demoted by the tombstone filter")
+    }
+    // compaction: no deleted node anywhere in the published store
+    val compact = SparkEntry.queries("ann_graph_delete_compact")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(compact.nonEmpty)
+    compact.foreach { case (src, nb) =>
+      assert((src % dm) !== 0L, s"deleted src survived compaction: ($src, $nb)")
+      assert((nb % dm) !== 0L, s"deleted nb survived compaction: ($src, $nb)")
+    }
+    // the bridge law on a planted chain: A's only edge runs through
+    // deleted D to B — the repair must propose (A, B), not orphan A
+    import spark.implicits._
+    val planted = Seq((1L, 7L), (7L, 2L), (2L, 3L)).toDF("vec_id", "neighbor_id")
+    val bridged = SimilarityQueries.tombstoneBridge(planted, dm)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bridged === Set((1L, 2L), (2L, 3L)),
+      s"bridge repair wrong: $bridged")
+    // post-delete serve: counts sane, store genuinely useful
+    val rec = SparkEntry.queries("ann_graph_deleted_recall")(spark, sf001)
+      .collect()(0)
+    assert(rec.getAs[Long]("n_queries") === 10L)
+    val rp = rec.getAs[Long]("recall_permille")
+    assert(rp >= 500L && rp <= 1000L,
+      s"post-delete serve degenerated: $rp permille")
+    info(s"post-delete serve recall $rp permille over the remaining corpus")
+  }
+
   test("gap attribution: retrained entry recovers the incremental-serve gap; second round and degree cap measured (r16)") {
     import graft.queries.SimilarityQueries
     val cons = SparkEntry.queries("ann_graph_consolidated_recall")(spark, sf001)
