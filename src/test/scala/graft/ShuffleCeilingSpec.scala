@@ -155,6 +155,13 @@ class ShuffleCeilingSpec extends SparkSpec {
     // banded join and CC walk ship distinct-fingerprint-bounded rows
     ("mm_audio_near_pairs", 1000L, "distinct-fp bands + verified pairs (166)"),
     ("mm_audio_groups", 3000L, "pair frame + CC rounds + member counts (694)"),
+    // r16 second wave: the delete stage — tombstone-serve is the
+    // classic search cold build + one emission predicate (84357, the
+    // probe_only cold shape); compact adds the k-bounded bridge join
+    // + one remaining-corpus descent round; the recall adds the serve
+    ("ann_graph_tombstone_search", 340000L, "refined build + Q-bounded tombstone serve (84357)"),
+    ("ann_graph_delete_compact", 540000L, "refined build + bridge join + 1 descent round (132759)"),
+    ("ann_graph_deleted_recall", 520000L, "compact pipeline + Q-bounded serve/exact (127877)"),
     // rides the disk graph: one n*k edge self-join on the pair key +
     // two bounded aggregates; cold first touch pays the graph build
     ("ann_graph_audit", 340000L, "graph build + n*k pair-key self-join partials (86100)"),
