@@ -731,8 +731,14 @@ object ScaleUp {
     }))
 
   private def deleteTree(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteTree)
+    if (f.isDirectory) {
+      // listFiles() returns null on an I/O race (dir vanished between
+      // the isDirectory check and the list) — treat as already gone
+      val children = f.listFiles()
+      if (children != null) children.foreach(deleteTree)
+    }
     f.delete()
+    ()
   }
 
   /** Shared production-law seed construction (ONE copy — r14 review:

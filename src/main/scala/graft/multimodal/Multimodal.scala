@@ -350,6 +350,12 @@ object Multimodal {
     vecs.select(col("id").cast("long"), col("v"))
       .as[(Long, Array[Long])]
       .map { case (id, v) =>
+        // the oracle's mean divisor is the fixed 64-frame window; a
+        // caller passing any other frame count would silently diverge
+        // from that contract (and an empty vector would divide by
+        // zero), so the kernel requires the documented width
+        require(v.length == 64,
+          s"audioFingerprint expects exactly 64 frame energies, got ${v.length}")
         val mean = v.sum / v.length
         var lo = 0L; var hi = 0L
         var j = 0
@@ -420,6 +426,13 @@ object Multimodal {
     while (pos + 8 <= wav.length) {
       val id = new String(wav, pos, 4, "US-ASCII")
       val size = bb.getInt(pos + 4)
+      // a corrupt/hostile declared size must fail loudly, not hang the
+      // executor: a negative size would make the `pos` advance a no-op
+      // (infinite loop) or reach the data branch as a negative array
+      // length — the parser is advertised for sniff-dispatch over
+      // arbitrary blobs, so the chunk walk validates what it reads
+      require(size >= 0,
+        s"RIFF chunk '$id' declares negative size $size at offset $pos")
       if (id == "fmt " && pos + 8 + 16 <= wav.length) {
         nChannels = bb.getShort(pos + 10).toInt
         sampleRate = bb.getInt(pos + 12)

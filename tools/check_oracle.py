@@ -110,22 +110,26 @@ for name in sorted(os.listdir(out)):
             fails += 1
         continue
     con = fresh_con()
-    res = con.sql(oracle[name])
-    duck_types = [str(t) for t in res.types]
-    # DECIMAL + the HUGEINT/unsigned class (uncast SUM / // in DuckDB
-    # binds to INT128: values match Spark BIGINT but the driver's
-    # type-aware value hash does not — round-5 text_bigram_coverage).
-    BAN = ("DECIMAL", "HUGEINT", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT")
-    duck_dec = [c for c, t in zip(res.columns, duck_types)
-                if any(b in t.upper() for b in BAN)]
-    if duck_dec:
-        print(f"{name}: FAIL banned-type columns in oracle result: {duck_dec} "
-              "(mirror the scaled-BIGINT cast in the oracle SQL)")
-        fails += 1
-        continue
-    exp_rows = res.fetchall()
-    exp_cols = res.columns
-    con.close()  # release the heavy chain's buffer pool before the next query
+    # close on EVERY exit path (banned-type continue, fetch error) —
+    # the heavy chain's buffer pool must not wait for GC to release
+    try:
+        res = con.sql(oracle[name])
+        duck_types = [str(t) for t in res.types]
+        # DECIMAL + the HUGEINT/unsigned class (uncast SUM / // in DuckDB
+        # binds to INT128: values match Spark BIGINT but the driver's
+        # type-aware value hash does not — round-5 text_bigram_coverage).
+        BAN = ("DECIMAL", "HUGEINT", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT")
+        duck_dec = [c for c, t in zip(res.columns, duck_types)
+                    if any(b in t.upper() for b in BAN)]
+        if duck_dec:
+            print(f"{name}: FAIL banned-type columns in oracle result: {duck_dec} "
+                  "(mirror the scaled-BIGINT cast in the oracle SQL)")
+            fails += 1
+            continue
+        exp_rows = res.fetchall()
+        exp_cols = res.columns
+    finally:
+        con.close()  # release the heavy chain's buffer pool before the next query
     # pyarrow to_pylist keeps native Python types: ints stay ints,
     # nulls stay None (to_pandas would coerce nullable int64 → float64
     # NaN, a false diff the driver's reader does not have).
