@@ -492,6 +492,58 @@ object Multimodal {
         "sum_samples", "energy")
   }
 
+  /** DECODED-PATH frame-energy features (r16 verdict task 4 — the
+    * image family's decode-roundtrip-feeds-the-real-kernel discipline
+    * applied to audio): per row, WAV-encode the payload's first
+    * `frameLen·nFrames` samples ([[encodeWav]]) and parse them back
+    * through the magic-dispatched [[decodeWav]]; the frame energies
+    * are computed over the PARSED samples (Σ sample² per frame — the
+    * midline removal already happened inside the encoder), so the
+    * audio eval family's feature kernel runs real-container
+    * end-to-end, not over stub payload bytes. Under the encode
+    * contract (sample = (byte − 64)·256, zero-padded past the
+    * payload) each frame energy is EXACTLY 256² × the stub kernel's
+    * Σ(b − 64)², and the mean-threshold fingerprint downstream is
+    * bit-identical to the stub path's — the scale cancels in the
+    * comparison (spec-pinned). Domain note: the relation holds on
+    * the encode contract's wrap-free byte range [0, 191] — every
+    * ASCII text payload; a byte ≥ 192 maps past Short.MaxValue and
+    * wraps in the 16-bit PCM container (the roundtrip family's
+    * disclosed int16 domain). Batched like the other real-codec
+    * kernels; zero shuffle, blobs never leave their partition. */
+  def audioFrameVectorsDecoded(blobs: DataFrame, frameLen: Int = 16,
+                               nFrames: Int = 64, sampleRate: Int = 8000,
+                               batchSize: Int = DefaultBatchSize): DataFrame = {
+    require(frameLen >= 1, s"frameLen must be >= 1, got $frameLen")
+    require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("id").cast("long"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, blob) =>
+            val (_, _, s) =
+              decodeWav(encodeWav(blob, frameLen * nFrames, sampleRate))
+            val v = new Array[Long](nFrames)
+            var k = 0
+            while (k < nFrames) {
+              var e = 0L
+              var i = k * frameLen
+              val end = math.min((k + 1) * frameLen, s.length)
+              while (i < end) {
+                e += s(i).toLong * s(i)
+                i += 1
+              }
+              v(k) = e
+              k += 1
+            }
+            (id, v)
+          }
+        }
+      }.toDF("id", "v")
+  }
+
   /** Encode the first `side`² payload bytes as a `side`×`side`
     * grayscale PNG (zero-padded) — a REAL ImageIO encode producing
     * blobs the real decode path reads back. Gray pixels make the

@@ -2054,7 +2054,44 @@ object Similarity {
                       batchIdCol: String, batchVecCol: String,
                       entriesOf: Array[(Long, Array[Double])] => DataFrame,
                       k: Int, beam: Int, rounds: Int,
-                      chunkQ: Int = BulkChunkQ): DataFrame = {
+                      chunkQ: Int = BulkChunkQ): DataFrame =
+    graphSearchBulkWithSink(edges, embs, idCol, vecCol, newBatch,
+      batchIdCol, batchVecCol, entriesOf, k, beam, rounds, chunkQ)._1
+
+  /** [[graphSearchBulk]] with PER-BATCH sink release (r16 verdict
+    * task 8): the batch result is handed to `consume`, and the
+    * batch's parquet sink is deleted as soon as `consume` returns
+    * (success or failure) — a long-lived serving session issuing
+    * many ingest batches holds tmp disk FLAT instead of accumulating
+    * one JVM-lifetime sink per batch. Use when the result is folded
+    * somewhere durable inside `consume` (written to the
+    * content-addressed layout, merged into a compaction input,
+    * collected to bounded driver state); the returned value must not
+    * retain the consumed DataFrame — its one leaf is gone. The
+    * classic [[graphSearchBulk]] keeps its JVM-lifetime contract for
+    * callers whose result must outlive the call (FixtureCache memos,
+    * downstream consolidates). */
+  def graphSearchBulkConsume[T](edges: DataFrame, embs: DataFrame,
+                                idCol: String, vecCol: String,
+                                newBatch: DataFrame, batchIdCol: String,
+                                batchVecCol: String,
+                                entriesOf: Array[(Long, Array[Double])] => DataFrame,
+                                k: Int, beam: Int, rounds: Int,
+                                chunkQ: Int = BulkChunkQ)
+                               (consume: DataFrame => T): T = {
+    val (df, sinkDir) = graphSearchBulkWithSink(edges, embs, idCol, vecCol,
+      newBatch, batchIdCol, batchVecCol, entriesOf, k, beam, rounds, chunkQ)
+    try consume(df)
+    finally sinkDir.foreach(releaseBulkSink)
+  }
+
+  private def graphSearchBulkWithSink(edges: DataFrame, embs: DataFrame,
+                                      idCol: String, vecCol: String,
+                                      newBatch: DataFrame, batchIdCol: String,
+                                      batchVecCol: String,
+                                      entriesOf: Array[(Long, Array[Double])] => DataFrame,
+                                      k: Int, beam: Int, rounds: Int,
+                                      chunkQ: Int): (DataFrame, Option[java.io.File]) = {
     require(chunkQ >= 1, "chunkQ must be >= 1")
     val spark = embs.sparkSession
     import spark.implicits._
@@ -2062,12 +2099,12 @@ object Similarity {
       VectorOps.toDouble(col(batchVecCol)).as("qv"))
     val total = src.count()
     if (total == 0L)
-      return Seq.empty[(Long, Long, Int, Double)]
-        .toDF("query_id", "neighbor_id", "rank", "cosine")
+      return (Seq.empty[(Long, Long, Int, Double)]
+        .toDF("query_id", "neighbor_id", "rank", "cosine"), None)
     val nChunks = math.min((total + chunkQ - 1) / chunkQ,
       Int.MaxValue.toLong).toInt
     val chunked = src.repartition(nChunks).rdd
-    val sink = newBulkSink()
+    val (sink, sinkDir) = newBulkSink()
     var wrote = false
     var c = 0
     while (c < nChunks) {
@@ -2087,9 +2124,9 @@ object Similarity {
       c += 1
     }
     if (!wrote)
-      Seq.empty[(Long, Long, Int, Double)]
-        .toDF("query_id", "neighbor_id", "rank", "cosine")
-    else spark.read.parquet(sink)
+      (Seq.empty[(Long, Long, Int, Double)]
+        .toDF("query_id", "neighbor_id", "rank", "cosine"), Some(sinkDir))
+    else (spark.read.parquet(sink), Some(sinkDir))
   }
 
   /** The bulk-ingest sinks are JVM-lifetime artifacts (the returned
@@ -2107,11 +2144,19 @@ object Similarity {
     true
   }
 
-  private def newBulkSink(): String = {
+  private def newBulkSink(): (String, java.io.File) = {
     require(bulkSinkHookInstalled)
     val dir = java.nio.file.Files.createTempDirectory("graft-bulk-")
     bulkSinks.add(dir.toFile)
-    dir.resolve("out").toString
+    (dir.resolve("out").toString, dir.toFile)
+  }
+
+  /** Release one bulk batch's sink NOW instead of at JVM exit — the
+    * [[graphSearchBulkConsume]] contract. Idempotent; unregisters the
+    * dir from the shutdown hook's queue first. */
+  private def releaseBulkSink(dir: java.io.File): Unit = {
+    bulkSinks.remove(dir)
+    deleteRecursively(dir)
   }
 
   /** Content-addressed GRAPH directory for (corpus file, build-param

@@ -312,6 +312,41 @@ object MultimodalQueries {
         col("n_samples"), col("sum_samples"), col("energy"))
       .orderBy("doc_id")
 
+  /** DECODED-PATH audio fingerprint (r16 verdict task 4): every
+    * payload is WAV-encoded and its frame-energy features extracted
+    * from the [[Multimodal.decodeWav]]-PARSED samples
+    * ([[Multimodal.audioFrameVectorsDecoded]]), then pushed through
+    * the production [[Multimodal.audioFingerprint]] kernel — the
+    * whole audio eval chain (decode → features → fingerprint) runs
+    * real-container end-to-end, the image family's
+    * `mm_decode_roundtrip` discipline completed for audio. The row
+    * carries the decoded-scale total energy (256² × the stub scale —
+    * the hash that PROVES the real parser produced the samples) and
+    * the fingerprint halves, which are bit-identical to the stub
+    * path's because the encode contract's scale cancels in the
+    * mean-threshold comparison (spec-pinned). Zero shuffle until the
+    * final sort. */
+  private def audioDecodedVecFrame(s: SparkSession, dir: String): DataFrame =
+    graft.io.FixtureCache.memo(
+        s"mm_audio_decoded_vec:${graft.io.FixtureCache.sessionKey(s)}",
+        dir, "documents") {
+      val m = Multimodal.audioFrameVectorsDecoded(blobs(s, dir),
+        frameLen = AudioFrameLen, nFrames = AudioKnnFrames).persist()
+      m.count()
+      m
+    }
+
+  def audioDecodedFpQ(s: SparkSession, dir: String): DataFrame = {
+    val v = audioDecodedVecFrame(s, dir)
+    val fp = Multimodal.audioFingerprint(v)
+    v.select(col("id"),
+        aggregate(col("v"), lit(0L), (acc, x) => acc + x).as("energy_total"))
+      .join(fp, Seq("id"))
+      .select(col("id").as("doc_id"), col("energy_total"),
+        col("ahash_hi"), col("ahash_lo"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_ahash_clusters" -> (ahashClusters _),
     "mm_patch_knn" -> (patchKnnQ _),
@@ -319,6 +354,7 @@ object MultimodalQueries {
     "mm_audio_near_pairs" -> (audioNearPairsQ _),
     "mm_audio_groups" -> (audioGroupsQ _),
     "mm_audio_roundtrip" -> (audioRoundtripQ _),
+    "mm_audio_decoded_fp" -> (audioDecodedFpQ _),
     "mm_byte_histogram" -> (histogram _),
     "mm_frame_fingerprints" -> (frames _),
     "mm_scene_changes" -> (sceneChangesQ _),
@@ -417,6 +453,21 @@ object MultimodalQueries {
   private val audioPairCte =
     "WITH " + audioVecCte + meanThresholdHashCte("av", "v") + bandedPairCtes
 
+  /** The DECODED-scale frame-energy vector CTE `dv` — the encode
+    * contract replayed in SQL: sample i = (byte_i − 64)·256 (cast to
+    * BIGINT before squaring — the square exceeds INT32), zero past
+    * the payload end, energy = Σ sample² per [[AudioFrameLen]]-sample
+    * frame over the full [[AudioKnnFrames]]-frame window. Exactly
+    * 256² × the stub `av` values. */
+  private val audioDecodedVecCte =
+    s"""dv AS (SELECT doc_id, list_transform(generate_series(0, ${AudioKnnFrames - 1}), k ->
+       |  CAST(coalesce(list_sum(list_transform(
+       |    generate_series(k * $AudioFrameLen + 1,
+       |                    least((k + 1) * $AudioFrameLen, length(text))),
+       |    i -> CAST((ascii(substr(text, i, 1)) - 64) * 256 AS BIGINT) *
+       |         CAST((ascii(substr(text, i, 1)) - 64) * 256 AS BIGINT))), 0) AS BIGINT)) AS v
+       |  FROM documents)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // the shared mosaic CTE as the embedding, then exact integer
     // sqdist top-k — the ann_bruteforce rank shape in pure BIGINT
@@ -474,6 +525,16 @@ object MultimodalQueries {
         |  CAST(SUM(d.n_docs) AS BIGINT) AS n_payloads
         |FROM comp c JOIN dh d ON d.exemplar_doc = c.node
         |GROUP BY 1 ORDER BY 1""".stripMargin),
+    // the decoded-scale energy vectors (the encode contract replayed:
+    // sample = (byte - 64)*256, squared in BIGINT) + the SAME
+    // mean-threshold hash text the stub fingerprint oracles run —
+    // the scale cancels in the comparison, the energy column carries it
+    "mm_audio_decoded_fp" ->
+      ("WITH " + audioDecodedVecCte + meanThresholdHashCte("dv", "v") +
+        """
+          |SELECT d.doc_id, CAST(coalesce(list_sum(d.v), 0) AS BIGINT) AS energy_total,
+          |  h.ahash_hi, h.ahash_lo
+          |FROM dv d JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin),
     // the shared pair CTE + the recursive min-label walk (the
     // dedup_cc_groups oracle pattern) + member counts from dh
     "mm_ahash_clusters" -> (ahashPairCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +

@@ -757,8 +757,15 @@ object SimilarityQueries {
     * CTEs (the SAME parameterized text the search oracle navigates,
     * restricted to the settled corpus) with the query batch = the
     * new vectors. */
+  /** Inserted-cohort convention: `vec_id % 5 = 0` (~20% — the
+    * indexDrift / dedup_incremental arrival stratum). ONE definition
+    * for every settled/insert restriction and for the maintain gate's
+    * ingest signal, so the gate cannot silently desynchronize from
+    * the store it gates (r16 ADVICE). */
+  val InsertedMod = 5
+
   private def settledEmb(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir).filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    Tables.embeddings(s, dir).filter(pmod(col("vec_id"), lit(InsertedMod)) =!= 0)
 
   /** Settled-side index + refined edges — the insert's STANDING
     * serving state, both halves disk-resident since r15: the index
@@ -816,7 +823,8 @@ object SimilarityQueries {
       val (idx, edges) = settledGraph(s, dir)
       Similarity.graphSearchBulk(edges, settledEmb(s, dir),
         "vec_id", "embedding",
-        Tables.embeddings(s, dir).filter(pmod(col("vec_id"), lit(5)) === 0),
+        Tables.embeddings(s, dir)
+          .filter(pmod(col("vec_id"), lit(InsertedMod)) === 0),
         "vec_id", "embedding",
         chunk => Similarity.probe(idx, chunk, SearchBeam, nProbe = 1)
           .select(col("query_id"), col("neighbor_id").as("node")),
@@ -1098,41 +1106,95 @@ object SimilarityQueries {
 
   /** GRAPH MAINTAIN GATE (r15 verdict task 1 — the
     * [[Similarity.maintainIndex]] precedent applied to the graph
-    * half): the scheduled job a serving fleet runs. The signal is
-    * the unconsolidated-ingest share — the fraction of the corpus
-    * the append-only insert path has accumulated since the last
-    * compaction (the fixture's held-out `vec_id % 5 = 0` cohort) —
-    * in integer permille. When it reaches
-    * [[MaintainNewSharePermille]], the gate FIRES: the compaction
-    * round runs and the merged edge list is PUBLISHED to the
-    * content-addressed layout ([[consolidateResult]]'s [[diskGraph]]
-    * write — publish-once/serve-many, dir-mtime spec-pinned); below
+    * half): the scheduled job a serving fleet runs. TWO signals, in
+    * integer permille of the corpus: the unconsolidated-ingest share
+    * (the [[InsertedMod]] cohort the append-only insert path has
+    * accumulated since the last compaction) and the tombstoned share
+    * (the [[DeletedMod]] cohort awaiting physical removal). Either
+    * reaching [[MaintainNewSharePermille]] FIRES the gate; below
     * threshold it holds and the serving store stays on the settled
-    * refined edges. One row out: the signal, the threshold, the
-    * action taken, and the published store's edge count — all
-    * integers the oracle replays (both branch counts come from the
-    * same consolidate CTE chain, so the oracle prices the decision
-    * without branching). */
+    * refined edges. */
   val MaintainNewSharePermille = 100L
 
+  /** Both gate signals from ONE corpus scan: (n_total, n_new,
+    * n_deleted, new share ‰, delete share ‰) — the ingest backlog
+    * ([[InsertedMod]] cohort) and the delete backlog ([[DeletedMod]]
+    * cohort), integer permille each. */
+  private def maintainSignals(s: SparkSession,
+                              dir: String): (Long, Long, Long, Long, Long) = {
+    val r = Tables.embeddings(s, dir).agg(
+      count(lit(1)),
+      count(when(pmod(col("vec_id"), lit(InsertedMod)) === 0, 1)),
+      count(when(pmod(col("vec_id"), lit(DeletedMod)) === 0, 1))).collect()(0)
+    val (nTotal, nNew, nDel) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    (nTotal, nNew, nDel,
+      1000L * nNew / math.max(nTotal, 1L),
+      1000L * nDel / math.max(nTotal, 1L))
+  }
+
+  /** Since r17 the gate watches BOTH backlogs (the scaladoc promise
+    * at [[deleteCompactResult]], now kept) and its fired action is
+    * the MEASURED policy: the r16 attribution family proved
+    * compaction alone leaves the serve at 740‰ while a retrained
+    * entry recovers the rebuild's level, so firing runs the composed
+    * CRUD compaction ([[crudCompactResult]] — merge settled ∪
+    * inserted ∪ bridge-repaired, one descent round over the
+    * survivors, publish once) AND retrains the entry quantizer on
+    * the surviving corpus ([[remainingIdx]] — published to the
+    * content-addressed index layout). The row carries both signals,
+    * the action, the published store's edge count, and the entry's
+    * posting count (survivors when retrained, the settled corpus on
+    * hold) — all integers one oracle chain prices without branching. */
   private[graft] def graphMaintainReport(s: SparkSession, dir: String,
                                          thresholdPermille: Long): DataFrame = {
     import s.implicits._
-    val e = Tables.embeddings(s, dir)
-    val nTotal = e.count()
-    val nNew = e.filter(pmod(col("vec_id"), lit(5)) === 0).count()
-    val share = 1000L * nNew / math.max(nTotal, 1L)
-    val fires = share >= thresholdPermille
-    val store = if (fires) consolidateResult(s, dir)
-                else settledGraph(s, dir)._2
-    Seq((nTotal, nNew, share, thresholdPermille,
-        if (fires) "consolidate" else "noop", store.count()))
-      .toDF("n_total", "n_new", "new_share_permille", "threshold_permille",
-        "action", "n_store_edges")
+    val (nTotal, nNew, nDel, newShare, delShare) = maintainSignals(s, dir)
+    val fires = newShare >= thresholdPermille || delShare >= thresholdPermille
+    val (action, nStore, nEntry) =
+      if (fires)
+        ("compact+retrain", crudCompactResult(s, dir).count(),
+          remainingIdx(s, dir).cells.count())
+      else
+        ("noop", settledGraph(s, dir)._2.count(),
+          settledGraph(s, dir)._1.cells.count())
+    Seq((nTotal, nNew, newShare, nDel, delShare, thresholdPermille,
+        action, nStore, nEntry))
+      .toDF("n_total", "n_new", "new_share_permille", "n_deleted",
+        "delete_share_permille", "threshold_permille", "action",
+        "n_store_edges", "n_entry_postings")
   }
 
   def graphMaintainQ(s: SparkSession, dir: String): DataFrame =
     graphMaintainReport(s, dir, MaintainNewSharePermille)
+
+  /** POST-MAINTAIN SERVE — the gate's contract closed over its
+    * OUTCOME (r16 verdict task 1): when the gate fires, the row
+    * reports the recall of the store the maintenance pass actually
+    * leaves behind (the published CRUD-compacted edges served with
+    * the retrained survivor-corpus entry — [[crudRecallCounts]], the
+    * same memo `ann_graph_crud_recall` declares, so the gate's
+    * number and the composition row cannot drift); on hold the store
+    * is unchanged and the row reports -1 sentinels (no serve ran —
+    * the prior epoch's recall stands). The declared threshold fires
+    * at the fixture, so the published surface measures the fired
+    * branch; the planted hold is spec-pinned. */
+  private[graft] def maintainServeReport(s: SparkSession, dir: String,
+                                         thresholdPermille: Long): DataFrame = {
+    import s.implicits._
+    val (_, _, _, newShare, delShare) = maintainSignals(s, dir)
+    val fires = newShare >= thresholdPermille || delShare >= thresholdPermille
+    val row =
+      if (fires) {
+        val (ne, nf, nc) = crudRecallCounts(s, dir)
+        ("compact+retrain", ne, nf, nc,
+          math.floor(1000.0 * nc / math.max(ne, 1L)).toLong)
+      } else ("noop", -1L, -1L, -1L, -1L)
+    Seq(row).toDF("action", "n_exact", "n_found", "n_common",
+      "recall_permille")
+  }
+
+  def graphMaintainServeQ(s: SparkSession, dir: String): DataFrame =
+    maintainServeReport(s, dir, MaintainNewSharePermille)
 
   /** ——— THE DELETE STAGE (r16) — the serving store's missing CRUD
     * quadrant: tombstone-serve between compactions, then a
@@ -1261,6 +1323,153 @@ object SimilarityQueries {
       (exact.size.toLong, found.size.toLong, (found & exact).size.toLong)
     }
     recallRow(s, counts)
+  }
+
+  /** ——— THE COMPOSED CRUD EPOCH (r17, r16 verdict task 2): real
+    * stores see inserts AND deletes in the same epoch. The strata
+    * were chosen to compose ([[InsertedMod]] vs [[DeletedMod]] — a
+    * vec_id can be both, e.g. % 35 = 0), and the maintenance pass
+    * that serves them is ONE compaction: merge settled ∪ inserted ∪
+    * the bridge repair through every tombstoned waypoint, one
+    * descent round over the SURVIVING corpus, publish once, retrain
+    * the entry on the survivors. ——— */
+
+  /** Content-address tag for the survivor-corpus retrained entry
+    * index — what "retrain" means after a delete epoch: the current
+    * corpus IS the survivors, so the quantizer trains on (and its
+    * postings hold) exactly `vec_id % DeletedMod <> 0`. */
+  private val RemainingVariant = s"remaining-mod$DeletedMod"
+
+  private val remainingIdxCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, Long), (String, Similarity.IvfIndex)]
+
+  private[queries] def remainingIdx(s: SparkSession, dir: String): Similarity.IvfIndex = {
+    val f = new java.io.File(Tables.path(dir, "embeddings"))
+    val key = (f.getAbsolutePath, f.lastModified, f.length)
+    val appId = s.sparkContext.applicationId
+    remainingIdxCache.get(key) match {
+      case Some((app, i)) if app == appId => i
+      case _ =>
+        val indexDir = Similarity.indexDirFor(f, IvfCells, IvfTrainIters,
+          IvfTrainSample, IvfSeed, variant = RemainingVariant)
+        val i = Similarity.loadOrBuildIndex(remainingEmb(s, dir),
+          "vec_id", "embedding", indexDir,
+          IvfCells, IvfTrainIters, IvfTrainSample, IvfSeed)
+        remainingIdxCache.put(key, (appId, i))
+        i
+    }
+  }
+
+  /** Content-address tag for the published CRUD-compacted store: a
+    * function of the consolidate identity AND the delete stratum. */
+  private[graft] val CrudVariant =
+    s"crud-$ConsolidatedVariant-del$DeletedMod"
+
+  /** The COMPOSED compaction: the consolidate union (settled refined
+    * edges ∪ inserted edges ∪ the inserted edges reversed — the
+    * deferred reverse-link maintenance) bridge-repaired through the
+    * tombstoned cohort ([[tombstoneBridge]] — in×out splice at every
+    * deleted waypoint, k-bounded), then ONE descent round over the
+    * surviving corpus, published like every other graph artifact.
+    * One pass serves both backlogs: the work is the consolidate
+    * round's n·(k²+k) candidate law over the survivors plus the
+    * k-bounded splice join — never corpus². */
+  private[graft] def crudCompactResult(s: SparkSession, dir: String): DataFrame =
+    diskGraph(s, dir, variant = CrudVariant) {
+      val (_, settledEdges) = settledGraph(s, dir)
+      val inserted = insertResult(s, dir)
+        .select(col("query_id").as("vec_id"), col("neighbor_id"))
+      val unioned = settledEdges.select(col("vec_id"), col("neighbor_id"))
+        .union(inserted)
+        .union(inserted.select(col("neighbor_id").as("vec_id"),
+          col("vec_id").as("neighbor_id")))
+      Similarity.nnDescentRound(tombstoneBridge(unioned, DeletedMod),
+        remainingEmb(s, dir), "vec_id", "embedding", GraphK)
+    }
+
+  /** The composed-store serve: the declared composition (nProbe = 1
+    * entry via the RETRAINED survivor index + beam rounds) over the
+    * published CRUD store, queries = the Q lowest surviving vec_ids,
+    * overlap vs the exact top-[[K]] over the survivors (which
+    * INCLUDE the inserted cohort's survivors — the store must serve
+    * what it ingested). Shared by `ann_graph_crud_recall` and the
+    * maintain gate's serve row through one memo, so the gate's
+    * number equals the composition row by construction. */
+  private def crudRecallCounts(s: SparkSession, dir: String): (Long, Long, Long) =
+    graft.io.FixtureCache.memo(
+        s"ann_graph_crud_recall:b=$SearchBeam:r=$SearchRounds:" +
+          graft.io.FixtureCache.sessionKey(s),
+        dir, "embeddings") {
+      val e = remainingEmb(s, dir)
+      val qv = queryVecsRemaining(s, dir)
+      val entries = Similarity.probe(remainingIdx(s, dir), qv,
+          SearchBeam, nProbe = 1)
+        .select(col("query_id"), col("neighbor_id").as("node"))
+      val found = Similarity.graphSearch(crudCompactResult(s, dir), e,
+          "vec_id", "embedding", qv, entries, K, SearchBeam, SearchRounds)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding", qv, K)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact.size.toLong, found.size.toLong, (found & exact).size.toLong)
+    }
+
+  def graphCrudRecallQ(s: SparkSession, dir: String): DataFrame =
+    recallRow(s, crudRecallCounts(s, dir))
+
+  /** DELETE-SHARE DIAL (r16 verdict task 7 — the entry/beam/cap
+    * curve discipline applied to the delete fraction): the
+    * post-delete serve — bridge-repaired compaction, STALE pre-delete
+    * entry with compacted postings, the `ann_graph_deleted_recall`
+    * harness verbatim — at each cohort share, one row per modulus.
+    * The mod-7 row IS the declared deleted-recall's store (same
+    * content address, same counts — spec-pinned); the mod-3 row
+    * deletes a third of the corpus and answers when bridge-compaction
+    * alone stops sufficing and the gate must also retrain. */
+  val DeleteCurveMods = Seq(3, 7)
+
+  def graphDeleteCurveQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = graft.io.FixtureCache.memo(
+        s"ann_graph_delete_curve:b=$SearchBeam:r=$SearchRounds:" +
+          graft.io.FixtureCache.sessionKey(s),
+        dir, "embeddings") {
+      val nTotal = Tables.embeddings(s, dir).count()
+      DeleteCurveMods.map { m =>
+        val e = Tables.embeddings(s, dir)
+          .filter(pmod(col("vec_id"), lit(m)) =!= 0)
+        val nDel = nTotal - e.count()
+        val qv = e.orderBy("vec_id").limit(Q)
+          .select(col("vec_id"), VectorOps.toDouble(col("embedding")))
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        val idx = ivfIndex(s, dir)
+        val compacted = idx.copy(cells = idx.cells
+          .filter(pmod(col("id"), lit(m)) =!= 0))
+        val entries = Similarity.probe(compacted, qv, SearchBeam, nProbe = 1)
+          .select(col("query_id"), col("neighbor_id").as("node"))
+        val store = diskGraph(s, dir, variant = s"delete-compact-mod$m") {
+          Similarity.nnDescentRound(
+            tombstoneBridge(refinedEdges(s, dir), m),
+            e, "vec_id", "embedding", GraphK)
+        }
+        val found = Similarity.graphSearch(store, e, "vec_id", "embedding",
+            qv, entries, K, SearchBeam, SearchRounds)
+          .select(col("query_id"), col("neighbor_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding", qv, K)
+          .select(col("query_id"), col("neighbor_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        (m.toLong, 1000L * nDel / math.max(nTotal, 1L),
+          exact.size.toLong, found.size.toLong, (found & exact).size.toLong)
+      }
+    }
+    rows.map { case (m, share, ne, nf, nc) =>
+      (m, share, ne, nf, nc,
+        math.floor(1000.0 * nc / math.max(ne, 1L)).toLong)
+    }.toDF("deleted_mod", "delete_share_permille", "n_exact", "n_found",
+      "n_common", "recall_permille")
+      .orderBy("deleted_mod")
   }
 
   /** GRAPH STRUCTURE AUDIT — the ops-grade quality report for the
@@ -1846,10 +2055,15 @@ object SimilarityQueries {
     * merged graph's ranked edges over the full-corpus `pf`) — shared
     * by the consolidate oracle and the consolidated-serve recall
     * oracle, so serve cannot drift from compact. */
-  private def consolidateCtes: String =
-    graphSearchCtesFor("WHERE vec_id % 5 <> 0",
+  /** The consolidate-UNION prefix — everything through `gu` (the
+    * settled ∪ inserted ∪ reversed-inserted merge) and the
+    * full-corpus `pf` — factored out (r17) so the classic
+    * consolidate chain and the CRUD-compaction chain share the
+    * identical merge text. Ends with a trailing comma + newline. */
+  private def consolidateUnionCtes: String =
+    graphSearchCtesFor(s"WHERE vec_id % $InsertedMod <> 0",
       "sq AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv " +
-        "FROM embeddings WHERE vec_id % 5 = 0)") +
+        s"FROM embeddings WHERE vec_id % $InsertedMod = 0)") +
       s""",
          |pf AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |ins AS (SELECT query_id AS src, node AS nb FROM (
@@ -1859,7 +2073,92 @@ object SimilarityQueries {
          |gu AS MATERIALIZED (SELECT src, nb FROM d1rrk WHERE rank <= $GraphK
          |       UNION ALL SELECT src, nb FROM ins
          |       UNION ALL SELECT nb AS src, src AS nb FROM ins),
-         |""".stripMargin + descentRoundCtes("gu", "c1", "pf")
+         |""".stripMargin
+
+  private def consolidateCtes: String =
+    consolidateUnionCtes + descentRoundCtes("gu", "c1", "pf")
+
+  /** The CRUD-compaction prefix (r17): the consolidate union
+    * bridge-repaired through the [[DeletedMod]] cohort (the
+    * [[tombstoneBridge]] splice text, verbatim from the
+    * delete-compact oracle), one descent round over the SURVIVING
+    * corpus — leaves `y1rrk` and `psurv` defined. Shared by the
+    * maintain-gate, maintain-serve and crud-recall oracles so the
+    * gate's store cannot drift from the composition row. */
+  private def crudCompactCtes: String =
+    consolidateUnionCtes +
+      s"""ukeep AS (SELECT src, nb FROM gu
+         |          WHERE src % $DeletedMod <> 0 AND nb % $DeletedMod <> 0),
+         |ubr AS (SELECT a.src, b.nb FROM gu a JOIN gu b ON b.src = a.nb
+         |        WHERE a.nb % $DeletedMod = 0 AND a.src % $DeletedMod <> 0
+         |          AND b.nb % $DeletedMod <> 0 AND a.src <> b.nb),
+         |ug AS MATERIALIZED (SELECT src, nb FROM ukeep
+         |       UNION ALL SELECT src, nb FROM ubr),
+         |psurv AS MATERIALIZED (SELECT vec_id, v FROM pf WHERE vec_id % $DeletedMod <> 0),
+         |""".stripMargin + descentRoundCtes("ug", "y1", "psurv")
+
+  /** The composed-store SERVE chain: the CRUD prefix + the
+    * survivor-corpus retrained entry build ([[ivfBuildCtesFor]] over
+    * `psurv` — what "retrain" means after a delete epoch) + the
+    * published edges navigated undirected by the parameterized
+    * search chain, ranked to [[K]] as `crres`, with the surviving
+    * query batch `ysq`. One text for `ann_graph_crud_recall` and
+    * `ann_graph_maintain_serve`. */
+  private def crudServeCtes: String =
+    crudCompactCtes +
+      ",\n" + ivfBuildCtesFor("f", "", srcTab = "psurv") +
+      s""",
+         |yg AS MATERIALIZED (SELECT src, nb FROM y1rrk WHERE rank <= $GraphK),
+         |yge AS MATERIALIZED (SELECT src, nb FROM yg
+         |        UNION ALL SELECT nb AS src, src AS nb FROM yg),
+         |ysq AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM psurv ORDER BY vec_id LIMIT $Q),
+         |""".stripMargin +
+      searchChainCtes("cr_", SearchBeam, nProbe = 1,
+        vecs = "psurv", qTab = "ysq", edgeTab = "yge",
+        centTab = s"fcent$IvfTrainIters", cellsTab = "fcells") +
+      ",\n" + servedResCte("crres", "cr_ssf")
+
+  private def graphCrudRecallOracleSql: String =
+    "WITH " + crudServeCtes +
+      consolidatedOverlapSql("crres", vecs = "psurv", qTab = "ysq")
+
+  /** Maintain-serve oracle: the crud serve chain + the gate signals,
+    * the fired branch's overlap counts CASE-selected (the hold
+    * branch's -1 sentinels replay the declared no-serve contract). */
+  private def graphMaintainServeOracleSql: String =
+    "WITH " + crudServeCtes +
+      s""",
+         |msig AS (SELECT
+         |  CAST((1000 * COUNT(*) FILTER (WHERE vec_id % $InsertedMod = 0)) // greatest(COUNT(*), 1) AS BIGINT) AS nsp,
+         |  CAST((1000 * COUNT(*) FILTER (WHERE vec_id % $DeletedMod = 0)) // greatest(COUNT(*), 1) AS BIGINT) AS dsp
+         |  FROM embeddings),
+         |mxd AS (SELECT q.query_id, pp.vec_id AS neighbor_id,
+         |  list_sum(list_transform(generate_series(1, $Dim), i -> q.qv[i] * pp.v[i])) /
+         |  (sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> q.qv[i] * q.qv[i]))) *
+         |   sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> pp.v[i] * pp.v[i])))) AS cosine
+         |  FROM ysq q CROSS JOIN psurv pp WHERE pp.vec_id <> q.query_id),
+         |mxres AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM mxd) WHERE rank <= $K),
+         |mcst AS (SELECT
+         |  (SELECT COUNT(*) FROM mxres) AS n_exact,
+         |  (SELECT COUNT(*) FROM crres) AS n_found,
+         |  (SELECT COUNT(*) FROM crres g JOIN mxres x
+         |     ON x.query_id = g.query_id AND x.neighbor_id = g.neighbor_id) AS n_common)
+         |SELECT
+         |  CASE WHEN nsp >= $MaintainNewSharePermille OR dsp >= $MaintainNewSharePermille
+         |       THEN 'compact+retrain' ELSE 'noop' END AS action,
+         |  CASE WHEN nsp >= $MaintainNewSharePermille OR dsp >= $MaintainNewSharePermille
+         |       THEN n_exact ELSE CAST(-1 AS BIGINT) END AS n_exact,
+         |  CASE WHEN nsp >= $MaintainNewSharePermille OR dsp >= $MaintainNewSharePermille
+         |       THEN n_found ELSE CAST(-1 AS BIGINT) END AS n_found,
+         |  CASE WHEN nsp >= $MaintainNewSharePermille OR dsp >= $MaintainNewSharePermille
+         |       THEN n_common ELSE CAST(-1 AS BIGINT) END AS n_common,
+         |  CASE WHEN nsp >= $MaintainNewSharePermille OR dsp >= $MaintainNewSharePermille
+         |       THEN CAST(floor(1000.0 * n_common / greatest(n_exact, 1)) AS BIGINT)
+         |       ELSE CAST(-1 AS BIGINT) END AS recall_permille
+         |FROM mcst, msig""".stripMargin
 
   private def graphConsolidateOracleSql: String =
     "WITH " + consolidateCtes +
@@ -1996,26 +2295,35 @@ object SimilarityQueries {
       ",\n" + servedResCte("cpres", "cp_ssf") +
       consolidatedOverlapSql("cpres", s"CAST($CapR AS BIGINT) AS cap_r, ")
 
-  /** Maintain-gate oracle: the ingest-share signal in integer
-    * permille, the CASE decision, and BOTH branch counts from the
-    * same consolidate chain (the settled refined edges are `d1rrk`,
-    * the merged edges `c1rrk` — no SQL branching needed to price
-    * either action). */
+  /** Maintain-gate oracle: BOTH backlog signals in integer permille,
+    * the CASE decision, and both branch counts from ONE chain — the
+    * settled refined edges are `d1rrk`, the published CRUD store
+    * `y1rrk`, the retrained entry's postings `psurv` and the settled
+    * entry's `p` (the chain's settled-restricted corpus). No SQL
+    * branching needed to price either action. */
   private def graphMaintainOracleSql: String =
-    "WITH " + consolidateCtes +
+    "WITH " + crudCompactCtes +
       s""",
          |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
-         |  CAST(COUNT(*) FILTER (WHERE vec_id % 5 = 0) AS BIGINT) AS n_new FROM embeddings),
-         |sig AS (SELECT n_total, n_new,
-         |  (1000 * n_new) // greatest(n_total, 1) AS new_share_permille FROM tot),
-         |stc AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n_cons FROM c1rrk WHERE rank <= $GraphK),
+         |  CAST(COUNT(*) FILTER (WHERE vec_id % $InsertedMod = 0) AS BIGINT) AS n_new,
+         |  CAST(COUNT(*) FILTER (WHERE vec_id % $DeletedMod = 0) AS BIGINT) AS n_deleted FROM embeddings),
+         |sig AS (SELECT n_total, n_new, n_deleted,
+         |  (1000 * n_new) // greatest(n_total, 1) AS new_share_permille,
+         |  (1000 * n_deleted) // greatest(n_total, 1) AS delete_share_permille FROM tot),
+         |stc AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n_crud FROM y1rrk WHERE rank <= $GraphK),
          |std AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n_set FROM d1rrk WHERE rank <= $GraphK)
-         |SELECT n_total, n_new, new_share_permille,
+         |SELECT n_total, n_new, new_share_permille, n_deleted, delete_share_permille,
          |  CAST($MaintainNewSharePermille AS BIGINT) AS threshold_permille,
          |  CASE WHEN new_share_permille >= $MaintainNewSharePermille
-         |       THEN 'consolidate' ELSE 'noop' END AS action,
+         |         OR delete_share_permille >= $MaintainNewSharePermille
+         |       THEN 'compact+retrain' ELSE 'noop' END AS action,
          |  CASE WHEN new_share_permille >= $MaintainNewSharePermille
-         |       THEN (SELECT n_cons FROM stc) ELSE (SELECT n_set FROM std) END AS n_store_edges
+         |         OR delete_share_permille >= $MaintainNewSharePermille
+         |       THEN (SELECT n_crud FROM stc) ELSE (SELECT n_set FROM std) END AS n_store_edges,
+         |  CASE WHEN new_share_permille >= $MaintainNewSharePermille
+         |         OR delete_share_permille >= $MaintainNewSharePermille
+         |       THEN (SELECT CAST(COUNT(*) AS BIGINT) FROM psurv)
+         |       ELSE (SELECT CAST(COUNT(*) AS BIGINT) FROM p) END AS n_entry_postings
          |FROM sig""".stripMargin
 
   /** Tombstone-search oracle: the IDENTICAL search chain (full
@@ -2074,6 +2382,62 @@ object SimilarityQueries {
         vecs = "prem", qTab = "dsq", edgeTab = "dge") +
       ",\n" + servedResCte("dlres", "dl_ssf") +
       consolidatedOverlapSql("dlres", vecs = "prem", qTab = "dsq")
+
+  /** Delete-curve oracle: ONE refined-graph prefix, then per modulus
+    * the IDENTICAL delete-compact + stale-entry serve + exact-side
+    * chain (the deleted-recall oracle's text, prefixed `m<mod>` —
+    * the mod-7 chain replays the declared deleted-recall store
+    * byte-for-byte), one counted row per share. */
+  private def graphDeleteCurveOracleSql: String = {
+    val perMod = DeleteCurveMods.map { m =>
+      s"""m${m}keep AS (SELECT src, nb FROM dk
+         |          WHERE src % $m <> 0 AND nb % $m <> 0),
+         |m${m}br AS (SELECT a.src, b.nb FROM dk a JOIN dk b ON b.src = a.nb
+         |        WHERE a.nb % $m = 0 AND a.src % $m <> 0
+         |          AND b.nb % $m <> 0 AND a.src <> b.nb),
+         |m${m}g AS MATERIALIZED (SELECT src, nb FROM m${m}keep
+         |       UNION ALL SELECT src, nb FROM m${m}br),
+         |m${m}prem AS MATERIALIZED (SELECT vec_id, v FROM p WHERE vec_id % $m <> 0),
+         |""".stripMargin +
+        descentRoundCtes(s"m${m}g", s"m${m}x", s"m${m}prem") +
+        s""",
+           |m${m}xg AS MATERIALIZED (SELECT src, nb FROM m${m}xrrk WHERE rank <= $GraphK),
+           |m${m}ge AS MATERIALIZED (SELECT src, nb FROM m${m}xg
+           |        UNION ALL SELECT nb AS src, src AS nb FROM m${m}xg),
+           |m${m}sq AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM m${m}prem ORDER BY vec_id LIMIT $Q),
+           |""".stripMargin +
+        searchChainCtes(s"m${m}s_", SearchBeam, nProbe = 1,
+          vecs = s"m${m}prem", qTab = s"m${m}sq", edgeTab = s"m${m}ge") +
+        ",\n" + servedResCte(s"m${m}res", s"m${m}s_ssf") +
+        s""",
+           |m${m}xd AS (SELECT q.query_id, pp.vec_id AS neighbor_id,
+           |  list_sum(list_transform(generate_series(1, $Dim), i -> q.qv[i] * pp.v[i])) /
+           |  (sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> q.qv[i] * q.qv[i]))) *
+           |   sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> pp.v[i] * pp.v[i])))) AS cosine
+           |  FROM m${m}sq q CROSS JOIN m${m}prem pp WHERE pp.vec_id <> q.query_id),
+           |m${m}xres AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+           |  FROM m${m}xd) WHERE rank <= $K)""".stripMargin
+    }.mkString(",\n")
+    val rows = DeleteCurveMods.map { m =>
+      s"""SELECT CAST($m AS BIGINT) AS deleted_mod,
+         |  (SELECT CAST((1000 * COUNT(*) FILTER (WHERE vec_id % $m = 0)) // greatest(COUNT(*), 1) AS BIGINT)
+         |   FROM embeddings) AS delete_share_permille,
+         |  (SELECT COUNT(*) FROM m${m}xres) AS n_exact,
+         |  (SELECT COUNT(*) FROM m${m}res) AS n_found,
+         |  (SELECT COUNT(*) FROM m${m}res g JOIN m${m}xres x
+         |     ON x.query_id = g.query_id AND x.neighbor_id = g.neighbor_id) AS n_common""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    "WITH " + refinedGraphCtes(1) +
+      s""",
+         |dk AS MATERIALIZED (SELECT src, nb FROM d1rrk WHERE rank <= $GraphK),
+         |""".stripMargin + perMod +
+      s"""
+         |SELECT deleted_mod, delete_share_permille, n_exact, n_found, n_common,
+         |  CAST(floor(1000.0 * n_common / greatest(n_exact, 1)) AS BIGINT) AS recall_permille
+         |FROM ($rows) ORDER BY deleted_mod""".stripMargin
+  }
 
   /** Recall oracle: the search CTEs' final ranked ids vs the
     * bruteforce oracle's rank over the same `sq` query batch,
@@ -2379,9 +2743,12 @@ object SimilarityQueries {
     "ann_graph_consolidate2_recall" -> (graphConsolidate2RecallQ _),
     "ann_graph_capped_recall" -> (graphCappedRecallQ _),
     "ann_graph_maintain" -> (graphMaintainQ _),
+    "ann_graph_maintain_serve" -> (graphMaintainServeQ _),
     "ann_graph_tombstone_search" -> (graphTombstoneSearchQ _),
     "ann_graph_delete_compact" -> (graphDeleteCompactQ _),
     "ann_graph_deleted_recall" -> (graphDeletedRecallQ _),
+    "ann_graph_delete_curve" -> (graphDeleteCurveQ _),
+    "ann_graph_crud_recall" -> (graphCrudRecallQ _),
     "ann_graph_audit" -> (graphAuditQ _),
     "ann_graph_probe_only" -> (graphProbeOnlyQ _),
     "ann_graph_search_curve" -> (graphSearchCurveQ _),
@@ -3017,9 +3384,12 @@ object SimilarityQueries {
     "ann_graph_consolidate2_recall" -> graphConsolidate2RecallOracleSql,
     "ann_graph_capped_recall" -> graphCappedRecallOracleSql,
     "ann_graph_maintain" -> graphMaintainOracleSql,
+    "ann_graph_maintain_serve" -> graphMaintainServeOracleSql,
     "ann_graph_tombstone_search" -> graphTombstoneSearchOracleSql,
     "ann_graph_delete_compact" -> graphDeleteCompactOracleSql,
     "ann_graph_deleted_recall" -> graphDeletedRecallOracleSql,
+    "ann_graph_delete_curve" -> graphDeleteCurveOracleSql,
+    "ann_graph_crud_recall" -> graphCrudRecallOracleSql,
     "ann_graph_audit" -> graphAuditOracleSql,
     "ann_graph_probe_only" -> graphProbeOnlyOracleSql,
     "ann_graph_search_curve" -> graphSearchCurveOracleSql,

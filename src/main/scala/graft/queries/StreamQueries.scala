@@ -771,6 +771,88 @@ object StreamQueries {
       .orderBy("vec_id", "rank")
   }
 
+  /** STREAMING GRAPH DELETE — the delete stage of the lifecycle as a
+    * RESIDENT stream (r16 verdict task 5): tombstone ids
+    * (`vec_id % DeletedMod = 0`, the batch delete family's stratum)
+    * arrive as micro-batches, and after EACH batch the serving
+    * composition re-serves the declared Q queries with the
+    * ACCUMULATED tombstone set excluded at the final ranked emission
+    * only ([[graft.operators.Similarity.graphSearch]]'s `emitFilter`
+    * — navigation untouched, tombstones keep routing: the
+    * FreshDiskANN discipline) — serving FLIPS from the classic
+    * answers to the tombstone-filtered ones as deletes land,
+    * mid-stream, with no store rewrite. The drained final state is
+    * row-identical to the batch `ann_graph_tombstone_search` (the
+    * oracle, verbatim). The tombstone set is driver-held and bounded
+    * by the maintain gate's delete-share threshold at scale (the
+    * FreshDiskANN delete-list contract: compaction fires before the
+    * backlog grows unbounded); the emission predicate compiles to a
+    * broadcast hash-set membership test (`isInCollection` → InSet),
+    * one O(1) check per k-bounded emission row. */
+  def graphDeleteParity(s: SparkSession, dir: String): DataFrame =
+    graphDeleteParityWith(s, dir, maxFilesPerTrigger = None)
+
+  private[graft] def graphDeleteParityWith(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int],
+      srcDir: Option[String] = None,
+      onServe: Array[org.apache.spark.sql.Row] => Unit = _ => ()): DataFrame = {
+    val idx = SimilarityQueries.ivfIndex(s, dir)
+    val edges = SimilarityQueries.refinedEdges(s, dir)
+    val embs = graft.io.Tables.embeddings(s, dir)
+    val qs = embs.orderBy("vec_id").limit(SimilarityQueries.Q)
+      .select(col("vec_id"),
+        graft.functions.VectorOps.toDouble(col("embedding")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val entries = graft.operators.Similarity.probe(idx, qs,
+        SimilarityQueries.SearchBeam, nProbe = 1)
+      .select(col("query_id"), col("neighbor_id").as("node"))
+    val reader = maxFilesPerTrigger.foldLeft(
+      s.readStream.schema("vec_id bigint, embedding array<float>, label int")) {
+      (r, n) => r.option("maxFilesPerTrigger", n)
+    }
+    val stream = reader.parquet(srcDir.getOrElse(streamDir(dir, "embeddings")))
+      .filter(pmod(col("vec_id"), lit(SimilarityQueries.DeletedMod)) === 0)
+      .select(col("vec_id"))
+    val tombstones = scala.collection.mutable.HashSet.empty[Long]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    @volatile var schema: org.apache.spark.sql.types.StructType = null
+    val q = stream.writeStream.queryName("stream_graph_delete_q")
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val arrived = batch.collect().map(_.getLong(0))
+        if (arrived.nonEmpty) {
+          tombstones ++= arrived
+          val res = graft.operators.Similarity.graphSearch(edges, embs,
+            "vec_id", "embedding", qs, entries, SimilarityQueries.K,
+            SimilarityQueries.SearchBeam, SimilarityQueries.SearchRounds,
+            emitFilter = !col("node").isInCollection(tombstones.toSeq))
+          val rows = res.collect()
+          acc.synchronized { schema = res.schema; acc.clear(); acc ++= rows }
+          onServe(rows)
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = acc.synchronized { acc.toArray }
+    val outSchema =
+      if (schema != null) schema
+      else org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("neighbor_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("cosine",
+          org.apache.spark.sql.types.DoubleType)))
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   def indexDriftParity(s: SparkSession, dir: String): DataFrame = {
     val idx = SimilarityQueries.ivfIndex(s, dir)
     val settled = idx.cells.filter(pmod(col("id"), lit(5)) =!= 0)
@@ -895,6 +977,7 @@ object StreamQueries {
     "stream_ann_parity" -> (annServeParity _),
     "stream_graph_search_parity" -> (graphSearchParity _),
     "stream_graph_insert_parity" -> (graphInsertParity _),
+    "stream_graph_delete_parity" -> (graphDeleteParity _),
     "stream_semantic_probe_parity" -> (semanticProbeParity _),
     "stream_index_drift_parity" -> (indexDriftParity _),
     "stream_covariance_parity" -> (covarianceParity _),
@@ -934,6 +1017,11 @@ object StreamQueries {
     // ann_graph_insert under any micro-batch split
     "stream_graph_insert_parity" ->
       SimilarityQueries.oracles("ann_graph_insert"),
+    // the batch tombstone-search oracle verbatim: the drained
+    // tombstone set IS the DeletedMod cohort, and the emission-only
+    // filter makes the final serve row-identical to the batch twin
+    "stream_graph_delete_parity" ->
+      SimilarityQueries.oracles("ann_graph_tombstone_search"),
     // the batch ingest-dedup oracle verbatim: per-row re-derived cells
     // equal the index's stored assignment, so the stream twin is
     // row-identical to dedup_semantic_probe by construction

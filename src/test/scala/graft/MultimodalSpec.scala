@@ -399,6 +399,52 @@ class MultimodalSpec extends SparkSpec {
     assert(a === b && a.nonEmpty)
   }
 
+  test("audioFrameVectorsDecoded: the real-parser path scales every stub energy by 256^2 exactly and keeps the fingerprint bit-identical (r17)") {
+    import spark.implicits._
+    // the encode contract: sample_i = (byte_i - 64)*256, zero-padded —
+    // so each DECODED frame energy is 65536x the stub energy, frame
+    // for frame, payload for payload (partial trailing frames and
+    // past-end zero frames included). Domain: bytes in [0, 191], the
+    // wrap-free int16 range of the contract — every ASCII text
+    // payload; 191 itself is the edge sample 32512 < Short.MaxValue
+    val rnd = new scala.util.Random(47)
+    val payloads = Seq(
+      (1L, Array.tabulate(16)(i => (if (i % 2 == 0) 32 else 96).toByte)),
+      (2L, Array.fill(20)(191.toByte)),
+      (3L, Array.fill(1500)((rnd.nextInt(96) + 32).toByte)),
+      (4L, Array.empty[Byte])).toDF("id", "blob")
+    val stub = Multimodal.audioFrameVectors(payloads)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    val dec = Multimodal.audioFrameVectorsDecoded(payloads)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    stub.keys.foreach { id =>
+      assert(dec(id) === stub(id).map(_ * 65536L),
+        s"decoded energies diverge from 256^2 x stub for payload $id")
+    }
+    // the mean-threshold fingerprint is scale-invariant under the
+    // exact 65536x relation (integer floor: 65536*S/64 = 1024*S with
+    // no truncation loss), so the decoded-path fingerprint equals the
+    // stub path's bit for bit — on the planted payloads AND the fixture
+    val fpStub = Multimodal.audioFingerprint(
+        Multimodal.audioFrameVectors(payloads))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val fpDec = Multimodal.audioFingerprint(
+        Multimodal.audioFrameVectorsDecoded(payloads))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(fpDec === fpStub)
+    val q = graft.queries.MultimodalQueries.audioDecodedFpQ(spark, sf001)
+      .collect()
+    assert(q.nonEmpty)
+    val fixtureStub = Multimodal.audioFingerprint(
+        Multimodal.audioFrameVectors(blobs))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    q.foreach { r =>
+      assert((r.getAs[Long]("ahash_hi"), r.getAs[Long]("ahash_lo")) ===
+        fixtureStub(r.getAs[Long]("doc_id")),
+        s"fixture fingerprint diverged for doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
   test("audioActivity: oracle frame-series bound covers the corpus; frameLen guard (r14 ADVICE)") {
     import spark.implicits._
     // the mm_audio_activity oracle enumerates frame indexes 0..4095

@@ -142,12 +142,11 @@ class ShuffleCeilingSpec extends SparkSpec {
     // cold first touch pays the consolidate pipeline; the serve +
     // exact sides are Q-bounded heap/beam stages
     ("ann_graph_consolidated_recall", 480000L, "consolidate pipeline + Q-bounded serve/exact (109977)"),
-    // r16: the maintain/attribution family rides the same consolidate
-    // chain — the gate adds two counts (116118), the retrained entry
-    // adds the full-corpus index build's sample/assign partials
-    // (116375), the second round adds one more k-bounded descent
-    // (148428), the cap adds the undirected dedup + window (171667)
-    ("ann_graph_maintain", 480000L, "consolidate chain + gate counts (116118)"),
+    // r16: the attribution family rides the consolidate chain — the
+    // retrained entry adds the full-corpus index build's sample/assign
+    // partials (116375), the second round adds one more k-bounded
+    // descent (148428), the cap adds the undirected dedup + window
+    // (171667). The maintain gate moved to the r17 crud chain below.
     ("ann_graph_retrained_recall", 480000L, "consolidate chain + retrained entry + serve (116375)"),
     ("ann_graph_consolidate2_recall", 600000L, "consolidate chain + 1 more descent round + serve (148428)"),
     ("ann_graph_capped_recall", 700000L, "consolidate chain + undirected dedup/cap window + serve (171667)"),
@@ -162,6 +161,21 @@ class ShuffleCeilingSpec extends SparkSpec {
     ("ann_graph_tombstone_search", 340000L, "refined build + Q-bounded tombstone serve (84357)"),
     ("ann_graph_delete_compact", 540000L, "refined build + bridge join + 1 descent round (132759)"),
     ("ann_graph_deleted_recall", 520000L, "compact pipeline + Q-bounded serve/exact (127877)"),
+    // r17: the composed CRUD epoch — the dual-signal gate, its serve
+    // row and the composition recall all ride ONE crud-compact chain
+    // (consolidate union + bridge splice + 1 survivor descent round +
+    // survivor-retrained entry build); the delete curve pays one
+    // compact+serve chain per modulus over the shared refined build
+    ("ann_graph_maintain", 570000L, "crud-compact chain + gate counts (141716)"),
+    ("ann_graph_maintain_serve", 570000L, "crud chain + retrained entry + serve/exact (141974)"),
+    ("ann_graph_crud_recall", 570000L, "crud chain + retrained entry + serve/exact (141973)"),
+    ("ann_graph_delete_curve", 700000L, "refined build + 2 x (bridge + descent + serve) (171568)"),
+    // r17: the decoded-path fingerprint's only exchange is the
+    // id-keyed energy/fingerprint join — one row per payload; the
+    // streaming delete twin pays the classic serve cold build + one
+    // InSet emission predicate per micro-batch serve
+    ("mm_audio_decoded_fp", 20000L, "id-keyed energy x fingerprint join rows (5001)"),
+    ("stream_graph_delete_parity", 380000L, "refined build + per-batch tombstone serves (92389)"),
     // rides the disk graph: one n*k edge self-join on the pair key +
     // two bounded aggregates; cold first touch pays the graph build
     ("ann_graph_audit", 340000L, "graph build + n*k pair-key self-join partials (86100)"),

@@ -1056,6 +1056,34 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.graphSearchBulk(edges, settled, "vec_id", "embedding",
       newBatch.filter(lit(false)), "vec_id", "embedding", entriesOf _,
       3, 4, 2).count() === 0L)
+    // r17 (r16 verdict task 8): the consume variant returns the same
+    // rows AND releases the batch's sink as soon as the consumer is
+    // done — a repeated-ingest session holds tmp disk FLAT instead of
+    // accumulating one JVM-lifetime sink per batch
+    def bulkDirs() = new java.io.File(
+        System.getProperty("java.io.tmpdir")).listFiles()
+      .filter(_.getName.startsWith("graft-bulk-")).map(_.getName).toSet
+    val before = bulkDirs()
+    (1 to 2).foreach { _ =>
+      val rows = Similarity.graphSearchBulkConsume(edges, settled,
+          "vec_id", "embedding", newBatch, "vec_id", "embedding",
+          entriesOf _, SimilarityQueries.GraphK, 4, 2, chunkQ = 3) {
+        df => df.orderBy("query_id", "rank").collect().toSeq
+      }
+      assert(rows === direct, "consume variant diverged from the one-batch search")
+      assert(bulkDirs() === before,
+        "consume variant must release its sink before returning")
+    }
+    // ...and the sink is released on a THROWING consumer too
+    intercept[RuntimeException] {
+      Similarity.graphSearchBulkConsume(edges, settled,
+          "vec_id", "embedding", newBatch, "vec_id", "embedding",
+          entriesOf _, SimilarityQueries.GraphK, 4, 2, chunkQ = 3) {
+        _ => throw new RuntimeException("consumer failure")
+      }
+    }
+    assert(bulkDirs() === before,
+      "consume variant must release its sink when the consumer throws")
     idx.unpersist()
   }
 
@@ -1448,33 +1476,43 @@ class SimilaritySpec extends SparkSpec {
       Similarity.autoNCells((Int.MaxValue.toLong + 1L) * Similarity.AutoCellOccupancy))
   }
 
-  test("graphMaintain: gate fires at the fixture share and publishes once; the noop branch holds the settled store (r16)") {
+  test("graphMaintain: dual-signal gate fires compact+retrain and publishes once; the noop branch holds the settled store (r16/r17)") {
     import graft.queries.SimilarityQueries
     val rep = SparkEntry.queries("ann_graph_maintain")(spark, sf001).collect()(0)
     assert(rep.getAs[Long]("new_share_permille") === 200L)
+    assert(rep.getAs[Long]("delete_share_permille") ===
+      1000L * rep.getAs[Long]("n_deleted") / rep.getAs[Long]("n_total"))
     assert(rep.getAs[Long]("threshold_permille") ===
       SimilarityQueries.MaintainNewSharePermille)
-    assert(rep.getAs[String]("action") === "consolidate")
+    // r17 (r16 verdict task 1): the fired action IS the measured
+    // policy — the composed CRUD compaction plus the entry retrain,
+    // not the consolidate-alone the attribution family proved stays
+    // at 740 permille
+    assert(rep.getAs[String]("action") === "compact+retrain")
     assert(rep.getAs[Long]("n_store_edges") ===
-      SparkEntry.queries("ann_graph_consolidate")(spark, sf001).count())
+      SimilarityQueries.crudCompactResult(spark, sf001).count())
+    // the retrain ran: entry postings = the surviving corpus
+    assert(rep.getAs[Long]("n_entry_postings") ===
+      rep.getAs[Long]("n_total") - rep.getAs[Long]("n_deleted"))
     // the published artifact: content-addressed dir written once;
-    // every consolidated-serve surface reloads instead of republishing
+    // every composed-serve surface reloads instead of republishing
     val marker = new java.io.File(graft.operators.Similarity.graphDirFor(
       new java.io.File(Tables.path(sf001, "embeddings")),
       SimilarityQueries.GraphK, SimilarityQueries.IvfCells,
       SimilarityQueries.GraphSeedSalt, 1, SimilarityQueries.IvfCells,
       SimilarityQueries.IvfTrainIters, SimilarityQueries.IvfTrainSample,
-      SimilarityQueries.IvfSeed, SimilarityQueries.ConsolidatedVariant),
+      SimilarityQueries.IvfSeed, SimilarityQueries.CrudVariant),
       "edges/_SUCCESS")
-    assert(marker.exists, "maintain must publish the consolidated graph")
+    assert(marker.exists, "maintain must publish the CRUD-compacted graph")
     val mtime = marker.lastModified
-    SparkEntry.queries("ann_graph_consolidated_recall")(spark, sf001).collect()
-    SparkEntry.queries("ann_graph_capped_recall")(spark, sf001).collect()
+    SparkEntry.queries("ann_graph_crud_recall")(spark, sf001).collect()
+    SparkEntry.queries("ann_graph_maintain_serve")(spark, sf001).collect()
     SparkEntry.queries("ann_graph_maintain")(spark, sf001).collect()
     assert(marker.lastModified === mtime,
-      "consolidated serving must reload the published graph, not republish")
-    // planted gate-hold: a threshold above the fixture's 200 permille
-    // share -> noop, and the store stays on the settled refined edges
+      "composed serving must reload the published graph, not republish")
+    // planted gate-hold: a threshold above BOTH fixture shares
+    // (ingest 200, delete ~144 permille) -> noop, and the store stays
+    // on the settled refined edges with the settled entry
     val hold = SimilarityQueries.graphMaintainReport(spark, sf001, 300L)
       .collect()(0)
     assert(hold.getAs[String]("action") === "noop")
@@ -1482,6 +1520,67 @@ class SimilaritySpec extends SparkSpec {
     assert(hold.getAs[Long]("n_store_edges") !==
       rep.getAs[Long]("n_store_edges"),
       "the noop branch must serve the settled store, not the merged one")
+    assert(hold.getAs[Long]("n_entry_postings") !==
+      rep.getAs[Long]("n_entry_postings"),
+      "the noop branch must keep the settled entry, not retrain")
+  }
+
+  test("composed CRUD epoch: the gate's serve row equals the declared composition recall; hold emits sentinels; the curve's mod-7 row is the declared delete store (r17)") {
+    import graft.queries.SimilarityQueries
+    // the maintain-serve row and the composition row share one memo —
+    // the gate's published number cannot drift from the declared row
+    val serve = SparkEntry.queries("ann_graph_maintain_serve")(spark, sf001)
+      .collect()(0)
+    val crud = SparkEntry.queries("ann_graph_crud_recall")(spark, sf001)
+      .collect()(0)
+    assert(serve.getAs[String]("action") === "compact+retrain")
+    Seq("n_exact", "n_found", "n_common", "recall_permille").foreach { c =>
+      assert(serve.getAs[Long](c) === crud.getAs[Long](c),
+        s"maintain_serve.$c diverged from crud_recall")
+    }
+    // the measured policy's payoff, pinned: the composed store with
+    // the retrained entry serves at the retrained-recall family's
+    // level (>= 800 permille), NOT the stale-entry incremental 740
+    assert(crud.getAs[Long]("recall_permille") >= 800L,
+      s"composed serve degenerated: ${crud.getAs[Long]("recall_permille")}")
+    // planted hold: below-threshold signals -> no serve ran, -1
+    // sentinels (the prior epoch's recall stands)
+    val hold = SimilarityQueries.maintainServeReport(spark, sf001, 300L)
+      .collect()(0)
+    assert(hold.getAs[String]("action") === "noop")
+    Seq("n_exact", "n_found", "n_common", "recall_permille").foreach { c =>
+      assert(hold.getAs[Long](c) === -1L, s"hold branch must sentinel $c")
+    }
+    // the composed store contains no tombstoned endpoint, and the
+    // inserted cohort's SURVIVORS are first-class nodes (src side)
+    val dm = SimilarityQueries.DeletedMod
+    val im = SimilarityQueries.InsertedMod
+    val edges = SimilarityQueries.crudCompactResult(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    edges.foreach { case (src, nb) =>
+      assert((src % dm) !== 0L, s"tombstoned src in the CRUD store: $src")
+      assert((nb % dm) !== 0L, s"tombstoned nb in the CRUD store: $nb")
+    }
+    assert(edges.exists { case (src, _) => src % im == 0L && src % dm != 0L },
+      "surviving inserted vectors must be first-class nodes of the CRUD store")
+    // delete-share dial: the mod-7 chain IS the declared
+    // deleted-recall store (same content address) — counts must match
+    val curve = SparkEntry.queries("ann_graph_delete_curve")(spark, sf001)
+      .collect().map(r => r.getAs[Long]("deleted_mod") -> r).toMap
+    val rec = SparkEntry.queries("ann_graph_deleted_recall")(spark, sf001)
+      .collect()(0)
+    val m7 = curve(7L)
+    Seq("n_exact", "n_found", "n_common", "recall_permille").foreach { c =>
+      assert(m7.getAs[Long](c) === rec.getAs[Long](c),
+        s"delete_curve mod-7 $c diverged from ann_graph_deleted_recall")
+    }
+    val m3 = curve(3L)
+    assert(m3.getAs[Long]("delete_share_permille") >
+      m7.getAs[Long]("delete_share_permille"))
+    Seq(m3, m7).foreach { r =>
+      val p = r.getAs[Long]("recall_permille")
+      assert(p >= 500L && p <= 1000L, s"curve serve degenerated: $p")
+    }
   }
 
   test("delete stage: tombstones route but never serve; compaction bridges through them; post-delete serve holds (r16)") {

@@ -345,6 +345,59 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming graph delete: serving flips mid-stream as tombstones land; the drained state equals the batch tombstone search (r17)") {
+    // the tombstone feed split into TWO planted micro-batches: file 1
+    // carries ONE deleted id that the CLASSIC search serves (so after
+    // batch 1 serving must exclude it while still serving the other
+    // deleted answers — the observable mid-stream flip), file 2 the
+    // rest of the cohort; the drained final serve must equal the
+    // batch ann_graph_tombstone_search bit-for-bit
+    import spark.implicits._
+    val dm = graft.queries.SimilarityQueries.DeletedMod
+    val classic = SparkEntry.queries("ann_graph_search")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deletedServed = classic.map(_._2).distinct.filter(_ % dm == 0L)
+    assert(deletedServed.nonEmpty,
+      "fixture must serve at least one deleted id classically")
+    val first = deletedServed.min
+    val e = graft.io.Tables.embeddings(spark, sf001)
+    val dir = java.nio.file.Files.createTempDirectory("graft-gd-stream")
+    try {
+      e.filter(col("vec_id") === first).coalesce(1)
+        .write.mode("overwrite").parquet(dir.resolve("b1").toString)
+      // FileStreamSource orders by modification time — a distinct
+      // mtime pins the planted single-id file to micro-batch 1
+      Thread.sleep(1100)
+      e.filter(pmod(col("vec_id"), lit(dm)) === 0 &&
+          col("vec_id") =!= first).coalesce(1)
+        .write.mode("append").parquet(dir.resolve("b1").toString)
+      val serves = scala.collection.mutable.ArrayBuffer
+        .empty[Array[org.apache.spark.sql.Row]]
+      val streamed = graft.queries.StreamQueries
+        .graphDeleteParityWith(spark, sf001, maxFilesPerTrigger = Some(1),
+          Some(dir.resolve("b1").toString), rows => { serves += rows; () })
+        .collect().toSeq
+      val batch = SparkEntry.queries("ann_graph_tombstone_search")(spark, sf001)
+        .collect().toSeq
+      assert(streamed === batch,
+        "drained streaming delete state must equal the batch tombstone search")
+      assert(serves.length >= 2, s"expected >= 2 serving flips, got ${serves.length}")
+      // after batch 1 the arrived tombstone is gone from the answers...
+      val s1 = serves.head.map(r => (r.getLong(0), r.getLong(1)))
+      assert(!s1.exists(_._2 == first),
+        s"first arrived tombstone $first still served after batch 1")
+      // ...while serving has NOT yet flipped all the way to the final
+      // state if other deleted ids were classically served
+      if (deletedServed.length > 1)
+        assert(s1.exists { case (_, nb) => nb % dm == 0L },
+          "mid-stream serve should still carry the not-yet-deleted cohort")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("streaming anomaly alerts equal the batch z-score operator row-for-row") {
     val streamed = graft.queries.StreamQueries.anomalyParity(spark, sf001)
       .collect()
