@@ -652,6 +652,10 @@ object ScaleUp {
         .union(Sim.knnGraphWithin(bucketed, 3))
       val refined = Sim.nnDescent(seed, settled, "vec_id", "embedding", 3, 2)
       val tmpRoot = java.nio.file.Files.createTempDirectory("graft-lifecycle")
+      // the rehearsal's temp graph dirs are per-invocation scratch —
+      // released in the finally below even when a stage throws (r16
+      // ADVICE: an exception mid-lifecycle must not leak them)
+      try {
       val gDir = tmpRoot.resolve("g").toString
       Sim.writeGraph(refined, gDir)
       refined.unpersist()
@@ -713,21 +717,57 @@ object ScaleUp {
       val nServe2 = Sim.graphSearch(published, e, "vec_id", "embedding",
         qv, entries2, 5, 4, 3).count()
       val tServe2 = (System.nanoTime() - t6) / 1e9
+      // r17 (r16 verdict task 6): the DELETE stages at the production
+      // law — tombstone-serve between compactions (emission-only
+      // filter on the published store, navigation untouched), the
+      // bridge-splice delete-compaction over the survivors (k-bounded
+      // in x out splice + one corpus-linear descent round) published
+      // to the layout, and the post-delete serve (stale retrained
+      // entry with compacted postings) from the repaired store
+      val t7 = System.nanoTime()
+      val nTomb = Sim.graphSearch(published, e, "vec_id", "embedding",
+        qv, entries2, 5, 4, 3,
+        emitFilter = pmod(col("node"), lit(7)) =!= 0).count()
+      val tTomb = (System.nanoTime() - t7) / 1e9
+      val t8 = System.nanoTime()
+      val survivors = e.filter(pmod(col("vec_id"), lit(7)) =!= 0)
+      val compacted = Sim.nnDescentRound(
+        graft.queries.SimilarityQueries.tombstoneBridge(
+          published.select(col("vec_id"), col("neighbor_id")), 7),
+        survivors, "vec_id", "embedding", 3).persist()
+      val nCompact = compacted.count()
+      val tDelCompact = (System.nanoTime() - t8) / 1e9
+      val t9 = System.nanoTime()
+      val gdDir = tmpRoot.resolve("gd").toString
+      Sim.writeGraph(compacted, gdDir)
+      compacted.unpersist()
+      val publishedD = Sim.readGraph(s, gdDir)
+      val tPubD = (System.nanoTime() - t9) / 1e9
+      val t10 = System.nanoTime()
+      val qvS = survivors.orderBy("vec_id").limit(10)
+        .select(col("vec_id"), graft.functions.VectorOps.toDouble(col("embedding")))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val idxD = idx2.copy(cells = idx2.cells
+        .filter(pmod(col("id"), lit(7)) =!= 0))
+      val entriesD = Sim.probe(idxD, qvS, 4, nProbe = 1)
+        .select(col("query_id"), col("neighbor_id").as("node"))
+      val nServeD = Sim.graphSearch(publishedD, survivors, "vec_id",
+        "embedding", qvS, entriesD, 5, 4, 3).count()
+      val tServeD = (System.nanoTime() - t10) / 1e9
       println(f"[scaleup] ann_graph_lifecycle_auto: build+refine2+persist " +
         f"$tBuild%.2f s, ingest ($nNew vectors -> $nIns edges) $tIns%.2f s " +
         f"(${tIns * 1000.0 / math.max(nNew, 1L)}%.2f ms/vector), " +
         f"serve (Q=10, $nServe rows) $tServe%.2f s, " +
         f"consolidate ($nMerged edges) $tCons%.2f s, " +
         f"publish $tPub%.2f s, retrain $tRetrain%.2f s, " +
-        f"serve-published-retrained (Q=10, $nServe2 rows) $tServe2%.2f s")
+        f"serve-published-retrained (Q=10, $nServe2 rows) $tServe2%.2f s, " +
+        f"tombstone-serve (Q=10, $nTomb rows) $tTomb%.2f s, " +
+        f"delete-compact ($nCompact edges) $tDelCompact%.2f s, " +
+        f"publish-deleted $tPubD%.2f s, " +
+        f"serve-deleted (Q=10, $nServeD rows) $tServeD%.2f s")
       idx.unpersist(); idx2.unpersist()
-      // the rehearsal's temp graph dirs are per-invocation scratch,
-      // not the content-addressed serving layout — delete them so
-      // repeated reps don't accumulate tmp-disk parquet (r15 ADVICE);
-      // the bulk sink behind `inserted` is Similarity-owned and
-      // removed at JVM exit
-      deleteTree(tmpRoot.toFile)
       s.range(nIns).toDF("row")
+      } finally deleteTree(tmpRoot.toFile)
     }))
 
   private def deleteTree(f: java.io.File): Unit = {
