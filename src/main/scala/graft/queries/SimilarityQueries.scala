@@ -1486,8 +1486,23 @@ object SimilarityQueries {
     * order-dependent; total/n_edges is the consumer's mean). Work:
     * one n·k edge-list self-join on the (src, nb) pair key + two
     * bounded aggregates — the corpus appears nowhere. */
-  def graphAuditQ(s: SparkSession, dir: String): DataFrame = {
-    val e = refinedEdges(s, dir)
+  def graphAuditQ(s: SparkSession, dir: String): DataFrame =
+    auditReport(refinedEdges(s, dir))
+
+  /** The audit over the PUBLISHED composed CRUD store (r17): the
+    * same one-row integer report a fleet alerts on, for the store
+    * the maintain gate actually leaves behind — post-compaction
+    * reciprocity vs the refined store's 660–672 ‰ measures what the
+    * deferred reverse-link maintenance (the reversed-insert union)
+    * and the bridge splice bought, and max_out_degree is the bound
+    * a degree-capped serving tier must hold after the merge. Work:
+    * the same n·k pair-key self-join + two bounded aggregates over
+    * the k-bounded published edges; the corpus appears nowhere. */
+  def graphCrudAuditQ(s: SparkSession, dir: String): DataFrame =
+    auditReport(crudCompactResult(s, dir))
+
+  private def auditReport(edges: DataFrame): DataFrame = {
+    val e = edges
       .select(col("vec_id"), col("neighbor_id"),
         floor(col("cosine") * lit(1000000.0d)).cast("long").as("cmic"))
     val rev = e.select(col("neighbor_id").as("vec_id"),
@@ -2030,19 +2045,35 @@ object SimilarityQueries {
   /** Audit oracle: the refined-graph prefix (the SAME edges the
     * declared graph emits), pair-keyed reciprocity self-join,
     * degree/total aggregates — all integer. */
+  /** The audit tail — pair-keyed reciprocity self-join + bounded
+    * aggregates over an edge CTE `g (src, nb, cmic)`; one text for
+    * the refined-store and CRUD-store audits. */
+  private def auditEmitSql: String =
+    s""",
+       |deg AS (SELECT src, COUNT(*) AS d FROM g GROUP BY 1),
+       |rec AS (SELECT COUNT(*) AS n FROM g a JOIN g b ON b.src = a.nb AND b.nb = a.src)
+       |SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+       |  CAST((SELECT COUNT(*) FROM g) AS BIGINT) AS n_edges,
+       |  CAST((SELECT n FROM rec) AS BIGINT) AS n_reciprocal,
+       |  CAST(floor(1000.0 * (SELECT n FROM rec) / greatest((SELECT COUNT(*) FROM g), 1)) AS BIGINT) AS reciprocal_permille,
+       |  CAST((SELECT MAX(d) FROM deg) AS BIGINT) AS max_out_degree,
+       |  CAST((SELECT SUM(cmic) FROM g) AS BIGINT) AS cosine_micros_total""".stripMargin
+
   private def graphAuditOracleSql: String =
     "WITH " + refinedGraphCtes(1) +
       s""",
          |g AS (SELECT src, nb, CAST(floor(cosine * 1000000.0) AS BIGINT) AS cmic
-         |      FROM d1rrk WHERE rank <= $GraphK),
-         |deg AS (SELECT src, COUNT(*) AS d FROM g GROUP BY 1),
-         |rec AS (SELECT COUNT(*) AS n FROM g a JOIN g b ON b.src = a.nb AND b.nb = a.src)
-         |SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
-         |  CAST((SELECT COUNT(*) FROM g) AS BIGINT) AS n_edges,
-         |  CAST((SELECT n FROM rec) AS BIGINT) AS n_reciprocal,
-         |  CAST(floor(1000.0 * (SELECT n FROM rec) / greatest((SELECT COUNT(*) FROM g), 1)) AS BIGINT) AS reciprocal_permille,
-         |  CAST((SELECT MAX(d) FROM deg) AS BIGINT) AS max_out_degree,
-         |  CAST((SELECT SUM(cmic) FROM g) AS BIGINT) AS cosine_micros_total""".stripMargin
+         |      FROM d1rrk WHERE rank <= $GraphK)""".stripMargin +
+      auditEmitSql
+
+  /** CRUD-store audit oracle: the crud-compact chain's published
+    * ranked edges fed to the SAME audit tail. */
+  private def graphCrudAuditOracleSql: String =
+    "WITH " + crudCompactCtes +
+      s""",
+         |g AS (SELECT src, nb, CAST(floor(cosine * 1000000.0) AS BIGINT) AS cmic
+         |      FROM y1rrk WHERE rank <= $GraphK)""".stripMargin +
+      auditEmitSql
 
   /** Consolidate oracle: the settled-side build + insert-search CTE
     * chain (the IDENTICAL parameterized text the insert oracle
@@ -2750,6 +2781,7 @@ object SimilarityQueries {
     "ann_graph_delete_curve" -> (graphDeleteCurveQ _),
     "ann_graph_crud_recall" -> (graphCrudRecallQ _),
     "ann_graph_audit" -> (graphAuditQ _),
+    "ann_graph_crud_audit" -> (graphCrudAuditQ _),
     "ann_graph_probe_only" -> (graphProbeOnlyQ _),
     "ann_graph_search_curve" -> (graphSearchCurveQ _),
     "ann_graph_entry_curve" -> (graphEntryCurveQ _),
@@ -3391,6 +3423,7 @@ object SimilarityQueries {
     "ann_graph_delete_curve" -> graphDeleteCurveOracleSql,
     "ann_graph_crud_recall" -> graphCrudRecallOracleSql,
     "ann_graph_audit" -> graphAuditOracleSql,
+    "ann_graph_crud_audit" -> graphCrudAuditOracleSql,
     "ann_graph_probe_only" -> graphProbeOnlyOracleSql,
     "ann_graph_search_curve" -> graphSearchCurveOracleSql,
     "ann_graph_entry_curve" -> graphEntryCurveOracleSql,

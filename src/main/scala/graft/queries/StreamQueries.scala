@@ -853,6 +853,70 @@ object StreamQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** STREAMING MAINTAIN GATE — the graph store's scheduled
+    * maintenance decision as a RESIDENT job (r17; the
+    * `stream_index_drift_parity` discipline applied to the graph
+    * gate): the corpus streams in and the TWO backlog signals — the
+    * `% InsertedMod` ingest share and the `% DeletedMod` tombstoned
+    * share — accumulate as three driver-held counters across
+    * micro-batches (integer adds, nothing corpus-sized). At drain
+    * the gate evaluates exactly the batch `ann_graph_maintain`
+    * decision from the STREAMED counts: fired → the published CRUD
+    * store + survivor-retrained entry (both read back from the
+    * content-addressed layouts — the resident job never rebuilds
+    * what the batch pass published); hold → the settled store. One
+    * row, row-identical to the batch gate (the oracle, verbatim). */
+  def graphMaintainParity(s: SparkSession, dir: String): DataFrame =
+    graphMaintainParityWith(s, dir, maxFilesPerTrigger = None)
+
+  private[graft] def graphMaintainParityWith(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int],
+      srcDir: Option[String] = None,
+      onBatch: (Long, Long, Long) => Unit = (_, _, _) => ()): DataFrame = {
+    import s.implicits._
+    val reader = maxFilesPerTrigger.foldLeft(
+      s.readStream.schema("vec_id bigint, embedding array<float>, label int")) {
+      (r, n) => r.option("maxFilesPerTrigger", n)
+    }
+    val stream = reader.parquet(srcDir.getOrElse(streamDir(dir, "embeddings")))
+      .select(col("vec_id"))
+    var nTotal = 0L
+    var nNew = 0L
+    var nDel = 0L
+    val q = stream.writeStream.queryName("stream_graph_maintain_q")
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val r = batch.agg(
+          count(lit(1)),
+          count(when(pmod(col("vec_id"),
+            lit(SimilarityQueries.InsertedMod)) === 0, 1)),
+          count(when(pmod(col("vec_id"),
+            lit(SimilarityQueries.DeletedMod)) === 0, 1))).collect()(0)
+        nTotal += r.getLong(0); nNew += r.getLong(1); nDel += r.getLong(2)
+        onBatch(nTotal, nNew, nDel)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val thr = SimilarityQueries.MaintainNewSharePermille
+    val newShare = 1000L * nNew / math.max(nTotal, 1L)
+    val delShare = 1000L * nDel / math.max(nTotal, 1L)
+    val fires = newShare >= thr || delShare >= thr
+    val (action, nStore, nEntry) =
+      if (fires)
+        ("compact+retrain",
+          SimilarityQueries.crudCompactResult(s, dir).count(),
+          SimilarityQueries.remainingIdx(s, dir).cells.count())
+      else
+        ("noop", SimilarityQueries.settledGraph(s, dir)._2.count(),
+          SimilarityQueries.settledGraph(s, dir)._1.cells.count())
+    Seq((nTotal, nNew, newShare, nDel, delShare, thr, action, nStore, nEntry))
+      .toDF("n_total", "n_new", "new_share_permille", "n_deleted",
+        "delete_share_permille", "threshold_permille", "action",
+        "n_store_edges", "n_entry_postings")
+  }
+
   def indexDriftParity(s: SparkSession, dir: String): DataFrame = {
     val idx = SimilarityQueries.ivfIndex(s, dir)
     val settled = idx.cells.filter(pmod(col("id"), lit(5)) =!= 0)
@@ -978,6 +1042,7 @@ object StreamQueries {
     "stream_graph_search_parity" -> (graphSearchParity _),
     "stream_graph_insert_parity" -> (graphInsertParity _),
     "stream_graph_delete_parity" -> (graphDeleteParity _),
+    "stream_graph_maintain_parity" -> (graphMaintainParity _),
     "stream_semantic_probe_parity" -> (semanticProbeParity _),
     "stream_index_drift_parity" -> (indexDriftParity _),
     "stream_covariance_parity" -> (covarianceParity _),
@@ -1022,6 +1087,11 @@ object StreamQueries {
     // filter makes the final serve row-identical to the batch twin
     "stream_graph_delete_parity" ->
       SimilarityQueries.oracles("ann_graph_tombstone_search"),
+    // the batch maintain-gate oracle verbatim: the streamed counters
+    // sum to the corpus counts, so the resident gate's decision row
+    // is identical to the batch gate's by construction
+    "stream_graph_maintain_parity" ->
+      SimilarityQueries.oracles("ann_graph_maintain"),
     // the batch ingest-dedup oracle verbatim: per-row re-derived cells
     // equal the index's stored assignment, so the stream twin is
     // row-identical to dedup_semantic_probe by construction

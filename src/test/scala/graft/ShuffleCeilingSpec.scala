@@ -176,6 +176,8 @@ class ShuffleCeilingSpec extends SparkSpec {
     // InSet emission predicate per micro-batch serve
     ("mm_audio_decoded_fp", 20000L, "id-keyed energy x fingerprint join rows (5001)"),
     ("stream_graph_delete_parity", 380000L, "refined build + per-batch tombstone serves (92389)"),
+    ("ann_graph_crud_audit", 580000L, "crud chain + n*k pair-key self-join partials (143398)"),
+    ("stream_graph_maintain_parity", 570000L, "crud chain + 3 integer counters per batch (141716)"),
     // rides the disk graph: one n*k edge self-join on the pair key +
     // two bounded aggregates; cold first touch pays the graph build
     ("ann_graph_audit", 340000L, "graph build + n*k pair-key self-join partials (86100)"),

@@ -1581,6 +1581,19 @@ class SimilaritySpec extends SparkSpec {
       val p = r.getAs[Long]("recall_permille")
       assert(p >= 500L && p <= 1000L, s"curve serve degenerated: $p")
     }
+    // the composed-store audit: every count pinned to a driver
+    // replica over the published CRUD edges (the ann_graph_audit
+    // discipline), and the k-bound holds post-merge
+    val audit = SparkEntry.queries("ann_graph_crud_audit")(spark, sf001)
+      .collect()(0)
+    val eset = edges.toSet
+    assert(audit.getAs[Long]("n_edges") === edges.length.toLong)
+    assert(audit.getAs[Long]("n_nodes") === edges.map(_._1).distinct.length.toLong)
+    assert(audit.getAs[Long]("n_reciprocal") ===
+      edges.count { case (a, b) => eset.contains((b, a)) }.toLong)
+    assert(audit.getAs[Long]("max_out_degree") <=
+      SimilarityQueries.GraphK.toLong,
+      "the descent round's per-source rank cut bounds out-degree by k")
   }
 
   test("delete stage: tombstones route but never serve; compaction bridges through them; post-delete serve holds (r16)") {

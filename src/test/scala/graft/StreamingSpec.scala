@@ -398,6 +398,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming maintain gate: signals accumulate across micro-batches and the drained decision equals the batch gate (r17)") {
+    // the resident gate job: three driver counters, integer adds per
+    // micro-batch; the drained row must equal ann_graph_maintain
+    // bit-for-bit, and the counters must be seen GROWING (>= 2
+    // batches under maxFilesPerTrigger = 1 over a 3-file copy)
+    val e = graft.io.Tables.embeddings(spark, sf001)
+    val dir = java.nio.file.Files.createTempDirectory("graft-gm-stream")
+    try {
+      e.repartition(3).write.mode("overwrite").parquet(dir.toString)
+      val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      val streamed = graft.queries.StreamQueries
+        .graphMaintainParityWith(spark, sf001, maxFilesPerTrigger = Some(1),
+          Some(dir.toString), (t, n, d) => { seen += ((t, n, d)); () })
+        .collect().toSeq
+      val batch = SparkEntry.queries("ann_graph_maintain")(spark, sf001)
+        .collect().toSeq
+      assert(streamed === batch,
+        "drained streaming gate row must equal the batch gate")
+      assert(seen.length >= 2, s"expected >= 2 accumulation steps, got $seen")
+      assert(seen.sliding(2).forall(w => w(0)._1 < w(1)._1),
+        s"total counter must grow monotonically across batches: $seen")
+      assert(seen.last._1 === e.count(),
+        "drained counter must cover the whole corpus")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("streaming anomaly alerts equal the batch z-score operator row-for-row") {
     val streamed = graft.queries.StreamQueries.anomalyParity(spark, sf001)
       .collect()
