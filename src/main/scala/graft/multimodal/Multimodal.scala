@@ -26,6 +26,17 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default ImageInputStream/ImageOutputStream cache is
+  // DISK-backed: every encode/decode call creates, writes and deletes
+  // a temp FILE. Our codecs only ever run over in-memory byte arrays
+  // (payload columns), so the file cache is pure overhead — measured
+  // r17: mm_decode_roundtrip 2.15 s → 0.42 s at sf0.1 single-task,
+  // and under 32-way parallelism the per-call temp files contend on
+  // the filesystem (5.2 s → 0.32 s). The object initializer runs once
+  // per JVM wherever a kernel first touches this object (executors
+  // included — every kernel closure references Multimodal).
+  javax.imageio.ImageIO.setUseCache(false)
+
   val HistogramBins = 64
   val DefaultBatchSize = 256
 

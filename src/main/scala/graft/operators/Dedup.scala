@@ -738,15 +738,24 @@ object Dedup {
       case Some(cap) => dropHotKeys(bands0, Seq("band", "bucket"), cap)
       case None => bands0
     }
+    // Verify (hamming) BEFORE dedup (r17 optimization, guide §2.3
+    // "shuffle fewer bytes"): hamming is a pure function of the pair
+    // — every banded duplicate of a pair carries the same value, so
+    // filter-then-dropDuplicates is row-identical to the old
+    // dedup-then-filter (DedupSpec pins the equality) — but the
+    // dropDuplicates exchange now carries only radius-survivors
+    // (sf0.1: 294 k rows instead of all 1.69 M candidates, 2.1 s →
+    // 1.1 s). The xor+popcount check is 2 ALU ops; evaluating it per
+    // candidate instead of per distinct pair is free next to the
+    // shuffle it removes.
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.sh").as("fa"), col("y.sh").as("fb"))
-      .dropDuplicates("doc_a", "doc_b")
-    cand.withColumn("hamming", TextOps.hamming64(col("fa"), col("fb")))
+        TextOps.hamming64(col("x.sh"), col("y.sh")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand.select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
   /** Connected components over an undirected edge list — the step that

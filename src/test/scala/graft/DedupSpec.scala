@@ -89,6 +89,34 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.simhashPairs(fps, 3, maxBucketSize = Some(64)).count() === 0L)
   }
 
+  test("simhashPairs filter-before-dedup equals dedup-before-filter (r17 reorder)") {
+    // r17 optimization moved the hamming radius filter BEFORE the
+    // pair dropDuplicates so the dedup exchange carries only radius
+    // survivors; hamming is a pure function of the pair, so the two
+    // orders must be row-identical (values included) on the fixture.
+    val fps = Dedup.simhashFingerprints(docs, "doc_id", "text")
+    val got = Dedup.simhashPairs(fps, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val nb = 4
+    val parts = Dedup.bandLayout(nb).zipWithIndex.map { case ((off, w), i) =>
+      val mask = if (w == 64) -1L else (1L << w) - 1
+      s"$i, shiftright(sh, $off) & ${mask}L"
+    }.mkString(", ")
+    val bands = fps.select(col("doc_id"), col("sh"),
+      expr(s"stack($nb, $parts) AS (band, bucket)"))
+    val legacy = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sh").as("fa"), col("y.sh").as("fb"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", TextOps.hamming64(col("fa"), col("fb")))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    assert(got === legacy)
+    assert(got.nonEmpty, "fixture should contain planted near-dups")
+  }
+
   test("simhash: identical text -> hamming 0; near-identical -> small hamming") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
