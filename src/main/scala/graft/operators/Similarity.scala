@@ -1236,6 +1236,13 @@ object Similarity {
   private def marginStage(partial: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("side", "id")
       .orderBy(col("cosine").desc, col("other"))
+    // NOTE (r17 optimization round): this frame feeds three consumers
+    // (the neighborhood-sum aggregate + both margin sides), but AQE's
+    // query-stage reuse already deduplicates the identical kernel
+    // exchanges at runtime — an explicit RDD pin was MEASURED 2×
+    // slower for the exact form (row-conversion overhead, broken
+    // codegen span) and only noise-level better for the IVF form, so
+    // the plan is left alone deliberately.
     val knn = partial
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .withColumn("m", floor((col("cosine") + 1.0d) * 500000.0d).cast("long"))
