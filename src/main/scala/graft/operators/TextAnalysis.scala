@@ -1341,11 +1341,21 @@ object TextAnalysis {
     * case. Totals broadcast. */
   def sourceOverlap(docs: DataFrame, sourceCol: String, textCol: String,
                     n: Int = 5): DataFrame = {
+    // ONE gram-keyed exchange serves BOTH report branches (r17
+    // optimization, guide §2.4 "two operations keyed the same way can
+    // share one exchange"): collect_set dedupes (gram, source) inside
+    // the aggregate, so the old separate corpus-wide `.distinct()`
+    // exchange of the gram strings is gone, and per-source totals
+    // fall out of the same per-gram source sets (each (g, source)
+    // counted once — exactly the distinct-gram count) instead of a
+    // third corpus-keyed pass. Row-identical output (probe-verified
+    // and oracle-checked).
     val sg = docs.select(col(sourceCol).as("source"),
-        explode(TextOps.shingles(col(textCol), n)).as("g"))
-      .distinct()
-    val totals = sg.groupBy("source").agg(count(lit(1)).as("c"))
-    val pairs = sg.groupBy("g").agg(sort_array(collect_set(col("source"))).as("ss"))
+      explode(TextOps.shingles(col(textCol), n)).as("g"))
+    val gb = sg.groupBy("g").agg(sort_array(collect_set(col("source"))).as("ss"))
+    val totals = gb.select(explode(col("ss")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("c"))
+    val pairs = gb
       .filter(size(col("ss")) > 1)
       .select(explode(col("ss")).as("source_a"), col("ss"))
       .select(col("source_a"), explode(col("ss")).as("source_b"))
