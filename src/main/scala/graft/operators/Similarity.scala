@@ -1231,46 +1231,66 @@ object Similarity {
     * frame (side, id, other, cosine) — side 0 = x→y candidates,
     * side 1 = y→x — ranks each id's top-k by the raw double cosine,
     * then runs the all-integer margin formula and the best-partner /
-    * mutuality windows. Only k-bounded lists ever reach this stage,
-    * whatever kernel (exact tiles or IVF probes) generated them. */
+    * mutuality selection. Only k-bounded lists ever reach this stage,
+    * whatever kernel (exact tiles or IVF probes) generated them.
+    *
+    * SINGLE-PASS SHAPE (r17 optimization round, guide §2.4): the
+    * original formulation split the frame by side and self-joined the
+    * two best-partner windows, which pushed `side` filters below every
+    * reused exchange and made the TYPED CANDIDATE KERNEL execute once
+    * per side flavor (plus 4 sum-broadcast joins and 2 best-window
+    * exchanges). This form keeps both sides in ONE frame end to end:
+    *  - each row's OWN neighborhood sum is a window sum over the same
+    *    (side, id) partitioning the rank window already established —
+    *    no aggregate, no join, no new exchange;
+    *  - the OTHER endpoint's sum is one equi-join against the
+    *    k-bounded per-id sums (rk = 1 rows) keyed (1−side, other) —
+    *    the inner join drops exactly the probed-but-unreciprocated
+    *    pairs the old per-side sy/sx inner joins dropped;
+    *  - BOTH best-partner windows are one window over (side, id): for
+    *    side 0 the group is x and the tiebreak column `other` is yid,
+    *    for side 1 the group is y and `other` is xid — the same
+    *    groups and (margin desc, cosine desc, other) order as the two
+    *    old windows, reusing the rank window's partitioning;
+    *  - mutuality needs no self-join: grouping the per-(side, id)
+    *    best rows by (xid, yid) yields ≤ 2 rows per pair (ids are
+    *    unique per side), so `mutual` = both sides present, emission
+    *    = pairs with a side-0 row, margin = the side-0 row's (the old
+    *    bestX semantics verbatim).
+    * Row-for-row equality with the old shape is pinned by the
+    * brute-force-reference spec (SimilaritySpec "margin stage
+    * single-pass") on top of the pre-existing block-invariance /
+    * IVF≡exact / sampled-exact-ground-truth pins, and the declared
+    * queries hash-match the unchanged DuckDB oracle at both scales. */
   private def marginStage(partial: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("side", "id")
       .orderBy(col("cosine").desc, col("other"))
-    // NOTE (r17 optimization round): this frame feeds three consumers
-    // (the neighborhood-sum aggregate + both margin sides), but AQE's
-    // query-stage reuse already deduplicates the identical kernel
-    // exchanges at runtime — an explicit RDD pin was MEASURED 2×
-    // slower for the exact form (row-conversion overhead, broken
-    // codegen span) and only noise-level better for the IVF form, so
-    // the plan is left alone deliberately.
+    val ws = Window.partitionBy("side", "id")
     val knn = partial
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .withColumn("m", floor((col("cosine") + 1.0d) * 500000.0d).cast("long"))
-    val sums = knn.groupBy("side", "id").agg(sum("m").as("s"))
-    val sx = sums.filter(col("side") === 0).select(col("id").as("xid"), col("s").as("sx"))
-    val sy = sums.filter(col("side") === 1).select(col("id").as("yid"), col("s").as("sy"))
-    def margins(side: Int, asX: Boolean) = knn.filter(col("side") === side)
-      .select((if (asX) col("id") else col("other")).as("xid"),
-        (if (asX) col("other") else col("id")).as("yid"),
-        col("cosine"), col("m"))
-      .join(sx, "xid").join(sy, "yid")
+      .withColumn("s", sum(col("m")).over(ws))
+    // one row per (side, id) carrying that endpoint's neighborhood sum
+    val oSums = knn.filter(col("rk") === 1)
+      .select(col("side").as("oside"), col("id").as("oid"), col("s").as("os"))
+    val bw = Window.partitionBy("side", "id")
+      .orderBy(col("margin_permille").desc, col("cosine").desc, col("other"))
+    val best = knn
+      .join(oSums, (lit(1) - col("side")) === col("oside") &&
+        col("other") === col("oid"))
       .withColumn("margin_permille",
-        when(col("sx") + col("sy") === 0L, lit(null))
-          .otherwise(expr(s"(2 * $k * 1000 * m) DIV (sx + sy)")))
-    val bw = Window.partitionBy("xid")
-      .orderBy(col("margin_permille").desc, col("cosine").desc, col("yid"))
-    val bestX = margins(0, asX = true)
+        when(col("s") + col("os") === 0L, lit(null))
+          .otherwise(expr(s"(2 * $k * 1000 * m) DIV (s + os)")))
       .withColumn("brk", row_number().over(bw)).filter(col("brk") === 1)
-      .select(col("xid").as("x_id"), col("yid").as("y_id"), col("margin_permille"))
-    val bwY = Window.partitionBy("yid")
-      .orderBy(col("margin_permille").desc, col("cosine").desc, col("xid"))
-    val bestY = margins(1, asX = false)
-      .withColumn("brk", row_number().over(bwY)).filter(col("brk") === 1)
-      .select(col("xid").as("bx"), col("yid").as("by"), lit(1).as("_m"))
-    bestX
-      .join(bestY, col("x_id") === col("bx") && col("y_id") === col("by"), "left")
-      .select(col("x_id"), col("y_id"), col("margin_permille"),
-        col("_m").isNotNull.as("mutual"))
+      .withColumn("xid", when(col("side") === 0, col("id")).otherwise(col("other")))
+      .withColumn("yid", when(col("side") === 0, col("other")).otherwise(col("id")))
+    best.groupBy("xid", "yid")
+      .agg(max(when(col("side") === 0, col("margin_permille"))).as("_mp"),
+        max(when(col("side") === 0, lit(1))).as("_hx"),
+        max(when(col("side") === 1, lit(1))).as("_hy"))
+      .filter(col("_hx").isNotNull)
+      .select(col("xid").as("x_id"), col("yid").as("y_id"),
+        col("_mp").as("margin_permille"), col("_hy").isNotNull.as("mutual"))
       .orderBy("x_id")
   }
 

@@ -533,6 +533,54 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("margin stage single-pass == driver-side brute-force reference (r17 optimization pin)") {
+    // Pins the r17 single-pass marginStage (window sums + one combined
+    // best window + group-by mutuality) to an INDEPENDENT driver-side
+    // implementation of the full contract — partner, margin AND mutual
+    // flag — on a seeded random fixture, so the window/join-free
+    // restructure cannot drift from the declared arithmetic.
+    import spark.implicits._
+    val rng = new scala.util.Random(2026)
+    def noise() = Array.fill(8)((rng.nextDouble() - 0.5).toFloat)
+    val xsRows = (0 until 17).map(i => (2L * i, noise()))
+    val ysRows = (0 until 13).map(i => (2L * i + 1, noise()))
+    val k = 3
+    val got = Similarity.marginKnnMining(
+        xsRows.toDF("vec_id", "embedding"), ysRows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = k, numBlocks = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    // driver reference: the contract arithmetic in plain Scala
+    val xs = xsRows.map { case (id, v) => (id, v.map(_.toDouble)) }
+    val ys = ysRows.map { case (id, v) => (id, v.map(_.toDouble)) }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def mOf(c: Double): Long = math.floor((c + 1.0d) * 500000.0d).toLong
+    def topk(from: Seq[(Long, Array[Double])], to: Seq[(Long, Array[Double])]) =
+      from.map { case (fid, fv) =>
+        fid -> to.map { case (tid, tv) => (tid, cos(fv, tv)) }
+          .sortBy { case (tid, c) => (-c, tid) }.take(k)
+      }.toMap
+    val xknn = topk(xs, ys)
+    val yknn = topk(ys, xs)
+    val sx = xknn.map { case (x, rs) => x -> rs.map(r => mOf(r._2)).sum }
+    val sy = yknn.map { case (y, rs) => y -> rs.map(r => mOf(r._2)).sum }
+    def margin(x: Long, y: Long, c: Double): Long =
+      2L * k * 1000L * mOf(c) / (sx(x) + sy(y)) // denom > 0 on random noise
+    val bestY = yknn.map { case (y, rs) =>
+      y -> rs.map { case (x, c) => (x, c, margin(x, y, c)) }
+        .minBy { case (x, c, m) => (-m, -c, x) }._1
+    }
+    val expected = xs.map(_._1).sorted.map { x =>
+      val (y, c, m) = xknn(x).map { case (y, c) => (y, c, margin(x, y, c)) }
+        .minBy { case (y, c, m) => (-m, -c, y) }
+      (x, y, m, bestY(y) == x)
+    }
+    assert(got === expected)
+  }
+
   test("knnGraphWithin == driver exhaustive within-cell ranking; lone vectors emit nothing") {
     import spark.implicits._
     val rng = new scala.util.Random(13)
