@@ -89,9 +89,12 @@ object Relational {
         (col("o_totalprice").cast("decimal(38,2)") * 100).cast("long").as("_cents"))
       .withColumn("_all", lit("all"))
       .withColumn("_key", col("_cents") * lit(1L << 32) + col("o_orderkey"))
-    val ranked = TextAnalysis.stratumRank(o, "_all", "_key", rankCol = "_rank")
-    val sizes = o.agg(count(lit(1)).as("_n"))
-    ranked.crossJoin(broadcast(sizes))
+    // the total row count rides stratumRank's broadcast counts frame
+    // (sizeCol) instead of a separate count pass over the orders scan
+    // (r17 optimization round)
+    val ranked = TextAnalysis.stratumRank(o, "_all", "_key",
+      rankCol = "_rank", sizeCol = Some("_n"))
+    ranked
       .withColumn("decile", expr(
         s"""CASE WHEN _rank <= (_n % $nBuckets) * (_n DIV $nBuckets + 1)
            |  THEN (_rank - 1) DIV (_n DIV $nBuckets + 1) + 1

@@ -268,7 +268,8 @@ object TextAnalysis {
     * never correctness. */
   def stratumRank(docs: DataFrame, strataCol: String, idCol: String,
                   buckets: Int = 256,
-                  rankCol: String = "_stratum_rank"): DataFrame = {
+                  rankCol: String = "_stratum_rank",
+                  sizeCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val id = col(idCol).cast("bigint")
     val bounds = docs.agg(min(id).as("_min_id"), max(id).as("_max_id"))
@@ -287,18 +288,29 @@ object TextAnalysis {
     val counts = withB
       .groupBy(col(strataCol).as("_s"), col("_bucket").as("_b"))
       .agg(count(lit(1)).as("_c"))
+    // `sizeCol` (r17 optimization round): callers that also need the
+    // per-stratum TOTAL (NTILE arithmetic — qualityBuckets,
+    // decileReport) used to re-aggregate the corpus-sized input a
+    // 4th time for it; the total is already implied by the tiny
+    // per-(stratum, bucket) counts frame, so attach it through the
+    // SAME broadcast join that ships the offsets — zero extra passes.
     val offs = counts
       .withColumn("_off", coalesce(
         sum("_c").over(Window.partitionBy("_s").orderBy("_b")
           .rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
-      .select(col("_s"), col("_b"), col("_off"))
+      .withColumn("_tot", coalesce(
+        sum("_c").over(Window.partitionBy("_s")), lit(0L)))
+      .select(col("_s"), col("_b"), col("_off"), col("_tot"))
     val wb = Window.partitionBy(col(strataCol), col("_bucket"))
       .orderBy(col(idCol))
-    withB
+    val ranked = withB
       .join(broadcast(offs),
         withB(strataCol) <=> offs("_s") && withB("_bucket") <=> offs("_b"))
       .withColumn(rankCol, col("_off") + row_number().over(wb))
+    sizeCol.fold(ranked.drop("_tot")) { n =>
+        ranked.withColumnRenamed("_tot", n)
+      }
       .drop("_s", "_b", "_off", "_bucket")
   }
 
@@ -969,8 +981,13 @@ object TextAnalysis {
     val scored = lm.join(lang, "doc_id")
       .withColumn("_key",
         col("lm_score_permille") * lit(1L << 32) + col("doc_id"))
-    val ranked = stratumRank(scored, "lang", "_key", rankCol = "_rank")
-    val sizes = scored.groupBy("lang").agg(count(lit(1)).as("_n"))
+    // per-lang totals ride stratumRank's broadcast counts frame
+    // (sizeCol) instead of a 4th aggregation pass over `scored` —
+    // `scored` re-runs the LM-score + langid join per consumer, so
+    // dropping the separate sizes subtree removes one full
+    // per-document pass (r17 optimization round)
+    val ranked = stratumRank(scored, "lang", "_key", rankCol = "_rank",
+      sizeCol = Some("_n"))
     val bucket = expr(
       s"""CASE WHEN _rank <= (_n % $nBuckets) * (_n DIV $nBuckets + 1)
          |  THEN (_rank - 1) DIV (_n DIV $nBuckets + 1) + 1
@@ -978,7 +995,7 @@ object TextAnalysis {
          |    + (_rank - (_n % $nBuckets) * (_n DIV $nBuckets + 1) - 1)
          |      DIV (_n DIV $nBuckets) + 1
          |END""".stripMargin)
-    ranked.join(broadcast(sizes), "lang")
+    ranked
       .withColumn("bucket", bucket)
       .groupBy("lang", "bucket")
       .agg(count(lit(1)).as("n_docs"),

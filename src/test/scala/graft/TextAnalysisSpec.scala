@@ -126,6 +126,15 @@ class TextAnalysisSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
       assert(got === naive, s"buckets=$b")
     }
+    // sizeCol (r17): the per-stratum total shipped on the counts
+    // broadcast must equal the naive groupBy count, on every row
+    val sizes = docs.groupBy("lang").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val withN = TextAnalysis.stratumRank(docs, "lang", "doc_id",
+        buckets = 7, sizeCol = Some("_n"))
+      .select("lang", "_n")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(withN.nonEmpty && withN.forall { case (l, n) => sizes(l) == n })
   }
 
   test("repetition stats: hand-checked values, zero shuffle") {
